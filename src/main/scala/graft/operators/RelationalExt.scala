@@ -1,0 +1,261 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.Parity._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second tranche of the OLAP core (SURVEY.md §2): window functions,
+  * grouping sets (rollup/cube), pivot, set ops, subqueries, outer
+  * joins, sketches, and the explicit two-phase heavy-hitter pattern.
+  */
+object RelationalExt {
+
+  /** Running per-customer order total — window frame, deterministic
+    * via unique (o_custkey, o_orderdate, o_orderkey) ordering. Exact
+    * decimal running sum surfaced as double. */
+  val qWindowRunning: GraftQuery = GraftQuery.sql(
+    "q_window_running",
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+      |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+      |FROM orders WHERE o_custkey < 200
+      |ORDER BY o_custkey, order_seq""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 200)
+      .select(col("o_orderkey"), col("o_custkey"),
+        sum(m(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_total"),
+        row_number().over(w).as("order_seq"))
+      .orderBy(col("o_custkey"), col("order_seq"))
+  }
+
+  /** lag/lead deltas per user over the event stream. Double subtraction
+    * of identical inputs is bit-deterministic — no decimal needed. */
+  val qWindowLag: GraftQuery = GraftQuery.sql(
+    "q_window_lag",
+    """SELECT event_id, user_id, value,
+      |  value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_prev,
+      |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |FROM events WHERE user_id < 50
+      |ORDER BY user_id, event_id""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("user_id") < 50)
+      .select(col("event_id"), col("user_id"), col("value"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta_prev"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Hierarchical rollup region → nation; grouping-null keys surfaced
+    * as 'ALL' so null semantics can't diverge between engines. */
+  val qRollup: GraftQuery = GraftQuery.sql(
+    "q_rollup",
+    s"""SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+       |  COUNT(*) AS n_customers, ${sumMSql("c_acctbal")} AS total_acctbal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP (r_name, n_name)
+       |ORDER BY region, nation""".stripMargin
+  ) { (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), sumM(col("c_acctbal")).as("total_acctbal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_customers"), col("total_acctbal"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  /** Cube over returnflag × linestatus. */
+  val qCube: GraftQuery = GraftQuery.sql(
+    "q_cube",
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+       |  COUNT(*) AS n_rows, ${sumMSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY returnflag, linestatus""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), sumM(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  /** HLL sketch — no cross-engine parity (rows-only check). At 100 TB
+    * this replaces exact distinct wherever ±2% is acceptable: no
+    * shuffle of the full key set, constant memory per group. */
+  val qApproxDistinct: GraftQuery = GraftQuery.rowsOnly("q_approx_distinct") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Full outer join of per-nation premium customer/supplier counts. */
+  val qOuterJoin: GraftQuery = GraftQuery.sql(
+    "q_outer_join",
+    """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+      |           FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey),
+      |     s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+      |           FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey)
+      |SELECT COALESCE(c.nk, s.nk) AS nationkey,
+      |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+      |ORDER BY nationkey""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey").as("c_nk")).agg(count(lit(1)).as("n_cust"))
+    val sup = Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
+      .groupBy(col("s_nationkey").as("s_nk")).agg(count(lit(1)).as("n_supp"))
+    c.join(sup, col("c_nk") === col("s_nk"), "full_outer")
+      .select(
+        coalesce(col("c_nk"), col("s_nk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Orders above the global average price — scalar subquery. */
+  val qScalarSubquery: GraftQuery = GraftQuery.sql(
+    "q_scalar_subquery",
+    """SELECT o_orderstatus, COUNT(*) AS n_above_avg
+      |FROM orders
+      |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*) FROM orders)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val avgPrice = o.agg(avgM(col("o_totalprice"))).collect()(0).getDouble(0)
+    o.filter(col("o_totalprice") > avgPrice)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_above_avg"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** UNION / EXCEPT / INTERSECT over two customer cohorts. */
+  val qSetops: GraftQuery = GraftQuery.sql(
+    "q_setops",
+    """WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |     big AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000)
+      |SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT * FROM b UNION SELECT * FROM big) t
+      |UNION ALL
+      |SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT * FROM b EXCEPT SELECT * FROM big) t
+      |UNION ALL
+      |SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT * FROM b INTERSECT SELECT * FROM big) t
+      |ORDER BY op""".stripMargin
+  ) { (s, d) =>
+    val b = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val u = b.union(big).distinct().agg(count(lit(1)).as("n"))
+      .select(lit("union").as("op"), col("n"))
+    val e = b.except(big).agg(count(lit(1)).as("n"))
+      .select(lit("except").as("op"), col("n"))
+    val i = b.intersect(big).agg(count(lit(1)).as("n"))
+      .select(lit("intersect").as("op"), col("n"))
+    u.union(e).union(i).orderBy(col("op"))
+  }
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot event_type → columns of exact value sums per day. */
+  val qPivot: GraftQuery = GraftQuery.sql(
+    "q_pivot",
+    s"""SELECT CAST(ts AS DATE) AS day,
+       |${eventTypes.map(t => s"  CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(15,2)) END) AS DOUBLE) AS $t").mkString(",\n")}
+       |FROM events GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("day", col("ts").cast("date"))
+      .groupBy(col("day"))
+      .pivot("event_type", eventTypes)
+      .agg(sum(m(col("value"))).cast("double"))
+      .orderBy(col("day"))
+  }
+
+  /** String expression library over part names/brands. */
+  val qStringFuncs: GraftQuery = GraftQuery.sql(
+    "q_string_funcs",
+    """SELECT CAST(regexp_extract(p_brand, '#(\d+)', 1) AS BIGINT) AS brand_num,
+      |  COUNT(*) AS n_parts,
+      |  MIN(upper(p_type)) AS min_type,
+      |  MAX(substr(p_name, 1, 8)) AS name_prefix,
+      |  CAST(SUM(CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END) AS BIGINT) AS n_with_a,
+      |  CAST(SUM(length(p_name)) AS BIGINT) AS total_name_len
+      |FROM part GROUP BY 1 ORDER BY brand_num""".stripMargin
+  ) { (s, d) =>
+    Tables.part(s, d)
+      .groupBy(regexp_extract(col("p_brand"), "#(\\d+)", 1).cast("long").as("brand_num"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        min(upper(col("p_type"))).as("min_type"),
+        max(substring(col("p_name"), 1, 8)).as("name_prefix"),
+        sum(when(col("p_name").like("%a%"), 1).otherwise(0)).as("n_with_a"),
+        sum(length(col("p_name"))).as("total_name_len"))
+      .orderBy(col("brand_num"))
+  }
+
+  /** Date/time expression library over orders. */
+  val qDateFuncs: GraftQuery = GraftQuery.sql(
+    "q_date_funcs",
+    s"""SELECT EXTRACT(year FROM o_orderdate) AS yr, EXTRACT(quarter FROM o_orderdate) AS qtr,
+       |  COUNT(*) AS n_orders, ${sumMSql("o_totalprice")} AS total,
+       |  MIN(CAST(o_orderdate AS DATE)) AS first_day,
+       |  MAX(CAST(o_orderdate + INTERVAL 30 DAY AS DATE)) AS max_due
+       |FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sumM(col("o_totalprice")).as("total"),
+        min(col("o_orderdate").cast("date")).as("first_day"),
+        max((col("o_orderdate") + expr("INTERVAL 30 DAY")).cast("date")).as("max_due"))
+      .orderBy(col("yr"), col("qtr"))
+  }
+
+  /** Heavy hitters with an explicit salt stage: partial counts on
+    * (key, salt) then final merge — the skew-proof shape for power-law
+    * keys at 100 TB (a single hot user never lands on one reducer).
+    * Result is identical to the plain aggregate, which the oracle
+    * verifies. */
+  val qHeavyHitters: GraftQuery = GraftQuery.sql(
+    "q_heavy_hitters",
+    s"""SELECT user_id, COUNT(*) AS n_events, ${sumMSql("value")} AS total_value
+       |FROM events GROUP BY user_id
+       |ORDER BY n_events DESC, user_id LIMIT 25""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(count(lit(1)).as("pc"), sum(m(col("value"))).as("pv"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("pc")).as("n_events"), sum(col("pv")).cast("double").as("total_value"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(25)
+  }
+
+  def all: Seq[GraftQuery] = Seq(
+    qWindowRunning, qWindowLag, qRollup, qCube, qApproxDistinct, qOuterJoin,
+    qScalarSubquery, qSetops, qPivot, qStringFuncs, qDateFuncs, qHeavyHitters)
+}
