@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Word n-gram shingling with cross-engine hash parity.
+  *
+  * Shingles are hashed with GraftHash.charHash so every downstream
+  * dedup primitive (Jaccard, MinHash, SimHash) operates on identical
+  * int64 sets in Spark and DuckDB. Documents in the corpus share a
+  * small vocabulary, so unigram features barely discriminate — 3-gram
+  * shingles are the discriminating unit (and the standard one for
+  * near-dup detection in pre-training pipelines).
+  */
+object Shingles {
+
+  /** Distinct hashed word-3-gram shingles of a text column. Requires
+    * >= 3 tokens (callers filter; every corpus doc qualifies). */
+  def shingleHashes(text: Column): Column = {
+    val toks = split(text, " ", -1)
+    array_distinct(
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        GraftHash.charHash(concat_ws(" ",
+          get(toks, i - 1), get(toks, i), get(toks, i + 1)))))
+  }
+
+  /** DuckDB CTE fragment: documents -> (doc_id extras..., sh) with sh
+    * = the same distinct shingle-hash list. */
+  def shingleCteSql(extraCols: String = ""): String = {
+    val shingleExpr = GraftHash.charHashSql("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")
+    s"""toks AS (SELECT doc_id$extraCols, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (SELECT doc_id$extraCols,
+       |  list_distinct(list_transform(generate_series(1, len(toks) - 2), i -> $shingleExpr)) AS sh
+       |  FROM toks)""".stripMargin
+  }
+
+  /** Exact Jaccard similarity of two distinct-element hash arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  def jaccardSql(a: String, b: String): String =
+    s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / len(list_distinct($a || $b))"
+}

@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.{GraftHash, Shingles}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for LLM-data pipelines (SURVEY.md §2).
+  *
+  * Scale design: nothing here does an unblocked cross join. Candidate
+  * generation is always an equi-join on a derived blocking key —
+  * length bands (ngram query), MinHash LSH bands, or SimHash chunks
+  * (pigeonhole: hamming <= 3 over 4 chunks guarantees one equal
+  * chunk). At 100 TB the candidate set is ~linear in corpus size while
+  * exact verification only touches candidates.
+  */
+object Dedup {
+
+  private val P = GraftHash.P
+
+  /** Exact dedup: per-source duplicate accounting via full-text
+    * grouping (hash-groupBy shape — at scale, group on xxhash64(text)
+    * first, verify within groups). */
+  val dExactDup: GraftQuery = GraftQuery.sql(
+    "d_exact_dup",
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique,
+      |  CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS dup_rows
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("text"))).as("dup_rows"))
+      .orderBy(col("source"))
+  }
+
+  /** N-gram Jaccard near-dup pairs, blocked by length bands: each doc
+    * lands in buckets floor(n/100) and floor(n/100)+1, so any pair
+    * within 100 chars of each other shares a bucket — an equi-join,
+    * never a cross join. */
+  val dNgramJaccard: GraftQuery = GraftQuery.sql(
+    "d_ngram_jaccard",
+    s"""WITH ${Shingles.shingleCteSql(", n_chars")},
+       |b AS (SELECT doc_id, sh, unnest([n_chars // 100, n_chars // 100 + 1]) AS bucket FROM sh),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM b a JOIN b b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b, ${Shingles.jaccardSql("x.sh", "y.sh")} AS jaccard
+       |FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+       |WHERE ${Shingles.jaccardSql("x.sh", "y.sh")} >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (s, d) =>
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), Shingles.shingleHashes(col("text")).as("sh"))
+    val b = sh.withColumn("bucket",
+      explode(array(floor(col("n_chars") / 100), floor(col("n_chars") / 100) + 1)))
+      .select(col("doc_id"), col("bucket"))
+    val cand = b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("jaccard", Shingles.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // MinHash parameters: k=32 components, 8 bands x 4 rows.
+  val K = 32; val Bands = 8; val R = 4
+  private val perms = GraftHash.perms(K)
+
+  /** MinHash + banded LSH near-dup detection — the content-blocked
+    * scale path (pairs found regardless of metadata; candidate count
+    * ~ band collisions, not n^2). Candidates verified by exact
+    * Jaccard >= 0.8, so output equals the ngram query's truth on any
+    * pair LSH recalls (P[recall | j=0.98] ~ 1 - (1-0.98^4)^8 ~ 1). */
+  val dMinhashLsh: GraftQuery = GraftQuery.sql(
+    "d_minhash_lsh", {
+      val comps = perms.zipWithIndex.map { case ((a, b), j) =>
+        s"  ${GraftHash.minhashComponentSql("sh", a, b)} AS c$j"
+      }.mkString(",\n")
+      val bandKeys = (0 until Bands).map { k =>
+        val cs = (0 until R).map(r => s"c${k * R + r}")
+        s"  ${GraftHash.bandKeySql(cs)} AS bk$k"
+      }.mkString(",\n")
+      val bandUnion = (0 until Bands).map(k =>
+        s"SELECT doc_id, $k AS band_idx, bk$k AS band_key FROM bands").mkString("\nUNION ALL\n")
+      s"""WITH ${Shingles.shingleCteSql()},
+         |sig AS (SELECT doc_id, sh,
+         |$comps
+         |FROM sh),
+         |bands AS (SELECT *,
+         |$bandKeys
+         |FROM sig),
+         |bl AS ($bandUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bl a JOIN bl b ON a.band_idx = b.band_idx
+         |           AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT c.doc_a, c.doc_b, ${Shingles.jaccardSql("x.sh", "y.sh")} AS jaccard
+         |FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+         |WHERE ${Shingles.jaccardSql("x.sh", "y.sh")} >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }
+  ) { (s, d) =>
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), Shingles.shingleHashes(col("text")).as("sh"))
+    val sig = sh.select(
+      (Seq(col("doc_id"), col("sh")) ++ perms.zipWithIndex.map { case ((a, b), j) =>
+        GraftHash.minhashComponent(col("sh"), a, b).as(s"c$j")
+      }): _*)
+    val withBands = sig.withColumn("band_keys", array(
+      (0 until Bands).map { k =>
+        GraftHash.bandKey((0 until R).map(r => col(s"c${k * R + r}")))
+      }: _*))
+    val bl = withBands.select(col("doc_id"),
+      posexplode(col("band_keys")).as(Seq("band_idx", "band_key")))
+    val cand = bl.as("a").join(bl.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("jaccard", Shingles.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // SimHash: 24-bit fingerprint over shingle hashes, 4 chunks x 6 bits.
+  val SimBits = 24; val Chunks = 4; val ChunkBits = 6
+
+  /** 24-bit SimHash near-dup pairs at hamming <= 3, blocked by chunk
+    * equality (pigeonhole: <= 3 flipped bits across 4 chunks leaves
+    * one chunk identical — candidates via equi-join on chunk value). */
+  val dSimhash: GraftQuery = GraftQuery.sql(
+    "d_simhash", {
+      val bitSumsSql = (0 until SimBits).map { i =>
+        s"CASE WHEN list_sum(list_transform(sh, h -> CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END"
+      }.mkString(" + ")
+      val chunkUnion = (0 until Chunks).map(k =>
+        s"SELECT doc_id, simhash, $k AS chunk_idx, (simhash >> ${k * ChunkBits}) & ${(1 << ChunkBits) - 1} AS chunk_val FROM sim").mkString("\nUNION ALL\n")
+      s"""WITH ${Shingles.shingleCteSql()},
+         |sim AS (SELECT doc_id, CAST($bitSumsSql AS BIGINT) AS simhash FROM sh),
+         |ch AS ($chunkUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                a.simhash AS sim_a, b.simhash AS sim_b
+         |         FROM ch a JOIN ch b ON a.chunk_idx = b.chunk_idx
+         |           AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }
+  ) { (s, d) =>
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), Shingles.shingleHashes(col("text")).as("sh"))
+    val simhash = (0 until SimBits).map { i =>
+      when(aggregate(
+        transform(col("sh"), h => when(h.bitwiseAND(lit(1L << i)) =!= 0, 1L).otherwise(-1L)),
+        lit(0L), (acc, x) => acc + x) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sim = sh.select(col("doc_id"), simhash.as("simhash"))
+    val chExpanded = sim
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until Chunks).map { k =>
+          shiftright(col("simhash"), k * ChunkBits).bitwiseAND(lit((1 << ChunkBits) - 1))
+        }: _*)).as(Seq("chunk_idx", "chunk_val")))
+    val cand = chExpanded.as("a").join(chExpanded.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(dExactDup, dNgramJaccard, dMinhashLsh, dSimhash)
+}

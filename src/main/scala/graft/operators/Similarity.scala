@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.Vectors
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (SURVEY.md §2).
+  *
+  * Brute-force cosine top-k is the correctness baseline: the bounded
+  * query set is broadcast, the corpus is scanned exactly once, and
+  * ranks are bit-deterministic (see functions.Vectors). The LSH
+  * variant is the 100 TB path: random-hyperplane buckets make
+  * candidate counts ~corpus/2^planes per query instead of the full
+  * corpus; at cluster scale the bucketed corpus would additionally be
+  * written bucket-partitioned so a query touches one partition.
+  */
+object Similarity {
+
+  private val QueryCount = 16
+  private val TopK = 5
+
+  /** Normalized corpus: (vec_id, v, nrm). */
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+
+  private val corpusSql =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${Vectors.normSql("v")} AS nrm FROM e)""".stripMargin
+
+  /** Brute-force cosine top-k for a bounded query set. */
+  val sAnnBruteforce: GraftQuery = GraftQuery.sql(
+    "s_ann_bruteforce",
+    s"""WITH $corpusSql,
+       |q AS (SELECT * FROM n WHERE vec_id < $QueryCount),
+       |sc AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |         ${Vectors.dotSql("q.v", "n.v")} / (q.nrm * n.nrm) AS cosine
+       |       FROM q JOIN n ON q.vec_id <> n.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+       |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  ) { (s, d) =>
+    val n = corpus(s, d)
+    val q = n.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .filter(col("query_id") < QueryCount)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    n.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding near-dup detection: globally closest pairs. All-pairs
+    * here (correctness form); the LSH buckets below are the scale
+    * form. Top-20 keeps the result stable across scale factors. */
+  val dEmbedNeardup: GraftQuery = GraftQuery.sql(
+    "d_embed_neardup",
+    s"""WITH $corpusSql
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${Vectors.dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |ORDER BY cosine DESC, vec_a, vec_b LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val n = corpus(s, d)
+    val a = n.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
+  // LSH: 6 deterministic hyperplanes -> 64 buckets.
+  val NPlanes = 6
+  private val planes = Vectors.hyperplanes(NPlanes, 64)
+
+  private def planeLit(p: Seq[Double]): Column = array(p.map(lit(_)): _*)
+  private def planeSql(p: Seq[Double]): String = p.mkString("[", ", ", "]")
+
+  /** Sign-random-projection bucket id of a vector column. */
+  def lshBucket(v: Column): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(Vectors.dot(v, planeLit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def lshBucketSql(v: String): String =
+    planes.zipWithIndex.map { case (p, j) =>
+      s"CASE WHEN ${Vectors.dotSql(v, planeSql(p))} > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** LSH-bucketed ANN: candidates share the query's bucket. Same
+    * output shape as brute force; recall is whatever the buckets give
+    * (verifiable against s_ann_bruteforce). */
+  val sAnnLsh: GraftQuery = GraftQuery.sql(
+    "s_ann_lsh",
+    s"""WITH $corpusSql,
+       |bk AS (SELECT vec_id, v, nrm, ${lshBucketSql("v")} AS bucket FROM n),
+       |q AS (SELECT * FROM bk WHERE vec_id < $QueryCount),
+       |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${Vectors.dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
+       |       FROM q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+       |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  ) { (s, d) =>
+    val bk = corpus(s, d).withColumn("bucket", lshBucket(col("v")))
+    val q = bk.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+      .filter(col("query_id") < QueryCount)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    bk.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh)
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.GraftHash
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for LLM-data pipelines (SURVEY.md §2): token
+  * counting, quality scoring, language-ID, fingerprinting. All built
+  * from codegen'd higher-order functions (no UDFs), with DuckDB
+  * oracles that replicate the arithmetic bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** BPE-ish tokenizer regex: letter runs, single digits, or single
+    * non-alphanumeric marks. Same dialect subset in Java and RE2. */
+  val BpePattern = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+  val StopWords = Seq("the", "a", "of", "and", "to", "in")
+  private def sqlList(xs: Seq[String]) = xs.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Whitespace + BPE-ish token counts, aggregated per language. */
+  val tTokenCount: GraftQuery = GraftQuery.sql(
+    "t_token_count",
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       |  CAST(SUM(len(regexp_extract_all(lower(text), '$BpePattern'))) AS BIGINT) AS bpe_tokens,
+       |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_ws_tokens
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(split(col("text"), " ", -1)).cast("long").as("ws"),
+        size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0))).cast("long").as("bpe"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("chars")).as("total_chars"),
+        (sum(col("ws")).cast("double") / count(lit(1))).as("avg_ws_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** Per-doc quality score from length/punctuation/stopword ratios —
+    * the classic pre-training corpus filter shape. Pure double
+    * arithmetic on integer counts → bit-identical cross-engine. */
+  val tQualityScore: GraftQuery = GraftQuery.sql(
+    "t_quality_score",
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+       |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) AS n_punct,
+       |    CAST(length(text) AS DOUBLE) AS n_chars,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ${sqlList(StopWords)})) AS DOUBLE) AS n_stop
+       |  FROM documents)
+       |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+       |  0.5 * LEAST(1.0, n_tok / 80.0)
+       |    + 0.3 * (1.0 - n_punct / n_chars)
+       |    + 0.2 * LEAST(1.0, 4.0 * n_stop / n_tok) AS score
+       |FROM f ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val toks = split(col("text"), " ", -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks).cast("double").as("n_tok"),
+        size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("double").as("n_punct"),
+        length(col("text")).cast("double").as("n_chars"),
+        size(filter(toks, t => t.isInCollection(StopWords))).cast("double").as("n_stop"))
+      .select(col("doc_id"),
+        col("n_tok").cast("long").as("n_tokens"),
+        (lit(0.5) * least(lit(1.0), col("n_tok") / 80.0)
+          + lit(0.3) * (lit(1.0) - col("n_punct") / col("n_chars"))
+          + lit(0.2) * least(lit(1.0), lit(4.0) * col("n_stop") / col("n_tok"))).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Marker-word sets per language (n-gram heuristic, degenerate to
+    * unigrams on this synthetic vocabulary). Priority order breaks
+    * ties deterministically. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "fast", "small"),
+    "es" -> Seq("order", "data", "line"),
+    "de" -> Seq("window", "group", "merge"),
+    "fr" -> Seq("table", "filter", "row"),
+    "zh" -> Seq("hash", "scan", "join"))
+
+  /** Heuristic language-ID vs the labeled truth → confusion counts. */
+  val tLangId: GraftQuery = GraftQuery.sql(
+    "t_lang_id",
+    s"""WITH sc AS (
+       |  SELECT doc_id, lang,
+       |${LangMarkers.map { case (l, ws) => s"    len(list_filter(string_split(text, ' '), t -> t IN ${sqlList(ws)})) AS s_$l" }.mkString(",\n")}
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, lang, CASE
+       |${LangMarkers.init.map { case (l, _) => s"    WHEN ${LangMarkers.map(_._1).filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")} THEN '$l'" }.mkString("\n")}
+       |    ELSE '${LangMarkers.last._1}' END AS predicted
+       |  FROM sc)
+       |SELECT lang, predicted, COUNT(*) AS n FROM p
+       |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+  ) { (s, d) =>
+    val toks = split(col("text"), " ", -1)
+    val scored = Tables.documents(s, d).select(
+      (Seq(col("doc_id"), col("lang")) ++ LangMarkers.map { case (l, ws) =>
+        size(filter(toks, t => t.isInCollection(ws))).as(s"s_$l")
+      }): _*)
+    val langs = LangMarkers.map(_._1)
+    val pred = LangMarkers.init.foldRight(lit(langs.last): Column) { case ((l, _), els) =>
+      when(langs.filter(_ != l).map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _), lit(l))
+        .otherwise(els)
+    }
+    // NOTE: foldRight keeps WHEN-clause priority order = LangMarkers order
+    scored.select(col("lang"), pred.as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** Per-doc rolling-hash fingerprint — every value oracle-checked. */
+  val tFingerprint: GraftQuery = GraftQuery.sql(
+    "t_fingerprint",
+    s"""SELECT doc_id, ${GraftHash.charHashSql("text")} AS fp, length(text) AS n
+       |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        GraftHash.charHash(col("text")).as("fp"),
+        length(col("text")).cast("long").as("n"))
+      .orderBy(col("doc_id"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(tTokenCount, tQualityScore, tLangId, tFingerprint)
+}
