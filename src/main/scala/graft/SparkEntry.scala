@@ -9,9 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   /** All registered queries, in SURVEY.md §2 order. */
   def registry: Seq[GraftQuery] =
-    operators.Relational.all ++ operators.RelationalExt.all ++
+    operators.Lake.all ++
+      operators.Relational.all ++ operators.RelationalExt.all ++
       operators.TextAnalysis.all ++ operators.Dedup.all ++
-      operators.Similarity.all
+      operators.Similarity.all ++ operators.Multimodal.all ++
+      operators.Streaming.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

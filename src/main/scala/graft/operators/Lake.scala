@@ -1,0 +1,259 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.GraftHash
+import graft.functions.Parity._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The lake layer: every reference filesystem capability re-expressed
+  * as a columnar data-lake operation (SURVEY.md §2, citations to
+  * /root/reference/src/java/org/apache/hadoop/hdfs).
+  *
+  * The reference exposes byte streams + namespace metadata
+  * (DistributedFileSystem.java, DFSClient.java); Spark's analogue of
+  * the client is the DataFrameReader/Writer pair, and the NameNode
+  * metadata queries (du, count, quota, fsck, checksum) become
+  * aggregations over table content and layout. Physical block
+  * management (server/datanode, BlockManager.java) is delegated to
+  * the backing FileSystem — by design, per BASELINE.json.
+  */
+object Lake {
+
+  /** Scratch area for sink/source roundtrips (gitignored). */
+  def scratch(name: String): String = s"/root/repo/target/scratch/$name"
+
+  private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  /** Parquet scan with predicate + projection pushdown (read path:
+    * DFSInputStream.java — here the reader prunes columns/rows at the
+    * scan instead of streaming whole blocks). */
+  val lakeScan: GraftQuery = GraftQuery.sql(
+    "lake_scan",
+    s"""SELECT l_returnflag, COUNT(*) AS n, ${sumMSql("l_quantity")} AS qty
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_quantity > 45
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_quantity") > 45)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sumM(col("l_quantity")).as("qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** CSV sink + source roundtrip (create/open: DFSOutputStream.java /
+    * DFSInputStream.java). Values must survive the text codec
+    * bit-for-bit — verified against the parquet-side oracle. */
+  val lakeRoundtripCsv: GraftQuery = GraftQuery.sql(
+    "lake_roundtrip_csv",
+    s"""SELECT o_orderstatus, COUNT(*) AS n, ${sumMSql("o_totalprice")} AS total
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  ) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val path = scratch("roundtrip_csv")
+    orders.write.mode("overwrite")
+      .option("header", "true").option("timestampFormat", TsFmt)
+      .csv(path)
+    s.read.schema(orders.schema)
+      .option("header", "true").option("timestampFormat", TsFmt)
+      .csv(path)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sumM(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** JSON-lines sink + source roundtrip. */
+  val lakeRoundtripJson: GraftQuery = GraftQuery.sql(
+    "lake_roundtrip_json",
+    s"""SELECT c_mktsegment, COUNT(*) AS n, ${sumMSql("c_acctbal")} AS total_bal
+       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  ) { (s, d) =>
+    val customer = Tables.customer(s, d)
+    val path = scratch("roundtrip_json")
+    customer.write.mode("overwrite").option("timestampFormat", TsFmt).json(path)
+    s.read.schema(customer.schema).option("timestampFormat", TsFmt).json(path)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sumM(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** ORC sink + source roundtrip. */
+  val lakeRoundtripOrc: GraftQuery = GraftQuery.sql(
+    "lake_roundtrip_orc",
+    s"""SELECT l_linestatus, COUNT(*) AS n, ${sumMSql("l_extendedprice")} AS total
+       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+  ) { (s, d) =>
+    val path = scratch("roundtrip_orc")
+    Tables.lineitem(s, d).write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sumM(col("l_extendedprice")).as("total"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** Hive-partitioned write + partition-pruned read — data placement
+    * by key, the lake analogue of block placement policy
+    * (namenode/BlockPlacementPolicyDefault.java). The year filter is
+    * answered from directory structure, not file contents. */
+  val lakePartitionedWrite: GraftQuery = GraftQuery.sql(
+    "lake_partitioned_write",
+    s"""SELECT o_orderstatus, COUNT(*) AS n, ${sumMSql("o_totalprice")} AS total
+       |FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  ) { (s, d) =>
+    val path = scratch("partitioned_orders")
+    Tables.orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("yr").parquet(path)
+    s.read.parquet(path)
+      .filter(col("yr") === 1997)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sumM(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Small-file compaction: rewrite to a bounded file count
+    * (server/balancer/Balancer.java — storage rebalanced toward a
+    * target layout; here the target is partition-bytes, not replica
+    * placement). */
+  val lakeCompaction: GraftQuery = GraftQuery.sql(
+    "lake_compaction",
+    s"""SELECT event_type, COUNT(*) AS n, ${sumMSql("value")} AS total
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val fragmented = scratch("fragmented_events")
+    val compacted = scratch("compacted_events")
+    val ev = Tables.events(s, d)
+    ev.repartition(32).write.mode("overwrite").parquet(fragmented) // many small files
+    s.read.parquet(fragmented).repartition(4)
+      .write.mode("overwrite").parquet(compacted)                  // compacted
+    s.read.parquet(compacted)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumM(col("value")).as("total"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Content summary per source — du/count
+    * (ClientProtocol.getContentSummary,
+    * namenode/ContentSummaryServlet.java). */
+  val lakeContentSummary: GraftQuery = GraftQuery.sql(
+    "lake_content_summary",
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("n_chars")).as("max_chars"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"))
+  }
+
+  /** Referential integrity audit — fsck
+    * (namenode/NamenodeFsck.java: orphaned/missing block reporting,
+    * re-expressed as anti-join orphan counts across the star schema). */
+  val lakeFsck: GraftQuery = GraftQuery.sql(
+    "lake_fsck",
+    """SELECT 'lineitem_orphans' AS check_name,
+      |  CAST((SELECT COUNT(*) FROM lineitem l
+      |        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_bad
+      |UNION ALL
+      |SELECT 'order_orphans',
+      |  CAST((SELECT COUNT(*) FROM orders o
+      |        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+      |UNION ALL
+      |SELECT 'customer_bad_nation',
+      |  CAST((SELECT COUNT(*) FROM customer c
+      |        WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+      |ORDER BY check_name""".stripMargin
+  ) { (s, d) =>
+    def orphans(name: String, left: DataFrame, right: DataFrame,
+                lk: String, rk: String): DataFrame =
+      left.join(right, col(lk) === col(rk), "left_anti")
+        .agg(count(lit(1)).as("n_bad"))
+        .select(lit(name).as("check_name"), col("n_bad"))
+    orphans("lineitem_orphans", Tables.lineitem(s, d), Tables.orders(s, d), "l_orderkey", "o_orderkey")
+      .union(orphans("order_orphans", Tables.orders(s, d), Tables.customer(s, d), "o_custkey", "c_custkey"))
+      .union(orphans("customer_bad_nation", Tables.customer(s, d), Tables.nation(s, d), "c_nationkey", "n_nationkey"))
+      .orderBy(col("check_name"))
+  }
+
+  /** Namespace + space quota audit per source directory
+    * (namenode/INodeDirectoryWithQuota.java; NSQuotaExceededException /
+    * DSQuotaExceededException). */
+  val lakeQuota: GraftQuery = GraftQuery.sql(
+    "lake_quota",
+    """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS used_chars,
+      |  COUNT(*) > 30 AS over_ns_quota,
+      |  SUM(n_chars) > 12000 AS over_space_quota
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("used_chars"),
+        (count(lit(1)) > 30).as("over_ns_quota"),
+        (sum(col("n_chars")) > 12000).as("over_space_quota"))
+      .orderBy(col("source"))
+  }
+
+  /** Deterministic content checksum per language group — the
+    * MD5-of-CRC shape (DistributedFileSystem.getFileChecksum):
+    * order-independent combination (sum mod P) of per-doc rolling
+    * hashes, so the result is stable under any execution order. */
+  val lakeChecksum: GraftQuery = GraftQuery.sql(
+    "lake_checksum",
+    s"""WITH fp AS (SELECT lang, ${GraftHash.charHashSql("text")} AS fp FROM documents)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(fp) % ${GraftHash.P} AS BIGINT) AS checksum,
+       |  CAST(MIN(fp) AS BIGINT) AS min_fp, CAST(MAX(fp) AS BIGINT) AS max_fp
+       |FROM fp GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), GraftHash.charHash(col("text")).as("fp"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("fp")) % GraftHash.P).as("checksum"),
+        min(col("fp")).as("min_fp"),
+        max(col("fp")).as("max_fp"))
+      .orderBy(col("lang"))
+  }
+
+  /** Versioned snapshot writes + snapshot reads (FSImage.java
+    * checkpoints: immutable point-in-time views under versioned
+    * paths). */
+  val lakeSnapshot: GraftQuery = GraftQuery.sql(
+    "lake_snapshot",
+    """SELECT 'v1' AS version, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE n_chars > 200
+      |UNION ALL
+      |SELECT 'v2', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+      |FROM documents WHERE n_chars > 100
+      |ORDER BY version""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val v1 = scratch("snapshots/docs/v1")
+    val v2 = scratch("snapshots/docs/v2")
+    docs.filter(col("n_chars") > 200).write.mode("overwrite").parquet(v1)
+    docs.filter(col("n_chars") > 100).write.mode("overwrite").parquet(v2)
+    def summarize(path: String, v: String): DataFrame =
+      s.read.parquet(path).agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .select(lit(v).as("version"), col("n_docs"), col("total_chars"))
+    summarize(v1, "v1").union(summarize(v2, "v2")).orderBy(col("version"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(
+    lakeScan, lakeRoundtripCsv, lakeRoundtripJson, lakeRoundtripOrc,
+    lakePartitionedWrite, lakeCompaction, lakeContentSummary, lakeFsck,
+    lakeQuota, lakeChecksum, lakeSnapshot)
+}

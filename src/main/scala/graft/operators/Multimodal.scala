@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2): media as opaque binary
+  * columns + typed metadata, decoded/feature-extracted per partition.
+  *
+  * The Spark-side plumbing is real — binary payload column, metadata
+  * struct, typed Dataset, partition-wise batch decode via
+  * mapPartitions (the JVM analogue of mapInPandas batch UDFs) — while
+  * the codec itself is a clearly-marked deterministic stub (this
+  * container has no image/audio libraries). Swapping `decodeStub` for
+  * a real JNI/FFmpeg/JPEG decoder changes nothing in the plan shape:
+  * one narrow pass, no shuffle, batch-local decode.
+  */
+object Multimodal {
+
+  /** An asset as it would arrive from an object store manifest. */
+  case class MediaAsset(doc_id: Long, codec: String, n_frames: Long, media: Array[Byte])
+
+  /** Features a decoder would emit per asset. */
+  case class MediaFeature(doc_id: Long, codec: String, n_bytes: Long,
+                          n_frames: Long, checksum: Long, sample_mean: Double)
+
+  /** STUB DECODER — deterministic fake standing in for image/audio
+    * decode. Consumes raw bytes, emits per-asset features: byte count,
+    * additive checksum, and the mean of a stride-64 "frame sample".
+    * Replace with a real codec; the surrounding plan is unchanged. */
+  def decodeStub(a: MediaAsset): MediaFeature = {
+    val bytes = a.media
+    var checksum = 0L
+    var i = 0
+    while (i < bytes.length) { checksum += bytes(i) & 0xffL; i += 1 }
+    var sampleSum = 0L; var n = 0L; var j = 0
+    while (j < bytes.length) { sampleSum += bytes(j) & 0xffL; n += 1; j += 64 }
+    MediaFeature(a.doc_id, a.codec, bytes.length.toLong, n,
+      checksum % 997, sampleSum.toDouble / n)
+  }
+
+  /** Binary ingestion + metadata + partition-wise stub decode. The
+    * oracle recomputes the same features from the source text (the
+    * corpus is pure ASCII, so codepoints == bytes). */
+  val mMultimodalMeta: GraftQuery = GraftQuery.sql(
+    "m_multimodal_meta",
+    """SELECT doc_id, 'utf8' AS codec,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(len(generate_series(1, length(text), 64)) AS BIGINT) AS n_frames,
+      |  CAST(list_sum(list_transform(string_split(text, ''), ch -> ord(ch))) % 997 AS BIGINT) AS checksum,
+      |  CAST(list_sum(list_transform(generate_series(1, length(text), 64), i -> ord(substring(text, i, 1)))) AS DOUBLE)
+      |    / len(generate_series(1, length(text), 64)) AS sample_mean
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val assets = Tables.documents(s, d)
+      .select(col("doc_id"),
+        lit("utf8").as("codec"),
+        lit(0L).as("n_frames"),                 // unknown until decode
+        encode(col("text"), "UTF-8").as("media"))
+      .as[MediaAsset]
+    assets
+      .mapPartitions(_.map(decodeStub))         // batch-local decode, no shuffle
+      .toDF()
+      .select(col("doc_id"), col("codec"), col("n_bytes"),
+        col("n_frames"), col("checksum"), col("sample_mean"))
+      .orderBy(col("doc_id"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(mMultimodalMeta)
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.Parity._
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics in batch form (SURVEY.md §2). These two
+  * queries define the exact results the Structured Streaming graphs in
+  * graft.streaming.StreamingOps must converge to — the streaming
+  * specs replay the same events through readStream and compare.
+  */
+object Streaming {
+
+  /** 1-hour tumbling windows per event type. */
+  val stTumblingWindow: GraftQuery = GraftQuery.sql(
+    "st_tumbling_window",
+    s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+       |  COUNT(*) AS n, ${sumMSql("value")} AS total
+       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumM(col("value")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** 30-minute-gap sessionization via Spark's session_window operator;
+    * the oracle recomputes sessions with the classic lag/cumsum
+    * formulation — two independent definitions, same boundaries. */
+  val stSessionWindow: GraftQuery = GraftQuery.sql(
+    "st_session_window",
+    """WITH e AS (SELECT user_id, ts FROM events WHERE user_id < 40),
+      |m AS (SELECT user_id, ts,
+      |  CASE WHEN LAG(ts) OVER w IS NULL
+      |         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT user_id, ts,
+      |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+      |  CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS DOUBLE) / 1e6 AS span_secs
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .filter(col("user_id") < 40)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).cast("double") / 1e6)
+          .as("span_secs"),
+        min(col("ts")).as("session_start"))
+      .select(col("user_id"), col("session_start"), col("n_events"), col("span_secs"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(stTumblingWindow, stSessionWindow)
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.functions.Parity._
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming graphs over the events stream (SURVEY.md §2).
+  *
+  * Each graph converges to the corresponding batch query in
+  * operators.Streaming — that equivalence is asserted by
+  * StreamingSpec, which replays the same events through MemoryStream.
+  *
+  * State discipline for 100 TB/day streams: every stateful operator
+  * carries a watermark so state is bounded and evicted; session state
+  * is O(open sessions per user); nothing buffers unbounded history.
+  */
+object StreamingOps {
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                event_type: String, value: Double)
+
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        n_events: Long, span_secs: Double)
+
+  /** Open-session state for the custom sessionizer. */
+  case class SessionState(start: Long, last: Long, n: Long) // micros epoch
+
+  val GapMicros: Long = 30L * 60 * 1000000
+  private val WatermarkDelay = "1 hour"
+
+  /** java.sql.Timestamp <-> epoch micros without precision loss
+    * (getTime alone is millis and would truncate). */
+  def tsToMicros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+  def microsToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000000 * 1000)
+    t.setNanos((us % 1000000).toInt * 1000)
+    t
+  }
+
+  /** 1h tumbling windows per event type, watermarked (append mode):
+    * streaming form of st_tumbling_window. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumM(col("value")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Built-in session_window sessionization (streaming form of
+    * st_session_window). */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).cast("double") / 1e6)
+          .as("span_secs"),
+        min(col("ts")).as("session_start"))
+      .select(col("user_id"), col("session_start"), col("n_events"), col("span_secs"))
+
+  /** Custom-state sessionizer via flatMapGroupsWithState: the shape to
+    * reach for when session output needs logic session_window can't
+    * express (e.g. per-session feature vectors). Emits a session when
+    * the event-time timeout passes its last event + gap. */
+  def sessionizeWithState(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          def toOut(st: SessionState) = SessionOut(
+            user, microsToTs(st.start), st.n, (st.last - st.start).toDouble / 1e6)
+
+          if (!evs.hasNext && state.hasTimedOut) {
+            val out = state.getOption.map(toOut).iterator
+            state.remove()
+            out
+          } else {
+            // micro-batch delivery is unordered within the batch
+            val sorted = evs.toSeq.sortBy(e => (tsToMicros(e.ts), e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = tsToMicros(e.ts)
+              cur match {
+                case Some(st) if t - st.last <= GapMicros =>
+                  cur = Some(st.copy(last = math.max(st.last, t), n = st.n + 1))
+                case Some(st) =>
+                  closed ::= toOut(st)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.last / 1000 + GapMicros / 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.{Lake, Multimodal}
+
+class LakeSpec extends SparkSpec {
+
+  test("every lake query runs and returns rows at sf0.001") {
+    Lake.all.foreach { q =>
+      val n = q.fn(spark, sfDir).count()
+      assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("compaction reduces file count while preserving content") {
+    Lake.lakeCompaction.fn(spark, sfDir).count() // materialize both layouts
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val frag = files(Lake.scratch("fragmented_events"))
+    val comp = files(Lake.scratch("compacted_events"))
+    assert(frag > comp, s"fragmented=$frag compacted=$comp")
+    val orig = Tables.events(spark, sfDir).count()
+    val after = spark.read.parquet(Lake.scratch("compacted_events")).count()
+    assert(orig == after)
+  }
+
+  test("csv roundtrip preserves every order row bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    Lake.lakeRoundtripCsv.fn(spark, sfDir).count() // writes scratch csv
+    val orig = Tables.orders(spark, sfDir)
+    val back = spark.read.schema(orig.schema)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .csv(Lake.scratch("roundtrip_csv"))
+    assert(back.exceptAll(orig).count() == 0 && orig.exceptAll(back).count() == 0)
+  }
+
+  test("fsck reports zero orphans on the generated star schema") {
+    val rows = Lake.lakeFsck.fn(spark, sfDir).collect()
+    assert(rows.length == 3)
+    rows.foreach(r => assert(r.getAs[Long]("n_bad") == 0, r.getAs[String]("check_name")))
+  }
+
+  test("partitioned write prunes partitions at read") {
+    val df = Lake.lakePartitionedWrite.fn(spark, sfDir)
+    df.count()
+    val dirs = new java.io.File(Lake.scratch("partitioned_orders")).listFiles()
+      .filter(_.getName.startsWith("yr=")).map(_.getName).toSet
+    assert(dirs.size > 1, s"expected multiple year partitions, got $dirs")
+  }
+
+  test("multimodal stub decode emits deterministic per-asset features") {
+    val a = Multimodal.mMultimodalMeta.fn(spark, sfDir).collect()
+    val b = Multimodal.mMultimodalMeta.fn(spark, sfDir).collect()
+    assert(a.length > 0 && a.map(_.toString).sameElements(b.map(_.toString)))
+    a.foreach { r =>
+      assert(r.getAs[Long]("checksum") >= 0 && r.getAs[Long]("checksum") < 997)
+      assert(r.getAs[Double]("sample_mean") > 0)
+    }
+  }
+}

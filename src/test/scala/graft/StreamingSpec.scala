@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.Streaming
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Ev
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Replays the events table through MemoryStream and asserts each
+  * streaming graph converges to its batch-query truth. Sentinel
+  * events push the watermark far past the data so every window /
+  * session finalizes in append mode.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def loadEvents(): Seq[Ev] = {
+    Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+  }
+
+  /** Watermark-advancing event; user_id=1 so it survives user filters
+    * (its own far-future sessions are excluded by date filters). */
+  private def sentinel(id: Long, daysAhead: Int): Ev =
+    Ev(id, java.sql.Timestamp.valueOf(s"2024-03-${daysAhead} 00:00:00"), 1L, "view", 0.0)
+
+  private val dataEnd = java.sql.Timestamp.valueOf("2024-02-15 00:00:00")
+
+  /** Run a streaming graph over (events, then sentinels) to a memory
+    * sink and return the finalized rows. */
+  private def runToSink(name: String, graph: DataFrame => DataFrame): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Ev]
+    val q = graph(stream.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      stream.addData(loadEvents())
+      q.processAllAvailable()
+      stream.addData(sentinel(9000001L, 10))
+      q.processAllAvailable()
+      stream.addData(sentinel(9000002L, 20))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  test("streaming tumbling windows converge to the batch query") {
+    val got = runToSink("tumbling_sink", StreamingOps.tumblingCounts)
+      .filter(col("window_start") < lit("2024-02-15").cast("timestamp"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = Streaming.stTumblingWindow.fn(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
+  test("streaming session_window converges to the batch query") {
+    val got = runToSink("session_sink",
+        df => StreamingOps.sessionWindows(df.filter(col("user_id") < 40)))
+      .filter(col("session_start") < lit(dataEnd))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = Streaming.stSessionWindow.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
+  test("flatMapGroupsWithState sessionizer matches the batch sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.sessionizeWithState(
+        stream.toDS().filter(col("user_id") < 40).as[Ev])
+      .toDF().writeStream
+      .format("memory").queryName("fmgs_sink").outputMode("append").start()
+    try {
+      stream.addData(loadEvents())
+      q.processAllAvailable()
+      stream.addData(sentinel(9000001L, 10))
+      q.processAllAvailable()
+      stream.addData(sentinel(9000002L, 20))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("fmgs_sink")
+      .filter(col("session_start") < lit(dataEnd))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = Streaming.stSessionWindow.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+}
