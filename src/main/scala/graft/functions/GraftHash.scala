@@ -22,8 +22,17 @@ object GraftHash {
   val P = 1000000007L
   val Seed = 7L
 
-  /** Parity rolling hash of a string column (oracle-verifiable). */
-  def charHash(c: Column): Column =
+  /** Parity rolling hash of a string column (oracle-verifiable).
+    * Backed by the JIT'd plans.CharHashExpr; value-identical to
+    * charHashBuiltin (asserted in PlansSpec). */
+  def charHash(c: Column): Column = {
+    import org.apache.spark.sql.graft.Shims
+    Shims.column(graft.plans.CharHashExpr(Shims.expression(c)))
+  }
+
+  /** Pure-builtin formulation (interpreted HOFs; kept as the
+    * cross-check reference for the custom expression). */
+  def charHashBuiltin(c: Column): Column =
     aggregate(
       transform(split(c, ""), ch => ascii(ch).cast("long")),
       lit(Seed),

@@ -15,12 +15,20 @@ import org.apache.spark.sql.functions._
 object Shingles {
 
   /** Distinct hashed word-3-gram shingles of a text column. Requires
-    * >= 3 tokens (callers filter; every corpus doc qualifies). */
+    * >= 3 tokens (callers filter; every corpus doc qualifies).
+    * Backed by the JIT'd plans.ShingleHashExpr; value- and
+    * order-identical to shingleHashesBuiltin (asserted in PlansSpec). */
   def shingleHashes(text: Column): Column = {
+    import org.apache.spark.sql.graft.Shims
+    Shims.column(graft.plans.ShingleHashExpr(Shims.expression(text)))
+  }
+
+  /** Pure-builtin formulation (interpreted HOFs; cross-check ref). */
+  def shingleHashesBuiltin(text: Column): Column = {
     val toks = split(text, " ", -1)
     array_distinct(
       transform(sequence(lit(1), size(toks) - 2), i =>
-        GraftHash.charHash(concat_ws(" ",
+        GraftHash.charHashBuiltin(concat_ws(" ",
           get(toks, i - 1), get(toks, i), get(toks, i + 1)))))
   }
 
@@ -37,6 +45,13 @@ object Shingles {
   /** Exact Jaccard similarity of two distinct-element hash arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Jaccard via one merge scan over pre-sorted arrays — same value,
+    * no per-pair hash set (plans.JaccardSortedExpr). */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Shims
+    Shims.column(graft.plans.JaccardSortedExpr(Shims.expression(a), Shims.expression(b)))
+  }
 
   def jaccardSql(a: String, b: String): String =
     s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / len(list_distinct($a || $b))"

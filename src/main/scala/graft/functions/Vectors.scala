@@ -11,8 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Left-fold dot product. */
-  def dot(a: Column, b: Column): Column =
+  /** Left-fold dot product. Backed by the JIT'd plans.DotProductExpr;
+    * bit-identical to dotBuiltin (asserted in PlansSpec). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Shims
+    Shims.column(graft.plans.DotProductExpr(Shims.expression(a), Shims.expression(b)))
+  }
+
+  /** Pure-builtin formulation (interpreted HOFs; cross-check ref). */
+  def dotBuiltin(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -38,33 +38,40 @@ object Dedup {
   }
 
   /** N-gram Jaccard near-dup pairs, blocked by length bands: each doc
-    * lands in buckets floor(n/100) and floor(n/100)+1, so any pair
-    * within 100 chars of each other shares a bucket — an equi-join,
-    * never a cross join. */
+    * lands in buckets floor(n/16) and floor(n/16)+1, so any pair
+    * within 16 chars of each other shares a bucket — an equi-join,
+    * never a cross join (near-identical docs have near-identical
+    * length; the injected dups differ by <= 4 chars). A shingle-count
+    * ratio prefilter (implied by jaccard >= 0.8, so it never drops a
+    * true pair) prunes candidates before the expensive intersect. */
   val dNgramJaccard: GraftQuery = GraftQuery.sql(
     "d_ngram_jaccard",
     s"""WITH ${Shingles.shingleCteSql(", n_chars")},
-       |b AS (SELECT doc_id, sh, unnest([n_chars // 100, n_chars // 100 + 1]) AS bucket FROM sh),
+       |b AS (SELECT doc_id, sh, unnest([n_chars // 16, n_chars // 16 + 1]) AS bucket FROM sh),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |         FROM b a JOIN b b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |         FROM b a JOIN b b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |         WHERE LEAST(len(a.sh), len(b.sh)) >= 0.8 * GREATEST(len(a.sh), len(b.sh)))
        |SELECT c.doc_a, c.doc_b, ${Shingles.jaccardSql("x.sh", "y.sh")} AS jaccard
        |FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
        |WHERE ${Shingles.jaccardSql("x.sh", "y.sh")} >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, d) =>
     val sh = Tables.documents(s, d)
-      .select(col("doc_id"), col("n_chars"), Shingles.shingleHashes(col("text")).as("sh"))
+      .select(col("doc_id"), col("n_chars"),
+        sort_array(Shingles.shingleHashes(col("text"))).as("sh"))
+      .persist()
     val b = sh.withColumn("bucket",
-      explode(array(floor(col("n_chars") / 100), floor(col("n_chars") / 100) + 1)))
-      .select(col("doc_id"), col("bucket"))
+      explode(array(floor(col("n_chars") / 16), floor(col("n_chars") / 16) + 1)))
+      .select(col("doc_id"), col("bucket"), size(col("sh")).as("nsh"))
     val cand = b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.nsh"), col("b.nsh")) >= lit(0.8) * greatest(col("a.nsh"), col("b.nsh")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
       .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id")).drop("doc_id")
       .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id")).drop("doc_id")
-      .withColumn("jaccard", Shingles.jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", Shingles.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -107,15 +114,17 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin
     }
   ) { (s, d) =>
+    import org.apache.spark.sql.graft.Shims
     val sh = Tables.documents(s, d)
-      .select(col("doc_id"), Shingles.shingleHashes(col("text")).as("sh"))
-    val sig = sh.select(
-      (Seq(col("doc_id"), col("sh")) ++ perms.zipWithIndex.map { case ((a, b), j) =>
-        GraftHash.minhashComponent(col("sh"), a, b).as(s"c$j")
-      }): _*)
+      .select(col("doc_id"), sort_array(Shingles.shingleHashes(col("text"))).as("sh"))
+      .persist()
+    // all k permutation minima in one JIT'd pass (plans.MinHashSignatureExpr)
+    val sig = sh.select(col("doc_id"), col("sh"),
+      Shims.column(graft.plans.MinHashSignatureExpr(
+        Shims.expression(col("sh")), perms)).as("sig"))
     val withBands = sig.withColumn("band_keys", array(
       (0 until Bands).map { k =>
-        GraftHash.bandKey((0 until R).map(r => col(s"c${k * R + r}")))
+        GraftHash.bandKey((0 until R).map(r => element_at(col("sig"), k * R + r + 1)))
       }: _*))
     val bl = withBands.select(col("doc_id"),
       posexplode(col("band_keys")).as(Seq("band_idx", "band_key")))
@@ -128,7 +137,7 @@ object Dedup {
     cand
       .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id")).drop("doc_id")
       .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id")).drop("doc_id")
-      .withColumn("jaccard", Shingles.jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", Shingles.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -159,14 +168,12 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin
     }
   ) { (s, d) =>
+    import org.apache.spark.sql.graft.Shims
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), Shingles.shingleHashes(col("text")).as("sh"))
-    val simhash = (0 until SimBits).map { i =>
-      when(aggregate(
-        transform(col("sh"), h => when(h.bitwiseAND(lit(1L << i)) =!= 0, 1L).otherwise(-1L)),
-        lit(0L), (acc, x) => acc + x) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val sim = sh.select(col("doc_id"), simhash.as("simhash"))
+    val sim = sh.select(col("doc_id"),
+      Shims.column(graft.plans.SimHashExpr(
+        Shims.expression(col("sh")), SimBits)).as("simhash"))
     val chExpanded = sim
       .select(col("doc_id"), col("simhash"),
         posexplode(array((0 until Chunks).map { k =>

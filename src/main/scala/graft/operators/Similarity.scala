@@ -26,6 +26,7 @@ object Similarity {
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
+      .persist() // referenced as both join sides; norms computed once
 
   private val corpusSql =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.{GraftHash, Shingles, Vectors}
+import graft.plans.GraftExpressions
+import org.apache.spark.sql.functions._
+
+/** The custom Catalyst expressions must be value-identical to the
+  * pure-builtin formulations they replace (the DuckDB oracles were
+  * validated against the builtins). */
+class PlansSpec extends SparkSpec {
+
+  test("CharHashExpr == builtin charHash on every document") {
+    val diff = Tables.documents(spark, sfDir)
+      .select(GraftHash.charHash(col("text")).as("fast"),
+        GraftHash.charHashBuiltin(col("text")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0)
+  }
+
+  test("ShingleHashExpr == builtin shingles (values and order) on every document") {
+    val diff = Tables.documents(spark, sfDir)
+      .select(Shingles.shingleHashes(col("text")).as("fast"),
+        Shingles.shingleHashesBuiltin(col("text")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0)
+  }
+
+  test("DotProductExpr == builtin fold dot on embedding pairs") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("vec_id").as("ia"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("ib"), col("v").as("vb"))
+    val diff = a.join(b, col("ia") < col("ib")).limit(50000)
+      .select(Vectors.dot(col("va"), col("vb")).as("fast"),
+        Vectors.dotBuiltin(col("va"), col("vb")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0)
+  }
+
+  test("MinHashSignatureExpr == per-component array_min formulation") {
+    import org.apache.spark.sql.graft.Shims
+    val perms = GraftHash.perms(operators.Dedup.K)
+    val sh = Tables.documents(spark, sfDir)
+      .select(Shingles.shingleHashes(col("text")).as("sh"))
+    val sig = Shims.column(graft.plans.MinHashSignatureExpr(Shims.expression(col("sh")), perms))
+    val ref = array(perms.map { case (a, b) => GraftHash.minhashComponent(col("sh"), a, b) }: _*)
+    val diff = sh.select(sig.as("fast"), ref.as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0)
+  }
+
+  test("SimHashExpr bits stay within configured width") {
+    import org.apache.spark.sql.graft.Shims
+    val sh = Tables.documents(spark, sfDir)
+      .select(Shingles.shingleHashes(col("text")).as("sh"))
+    val sims = sh.select(Shims.column(graft.plans.SimHashExpr(
+      Shims.expression(col("sh")), operators.Dedup.SimBits)).as("s")).collect()
+    sims.foreach { r =>
+      val v = r.getLong(0)
+      assert(v >= 0 && v < (1L << operators.Dedup.SimBits))
+    }
+  }
+}
