@@ -11,6 +11,7 @@ object SparkEntry {
   def registry: Seq[GraftQuery] =
     operators.Lake.all ++
       operators.Relational.all ++ operators.RelationalExt.all ++
+      operators.RelationalMore.all ++
       operators.TextAnalysis.all ++ operators.Dedup.all ++
       operators.Similarity.all ++ operators.Multimodal.all ++
       operators.Streaming.all

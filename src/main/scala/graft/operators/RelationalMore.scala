@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.Parity._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Third tranche of the OLAP core: TPC-H-flavored shapes not yet
+  * covered — conditional ratio aggregates, HAVING + IN-subquery,
+  * correlated minima — plus lake metadata listing and stream-dedup
+  * batch form.
+  */
+object RelationalMore {
+
+  /** Q12 flavor: lines shipped in a window, split by priority class
+    * (conditional aggregation over a fact-fact join). */
+  val q12PriorityLines: GraftQuery = GraftQuery.sql(
+    "q12_priority_lines",
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS BIGINT) AS high_value_lines,
+      |  CAST(SUM(CASE WHEN o_totalprice <= 250000 THEN 1 ELSE 0 END) AS BIGINT) AS low_value_lines
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_totalprice") > 250000, 1).otherwise(0)).as("high_value_lines"),
+        sum(when(col("o_totalprice") <= 250000, 1).otherwise(0)).as("low_value_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Q14 flavor: promo revenue share — a ratio of two exact decimal
+    * sums over a broadcast join with part. */
+  val q14PromoRevenue: GraftQuery = GraftQuery.sql(
+    "q14_promo_revenue",
+    """SELECT
+      |  100.0 * CAST(SUM(CASE WHEN p_type LIKE 'STANDARD%'
+      |    THEN CAST(l_extendedprice AS DECIMAL(15,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |    ELSE CAST(0 AS DECIMAL(15,2)) END) AS DOUBLE)
+      |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+      |  AS promo_share,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin
+  ) { (s, d) =>
+    val one = lit(1).cast("decimal(4,2)")
+    val rev = m(col("l_extendedprice")) * (one - pct(col("l_discount")))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) * sum(when(col("p_type").like("STANDARD%"), rev)
+            .otherwise(lit(0).cast("decimal(15,2)"))).cast("double")
+          / sum(rev).cast("double")).as("promo_share"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Q18 flavor: large-volume orders via HAVING + IN-subquery. */
+  val q18LargeOrders: GraftQuery = GraftQuery.sql(
+    "q18_large_orders",
+    s"""SELECT c_name, o_orderkey, o_orderdate, ${sumMSql("l_quantity")} AS total_qty
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE o_orderkey IN (
+       |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+       |  HAVING SUM(CAST(l_quantity AS DECIMAL(15,2))) > 220)
+       |GROUP BY c_name, o_orderkey, o_orderdate
+       |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(m(col("l_quantity"))).as("q"))
+      .filter(col("q") > 220)
+      .select(col("l_orderkey").as("big_orderkey"))
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(big, col("o_orderkey") === col("big_orderkey"), "left_semi")
+      .groupBy(col("c_name"), col("o_orderkey"), col("o_orderdate"))
+      .agg(sumM(col("l_quantity")).as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** Correlated minimum: parts priced at their brand's minimum
+    * (correlated subquery, decorrelated by Spark into a join). */
+  val qCorrelatedMin: GraftQuery = GraftQuery.sql(
+    "q_correlated_min",
+    """SELECT p_brand, p_partkey, p_retailprice
+      |FROM part p1
+      |WHERE p_retailprice = (SELECT MIN(p_retailprice) FROM part p2
+      |                       WHERE p2.p_brand = p1.p_brand)
+      |ORDER BY p_brand, p_partkey""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("p_brand"))
+    Tables.part(s, d)
+      .withColumn("min_price", min(col("p_retailprice")).over(w))
+      .filter(col("p_retailprice") === col("min_price"))
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+      .orderBy(col("p_brand"), col("p_partkey"))
+  }
+
+  /** File-status listing over the table namespace — ls / listStatus
+    * (reference DistributedFileSystem.listStatus,
+    * protocol/DirectoryListing.java). Sizes are driver metadata, not
+    * SQL-reachable → rows-only check. */
+  val lakeLs: GraftQuery = GraftQuery.rowsOnly("lake_ls") { (s, d) =>
+    import s.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    graft.Tables.names.map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$d/$t.parquet")
+      val st = fs.getFileStatus(p)
+      (t, st.getLen, st.isDirectory)
+    }.toDF("table_name", "n_bytes", "is_dir")
+      .orderBy(col("table_name"))
+  }
+
+  /** Stream-dedup batch truth: first event per (user, type) + dup
+    * count (streaming form: dropDuplicates with watermark, see
+    * streaming.StreamingOps.dedupEvents). */
+  val stStreamDedup: GraftQuery = GraftQuery.sql(
+    "st_stream_dedup",
+    """SELECT user_id, event_type,
+      |  CAST(MIN(event_id) AS BIGINT) AS first_event_id,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("first_event_id"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(
+    q12PriorityLines, q14PromoRevenue, q18LargeOrders, qCorrelatedMin,
+    lakeLs, stStreamDedup)
+}

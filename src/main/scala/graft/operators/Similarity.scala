@@ -128,5 +128,56 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  def all: Seq[GraftQuery] = Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh)
+  // IVF: cells from NCells deterministic centroids, NProbe-cell search.
+  val NCells = 8; val NProbe = 2
+
+  /** IVF-style cell-probed ANN. Centroids are a fixed deterministic
+    * subset of the corpus (vec_id < NCells) standing in for trained
+    * k-means centroids — the assignment/probe mechanics (argmax-cosine
+    * cell assignment, top-NProbe probe, cell-local search) are the
+    * real IVF plan shape. At cluster scale the corpus would be written
+    * partitioned by cell so probes touch NProbe partitions. */
+  val sAnnIvf: GraftQuery = GraftQuery.sql(
+    "s_ann_ivf",
+    s"""WITH $corpusSql,
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NCells),
+       |asg AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |  ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |    ORDER BY ${Vectors.dotSql("n.v", "c.cv")} / (n.nrm * c.cnrm) DESC, c.cid) AS rk
+       |  FROM n CROSS JOIN c),
+       |cells AS (SELECT vec_id, v, nrm, cid FROM asg WHERE rk = 1),
+       |probes AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cid
+       |           FROM asg WHERE vec_id < $QueryCount AND rk <= $NProbe),
+       |sc AS (SELECT p.query_id, cl.vec_id AS neighbor_id,
+       |         ${Vectors.dotSql("p.qv", "cl.v")} / (p.qnrm * cl.nrm) AS cosine
+       |       FROM probes p JOIN cells cl ON p.cid = cl.cid AND cl.vec_id <> p.query_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+       |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  ) { (s, d) =>
+    val n = corpus(s, d)
+    val c = n.filter(col("vec_id") < NCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy((Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).desc, col("cid"))
+    val asg = n.crossJoin(broadcast(c))
+      .withColumn("rk", row_number().over(wAsg))
+    val cells = asg.filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+    val probes = asg.filter(col("vec_id") < QueryCount && col("rk") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cid").as("pcid"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    cells.join(broadcast(probes),
+        col("cid") === col("pcid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf)
 }

@@ -21,6 +21,9 @@ object GraftExpressions {
   val P = 1000000007L
   val Seed = 7L
 
+  /** Driver-side reference implementation of the parity hash. */
+  def hashOf(s: String): Long = hashRange(s, 0, s.length, Seed)
+
   /** Polynomial rolling hash of codepoints — same value as
     * functions.GraftHash.charHash. */
   @inline private[plans] def hashRange(s: String, from: Int, until: Int, init: Long): Long = {

@@ -1,0 +1,55 @@
+package graft.plans
+
+import graft.functions.GraftHash
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook: exposes the graft expressions to SQL.
+  *
+  * Register via
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * or `.withExtensions(new GraftExtensions)`; afterwards
+  * `SELECT graft_shingle_hashes(text)` etc. work from plain SQL —
+  * the extension path for engine features that must be reachable from
+  * SQL-only clients.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+  /** Register on an already-constructed session (the class-based hook
+    * only applies when the session is first built). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      org.apache.spark.sql.graft.Shims.registerFunction(spark, name, builder)
+    }
+
+  private def one(name: String)(f: Expression => Expression): (String, Seq[Expression] => Expression) =
+    name -> { args =>
+      require(args.length == 1, s"$name expects 1 argument")
+      f(args.head)
+    }
+  private def two(name: String)(f: (Expression, Expression) => Expression): (String, Seq[Expression] => Expression) =
+    name -> { args =>
+      require(args.length == 2, s"$name expects 2 arguments")
+      f(args(0), args(1))
+    }
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    one("graft_char_hash")(CharHashExpr),
+    one("graft_shingle_hashes")(ShingleHashExpr),
+    one("graft_minhash_signature")(MinHashSignatureExpr(_, GraftHash.perms(32))),
+    one("graft_simhash")(SimHashExpr(_, 24)),
+    two("graft_jaccard_sorted")(JaccardSortedExpr),
+    two("graft_dot_product")(DotProductExpr))
+}

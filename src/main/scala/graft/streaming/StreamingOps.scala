@@ -61,6 +61,15 @@ object StreamingOps {
         min(col("ts")).as("session_start"))
       .select(col("user_id"), col("session_start"), col("n_events"), col("span_secs"))
 
+  /** Streaming dedup: first event per (user_id, event_type), state
+    * bounded by the watermark (st_stream_dedup's batch truth counts
+    * all events; the streaming form keeps the first arrival per key). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"))
+
   /** Custom-state sessionizer via flatMapGroupsWithState: the shape to
     * reach for when session output needs logic session_window can't
     * express (e.g. per-session feature vectors). Emits a session when

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.{RelationalMore, Similarity}
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class MoreOpsSpec extends SparkSpec {
+
+  test("every RelationalMore query runs and returns rows at sf0.001") {
+    RelationalMore.all.foreach { q =>
+      val n = q.fn(spark, sfDir).count()
+      assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("lake_ls reports every table with nonzero size") {
+    val rows = RelationalMore.lakeLs.fn(spark, sfDir).collect()
+    assert(rows.length == Tables.names.length)
+    rows.foreach(r => assert(r.getAs[Long]("n_bytes") > 0))
+  }
+
+  test("IVF ANN recall: neighbors come from brute-force top ranks") {
+    def byQuery(q: GraftQuery) =
+      q.fn(spark, sfDir).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val bf = byQuery(Similarity.sAnnBruteforce)
+    val ivf = byQuery(Similarity.sAnnIvf)
+    assert(ivf.nonEmpty)
+    // IVF searches NProbe cells, so its hits are a (possibly partial)
+    // subset of the full corpus; rank-1 within a probed cell must be a
+    // genuine cosine neighbor — sanity: some overlap with brute force.
+    val overlap = ivf.keys.map(k => (ivf(k) intersect bf.getOrElse(k, Set())).size).sum
+    assert(overlap > 0, "IVF found no brute-force neighbors at all")
+  }
+
+  test("streaming dropDuplicates dedup covers the batch key set") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.dedupEvents(stream.toDF()).writeStream
+      .format("memory").queryName("dedup_sink").outputMode("append").start()
+    try {
+      stream.addData(events)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_sink").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = RelationalMore.stStreamDedup.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+}
