@@ -1,0 +1,33 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan for the named
+  * queries (or a default audit set) so pushdown / broadcast / codegen
+  * can be reviewed. Usage:
+  *   runMain graft.tools.Explain [sfDir] [query ...]
+  */
+object Explain {
+  val AuditSet = Seq(
+    "lake_scan", "q1_pricing_summary", "q5_local_supplier",
+    "q_heavy_hitters", "d_minhash_lsh", "s_ann_bruteforce",
+    "lake_partitioned_write")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq else AuditSet
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
