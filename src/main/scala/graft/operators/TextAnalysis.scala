@@ -132,5 +132,33 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  def all: Seq[GraftQuery] = Seq(tTokenCount, tQualityScore, tLangId, tFingerprint)
+  /** Corpus n-gram statistics: top-10 word bigrams per language
+    * (explode -> two-phase count -> per-group top-N window). */
+  val tNgramFreq: GraftQuery = GraftQuery.sql(
+    "t_ngram_freq",
+    """WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT lang, unnest(list_transform(generate_series(1, len(t) - 1),
+      |         i -> t[i] || ' ' || t[i+1])) AS bigram FROM toks),
+      |cnt AS (SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY lang, bigram),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+      |         ORDER BY n DESC, bigram) AS rank FROM cnt)
+      |SELECT lang, bigram, n, CAST(rank AS BIGINT) AS rank
+      |FROM rk WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ", -1)
+    val bigrams = transform(sequence(lit(1), size(toks) - 1), i =>
+      concat(get(toks, i - 1), lit(" "), get(toks, i)))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
+    Tables.documents(s, d)
+      .select(col("lang"), explode(bigrams).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  def all: Seq[GraftQuery] =
+    Seq(tTokenCount, tQualityScore, tLangId, tFingerprint, tNgramFreq)
 }

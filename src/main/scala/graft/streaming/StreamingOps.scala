@@ -70,6 +70,33 @@ object StreamingOps {
       .dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"))
 
+  /** Stream-static enrichment join + aggregation (complete mode):
+    * streaming form of st_enrich_join. The static dim would be
+    * broadcast on a cluster. */
+  def enrichEvents(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(org.apache.spark.sql.functions.broadcast(customers),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumM(col("value")).as("total"))
+
+  /** Stream-stream interval join (purchases within 24h of a signup):
+    * streaming form of st_interval_join. Both sides watermarked so
+    * join state is evicted once the range can no longer match. */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", WatermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "25 hours")
+    signups.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") > col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 24 HOUR"))
+      .select(col("user_id"), col("signup_id"), col("purchase_id"))
+  }
+
   /** Custom-state sessionizer via flatMapGroupsWithState: the shape to
     * reach for when session output needs logic session_window can't
     * express (e.g. per-session feature vectors). Emits a session when

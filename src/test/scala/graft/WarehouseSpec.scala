@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{StreamJoins, Warehouse}
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class WarehouseSpec extends SparkSpec {
+
+  test("every warehouse and stream-join query runs with rows at sf0.001") {
+    (Warehouse.all ++ StreamJoins.all).foreach { q =>
+      val n = q.fn(spark, sfDir).count()
+      assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("bucketed join runs without a shuffle before the sort-merge join") {
+    val df = Warehouse.lakeBucketedJoin.fn(spark, sfDir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), "expected sort-merge join")
+    // no exchange between the bucketed scans and the join: the SMJ's
+    // subtree must be exchange-free
+    val smjSubtree = plan.substring(plan.indexOf("SortMergeJoin"))
+    val aggBoundary = smjSubtree.indexOf("HashAggregate")
+    val joinPart = if (aggBoundary > 0) smjSubtree else smjSubtree
+    assert(!joinPart.substring(0, joinPart.indexOf("Scan parquet"))
+      .contains("Exchange hashpartitioning"),
+      s"unexpected shuffle above bucketed scans:\n$plan")
+  }
+
+  test("merge result equals target-with-updates semantics") {
+    val rows = Warehouse.lakeMerge.fn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n")).toMap
+    val o = Tables.orders(spark, sfDir)
+    val nUpdatedOrInserted = o.filter(col("o_orderkey") % 2 === 0).count()
+    assert(rows("U") == nUpdatedOrInserted)
+    val total = rows.values.sum
+    val expected = o.filter(col("o_orderkey") % 3 =!= 0 || col("o_orderkey") % 2 === 0).count()
+    assert(total == expected)
+  }
+
+  private def loadEvents(): Seq[Ev] =
+    Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+
+  test("streaming stream-static enrichment converges to the batch query") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.enrichEvents(stream.toDF(), Tables.customer(spark, sfDir))
+      .writeStream.format("memory").queryName("enrich_sink")
+      .outputMode("complete").start()
+    try {
+      stream.addData(loadEvents())
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("enrich_sink").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = StreamJoins.stEnrichJoin.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
+  test("streaming interval join converges to the batch query") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.intervalJoin(stream.toDF())
+      .writeStream.format("memory").queryName("interval_sink")
+      .outputMode("append").start()
+    try {
+      stream.addData(loadEvents())
+      q.processAllAvailable()
+      stream.addData(Ev(9000001L, java.sql.Timestamp.valueOf("2024-03-10 00:00:00"), 1L, "view", 0.0))
+      q.processAllAvailable()
+      stream.addData(Ev(9000002L, java.sql.Timestamp.valueOf("2024-03-20 00:00:00"), 1L, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("interval_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = StreamJoins.stIntervalJoin.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+}
