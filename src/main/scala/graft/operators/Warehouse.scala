@@ -155,19 +155,22 @@ object Warehouse {
   ) { (s, d) =>
     val suffix = math.abs(d.hashCode % 1000)
     val oTab = s"graft_orders_b$suffix"; val lTab = s"graft_lineitem_b$suffix"
-    if (!s.catalog.tableExists(oTab)) {
-      // the in-memory catalog dies with the session but the warehouse
-      // dir persists — clear stale locations before re-creating
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      val wh = s.conf.get("spark.sql.warehouse.dir")
-      Seq(oTab, lTab).foreach { t =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$wh/$t"), true)
+    // the in-memory catalog dies with the session but the bucketed
+    // layout on disk persists — re-register it instead of rewriting
+    // (paying the layout shuffle once is the point of bucketing)
+    def ensure(tab: String, src: org.apache.spark.sql.DataFrame, key: String): Unit =
+      if (!s.catalog.tableExists(tab)) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        val loc = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), tab)
+        if (fs.exists(loc))
+          s.sql(s"""CREATE TABLE $tab (${src.schema.toDDL}) USING parquet
+                   |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+                   |LOCATION '$loc'""".stripMargin)
+        else
+          src.write.bucketBy(8, key).sortBy(key).saveAsTable(tab)
       }
-      Tables.orders(s, d).write.mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(oTab)
-      Tables.lineitem(s, d).write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lTab)
-    }
+    ensure(oTab, Tables.orders(s, d), "o_orderkey")
+    ensure(lTab, Tables.lineitem(s, d), "l_orderkey")
     s.table(oTab).hint("merge")
       .join(s.table(lTab), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderstatus"))
