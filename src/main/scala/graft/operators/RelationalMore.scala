@@ -142,7 +142,47 @@ object RelationalMore {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Semi-structured JSON processing over the events.props column
+    * (get_json_object — the schema-on-read shape for event payloads). */
+  val qJsonExtract: GraftQuery = GraftQuery.sql(
+    "q_json_extract",
+    s"""SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10 AS k_bucket,
+       |  COUNT(*) AS n, ${sumMSql("value")} AS total
+       |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy((get_json_object(col("props"), "$.k").cast("long") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sumM(col("value")).as("total"))
+      .orderBy(col("k_bucket"))
+  }
+
+  /** Discrete percentiles (p50/p90) per order status via rank pick —
+    * exact and bit-identical cross-engine (continuous interpolation
+    * would differ in association order between engines). */
+  val qPercentiles: GraftQuery = GraftQuery.sql(
+    "q_percentiles",
+    """WITH r AS (SELECT o_orderstatus, o_totalprice,
+      |  ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |    ORDER BY o_totalprice, o_orderkey) AS rn,
+      |  COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      |  FROM orders)
+      |SELECT o_orderstatus, CAST(MAX(n) AS BIGINT) AS n,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN o_totalprice END) AS p50,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN o_totalprice END) AS p90
+      |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("o_orderstatus"))
+    val r = Tables.orders(s, d).select(col("o_orderstatus"), col("o_totalprice"),
+      row_number().over(w.orderBy(col("o_totalprice"), col("o_orderkey"))).as("rn"),
+      count(lit(1)).over(w).as("n"))
+    r.groupBy(col("o_orderstatus"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === ceil(lit(0.5) * col("n")).cast("long"), col("o_totalprice"))).as("p50"),
+        max(when(col("rn") === ceil(lit(0.9) * col("n")).cast("long"), col("o_totalprice"))).as("p90"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q12PriorityLines, q14PromoRevenue, q18LargeOrders, qCorrelatedMin,
-    lakeLs, stStreamDedup)
+    lakeLs, stStreamDedup, qJsonExtract, qPercentiles)
 }
