@@ -1,0 +1,114 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels behind the graft expressions. Top-level object methods
+  * get static forwarders, so generated whole-stage code calls
+  * `graft.plans.GraftRuntime.charHash(...)` directly — one static
+  * call per row, no boxing, no interpreted fallback.
+  */
+object GraftRuntime {
+  final val P = 1000000007L
+  final val Seed = 7L
+
+  @inline private def hashRange(s: String, from: Int, until: Int, init: Long): Long = {
+    var h = init
+    var i = from
+    while (i < until) {
+      h = (h * 31 + s.codePointAt(i)) % P
+      i += 1
+    }
+    h
+  }
+
+  def charHash(s: UTF8String): Long = {
+    val str = s.toString
+    hashRange(str, 0, str.length, Seed)
+  }
+
+  def shingleHashes(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val toks = s.split(" ", -1)
+    if (toks.length < 3) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.HashSet[Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](toks.length)
+    var i = 0
+    while (i + 2 < toks.length) {
+      var h = Seed
+      var k = i
+      while (k <= i + 2) {
+        val t = toks(k)
+        h = hashRange(t, 0, t.length, h)
+        if (k < i + 2) h = (h * 31 + ' '.toInt) % P
+        k += 1
+      }
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def minhashSignature(shingles: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
+    val arr = shingles.toLongArray()
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.length) {
+      val h = arr(i)
+      var j = 0
+      while (j < k) {
+        val v = (h * as(j) + bs(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def simHash(shingles: ArrayData, bits: Int): Long = {
+    val arr = shingles.toLongArray()
+    val counts = new Array[Long](bits)
+    var i = 0
+    while (i < arr.length) {
+      val h = arr(i)
+      var b = 0
+      while (b < bits) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < bits) {
+      if (counts(b) > 0) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
+
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toLongArray()
+    val y = b.toLongArray()
+    var i = 0; var j = 0; var inter = 0
+    while (i < x.length && j < y.length) {
+      if (x(i) == y(j)) { inter += 1; i += 1; j += 1 }
+      else if (x(i) < y(j)) i += 1
+      else j += 1
+    }
+    val union = x.length + y.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  def dotProduct(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toDoubleArray()
+    val y = b.toDoubleArray()
+    var acc = 0.0
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) { acc += x(i) * y(i); i += 1 }
+    acc
+  }
+}
