@@ -182,7 +182,68 @@ object RelationalMore {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** RANGE window frame (vs the ROWS frame in q_window_running):
+    * per-customer running total by order DATE — peers with the same
+    * date aggregate together, so the result is tie-order independent. */
+  val qWindowRange: GraftQuery = GraftQuery.sql(
+    "q_window_range",
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+      |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_by_date
+      |FROM orders WHERE o_custkey < 100
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_orderkey"), col("o_custkey"),
+        sum(m(col("o_totalprice"))).over(w).cast("double").as("running_by_date"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Ordered collect aggregation: smallest 5 customer keys per nation
+    * as a csv string (deterministic via sort before truncation). */
+  val qCollectAgg: GraftQuery = GraftQuery.sql(
+    "q_collect_agg",
+    """SELECT n_name, COUNT(*) AS n_customers,
+      |  array_to_string((list(c_custkey ORDER BY c_custkey))[:5], ',') AS first_keys
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+  ) { (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        concat_ws(",", slice(sort_array(collect_list(col("c_custkey"))), 1, 5))
+          .as("first_keys"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Text-format sink + source roundtrip (the 5th format after
+    * parquet/orc/csv/json): line-oriented corpus export, read back and
+    * checksummed against the parquet truth. */
+  val lakeRoundtripText: GraftQuery = GraftQuery.sql(
+    "lake_roundtrip_text",
+    s"""SELECT COUNT(*) AS n_lines,
+       |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       |  CAST(SUM(${graft.functions.GraftHash.charHashSql("text")}) % ${graft.functions.GraftHash.P} AS BIGINT) AS checksum
+       |FROM documents""".stripMargin
+  ) { (s, d) =>
+    val path = Lake.scratch("roundtrip_text")
+    Tables.documents(s, d).select(col("text")).write.mode("overwrite").text(path)
+    s.read.text(path)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length(col("value"))).as("total_chars"),
+        (sum(graft.functions.GraftHash.charHash(col("value"))) % graft.functions.GraftHash.P)
+          .as("checksum"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q12PriorityLines, q14PromoRevenue, q18LargeOrders, qCorrelatedMin,
-    lakeLs, stStreamDedup, qJsonExtract, qPercentiles)
+    lakeLs, stStreamDedup, qJsonExtract, qPercentiles,
+    qWindowRange, qCollectAgg, lakeRoundtripText)
 }

@@ -48,6 +48,39 @@ class StreamingSpec extends SparkSpec {
     spark.table(name)
   }
 
+  test("tumbling windows stream to a parquet file sink with checkpointing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val outPath = graft.operators.Lake.scratch("stream_sink/out")
+    val ckPath = graft.operators.Lake.scratch("stream_sink/ck")
+    Seq(outPath, ckPath).foreach { p =>
+      val f = new java.io.File(p)
+      def rm(x: java.io.File): Unit = { if (x.isDirectory) x.listFiles().foreach(rm); x.delete(); () }
+      if (f.exists()) rm(f)
+    }
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.tumblingCounts(stream.toDF()).writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", ckPath)
+      .outputMode("append").start()
+    try {
+      stream.addData(loadEvents())
+      q.processAllAvailable()
+      stream.addData(sentinel(9000001L, 10))
+      q.processAllAvailable()
+      stream.addData(sentinel(9000002L, 20))
+      q.processAllAvailable()
+    } finally q.stop()
+    val files = spark.read.parquet(outPath)
+      .filter(col("window_start") < lit(dataEnd))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = Streaming.stTumblingWindow.fn(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(files == want, s"missing=${(want -- files).take(3)} extra=${(files -- want).take(3)}")
+  }
+
   test("streaming tumbling windows converge to the batch query") {
     val got = runToSink("tumbling_sink", StreamingOps.tumblingCounts)
       .filter(col("window_start") < lit("2024-02-15").cast("timestamp"))
