@@ -66,5 +66,43 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  def all: Seq[GraftQuery] = Seq(mMultimodalMeta)
+  /** Output of the resize/frame-sample stage. */
+  case class ResizeFeature(doc_id: Long, thumb_bytes: Long,
+                           thumb_checksum: Long, frame_mean: Double)
+
+  /** STUB RESIZE — deterministic fake for media resize + frame
+    * sampling: "thumbnail" = first 128 payload bytes, "frames" =
+    * stride-32 samples of the thumbnail. Same batch-local plan shape
+    * as a real image resize / video frame sampler. */
+  def resizeStub(a: MediaAsset): ResizeFeature = {
+    val thumb = if (a.media.length > 128) java.util.Arrays.copyOf(a.media, 128) else a.media
+    var checksum = 0L
+    var i = 0
+    while (i < thumb.length) { checksum += thumb(i) & 0xffL; i += 1 }
+    var sampleSum = 0L; var n = 0L; var j = 0
+    while (j < thumb.length) { sampleSum += thumb(j) & 0xffL; n += 1; j += 32 }
+    ResizeFeature(a.doc_id, thumb.length.toLong, checksum % 997, sampleSum.toDouble / n)
+  }
+
+  /** Resize + frame-sample over the binary payload column. */
+  val mMediaResize: GraftQuery = GraftQuery.sql(
+    "m_media_resize",
+    """SELECT doc_id,
+      |  CAST(LEAST(128, length(text)) AS BIGINT) AS thumb_bytes,
+      |  CAST(list_sum(list_transform(string_split(substring(text, 1, 128), ''), ch -> ord(ch))) % 997 AS BIGINT) AS thumb_checksum,
+      |  CAST(list_sum(list_transform(generate_series(1, LEAST(128, length(text)), 32), i -> ord(substring(text, i, 1)))) AS DOUBLE)
+      |    / len(generate_series(1, LEAST(128, length(text)), 32)) AS frame_mean
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), lit("utf8").as("codec"), lit(0L).as("n_frames"),
+        encode(col("text"), "UTF-8").as("media"))
+      .as[MediaAsset]
+      .mapPartitions(_.map(resizeStub))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(mMultimodalMeta, mMediaResize)
 }
