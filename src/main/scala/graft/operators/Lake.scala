@@ -252,8 +252,49 @@ object Lake {
     summarize(v1, "v1").union(summarize(v2, "v2")).orderBy(col("version"))
   }
 
+  /** Namespace lifecycle: write -> rename -> read-at-new-path ->
+    * delete-old (ClientProtocol.rename/delete; DFSClient.rename).
+    * Output audits each step; FS metadata isn't SQL-reachable →
+    * rows-only check. */
+  val lakeLifecycle: GraftQuery = GraftQuery.rowsOnly("lake_lifecycle") { (s, d) =>
+    import s.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(scratch("lifecycle/stage"))
+    val fin = new org.apache.hadoop.fs.Path(scratch("lifecycle/final"))
+    fs.delete(stage, true); fs.delete(fin, true)
+    Tables.region(s, d).write.parquet(stage.toString)
+    val renamed = fs.rename(stage, fin)
+    val rowsAtFinal = s.read.parquet(fin.toString).count()
+    val stageGone = !fs.exists(stage)
+    val deleted = fs.delete(fin, true)
+    Seq(
+      ("write_stage", true),
+      ("rename", renamed),
+      ("read_after_rename", rowsAtFinal == Tables.region(s, d).count()),
+      ("stage_removed", stageGone),
+      ("delete", deleted)
+    ).toDF("step", "ok")
+  }
+
+  /** Concat: multiple part-dirs combined into one logical dataset
+    * (ClientProtocol.concat / FileSystem.concat) — here a multi-path
+    * read union, checksummed against the single-source truth. */
+  val lakeConcat: GraftQuery = GraftQuery.sql(
+    "lake_concat",
+    """SELECT COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents""".stripMargin
+  ) { (s, d) =>
+    val partA = scratch("concat/part_a")
+    val partB = scratch("concat/part_b")
+    val docs = Tables.documents(s, d)
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(partA)
+    docs.filter(col("doc_id") % 2 =!= 0).write.mode("overwrite").parquet(partB)
+    s.read.parquet(partA, partB)
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     lakeScan, lakeRoundtripCsv, lakeRoundtripJson, lakeRoundtripOrc,
     lakePartitionedWrite, lakeCompaction, lakeContentSummary, lakeFsck,
-    lakeQuota, lakeChecksum, lakeSnapshot)
+    lakeQuota, lakeChecksum, lakeSnapshot, lakeLifecycle, lakeConcat)
 }

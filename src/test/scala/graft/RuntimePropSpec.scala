@@ -1,0 +1,90 @@
+package graft
+
+import graft.plans.GraftRuntime
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style tests (seeded sampling) for the JVM kernels behind
+  * the custom expressions. */
+class RuntimePropSpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(42)
+  private val Trials = 200
+
+  private def asciiText(): String = {
+    val n = rnd.nextInt(60)
+    Seq.fill(n)(if (rnd.nextInt(5) == 0) ' ' else ('a' + rnd.nextInt(26)).toChar).mkString
+  }
+  private def sortedSet(): Array[Long] =
+    Array.fill(rnd.nextInt(30))(rnd.nextLong(50)).distinct.sorted
+  private def hashes(): Array[Long] =
+    Array.fill(1 + rnd.nextInt(40))(rnd.nextLong(GraftRuntime.P))
+
+  test("charHash is stable, in-range, and sensitive to content") {
+    (1 to Trials).foreach { _ =>
+      val s = asciiText()
+      val h = GraftRuntime.charHash(UTF8String.fromString(s))
+      assert(h >= 0 && h < GraftRuntime.P)
+      assert(h == GraftRuntime.charHash(UTF8String.fromString(s)))
+    }
+    assert(GraftRuntime.charHash(UTF8String.fromString("abc")) !=
+      GraftRuntime.charHash(UTF8String.fromString("abd")))
+  }
+
+  test("shingleHashes: distinct values, count bounded by token count") {
+    (1 to Trials).foreach { _ =>
+      val s = asciiText()
+      val arr = GraftRuntime.shingleHashes(UTF8String.fromString(s)).toLongArray()
+      assert(arr.toSet.size == arr.length)
+      val nToks = s.split(" ", -1).length
+      assert(arr.length <= math.max(0, nToks - 2))
+    }
+  }
+
+  test("jaccardSorted is a similarity: bounded, symmetric, self-1") {
+    def ad(a: Array[Long]) = new GenericArrayData(a)
+    (1 to Trials).foreach { _ =>
+      val x = sortedSet(); val y = sortedSet()
+      val j = GraftRuntime.jaccardSorted(ad(x), ad(y))
+      assert(j >= 0.0 && j <= 1.0)
+      assert(j == GraftRuntime.jaccardSorted(ad(y), ad(x)))
+      if (x.nonEmpty) assert(GraftRuntime.jaccardSorted(ad(x), ad(x)) == 1.0)
+      if (x.isEmpty && y.isEmpty) assert(j == 0.0)
+    }
+  }
+
+  test("minhash signature component j equals direct min over permuted hashes") {
+    val perms = graft.functions.GraftHash.perms(8)
+    val as = perms.map(_._1).toArray; val bs = perms.map(_._2).toArray
+    (1 to Trials).foreach { _ =>
+      val hs = hashes()
+      val sig = GraftRuntime.minhashSignature(new GenericArrayData(hs), as, bs).toLongArray()
+      (0 until 8).foreach { j =>
+        val direct = hs.map(h => (h * as(j) + bs(j)) % GraftRuntime.P).min
+        assert(sig(j) == direct)
+      }
+    }
+  }
+
+  test("simhash of identical sets is identical; bits within width") {
+    (1 to Trials).foreach { _ =>
+      val hs = hashes()
+      val s1 = GraftRuntime.simHash(new GenericArrayData(hs), 24)
+      val s2 = GraftRuntime.simHash(new GenericArrayData(hs.clone()), 24)
+      assert(s1 == s2)
+      assert(s1 >= 0 && s1 < (1L << 24))
+    }
+  }
+
+  test("dot product matches an explicit left fold bit-for-bit") {
+    (1 to Trials).foreach { _ =>
+      val x = Array.fill(8)(rnd.nextInt(201).toDouble / 10.0 - 10.0)
+      val y = Array.fill(8)(rnd.nextInt(201).toDouble / 10.0 - 10.0)
+      val got = GraftRuntime.dotProduct(new GenericArrayData(x), new GenericArrayData(y))
+      var ref = 0.0
+      (0 until 8).foreach(i => ref += x(i) * y(i))
+      assert(got == ref)
+    }
+  }
+}
