@@ -1,0 +1,161 @@
+package graft.api
+
+import graft.functions.{GraftHash, Parity, Shingles, Vectors}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The public, table-agnostic API of the engine: every operator as a
+  * DataFrame-in/DataFrame-out (or Column) transform, parameterized by
+  * column names. The SparkEntry registry queries are thin bindings of
+  * these onto the test schema; library users call these directly.
+  */
+object Graft {
+
+  /** Text analysis primitives (column combinators — compose freely). */
+  object text {
+    def tokens(c: Column): Column = split(c, " ", -1)
+    def tokenCount(c: Column): Column = size(tokens(c))
+    def bpeTokenCount(c: Column): Column =
+      size(regexp_extract_all(lower(c), lit(graft.operators.TextAnalysis.BpePattern), lit(0)))
+    /** Rolling-hash content fingerprint (cross-engine-stable). */
+    def fingerprint(c: Column): Column = GraftHash.charHash(c)
+    /** Distinct hashed word-3-gram shingles (codegen'd single pass). */
+    def shingles(c: Column): Column = Shingles.shingleHashes(c)
+    /** Length/punctuation/stopword quality score in [0, 1]. */
+    def qualityScore(c: Column): Column = {
+      val nTok = tokenCount(c).cast("double")
+      val nPunct = size(regexp_extract_all(c, lit("[^a-z0-9 ]"), lit(0))).cast("double")
+      val nChars = length(c).cast("double")
+      val nStop = size(filter(tokens(c),
+        t => t.isInCollection(graft.operators.TextAnalysis.StopWords))).cast("double")
+      lit(0.5) * least(lit(1.0), nTok / 80.0) +
+        lit(0.3) * (lit(1.0) - nPunct / nChars) +
+        lit(0.2) * least(lit(1.0), lit(4.0) * nStop / nTok)
+    }
+  }
+
+  /** Deduplication over any (id, text) frame. */
+  object dedup {
+    /** Exact-duplicate accounting per group. */
+    def exactStats(df: DataFrame, textCol: String, groupCols: String*): DataFrame =
+      df.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col(textCol)).as("n_unique"),
+          (count(lit(1)) - countDistinct(col(textCol))).as("dup_rows"))
+
+    /** MinHash+banded-LSH near-dup pairs with exact-Jaccard
+      * verification. Candidates come from band-key equi-joins —
+      * ~linear in corpus size, never an unblocked cross join. */
+    def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                     threshold: Double = 0.8, k: Int = 32, bands: Int = 8): DataFrame = {
+      import org.apache.spark.sql.graft.Shims
+      val r = k / bands
+      val perms = GraftHash.perms(k)
+      val sh = df.select(col(idCol).as("doc_id"),
+          sort_array(Shingles.shingleHashes(col(textCol))).as("sh"))
+        .persist()
+      val sig = sh.select(col("doc_id"), col("sh"),
+        Shims.column(graft.plans.MinHashSignatureExpr(
+          Shims.expression(col("sh")), perms)).as("sig"))
+      val bl = sig.withColumn("band_keys", array((0 until bands).map { b =>
+          GraftHash.bandKey((0 until r).map(i => element_at(col("sig"), b * r + i + 1)))
+        }: _*))
+        .select(col("doc_id"), posexplode(col("band_keys")).as(Seq("band_idx", "band_key")))
+      val cand = bl.as("a").join(bl.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id")).drop("doc_id")
+        .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id")).drop("doc_id")
+        .withColumn("jaccard", Shingles.jaccardSorted(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }
+
+    /** SimHash near-dup pairs at a hamming bound, chunk-blocked
+      * (pigeonhole guarantees recall for maxHamming < chunks). */
+    def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3, bits: Int = 24, chunks: Int = 4): DataFrame = {
+      import org.apache.spark.sql.graft.Shims
+      val chunkBits = bits / chunks
+      val sh = df.select(col(idCol).as("doc_id"), Shingles.shingleHashes(col(textCol)).as("sh"))
+      val sim = sh.select(col("doc_id"),
+        Shims.column(graft.plans.SimHashExpr(Shims.expression(col("sh")), bits)).as("simhash"))
+      val ch = sim.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until chunks).map { c =>
+          shiftright(col("simhash"), c * chunkBits).bitwiseAND(lit((1 << chunkBits) - 1))
+        }: _*)).as(Seq("chunk_idx", "chunk_val")))
+      ch.as("a").join(ch.as("b"),
+          col("a.chunk_idx") === col("b.chunk_idx") &&
+            col("a.chunk_val") === col("b.chunk_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+        .distinct()
+        .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }
+  }
+
+  /** Similarity search over any (id, Array[Double-castable]) frame. */
+  object ann {
+    private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+        .withColumn("nrm", Vectors.norm(col("v")))
+
+    /** Exact cosine top-k of each query against the corpus. The query
+      * set is broadcast; the corpus is scanned once. */
+    def cosineTopK(corpus: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String, k: Int): DataFrame = {
+      val n = normalized(corpus, idCol, vecCol)
+      val q = normalized(queries, idCol, vecCol)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+      n.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+    }
+
+    /** Sign-random-projection bucket id for LSH-partitioned layouts. */
+    def lshBucket(vec: Column): Column = graft.operators.Similarity.lshBucket(vec)
+  }
+
+  /** Lake maintenance over arbitrary frames/paths. */
+  object lake {
+    /** Rewrite a dataset to a bounded file count (compaction). */
+    def compact(df: DataFrame, targetPartitions: Int): DataFrame =
+      df.repartition(targetPartitions)
+
+    /** Orphan count of child rows without a parent (fsck edge). */
+    def orphans(child: DataFrame, parent: DataFrame,
+                childKey: String, parentKey: String): DataFrame =
+      child.join(parent, col(childKey) === col(parentKey), "left_anti")
+
+    /** du/count-style content summary. */
+    def contentSummary(df: DataFrame, sizeCol: String, groupCols: String*): DataFrame =
+      df.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col(sizeCol)).as("total_size"),
+          max(col(sizeCol)).as("max_size"))
+
+    /** Order-independent group checksum (MD5-of-CRC shape). */
+    def groupChecksum(df: DataFrame, textCol: String, groupCols: String*): DataFrame =
+      df.select((groupCols.map(col) :+ GraftHash.charHash(col(textCol)).as("fp")): _*)
+        .groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n_rows"), (sum(col("fp")) % GraftHash.P).as("checksum"))
+  }
+
+  /** Streaming graphs — see graft.streaming.StreamingOps. */
+  def stream: graft.streaming.StreamingOps.type = graft.streaming.StreamingOps
+
+  /** Exact decimal-routed aggregation helpers (order-independent). */
+  def parity: Parity.type = Parity
+}

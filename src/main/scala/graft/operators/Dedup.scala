@@ -114,32 +114,8 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin
     }
   ) { (s, d) =>
-    import org.apache.spark.sql.graft.Shims
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), sort_array(Shingles.shingleHashes(col("text"))).as("sh"))
-      .persist()
-    // all k permutation minima in one JIT'd pass (plans.MinHashSignatureExpr)
-    val sig = sh.select(col("doc_id"), col("sh"),
-      Shims.column(graft.plans.MinHashSignatureExpr(
-        Shims.expression(col("sh")), perms)).as("sig"))
-    val withBands = sig.withColumn("band_keys", array(
-      (0 until Bands).map { k =>
-        GraftHash.bandKey((0 until R).map(r => element_at(col("sig"), k * R + r + 1)))
-      }: _*))
-    val bl = withBands.select(col("doc_id"),
-      posexplode(col("band_keys")).as(Seq("band_idx", "band_key")))
-    val cand = bl.as("a").join(bl.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id")).drop("doc_id")
-      .withColumn("jaccard", Shingles.jaccardSorted(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    graft.api.Graft.dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.8, k = K, bands = Bands)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -168,28 +144,8 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin
     }
   ) { (s, d) =>
-    import org.apache.spark.sql.graft.Shims
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), Shingles.shingleHashes(col("text")).as("sh"))
-    val sim = sh.select(col("doc_id"),
-      Shims.column(graft.plans.SimHashExpr(
-        Shims.expression(col("sh")), SimBits)).as("simhash"))
-    val chExpanded = sim
-      .select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until Chunks).map { k =>
-          shiftright(col("simhash"), k * ChunkBits).bitwiseAND(lit((1 << ChunkBits) - 1))
-        }: _*)).as(Seq("chunk_idx", "chunk_val")))
-    val cand = chExpanded.as("a").join(chExpanded.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-          col("a.chunk_val") === col("b.chunk_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-      .distinct()
-    cand
-      .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
-      .filter(col("hamming") <= 3)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    graft.api.Graft.dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3, bits = SimBits, chunks = Chunks)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -45,16 +45,9 @@ object Similarity {
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
        |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
   ) { (s, d) =>
-    val n = corpus(s, d)
-    val q = n.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-      .filter(col("query_id") < QueryCount)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    n.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
+    val e = Tables.embeddings(s, d)
+    graft.api.Graft.ann.cosineTopK(e, e.filter(col("vec_id") < QueryCount),
+        "vec_id", "embedding", TopK)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }

@@ -1,0 +1,73 @@
+package graft
+
+import graft.api.Graft
+import org.apache.spark.sql.functions._
+
+/** The public facade works on arbitrary user frames, not just the
+  * test schema. */
+class GraftApiSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),   // near-dup of 1
+      (3L, "one two three four five six seven"),
+      (4L, "totally different content goes right here"),
+      (5L, "alpha beta gamma delta epsilon zeta")   // exact dup of 1
+    ).toDF("id", "body")
+  }
+
+  test("minhashPairs finds near and exact duplicates on a user frame") {
+    val pairs = Graft.dedup.minhashPairs(docs, "id", "body", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L)), s"exact dup missed: $pairs")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 5L)), s"near dup missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "false positive on distinct doc")
+  }
+
+  test("exactStats accounts duplicates per group") {
+    val stats = Graft.dedup.exactStats(docs.withColumn("g", lit("all")), "body", "g")
+      .collect()(0)
+    assert(stats.getAs[Long]("n_rows") == 5)
+    assert(stats.getAs[Long]("n_unique") == 4)
+    assert(stats.getAs[Long]("dup_rows") == 1)
+  }
+
+  test("cosineTopK ranks an obvious nearest neighbor first") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vid", "vec")
+    val top = Graft.ann.cosineTopK(vecs, vecs.filter(col("vid") === 1), "vid", "vec", 2)
+      .orderBy(col("rank")).collect()
+    assert(top(0).getAs[Long]("neighbor_id") == 2L)
+    assert(top.length == 2)
+  }
+
+  test("quality score and fingerprint are usable as plain columns") {
+    val scored = docs.select(
+      Graft.text.fingerprint(col("body")).as("fp"),
+      Graft.text.qualityScore(col("body")).as("q"),
+      Graft.text.tokenCount(col("body")).as("n"))
+      .collect()
+    scored.foreach { r =>
+      assert(r.getAs[Double]("q") >= 0 && r.getAs[Double]("q") <= 1.0)
+      assert(r.getAs[Long]("fp") >= 0)
+      assert(r.getAs[Int]("n") >= 5)
+    }
+  }
+
+  test("lake helpers: orphans and contentSummary on user frames") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq((10L, 1L), (11L, 2L), (12L, 99L)).toDF("ck", "fk")
+    assert(Graft.lake.orphans(child, parent, "fk", "pk").count() == 1)
+    val summary = Graft.lake.contentSummary(
+      docs.withColumn("sz", length(col("body"))), "sz").collect()(0)
+    assert(summary.getAs[Long]("n_rows") == 5)
+  }
+}
