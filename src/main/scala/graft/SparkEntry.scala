@@ -12,7 +12,7 @@ object SparkEntry {
     operators.Lake.all ++
       operators.Relational.all ++ operators.RelationalExt.all ++
       operators.RelationalMore.all ++ operators.Warehouse.all ++
-      operators.StreamJoins.all ++
+      operators.StreamJoins.all ++ operators.Temporal.all ++
       operators.TextAnalysis.all ++ operators.Dedup.all ++
       operators.Similarity.all ++ operators.Multimodal.all ++
       operators.Streaming.all

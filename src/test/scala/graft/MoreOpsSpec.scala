@@ -36,6 +36,31 @@ class MoreOpsSpec extends SparkSpec {
     assert(overlap > 0, "IVF found no brute-force neighbors at all")
   }
 
+  test("as-of join matches purchases at-or-before each error") {
+    val ev = Tables.events(spark, sfDir).select("event_id", "ts", "user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val purchases = ev.filter(_._4 == "purchase")
+    val rows = graft.operators.Temporal.qAsofJoin.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byId = ev.map(e => e._1 -> e).toMap
+    rows.take(200).foreach { r =>
+      val errorId = r.getAs[Long]("error_id")
+      val user = r.getAs[Long]("user_id")
+      val errTs = byId(errorId)._2
+      val expect = purchases.filter(p => p._3 == user && !p._2.after(errTs))
+        .sortBy(p => (p._2.getTime, p._2.getNanos)).lastOption.map(_._1)
+      val got = if (r.isNullAt(2)) None else Some(r.getAs[Long]("matched_purchase_id"))
+      assert(got == expect, s"error $errorId: got $got want $expect")
+    }
+  }
+
+  test("range join bands partition all events exactly once") {
+    import org.apache.spark.sql.functions._
+    val total = graft.operators.Temporal.qRangeJoin.fn(spark, sfDir)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == Tables.events(spark, sfDir).count())
+  }
+
   test("streaming dropDuplicates dedup covers the batch key set") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
