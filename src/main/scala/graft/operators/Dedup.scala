@@ -149,5 +149,46 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  def all: Seq[GraftQuery] = Seq(dExactDup, dNgramJaccard, dMinhashLsh, dSimhash)
+  /** Corpus-level similarity via the native MinHash AGGREGATE
+    * (plans.MinHashAggExpr): per-source signatures from element-wise
+    * min (constant memory per group, map-side combinable), then
+    * pairwise Jaccard ESTIMATES from component agreement — cross-group
+    * similarity without shuffling any shingle set. */
+  val dCorpusSimilarity: GraftQuery = GraftQuery.sql(
+    "d_corpus_similarity", {
+      val comps = perms.zipWithIndex.map { case ((a, b), j) =>
+        s"  ${GraftHash.minhashComponentSql("sh", a, b)} AS c$j"
+      }.mkString(",\n")
+      val mins = (0 until K).map(j => s"  MIN(c$j) AS m$j").mkString(",\n")
+      val agree = (0 until K).map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH ${Shingles.shingleCteSql(", source")},
+         |sig AS (SELECT source,
+         |$comps
+         |FROM sh),
+         |persrc AS (SELECT source,
+         |$mins
+         |FROM sig GROUP BY source)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST($agree AS DOUBLE) / $K AS est_jaccard
+         |FROM persrc a JOIN persrc b ON a.source < b.source
+         |ORDER BY source_a, source_b""".stripMargin
+    }
+  ) { (s, d) =>
+    import org.apache.spark.sql.graft.Shims
+    val sig = Tables.documents(s, d).select(col("source"),
+      Shims.column(graft.plans.MinHashSignatureExpr(
+        Shims.expression(Shingles.shingleHashes(col("text"))), perms)).as("sig"))
+    val perSrc = sig.groupBy(col("source"))
+      .agg(Shims.column(graft.plans.MinHashAggExpr(
+        Shims.expression(col("sig")), K).toAggregateExpression()).as("msig"))
+    val a = perSrc.select(col("source").as("source_a"), col("msig").as("ma"))
+    val b = perSrc.select(col("source").as("source_b"), col("msig").as("mb"))
+    a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        (size(filter(zip_with(col("ma"), col("mb"), (x, y) => x === y), bo => bo))
+          .cast("double") / K).as("est_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(dExactDup, dNgramJaccard, dMinhashLsh, dSimhash, dCorpusSimilarity)
 }
