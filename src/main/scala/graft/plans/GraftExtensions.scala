@@ -17,22 +17,28 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
+    ext.injectOptimizerRule(_ => JaccardPrefilterRule)
+  }
 }
 
 object GraftExtensions {
   /** Register on an already-constructed session (the class-based hook
     * only applies when the session is first built). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (name, builder) =>
       org.apache.spark.sql.graft.Shims.registerFunction(spark, name, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(JaccardPrefilterRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ JaccardPrefilterRule
+  }
 
   private def one(name: String)(f: Expression => Expression): (String, Seq[Expression] => Expression) =
     name -> { args =>

@@ -14,6 +14,29 @@ class ExtensionsSpec extends AnyFunSuite {
     s
   }
 
+  test("JaccardPrefilterRule injects the implied size bound without changing results") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Shingles
+    val s = spark // registers rule via experimental.extraOptimizations
+    val docs = Tables.documents(s, "/root/testdata/sf0.001")
+      .select(col("doc_id"), sort_array(Shingles.shingleHashes(col("text"))).as("sh"))
+    val a = docs.select(col("doc_id").as("ida"), col("sh").as("sha"))
+    val b = docs.select(col("doc_id").as("idb"), col("sh").as("shb"))
+    val pairs = a.join(b, col("ida") < col("idb") && (col("ida") + col("idb")) % 7 === 0)
+      .filter(Shingles.jaccardSorted(col("sha"), col("shb")) >= 0.8)
+    val optimized = pairs.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("least(") && optimized.contains("greatest("),
+      s"size-bound prefilter not injected:\n$optimized")
+    // results identical to the un-prefiltered builtin formulation
+    val got = pairs.select(col("ida"), col("idb")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = a.join(b, col("ida") < col("idb") && (col("ida") + col("idb")) % 7 === 0)
+      .filter(Shingles.jaccard(col("sha"), col("shb")) >= 0.8)
+      .select(col("ida"), col("idb")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   test("graft functions are callable from SQL") {
     val r = spark.sql(
       """SELECT graft_char_hash('abc') AS h,
