@@ -242,8 +242,31 @@ object RelationalMore {
           .as("checksum"))
   }
 
+  /** Deterministic 10% key-sample per stratum with scaled estimates
+    * vs ground truth — repeatable sampling (key-mod, not RNG) is what
+    * a 100 TB pipeline needs for auditable dev subsets. */
+  val qSample: GraftQuery = GraftQuery.sql(
+    "q_sample",
+    s"""SELECT event_type,
+       |  COUNT(*) AS n_full,
+       |  CAST(SUM(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+       |  ${sumMSql("value")} AS total_full,
+       |  CAST(SUM(CASE WHEN event_id % 10 = 0 THEN CAST(value AS DECIMAL(15,2)) END) AS DOUBLE) * 10 AS est_total
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_full"),
+        sum(when(col("event_id") % 10 === 0, 1).otherwise(0)).cast("long").as("n_sample"),
+        sumM(col("value")).as("total_full"),
+        (sum(when(col("event_id") % 10 === 0, m(col("value")))).cast("double") * 10)
+          .as("est_total"))
+      .orderBy(col("event_type"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q12PriorityLines, q14PromoRevenue, q18LargeOrders, qCorrelatedMin,
     lakeLs, stStreamDedup, qJsonExtract, qPercentiles,
-    qWindowRange, qCollectAgg, lakeRoundtripText)
+    qWindowRange, qCollectAgg, lakeRoundtripText, qSample)
 }
