@@ -91,6 +91,52 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("file-sink query resumes from checkpoint without duplicating windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val outPath = graft.operators.Lake.scratch("stream_resume/out")
+    val ckPath = graft.operators.Lake.scratch("stream_resume/ck")
+    Seq(outPath, ckPath).foreach { p =>
+      val f = new java.io.File(p)
+      def rm(x: java.io.File): Unit = { if (x.isDirectory) x.listFiles().foreach(rm); x.delete(); () }
+      if (f.exists()) rm(f)
+    }
+    val all = loadEvents().sortBy(_.ts.getTime)
+    val (first, second) = all.splitAt(all.length / 2)
+
+    // run 1: first half, then stop
+    val s1 = MemoryStream[Ev]
+    val q1 = StreamingOps.tumblingCounts(s1.toDF()).writeStream
+      .format("parquet").option("path", outPath)
+      .option("checkpointLocation", ckPath).outputMode("append").start()
+    try { s1.addData(first); q1.processAllAvailable() } finally q1.stop()
+
+    // run 2: fresh query, same checkpoint — second half + sentinels.
+    // MemoryStream offsets restart at 0, so replay ALL events: the
+    // checkpoint must skip the already-committed prefix exactly.
+    val s2 = MemoryStream[Ev]
+    val q2 = StreamingOps.tumblingCounts(s2.toDF()).writeStream
+      .format("parquet").option("path", outPath)
+      .option("checkpointLocation", ckPath).outputMode("append").start()
+    try {
+      s2.addData(first)
+      s2.addData(second)
+      s2.addData(sentinel(9000001L, 10))
+      s2.addData(sentinel(9000002L, 20))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = spark.read.parquet(outPath)
+      .filter(col("window_start") < lit(dataEnd))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == got.toSet.size, "duplicate windows after recovery")
+    val want = Streaming.stTumblingWindow.fn(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got.toSet == want,
+      s"missing=${(want -- got.toSet).take(3)} extra=${(got.toSet -- want).take(3)}")
+  }
+
   test("streaming session_window converges to the batch query") {
     val got = runToSink("session_sink",
         df => StreamingOps.sessionWindows(df.filter(col("user_id") < 40)))
