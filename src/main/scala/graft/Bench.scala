@@ -3,6 +3,21 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+
+  /** Representative queries across every category; the stdout JSON
+    * line reports per-query seconds for these. The driver keeps only
+    * the final ~2000 chars of output, so the line must stay compact —
+    * full per-query detail for all registered queries goes to
+    * docs/bench_full.json instead.
+    */
+  val headline: Vector[String] = Vector(
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q9_profit", "q18_large_orders", "q_window_running", "q_heavy_hitters",
+    "q_asof_join", "lake_scan", "lake_compaction", "lake_bucketed_join",
+    "lake_checksum", "d_minhash_lsh", "d_ngram_jaccard", "d_simhash",
+    "d_embed_neardup", "s_ann_bruteforce", "s_ann_ivf", "t_ngram_freq",
+    "t_lang_id", "st_session_window", "st_interval_join")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,10 +39,20 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${fmt(results)},"sf":"$sfDir"}"""
+    try {
+      val p = java.nio.file.Paths.get("docs/bench_full.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, full.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    val head = results.filter(r => headline.contains(r._1))
+    println(
+      s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","n_queries":${results.size},"queries":${fmt(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

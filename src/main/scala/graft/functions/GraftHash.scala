@@ -34,7 +34,11 @@ object GraftHash {
     * cross-check reference for the custom expression). */
   def charHashBuiltin(c: Column): Column =
     aggregate(
-      transform(split(c, ""), ch => ascii(ch).cast("long")),
+      // split("", "") yields [""] (not []) — drop empties so the empty
+      // string folds zero steps, matching DuckDB string_split and the
+      // custom expression.
+      transform(filter(split(c, ""), ch => length(ch) > lit(0)),
+        ch => ascii(ch).cast("long")),
       lit(Seed),
       (h, cp) => (h * 31 + cp) % P)
 

@@ -153,22 +153,30 @@ object Warehouse {
        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   ) { (s, d) =>
-    val suffix = math.abs(d.hashCode % 1000)
+    // Suffix is the FULL sanitized path (no lossy hash-mod): distinct
+    // sf dirs can never collide on the same persistent table name.
+    val suffix = d.replaceAll("[^A-Za-z0-9]", "_")
     val oTab = s"graft_orders_b$suffix"; val lTab = s"graft_lineitem_b$suffix"
     // the in-memory catalog dies with the session but the bucketed
     // layout on disk persists — re-register it instead of rewriting
     // (paying the layout shuffle once is the point of bucketing)
-    def ensure(tab: String, src: org.apache.spark.sql.DataFrame, key: String): Unit =
-      if (!s.catalog.tableExists(tab)) {
-        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-        val loc = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), tab)
-        if (fs.exists(loc))
-          s.sql(s"""CREATE TABLE $tab (${src.schema.toDDL}) USING parquet
-                   |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
-                   |LOCATION '$loc'""".stripMargin)
-        else
-          src.write.bucketBy(8, key).sortBy(key).saveAsTable(tab)
+    def ensure(tab: String, src: org.apache.spark.sql.DataFrame, key: String): Unit = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val loc = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), tab)
+      if (!s.catalog.tableExists(tab) && fs.exists(loc))
+        s.sql(s"""CREATE TABLE $tab (${src.schema.toDDL}) USING parquet
+                 |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+                 |LOCATION '$loc'""".stripMargin)
+      // Cheap staleness gate (parquet footer counts, no data scan):
+      // regenerated source data at the same path must not silently
+      // reuse an old on-disk layout.
+      if (s.catalog.tableExists(tab) && s.table(tab).count() != src.count()) {
+        s.sql(s"DROP TABLE $tab")
+        fs.delete(loc, true)
       }
+      if (!s.catalog.tableExists(tab))
+        src.write.bucketBy(8, key).sortBy(key).saveAsTable(tab)
+    }
     ensure(oTab, Tables.orders(s, d), "o_orderkey")
     ensure(lTab, Tables.lineitem(s, d), "l_orderkey")
     s.table(oTab).hint("merge")

@@ -100,15 +100,29 @@ case class JaccardSortedExpr(left: Expression, right: Expression) extends Binary
 
 /** dotProduct(a, b): double — strict left-fold, bit-identical to
   * aggregate(zip_with(a, b, *), 0.0, +) and to the DuckDB oracle's
-  * list_reduce fold. */
+  * list_reduce fold. NULL on mismatched lengths (malformed embedding
+  * data must surface, not silently truncate — matches the zip_with
+  * builtin and DuckDB list semantics). */
 case class DotProductExpr(left: Expression, right: Expression) extends BinaryExpression {
   import GraftExpressions.RT
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot_product"
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    GraftRuntime.dotProduct(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else GraftRuntime.dotProduct(x, y)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"$RT.dotProduct($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $RT.dotProduct($a, $b);
+         |}
+       """.stripMargin)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductExpr =
     copy(left = l, right = r)
 }

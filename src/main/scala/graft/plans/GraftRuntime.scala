@@ -16,8 +16,11 @@ object GraftRuntime {
     var h = init
     var i = from
     while (i < until) {
-      h = (h * 31 + s.codePointAt(i)) % P
-      i += 1
+      // Advance by code point: surrogate pairs hash once, matching
+      // Spark's split("")/codepoint view and the DuckDB ord() oracle.
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % P
+      i += Character.charCount(cp)
     }
     h
   }
@@ -107,8 +110,7 @@ object GraftRuntime {
     val y = b.toDoubleArray()
     var acc = 0.0
     var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) { acc += x(i) * y(i); i += 1 }
+    while (i < x.length) { acc += x(i) * y(i); i += 1 }
     acc
   }
 }

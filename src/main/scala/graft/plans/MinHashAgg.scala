@@ -23,11 +23,19 @@ case class MinHashAggExpr(
   extends TypedImperativeAggregate[Array[Long]] {
 
   override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_agg"
 
-  override def createAggregationBuffer(): Array[Long] = Array.fill(k)(Long.MaxValue)
+  // Buffer layout: k minima + 1 seen-flag slot. A group whose inputs
+  // were all NULL/absent must yield NULL (SQL MIN-of-empty semantics),
+  // not an all-MaxValue signature that spuriously "agrees" with other
+  // degenerate groups at Jaccard 1.0.
+  override def createAggregationBuffer(): Array[Long] = {
+    val b = Array.fill(k + 1)(Long.MaxValue)
+    b(k) = 0L
+    b
+  }
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
@@ -40,6 +48,7 @@ case class MinHashAggExpr(
         if (x < buf(i)) buf(i) = x
         i += 1
       }
+      buf(k) = 1L
     }
     buf
   }
@@ -47,20 +56,22 @@ case class MinHashAggExpr(
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var i = 0
     while (i < k) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    if (b(k) == 1L) a(k) = 1L
     a
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  override def eval(buf: Array[Long]): Any =
+    if (buf(k) == 0L) null else new GenericArrayData(java.util.Arrays.copyOf(buf, k))
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(8 * k)
+    val bb = java.nio.ByteBuffer.allocate(8 * (k + 1))
     buf.foreach(bb.putLong)
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    Array.fill(k)(bb.getLong())
+    Array.fill(k + 1)(bb.getLong())
   }
 
   override def withNewMutableAggBufferOffset(o: Int): MinHashAggExpr =

@@ -124,11 +124,21 @@ object StreamingOps {
             sorted.foreach { e =>
               val t = tsToMicros(e.ts)
               cur match {
-                case Some(st) if t - st.last <= GapMicros =>
-                  cur = Some(st.copy(last = math.max(st.last, t), n = st.n + 1))
-                case Some(st) =>
+                case Some(st) if t > st.last + GapMicros =>
+                  // Strictly after the open session: close it, start anew.
                   closed ::= toOut(st)
                   cur = Some(SessionState(t, t, 1))
+                case Some(st) if t < st.start - GapMicros =>
+                  // Cross-batch late event predating the open session by
+                  // more than the gap: a separate earlier session — emit
+                  // it directly, keep the open session untouched.
+                  closed ::= toOut(SessionState(t, t, 1))
+                case Some(st) =>
+                  // Within gap of [start, last] on either side: merge,
+                  // moving session_start back for late pre-start events
+                  // so output matches the batch session_window truth.
+                  cur = Some(SessionState(
+                    math.min(st.start, t), math.max(st.last, t), st.n + 1))
                 case None =>
                   cur = Some(SessionState(t, t, 1))
               }

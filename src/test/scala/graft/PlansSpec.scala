@@ -49,6 +49,38 @@ class PlansSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("CharHashExpr == builtin charHash on non-BMP text (surrogate pairs)") {
+    import spark.implicits._
+    val df = Seq("a𝄞b", "𝄞", "héllo wörld", "🎼🎶 mixed 音楽 text", "").toDF("text")
+    val rows = df.select(GraftHash.charHash(col("text")).as("fast"),
+      GraftHash.charHashBuiltin(col("text")).as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("DotProductExpr returns NULL on mismatched vector lengths (no silent truncation)") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0)),
+                 (Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    val rows = df.select(Vectors.dot(col("a"), col("b")).as("d"),
+      Vectors.dotBuiltin(col("a"), col("b")).as("ref")).collect()
+    assert(rows(0).isNullAt(0))        // mismatched → NULL
+    assert(rows(1).getDouble(0) == 11.0)
+  }
+
+  test("MinHashAggExpr yields NULL for groups with no non-null input (MIN-of-empty semantics)") {
+    import org.apache.spark.sql.graft.Shims
+    import spark.implicits._
+    val df = Seq(("g1", Some(Array(5L, 6L))), ("g2", None), ("g1", Some(Array(3L, 9L))))
+      .toDF("g", "sig")
+    val out = df.groupBy(col("g"))
+      .agg(Shims.column(graft.plans.MinHashAggExpr(
+        Shims.expression(col("sig")), 2).toAggregateExpression()).as("msig"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1)))
+      .toMap
+    assert(out("g2") == null)
+    assert(out("g1") == Seq(3L, 6L))
+  }
+
   test("SimHashExpr bits stay within configured width") {
     import org.apache.spark.sql.graft.Shims
     val sh = Tables.documents(spark, sfDir)

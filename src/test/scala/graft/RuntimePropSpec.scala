@@ -77,6 +77,25 @@ class RuntimePropSpec extends AnyFunSuite {
     }
   }
 
+  test("charHash folds one step per CODE POINT (non-BMP surrogate pairs hash once)") {
+    // "a𝄞b": 𝄞 = U+1D11E (surrogate pair in UTF-16). The fold must see
+    // exactly 3 codepoints, matching DuckDB's ord() oracle.
+    val P = GraftRuntime.P
+    var h = GraftRuntime.Seed
+    Seq('a'.toLong, 0x1D11EL, 'b'.toLong).foreach(cp => h = (h * 31 + cp) % P)
+    assert(GraftRuntime.charHash(UTF8String.fromString("a𝄞b")) == h)
+    // a lone non-BMP char: exactly one fold step
+    assert(GraftRuntime.charHash(UTF8String.fromString("𝄞")) ==
+      (GraftRuntime.Seed * 31 + 0x1D11EL) % P)
+  }
+
+  test("dotProduct on equal-length inputs; mismatched lengths are rejected at the expression layer") {
+    // kernel contract: only called with equal lengths (expression
+    // returns NULL otherwise — asserted in PlansSpec)
+    val x = Array(1.0, 2.0); val y = Array(3.0, 4.0)
+    assert(GraftRuntime.dotProduct(new GenericArrayData(x), new GenericArrayData(y)) == 11.0)
+  }
+
   test("dot product matches an explicit left fold bit-for-bit") {
     (1 to Trials).foreach { _ =>
       val x = Array.fill(8)(rnd.nextInt(201).toDouble / 10.0 - 10.0)

@@ -148,6 +148,36 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("sessionizer merges cross-batch late events (start moves back; far-predating event is its own session)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Ev]
+    val base = java.sql.Timestamp.valueOf("2024-02-01 12:00:00")
+    def ev(id: Long, offsetSec: Long) =
+      Ev(id, new java.sql.Timestamp(base.getTime + offsetSec * 1000), 7L, "view", 1.0)
+    val q = StreamingOps.sessionizeWithState(
+        stream.toDS().filter(col("user_id") < 40).as[Ev])
+      .toDF().writeStream
+      .format("memory").queryName("late_sink").outputMode("append").start()
+    try {
+      stream.addData(ev(1, 0))      // anchor at T
+      q.processAllAvailable()
+      stream.addData(ev(2, -600))   // late, 10 min BEFORE start, within 30-min gap → merge
+      q.processAllAvailable()
+      stream.addData(ev(3, -3000))  // late, 40 min before merged start → separate session
+      q.processAllAvailable()
+      stream.addData(sentinel(9000001L, 10)); q.processAllAvailable()
+      stream.addData(sentinel(9000002L, 20)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("late_sink")
+      .filter(col("session_start") < lit(dataEnd))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    val tm600 = new java.sql.Timestamp(base.getTime - 600 * 1000)
+    val tm3000 = new java.sql.Timestamp(base.getTime - 3000 * 1000)
+    assert(got == Set((7L, tm600, 2L, 600.0), (7L, tm3000, 1L, 0.0)), s"got=$got")
+  }
+
   test("flatMapGroupsWithState sessionizer matches the batch sessions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
