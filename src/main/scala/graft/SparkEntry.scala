@@ -11,7 +11,8 @@ object SparkEntry {
   def registry: Seq[GraftQuery] =
     operators.Lake.all ++
       operators.Relational.all ++ operators.RelationalExt.all ++
-      operators.RelationalMore.all ++ operators.Warehouse.all ++
+      operators.RelationalMore.all ++ operators.RelationalTpch.all ++
+      operators.Warehouse.all ++
       operators.StreamJoins.all ++ operators.Temporal.all ++
       operators.TextAnalysis.all ++ operators.Dedup.all ++
       operators.Similarity.all ++ operators.Multimodal.all ++

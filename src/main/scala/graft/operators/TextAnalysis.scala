@@ -62,8 +62,11 @@ object TextAnalysis {
        |    + 0.2 * LEAST(1.0, 4.0 * n_stop / n_tok) AS score
        |FROM f ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    val toks = split(col("text"), " ", -1)
+    // Token array materialized once per row (each HOF referencing an
+    // inline split() re-runs the regex split per call).
+    val toks = col("t")
     Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), split(col("text"), " ", -1).as("t"))
       .select(col("doc_id"),
         size(toks).cast("double").as("n_tok"),
         size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("double").as("n_punct"),
@@ -102,11 +105,14 @@ object TextAnalysis {
        |SELECT lang, predicted, COUNT(*) AS n FROM p
        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
   ) { (s, d) =>
-    val toks = split(col("text"), " ", -1)
-    val scored = Tables.documents(s, d).select(
-      (Seq(col("doc_id"), col("lang")) ++ LangMarkers.map { case (l, ws) =>
-        size(filter(toks, t => t.isInCollection(ws))).as(s"s_$l")
-      }): _*)
+    // One split per row, shared by the five marker-set filters.
+    val toks = col("t")
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ", -1).as("t"))
+      .select(
+        (Seq(col("doc_id"), col("lang")) ++ LangMarkers.map { case (l, ws) =>
+          size(filter(toks, t => t.isInCollection(ws))).as(s"s_$l")
+        }): _*)
     val langs = LangMarkers.map(_._1)
     val pred = LangMarkers.init.foldRight(lit(langs.last): Column) { case ((l, _), els) =>
       when(langs.filter(_ != l).map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _), lit(l))
@@ -146,12 +152,21 @@ object TextAnalysis {
       |FROM rk WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val toks = split(col("text"), " ", -1)
-    val bigrams = transform(sequence(lit(1), size(toks) - 1), i =>
-      concat(get(toks, i - 1), lit(" "), get(toks, i)))
+    // Materialize the token array in its own projection so the regex
+    // split runs once per row; referencing `split(text)` inside a
+    // higher-order lambda would re-evaluate it on every iteration
+    // (HOFs are interpreted, no subexpression elimination) — O(n²)
+    // per document. zip_with against the shifted slice pairs each
+    // token with its successor; the final (last, null) pair yields
+    // NULL via concat's null-intolerance and is filtered.
+    val t = col("t")
     val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
     Tables.documents(s, d)
-      .select(col("lang"), explode(bigrams).as("bigram"))
+      .select(col("lang"), split(col("text"), " ", -1).as("t"))
+      .select(col("lang"),
+        explode(zip_with(t, slice(t, lit(2), size(t) - 1),
+          (x, y) => concat(x, lit(" "), y))).as("bigram"))
+      .filter(col("bigram").isNotNull)
       .groupBy(col("lang"), col("bigram"))
       .agg(count(lit(1)).as("n"))
       .withColumn("rank", row_number().over(w).cast("long"))
