@@ -76,6 +76,43 @@ object Graft {
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
     }
 
+    /** Duplicate clusters from a near-dup pair list: connected
+      * components by iterative min-label propagation (Pregel shape —
+      * each round is one equi-join + min-aggregate, so every round is
+      * a bounded shuffle and rounds ~ component diameter; dup clusters
+      * are shallow in practice. At 100 TB swap the propagation loop
+      * for alternating small-star/large-star rounds to bound rounds by
+      * O(log n) on adversarial chains). Convergence is detected by the
+      * monotonically decreasing label sum reaching a fixed point.
+      * Returns (node, lbl) where lbl = min doc id in the component. */
+    def dupClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+                    maxIter: Int = 25): DataFrame = {
+      val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+        .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+        .persist()
+      var labels = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl")).persist()
+      def labelSum(df: DataFrame): Long =
+        df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
+      var prev = labelSum(labels)
+      var done = false
+      var it = 0
+      while (!done && it < maxIter) {
+        val msgs = edges.join(labels, col("src") === col("node"))
+          .select(col("dst").as("node"), col("lbl"))
+        val next = labels.unionByName(msgs)
+          .groupBy(col("node")).agg(min(col("lbl")).as("lbl")).persist()
+        val cur = labelSum(next)
+        labels.unpersist()
+        labels = next
+        done = cur == prev
+        prev = cur
+        it += 1
+      }
+      edges.unpersist()
+      labels
+    }
+
     /** SimHash near-dup pairs at a hamming bound, chunk-blocked
       * (pigeonhole guarantees recall for maxHamming < chunks). */
     def simhashPairs(df: DataFrame, idCol: String, textCol: String,

@@ -81,38 +81,46 @@ object Dedup {
   val K = 32; val Bands = 8; val R = 4
   private val perms = GraftHash.perms(K)
 
+  /** Shared oracle fragment: CTE list ending in
+    * pairs(doc_a, doc_b, jaccard) — the MinHash+LSH candidate pairs
+    * verified at exact Jaccard >= 0.8. Reused by the pair query and
+    * the clustering query so both oracles see identical edges. */
+  private def minhashPairsCtes: String = {
+    val comps = perms.zipWithIndex.map { case ((a, b), j) =>
+      s"  ${GraftHash.minhashComponentSql("sh", a, b)} AS c$j"
+    }.mkString(",\n")
+    val bandKeys = (0 until Bands).map { k =>
+      val cs = (0 until R).map(r => s"c${k * R + r}")
+      s"  ${GraftHash.bandKeySql(cs)} AS bk$k"
+    }.mkString(",\n")
+    val bandUnion = (0 until Bands).map(k =>
+      s"SELECT doc_id, $k AS band_idx, bk$k AS band_key FROM bands").mkString("\nUNION ALL\n")
+    s"""${Shingles.shingleCteSql()},
+       |sig AS (SELECT doc_id, sh,
+       |$comps
+       |FROM sh),
+       |bands AS (SELECT *,
+       |$bandKeys
+       |FROM sig),
+       |bl AS ($bandUnion),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bl a JOIN bl b ON a.band_idx = b.band_idx
+       |           AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT c.doc_a, c.doc_b, ${Shingles.jaccardSql("x.sh", "y.sh")} AS jaccard
+       |          FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+       |          WHERE ${Shingles.jaccardSql("x.sh", "y.sh")} >= 0.8)""".stripMargin
+  }
+
   /** MinHash + banded LSH near-dup detection — the content-blocked
     * scale path (pairs found regardless of metadata; candidate count
     * ~ band collisions, not n^2). Candidates verified by exact
     * Jaccard >= 0.8, so output equals the ngram query's truth on any
     * pair LSH recalls (P[recall | j=0.98] ~ 1 - (1-0.98^4)^8 ~ 1). */
   val dMinhashLsh: GraftQuery = GraftQuery.sql(
-    "d_minhash_lsh", {
-      val comps = perms.zipWithIndex.map { case ((a, b), j) =>
-        s"  ${GraftHash.minhashComponentSql("sh", a, b)} AS c$j"
-      }.mkString(",\n")
-      val bandKeys = (0 until Bands).map { k =>
-        val cs = (0 until R).map(r => s"c${k * R + r}")
-        s"  ${GraftHash.bandKeySql(cs)} AS bk$k"
-      }.mkString(",\n")
-      val bandUnion = (0 until Bands).map(k =>
-        s"SELECT doc_id, $k AS band_idx, bk$k AS band_key FROM bands").mkString("\nUNION ALL\n")
-      s"""WITH ${Shingles.shingleCteSql()},
-         |sig AS (SELECT doc_id, sh,
-         |$comps
-         |FROM sh),
-         |bands AS (SELECT *,
-         |$bandKeys
-         |FROM sig),
-         |bl AS ($bandUnion),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM bl a JOIN bl b ON a.band_idx = b.band_idx
-         |           AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-         |SELECT c.doc_a, c.doc_b, ${Shingles.jaccardSql("x.sh", "y.sh")} AS jaccard
-         |FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
-         |WHERE ${Shingles.jaccardSql("x.sh", "y.sh")} >= 0.8
-         |ORDER BY doc_a, doc_b""".stripMargin
-    }
+    "d_minhash_lsh",
+    s"""WITH $minhashPairsCtes
+       |SELECT doc_a, doc_b, jaccard FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, d) =>
     graft.api.Graft.dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.8, k = K, bands = Bands)
@@ -190,5 +198,35 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
-  def all: Seq[GraftQuery] = Seq(dExactDup, dNgramJaccard, dMinhashLsh, dSimhash, dCorpusSimilarity)
+  /** Duplicate clusters: connected components over the MinHash+LSH
+    * near-dup pairs, summarized per cluster. The Spark side runs
+    * Pregel-style min-label propagation (api.Graft.dedup.dupClusters);
+    * the oracle computes the same components with a recursive CTE —
+    * two independent formulations of transitive closure. This is the
+    * "keep one canonical doc per dup group" step of a pre-training
+    * dedup pipeline. */
+  val dDupClusters: GraftQuery = GraftQuery.sql(
+    "d_dup_clusters",
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL
+       |          SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach AS (SELECT src AS node, src AS lbl FROM edges
+       |          UNION
+       |          SELECT e.dst AS node, r.lbl AS lbl
+       |          FROM reach r JOIN edges e ON r.node = e.src),
+       |comp AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node)
+       |SELECT cluster, COUNT(*) AS n_members, CAST(MAX(node) AS BIGINT) AS max_doc
+       |FROM comp GROUP BY cluster ORDER BY cluster""".stripMargin
+  ) { (s, d) =>
+    val pairs = graft.api.Graft.dedup.minhashPairs(
+      Tables.documents(s, d), "doc_id", "text", threshold = 0.8, k = K, bands = Bands)
+    graft.api.Graft.dedup.dupClusters(pairs)
+      .groupBy(col("lbl").as("cluster"))
+      .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_doc"))
+      .orderBy(col("cluster"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(
+    dExactDup, dNgramJaccard, dMinhashLsh, dSimhash, dCorpusSimilarity, dDupClusters)
 }

@@ -255,7 +255,36 @@ object RelationalExt {
       .limit(25)
   }
 
+  /** Per-segment balance deciles via ntile — equal-height bucketing
+    * with the remainder-to-leading-buckets semantics both engines
+    * share. Partitioned by market segment so the window parallelizes
+    * (a global-order ntile would serialize on one partition at scale);
+    * unique (c_acctbal, c_custkey) ordering keeps bucket boundaries
+    * deterministic; min/max of doubles are order-independent. */
+  val qNtileDeciles: GraftQuery = GraftQuery.sql(
+    "q_ntile_deciles",
+    """WITH t AS (
+      |  SELECT c_mktsegment, c_acctbal,
+      |    NTILE(10) OVER (PARTITION BY c_mktsegment
+      |                    ORDER BY c_acctbal, c_custkey) AS decile
+      |  FROM customer)
+      |SELECT c_mktsegment, decile, COUNT(*) AS n,
+      |  MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+      |FROM t GROUP BY c_mktsegment, decile
+      |ORDER BY c_mktsegment, decile""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_acctbal"), ntile(10).over(w).as("decile"))
+      .groupBy(col("c_mktsegment"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+      .orderBy(col("c_mktsegment"), col("decile"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qWindowRunning, qWindowLag, qRollup, qCube, qApproxDistinct, qOuterJoin,
-    qScalarSubquery, qSetops, qPivot, qStringFuncs, qDateFuncs, qHeavyHitters)
+    qScalarSubquery, qSetops, qPivot, qStringFuncs, qDateFuncs, qHeavyHitters,
+    qNtileDeciles)
 }

@@ -55,5 +55,28 @@ object Streaming {
       .orderBy(col("user_id"), col("session_start"))
   }
 
-  def all: Seq[GraftQuery] = Seq(stTumblingWindow, stSessionWindow)
+  /** 1-hour windows hopping every 15 minutes: each event lands in
+    * exactly 4 overlapping windows. Spark's window() emits the
+    * memberships natively; the oracle derives the same 4 window starts
+    * arithmetically from the epoch-aligned 15-minute bucket (explicit
+    * epoch arithmetic, not time_bucket, so both engines share the 1970
+    * origin). */
+  val stHoppingWindow: GraftQuery = GraftQuery.sql(
+    "st_hopping_window",
+    s"""WITH h AS (
+       |  SELECT event_type, value,
+       |    make_timestamp((epoch_us(ts) // 900000000) * 900000000 - CAST(k.k AS BIGINT) * 900000000) AS window_start
+       |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k)
+       |SELECT window_start, event_type, COUNT(*) AS n, ${sumMSql("value")} AS total
+       |FROM h GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumM(col("value")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(stTumblingWindow, stSessionWindow, stHoppingWindow)
 }

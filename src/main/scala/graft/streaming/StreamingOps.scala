@@ -49,6 +49,18 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** 1h windows hopping every 15 minutes, watermarked (append mode):
+    * streaming form of st_hopping_window. Each event updates 4
+    * overlapping windows' state; the watermark closes a window once
+    * event time passes its end + delay. */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumM(col("value")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
   /** Built-in session_window sessionization (streaming form of
     * st_session_window). */
   def sessionWindows(events: DataFrame): DataFrame =

@@ -91,6 +91,16 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("streaming hopping windows converge to the batch query") {
+    val got = runToSink("hopping_sink", StreamingOps.hoppingCounts)
+      .filter(col("window_start") < lit("2024-02-15").cast("timestamp"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = Streaming.stHoppingWindow.fn(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("file-sink query resumes from checkpoint without duplicating windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
