@@ -87,11 +87,22 @@ object Graft {
       * Returns (node, lbl) where lbl = min doc id in the component. */
     def dupClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
                     maxIter: Int = 25): DataFrame = {
-      val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-        .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      // Persist the directed pair list BEFORE mirroring: the union
+      // would otherwise run the full candidate-generation pipeline
+      // once per direction.
+      val base = pairs
+        .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
         .persist()
+      val edges = base
+        .union(base.select(col("dst").as("src"), col("src").as("dst")))
+        .persist()
+      // localCheckpoint (not persist) each round: it truncates the
+      // LOGICAL lineage, keeping driver-side planning O(1) per round —
+      // persist alone lets the plan double every iteration and
+      // analysis/optimization time dominates. On a fault-tolerant
+      // cluster run, swap for reliable checkpoint(dir).
       var labels = edges.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("lbl")).persist()
+        .select(col("node"), col("node").as("lbl")).localCheckpoint()
       def labelSum(df: DataFrame): Long =
         df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
       var prev = labelSum(labels)
@@ -100,15 +111,23 @@ object Graft {
       while (!done && it < maxIter) {
         val msgs = edges.join(labels, col("src") === col("node"))
           .select(col("dst").as("node"), col("lbl"))
-        val next = labels.unionByName(msgs)
-          .groupBy(col("node")).agg(min(col("lbl")).as("lbl")).persist()
+        val prop = labels.unionByName(msgs)
+          .groupBy(col("node")).agg(min(col("lbl")).as("lbl")).localCheckpoint()
+        // Pointer-jump (path halving): adopt the label's own label.
+        // Labels are node ids and every node keeps a row, so the
+        // lookup is an inner equi-join and the adopted label is <=
+        // the current one. Rounds drop from O(chain length) to
+        // O(log chain length) on long transitive dup chains.
+        val lookup = prop.select(col("node").as("ln"), col("lbl").as("ll"))
+        val next = prop.join(lookup, col("lbl") === col("ln"))
+          .select(col("node"), col("ll").as("lbl")).localCheckpoint()
         val cur = labelSum(next)
-        labels.unpersist()
         labels = next
         done = cur == prev
         prev = cur
         it += 1
       }
+      base.unpersist()
       edges.unpersist()
       labels
     }

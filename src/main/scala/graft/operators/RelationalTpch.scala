@@ -76,10 +76,14 @@ object RelationalTpch {
       .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"))
+    // The partial aggregate feeds both the threshold scalar and the
+    // final filter — persist it so the fact scan+agg runs once, not
+    // once per branch (Catalyst has no cross-subtree CSE).
     val rv = Tables.lineitem(s, d)
       .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sum(rev).as("value"))
+      .persist()
     val total = rv.agg(sum(col("value")).cast("double").as("grand_total"))
     rv.crossJoin(broadcast(total))
       .filter(col("value").cast("double") > col("grand_total") * 0.001)
@@ -130,6 +134,7 @@ object RelationalTpch {
         col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(sum(rev).as("total_rev"))
+      .persist() // shared by the max scalar and the equality filter
     val mx = revBySupp.agg(max(col("total_rev")).as("max_rev"))
     revBySupp.join(broadcast(mx), col("total_rev") === col("max_rev"))
       .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
@@ -180,6 +185,7 @@ object RelationalTpch {
       .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#3")),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .persist() // brand-filtered lines feed both the per-part average and the final filter
     val pa = li3.groupBy(col("l_partkey").as("pk"))
       .agg((sum(m(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
     li3.join(pa, col("l_partkey") === col("pk"))
