@@ -31,6 +31,23 @@ object Vectors {
 
   def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
 
+  /** Left-fold squared-L2 distance between the m-th subDim-wide
+    * subvectors of a and b (product-quantization building block).
+    * Same fold discipline as dot: bit-identical to subL2Sql. */
+  def subL2(a: Column, b: Column, m: Column, subDim: Int): Column =
+    aggregate(
+      zip_with(
+        slice(a, m * subDim + 1, lit(subDim)),
+        slice(b, m * subDim + 1, lit(subDim)),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** DuckDB mirror of subL2 (1-based list indexing, left fold). */
+  def subL2Sql(a: String, b: String, m: String, subDim: Int): String =
+    s"list_reduce(list_transform(generate_series(1, $subDim), " +
+      s"i -> ($a[$m * $subDim + i] - $b[$m * $subDim + i]) * ($a[$m * $subDim + i] - $b[$m * $subDim + i])), " +
+      "(x, y) -> x + y)"
+
   /** Deterministic pseudo-random hyperplane components via an LCG —
     * identical literals embedded on both engine sides (no RNG at
     * runtime, resilient to any library's random implementation). */

@@ -293,8 +293,36 @@ object Lake {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
   }
 
+  /** Schema evolution: a v1 batch lands without a column, a later v2
+    * batch adds it; a mergeSchema read unifies the layouts and v1 rows
+    * surface NULL for the new column (coalesced to a legacy marker).
+    * The lake-format capability every long-lived 100 TB table needs —
+    * old files are never rewritten when the schema widens. */
+  val lakeSchemaEvolution: GraftQuery = GraftQuery.sql(
+    "lake_schema_evolution",
+    s"""SELECT CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |            THEN o_orderpriority ELSE 'LEGACY' END AS priority,
+       |  COUNT(*) AS n, ${sumMSql("o_totalprice")} AS total
+       |FROM orders GROUP BY priority ORDER BY priority""".stripMargin
+  ) { (s, d) =>
+    val path = scratch("evolving_orders")
+    val o = Tables.orders(s, d)
+    val cut = lit("1997-01-01").cast("timestamp")
+    o.filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(path)
+    o.filter(col("o_orderdate") >= cut)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("append").parquet(path)
+    s.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(coalesce(col("o_orderpriority"), lit("LEGACY")).as("priority"))
+      .agg(count(lit(1)).as("n"), sumM(col("o_totalprice")).as("total"))
+      .orderBy(col("priority"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     lakeScan, lakeRoundtripCsv, lakeRoundtripJson, lakeRoundtripOrc,
     lakePartitionedWrite, lakeCompaction, lakeContentSummary, lakeFsck,
-    lakeQuota, lakeChecksum, lakeSnapshot, lakeLifecycle, lakeConcat)
+    lakeQuota, lakeChecksum, lakeSnapshot, lakeLifecycle, lakeConcat,
+    lakeSchemaEvolution)
 }

@@ -172,5 +172,78 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  def all: Seq[GraftQuery] = Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf)
+  // PQ: M subspaces of SubDim dims; NCodes centroids per subspace.
+  val M = 8; val SubDim = 8; val NCodes = 16
+
+  /** Product-quantization ANN: corpus vectors are compressed to M
+    * one-byte codes (argmin squared-L2 centroid per subspace), queries
+    * score candidates through an asymmetric-distance table (query ->
+    * centroid distances per subspace, summed in fixed m order so the
+    * double fold is bit-deterministic). The codebook is a fixed
+    * deterministic corpus slice standing in for trained k-means
+    * centroids — the compression/ADC mechanics are the real PQ shape.
+    * At 100 TB the codes table is ~M bytes/vector (64x smaller than
+    * the float corpus), the distance table is built per query on the
+    * driver-free broadcast path, and the scan touches codes only. */
+  val sAnnPq: GraftQuery = GraftQuery.sql(
+    "s_ann_pq",
+    s"""WITH $corpusSql,
+       |cb AS (SELECT vec_id AS cid, v AS cv FROM e
+       |       WHERE vec_id >= $QueryCount AND vec_id < ${QueryCount + NCodes}),
+       |ms AS (SELECT unnest(generate_series(0, ${M - 1})) AS m),
+       |sd AS (SELECT e.vec_id, ms.m, cb.cid,
+       |         ${Vectors.subL2Sql("e.v", "cb.cv", "ms.m", SubDim)} AS dist
+       |       FROM e CROSS JOIN ms CROSS JOIN cb),
+       |codes AS (SELECT vec_id, m, cid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dist, cid) AS rk FROM sd) WHERE rk = 1),
+       |qd AS (SELECT vec_id AS query_id, m, cid, dist AS qdist
+       |       FROM sd WHERE vec_id < $QueryCount),
+       |j AS (SELECT qd.query_id, codes.vec_id AS neighbor_id, qd.m, qd.qdist
+       |      FROM codes JOIN qd ON codes.m = qd.m AND codes.cid = qd.cid
+       |      WHERE codes.vec_id <> qd.query_id),
+       |ad AS (SELECT query_id, neighbor_id,
+       |         list_reduce(list(qdist ORDER BY m), (x, y) -> x + y) AS adist
+       |       FROM j GROUP BY query_id, neighbor_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY adist, neighbor_id) AS rank FROM ad)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adist
+       |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  ) { (s, d) =>
+    val n = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cb = n.filter(col("vec_id") >= QueryCount && col("vec_id") < QueryCount + NCodes)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val ms = s.range(M).select(col("id").cast("int").as("m"))
+    // (vector, subspace, centroid) distances feed both the code
+    // assignment and the query distance table — one pass, persisted.
+    val sd = n.crossJoin(broadcast(ms)).crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("m"), col("cid"),
+        Vectors.subL2(col("v"), col("cv"), col("m"), SubDim).as("dist"))
+      .persist()
+    val wCode = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist"), col("cid"))
+    val codes = sd.withColumn("rk", row_number().over(wCode))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("m"), col("cid"))
+    val qd = sd.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("m").as("qm"),
+        col("cid").as("qcid"), col("dist").as("qdist"))
+    val wR = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    codes.join(broadcast(qd),
+        col("m") === col("qm") && col("cid") === col("qcid") &&
+          col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct(col("qm"), col("qdist")))),
+          x => x.getField("qdist")),
+        lit(0.0), (acc, x) => acc + x).as("adist"))
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnPq)
 }

@@ -54,6 +54,19 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ ANN returns top-k per query with non-negative ascending distances") {
+    val rows = Similarity.sAnnPq.fn(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 16)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 5)
+      assert(!rs.exists(_.getAs[Long]("neighbor_id") == q), "self must be excluded")
+      val d = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("adist"))
+      assert(d.forall(_ >= 0.0))
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b }, "ADC distances ascend with rank")
+    }
+  }
+
   test("embedding near-dup returns 20 globally closest pairs, descending") {
     val rows = Similarity.dEmbedNeardup.fn(spark, sfDir).collect()
     assert(rows.length == 20)

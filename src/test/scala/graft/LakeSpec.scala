@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Lake, Multimodal}
+import org.apache.spark.sql.functions.{col, lit}
 
 class LakeSpec extends SparkSpec {
 
@@ -46,6 +47,17 @@ class LakeSpec extends SparkSpec {
     val dirs = new java.io.File(Lake.scratch("partitioned_orders")).listFiles()
       .filter(_.getName.startsWith("yr=")).map(_.getName).toSet
     assert(dirs.size > 1, s"expected multiple year partitions, got $dirs")
+  }
+
+  test("schema evolution: merged read backfills the widened column with NULLs") {
+    Lake.lakeSchemaEvolution.fn(spark, sfDir).count() // writes both batches
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(Lake.scratch("evolving_orders"))
+    assert(merged.columns.contains("o_orderpriority"), "widened schema expected")
+    val legacy = merged.filter(col("o_orderpriority").isNull).count()
+    val want = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")).count()
+    assert(legacy == want, s"v1 rows should surface NULL: $legacy != $want")
   }
 
   test("multimodal stub decode emits deterministic per-asset features") {
