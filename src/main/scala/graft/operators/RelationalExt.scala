@@ -283,8 +283,39 @@ object RelationalExt {
       .orderBy(col("c_mktsegment"), col("decile"))
   }
 
+  /** Salted skew join: ~90% of events hash to one dimension key, the
+    * classic power-law join hotspot. The fact side salts each row
+    * (pmod of a uniform column) and the dimension replicates once per
+    * salt, turning 1 hot partition into 16 uniform ones; the result is
+    * provably identical to the plain join the oracle runs. At 100 TB
+    * this is the manual fallback when AQE skew splitting can't help
+    * (e.g. skewed build side of a broadcast-ineligible join). */
+  val qSkewJoinSalted: GraftQuery = GraftQuery.sql(
+    "q_skew_join_salted",
+    s"""SELECT r_name, COUNT(*) AS n, ${sumMSql("value")} AS total
+       |FROM events JOIN region
+       |  ON r_regionkey = (CASE WHEN user_id % 10 < 9 THEN 0 ELSE (user_id // 10) % 5 END)
+       |GROUP BY r_name ORDER BY r_name""".stripMargin
+  ) { (s, d) =>
+    val Salts = 16
+    val hotKey = when(col("user_id") % 10 < 9, lit(0L))
+      .otherwise(expr("(user_id div 10) % 5"))
+    val fact = Tables.events(s, d)
+      .select(col("value"), hotKey.as("rk"),
+        pmod(col("event_id"), lit(Salts)).cast("int").as("salt"))
+    val dim = Tables.region(s, d)
+      .select(col("r_regionkey").cast("long").as("dk"), col("r_name"))
+      .withColumn("dsalt", explode(sequence(lit(0), lit(Salts - 1))))
+    // shuffle_hash hint: the tiny demo dim would auto-broadcast (where
+    // skew is moot) — force the shuffled path the technique targets.
+    fact.join(dim.hint("shuffle_hash"), col("rk") === col("dk") && col("salt") === col("dsalt"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n"), sumM(col("value")).as("total"))
+      .orderBy(col("r_name"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qWindowRunning, qWindowLag, qRollup, qCube, qApproxDistinct, qOuterJoin,
     qScalarSubquery, qSetops, qPivot, qStringFuncs, qDateFuncs, qHeavyHitters,
-    qNtileDeciles)
+    qNtileDeciles, qSkewJoinSalted)
 }

@@ -78,5 +78,33 @@ object Streaming {
       .orderBy(col("window_start"), col("event_type"))
   }
 
-  def all: Seq[GraftQuery] = Seq(stTumblingWindow, stSessionWindow, stHoppingWindow)
+  /** CDC-style upsert truth: the latest purchase per user (unique
+    * (ts, event_id) ordering). The streaming form maintains this as a
+    * keyed parquet state via foreachBatch merge —
+    * StreamingOps.cdcUpsert; the spec replays micro-batches and
+    * compares the final state to this query. */
+  val stCdcUpsert: GraftQuery = GraftQuery.sql(
+    "st_cdc_upsert",
+    """WITH r AS (
+      |  SELECT user_id, value, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rk
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT user_id, value AS last_value, event_id AS last_event
+      |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("value").as("last_value"),
+        col("event_id").as("last_event"))
+      .orderBy(col("user_id"))
+  }
+
+  def all: Seq[GraftQuery] =
+    Seq(stTumblingWindow, stSessionWindow, stHoppingWindow, stCdcUpsert)
 }

@@ -109,6 +109,53 @@ object StreamingOps {
       .select(col("user_id"), col("signup_id"), col("purchase_id"))
   }
 
+  /** CDC-style upsert sink via foreachBatch: every micro-batch is
+    * reduced to its latest purchase per user, merged with the keyed
+    * parquet state (keep-latest by (ts, event_id)), and the state dir
+    * is atomically swapped. Converges to the st_cdc_upsert batch truth
+    * regardless of how events are split across micro-batches, because
+    * keep-latest is associative. On a real lake this merge would
+    * target a transactional table format; the swap-dir emulation keeps
+    * the same foreachBatch contract. Returns the started query. */
+  def cdcUpsert(events: DataFrame, stateDir: String,
+                checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    // keep-latest over state-schema rows — associative, so it can be
+    // applied per-batch and again at merge time
+    def keepLatest(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("last_event").desc)
+      df.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("last_value"), col("last_event"), col("ts"))
+    }
+    events
+      .filter(col("event_type") === "purchase")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fresh = keepLatest(batch.select(col("user_id"),
+          col("value").as("last_value"), col("event_id").as("last_event"), col("ts")))
+        val dir = new java.io.File(stateDir)
+        val merged =
+          if (dir.exists()) keepLatest(spark.read.parquet(stateDir).unionByName(fresh))
+          else fresh
+        val tmp = stateDir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        // swap: parquet state is immutable-per-version; production
+        // would commit through a transactional table format instead
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+        }
+        if (dir.exists()) rm(dir)
+        new java.io.File(tmp).renameTo(dir)
+        ()
+      }
+      .start()
+  }
+
   /** Custom-state sessionizer via flatMapGroupsWithState: the shape to
     * reach for when session output needs logic session_window can't
     * express (e.g. per-session feature vectors). Emits a session when

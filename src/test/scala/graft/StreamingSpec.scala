@@ -91,6 +91,36 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("foreachBatch CDC upsert converges to the latest-per-key batch truth") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stateDir = graft.operators.Lake.scratch("cdc_state")
+    val ckDir = graft.operators.Lake.scratch("cdc_ck")
+    Seq(stateDir, ckDir, stateDir + ".tmp").foreach { p =>
+      val f = new java.io.File(p)
+      def rm(x: java.io.File): Unit = { if (x.isDirectory) x.listFiles().foreach(rm); x.delete(); () }
+      if (f.exists()) rm(f)
+    }
+    val evs = loadEvents()
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.cdcUpsert(stream.toDF(), stateDir, ckDir)
+    try {
+      // three uneven micro-batches: keep-latest must be batch-split invariant
+      val (a, rest) = evs.splitAt(evs.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      Seq(a, b, c).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.read.parquet(stateDir)
+      .select("user_id", "last_value", "last_event").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val want = Streaming.stCdcUpsert.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("streaming hopping windows converge to the batch query") {
     val got = runToSink("hopping_sink", StreamingOps.hoppingCounts)
       .filter(col("window_start") < lit("2024-02-15").cast("timestamp"))
