@@ -245,5 +245,76 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  def all: Seq[GraftQuery] = Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnPq)
+  // RRF fusion: top-FuseN from each modality, k=60 dampening.
+  val RrfK = 60; val FuseN = 20
+
+  /** Hybrid search: reciprocal-rank fusion of an embedding-cosine
+    * ranking and a text-shingle-Jaccard ranking over the shared id
+    * space (doc i <-> vec i). Each arm contributes 1/(60+rank) for its
+    * top-FuseN; the fused score is a fixed-order two-term sum, so it
+    * is bit-deterministic. Both arms are bounded by the query set
+    * (broadcast) — corpus scanned once per modality; at scale each arm
+    * would be served by its index (LSH/IVF/PQ for vectors, MinHash
+    * bands for text) feeding the same fusion. */
+  val sHybridRrf: GraftQuery = GraftQuery.sql(
+    "s_hybrid_rrf",
+    s"""WITH $corpusSql,
+       |${graft.functions.Shingles.shingleCteSql()},
+       |q AS (SELECT * FROM n WHERE vec_id < $QueryCount),
+       |vsc AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |          ${Vectors.dotSql("q.v", "n.v")} / (q.nrm * n.nrm) AS cosine
+       |        FROM q JOIN n ON q.vec_id <> n.vec_id),
+       |vr AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, neighbor_id) AS vrank FROM vsc),
+       |vtop AS (SELECT * FROM vr WHERE vrank <= $FuseN),
+       |tq AS (SELECT doc_id, sh FROM sh WHERE doc_id < $QueryCount),
+       |tsc AS (SELECT tq.doc_id AS query_id, c.doc_id AS neighbor_id,
+       |          ${graft.functions.Shingles.jaccardSql("tq.sh", "c.sh")} AS jac
+       |        FROM tq JOIN sh c ON tq.doc_id <> c.doc_id),
+       |tr AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY jac DESC, neighbor_id) AS trank FROM tsc),
+       |ttop AS (SELECT * FROM tr WHERE trank <= $FuseN),
+       |f AS (SELECT COALESCE(v.query_id, t.query_id) AS query_id,
+       |             COALESCE(v.neighbor_id, t.neighbor_id) AS neighbor_id,
+       |             COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + v.vrank), 0.0)
+       |               + COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + t.trank), 0.0) AS rrf
+       |      FROM vtop v FULL OUTER JOIN ttop t
+       |        ON v.query_id = t.query_id AND v.neighbor_id = t.neighbor_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY rrf DESC, neighbor_id) AS rank FROM f)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, rrf
+       |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val vtop = graft.api.Graft.ann.cosineTopK(
+        e, e.filter(col("vec_id") < QueryCount), "vec_id", "embedding", FuseN)
+      .select(col("query_id").as("vq"), col("neighbor_id").as("vn"), col("rank").as("vrank"))
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        sort_array(graft.functions.Shingles.shingleHashes(col("text"))).as("sh"))
+      .persist()
+    val tq = sh.filter(col("doc_id") < QueryCount)
+      .select(col("doc_id").as("query_id"), col("sh").as("qsh"))
+    val wT = Window.partitionBy(col("query_id")).orderBy(col("jac").desc, col("neighbor_id"))
+    val ttop = sh.join(broadcast(tq), col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        graft.functions.Shingles.jaccardSorted(col("qsh"), col("sh")).as("jac"))
+      .withColumn("trank", row_number().over(wT).cast("long"))
+      .filter(col("trank") <= FuseN)
+      .select(col("query_id").as("tq_"), col("neighbor_id").as("tn"), col("trank"))
+    val wR = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("neighbor_id"))
+    vtop.join(ttop, col("vq") === col("tq_") && col("vn") === col("tn"), "full_outer")
+      .select(
+        coalesce(col("vq"), col("tq_")).as("query_id"),
+        coalesce(col("vn"), col("tn")).as("neighbor_id"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("vrank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfK) + col("trank")), lit(0.0))).as("rrf"))
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("rrf"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def all: Seq[GraftQuery] =
+    Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnPq, sHybridRrf)
 }

@@ -109,6 +109,24 @@ object StreamingOps {
       .select(col("user_id"), col("signup_id"), col("purchase_id"))
   }
 
+  /** LEFT OUTER stream-stream interval join: unmatched signups emit
+    * their NULL-purchase row only after the purchase watermark passes
+    * the end of their 24h window (the engine must prove absence, not
+    * just observe it). Streaming form of st_interval_join_outer. */
+  def intervalJoinOuter(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", WatermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "25 hours")
+    signups.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") > col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 24 HOUR"), "leftOuter")
+      .select(col("user_id"), col("signup_id"), col("purchase_id"))
+  }
+
   /** CDC-style upsert sink via foreachBatch: every micro-batch is
     * reduced to its latest purchase per user, merged with the keyed
     * parquet state (keep-latest by (ts, event_id)), and the state dir

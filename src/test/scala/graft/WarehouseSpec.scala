@@ -66,6 +66,40 @@ class WarehouseSpec extends SparkSpec {
     assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("streaming LEFT OUTER interval join emits null rows after watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.intervalJoinOuter(stream.toDF())
+      .writeStream.format("memory").queryName("interval_outer_sink")
+      .outputMode("append").start()
+    // null rows only emit once the JOIN watermark (min of both sides)
+    // passes; a 'view' sentinel is filtered out before the watermark
+    // nodes, so advance BOTH sides with signup+purchase sentinels on a
+    // user id that exists in neither dataset (no spurious matches —
+    // same-ts pairs fail p_ts > s_ts, and the rounds are >24h apart)
+    def sentinels(idBase: Long, day: Int) = Seq(
+      Ev(idBase, java.sql.Timestamp.valueOf(s"2024-03-$day 00:00:00"), 999999L, "signup", 0.0),
+      Ev(idBase + 1, java.sql.Timestamp.valueOf(s"2024-03-$day 00:00:00"), 999999L, "purchase", 0.0))
+    try {
+      stream.addData(loadEvents())
+      q.processAllAvailable()
+      stream.addData(sentinels(9000001L, 10))
+      q.processAllAvailable()
+      stream.addData(sentinels(9000003L, 20))
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))
+    val got = spark.table("interval_outer_sink")
+      .filter(col("signup_id") < 9000000L) // drop sentinel rows
+      .collect().map(key).toSet
+    val want = StreamJoins.stIntervalJoinOuter.fn(spark, sfDir).collect().map(key).toSet
+    // sentinels pushed the watermark 30+ days past the data, so every
+    // null row must have been proven and emitted — demand full equality
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("streaming interval join converges to the batch query") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
