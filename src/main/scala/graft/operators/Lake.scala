@@ -320,9 +320,33 @@ object Lake {
       .orderBy(col("priority"))
   }
 
+  /** Retention: expire rows older than a cutoff by rewriting the
+    * table version (the lake analogue of trash emptying —
+    * namenode/NameNode.java:474 startTrashEmptier,
+    * protocol/ClientProtocol.java:440 delete; at scale this is a
+    * partition-pruned rewrite of only the partitions straddling the
+    * cutoff, not a full-table pass). */
+  val lakeRetention: GraftQuery = GraftQuery.sql(
+    "lake_retention",
+    s"""SELECT event_type, COUNT(*) AS n, ${sumMSql("value")} AS total
+       |FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val v1 = scratch("retained_events_v1")
+    val v2 = scratch("retained_events_v2")
+    Tables.events(s, d).write.mode("overwrite").parquet(v1)
+    s.read.parquet(v1)
+      .filter(col("ts") >= lit("2024-01-20").cast("timestamp"))
+      .write.mode("overwrite").parquet(v2)
+    s.read.parquet(v2)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumM(col("value")).as("total"))
+      .orderBy(col("event_type"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     lakeScan, lakeRoundtripCsv, lakeRoundtripJson, lakeRoundtripOrc,
     lakePartitionedWrite, lakeCompaction, lakeContentSummary, lakeFsck,
     lakeQuota, lakeChecksum, lakeSnapshot, lakeLifecycle, lakeConcat,
-    lakeSchemaEvolution)
+    lakeSchemaEvolution, lakeRetention)
 }

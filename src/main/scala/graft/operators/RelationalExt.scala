@@ -314,8 +314,32 @@ object RelationalExt {
       .orderBy(col("r_name"))
   }
 
+  /** Explicit GROUPING SETS beyond rollup/cube — exercised through the
+    * spark.sql entry path (temp view + SQL text) to pin that surface;
+    * grouping-null keys COALESCE to 'ALL' per the parity discipline. */
+  val qGroupingSets: GraftQuery = GraftQuery.sql(
+    "q_grouping_sets",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      |  COALESCE(l_linestatus, 'ALL') AS ls,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+      |ORDER BY rf, ls""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_gs")
+    s.sql(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS qty
+        |FROM graft_lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+        |ORDER BY rf, ls""".stripMargin)
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qWindowRunning, qWindowLag, qRollup, qCube, qApproxDistinct, qOuterJoin,
     qScalarSubquery, qSetops, qPivot, qStringFuncs, qDateFuncs, qHeavyHitters,
-    qNtileDeciles, qSkewJoinSalted)
+    qNtileDeciles, qSkewJoinSalted, qGroupingSets)
 }
