@@ -104,5 +104,59 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  def all: Seq[GraftQuery] = Seq(mMultimodalMeta, mMediaResize)
+  /** Stub feature-extraction output: an 8-dim byte-bucket histogram
+    * standing in for a real image/audio embedding. */
+  case class EmbedFeature(doc_id: Long, emb: Array[Double])
+
+  /** STUB EMBEDDER — byte-value histogram (16-wide buckets over the
+    * ASCII range) normalized by payload length. Replace with a real
+    * vision/audio encoder; the downstream similarity plan is
+    * unchanged. */
+  def embedStub(a: MediaAsset): EmbedFeature = {
+    val bytes = a.media
+    val counts = new Array[Long](16) // defensive width; only 0..7 used for ASCII
+    var i = 0
+    while (i < bytes.length) { counts((bytes(i) & 0xff) >> 4) += 1; i += 1 }
+    EmbedFeature(a.doc_id, counts.take(8).map(_.toDouble / bytes.length))
+  }
+
+  /** Multimodal feature pipeline end-to-end: binary payload ->
+    * batch-local stub embedding -> cosine closest pairs (the same
+    * similarity machinery the embeddings table uses — swapping in a
+    * real encoder re-uses the whole downstream plan). */
+  val mFeaturePairs: GraftQuery = GraftQuery.sql(
+    "m_feature_pairs", {
+      import graft.functions.Vectors
+      s"""WITH h AS (SELECT doc_id,
+         |    list_transform(generate_series(0, 7), b ->
+         |      CAST(len(list_filter(string_split(text, ''), ch -> ord(ch) // 16 = b)) AS DOUBLE)
+         |        / length(text)) AS emb
+         |  FROM documents),
+         |n2 AS (SELECT doc_id, emb, ${Vectors.normSql("emb")} AS nrm FROM h)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  ${Vectors.dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS cosine
+         |FROM n2 a JOIN n2 b ON a.doc_id < b.doc_id
+         |ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""".stripMargin
+    }
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.Vectors
+    val feats = Tables.documents(s, d)
+      .select(col("doc_id"), lit("utf8").as("codec"), lit(0L).as("n_frames"),
+        encode(col("text"), "UTF-8").as("media"))
+      .as[MediaAsset]
+      .mapPartitions(_.map(embedStub))
+      .toDF()
+      .withColumn("nrm", Vectors.norm(col("emb")))
+      .persist()
+    val a = feats.select(col("doc_id").as("doc_a"), col("emb").as("ea"), col("nrm").as("na"))
+    val b = feats.select(col("doc_id").as("doc_b"), col("emb").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (Vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  def all: Seq[GraftQuery] = Seq(mMultimodalMeta, mMediaResize, mFeaturePairs)
 }
