@@ -101,6 +101,19 @@ object Graft {
       // persist alone lets the plan double every iteration and
       // analysis/optimization time dominates. On a fault-tolerant
       // cluster run, swap for reliable checkpoint(dir).
+      //
+      // Checkpointed frames carry no size stats, so the planner would
+      // shuffle-join even a 256-edge graph; the pair list count picks
+      // the regime — small graphs broadcast the label side and skip
+      // the intermediate checkpoint (2 jobs/round), large graphs keep
+      // shuffle joins and materialize prop once per round.
+      val debug = sys.env.contains("GRAFT_CC_DEBUG")
+      val t0 = System.nanoTime()
+      def dbg(msg: => String): Unit =
+        if (debug) println(f"[dupClusters +${(System.nanoTime() - t0) / 1e9}%.2fs] $msg")
+      val small = edges.count() < 1000000L
+      dbg(s"edges counted, small=$small")
+      def maybeBcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
       var labels = edges.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("lbl")).localCheckpoint()
       def labelSum(df: DataFrame): Long =
@@ -109,23 +122,25 @@ object Graft {
       var done = false
       var it = 0
       while (!done && it < maxIter) {
-        val msgs = edges.join(labels, col("src") === col("node"))
+        val msgs = edges.join(maybeBcast(labels), col("src") === col("node"))
           .select(col("dst").as("node"), col("lbl"))
-        val prop = labels.unionByName(msgs)
-          .groupBy(col("node")).agg(min(col("lbl")).as("lbl")).localCheckpoint()
+        val propRaw = labels.unionByName(msgs)
+          .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        val prop = if (small) propRaw else propRaw.localCheckpoint()
         // Pointer-jump (path halving): adopt the label's own label.
         // Labels are node ids and every node keeps a row, so the
         // lookup is an inner equi-join and the adopted label is <=
         // the current one. Rounds drop from O(chain length) to
         // O(log chain length) on long transitive dup chains.
         val lookup = prop.select(col("node").as("ln"), col("lbl").as("ll"))
-        val next = prop.join(lookup, col("lbl") === col("ln"))
+        val next = prop.join(maybeBcast(lookup), col("lbl") === col("ln"))
           .select(col("node"), col("ll").as("lbl")).localCheckpoint()
         val cur = labelSum(next)
         labels = next
         done = cur == prev
         prev = cur
         it += 1
+        dbg(s"round $it done (sum=$cur)")
       }
       base.unpersist()
       edges.unpersist()
