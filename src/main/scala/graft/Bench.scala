@@ -35,20 +35,28 @@ object Bench {
       case "events" => Tables.events(spark, sfDir).count() // needs nanos handling
       case t => Tables.load(spark, sfDir, t).count()
     }
+    // SPARK_GRAFT_ONLY=q1,q2 limits the run for targeted profiling.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     // Provision the persistent bucketed layout outside the timed loop:
     // bucketing pays its shuffle once at layout time by design — the
     // operator being measured is the exchange-free join, not the
-    // one-time table build a fresh environment would charge it.
-    try { SparkEntry.queries("lake_bucketed_join")(spark, sfDir).count() }
-    catch { case _: Throwable => () }
-    // SPARK_GRAFT_ONLY=q1,q2 limits the run for targeted profiling.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // one-time table build a fresh environment would charge it. (Only
+    // when that query is actually in this run's set.)
+    if (only.forall(_.contains("lake_bucketed_join")))
+      try { SparkEntry.queries("lake_bucketed_join")(spark, sfDir).count() }
+      catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Queries persist shared intermediates and must leave them alive
+      // until their action completes; release everything between
+      // measurements (outside the timer) so cached blocks don't
+      // accumulate across ~100 queries and skew later timings.
+      spark.catalog.clearCache()
+      name -> elapsed
     }
     def fmt(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

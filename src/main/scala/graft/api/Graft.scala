@@ -22,12 +22,20 @@ object Graft {
     def fingerprint(c: Column): Column = GraftHash.charHash(c)
     /** Distinct hashed word-3-gram shingles (codegen'd single pass). */
     def shingles(c: Column): Column = Shingles.shingleHashes(c)
-    /** Length/punctuation/stopword quality score in [0, 1]. */
-    def qualityScore(c: Column): Column = {
-      val nTok = tokenCount(c).cast("double")
+    /** Length/punctuation/stopword quality score in [0, 1].
+      * Convenience form — inlines the tokenizer, which interpreted
+      * HOFs re-evaluate once per reference (2x split per row here).
+      * Prefer the 2-arg overload with a token array materialized in a
+      * prior projection (`.select(split(col("text"), " ", -1).as("t"))`),
+      * which runs the split once per row. */
+    def qualityScore(c: Column): Column = qualityScore(c, tokens(c))
+
+    /** Quality score over a pre-materialized token-array column. */
+    def qualityScore(c: Column, toks: Column): Column = {
+      val nTok = size(toks).cast("double")
       val nPunct = size(regexp_extract_all(c, lit("[^a-z0-9 ]"), lit(0))).cast("double")
       val nChars = length(c).cast("double")
-      val nStop = size(filter(tokens(c),
+      val nStop = size(filter(toks,
         t => t.isInCollection(graft.operators.TextAnalysis.StopWords))).cast("double")
       lit(0.5) * least(lit(1.0), nTok / 80.0) +
         lit(0.3) * (lit(1.0) - nPunct / nChars) +

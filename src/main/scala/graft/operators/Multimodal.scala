@@ -108,16 +108,26 @@ object Multimodal {
     * standing in for a real image/audio embedding. */
   case class EmbedFeature(doc_id: Long, emb: Array[Double])
 
-  /** STUB EMBEDDER — byte-value histogram (16-wide buckets over the
-    * ASCII range) normalized by payload length. Replace with a real
+  /** STUB EMBEDDER — code-point histogram (16-wide buckets over the
+    * ASCII range, code points >= 128 fall outside every bucket but
+    * still count toward the normalizer) so the feature definition is
+    * byte-encoding-independent and matches the character-based oracle
+    * for any input, not just pure-ASCII payloads. Replace with a real
     * vision/audio encoder; the downstream similarity plan is
     * unchanged. */
   def embedStub(a: MediaAsset): EmbedFeature = {
-    val bytes = a.media
-    val counts = new Array[Long](16) // defensive width; only 0..7 used for ASCII
+    val text = new String(a.media, java.nio.charset.StandardCharsets.UTF_8)
+    val counts = new Array[Long](8)
     var i = 0
-    while (i < bytes.length) { counts((bytes(i) & 0xff) >> 4) += 1; i += 1 }
-    EmbedFeature(a.doc_id, counts.take(8).map(_.toDouble / bytes.length))
+    var n = 0L
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      if (cp < 128) counts(cp >> 4) += 1
+      n += 1
+      i += Character.charCount(cp)
+    }
+    EmbedFeature(a.doc_id,
+      if (n == 0) new Array[Double](8) else counts.map(_.toDouble / n))
   }
 
   /** Multimodal feature pipeline end-to-end: binary payload ->

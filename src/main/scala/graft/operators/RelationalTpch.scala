@@ -261,10 +261,13 @@ object RelationalTpch {
       |GROUP BY s_suppkey, s_name
       |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin
   ) { (s, d) =>
+    // feeds both the probe chain and the anti-join build — persist so
+    // the heaviest join (lineitem x orders) runs once
     val late = Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 2000 DAY"))
       .select(col("l_orderkey"), col("l_suppkey"))
+      .persist()
     val others = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o2_key"), col("l_suppkey").as("s2_key"))
     val lateOthers = late

@@ -153,22 +153,34 @@ object StreamingOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.hadoop.fs.Path
         val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        val dirP = new Path(stateDir)
+        val tmpP = new Path(stateDir + ".tmp")
+        val oldP = new Path(stateDir + ".old")
+        // crash recovery: a missing state dir with a retired version
+        // present means we died mid-swap — restore before merging
+        if (!fs.exists(dirP) && fs.exists(oldP) && !fs.rename(oldP, dirP))
+          throw new java.io.IOException(s"cdcUpsert: could not restore $oldP")
         val fresh = keepLatest(batch.select(col("user_id"),
           col("value").as("last_value"), col("event_id").as("last_event"), col("ts")))
-        val dir = new java.io.File(stateDir)
         val merged =
-          if (dir.exists()) keepLatest(spark.read.parquet(stateDir).unionByName(fresh))
+          if (fs.exists(dirP)) keepLatest(spark.read.parquet(stateDir).unionByName(fresh))
           else fresh
-        val tmp = stateDir + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        // swap: parquet state is immutable-per-version; production
-        // would commit through a transactional table format instead
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
-        }
-        if (dir.exists()) rm(dir)
-        new java.io.File(tmp).renameTo(dir)
+        // the write below materializes the read of the current state,
+        // so the swap only runs once the new version is fully on disk
+        merged.write.mode("overwrite").parquet(stateDir + ".tmp")
+        // versioned swap, every rename checked: retire current, promote
+        // new, drop retired. Production would commit through a
+        // transactional table format; this keeps the same foreachBatch
+        // contract with a restorable window instead of a lossy one.
+        fs.delete(oldP, true)
+        if (fs.exists(dirP) && !fs.rename(dirP, oldP))
+          throw new java.io.IOException(s"cdcUpsert: could not retire $dirP")
+        if (!fs.rename(tmpP, dirP))
+          throw new java.io.IOException(s"cdcUpsert: could not promote $tmpP")
+        fs.delete(oldP, true)
         ()
       }
       .start()
