@@ -12,7 +12,11 @@ object Explain {
   val AuditSet = Seq(
     "lake_scan", "q1_pricing_summary", "q5_local_supplier",
     "q_heavy_hitters", "d_minhash_lsh", "s_ann_bruteforce",
-    "lake_partitioned_write")
+    "lake_partitioned_write",
+    // round-2 flagships
+    "q2_min_cost_supp", "q17_small_qty_rev", "q21_waiting_supplier",
+    "q_skew_join_salted", "s_ann_pq", "s_hybrid_rrf",
+    "t_fluency_score", "st_hopping_window", "lake_schema_evolution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
