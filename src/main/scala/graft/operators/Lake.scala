@@ -344,9 +344,37 @@ object Lake {
       .orderBy(col("event_type"))
   }
 
+  /** Zone-map manifest: per-partition min/max/count statistics
+    * collected from a partitioned layout — the pruning metadata a
+    * scan planner consults before touching data (the block-report /
+    * blocksMap analogue: namenode/BlocksMap.java:1 tracks where data
+    * lives; a zone map tracks what ranges live there). At 100 TB this
+    * manifest is what turns a key-range predicate into a partition
+    * subset without reading a single data page. */
+  val lakeStatsManifest: GraftQuery = GraftQuery.sql(
+    "lake_stats_manifest",
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+      |  COUNT(*) AS n_rows,
+      |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+      |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+      |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+      |FROM orders GROUP BY yr ORDER BY yr""".stripMargin
+  ) { (s, d) =>
+    val path = scratch("manifest_orders")
+    Tables.orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("yr").parquet(path)
+    s.read.parquet(path)
+      .groupBy(col("yr").cast("long").as("yr"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"),
+        min(col("o_totalprice")).as("min_price"), max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("yr"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     lakeScan, lakeRoundtripCsv, lakeRoundtripJson, lakeRoundtripOrc,
     lakePartitionedWrite, lakeCompaction, lakeContentSummary, lakeFsck,
     lakeQuota, lakeChecksum, lakeSnapshot, lakeLifecycle, lakeConcat,
-    lakeSchemaEvolution, lakeRetention)
+    lakeSchemaEvolution, lakeRetention, lakeStatsManifest)
 }

@@ -53,6 +53,21 @@ class RelationalTpchSpec extends SparkSpec {
     assert(total == nCust, s"distribution covers $total of $nCust customers")
   }
 
+  test("hot aggregation and join plans execute inside whole-stage codegen") {
+    Seq(
+      graft.operators.Relational.q1PricingSummary,
+      RelationalTpch.q19DisjunctiveBands,
+      RelationalTpch.q17SmallQtyRev).foreach { q =>
+      val df = q.fn(spark, sfDir)
+      df.collect() // count() would spawn its own query execution; collect finalizes THIS plan
+      val plan = df.queryExecution.executedPlan.toString
+      // codegen'd operators print with a "*(stageId)" prefix in the
+      // final AQE plan string
+      assert(plan.contains("*("),
+        s"${q.name} fell out of whole-stage codegen:\n${plan.take(800)}")
+    }
+  }
+
   test("dup clusters equal a local union-find over the near-dup pairs") {
     val pairs = Dedup.dMinhashLsh.fn(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
