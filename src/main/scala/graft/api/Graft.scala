@@ -155,6 +155,22 @@ object Graft {
       labels
     }
 
+    /** The full dedup pipeline: near-dup pairs -> connected components
+      * -> corpus with every non-canonical cluster member removed (the
+      * canonical survivor is the min id). This is the "keep one copy
+      * per duplicate group" transform a pre-training corpus goes
+      * through; exact duplicates are near-dups at any threshold, so
+      * they collapse too. */
+    def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                    threshold: Double = 0.8, k: Int = 32, bands: Int = 8): DataFrame = {
+      val pairs = minhashPairs(df, idCol, textCol, threshold, k, bands)
+      val labels = dupClusters(pairs)
+      val drop = labels.filter(col("node") =!= col("lbl")).select(col("node"))
+      // no broadcast hint: the drop list is usually small but scales
+      // with the dup rate — let size stats/AQE pick the join strategy
+      df.join(drop, df(idCol) === col("node"), "left_anti")
+    }
+
     /** SimHash near-dup pairs at a hamming bound, chunk-blocked
       * (pigeonhole guarantees recall for maxHamming < chunks). */
     def simhashPairs(df: DataFrame, idCol: String, textCol: String,

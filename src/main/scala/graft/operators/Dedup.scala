@@ -227,6 +227,42 @@ object Dedup {
       .orderBy(col("cluster"))
   }
 
+  /** End of the dedup pipeline: per-source kept/dropped accounting
+    * after removing every non-canonical cluster member
+    * (api.Graft.dedup.dedupCorpus). The oracle recomputes the same
+    * filter through the recursive-CTE closure. */
+  val dDedupFilter: GraftQuery = GraftQuery.sql(
+    "d_dedup_filter",
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL
+       |          SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach AS (SELECT src AS node, src AS lbl FROM edges
+       |          UNION
+       |          SELECT e.dst AS node, r.lbl AS lbl
+       |          FROM reach r JOIN edges e ON r.node = e.src),
+       |comp AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node),
+       |dropped AS (SELECT node FROM comp WHERE node <> cluster)
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN dr.node IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.node
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val kept = graft.api.Graft.dedup.dedupCorpus(docs, "doc_id", "text",
+        threshold = 0.8, k = K, bands = Bands)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      .select(col("source").as("k_source"), col("n_kept"))
+    // left join: a source whose every doc is a non-canonical member of
+    // clusters canonicalized elsewhere would vanish from `kept`
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(kept, col("source") === col("k_source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
-    dExactDup, dNgramJaccard, dMinhashLsh, dSimhash, dCorpusSimilarity, dDupClusters)
+    dExactDup, dNgramJaccard, dMinhashLsh, dSimhash, dCorpusSimilarity,
+    dDupClusters, dDedupFilter)
 }
