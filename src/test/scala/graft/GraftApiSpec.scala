@@ -26,6 +26,20 @@ class GraftApiSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "false positive on distinct doc")
   }
 
+  test("dedupCorpus keeps one canonical per dup group and all singletons") {
+    val kept = Graft.dedup.dedupCorpus(docs, "id", "body", threshold = 0.5)
+      .collect().map(_.getAs[Long]("id")).toSet
+    // {1,2,5} form one dup group at j>=0.5 (1 and 5 exact, 2 near) —
+    // the canonical min id survives; 3 and 4 are singletons
+    assert(kept.contains(1L) && kept.contains(3L) && kept.contains(4L), s"kept=$kept")
+    assert(!kept.contains(5L), "exact dup should be removed")
+    assert(!kept.contains(2L), "near dup should be removed")
+    // re-running pair detection on the deduped corpus finds nothing
+    val residual = Graft.dedup.minhashPairs(
+      docs.filter(col("id").isInCollection(kept.toSeq)), "id", "body", threshold = 0.5)
+    assert(residual.count() == 0, "dedupCorpus left residual near-dups")
+  }
+
   test("exactStats accounts duplicates per group") {
     val stats = Graft.dedup.exactStats(docs.withColumn("g", lit("all")), "body", "g")
       .collect()(0)
