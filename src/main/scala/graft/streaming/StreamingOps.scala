@@ -135,52 +135,66 @@ object StreamingOps {
     * keep-latest is associative. On a real lake this merge would
     * target a transactional table format; the swap-dir emulation keeps
     * the same foreachBatch contract. Returns the started query. */
+  /** keep-latest over state-schema rows — associative, so it can be
+    * applied per-batch and again at merge time. */
+  private[graft] def keepLatest(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("last_event").desc)
+    df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("last_value"), col("last_event"), col("ts"))
+  }
+
+  /** Crash recovery for the versioned state swap: a missing state dir
+    * with a retired version present means a prior commit died between
+    * renames — restore the retired version before merging. */
+  private[graft] def recoverState(fs: org.apache.hadoop.fs.FileSystem, stateDir: String): Unit = {
+    val dirP = new org.apache.hadoop.fs.Path(stateDir)
+    val oldP = new org.apache.hadoop.fs.Path(stateDir + ".old")
+    if (!fs.exists(dirP) && fs.exists(oldP) && !fs.rename(oldP, dirP))
+      throw new java.io.IOException(s"cdcUpsert: could not restore $oldP")
+  }
+
+  /** Versioned swap, every rename checked: write the new version to
+    * .tmp (materializing the read of the current state first), retire
+    * current to .old, promote .tmp, drop .old. Production would commit
+    * through a transactional table format; this keeps the same
+    * foreachBatch contract with a restorable window instead of a lossy
+    * one. */
+  private[graft] def commitState(fs: org.apache.hadoop.fs.FileSystem,
+                                 merged: DataFrame, stateDir: String): Unit = {
+    val dirP = new org.apache.hadoop.fs.Path(stateDir)
+    val tmpP = new org.apache.hadoop.fs.Path(stateDir + ".tmp")
+    val oldP = new org.apache.hadoop.fs.Path(stateDir + ".old")
+    merged.write.mode("overwrite").parquet(stateDir + ".tmp")
+    fs.delete(oldP, true)
+    if (fs.exists(dirP) && !fs.rename(dirP, oldP))
+      throw new java.io.IOException(s"cdcUpsert: could not retire $dirP")
+    if (!fs.rename(tmpP, dirP))
+      throw new java.io.IOException(s"cdcUpsert: could not promote $tmpP")
+    fs.delete(oldP, true)
+    ()
+  }
+
   def cdcUpsert(events: DataFrame, stateDir: String,
                 checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.expressions.Window
-    // keep-latest over state-schema rows — associative, so it can be
-    // applied per-batch and again at merge time
-    def keepLatest(df: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("last_event").desc)
-      df.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("user_id"), col("last_value"), col("last_event"), col("ts"))
-    }
     events
       .filter(col("event_type") === "purchase")
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        import org.apache.hadoop.fs.Path
         val spark = batch.sparkSession
         val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-        val dirP = new Path(stateDir)
-        val tmpP = new Path(stateDir + ".tmp")
-        val oldP = new Path(stateDir + ".old")
-        // crash recovery: a missing state dir with a retired version
-        // present means we died mid-swap — restore before merging
-        if (!fs.exists(dirP) && fs.exists(oldP) && !fs.rename(oldP, dirP))
-          throw new java.io.IOException(s"cdcUpsert: could not restore $oldP")
+        recoverState(fs, stateDir)
         val fresh = keepLatest(batch.select(col("user_id"),
           col("value").as("last_value"), col("event_id").as("last_event"), col("ts")))
+        val dirP = new org.apache.hadoop.fs.Path(stateDir)
         val merged =
           if (fs.exists(dirP)) keepLatest(spark.read.parquet(stateDir).unionByName(fresh))
           else fresh
-        // the write below materializes the read of the current state,
-        // so the swap only runs once the new version is fully on disk
-        merged.write.mode("overwrite").parquet(stateDir + ".tmp")
-        // versioned swap, every rename checked: retire current, promote
-        // new, drop retired. Production would commit through a
-        // transactional table format; this keeps the same foreachBatch
-        // contract with a restorable window instead of a lossy one.
-        fs.delete(oldP, true)
-        if (fs.exists(dirP) && !fs.rename(dirP, oldP))
-          throw new java.io.IOException(s"cdcUpsert: could not retire $dirP")
-        if (!fs.rename(tmpP, dirP))
-          throw new java.io.IOException(s"cdcUpsert: could not promote $tmpP")
-        fs.delete(oldP, true)
+        commitState(fs, merged, stateDir)
         ()
       }
       .start()

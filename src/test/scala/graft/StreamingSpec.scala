@@ -121,6 +121,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("CDC state swap recovers a mid-swap crash without losing state") {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val stateDir = graft.operators.Lake.scratch("cdc_recover")
+    Seq("", ".old", ".tmp").foreach { sfx =>
+      fs.delete(new org.apache.hadoop.fs.Path(stateDir + sfx), true)
+    }
+    val v1 = Seq((1L, 10.0, 100L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("user_id", "last_value", "last_event", "ts")
+    StreamingOps.commitState(fs, v1, stateDir)
+    // simulate dying between "retire current" and "promote new":
+    // state dir renamed aside, no new version in place
+    assert(fs.rename(new org.apache.hadoop.fs.Path(stateDir),
+      new org.apache.hadoop.fs.Path(stateDir + ".old")))
+    StreamingOps.recoverState(fs, stateDir)
+    val recovered = spark.read.parquet(stateDir).collect()
+    assert(recovered.length == 1 && recovered(0).getLong(0) == 1L,
+      "retired version must be restored")
+    // a normal commit after recovery merges cleanly
+    val v2 = Seq((2L, 20.0, 200L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+      .toDF("user_id", "last_value", "last_event", "ts")
+    StreamingOps.commitState(fs,
+      StreamingOps.keepLatest(spark.read.parquet(stateDir).unionByName(v2)), stateDir)
+    assert(spark.read.parquet(stateDir).count() == 2)
+  }
+
   test("streaming hopping windows converge to the batch query") {
     val got = runToSink("hopping_sink", StreamingOps.hoppingCounts)
       .filter(col("window_start") < lit("2024-02-15").cast("timestamp"))
