@@ -95,6 +95,21 @@ object Graft {
       * Returns (node, lbl) where lbl = min doc id in the component. */
     def dupClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
                     maxIter: Int = 25): DataFrame = {
+      // Ids must be integral: labels are the numeric min over the
+      // component and convergence is detected by the label sum. A
+      // non-integral id would silently null out (non-ANSI) or crash
+      // (ANSI) in the cast below — fail fast with the contract instead.
+      {
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        val ok: Set[org.apache.spark.sql.types.DataType] =
+          Set(ByteType, ShortType, IntegerType, LongType)
+        Seq(aCol, bCol).foreach { c =>
+          if (!ok.contains(pairs.schema(c).dataType))
+            throw new IllegalArgumentException(
+              s"dupClusters requires integral id columns; '$c' is ${pairs.schema(c).dataType.sql}. " +
+                "Assign dense numeric ids (e.g. monotonically_increasing_id) first.")
+        }
+      }
       // Persist the directed pair list BEFORE mirroring: the union
       // would otherwise run the full candidate-generation pipeline
       // once per direction.
@@ -167,8 +182,10 @@ object Graft {
       val labels = dupClusters(pairs)
       val drop = labels.filter(col("node") =!= col("lbl")).select(col("node"))
       // no broadcast hint: the drop list is usually small but scales
-      // with the dup rate — let size stats/AQE pick the join strategy
-      df.join(drop, df(idCol) === col("node"), "left_anti")
+      // with the dup rate — let size stats/AQE pick the join strategy.
+      // drop("node") qualifies the join key so a user column named
+      // "node" can't make the reference ambiguous.
+      df.join(drop, df(idCol) === drop("node"), "left_anti")
     }
 
     /** SimHash near-dup pairs at a hamming bound, chunk-blocked

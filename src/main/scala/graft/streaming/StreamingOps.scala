@@ -127,14 +127,6 @@ object StreamingOps {
       .select(col("user_id"), col("signup_id"), col("purchase_id"))
   }
 
-  /** CDC-style upsert sink via foreachBatch: every micro-batch is
-    * reduced to its latest purchase per user, merged with the keyed
-    * parquet state (keep-latest by (ts, event_id)), and the state dir
-    * is atomically swapped. Converges to the st_cdc_upsert batch truth
-    * regardless of how events are split across micro-batches, because
-    * keep-latest is associative. On a real lake this merge would
-    * target a transactional table format; the swap-dir emulation keeps
-    * the same foreachBatch contract. Returns the started query. */
   /** keep-latest over state-schema rows — associative, so it can be
     * applied per-batch and again at merge time. */
   private[graft] def keepLatest(df: DataFrame): DataFrame = {
@@ -177,6 +169,13 @@ object StreamingOps {
     ()
   }
 
+  /** CDC-style upsert sink via foreachBatch: every micro-batch is
+    * reduced to its latest purchase per user, merged with the keyed
+    * parquet state (keep-latest by (ts, event_id)), and the state dir
+    * is swapped through the checked versioned commit above. Converges
+    * to the st_cdc_upsert batch truth regardless of how events are
+    * split across micro-batches, because keep-latest is associative.
+    * Returns the started query. */
   def cdcUpsert(events: DataFrame, stateDir: String,
                 checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     events

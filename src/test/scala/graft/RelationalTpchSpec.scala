@@ -62,9 +62,11 @@ class RelationalTpchSpec extends SparkSpec {
       df.collect() // count() would spawn its own query execution; collect finalizes THIS plan
       val plan = df.queryExecution.executedPlan.toString
       // codegen'd operators print with a "*(stageId)" prefix in the
-      // final AQE plan string
-      assert(plan.contains("*("),
-        s"${q.name} fell out of whole-stage codegen:\n${plan.take(800)}")
+      // final AQE plan string; demand it on the hot aggregate
+      // specifically — any trivial codegen'd scan stage would satisfy
+      // a bare "*(" check even after the aggregate fell out
+      assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(plan).isDefined,
+        s"${q.name}'s hash aggregate fell out of whole-stage codegen:\n${plan.take(800)}")
     }
   }
 
