@@ -244,6 +244,34 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-mix diversity per source via Gini impurity
+    * (1 - Σ p_l²) — entropy would need ln(), which is not bit-stable
+    * across libm implementations; Gini is integer count sums and one
+    * final division, exact in both engines. The corpus-curation view
+    * of "is this source monolingual or mixed". */
+  val tLangGini: GraftQuery = GraftQuery.sql(
+    "t_lang_gini",
+    """WITH c AS (SELECT source, lang, COUNT(*) AS nl
+      |           FROM documents GROUP BY source, lang),
+      |s AS (SELECT source, CAST(SUM(nl) AS BIGINT) AS n,
+      |        CAST(SUM(nl * nl) AS BIGINT) AS ss
+      |      FROM c GROUP BY source)
+      |SELECT source, n AS n_docs,
+      |  CAST(1 AS DOUBLE) - CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * n) AS lang_gini
+      |FROM s ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("nl"))
+      .groupBy(col("source"))
+      .agg(sum(col("nl")).as("n"), sum(col("nl") * col("nl")).as("ss"))
+      .select(col("source"), col("n").as("n_docs"),
+        (lit(1.0) - col("ss").cast("double") / (col("n").cast("double") * col("n")))
+          .as("lang_gini"))
+      .orderBy(col("source"))
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(tTokenCount, tQualityScore, tLangId, tFingerprint, tNgramFreq, tFluencyScore)
+    Seq(tTokenCount, tQualityScore, tLangId, tFingerprint, tNgramFreq,
+      tFluencyScore, tLangGini)
 }
