@@ -45,18 +45,24 @@ object Bench {
     if (only.forall(_.contains("lake_bucketed_join")))
       try { SparkEntry.queries("lake_bucketed_join")(spark, sfDir).count() }
       catch { case _: Throwable => () }
+    // Cache policy: keep caches WITHIN a query family, clear at family
+    // boundaries. CacheManager matches identical analyzed plans, so
+    // family-shared intermediates (the normalized ANN corpus for s_*,
+    // the shingle sets for d_*) compute once — the behavior a real
+    // mixed workload gets (clearing between every query measured ~20%
+    // slower). But nothing ever unpersists, and by ~100 queries the
+    // accumulated blocks caused visible eviction inflation mid-suite —
+    // the alphabetical run order groups families, so the prefix
+    // boundary is exactly where sharing ends.
+    def family(n: String): String = n.takeWhile(_ != '_')
+    var prevFamily = ""
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+      if (family(name) != prevFamily) { spark.catalog.clearCache(); prevFamily = family(name) }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // NOTE: caches are deliberately NOT cleared between queries.
-      // Spark's CacheManager matches identical analyzed plans, so
-      // family-shared intermediates (the normalized ANN corpus, the
-      // shingle sets) are computed once and reused — the behavior a
-      // real mixed workload gets. Measured: clearing costs ~20% total.
-      name -> elapsed
+      name -> (System.nanoTime() - t0) / 1e9
     }
     def fmt(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
