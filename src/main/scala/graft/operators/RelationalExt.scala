@@ -338,8 +338,24 @@ object RelationalExt {
         |ORDER BY rf, ls""".stripMargin)
   }
 
+  /** Value-distribution histogram: fixed-width bins by explicit
+    * floor-division (identical IEEE arithmetic in both engines —
+    * width_bucket is not portable to the oracle). The profiling
+    * primitive behind stats collection and skew diagnosis. */
+  val qHistogram: GraftQuery = GraftQuery.sql(
+    "q_histogram",
+    s"""SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+       |  COUNT(*) AS n, ${sumMSql("o_totalprice")} AS total
+       |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), sumM(col("o_totalprice")).as("total"))
+      .orderBy(col("bucket"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qWindowRunning, qWindowLag, qRollup, qCube, qApproxDistinct, qOuterJoin,
     qScalarSubquery, qSetops, qPivot, qStringFuncs, qDateFuncs, qHeavyHitters,
-    qNtileDeciles, qSkewJoinSalted, qGroupingSets)
+    qNtileDeciles, qSkewJoinSalted, qGroupingSets, qHistogram)
 }
