@@ -54,7 +54,10 @@ object Bench {
     // accumulated blocks caused visible eviction inflation mid-suite —
     // the alphabetical run order groups families, so the prefix
     // boundary is exactly where sharing ends.
-    def family(n: String): String = n.takeWhile(_ != '_')
+    // strip trailing digits so q1_/q18_/q22_ all land in the "q"
+    // family with q_* (alphabetical order interleaves them)
+    def family(n: String): String =
+      n.takeWhile(_ != '_').replaceAll("\\d+$", "")
     var prevFamily = ""
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }

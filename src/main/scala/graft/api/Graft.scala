@@ -52,11 +52,13 @@ object Graft {
           countDistinct(col(textCol)).as("n_unique"),
           (count(lit(1)) - countDistinct(col(textCol))).as("dup_rows"))
 
-    /** MinHash+banded-LSH near-dup pairs with exact-Jaccard
-      * verification. Candidates come from band-key equi-joins —
-      * ~linear in corpus size, never an unblocked cross join. */
-    def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                     threshold: Double = 0.8, k: Int = 32, bands: Int = 8): DataFrame = {
+    /** MinHash+banded-LSH candidate pairs with each side's sorted
+      * shingle set attached: (doc_a, doc_b, sh_a, sh_b). Candidates
+      * come from band-key equi-joins — ~linear in corpus size, never
+      * an unblocked cross join. Shared by the verified-pair and
+      * containment entry points so the pipeline exists once. */
+    private def candidateSets(df: DataFrame, idCol: String, textCol: String,
+                              k: Int, bands: Int): DataFrame = {
       import org.apache.spark.sql.graft.Shims
       val r = k / bands
       val perms = GraftHash.perms(k)
@@ -79,9 +81,29 @@ object Graft {
       cand
         .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id")).drop("doc_id")
         .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id")).drop("doc_id")
+    }
+
+    /** MinHash+banded-LSH near-dup pairs with exact-Jaccard
+      * verification. */
+    def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                     threshold: Double = 0.8, k: Int = 32, bands: Int = 8): DataFrame =
+      candidateSets(df, idCol, textCol, k, bands)
         .withColumn("jaccard", Shingles.jaccardSorted(col("sh_a"), col("sh_b")))
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+    /** Asymmetric containment (|A∩B|/|A|, |A∩B|/|B|) over the RAW
+      * candidate pairs — deliberately unverified: the signal's point
+      * is the short-doc-inside-long-doc case, whose Jaccard is low
+      * and which a verified-pair threshold would exclude by
+      * construction. */
+    def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 32, bands: Int = 8): DataFrame = {
+      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      candidateSets(df, idCol, textCol, k, bands)
+        .select(col("doc_a"), col("doc_b"),
+          (inter / size(col("sh_a"))).as("contain_a"),
+          (inter / size(col("sh_b"))).as("contain_b"))
     }
 
     /** Duplicate clusters from a near-dup pair list: connected

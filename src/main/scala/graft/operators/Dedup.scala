@@ -262,31 +262,24 @@ object Dedup {
       .orderBy(col("source"))
   }
 
-  /** Asymmetric containment on the LSH candidate pairs:
+  /** Asymmetric containment on the RAW LSH candidate pairs:
     * |A∩B| / |A| and |A∩B| / |B| — the sub-document-duplication
-    * signal (a doc wholly quoted inside a longer one has high
-    * containment but low Jaccard). Zero extra candidate-generation
-    * cost: reuses the banded pairs. */
+    * signal. Deliberately computed BEFORE Jaccard verification: a doc
+    * wholly quoted inside a longer one has high containment but low
+    * Jaccard, so the verified-pair threshold would exclude exactly
+    * the case this metric exists for. Zero extra candidate-generation
+    * cost: the banded candidate pipeline is shared with minhashPairs. */
   val dContainment: GraftQuery = GraftQuery.sql(
     "d_containment",
     s"""WITH $minhashPairsCtes
-       |SELECT p.doc_a, p.doc_b,
+       |SELECT c.doc_a, c.doc_b,
        |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(x.sh) AS contain_a,
        |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(y.sh) AS contain_b
-       |FROM pairs p JOIN sh x ON p.doc_a = x.doc_id JOIN sh y ON p.doc_b = y.doc_id
+       |FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, d) =>
-    val pairs = graft.api.Graft.dedup.minhashPairs(
-      Tables.documents(s, d), "doc_id", "text", threshold = 0.8, k = K, bands = Bands)
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), sort_array(Shingles.shingleHashes(col("text"))).as("sh"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    pairs.select(col("doc_a"), col("doc_b"))
-      .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id")).drop("doc_id")
-      .select(col("doc_a"), col("doc_b"),
-        (inter / size(col("sh_a"))).as("contain_a"),
-        (inter / size(col("sh_b"))).as("contain_b"))
+    graft.api.Graft.dedup.containmentPairs(
+        Tables.documents(s, d), "doc_id", "text", k = K, bands = Bands)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

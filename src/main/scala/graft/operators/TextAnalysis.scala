@@ -254,7 +254,7 @@ object TextAnalysis {
     """WITH c AS (SELECT source, lang, COUNT(*) AS nl
       |           FROM documents GROUP BY source, lang),
       |s AS (SELECT source, CAST(SUM(nl) AS BIGINT) AS n,
-      |        CAST(SUM(nl * nl) AS BIGINT) AS ss
+      |        SUM(CAST(nl AS HUGEINT) * nl) AS ss
       |      FROM c GROUP BY source)
       |SELECT source, n AS n_docs,
       |  CAST(1 AS DOUBLE) - CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * n) AS lang_gini
@@ -264,7 +264,11 @@ object TextAnalysis {
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("nl"))
       .groupBy(col("source"))
-      .agg(sum(col("nl")).as("n"), sum(col("nl") * col("nl")).as("ss"))
+      // nl*nl in decimal/HUGEINT: a long multiply would silently wrap
+      // past ~3e9 docs per (source, lang) in non-ANSI Spark while the
+      // oracle's checked BIGINT multiply errors — keep both exact
+      .agg(sum(col("nl")).as("n"),
+        sum(col("nl").cast("decimal(38,0)") * col("nl")).as("ss"))
       .select(col("source"), col("n").as("n_docs"),
         (lit(1.0) - col("ss").cast("double") / (col("n").cast("double") * col("n")))
           .as("lang_gini"))
