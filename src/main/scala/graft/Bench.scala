@@ -59,20 +59,32 @@ object Bench {
     def family(n: String): String =
       n.takeWhile(_ != '_').replaceAll("\\d+$", "")
     var prevFamily = ""
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       if (family(name) != prevFamily) { spark.catalog.clearCache(); prevFamily = family(name) }
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // A broken query must fail LOUDLY — never report a fast wall-time
+      // and a healthy total for a query that threw.
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failures += name
+          System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // Locale-independent decimal formatting: default-locale f"" would
+    // emit "0,123" on comma-decimal locales — invalid JSON.
+    def num(v: Double, dec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
     def fmt(entries: Seq[(String, Double)]): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      entries.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
         .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${fmt(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"failures":$failJson,"queries":${fmt(results)},"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("docs/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
@@ -80,7 +92,8 @@ object Bench {
     } catch { case _: Throwable => () }
     val head = results.filter(r => headline.contains(r._1))
     println(
-      s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","n_queries":${results.size},"queries":${fmt(head)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${num(total, 1)},"unit":"sec","n_queries":${results.size},"failures":$failJson,"queries":${fmt(head)},"sf":"$sfDir"}""")
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

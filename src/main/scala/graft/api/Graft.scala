@@ -52,36 +52,85 @@ object Graft {
           countDistinct(col(textCol)).as("n_unique"),
           (count(lit(1)) - countDistinct(col(textCol))).as("dup_rows"))
 
+    // ------------------------------------------------------------------
+    // Structural pipeline reuse. The shingle frame, the LSH candidate
+    // frame and the connected-components labels are each materialized
+    // ONCE per (session, input plan, params) and handed to every entry
+    // point that needs them — an explicit persist handle, not a bet on
+    // CacheManager plan-matching surviving memory pressure. Keys are
+    // canonicalized logical plans, so two reads of the same table at
+    // the same path share; the map is bounded and entries re-persist
+    // themselves if an external clearCache() dropped their blocks.
+    // ------------------------------------------------------------------
+    private val memo = new java.util.concurrent.ConcurrentHashMap[AnyRef, DataFrame]()
+
+    private def planKey(df: DataFrame, tag: String, params: Any*): AnyRef =
+      (System.identityHashCode(df.sparkSession), df.queryExecution.analyzed.canonicalized,
+        tag, params.toList)
+
+    private def memoized(key: AnyRef, build: => DataFrame): DataFrame = {
+      if (memo.size > 64) { memo.forEach((_, df) => df.unpersist()); memo.clear() }
+      // NOT computeIfAbsent: builds nest (candidateSets -> shingleSets
+      // on the same map), and a nested computeIfAbsent on one
+      // ConcurrentHashMap throws "recursive update" whenever the two
+      // keys land in the same bin. get/putIfAbsent tolerates nesting;
+      // a racing duplicate build just unpersists its copy.
+      val df = Option(memo.get(key)).getOrElse {
+        val built = build.persist()
+        Option(memo.putIfAbsent(key, built)) match {
+          case Some(prev) => built.unpersist(); prev
+          case None => built
+        }
+      }
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+      df
+    }
+
+    /** Drop every memoized pipeline frame (test isolation hook). */
+    def clearPipelineCache(): Unit = {
+      memo.forEach((_, df) => df.unpersist())
+      memo.clear()
+    }
+
+    /** Sorted distinct word-3-gram shingle hashes per doc:
+      * (doc_id, sh). Materialized once per input — every dedup family
+      * member (MinHash, SimHash, Jaccard, hybrid search) derives from
+      * this frame, so the expensive text pass runs once. */
+    def shingleSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
+      memoized(planKey(df, "sh", idCol, textCol),
+        df.select(col(idCol).as("doc_id"),
+          sort_array(Shingles.shingleHashes(col(textCol))).as("sh")))
+
     /** MinHash+banded-LSH candidate pairs with each side's sorted
       * shingle set attached: (doc_a, doc_b, sh_a, sh_b). Candidates
       * come from band-key equi-joins — ~linear in corpus size, never
-      * an unblocked cross join. Shared by the verified-pair and
-      * containment entry points so the pipeline exists once. */
+      * an unblocked cross join. Materialized once per (input, params):
+      * the verified-pair, containment, clustering and dedup-filter
+      * entry points all read the same persisted frame. */
     private def candidateSets(df: DataFrame, idCol: String, textCol: String,
-                              k: Int, bands: Int): DataFrame = {
-      import org.apache.spark.sql.graft.Shims
-      val r = k / bands
-      val perms = GraftHash.perms(k)
-      val sh = df.select(col(idCol).as("doc_id"),
-          sort_array(Shingles.shingleHashes(col(textCol))).as("sh"))
-        .persist()
-      val sig = sh.select(col("doc_id"), col("sh"),
-        Shims.column(graft.plans.MinHashSignatureExpr(
-          Shims.expression(col("sh")), perms)).as("sig"))
-      val bl = sig.withColumn("band_keys", array((0 until bands).map { b =>
-          GraftHash.bandKey((0 until r).map(i => element_at(col("sig"), b * r + i + 1)))
-        }: _*))
-        .select(col("doc_id"), posexplode(col("band_keys")).as(Seq("band_idx", "band_key")))
-      val cand = bl.as("a").join(bl.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_key") === col("b.band_key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id")).drop("doc_id")
-        .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id")).drop("doc_id")
-    }
+                              k: Int, bands: Int): DataFrame =
+      memoized(planKey(df, "cand", idCol, textCol, k, bands), {
+        import org.apache.spark.sql.graft.Shims
+        val r = k / bands
+        val perms = GraftHash.perms(k)
+        val sh = shingleSets(df, idCol, textCol)
+        val sig = sh.select(col("doc_id"), col("sh"),
+          Shims.column(graft.plans.MinHashSignatureExpr(
+            Shims.expression(col("sh")), perms)).as("sig"))
+        val bl = sig.withColumn("band_keys", array((0 until bands).map { b =>
+            GraftHash.bandKey((0 until r).map(i => element_at(col("sig"), b * r + i + 1)))
+          }: _*))
+          .select(col("doc_id"), posexplode(col("band_keys")).as(Seq("band_idx", "band_key")))
+        val cand = bl.as("a").join(bl.as("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_key") === col("b.band_key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id")).drop("doc_id")
+          .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id")).drop("doc_id")
+      })
 
     /** MinHash+banded-LSH near-dup pairs with exact-Jaccard
       * verification. */
@@ -132,6 +181,14 @@ object Graft {
                 "Assign dense numeric ids (e.g. monotonically_increasing_id) first.")
         }
       }
+      // The labels frame is memoized on the input pair plan: the
+      // clustering entry and the dedup-filter entry both consume the
+      // same components, and the iterative loop must not run twice.
+      memoized(planKey(pairs, "cc", aCol, bCol, maxIter), dupClustersImpl(pairs, aCol, bCol, maxIter))
+    }
+
+    private def dupClustersImpl(pairs: DataFrame, aCol: String, bCol: String,
+                                maxIter: Int): DataFrame = {
       // Persist the directed pair list BEFORE mirroring: the union
       // would otherwise run the full candidate-generation pipeline
       // once per direction.
@@ -216,7 +273,9 @@ object Graft {
                      maxHamming: Int = 3, bits: Int = 24, chunks: Int = 4): DataFrame = {
       import org.apache.spark.sql.graft.Shims
       val chunkBits = bits / chunks
-      val sh = df.select(col(idCol).as("doc_id"), Shingles.shingleHashes(col(textCol)).as("sh"))
+      // SimHash is order-independent over the shingle set, so it reads
+      // the shared sorted shingle frame — no second text pass.
+      val sh = shingleSets(df, idCol, textCol)
       val sim = sh.select(col("doc_id"),
         Shims.column(graft.plans.SimHashExpr(Shims.expression(col("sh")), bits)).as("simhash"))
       val ch = sim.select(col("doc_id"), col("simhash"),

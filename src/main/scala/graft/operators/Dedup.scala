@@ -56,10 +56,12 @@ object Dedup {
        |WHERE ${Shingles.jaccardSql("x.sh", "y.sh")} >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, d) =>
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), col("n_chars"),
-        sort_array(Shingles.shingleHashes(col("text"))).as("sh"))
-      .persist()
+    val docs = Tables.documents(s, d)
+    // Shared materialized shingle frame (one text pass for the whole
+    // dedup family); n_chars rides in on a broadcast of the 2-column
+    // id->length projection.
+    val sh = graft.api.Graft.dedup.shingleSets(docs, "doc_id", "text")
+      .join(broadcast(docs.select(col("doc_id"), col("n_chars"))), Seq("doc_id"))
     val b = sh.withColumn("bucket",
       explode(array(floor(col("n_chars") / 16), floor(col("n_chars") / 16) + 1)))
       .select(col("doc_id"), col("bucket"), size(col("sh")).as("nsh"))

@@ -130,38 +130,68 @@ object Multimodal {
       if (n == 0) new Array[Double](8) else counts.map(_.toDouble / n))
   }
 
+  // Feature-pair LSH: 4 deterministic hyperplanes in the 8-dim
+  // histogram space -> 16 buckets. Histograms all sit near the corpus
+  // centroid, so projections are taken on the CENTERED vector
+  // (emb - 1/8 per bucket) — signs then split on content, not on the
+  // shared baseline.
+  val FpPlanes = 4
+  private val fplanes = graft.functions.Vectors.hyperplanes(FpPlanes, 8)
+
   /** Multimodal feature pipeline end-to-end: binary payload ->
-    * batch-local stub embedding -> cosine closest pairs (the same
-    * similarity machinery the embeddings table uses — swapping in a
-    * real encoder re-uses the whole downstream plan). */
+    * batch-local stub embedding -> cosine closest pairs among LSH
+    * candidates (same bucket-equi-join + hamming<=1 probe blocking as
+    * d_embed_neardup — never an all-pairs product; the oracle mirrors
+    * the blocking). Swapping in a real encoder re-uses the whole
+    * downstream plan. Empty documents are filtered on both arms: a
+    * zero-length payload has no defined direction (0/0 cosine). */
   val mFeaturePairs: GraftQuery = GraftQuery.sql(
     "m_feature_pairs", {
       import graft.functions.Vectors
+      def planeSql(p: Seq[Double]): String = p.mkString("[", ", ", "]")
+      val bucketSql = fplanes.zipWithIndex.map { case (p, j) =>
+        s"CASE WHEN ${Vectors.dotSql("ce", planeSql(p))} > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+      val probeList = ("bucket" +: (0 until FpPlanes).map(j => s"xor(bucket, ${1L << j})"))
+        .mkString("[", ", ", "]")
       s"""WITH h AS (SELECT doc_id,
          |    list_transform(generate_series(0, 7), b ->
          |      CAST(len(list_filter(string_split(text, ''), ch -> ord(ch) // 16 = b)) AS DOUBLE)
          |        / length(text)) AS emb
-         |  FROM documents),
-         |n2 AS (SELECT doc_id, emb, ${Vectors.normSql("emb")} AS nrm FROM h)
+         |  FROM documents WHERE length(text) > 0),
+         |n2 AS (SELECT doc_id, emb, ${Vectors.normSql("emb")} AS nrm,
+         |         list_transform(emb, x -> x - 0.125) AS ce FROM h),
+         |bk AS (SELECT doc_id, emb, nrm, $bucketSql AS bucket FROM n2),
+         |pr AS (SELECT doc_id, emb, nrm, unnest($probeList) AS pb FROM bk)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  ${Vectors.dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS cosine
-         |FROM n2 a JOIN n2 b ON a.doc_id < b.doc_id
+         |FROM pr a JOIN bk b ON a.pb = b.bucket AND a.doc_id < b.doc_id
          |ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""".stripMargin
     }
   ) { (s, d) =>
     import s.implicits._
     import graft.functions.Vectors
+    def planeLit(p: Seq[Double]) = array(p.map(lit(_)): _*)
+    def fpBucket(ce: org.apache.spark.sql.Column) =
+      fplanes.zipWithIndex.map { case (p, j) =>
+        when(Vectors.dot(ce, planeLit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
     val feats = Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), lit("utf8").as("codec"), lit(0L).as("n_frames"),
         encode(col("text"), "UTF-8").as("media"))
       .as[MediaAsset]
       .mapPartitions(_.map(embedStub))
       .toDF()
       .withColumn("nrm", Vectors.norm(col("emb")))
+      .withColumn("bucket", fpBucket(transform(col("emb"), x => x - lit(0.125))))
       .persist()
-    val a = feats.select(col("doc_id").as("doc_a"), col("emb").as("ea"), col("nrm").as("na"))
-    val b = feats.select(col("doc_id").as("doc_b"), col("emb").as("eb"), col("nrm").as("nb"))
-    a.join(b, col("doc_a") < col("doc_b"))
+    val probes = feats.select(col("doc_id").as("doc_a"), col("emb").as("ea"), col("nrm").as("na"),
+      explode(array(col("bucket") +: (0 until FpPlanes).map(j =>
+        col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("pb"))
+    val right = feats.select(col("doc_id").as("doc_b"), col("emb").as("eb"),
+      col("nrm").as("nb"), col("bucket").as("bb"))
+    probes.join(right, col("pb") === col("bb") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (Vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
       .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))

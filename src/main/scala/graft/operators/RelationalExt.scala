@@ -142,8 +142,12 @@ object RelationalExt {
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   ) { (s, d) =>
     val o = Tables.orders(s, d)
-    val avgPrice = o.agg(avgM(col("o_totalprice"))).collect()(0).getDouble(0)
-    o.filter(col("o_totalprice") > avgPrice)
+    // Scalar subquery as a broadcast join — one distributed job, no
+    // driver collect, the literal never baked into the plan (the
+    // scale-safe shape; cf. q11/q15/q22 in RelationalTpch).
+    val avg = o.agg(avgM(col("o_totalprice")).as("avg_price"))
+    o.crossJoin(broadcast(avg))
+      .filter(col("o_totalprice") > col("avg_price"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_above_avg"))
       .orderBy(col("o_orderstatus"))

@@ -52,27 +52,6 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Embedding near-dup detection: globally closest pairs. All-pairs
-    * here (correctness form); the LSH buckets below are the scale
-    * form. Top-20 keeps the result stable across scale factors. */
-  val dEmbedNeardup: GraftQuery = GraftQuery.sql(
-    "d_embed_neardup",
-    s"""WITH $corpusSql
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  ${Vectors.dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
-       |FROM n a JOIN n b ON a.vec_id < b.vec_id
-       |ORDER BY cosine DESC, vec_a, vec_b LIMIT 20""".stripMargin
-  ) { (s, d) =>
-    val n = corpus(s, d)
-    val a = n.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = n.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        (Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
-      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
-      .limit(20)
-  }
-
   // LSH: 6 deterministic hyperplanes -> 64 buckets.
   val NPlanes = 6
   private val planes = Vectors.hyperplanes(NPlanes, 64)
@@ -90,6 +69,43 @@ object Similarity {
     planes.zipWithIndex.map { case (p, j) =>
       s"CASE WHEN ${Vectors.dotSql(v, planeSql(p))} > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
+
+  /** Embedding near-dup detection: closest pairs among LSH candidates.
+    * Candidates come from a sign-random-projection bucket equi-join
+    * with hamming<=1 neighbor-bucket probes (each vector probes its
+    * own bucket plus the 6 single-bit flips, so any pair whose 6-bit
+    * signatures differ in at most one plane is recalled) — never an
+    * all-pairs product. A pair matches exactly one probe row (the
+    * identity probe at hamming 0, the single flipped probe at hamming
+    * 1), so no dedup pass is needed. At 100 TB the corpus would be
+    * written bucket-partitioned and each probe touches 7 partitions.
+    * The oracle mirrors the same blocking, as the MinHash/SimHash
+    * family entries do. */
+  val dEmbedNeardup: GraftQuery = GraftQuery.sql(
+    "d_embed_neardup", {
+      val probeList = ("bucket" +: (0 until NPlanes).map(j => s"xor(bucket, ${1L << j})"))
+        .mkString("[", ", ", "]")
+      s"""WITH $corpusSql,
+         |bk AS (SELECT vec_id, v, nrm, ${lshBucketSql("v")} AS bucket FROM n),
+         |pr AS (SELECT vec_id, v, nrm, unnest($probeList) AS pb FROM bk)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${Vectors.dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+         |FROM pr a JOIN bk b ON a.pb = b.bucket AND a.vec_id < b.vec_id
+         |ORDER BY cosine DESC, vec_a, vec_b LIMIT 20""".stripMargin
+    }
+  ) { (s, d) =>
+    val bk = corpus(s, d).withColumn("bucket", lshBucket(col("v")))
+    val probes = bk.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"),
+      explode(array(col("bucket") +: (0 until NPlanes).map(j =>
+        col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("pb"))
+    val right = bk.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("bucket").as("bb"))
+    probes.join(right, col("pb") === col("bb") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
 
   /** LSH-bucketed ANN: candidates share the query's bucket. Same
     * output shape as brute force; recall is whatever the buckets give
@@ -289,10 +305,9 @@ object Similarity {
     val vtop = graft.api.Graft.ann.cosineTopK(
         e, e.filter(col("vec_id") < QueryCount), "vec_id", "embedding", FuseN)
       .select(col("query_id").as("vq"), col("neighbor_id").as("vn"), col("rank").as("vrank"))
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"),
-        sort_array(graft.functions.Shingles.shingleHashes(col("text"))).as("sh"))
-      .persist()
+    // Shared materialized shingle frame (graft.api.Graft.dedup) — the
+    // text arm reads the same persisted pass the dedup family uses.
+    val sh = graft.api.Graft.dedup.shingleSets(Tables.documents(s, d), "doc_id", "text")
     val tq = sh.filter(col("doc_id") < QueryCount)
       .select(col("doc_id").as("query_id"), col("sh").as("qsh"))
     val wT = Window.partitionBy(col("query_id")).orderBy(col("jac").desc, col("neighbor_id"))

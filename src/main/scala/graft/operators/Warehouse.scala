@@ -160,30 +160,56 @@ object Warehouse {
     // the in-memory catalog dies with the session but the bucketed
     // layout on disk persists — re-register it instead of rewriting
     // (paying the layout shuffle once is the point of bucketing)
-    def ensure(tab: String, src: org.apache.spark.sql.DataFrame, key: String): Unit = {
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      val loc = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), tab)
-      if (!s.catalog.tableExists(tab) && fs.exists(loc))
-        s.sql(s"""CREATE TABLE $tab (${src.schema.toDDL}) USING parquet
-                 |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
-                 |LOCATION '$loc'""".stripMargin)
-      // Cheap staleness gate (parquet footer counts, no data scan):
-      // regenerated source data at the same path must not silently
-      // reuse an old on-disk layout.
-      if (s.catalog.tableExists(tab) && s.table(tab).count() != src.count()) {
-        s.sql(s"DROP TABLE $tab")
-        fs.delete(loc, true)
-      }
-      if (!s.catalog.tableExists(tab))
-        src.write.bucketBy(8, key).sortBy(key).saveAsTable(tab)
-    }
-    ensure(oTab, Tables.orders(s, d), "o_orderkey")
-    ensure(lTab, Tables.lineitem(s, d), "l_orderkey")
+    ensureBucketed(s, oTab, s"$d/orders.parquet", Tables.orders(s, d), "o_orderkey")
+    ensureBucketed(s, lTab, s"$d/lineitem.parquet", Tables.lineitem(s, d), "l_orderkey")
     s.table(oTab).hint("merge")
       .join(s.table(lTab), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_lines"), sumM(col("l_quantity")).as("total_qty"))
       .orderBy(col("o_orderstatus"))
+  }
+
+  /** Idempotent bucketed-layout provisioning with a METADATA-ONLY
+    * staleness gate: a signature of the source files (name, length,
+    * mtime) is recorded at layout-build time and compared on every
+    * call — pure namenode-style metadata ops, no Spark job, no data
+    * scan (the former row-count gate charged two full counts to every
+    * measured join, and an unchanged count can't detect regenerated
+    * data; file mtimes can). */
+  private[graft] def ensureBucketed(s: org.apache.spark.sql.SparkSession, tab: String,
+      srcPath: String, src: => org.apache.spark.sql.DataFrame, key: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val loc = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), tab)
+    def srcSig: String = {
+      val p = new org.apache.hadoop.fs.Path(srcPath)
+      val parts =
+        if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq else Seq(fs.getFileStatus(p))
+      parts.map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString("|")
+    }
+    val sigFile = new org.apache.hadoop.fs.Path(loc, "_graft_src_sig")
+    def recordedSig: Option[String] =
+      if (!fs.exists(sigFile)) None
+      else {
+        val in = fs.open(sigFile)
+        try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+        finally in.close()
+      }
+    val fresh = srcSig
+    if (fs.exists(loc) && !recordedSig.contains(fresh)) {
+      if (s.catalog.tableExists(tab)) s.sql(s"DROP TABLE $tab")
+      fs.delete(loc, true)
+      ()
+    }
+    if (!s.catalog.tableExists(tab) && fs.exists(loc))
+      s.sql(s"""CREATE TABLE $tab (${src.schema.toDDL}) USING parquet
+               |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+               |LOCATION '$loc'""".stripMargin)
+    if (!s.catalog.tableExists(tab)) {
+      src.write.bucketBy(8, key).sortBy(key).saveAsTable(tab)
+      val out = fs.create(sigFile, true)
+      try out.write(fresh.getBytes("UTF-8")) finally out.close()
+    }
   }
 
   /** MERGE/upsert emulation (no Delta in this environment): source

@@ -67,10 +67,52 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
-  test("embedding near-dup returns 20 globally closest pairs, descending") {
-    val rows = Similarity.dEmbedNeardup.fn(spark, sfDir).collect()
+  test("embedding near-dup returns 20 closest LSH-candidate pairs, descending") {
+    val df = Similarity.dEmbedNeardup.fn(spark, sfDir)
+    val rows = df.collect()
     assert(rows.length == 20)
     val cos = rows.map(_.getAs[Double]("cosine"))
     assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    // the blocking must be an equi-join on bucket, never a nested-loop
+    // over the corpus product
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs nested loop in d_embed_neardup:\n$plan")
+  }
+
+  test("embedding near-dup LSH recalls the brute-force closest pairs") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Vectors
+    val n = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val a = n.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val truth = a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.dEmbedNeardup.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val recalled = (truth intersect lsh).size
+    // This corpus has NO injected vector near-dups (max pair cosine
+    // ~0.5, i.e. ~61 deg): at that angle each of the 6 planes agrees
+    // with p ~ 0.66, so hamming<=1 recall per pair is only ~1/3 — the
+    // deterministic planes give exactly 7/20 here. At the cosine>=0.9
+    // pairs the operator exists for, per-pair recall is >0.98. The
+    // assertion pins the deterministic lower bound, not a target.
+    assert(recalled >= 6, s"hamming<=1 probes recalled only $recalled of ${truth.size}")
+  }
+
+  test("multimodal feature pairs block on LSH buckets, never nested-loop") {
+    val df = graft.operators.Multimodal.mFeaturePairs.fn(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 20)
+    val cos = rows.map(_.getAs[Double]("cosine"))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs nested loop in m_feature_pairs:\n$plan")
   }
 }

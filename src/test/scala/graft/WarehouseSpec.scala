@@ -30,6 +30,36 @@ class WarehouseSpec extends SparkSpec {
       s"unexpected shuffle above bucketed scans:\n$plan")
   }
 
+  test("bucketed layout rebuilds when the source files change, even at equal row count") {
+    import java.nio.file.{Files, Paths}
+    val srcDir = "/root/repo/target/scratch/stale_src"
+    val tab = "graft_stale_test"
+    def writeSrc(tag: String): Unit =
+      Tables.region(spark, sfDir).withColumn("tag", lit(tag))
+        .write.mode("overwrite").parquet(srcDir)
+    def src = spark.read.parquet(srcDir)
+    spark.sql(s"DROP TABLE IF EXISTS $tab")
+    val loc = Paths.get(spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tab)
+    if (Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(loc).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    writeSrc("v1")
+    Warehouse.ensureBucketed(spark, tab, srcDir, src, "r_regionkey")
+    assert(spark.table(tab).select("tag").distinct().collect().map(_.getString(0)).toSeq == Seq("v1"))
+    // regenerate with the SAME row count but different content + mtime
+    Thread.sleep(1100) // parquet sizes can tie; mtime resolution is 1s on some filesystems
+    writeSrc("v2")
+    Warehouse.ensureBucketed(spark, tab, srcDir, src, "r_regionkey")
+    assert(spark.table(tab).select("tag").distinct().collect().map(_.getString(0)).toSeq == Seq("v2"),
+      "stale bucketed layout silently reused after source regeneration")
+    // unchanged source must NOT trigger a rebuild (gate is metadata-only)
+    val mtimeBefore = Files.getLastModifiedTime(loc)
+    Warehouse.ensureBucketed(spark, tab, srcDir, src, "r_regionkey")
+    assert(Files.getLastModifiedTime(loc) == mtimeBefore, "rebuilt without a source change")
+    spark.sql(s"DROP TABLE IF EXISTS $tab")
+  }
+
   test("merge result equals target-with-updates semantics") {
     val rows = Warehouse.lakeMerge.fn(spark, sfDir).collect()
       .map(r => r.getAs[String]("status") -> r.getAs[Long]("n")).toMap
