@@ -344,6 +344,28 @@ object Graft {
       df.select((groupCols.map(col) :+ GraftHash.charHash(col(textCol)).as("fp")): _*)
         .groupBy(groupCols.map(col): _*)
         .agg(count(lit(1)).as("n_rows"), (sum(col("fp")) % GraftHash.P).as("checksum"))
+
+    // ACL manifest transforms over a namespace frame carrying
+    // owner/grp/mode columns (reference ClientProtocol.setOwner /
+    // setPermission re-expressed as manifest updates — metadata is a
+    // table, permission changes are columnar transforms, never a
+    // per-entry RPC loop).
+
+    /** chown: reassign ownership where `cond` holds. */
+    def chown(ns: DataFrame, cond: Column, newOwner: String): DataFrame =
+      ns.withColumn("owner", when(cond, lit(newOwner)).otherwise(col("owner")))
+
+    /** chmod: set the permission mode where `cond` holds. */
+    def chmod(ns: DataFrame, cond: Column, newMode: Int): DataFrame =
+      ns.withColumn("mode", when(cond, lit(newMode)).otherwise(col("mode")))
+
+    /** Permission audit: flag world-readable entries (others-read bit
+      * of the octal-styled mode — FSPermissionChecker's "other" class). */
+    def permissionAudit(ns: DataFrame): DataFrame =
+      ns.withColumn("world_readable", col("mode") % 10 >= 4)
+
+    /** Versioned commit-log tables — see graft.sources.CommitLog. */
+    def commitLog: graft.sources.CommitLog.type = graft.sources.CommitLog
   }
 
   /** Streaming graphs — see graft.streaming.StreamingOps. */

@@ -372,9 +372,133 @@ object Lake {
       .orderBy(col("yr"))
   }
 
+  /** Commit-log time travel: a versioned table whose state is an
+    * append-only journal of add/remove-file actions (sources.CommitLog
+    * — the FSEditLog half of the reference's FSImage+FSEditLog
+    * durability pair; lake_snapshot is the FSImage half). Four commits
+    * build insert/insert/delete/insert history; the query reads the
+    * table at version 0, version 1, a wall-clock instant between
+    * commits 2 and 3 (timestamp time travel), and latest. The oracle
+    * recomputes each version's expected content from the base table.
+    * Replay is driver-side metadata only; each read is an ordinary
+    * pruned parquet scan of the active files. */
+  val lakeTimeTravel: GraftQuery = GraftQuery.sql(
+    "lake_time_travel",
+    s"""SELECT 0 AS version, COUNT(*) AS n_rows, ${sumMSql("o_totalprice")} AS total
+       |FROM orders WHERE o_orderkey % 3 = 0
+       |UNION ALL
+       |SELECT 1, COUNT(*), ${sumMSql("o_totalprice")}
+       |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+       |UNION ALL
+       |SELECT 2, COUNT(*), ${sumMSql("o_totalprice")}
+       |FROM orders WHERE o_orderkey % 3 = 1
+       |UNION ALL
+       |SELECT 3, COUNT(*), ${sumMSql("o_totalprice")}
+       |FROM orders WHERE o_orderkey % 3 IN (1, 2)
+       |ORDER BY version""".stripMargin
+  ) { (s, d) =>
+    import graft.sources.CommitLog
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val dir = scratch("timetravel_orders")
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val o = Tables.orders(s, d)
+    def slice(r: Int) = o.filter(col("o_orderkey") % 3 === r)
+    CommitLog.writeCommit(s, dir, slice(0), "data/mod0", ts = 1000L)  // v0: insert
+    CommitLog.writeCommit(s, dir, slice(1), "data/mod1", ts = 2000L)  // v1: insert
+    CommitLog.commit(fs, dir, ts = 3000L, adds = Nil, removes = Seq("data/mod0")) // v2: delete
+    CommitLog.writeCommit(s, dir, slice(2), "data/mod2", ts = 4000L)  // v3: insert
+    def summarize(v: Int, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"), sumM(col("o_totalprice")).as("total"))
+        .select(lit(v).as("version"), col("n_rows"), col("total"))
+    summarize(0, CommitLog.snapshot(s, dir, version = 0))
+      .union(summarize(1, CommitLog.snapshot(s, dir, version = 1)))
+      .union(summarize(2, CommitLog.snapshotAsOf(s, dir, asOfMillis = 3500L)))
+      .union(summarize(3, CommitLog.snapshot(s, dir)))
+      .orderBy(col("version"))
+  }
+
+  /** Operational health profile of a partitioned layout — the
+    * block-report / metrics surface operators actually page on
+    * (reference DFSClient.java:1240 getMissingBlocksCount,
+    * DFSClient.java:1230 getDiskStatus, metrics/ package): per
+    * partition, row count, physical file count (driver-side listing —
+    * a block report, no data scan), rows-per-file fill, skew against
+    * the mean partition, and a small-files flag. The layout is written
+    * with a fixed fan-in (repartition(4) before partitionBy), so the
+    * expected file count is part of the op's contract and the oracle
+    * checks the physical listing against it. */
+  val lakeHealth: GraftQuery = GraftQuery.sql(
+    "lake_health",
+    """WITH p AS (SELECT o_orderstatus, COUNT(*) AS n_rows FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_rows) AS DOUBLE) AS total, COUNT(*) AS np FROM p)
+      |SELECT o_orderstatus, n_rows, CAST(4 AS BIGINT) AS n_files,
+      |  CAST(n_rows AS DOUBLE) / 4 AS rows_per_file,
+      |  CAST(n_rows AS DOUBLE) / (t.total / t.np) AS skew_ratio,
+      |  CAST(n_rows AS DOUBLE) / 4 < 10000 AS small_files
+      |FROM p, t ORDER BY o_orderstatus""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val path = scratch("health_orders")
+    Tables.orders(s, d)
+      .repartition(4, col("o_orderkey"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    // Block report: physical file counts from a metadata-only listing.
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val fileCounts = fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("o_orderstatus="))
+      .map { st =>
+        val status = st.getPath.getName.stripPrefix("o_orderstatus=")
+        val n = fs.listStatus(st.getPath).count(_.getPath.getName.startsWith("part-"))
+        (status, n.toLong)
+      }.toDF("fc_status", "n_files")
+    val counts = s.read.parquet(path)
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_rows"))
+    val totals = counts.agg(
+      sum(col("n_rows")).cast("double").as("total"), count(lit(1)).as("np"))
+    counts
+      .join(broadcast(fileCounts), col("o_orderstatus") === col("fc_status"))
+      .crossJoin(broadcast(totals))
+      .select(col("o_orderstatus"), col("n_rows"), col("n_files"),
+        (col("n_rows").cast("double") / col("n_files")).as("rows_per_file"),
+        (col("n_rows").cast("double") / (col("total") / col("np"))).as("skew_ratio"),
+        (col("n_rows").cast("double") / col("n_files") < 10000).as("small_files"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Ownership + permission audit over the source namespace
+    * (reference protocol/ClientProtocol.java:230 setPermission, :247
+    * setOwner, server/namenode/FSPermissionChecker.java): the lake
+    * maintains an ACL manifest (owner/group/mode per source dir),
+    * chown/chmod are manifest transforms (api.Graft.lake), and the
+    * audit joins the manifest with content stats to flag
+    * world-readable entries. The oracle recomputes the manifest
+    * end-state in SQL. */
+  val lakeAclAudit: GraftQuery = GraftQuery.sql(
+    "lake_acl_audit",
+    """WITH ns AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |acl AS (SELECT source,
+      |  CASE WHEN source LIKE 'src1%' THEN 'web-team' ELSE 'ingest' END AS owner,
+      |  'data' AS grp,
+      |  CASE WHEN length(source) = 4 THEN 644 ELSE 640 END AS mode,
+      |  n_docs FROM ns)
+      |SELECT source, owner, grp, mode, n_docs, mode % 10 >= 4 AS world_readable
+      |FROM acl ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    import graft.api.Graft
+    val manifest = Tables.documents(s, d)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), lit("ingest").as("owner"), lit("data").as("grp"),
+        lit(640).as("mode"), col("n_docs"))
+    val owned = Graft.lake.chown(manifest, col("source").startsWith("src1"), "web-team")
+    val moded = Graft.lake.chmod(owned, length(col("source")) === 4, 644)
+    Graft.lake.permissionAudit(moded)
+      .orderBy(col("source"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     lakeScan, lakeRoundtripCsv, lakeRoundtripJson, lakeRoundtripOrc,
     lakePartitionedWrite, lakeCompaction, lakeContentSummary, lakeFsck,
     lakeQuota, lakeChecksum, lakeSnapshot, lakeLifecycle, lakeConcat,
-    lakeSchemaEvolution, lakeRetention, lakeStatsManifest)
+    lakeSchemaEvolution, lakeRetention, lakeStatsManifest,
+    lakeTimeTravel, lakeHealth, lakeAclAudit)
 }

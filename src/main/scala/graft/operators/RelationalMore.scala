@@ -111,16 +111,19 @@ object RelationalMore {
 
   /** File-status listing over the table namespace — ls / listStatus
     * (reference DistributedFileSystem.listStatus,
-    * protocol/DirectoryListing.java). Sizes are driver metadata, not
-    * SQL-reachable → rows-only check. */
+    * protocol/DirectoryListing.java), including the ownership triple
+    * (owner, group, permission — protocol/ClientProtocol.java:230
+    * setPermission, :247 setOwner surface the same FileStatus fields).
+    * Sizes/owners are driver metadata, not SQL-reachable → rows-only
+    * check; the SQL-checked permission surface is lake_acl_audit. */
   val lakeLs: GraftQuery = GraftQuery.rowsOnly("lake_ls") { (s, d) =>
     import s.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     graft.Tables.names.map { t =>
       val p = new org.apache.hadoop.fs.Path(s"$d/$t.parquet")
       val st = fs.getFileStatus(p)
-      (t, st.getLen, st.isDirectory)
-    }.toDF("table_name", "n_bytes", "is_dir")
+      (t, st.getLen, st.isDirectory, st.getOwner, st.getGroup, st.getPermission.toString)
+    }.toDF("table_name", "n_bytes", "is_dir", "owner", "grp", "permission")
       .orderBy(col("table_name"))
   }
 

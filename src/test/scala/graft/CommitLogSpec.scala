@@ -1,0 +1,67 @@
+package graft
+
+import graft.sources.CommitLog
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions._
+
+class CommitLogSpec extends SparkSpec {
+
+  private def fs: FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  private def freshTable(name: String): String = {
+    val dir = s"/root/repo/target/scratch/commitlog/$name"
+    fs.delete(new Path(dir), true)
+    dir
+  }
+
+  test("version reads are stable under later commits; asOf replays by timestamp") {
+    val dir = freshTable("versions")
+    val r = Tables.region(spark, sfDir)
+    CommitLog.writeCommit(spark, dir, r.filter(col("r_regionkey") < 2), "data/a", ts = 100L)
+    CommitLog.writeCommit(spark, dir, r.filter(col("r_regionkey") >= 2), "data/b", ts = 200L)
+    val n0 = CommitLog.snapshot(spark, dir, version = 0).count()
+    val n1 = CommitLog.snapshot(spark, dir, version = 1).count()
+    CommitLog.commit(fs, dir, ts = 300L, adds = Nil, removes = Seq("data/a"))
+    // old versions unchanged after the delete commit
+    assert(CommitLog.snapshot(spark, dir, version = 0).count() == n0)
+    assert(CommitLog.snapshot(spark, dir, version = 1).count() == n1)
+    assert(CommitLog.snapshot(spark, dir).count() == n1 - n0)
+    // timestamp travel: boundary inclusive, mid-range picks the commit before
+    assert(CommitLog.snapshotAsOf(spark, dir, 100L).count() == n0)
+    assert(CommitLog.snapshotAsOf(spark, dir, 250L).count() == n1)
+    assert(CommitLog.snapshotAsOf(spark, dir, 300L).count() == n1 - n0)
+  }
+
+  test("two writers racing for one version: exactly one wins, loser lands on the next") {
+    val dir = freshTable("race")
+    val r = Tables.region(spark, sfDir)
+    CommitLog.writeCommit(spark, dir, r, "data/base", ts = 100L)
+    // both writers target version 1
+    val winA = CommitLog.tryCommit(fs, dir, 1, 200L, Seq("data/a"), Nil)
+    val winB = CommitLog.tryCommit(fs, dir, 1, 201L, Seq("data/b"), Nil)
+    assert(winA && !winB, "create-exclusive must admit exactly one writer per version")
+    // the loser's retry path (commit) appends at the next free version
+    val v = CommitLog.commit(fs, dir, 201L, Seq("data/b"), Nil)
+    assert(v == 2)
+    val cs = CommitLog.commits(fs, dir)
+    assert(cs.map(_.version) == Seq(0, 1, 2))
+    assert(cs(1).adds == Seq("data/a") && cs(2).adds == Seq("data/b"))
+  }
+
+  test("vacuum removes only never-referenced staging dirs") {
+    val dir = freshTable("vacuum")
+    val r = Tables.region(spark, sfDir)
+    CommitLog.writeCommit(spark, dir, r, "data/live", ts = 100L)
+    // a crashed writer's staging leftovers: data written, commit never created
+    r.write.parquet(s"$dir/data/orphan")
+    // a referenced-then-removed dir must SURVIVE vacuum (old versions
+    // still read it)
+    CommitLog.writeCommit(spark, dir, r, "data/retired", ts = 200L)
+    CommitLog.commit(fs, dir, 300L, Nil, Seq("data/retired"))
+    val removed = CommitLog.vacuumOrphans(fs, dir)
+    assert(removed == Seq("data/orphan"))
+    assert(fs.exists(new Path(dir, "data/retired")))
+    assert(CommitLog.snapshot(spark, dir, version = 1).count() == 2 * r.count())
+  }
+}
