@@ -156,12 +156,15 @@ object Graft {
     }
 
     /** Duplicate clusters from a near-dup pair list: connected
-      * components by iterative min-label propagation (Pregel shape —
-      * each round is one equi-join + min-aggregate, so every round is
-      * a bounded shuffle and rounds ~ component diameter; dup clusters
-      * are shallow in practice. At 100 TB swap the propagation loop
-      * for alternating small-star/large-star rounds to bound rounds by
-      * O(log n) on adversarial chains). Convergence is detected by the
+      * components by iterative min-label propagation with POINTER
+      * JUMPING (each round propagates labels one hop, then every node
+      * adopts its label's own label — path halving). Each round is a
+      * bounded shuffle (equi-join + min-aggregate), and the jump step
+      * bounds rounds by O(log n) even on the adversarial case — a
+      * single n-node chain — where plain propagation needs O(n)
+      * rounds (GraftApiSpec pins a 10k-node chain to < 20 rounds;
+      * the same bound the small-star/large-star formulation gives,
+      * with one fewer join per round). Convergence is detected by the
       * monotonically decreasing label sum reaching a fixed point.
       * Returns (node, lbl) where lbl = min doc id in the component. */
     def dupClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
@@ -186,6 +189,11 @@ object Graft {
       // same components, and the iterative loop must not run twice.
       memoized(planKey(pairs, "cc", aCol, bCol, maxIter), dupClustersImpl(pairs, aCol, bCol, maxIter))
     }
+
+    /** Rounds the most recent dupClusters run took to converge
+      * (diagnostic; written by dupClustersImpl, read by specs pinning
+      * the O(log n) chain bound). */
+    @volatile private[graft] var lastClusterRounds: Int = 0
 
     private def dupClustersImpl(pairs: DataFrame, aCol: String, bCol: String,
                                 maxIter: Int): DataFrame = {
@@ -246,6 +254,7 @@ object Graft {
       }
       base.unpersist()
       edges.unpersist()
+      lastClusterRounds = it
       labels
     }
 

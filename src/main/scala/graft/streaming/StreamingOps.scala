@@ -23,8 +23,17 @@ object StreamingOps {
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                         n_events: Long, span_secs: Double)
 
-  /** Open-session state for the custom sessionizer. */
-  case class SessionState(start: Long, last: Long, n: Long) // micros epoch
+  /** One session span in micros epoch. */
+  case class SessionSpan(start: Long, last: Long, n: Long)
+
+  /** Sessionizer state: every session not yet provably closed by the
+    * watermark — the open (latest) one plus any earlier spans formed
+    * by late events. Keeping them all until the watermark passes
+    * last+gap is what makes cross-batch late arrivals merge exactly
+    * like the batch session_window truth (two mutually-within-gap
+    * late events coalesce; a later bridging event can still join
+    * them). */
+  case class SessionState(sessions: Seq[SessionSpan])
 
   val GapMicros: Long = 30L * 60 * 1000000
   private val WatermarkDelay = "1 hour"
@@ -148,6 +157,69 @@ object StreamingOps {
       throw new java.io.IOException(s"cdcUpsert: could not restore $oldP")
   }
 
+  /** Another writer holds the state lease. */
+  final case class LeaseHeldException(holder: String, until: Long)
+    extends java.io.IOException(s"state lease held by $holder until $until")
+
+  private def leasePath(stateDir: String) =
+    new org.apache.hadoop.fs.Path(stateDir + ".lease")
+
+  private def readLease(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path): Option[(String, Long)] =
+    if (!fs.exists(p)) None
+    else
+      try {
+        val in = fs.open(p)
+        val text =
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          finally in.close()
+        text.split(' ') match {
+          case Array(h, exp) => Some((h, exp.toLong))
+          case _ => None
+        }
+      } catch { case _: java.io.IOException => None } // raced with a delete
+
+  /** Acquire the exclusive writer lease on a state dir (the
+    * reference's LeaseManager.java:63 single-writer contract,
+    * optimistic flavor): create-exclusive lease file holding
+    * (holder, expiry). A live lease by another holder throws
+    * LeaseHeldException — the two-writer interleaving that would
+    * destroy the rename swap never starts. An EXPIRED lease is fenced
+    * and taken over, so a crashed writer cannot wedge the pipeline
+    * (lease recovery). Re-acquiring one's own lease renews it. */
+  private[graft] def acquireLease(fs: org.apache.hadoop.fs.FileSystem, stateDir: String,
+                                  holder: String, ttlMs: Long = 60000L): Unit = {
+    val p = leasePath(stateDir)
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(p, false)
+        try out.write(s"$holder ${System.currentTimeMillis() + ttlMs}".getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    var attempts = 0
+    while (!tryCreate()) {
+      attempts += 1
+      if (attempts > 5) throw new java.io.IOException(s"lease churn on $p")
+      readLease(fs, p) match {
+        case Some((h, exp)) if h != holder && exp >= System.currentTimeMillis() =>
+          throw LeaseHeldException(h, exp)
+        case _ => fs.delete(p, false); () // own (renew) or expired (fence takeover)
+      }
+    }
+  }
+
+  /** Release the lease iff still held by `holder` (a fenced-out writer
+    * must not delete its successor's lease). */
+  private[graft] def releaseLease(fs: org.apache.hadoop.fs.FileSystem, stateDir: String,
+                                  holder: String): Unit = {
+    val p = leasePath(stateDir)
+    readLease(fs, p) match {
+      case Some((h, _)) if h == holder => fs.delete(p, false); ()
+      case _ => ()
+    }
+  }
+
   /** Versioned swap, every rename checked: write the new version to
     * .tmp (materializing the read of the current state first), retire
     * current to .old, promote .tmp, drop .old. Production would commit
@@ -178,6 +250,10 @@ object StreamingOps {
     * Returns the started query. */
   def cdcUpsert(events: DataFrame, stateDir: String,
                 checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // One lease identity per started query: concurrent cdcUpsert jobs
+    // on the same stateDir serialize on the lease (the loser's batch
+    // fails with LeaseHeldException and the engine retries it).
+    val holder = "cdc-" + java.util.UUID.randomUUID()
     events
       .filter(col("event_type") === "purchase")
       .writeStream
@@ -186,23 +262,44 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-        recoverState(fs, stateDir)
-        val fresh = keepLatest(batch.select(col("user_id"),
-          col("value").as("last_value"), col("event_id").as("last_event"), col("ts")))
-        val dirP = new org.apache.hadoop.fs.Path(stateDir)
-        val merged =
-          if (fs.exists(dirP)) keepLatest(spark.read.parquet(stateDir).unionByName(fresh))
-          else fresh
-        commitState(fs, merged, stateDir)
+        acquireLease(fs, stateDir, holder)
+        try {
+          recoverState(fs, stateDir)
+          val fresh = keepLatest(batch.select(col("user_id"),
+            col("value").as("last_value"), col("event_id").as("last_event"), col("ts")))
+          val dirP = new org.apache.hadoop.fs.Path(stateDir)
+          val merged =
+            if (fs.exists(dirP)) keepLatest(spark.read.parquet(stateDir).unionByName(fresh))
+            else fresh
+          commitState(fs, merged, stateDir)
+        } finally releaseLease(fs, stateDir, holder)
         ()
       }
       .start()
   }
 
+  /** Merge-adjacent coalesce over session spans: sort by start, merge
+    * any neighbor starting within the gap of the running span — the
+    * batch session_window closure, applied incrementally. */
+  private[graft] def coalesceSpans(spans: Seq[SessionSpan]): Seq[SessionSpan] =
+    spans.sortBy(s => (s.start, s.last)).foldLeft(List.empty[SessionSpan]) {
+      case (head :: tail, s) if s.start <= head.last + GapMicros =>
+        SessionSpan(head.start, math.max(head.last, s.last), head.n + s.n) :: tail
+      case (acc, s) => s :: acc
+    }.reverse
+
   /** Custom-state sessionizer via flatMapGroupsWithState: the shape to
     * reach for when session output needs logic session_window can't
-    * express (e.g. per-session feature vectors). Emits a session when
-    * the event-time timeout passes its last event + gap. */
+    * express (e.g. per-session feature vectors).
+    *
+    * Emission is strictly PROVABLE: a session emits only once the
+    * watermark passes its last event + gap — until then it stays in
+    * state, so any late event the engine still admits (i.e. newer than
+    * the watermark) merges exactly as the batch truth would: two
+    * mutually-within-gap late events coalesce into one span, and a
+    * later bridging event can fuse earlier spans with the open one.
+    * Events older than the watermark are dropped by the engine — the
+    * standard streaming bound on lateness. */
   def sessionizeWithState(events: Dataset[Ev]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
@@ -211,46 +308,21 @@ object StreamingOps {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          def toOut(st: SessionState) = SessionOut(
-            user, microsToTs(st.start), st.n, (st.last - st.start).toDouble / 1e6)
-
-          if (!evs.hasNext && state.hasTimedOut) {
-            val out = state.getOption.map(toOut).iterator
-            state.remove()
-            out
-          } else {
-            // micro-batch delivery is unordered within the batch
-            val sorted = evs.toSeq.sortBy(e => (tsToMicros(e.ts), e.event_id))
-            var closed = List.empty[SessionOut]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = tsToMicros(e.ts)
-              cur match {
-                case Some(st) if t > st.last + GapMicros =>
-                  // Strictly after the open session: close it, start anew.
-                  closed ::= toOut(st)
-                  cur = Some(SessionState(t, t, 1))
-                case Some(st) if t < st.start - GapMicros =>
-                  // Cross-batch late event predating the open session by
-                  // more than the gap: a separate earlier session — emit
-                  // it directly, keep the open session untouched.
-                  closed ::= toOut(SessionState(t, t, 1))
-                case Some(st) =>
-                  // Within gap of [start, last] on either side: merge,
-                  // moving session_start back for late pre-start events
-                  // so output matches the batch session_window truth.
-                  cur = Some(SessionState(
-                    math.min(st.start, t), math.max(st.last, t), st.n + 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
-            }
-            cur.foreach { st =>
-              state.update(st)
-              state.setTimeoutTimestamp(st.last / 1000 + GapMicros / 1000)
-            }
-            closed.reverseIterator
-          }
+          def toOut(s: SessionSpan) = SessionOut(
+            user, microsToTs(s.start), s.n, (s.last - s.start).toDouble / 1e6)
+          val existing = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val incoming = evs.map(e => tsToMicros(e.ts)).map(t => SessionSpan(t, t, 1)).toSeq
+          val merged = coalesceSpans(existing ++ incoming)
+          val wmMicros = state.getCurrentWatermarkMs() * 1000
+          val (closed, open) = merged.partition(_.last + GapMicros < wmMicros)
+          if (open.nonEmpty) {
+            state.update(SessionState(open))
+            // wake when the earliest still-open span becomes provable
+            // (+1 ms: the timeout must lie strictly past the watermark)
+            state.setTimeoutTimestamp(
+              open.map(_.last).min / 1000 + GapMicros / 1000 + 1)
+          } else state.remove()
+          closed.sortBy(_.start).map(toOut).iterator
       }
   }
 }

@@ -84,4 +84,32 @@ class GraftApiSpec extends SparkSpec {
       docs.withColumn("sz", length(col("body"))), "sz").collect()(0)
     assert(summary.getAs[Long]("n_rows") == 5)
   }
+
+  test("dupClusters converges in O(log n) rounds on a 10k-node adversarial chain") {
+    // a single chain 0-1-2-...-9999 is the worst case for plain label
+    // propagation (O(n) rounds); pointer jumping must crush it
+    val chain = spark.range(9999)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val labels = Graft.dedup.dupClusters(chain, maxIter = 30)
+    val agg = labels.agg(
+      count(lit(1)).as("n"), max(col("lbl")).as("maxl"), min(col("lbl")).as("minl"))
+      .collect()(0)
+    assert(agg.getAs[Long]("n") == 10000L, "every chain node must be labeled")
+    assert(agg.getAs[Long]("maxl") == 0L && agg.getAs[Long]("minl") == 0L,
+      "all labels must collapse to the chain minimum")
+    assert(Graft.dedup.lastClusterRounds < 20,
+      s"chain took ${Graft.dedup.lastClusterRounds} rounds — pointer jumping broken")
+  }
+
+  test("lake ACL transforms: chown/chmod respect their predicates, audit flags other-read") {
+    import spark.implicits._
+    val ns = Seq(("a", "ingest", "data", 640), ("b", "ingest", "data", 640))
+      .toDF("path", "owner", "grp", "mode")
+    val out = Graft.lake.permissionAudit(
+        Graft.lake.chmod(
+          Graft.lake.chown(ns, col("path") === "a", "web"),
+          col("path") === "b", 644))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(3), r.getBoolean(4))).toSet
+    assert(out == Set(("a", "web", 640, false), ("b", "ingest", 644, true)))
+  }
 }

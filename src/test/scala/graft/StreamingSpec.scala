@@ -244,6 +244,94 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((7L, tm600, 2L, 600.0), (7L, tm3000, 1L, 0.0)), s"got=$got")
   }
 
+  test("sessionizer merges two mutually-within-gap late events into one session") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Ev]
+    val base = java.sql.Timestamp.valueOf("2024-02-01 12:00:00")
+    def ev(id: Long, offsetSec: Long) =
+      Ev(id, new java.sql.Timestamp(base.getTime + offsetSec * 1000), 7L, "view", 1.0)
+    val q = StreamingOps.sessionizeWithState(
+        stream.toDS().filter(col("user_id") < 40).as[Ev])
+      .toDF().writeStream
+      .format("memory").queryName("late_merge_sink").outputMode("append").start()
+    try {
+      stream.addData(ev(1, 0))      // anchor at T
+      q.processAllAvailable()
+      stream.addData(ev(2, -3000))  // late, 50 min before anchor → own span
+      q.processAllAvailable()
+      stream.addData(ev(3, -2800))  // late, within the 30-min gap of ev(2) → MERGE
+      q.processAllAvailable()
+      stream.addData(sentinel(9000001L, 10)); q.processAllAvailable()
+      stream.addData(sentinel(9000002L, 20)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("late_merge_sink")
+      .filter(col("session_start") < lit(dataEnd))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    val tm3000 = new java.sql.Timestamp(base.getTime - 3000 * 1000)
+    // batch truth: ONE merged 2-event early session + the anchor —
+    // never two n=1 singletons for the mutually-within-gap late pair
+    assert(got == Set((7L, tm3000, 2L, 200.0), (7L, base, 1L, 0.0)), s"got=$got")
+  }
+
+  test("sessionizer bridging late event fuses earlier spans with the open session") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Ev]
+    val base = java.sql.Timestamp.valueOf("2024-02-01 12:00:00")
+    def ev(id: Long, offsetSec: Long) =
+      Ev(id, new java.sql.Timestamp(base.getTime + offsetSec * 1000), 7L, "view", 1.0)
+    val q = StreamingOps.sessionizeWithState(
+        stream.toDS().filter(col("user_id") < 40).as[Ev])
+      .toDF().writeStream
+      .format("memory").queryName("bridge_sink").outputMode("append").start()
+    try {
+      stream.addData(ev(1, 0))      // anchor
+      q.processAllAvailable()
+      stream.addData(ev(2, -3000))  // late span 50 min back
+      q.processAllAvailable()
+      stream.addData(ev(3, -1500))  // bridges: within gap of BOTH
+      q.processAllAvailable()
+      stream.addData(sentinel(9000001L, 10)); q.processAllAvailable()
+      stream.addData(sentinel(9000002L, 20)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bridge_sink")
+      .filter(col("session_start") < lit(dataEnd))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    val tm3000 = new java.sql.Timestamp(base.getTime - 3000 * 1000)
+    assert(got == Set((7L, tm3000, 3L, 3000.0)), s"got=$got")
+  }
+
+  test("state-swap lease: a live second writer is refused, fenced after expiry") {
+    import graft.streaming.StreamingOps.LeaseHeldException
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val stateDir = graft.operators.Lake.scratch("lease_state")
+    fs.delete(new org.apache.hadoop.fs.Path(stateDir + ".lease"), false)
+    // writer A holds the lease; writer B must be refused while it lives
+    StreamingOps.acquireLease(fs, stateDir, "writer-A", ttlMs = 600000L)
+    val refused = intercept[LeaseHeldException] {
+      StreamingOps.acquireLease(fs, stateDir, "writer-B", ttlMs = 600000L)
+    }
+    assert(refused.holder == "writer-A")
+    // A renews its own lease without error
+    StreamingOps.acquireLease(fs, stateDir, "writer-A", ttlMs = 600000L)
+    // a non-holder release must NOT free it (fencing)
+    StreamingOps.releaseLease(fs, stateDir, "writer-B")
+    intercept[LeaseHeldException] {
+      StreamingOps.acquireLease(fs, stateDir, "writer-B", ttlMs = 600000L)
+    }
+    // holder releases; B acquires
+    StreamingOps.releaseLease(fs, stateDir, "writer-A")
+    StreamingOps.acquireLease(fs, stateDir, "writer-B", ttlMs = 600000L)
+    StreamingOps.releaseLease(fs, stateDir, "writer-B")
+    // a crashed writer's EXPIRED lease is fenced and taken over
+    StreamingOps.acquireLease(fs, stateDir, "dead-writer", ttlMs = -1000L)
+    StreamingOps.acquireLease(fs, stateDir, "writer-B", ttlMs = 600000L)
+    StreamingOps.releaseLease(fs, stateDir, "writer-B")
+  }
+
   test("flatMapGroupsWithState sessionizer matches the batch sessions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
