@@ -495,10 +495,42 @@ object Lake {
       .orderBy(col("source"))
   }
 
+  /** Mirror / disaster-recovery copy with verify-after-copy — the
+    * durability intent of the reference's replication pipeline
+    * (protocol/DataTransferProtocol.java:1 replica pipeline with
+    * per-packet checksums; protocol/ClientProtocol.java:216
+    * setReplication): the table is copied to a second path, then both
+    * sides produce an order-independent per-group content checksum
+    * and the op reports whether every group verifies. At 100 TB the
+    * copy is a distributed read->write (no driver byte path) and the
+    * verification is two aggregation scans — the same shape DistCp +
+    * checksum-compare uses. */
+  val lakeMirror: GraftQuery = GraftQuery.sql(
+    "lake_mirror",
+    s"""WITH fp AS (SELECT lang, ${GraftHash.charHashSql("text")} AS fp FROM documents)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(fp) % ${GraftHash.P} AS BIGINT) AS checksum,
+       |  TRUE AS mirror_ok
+       |FROM fp GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    import graft.api.Graft
+    val primary = scratch("mirror/primary")
+    val mirror = scratch("mirror/dr")
+    Tables.documents(s, d).write.mode("overwrite").parquet(primary)
+    s.read.parquet(primary).write.mode("overwrite").parquet(mirror)   // the DR copy
+    val a = Graft.lake.groupChecksum(s.read.parquet(primary), "text", "lang")
+    val b = Graft.lake.groupChecksum(s.read.parquet(mirror), "text", "lang")
+      .select(col("lang").as("m_lang"), col("n_rows").as("m_n"), col("checksum").as("m_ck"))
+    a.join(b, col("lang") === col("m_lang"), "full_outer")
+      .select(col("lang"), col("n_rows").as("n_docs"), col("checksum"),
+        (col("n_rows") === col("m_n") && col("checksum") === col("m_ck")).as("mirror_ok"))
+      .orderBy(col("lang"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     lakeScan, lakeRoundtripCsv, lakeRoundtripJson, lakeRoundtripOrc,
     lakePartitionedWrite, lakeCompaction, lakeContentSummary, lakeFsck,
     lakeQuota, lakeChecksum, lakeSnapshot, lakeLifecycle, lakeConcat,
     lakeSchemaEvolution, lakeRetention, lakeStatsManifest,
-    lakeTimeTravel, lakeHealth, lakeAclAudit)
+    lakeTimeTravel, lakeHealth, lakeAclAudit, lakeMirror)
 }

@@ -16,7 +16,11 @@ object Explain {
     // round-2 flagships
     "q2_min_cost_supp", "q17_small_qty_rev", "q21_waiting_supplier",
     "q_skew_join_salted", "s_ann_pq", "s_hybrid_rrf",
-    "t_fluency_score", "st_hopping_window", "lake_schema_evolution")
+    "t_fluency_score", "st_hopping_window", "lake_schema_evolution",
+    // round-3 flagships: ex-all-pairs LSH blocking, broadcast scalar
+    // subquery, commit-log time travel, health/mirror lake ops
+    "d_embed_neardup", "m_feature_pairs", "q_scalar_subquery",
+    "lake_time_travel", "lake_health", "lake_mirror", "lake_acl_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
