@@ -58,10 +58,12 @@ object Dedup {
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
     // Shared materialized shingle frame (one text pass for the whole
-    // dedup family); n_chars rides in on a broadcast of the 2-column
-    // id->length projection.
+    // dedup family); n_chars joins back on doc_id WITHOUT a broadcast
+    // hint — the projection is corpus-sized, so at 100 TB this must
+    // stay a co-partitioned shuffle join (AQE broadcasts it at bench
+    // scale on its own).
     val sh = graft.api.Graft.dedup.shingleSets(docs, "doc_id", "text")
-      .join(broadcast(docs.select(col("doc_id"), col("n_chars"))), Seq("doc_id"))
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
     val b = sh.withColumn("bucket",
       explode(array(floor(col("n_chars") / 16), floor(col("n_chars") / 16) + 1)))
       .select(col("doc_id"), col("bucket"), size(col("sh")).as("nsh"))

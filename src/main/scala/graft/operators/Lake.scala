@@ -426,7 +426,12 @@ object Lake {
     * the mean partition, and a small-files flag. The layout is written
     * with a fixed fan-in (repartition(4) before partitionBy), so the
     * expected file count is part of the op's contract and the oracle
-    * checks the physical listing against it. */
+    * checks the physical listing against it. Contract bound: a
+    * partition value yields 4 files when its rows touch all 4 hash
+    * partitions of o_orderkey — certain for the gate's scale factors
+    * (rarest status ~4% of rows; P[missing a partition] < 1e-7 at
+    * sf0.001 and vanishing above), degenerate only for single-digit
+    * partition counts. */
   val lakeHealth: GraftQuery = GraftQuery.sql(
     "lake_health",
     """WITH p AS (SELECT o_orderstatus, COUNT(*) AS n_rows FROM orders GROUP BY 1),

@@ -143,8 +143,11 @@ object Multimodal {
     * candidates (same bucket-equi-join + hamming<=1 probe blocking as
     * d_embed_neardup — never an all-pairs product; the oracle mirrors
     * the blocking). Swapping in a real encoder re-uses the whole
-    * downstream plan. Empty documents are filtered on both arms: a
-    * zero-length payload has no defined direction (0/0 cosine). */
+    * downstream plan. Zero-NORM embeddings are filtered on both arms
+    * (not just zero-LENGTH payloads: an all-non-ASCII document also
+    * yields the zero vector under this stub) — a direction-free
+    * vector would turn every cosine it touches into NaN, and Spark
+    * sorts NaN above every real double, flooding the top-k. */
   val mFeaturePairs: GraftQuery = GraftQuery.sql(
     "m_feature_pairs", {
       import graft.functions.Vectors
@@ -161,7 +164,7 @@ object Multimodal {
          |  FROM documents WHERE length(text) > 0),
          |n2 AS (SELECT doc_id, emb, ${Vectors.normSql("emb")} AS nrm,
          |         list_transform(emb, x -> x - 0.125) AS ce FROM h),
-         |bk AS (SELECT doc_id, emb, nrm, $bucketSql AS bucket FROM n2),
+         |bk AS (SELECT doc_id, emb, nrm, $bucketSql AS bucket FROM n2 WHERE nrm > 0),
          |pr AS (SELECT doc_id, emb, nrm, unnest($probeList) AS pb FROM bk)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  ${Vectors.dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS cosine
@@ -184,6 +187,7 @@ object Multimodal {
       .mapPartitions(_.map(embedStub))
       .toDF()
       .withColumn("nrm", Vectors.norm(col("emb")))
+      .filter(col("nrm") > 0)
       .withColumn("bucket", fpBucket(transform(col("emb"), x => x - lit(0.125))))
       .persist()
     val probes = feats.select(col("doc_id").as("doc_a"), col("emb").as("ea"), col("nrm").as("na"),

@@ -44,47 +44,76 @@ object CommitLog {
     * with paths relative to the table dir. */
   final case class Commit(version: Int, ts: Long, adds: Seq[String], removes: Seq[String])
 
-  /** All committed versions in order (driver-side metadata read). */
+  /** All committed versions in order (driver-side metadata read). A
+    * log file without the terminal `end` marker is a commit that died
+    * mid-write: its version number is burned but it carries NO
+    * actions — the unclosed-edit-log-segment rule, so a torn write
+    * can never surface as a half-applied commit. */
   def commits(fs: FileSystem, tableDir: String): Seq[Commit] = {
     val dir = logDir(tableDir)
     if (!fs.exists(dir)) return Seq.empty
     fs.listStatus(dir).toSeq
       .filter(_.getPath.getName.endsWith(".log"))
       .sortBy(_.getPath.getName)
-      .map { st =>
+      .flatMap { st =>
         val in = fs.open(st.getPath)
         val text =
           try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
           finally in.close()
         val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-        val ts = lines.collectFirst { case l if l.startsWith("ts ") => l.drop(3).toLong }
-          .getOrElse(0L)
-        Commit(
-          st.getPath.getName.stripSuffix(".log").toInt, ts,
-          lines.collect { case l if l.startsWith("add ") => l.drop(4) },
-          lines.collect { case l if l.startsWith("remove ") => l.drop(7) })
+        if (!lines.lastOption.contains("end")) None
+        else {
+          val ts = lines.collectFirst { case l if l.startsWith("ts ") => l.drop(3).toLong }
+            .getOrElse(0L)
+          Some(Commit(
+            st.getPath.getName.stripSuffix(".log").toInt, ts,
+            lines.collect { case l if l.startsWith("add ") => l.drop(4) },
+            lines.collect { case l if l.startsWith("remove ") => l.drop(7) }))
+        }
       }
   }
 
+  /** Highest version number present in the log dir, committed or
+    * burned — the next attempt must go past both. */
+  private def maxVersionOnDisk(fs: FileSystem, tableDir: String): Option[Int] = {
+    val dir = logDir(tableDir)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".log"))
+      .map(_.stripSuffix(".log").toInt).maxOption
+  }
+
   /** Attempt to commit exactly version `v` (create-exclusive). Returns
-    * false when another writer won the race for `v`. */
+    * false ONLY when another writer won the race for `v`; any other IO
+    * failure (permissions, disk full, torn write) propagates — it is
+    * an error, not a version conflict. */
   def tryCommit(fs: FileSystem, tableDir: String, v: Int, ts: Long,
                 adds: Seq[String], removes: Seq[String]): Boolean = {
     fs.mkdirs(logDir(tableDir))
-    val body = (s"ts $ts" +: (adds.map("add " + _) ++ removes.map("remove " + _)))
+    val f = logFile(tableDir, v)
+    val body = (s"ts $ts" +: (adds.map("add " + _) ++ removes.map("remove " + _)) :+ "end")
       .mkString("", "\n", "\n")
-    try {
-      val out = fs.create(logFile(tableDir, v), false)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
-      true
-    } catch { case _: java.io.IOException => false }
+    val out =
+      try fs.create(f, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+        case _: java.io.IOException if fs.exists(f) => return false // lost the race
+      }
+    try { out.write(body.getBytes("UTF-8")); out.close() }
+    catch { case e: java.io.IOException =>
+      // we own this version number; leave the terminator-less file as
+      // a burned version rather than a parseable half-commit
+      try out.close() catch { case _: java.io.IOException => () }
+      throw e
+    }
+    true
   }
 
   /** Commit at the next available version, retrying under contention.
     * Returns the version written. */
   def commit(fs: FileSystem, tableDir: String, ts: Long,
              adds: Seq[String], removes: Seq[String]): Int = {
-    var v = commits(fs, tableDir).lastOption.map(_.version + 1).getOrElse(0)
+    var v = maxVersionOnDisk(fs, tableDir).map(_ + 1).getOrElse(0)
     while (!tryCommit(fs, tableDir, v, ts, adds, removes)) v += 1
     v
   }
@@ -133,7 +162,10 @@ object CommitLog {
     if (!fs.exists(dataDir)) return Seq.empty
     fs.listStatus(dataDir).toSeq
       .map(st => s"data/${st.getPath.getName}")
-      .filterNot(referenced.contains)
+      // a top-level entry is an orphan only if NO referenced relpath
+      // lives at or under it — callers may commit nested relpaths
+      // (add "data/2024/jan" must protect "data/2024")
+      .filterNot(top => referenced.exists(r => r == top || r.startsWith(top + "/")))
       .map { orphan => fs.delete(new Path(tableDir, orphan), true); orphan }
   }
 }

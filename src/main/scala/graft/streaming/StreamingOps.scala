@@ -161,64 +161,104 @@ object StreamingOps {
   final case class LeaseHeldException(holder: String, until: Long)
     extends java.io.IOException(s"state lease held by $holder until $until")
 
-  private def leasePath(stateDir: String) =
-    new org.apache.hadoop.fs.Path(stateDir + ".lease")
+  // Epoch-numbered lease files: `<stateDir>.lease.e<N>`. The CURRENT
+  // lease is the highest epoch present; acquiring (first grant, own
+  // renewal, or takeover of an expired lease) always CREATES a new
+  // epoch file create-exclusively — never delete-then-recreate of a
+  // shared name, so the ABA race where two fencers both think they
+  // took over cannot happen: exactly one create of epoch N+1 wins.
+  // Superseded (lower-epoch) files are garbage-collected by the
+  // winner; deleting them is safe because a higher epoch already
+  // outranks them.
+
+  private def leaseEpochs(fs: org.apache.hadoop.fs.FileSystem,
+                          stateDir: String): Seq[(Int, org.apache.hadoop.fs.Path)] = {
+    val dir = new org.apache.hadoop.fs.Path(stateDir).getParent
+    val prefix = new org.apache.hadoop.fs.Path(stateDir).getName + ".lease.e"
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.startsWith(prefix))
+      .flatMap(st => st.getPath.getName.stripPrefix(prefix).toIntOption.map(_ -> st.getPath))
+      .sortBy(_._1)
+  }
 
   private def readLease(fs: org.apache.hadoop.fs.FileSystem,
                         p: org.apache.hadoop.fs.Path): Option[(String, Long)] =
-    if (!fs.exists(p)) None
-    else
-      try {
-        val in = fs.open(p)
-        val text =
-          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-          finally in.close()
-        text.split(' ') match {
-          case Array(h, exp) => Some((h, exp.toLong))
-          case _ => None
-        }
-      } catch { case _: java.io.IOException => None } // raced with a delete
+    try {
+      val in = fs.open(p)
+      val text =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+      text.split(' ') match {
+        case Array(h, exp) => Some((h, exp.toLong))
+        case _ => None
+      }
+    } catch { case _: java.io.IOException => None } // raced with a GC delete
 
   /** Acquire the exclusive writer lease on a state dir (the
     * reference's LeaseManager.java:63 single-writer contract,
-    * optimistic flavor): create-exclusive lease file holding
-    * (holder, expiry). A live lease by another holder throws
+    * optimistic flavor). A live lease by another holder throws
     * LeaseHeldException — the two-writer interleaving that would
     * destroy the rename swap never starts. An EXPIRED lease is fenced
-    * and taken over, so a crashed writer cannot wedge the pipeline
-    * (lease recovery). Re-acquiring one's own lease renews it. */
+    * and taken over via a create-exclusive higher epoch, so a crashed
+    * writer cannot wedge the pipeline. Re-acquiring one's own lease
+    * renews it (higher epoch, same holder). */
   private[graft] def acquireLease(fs: org.apache.hadoop.fs.FileSystem, stateDir: String,
-                                  holder: String, ttlMs: Long = 60000L): Unit = {
-    val p = leasePath(stateDir)
-    def tryCreate(): Boolean =
-      try {
-        val out = fs.create(p, false)
-        try out.write(s"$holder ${System.currentTimeMillis() + ttlMs}".getBytes("UTF-8"))
-        finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+                                  holder: String, ttlMs: Long = 600000L): Unit = {
     var attempts = 0
-    while (!tryCreate()) {
+    while (true) {
       attempts += 1
-      if (attempts > 5) throw new java.io.IOException(s"lease churn on $p")
-      readLease(fs, p) match {
+      if (attempts > 5) throw new java.io.IOException(s"lease churn on $stateDir")
+      val epochs = leaseEpochs(fs, stateDir)
+      val current = epochs.lastOption
+      current.flatMap { case (_, p) => readLease(fs, p) } match {
         case Some((h, exp)) if h != holder && exp >= System.currentTimeMillis() =>
           throw LeaseHeldException(h, exp)
-        case _ => fs.delete(p, false); () // own (renew) or expired (fence takeover)
+        case _ => // no lease, own lease (renew), or expired (fence)
+          val next = current.map(_._1 + 1).getOrElse(0)
+          val p = new org.apache.hadoop.fs.Path(stateDir + s".lease.e$next")
+          val won =
+            try {
+              val out = fs.create(p, false)
+              try out.write(s"$holder ${System.currentTimeMillis() + ttlMs}".getBytes("UTF-8"))
+              finally out.close()
+              true
+            } catch { case _: java.io.IOException => false } // raced: re-evaluate
+          if (won) {
+            epochs.foreach { case (_, old) => fs.delete(old, false) }
+            return
+          }
       }
     }
   }
 
-  /** Release the lease iff still held by `holder` (a fenced-out writer
-    * must not delete its successor's lease). */
+  /** Release the lease iff the current epoch is held by `holder` (a
+    * fenced-out writer must not delete its successor's lease — its
+    * own superseded epoch file is already outranked, so deleting it
+    * releases nothing it doesn't own). */
   private[graft] def releaseLease(fs: org.apache.hadoop.fs.FileSystem, stateDir: String,
-                                  holder: String): Unit = {
-    val p = leasePath(stateDir)
-    readLease(fs, p) match {
-      case Some((h, _)) if h == holder => fs.delete(p, false); ()
-      case _ => ()
+                                  holder: String): Unit =
+    leaseEpochs(fs, stateDir).lastOption.foreach { case (_, p) =>
+      readLease(fs, p) match {
+        case Some((h, _)) if h == holder => fs.delete(p, false); ()
+        case _ => ()
+      }
     }
-  }
+
+  /** Assert `holder` still holds the current, unexpired lease — called
+    * immediately before the rename swap so a writer that overran its
+    * TTL (and may have been fenced) aborts instead of interleaving.
+    * Plain-filesystem locking cannot close the final window (the
+    * check and the renames are not one atomic unit — the reference
+    * closes it by checking leases inside the NameNode on every
+    * mutation); this bounds the exposure to milliseconds. */
+  private[graft] def verifyLease(fs: org.apache.hadoop.fs.FileSystem, stateDir: String,
+                                 holder: String): Unit =
+    leaseEpochs(fs, stateDir).lastOption.flatMap { case (_, p) => readLease(fs, p) } match {
+      case Some((h, exp)) if h == holder && exp >= System.currentTimeMillis() => ()
+      case Some((h, exp)) => throw LeaseHeldException(h, exp)
+      case None => throw LeaseHeldException("<none>", 0L)
+    }
 
   /** Versioned swap, every rename checked: write the new version to
     * .tmp (materializing the read of the current state first), retire
@@ -250,9 +290,11 @@ object StreamingOps {
     * Returns the started query. */
   def cdcUpsert(events: DataFrame, stateDir: String,
                 checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    // One lease identity per started query: concurrent cdcUpsert jobs
-    // on the same stateDir serialize on the lease (the loser's batch
-    // fails with LeaseHeldException and the engine retries it).
+    // One lease identity per started query. A concurrent cdcUpsert on
+    // the same stateDir FAILS FAST with LeaseHeldException (the batch
+    // error terminates that query) instead of interleaving renames and
+    // corrupting state — an orchestrator restarts the loser once the
+    // holder releases or its TTL expires.
     val holder = "cdc-" + java.util.UUID.randomUUID()
     events
       .filter(col("event_type") === "purchase")
@@ -271,6 +313,9 @@ object StreamingOps {
           val merged =
             if (fs.exists(dirP)) keepLatest(spark.read.parquet(stateDir).unionByName(fresh))
             else fresh
+          // the merge above may outlive the TTL: re-assert ownership at
+          // the last moment before the swap
+          verifyLease(fs, stateDir, holder)
           commitState(fs, merged, stateDir)
         } finally releaseLease(fs, stateDir, holder)
         ()

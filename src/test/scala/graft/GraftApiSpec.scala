@@ -87,7 +87,11 @@ class GraftApiSpec extends SparkSpec {
 
   test("dupClusters converges in O(log n) rounds on a 10k-node adversarial chain") {
     // a single chain 0-1-2-...-9999 is the worst case for plain label
-    // propagation (O(n) rounds); pointer jumping must crush it
+    // propagation (O(n) rounds); pointer jumping must crush it.
+    // Clear the pipeline memo first: lastClusterRounds is only written
+    // by an EXECUTED run, and a memo hit would hand back labels from
+    // an earlier computation without touching the diagnostic.
+    Graft.dedup.clearPipelineCache()
     val chain = spark.range(9999)
       .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
     val labels = Graft.dedup.dupClusters(chain, maxIter = 30)

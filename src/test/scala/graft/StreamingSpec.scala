@@ -308,7 +308,11 @@ class StreamingSpec extends SparkSpec {
     import graft.streaming.StreamingOps.LeaseHeldException
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val stateDir = graft.operators.Lake.scratch("lease_state")
-    fs.delete(new org.apache.hadoop.fs.Path(stateDir + ".lease"), false)
+    // drop any lease epoch files left by earlier runs
+    val parent = new org.apache.hadoop.fs.Path(stateDir).getParent
+    if (fs.exists(parent))
+      fs.listStatus(parent).filter(_.getPath.getName.startsWith("lease_state.lease.e"))
+        .foreach(st => fs.delete(st.getPath, false))
     // writer A holds the lease; writer B must be refused while it lives
     StreamingOps.acquireLease(fs, stateDir, "writer-A", ttlMs = 600000L)
     val refused = intercept[LeaseHeldException] {
