@@ -32,11 +32,13 @@ object Shingles {
           get(toks, i - 1), get(toks, i), get(toks, i + 1)))))
   }
 
-  /** DuckDB CTE fragment: documents -> (doc_id extras..., sh) with sh
-    * = the same distinct shingle-hash list. */
-  def shingleCteSql(extraCols: String = ""): String = {
+  /** DuckDB CTE fragment: `source` relation -> (doc_id extras..., sh)
+    * with sh = the same distinct shingle-hash list. `source` defaults
+    * to the documents table but may name an upstream CTE (e.g. a
+    * quality-filtered corpus). */
+  def shingleCteSql(extraCols: String = "", source: String = "documents"): String = {
     val shingleExpr = GraftHash.charHashSql("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")
-    s"""toks AS (SELECT doc_id$extraCols, string_split(text, ' ') AS toks FROM documents),
+    s"""toks AS (SELECT doc_id$extraCols, string_split(text, ' ') AS toks FROM $source),
        |sh AS (SELECT doc_id$extraCols,
        |  list_distinct(list_transform(generate_series(1, len(toks) - 2), i -> $shingleExpr)) AS sh
        |  FROM toks)""".stripMargin

@@ -87,9 +87,10 @@ object Dedup {
 
   /** Shared oracle fragment: CTE list ending in
     * pairs(doc_a, doc_b, jaccard) — the MinHash+LSH candidate pairs
-    * verified at exact Jaccard >= 0.8. Reused by the pair query and
-    * the clustering query so both oracles see identical edges. */
-  private def minhashPairsCtes: String = {
+    * verified at exact Jaccard >= 0.8, over `source` (the documents
+    * table or an upstream CTE). Reused by the pair, clustering,
+    * filter and curation oracles so all see identical edges. */
+  private[operators] def minhashPairsCtes(source: String = "documents"): String = {
     val comps = perms.zipWithIndex.map { case ((a, b), j) =>
       s"  ${GraftHash.minhashComponentSql("sh", a, b)} AS c$j"
     }.mkString(",\n")
@@ -99,7 +100,7 @@ object Dedup {
     }.mkString(",\n")
     val bandUnion = (0 until Bands).map(k =>
       s"SELECT doc_id, $k AS band_idx, bk$k AS band_key FROM bands").mkString("\nUNION ALL\n")
-    s"""${Shingles.shingleCteSql()},
+    s"""${Shingles.shingleCteSql(source = source)},
        |sig AS (SELECT doc_id, sh,
        |$comps
        |FROM sh),
@@ -122,7 +123,7 @@ object Dedup {
     * pair LSH recalls (P[recall | j=0.98] ~ 1 - (1-0.98^4)^8 ~ 1). */
   val dMinhashLsh: GraftQuery = GraftQuery.sql(
     "d_minhash_lsh",
-    s"""WITH $minhashPairsCtes
+    s"""WITH ${minhashPairsCtes()}
        |SELECT doc_a, doc_b, jaccard FROM pairs
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, d) =>
@@ -211,7 +212,7 @@ object Dedup {
     * dedup pipeline. */
   val dDupClusters: GraftQuery = GraftQuery.sql(
     "d_dup_clusters",
-    s"""WITH RECURSIVE $minhashPairsCtes,
+    s"""WITH RECURSIVE ${minhashPairsCtes()},
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |          UNION ALL
        |          SELECT doc_b AS src, doc_a AS dst FROM pairs),
@@ -237,7 +238,7 @@ object Dedup {
     * filter through the recursive-CTE closure. */
   val dDedupFilter: GraftQuery = GraftQuery.sql(
     "d_dedup_filter",
-    s"""WITH RECURSIVE $minhashPairsCtes,
+    s"""WITH RECURSIVE ${minhashPairsCtes()},
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |          UNION ALL
        |          SELECT doc_b AS src, doc_a AS dst FROM pairs),
@@ -275,7 +276,7 @@ object Dedup {
     * cost: the banded candidate pipeline is shared with minhashPairs. */
   val dContainment: GraftQuery = GraftQuery.sql(
     "d_containment",
-    s"""WITH $minhashPairsCtes
+    s"""WITH ${minhashPairsCtes()}
        |SELECT c.doc_a, c.doc_b,
        |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(x.sh) AS contain_a,
        |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(y.sh) AS contain_b
@@ -287,7 +288,83 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** End-to-end corpus CURATION pipeline — the training-data funnel a
+    * pre-training corpus goes through, composed from the engine's own
+    * primitives in ONE declarative plan: quality filter (length/punct/
+    * stopword score) -> MinHash near-dup dedup on the surviving set ->
+    * deterministic stratified sample -> per-source funnel accounting
+    * (raw / quality / deduped / final). Every stage is the scale shape
+    * used by its standalone entry (codegen'd scoring, banded LSH
+    * candidates, label-propagation components, modulo sampling); the
+    * oracle recomputes the whole funnel including the recursive-CTE
+    * closure over the FILTERED corpus. */
+  val dCorpusCurate: GraftQuery = GraftQuery.sql(
+    "d_corpus_curate", {
+      val stop = TextAnalysis.StopWords.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""WITH RECURSIVE qf AS (
+         |  SELECT doc_id, source, text,
+         |    0.5 * LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 80.0)
+         |      + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+         |                       / CAST(length(text) AS DOUBLE))
+         |      + 0.2 * LEAST(1.0, 4.0 * CAST(len(list_filter(string_split(text, ' '), t -> t IN $stop)) AS DOUBLE)
+         |                       / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS score
+         |  FROM documents),
+         |q AS (SELECT doc_id, source, text FROM qf WHERE score >= 0.55),
+         |${minhashPairsCtes("q")},
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL
+         |          SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |reach AS (SELECT src AS node, src AS lbl FROM edges
+         |          UNION
+         |          SELECT e.dst AS node, r.lbl AS lbl
+         |          FROM reach r JOIN edges e ON r.node = e.src),
+         |comp AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node),
+         |dropped AS (SELECT node FROM comp WHERE node <> cluster),
+         |dd AS (SELECT q.doc_id, q.source FROM q
+         |       LEFT JOIN dropped dr ON q.doc_id = dr.node WHERE dr.node IS NULL),
+         |fin AS (SELECT * FROM dd WHERE doc_id % 10 < 8),
+         |raw AS (SELECT source, COUNT(*) AS n_raw FROM documents GROUP BY source),
+         |nq AS (SELECT source, COUNT(*) AS n_q FROM q GROUP BY source),
+         |nd AS (SELECT source, COUNT(*) AS n_d FROM dd GROUP BY source),
+         |nf AS (SELECT source, COUNT(*) AS n_f FROM fin GROUP BY source)
+         |SELECT r.source, r.n_raw,
+         |  CAST(COALESCE(nq.n_q, 0) AS BIGINT) AS n_quality,
+         |  CAST(COALESCE(nd.n_d, 0) AS BIGINT) AS n_dedup,
+         |  CAST(COALESCE(nf.n_f, 0) AS BIGINT) AS n_final
+         |FROM raw r
+         |LEFT JOIN nq ON r.source = nq.source
+         |LEFT JOIN nd ON r.source = nd.source
+         |LEFT JOIN nf ON r.source = nf.source
+         |ORDER BY r.source""".stripMargin
+    }
+  ) { (s, d) =>
+    import graft.api.Graft
+    val docs = Tables.documents(s, d)
+    val q = docs
+      .select(col("doc_id"), col("source"), col("text"),
+        split(col("text"), " ", -1).as("t"))
+      .withColumn("score", Graft.text.qualityScore(col("text"), col("t")))
+      .filter(col("score") >= 0.55)
+      .select(col("doc_id"), col("source"), col("text"))
+    val dd = Graft.dedup.dedupCorpus(q, "doc_id", "text",
+        threshold = 0.8, k = K, bands = Bands)
+      .select(col("doc_id"), col("source"))
+    val fin = dd.filter(col("doc_id") % 10 < 8)
+    def per(df: DataFrame, as: String): DataFrame =
+      df.groupBy(col("source")).agg(count(lit(1)).as(as))
+        .select(col("source").as(s"${as}_src"), col(as))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+      .join(per(q, "nq"), col("source") === col("nq_src"), "left")
+      .join(per(dd, "nd"), col("source") === col("nd_src"), "left")
+      .join(per(fin, "nf"), col("source") === col("nf_src"), "left")
+      .select(col("source"), col("n_raw"),
+        coalesce(col("nq"), lit(0L)).as("n_quality"),
+        coalesce(col("nd"), lit(0L)).as("n_dedup"),
+        coalesce(col("nf"), lit(0L)).as("n_final"))
+      .orderBy(col("source"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     dExactDup, dNgramJaccard, dMinhashLsh, dSimhash, dCorpusSimilarity,
-    dDupClusters, dDedupFilter, dContainment)
+    dDupClusters, dDedupFilter, dContainment, dCorpusCurate)
 }
