@@ -109,11 +109,17 @@ object Graft {
       * entry points all read the same persisted frame. */
     private def candidateSets(df: DataFrame, idCol: String, textCol: String,
                               k: Int, bands: Int): DataFrame =
-      memoized(planKey(df, "cand", idCol, textCol, k, bands), {
+      candidateSetsFromShingles(shingleSets(df, idCol, textCol), k, bands)
+
+    /** Candidate pairs over a PRE-SHINGLED (doc_id, sh) frame —
+      * bring-your-own-shingles entry so a derived corpus (quality
+      * filter, language slice) reuses the one materialized text pass
+      * instead of re-shingling its subset. */
+    private[graft] def candidateSetsFromShingles(sh: DataFrame, k: Int, bands: Int): DataFrame =
+      memoized(planKey(sh, "cand", k, bands), {
         import org.apache.spark.sql.graft.Shims
         val r = k / bands
         val perms = GraftHash.perms(k)
-        val sh = shingleSets(df, idCol, textCol)
         val sig = sh.select(col("doc_id"), col("sh"),
           Shims.column(graft.plans.MinHashSignatureExpr(
             Shims.expression(col("sh")), perms)).as("sig"))
@@ -136,7 +142,15 @@ object Graft {
       * verification. */
     def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.8, k: Int = 32, bands: Int = 8): DataFrame =
-      candidateSets(df, idCol, textCol, k, bands)
+      verifiedPairs(candidateSets(df, idCol, textCol, k, bands), threshold)
+
+    /** minhashPairs over a pre-shingled sorted (doc_id, sh) frame. */
+    def minhashPairsFromShingles(sh: DataFrame, threshold: Double = 0.8,
+                                 k: Int = 32, bands: Int = 8): DataFrame =
+      verifiedPairs(candidateSetsFromShingles(sh, k, bands), threshold)
+
+    private def verifiedPairs(cand: DataFrame, threshold: Double): DataFrame =
+      cand
         .withColumn("jaccard", Shingles.jaccardSorted(col("sh_a"), col("sh_b")))
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))

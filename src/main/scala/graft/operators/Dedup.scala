@@ -345,10 +345,16 @@ object Dedup {
         split(col("text"), " ", -1).as("t"))
       .withColumn("score", Graft.text.qualityScore(col("text"), col("t")))
       .filter(col("score") >= 0.55)
-      .select(col("doc_id"), col("source"), col("text"))
-    val dd = Graft.dedup.dedupCorpus(q, "doc_id", "text",
-        threshold = 0.8, k = K, bands = Bands)
       .select(col("doc_id"), col("source"))
+    // Shingling is filter-independent, so the dedup stage derives from
+    // the family's ONE materialized shingle frame (semi-join on the
+    // quality survivors) instead of re-shingling the filtered text.
+    val shq = Graft.dedup.shingleSets(docs, "doc_id", "text")
+      .join(q.select(col("doc_id").as("q_id")), col("doc_id") === col("q_id"), "left_semi")
+    val pairs = Graft.dedup.minhashPairsFromShingles(shq, threshold = 0.8, k = K, bands = Bands)
+    val labels = Graft.dedup.dupClusters(pairs)
+    val drop = labels.filter(col("node") =!= col("lbl")).select(col("node"))
+    val dd = q.join(drop, col("doc_id") === col("node"), "left_anti")
     val fin = dd.filter(col("doc_id") % 10 < 8)
     def per(df: DataFrame, as: String): DataFrame =
       df.groupBy(col("source")).agg(count(lit(1)).as(as))
