@@ -151,6 +151,24 @@ object CommitLog {
     spark.read.parquet(paths.map(p => s"$tableDir/$p"): _*)
   }
 
+  /** FSImage-style checkpoint: materialize the CURRENT active set
+    * into one compacted image dir, then commit (add image, remove
+    * every active file) — the image+journal pairing of the reference
+    * (FSImage.java checkpoint absorbs the edit log; later reads of
+    * the head replay just the image commit forward). Older versions
+    * keep reading their original files, which stay on disk until a
+    * retention pass drops their versions. Returns the image version. */
+  def checkpoint(spark: SparkSession, tableDir: String, ts: Long): Int = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val active = activeSet(commits(fs, tableDir))
+    require(active.nonEmpty, s"nothing to checkpoint in $tableDir")
+    val next = maxVersionOnDisk(fs, tableDir).map(_ + 1).getOrElse(0)
+    val image = s"data/ckpt-$next"
+    spark.read.parquet(active.map(p => s"$tableDir/$p"): _*)
+      .write.mode("overwrite").parquet(s"$tableDir/$image")
+    commit(fs, tableDir, ts, adds = Seq(image), removes = active)
+  }
+
   /** Delete data directories never referenced by any commit (staging
     * leftovers from crashed writers). Paths referenced by ANY version
     * are kept — old versions stay readable; a retention-bounded

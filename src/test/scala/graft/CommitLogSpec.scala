@@ -49,6 +49,29 @@ class CommitLogSpec extends SparkSpec {
     assert(cs(1).adds == Seq("data/a") && cs(2).adds == Seq("data/b"))
   }
 
+  test("checkpoint compacts the journal; head and history both stay readable") {
+    val dir = freshTable("checkpoint")
+    val r = Tables.region(spark, sfDir)
+    CommitLog.writeCommit(spark, dir, r.filter(col("r_regionkey") < 2), "data/a", ts = 100L)
+    CommitLog.writeCommit(spark, dir, r.filter(col("r_regionkey") >= 2), "data/b", ts = 200L)
+    CommitLog.commit(fs, dir, ts = 300L, adds = Nil, removes = Seq("data/a"))
+    val headBefore = CommitLog.snapshot(spark, dir)
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val v = CommitLog.checkpoint(spark, dir, ts = 400L)
+    // head content identical through the image
+    assert(CommitLog.snapshot(spark, dir)
+      .collect().map(_.getInt(0)).sorted.toSeq == headBefore)
+    // the image commit replaced the active files with one dir
+    val cs = CommitLog.commits(fs, dir)
+    assert(cs.last.version == v && cs.last.adds == Seq(s"data/ckpt-$v"))
+    // pre-checkpoint versions still read their original files
+    assert(CommitLog.snapshot(spark, dir, version = 1).count() == r.count())
+    // appends continue on top of the image
+    CommitLog.writeCommit(spark, dir, r.filter(col("r_regionkey") < 1), "data/c", ts = 500L)
+    assert(CommitLog.snapshot(spark, dir).count() ==
+      headBefore.size + r.filter(col("r_regionkey") < 1).count())
+  }
+
   test("vacuum removes only never-referenced staging dirs") {
     val dir = freshTable("vacuum")
     val r = Tables.region(spark, sfDir)

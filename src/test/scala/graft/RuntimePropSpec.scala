@@ -106,4 +106,34 @@ class RuntimePropSpec extends AnyFunSuite {
       assert(got == ref)
     }
   }
+
+  test("coalesceSpans: incremental micro-batched merge equals one-shot batch sessionization") {
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.{GapMicros, SessionSpan}
+    // batch truth: sort all event times, split where the gap exceeds GapMicros
+    def batchSessions(ts: Seq[Long]): Seq[SessionSpan] =
+      ts.sorted.foldLeft(List.empty[SessionSpan]) {
+        case (head :: tail, t) if t <= head.last + GapMicros =>
+          SessionSpan(head.start, math.max(head.last, t), head.n + 1) :: tail
+        case (acc, t) => SessionSpan(t, t, 1) :: acc
+      }.reverse
+    (1 to Trials).foreach { _ =>
+      val n = 1 + rnd.nextInt(40)
+      // cluster times so some land within the gap and some beyond it
+      val ts = Seq.fill(n)(rnd.nextLong(GapMicros * 8))
+      // replay in arbitrary arrival order, split into arbitrary batches,
+      // coalescing incrementally exactly as the sessionizer state does
+      val shuffled = rnd.shuffle(ts)
+      var state = Seq.empty[SessionSpan]
+      var i = 0
+      while (i < shuffled.length) {
+        val take = 1 + rnd.nextInt(shuffled.length - i)
+        val batch = shuffled.slice(i, i + take).map(t => SessionSpan(t, t, 1))
+        state = StreamingOps.coalesceSpans(state ++ batch)
+        i += take
+      }
+      assert(state == batchSessions(ts),
+        s"incremental=$state batch=${batchSessions(ts)} ts=$ts")
+    }
+  }
 }
