@@ -20,7 +20,8 @@ object Explain {
     // round-3 flagships: ex-all-pairs LSH blocking, broadcast scalar
     // subquery, commit-log time travel, health/mirror lake ops
     "d_embed_neardup", "m_feature_pairs", "q_scalar_subquery",
-    "lake_time_travel", "lake_health", "lake_mirror", "lake_acl_audit")
+    "lake_time_travel", "lake_health", "lake_mirror", "lake_acl_audit",
+    "d_corpus_curate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
