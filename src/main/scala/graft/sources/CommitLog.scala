@@ -41,8 +41,11 @@ object CommitLog {
     new Path(logDir(tableDir), f"$v%09d.log")
 
   /** One committed version: (version, commit ts millis, adds, removes)
-    * with paths relative to the table dir. */
-  final case class Commit(version: Int, ts: Long, adds: Seq[String], removes: Seq[String])
+    * with paths relative to the table dir; `isCheckpoint` marks an
+    * image commit (its adds are a self-contained snapshot, so replay
+    * may start at it). */
+  final case class Commit(version: Int, ts: Long, adds: Seq[String], removes: Seq[String],
+                          isCheckpoint: Boolean = false)
 
   /** All committed versions in order (driver-side metadata read). A
     * log file without the terminal `end` marker is a commit that died
@@ -68,7 +71,8 @@ object CommitLog {
           Some(Commit(
             st.getPath.getName.stripSuffix(".log").toInt, ts,
             lines.collect { case l if l.startsWith("add ") => l.drop(4) },
-            lines.collect { case l if l.startsWith("remove ") => l.drop(7) }))
+            lines.collect { case l if l.startsWith("remove ") => l.drop(7) },
+            isCheckpoint = lines.contains("ckpt")))
         }
       }
   }
@@ -88,10 +92,15 @@ object CommitLog {
     * failure (permissions, disk full, torn write) propagates — it is
     * an error, not a version conflict. */
   def tryCommit(fs: FileSystem, tableDir: String, v: Int, ts: Long,
-                adds: Seq[String], removes: Seq[String]): Boolean = {
+                adds: Seq[String], removes: Seq[String],
+                checkpointMarker: Boolean = false): Boolean = {
+    if (isFrozen(fs, tableDir))
+      throw new java.io.IOException(
+        s"$tableDir is frozen (safe mode): mutations refused, reads unaffected")
     fs.mkdirs(logDir(tableDir))
     val f = logFile(tableDir, v)
-    val body = (s"ts $ts" +: (adds.map("add " + _) ++ removes.map("remove " + _)) :+ "end")
+    val marker = if (checkpointMarker) Seq("ckpt") else Seq.empty
+    val body = (s"ts $ts" +: marker ++: (adds.map("add " + _) ++ removes.map("remove " + _)) :+ "end")
       .mkString("", "\n", "\n")
     val out =
       try fs.create(f, false)
@@ -112,11 +121,29 @@ object CommitLog {
   /** Commit at the next available version, retrying under contention.
     * Returns the version written. */
   def commit(fs: FileSystem, tableDir: String, ts: Long,
-             adds: Seq[String], removes: Seq[String]): Int = {
+             adds: Seq[String], removes: Seq[String],
+             checkpointMarker: Boolean = false): Int = {
     var v = maxVersionOnDisk(fs, tableDir).map(_ + 1).getOrElse(0)
-    while (!tryCommit(fs, tableDir, v, ts, adds, removes)) v += 1
+    while (!tryCommit(fs, tableDir, v, ts, adds, removes, checkpointMarker)) v += 1
     v
   }
+
+  private def frozenMarker(tableDir: String) = new Path(tableDir, "_frozen")
+
+  /** Safe mode for a versioned table (the reference's
+    * ClientProtocol.setSafeMode analogue): while frozen, every commit
+    * attempt is refused; reads replay normally. */
+  def freeze(fs: FileSystem, tableDir: String): Unit = {
+    val out = fs.create(frozenMarker(tableDir), true)
+    try out.write("frozen\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  def unfreeze(fs: FileSystem, tableDir: String): Unit = {
+    fs.delete(frozenMarker(tableDir), false); ()
+  }
+
+  def isFrozen(fs: FileSystem, tableDir: String): Boolean =
+    fs.exists(frozenMarker(tableDir))
 
   /** Write `df` under `tableDir/<relPath>` and commit the addition. */
   def writeCommit(spark: SparkSession, tableDir: String, df: DataFrame,
@@ -166,7 +193,29 @@ object CommitLog {
     val image = s"data/ckpt-$next"
     spark.read.parquet(active.map(p => s"$tableDir/$p"): _*)
       .write.mode("overwrite").parquet(s"$tableDir/$image")
-    commit(fs, tableDir, ts, adds = Seq(image), removes = active)
+    commit(fs, tableDir, ts, adds = Seq(image), removes = active, checkpointMarker = true)
+  }
+
+  /** Retention: make history before `v` unreadable and reclaimable.
+    * Replay must still reconstruct every retained version from the
+    * truncated log, so the cut lands on the latest CHECKPOINT commit
+    * at or before `v` (an image commit is a self-contained replay
+    * start — the FSImage rule: an image plus the edits after it is
+    * the full state). Log files before the cut are deleted and their
+    * now-unreferenced data dirs are vacuumed. Returns the dropped
+    * version numbers. */
+  def dropHistoryBefore(fs: FileSystem, tableDir: String, v: Int): Seq[Int] = {
+    val cs = commits(fs, tableDir)
+    val cut = cs.filter(c => c.isCheckpoint && c.version <= v).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no checkpoint at or before version $v in $tableDir — checkpoint() first"))
+    // delete every log file below the cut, committed or burned
+    val dropped = fs.listStatus(logDir(tableDir)).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".log"))
+      .map(_.stripSuffix(".log").toInt).filter(_ < cut.version).sorted
+    dropped.foreach(d => fs.delete(logFile(tableDir, d), false))
+    vacuumOrphans(fs, tableDir)
+    dropped
   }
 
   /** Delete data directories never referenced by any commit (staging

@@ -72,6 +72,44 @@ class CommitLogSpec extends SparkSpec {
       headBefore.size + r.filter(col("r_regionkey") < 1).count())
   }
 
+  test("retention truncates history at a checkpoint; head replays from the image") {
+    val dir = freshTable("retention")
+    val r = Tables.region(spark, sfDir)
+    CommitLog.writeCommit(spark, dir, r.filter(col("r_regionkey") < 2), "data/a", ts = 100L)
+    CommitLog.writeCommit(spark, dir, r.filter(col("r_regionkey") >= 2), "data/b", ts = 200L)
+    CommitLog.commit(fs, dir, ts = 300L, adds = Nil, removes = Seq("data/a"))
+    // retention without a checkpoint must refuse (nothing to replay from)
+    intercept[IllegalArgumentException] { CommitLog.dropHistoryBefore(fs, dir, 2) }
+    val ck = CommitLog.checkpoint(spark, dir, ts = 400L)
+    CommitLog.writeCommit(spark, dir, r.filter(col("r_regionkey") < 1), "data/c", ts = 500L)
+    val headBefore = CommitLog.snapshot(spark, dir).count()
+    val dropped = CommitLog.dropHistoryBefore(fs, dir, ck)
+    assert(dropped == Seq(0, 1, 2))
+    // head still replays (image + later edits); pre-cut data reclaimed
+    assert(CommitLog.snapshot(spark, dir).count() == headBefore)
+    assert(CommitLog.snapshot(spark, dir, version = ck).count() ==
+      r.filter(col("r_regionkey") >= 2).count())
+    assert(!fs.exists(new Path(dir, "data/a")) && !fs.exists(new Path(dir, "data/b")))
+    // truncated versions are gone
+    intercept[IllegalArgumentException] {
+      CommitLog.snapshot(spark, dir, version = 1).count()
+    }
+  }
+
+  test("freeze refuses commits (safe mode) while reads keep replaying") {
+    val dir = freshTable("freeze")
+    val r = Tables.region(spark, sfDir)
+    CommitLog.writeCommit(spark, dir, r, "data/base", ts = 100L)
+    CommitLog.freeze(fs, dir)
+    intercept[java.io.IOException] {
+      CommitLog.commit(fs, dir, 200L, Seq("data/x"), Nil)
+    }
+    assert(CommitLog.snapshot(spark, dir).count() == r.count()) // reads fine
+    CommitLog.unfreeze(fs, dir)
+    CommitLog.writeCommit(spark, dir, r, "data/more", ts = 300L)
+    assert(CommitLog.snapshot(spark, dir).count() == 2 * r.count())
+  }
+
   test("vacuum removes only never-referenced staging dirs") {
     val dir = freshTable("vacuum")
     val r = Tables.region(spark, sfDir)
