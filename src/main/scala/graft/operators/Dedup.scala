@@ -370,7 +370,34 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Batch truth for the STREAMING near-dup dedup graph
+    * (streaming/StreamingOps.streamNearDup; convergence asserted by
+    * StreamingSpec): a doc is a dup if it near-duplicates any EARLIER
+    * doc (arrival order = doc_id) — with pairs oriented doc_a < doc_b,
+    * exactly the distinct doc_b set. Per-source kept/dup accounting. */
+  val stStreamNearDup: GraftQuery = GraftQuery.sql(
+    "st_stream_neardup",
+    s"""WITH ${minhashPairsCtes()},
+       |dups AS (SELECT DISTINCT doc_b AS dup_id FROM pairs)
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN dp.dup_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dups,
+       |  CAST(SUM(CASE WHEN dp.dup_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM documents d LEFT JOIN dups dp ON d.doc_id = dp.dup_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val dups = graft.api.Graft.dedup.minhashPairs(docs, "doc_id", "text",
+        threshold = 0.8, k = K, bands = Bands)
+      .select(col("doc_b")).distinct()
+    docs.join(dups, col("doc_id") === col("doc_b"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_b").isNull, 0L).otherwise(1L)).as("n_dups"),
+        sum(when(col("doc_b").isNull, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     dExactDup, dNgramJaccard, dMinhashLsh, dSimhash, dCorpusSimilarity,
-    dDupClusters, dDedupFilter, dContainment, dCorpusCurate)
+    dDupClusters, dDedupFilter, dContainment, dCorpusCurate, stStreamNearDup)
 }

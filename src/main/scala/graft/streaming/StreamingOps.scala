@@ -323,6 +323,75 @@ object StreamingOps {
       .start()
   }
 
+  /** One doc flowing through the streaming near-dup pipeline. */
+  case class DocEv(doc_id: Long, text: String)
+  /** A doc's row in one LSH band bucket. */
+  case class BandRow(band_idx: Int, band_key: Long, doc_id: Long, sh: Array[Long])
+  /** Per-bucket dedup state: every (doc_id, shingles) seen. */
+  case class BucketState(docs: Seq[(Long, Array[Long])])
+  /** Emitted flag: `doc_id` is a near-dup of the earlier `dup_of`. */
+  case class NearDup(doc_id: Long, dup_of: Long)
+
+  /** STREAMING near-dup dedup: as documents arrive, each is flagged if
+    * it is a verified near-duplicate (exact Jaccard >= threshold) of
+    * ANY earlier document — the streaming form of the batch MinHash
+    * pipeline, converging to `pairs.doc_b` of the batch truth
+    * (StreamingSpec replays the corpus and asserts set equality).
+    *
+    * Shape: the stateless prefix computes shingles, the MinHash
+    * signature and the banded keys with the same codegen'd
+    * expressions the batch path uses; state lives PER BAND BUCKET
+    * (groupByKey on (band_idx, band_key)), so a new doc is verified
+    * only against earlier docs sharing a band — the banded-LSH
+    * candidate discipline, never stream-vs-all. A pair sharing
+    * several bands is flagged once per shared band; consumers take
+    * the distinct doc_id (or min dup_of).
+    *
+    * State is O(docs per bucket) and never evicted here (NoTimeout):
+    * dedup-against-all-history is the semantic. A production deploy
+    * bounds it the way the batch pipeline shards at 100 TB — TTL'd
+    * state (ProcessingTimeTimeout) for dedup-within-horizon, or a
+    * compacted external signature store for unbounded horizons. */
+  def streamNearDup(docs: DataFrame, threshold: Double = 0.8,
+                    k: Int = 32, bands: Int = 8): Dataset[NearDup] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.graft.Shims
+    import graft.functions.{GraftHash, Shingles}
+    val r = k / bands
+    val perms = GraftHash.perms(k)
+    val sig = docs
+      .select(col("doc_id"), sort_array(Shingles.shingleHashes(col("text"))).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        Shims.column(graft.plans.MinHashSignatureExpr(
+          Shims.expression(col("sh")), perms)).as("sig"))
+    val bl = sig.withColumn("band_keys", array((0 until bands).map { b =>
+        GraftHash.bandKey((0 until r).map(i => element_at(col("sig"), b * r + i + 1)))
+      }: _*))
+      .select(posexplode(col("band_keys")).as(Seq("band_idx", "band_key")),
+        col("doc_id"), col("sh"))
+      .as[BandRow]
+    bl.groupByKey(row => (row.band_idx, row.band_key))
+      .flatMapGroupsWithState[BucketState, NearDup](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          import org.apache.spark.sql.catalyst.util.GenericArrayData
+          val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+          seen ++= state.getOption.map(_.docs).getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDup]
+          rows.toSeq.sortBy(_.doc_id).foreach { row =>
+            seen.foreach { case (earlier, esh) =>
+              if (earlier < row.doc_id &&
+                  graft.plans.GraftRuntime.jaccardSorted(
+                    new GenericArrayData(esh), new GenericArrayData(row.sh)) >= threshold)
+                out += NearDup(row.doc_id, earlier)
+            }
+            seen += ((row.doc_id, row.sh))
+          }
+          state.update(BucketState(seen.toSeq))
+          out.iterator
+      }
+  }
+
   /** Merge-adjacent coalesce over session spans: sort by start, merge
     * any neighbor starting within the gap of the running span — the
     * batch session_window closure, applied incrementally. */

@@ -336,6 +336,37 @@ class StreamingSpec extends SparkSpec {
     StreamingOps.releaseLease(fs, stateDir, "writer-B")
   }
 
+  test("streaming near-dup dedup flags exactly the batch pipeline's dup set") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOps.DocEv
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => DocEv(r.getLong(0), r.getString(1)))
+      .sortBy(_.doc_id)
+    val stream = MemoryStream[DocEv]
+    val q = StreamingOps.streamNearDup(stream.toDF())
+      .toDF().writeStream
+      .format("memory").queryName("neardup_sink").outputMode("append").start()
+    try {
+      // replay in three uneven micro-batches
+      stream.addData(docs.take(100)); q.processAllAvailable()
+      stream.addData(docs.slice(100, 350)); q.processAllAvailable()
+      stream.addData(docs.drop(350)); q.processAllAvailable()
+    } finally q.stop()
+    val flagged = spark.table("neardup_sink")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val want = graft.api.Graft.dedup.minhashPairs(
+        Tables.documents(spark, sfDir), "doc_id", "text", threshold = 0.8)
+      .select("doc_b").distinct().collect().map(_.getLong(0)).toSet
+    assert(want.nonEmpty, "expected injected near-dups at sf0.001")
+    assert(flagged == want,
+      s"missing=${(want -- flagged).take(5)} extra=${(flagged -- want).take(5)}")
+    // every flag names a genuinely earlier doc
+    spark.table("neardup_sink").collect()
+      .foreach(r => assert(r.getLong(1) < r.getLong(0)))
+  }
+
   test("flatMapGroupsWithState sessionizer matches the batch sessions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
