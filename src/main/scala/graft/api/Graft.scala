@@ -115,18 +115,28 @@ object Graft {
       * bring-your-own-shingles entry so a derived corpus (quality
       * filter, language slice) reuses the one materialized text pass
       * instead of re-shingling its subset. */
+    /** (doc_id, sh) -> one row per band: (band_idx, band_key, doc_id,
+      * sh). THE banding definition — the batch candidate join and the
+      * streaming near-dup state both project through here, so the two
+      * paths cannot silently diverge. */
+    private[graft] def bandedKeys(sh: DataFrame, k: Int, bands: Int): DataFrame = {
+      import org.apache.spark.sql.graft.Shims
+      val r = k / bands
+      val perms = GraftHash.perms(k)
+      val sig = sh.select(col("doc_id"), col("sh"),
+        Shims.column(graft.plans.MinHashSignatureExpr(
+          Shims.expression(col("sh")), perms)).as("sig"))
+      sig.withColumn("band_keys", array((0 until bands).map { b =>
+          GraftHash.bandKey((0 until r).map(i => element_at(col("sig"), b * r + i + 1)))
+        }: _*))
+        .select(posexplode(col("band_keys")).as(Seq("band_idx", "band_key")),
+          col("doc_id"), col("sh"))
+    }
+
     private[graft] def candidateSetsFromShingles(sh: DataFrame, k: Int, bands: Int): DataFrame =
       memoized(planKey(sh, "cand", k, bands), {
-        import org.apache.spark.sql.graft.Shims
-        val r = k / bands
-        val perms = GraftHash.perms(k)
-        val sig = sh.select(col("doc_id"), col("sh"),
-          Shims.column(graft.plans.MinHashSignatureExpr(
-            Shims.expression(col("sh")), perms)).as("sig"))
-        val bl = sig.withColumn("band_keys", array((0 until bands).map { b =>
-            GraftHash.bandKey((0 until r).map(i => element_at(col("sig"), b * r + i + 1)))
-          }: _*))
-          .select(col("doc_id"), posexplode(col("band_keys")).as(Seq("band_idx", "band_key")))
+        val bl = bandedKeys(sh, k, bands)
+          .select(col("doc_id"), col("band_idx"), col("band_key"))
         val cand = bl.as("a").join(bl.as("b"),
             col("a.band_idx") === col("b.band_idx") &&
               col("a.band_key") === col("b.band_key") &&

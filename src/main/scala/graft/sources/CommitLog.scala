@@ -149,6 +149,9 @@ object CommitLog {
   def writeCommit(spark: SparkSession, tableDir: String, df: DataFrame,
                   relPath: String, ts: Long): Int = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (isFrozen(fs, tableDir))
+      throw new java.io.IOException(
+        s"$tableDir is frozen (safe mode): write refused before any data I/O")
     df.write.mode("overwrite").parquet(s"$tableDir/$relPath")
     commit(fs, tableDir, ts, adds = Seq(relPath), removes = Seq.empty)
   }
@@ -187,13 +190,28 @@ object CommitLog {
     * retention pass drops their versions. Returns the image version. */
   def checkpoint(spark: SparkSession, tableDir: String, ts: Long): Int = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val active = activeSet(commits(fs, tableDir))
+    if (isFrozen(fs, tableDir))
+      throw new java.io.IOException(
+        s"$tableDir is frozen (safe mode): checkpoint refused before any data I/O")
+    val base = commits(fs, tableDir)
+    val active = activeSet(base)
     require(active.nonEmpty, s"nothing to checkpoint in $tableDir")
     val next = maxVersionOnDisk(fs, tableDir).map(_ + 1).getOrElse(0)
     val image = s"data/ckpt-$next"
     spark.read.parquet(active.map(p => s"$tableDir/$p"): _*)
       .write.mode("overwrite").parquet(s"$tableDir/$image")
-    commit(fs, tableDir, ts, adds = Seq(image), removes = active, checkpointMarker = true)
+    // Compare-and-swap, not blind retry: the image reflects the active
+    // set AS OF `base`, so it may only commit at the exact next
+    // version. If a concurrent writer got there first, retrying at a
+    // higher version would resurrect whatever that writer removed —
+    // delete the stale image and make the caller redo the checkpoint.
+    if (!tryCommit(fs, tableDir, next, ts, adds = Seq(image), removes = active,
+        checkpointMarker = true)) {
+      fs.delete(new Path(tableDir, image), true)
+      throw new java.util.ConcurrentModificationException(
+        s"$tableDir advanced past version $next during checkpoint — retry")
+    }
+    next
   }
 
   /** Retention: make history before `v` unreadable and reclaimable.
@@ -204,7 +222,11 @@ object CommitLog {
     * the full state). Log files before the cut are deleted and their
     * now-unreferenced data dirs are vacuumed. Returns the dropped
     * version numbers. */
-  def dropHistoryBefore(fs: FileSystem, tableDir: String, v: Int): Seq[Int] = {
+  def dropHistoryBefore(fs: FileSystem, tableDir: String, v: Int,
+                        graceMs: Long = 3600000L): Seq[Int] = {
+    if (isFrozen(fs, tableDir))
+      throw new java.io.IOException(
+        s"$tableDir is frozen (safe mode): history deletion refused")
     val cs = commits(fs, tableDir)
     val cut = cs.filter(c => c.isCheckpoint && c.version <= v).lastOption
       .getOrElse(throw new IllegalArgumentException(
@@ -214,20 +236,25 @@ object CommitLog {
       .map(_.getPath.getName).filter(_.endsWith(".log"))
       .map(_.stripSuffix(".log").toInt).filter(_ < cut.version).sorted
     dropped.foreach(d => fs.delete(logFile(tableDir, d), false))
-    vacuumOrphans(fs, tableDir)
+    vacuumOrphans(fs, tableDir, graceMs)
     dropped
   }
 
   /** Delete data directories never referenced by any commit (staging
     * leftovers from crashed writers). Paths referenced by ANY version
-    * are kept — old versions stay readable; a retention-bounded
-    * variant would drop versions first, then their newly-orphaned
-    * files. */
-  def vacuumOrphans(fs: FileSystem, tableDir: String): Seq[String] = {
+    * are kept — old versions stay readable. `graceMs` protects a LIVE
+    * writer that has staged parquet but not yet committed: only dirs
+    * last modified more than the grace window ago are eligible (the
+    * Delta-VACUUM retention-window discipline; pass 0 only when no
+    * writer can be in flight, e.g. tests). */
+  def vacuumOrphans(fs: FileSystem, tableDir: String,
+                    graceMs: Long = 3600000L): Seq[String] = {
     val referenced = commits(fs, tableDir).flatMap(_.adds).toSet
     val dataDir = new Path(tableDir, "data")
     if (!fs.exists(dataDir)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - graceMs
     fs.listStatus(dataDir).toSeq
+      .filter(_.getModificationTime <= cutoff)
       .map(st => s"data/${st.getPath.getName}")
       // a top-level entry is an orphan only if NO referenced relpath
       // lives at or under it — callers may commit nested relpaths

@@ -332,20 +332,24 @@ object StreamingOps {
   /** Emitted flag: `doc_id` is a near-dup of the earlier `dup_of`. */
   case class NearDup(doc_id: Long, dup_of: Long)
 
-  /** STREAMING near-dup dedup: as documents arrive, each is flagged if
-    * it is a verified near-duplicate (exact Jaccard >= threshold) of
-    * ANY earlier document — the streaming form of the batch MinHash
-    * pipeline, converging to `pairs.doc_b` of the batch truth
-    * (StreamingSpec replays the corpus and asserts set equality).
+  /** STREAMING near-dup dedup: as documents arrive, each verified
+    * near-duplicate pair (exact Jaccard >= threshold) is flagged as
+    * NearDup(higher id, lower id) — ORDER-INDEPENDENT: whichever side
+    * arrives later triggers the flag, so out-of-order delivery
+    * (retries, multi-partition ingestion) converges to the same set
+    * as the batch MinHash pipeline's `doc_b` flags (StreamingSpec
+    * replays the corpus in order AND shuffled and asserts equality).
     *
     * Shape: the stateless prefix computes shingles, the MinHash
-    * signature and the banded keys with the same codegen'd
-    * expressions the batch path uses; state lives PER BAND BUCKET
+    * signature and the banded keys through the SAME projection the
+    * batch candidate join uses (Graft.dedup.bandedKeys — one banding
+    * definition, two consumers); state lives PER BAND BUCKET
     * (groupByKey on (band_idx, band_key)), so a new doc is verified
-    * only against earlier docs sharing a band — the banded-LSH
-    * candidate discipline, never stream-vs-all. A pair sharing
-    * several bands is flagged once per shared band; consumers take
-    * the distinct doc_id (or min dup_of).
+    * only against seen docs sharing a band — the banded-LSH candidate
+    * discipline, never stream-vs-all. A pair sharing several bands is
+    * flagged once per shared band; consumers take the distinct
+    * doc_id. A redelivered doc already in state is skipped, so
+    * replayed batches cannot re-flag.
     *
     * State is O(docs per bucket) and never evicted here (NoTimeout):
     * dedup-against-all-history is the semantic. A production deploy
@@ -355,39 +359,34 @@ object StreamingOps {
   def streamNearDup(docs: DataFrame, threshold: Double = 0.8,
                     k: Int = 32, bands: Int = 8): Dataset[NearDup] = {
     import docs.sparkSession.implicits._
-    import org.apache.spark.sql.graft.Shims
-    import graft.functions.{GraftHash, Shingles}
-    val r = k / bands
-    val perms = GraftHash.perms(k)
-    val sig = docs
-      .select(col("doc_id"), sort_array(Shingles.shingleHashes(col("text"))).as("sh"))
-      .select(col("doc_id"), col("sh"),
-        Shims.column(graft.plans.MinHashSignatureExpr(
-          Shims.expression(col("sh")), perms)).as("sig"))
-    val bl = sig.withColumn("band_keys", array((0 until bands).map { b =>
-        GraftHash.bandKey((0 until r).map(i => element_at(col("sig"), b * r + i + 1)))
-      }: _*))
-      .select(posexplode(col("band_keys")).as(Seq("band_idx", "band_key")),
-        col("doc_id"), col("sh"))
+    import graft.functions.Shingles
+    val bl = graft.api.Graft.dedup.bandedKeys(
+        docs.select(col("doc_id"), sort_array(Shingles.shingleHashes(col("text"))).as("sh")),
+        k, bands)
       .as[BandRow]
     bl.groupByKey(row => (row.band_idx, row.band_key))
       .flatMapGroupsWithState[BucketState, NearDup](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_, rows, state) =>
-          import org.apache.spark.sql.catalyst.util.GenericArrayData
-          val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
-          seen ++= state.getOption.map(_.docs).getOrElse(Seq.empty)
+          import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+          // shingle arrays wrapped ONCE per doc per invocation, not
+          // once per pair comparison
+          val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], ArrayData)]
+          state.getOption.map(_.docs).getOrElse(Seq.empty)
+            .foreach(e => seen += ((e._1, e._2, new GenericArrayData(e._2))))
           val out = scala.collection.mutable.ArrayBuffer.empty[NearDup]
           rows.toSeq.sortBy(_.doc_id).foreach { row =>
-            seen.foreach { case (earlier, esh) =>
-              if (earlier < row.doc_id &&
-                  graft.plans.GraftRuntime.jaccardSorted(
-                    new GenericArrayData(esh), new GenericArrayData(row.sh)) >= threshold)
-                out += NearDup(row.doc_id, earlier)
+            if (!seen.exists(_._1 == row.doc_id)) { // redelivery guard
+              val rowW = new GenericArrayData(row.sh)
+              seen.foreach { case (other, _, otherW) =>
+                if (graft.plans.GraftRuntime.jaccardSorted(otherW, rowW) >= threshold)
+                  out += (if (other < row.doc_id) NearDup(row.doc_id, other)
+                          else NearDup(other, row.doc_id))
+              }
+              seen += ((row.doc_id, row.sh, rowW))
             }
-            seen += ((row.doc_id, row.sh))
           }
-          state.update(BucketState(seen.toSeq))
+          state.update(BucketState(seen.map(e => (e._1, e._2)).toSeq))
           out.iterator
       }
   }

@@ -83,7 +83,8 @@ class CommitLogSpec extends SparkSpec {
     val ck = CommitLog.checkpoint(spark, dir, ts = 400L)
     CommitLog.writeCommit(spark, dir, r.filter(col("r_regionkey") < 1), "data/c", ts = 500L)
     val headBefore = CommitLog.snapshot(spark, dir).count()
-    val dropped = CommitLog.dropHistoryBefore(fs, dir, ck)
+    // graceMs = 0: no writer is in flight in the test
+    val dropped = CommitLog.dropHistoryBefore(fs, dir, ck, graceMs = 0L)
     assert(dropped == Seq(0, 1, 2))
     // head still replays (image + later edits); pre-cut data reclaimed
     assert(CommitLog.snapshot(spark, dir).count() == headBefore)
@@ -120,7 +121,10 @@ class CommitLogSpec extends SparkSpec {
     // still read it)
     CommitLog.writeCommit(spark, dir, r, "data/retired", ts = 200L)
     CommitLog.commit(fs, dir, 300L, Nil, Seq("data/retired"))
-    val removed = CommitLog.vacuumOrphans(fs, dir)
+    // fresh orphans survive the default grace window (live-writer
+    // protection); with grace 0 they are reclaimed
+    assert(CommitLog.vacuumOrphans(fs, dir).isEmpty)
+    val removed = CommitLog.vacuumOrphans(fs, dir, graceMs = 0L)
     assert(removed == Seq("data/orphan"))
     assert(fs.exists(new Path(dir, "data/retired")))
     assert(CommitLog.snapshot(spark, dir, version = 1).count() == 2 * r.count())

@@ -362,9 +362,27 @@ class StreamingSpec extends SparkSpec {
     assert(want.nonEmpty, "expected injected near-dups at sf0.001")
     assert(flagged == want,
       s"missing=${(want -- flagged).take(5)} extra=${(flagged -- want).take(5)}")
-    // every flag names a genuinely earlier doc
+    // every flag names a genuinely lower-id doc
     spark.table("neardup_sink").collect()
       .foreach(r => assert(r.getLong(1) < r.getLong(0)))
+
+    // OUT-OF-ORDER replay: shuffled arrival (higher ids often first)
+    // must converge to the same dup set — the flag is emitted by
+    // whichever side of a pair arrives later
+    val shuffled = new scala.util.Random(7).shuffle(docs.toSeq)
+    val stream2 = MemoryStream[DocEv]
+    val q2 = StreamingOps.streamNearDup(stream2.toDF())
+      .toDF().writeStream
+      .format("memory").queryName("neardup_ooo_sink").outputMode("append").start()
+    try {
+      stream2.addData(shuffled.take(170)); q2.processAllAvailable()
+      stream2.addData(shuffled.slice(170, 320)); q2.processAllAvailable()
+      stream2.addData(shuffled.drop(320)); q2.processAllAvailable()
+    } finally q2.stop()
+    val flaggedOoo = spark.table("neardup_ooo_sink")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(flaggedOoo == want,
+      s"out-of-order missing=${(want -- flaggedOoo).take(5)} extra=${(flaggedOoo -- want).take(5)}")
   }
 
   test("flatMapGroupsWithState sessionizer matches the batch sessions") {
