@@ -140,14 +140,11 @@ object Similarity {
   // IVF: cells from NCells deterministic centroids, NProbe-cell search.
   val NCells = 8; val NProbe = 2
 
-  /** IVF-style cell-probed ANN. Centroids are a fixed deterministic
-    * subset of the corpus (vec_id < NCells) standing in for trained
-    * k-means centroids — the assignment/probe mechanics (argmax-cosine
-    * cell assignment, top-NProbe probe, cell-local search) are the
-    * real IVF plan shape. At cluster scale the corpus would be written
-    * partitioned by cell so probes touch NProbe partitions. */
-  val sAnnIvf: GraftQuery = GraftQuery.sql(
-    "s_ann_ivf",
+  /** Shared IVF oracle: cell assignment by argmax cosine against the
+    * deterministic centroid slice, top-NProbe probes, cell-local
+    * search — used verbatim by the join-form and the
+    * partitioned-layout-form entries (identical semantics). */
+  private val ivfOracleSql =
     s"""WITH $corpusSql,
        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NCells),
        |asg AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
@@ -164,6 +161,16 @@ object Similarity {
        |        ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
        |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** IVF-style cell-probed ANN. Centroids are a fixed deterministic
+    * subset of the corpus (vec_id < NCells) standing in for trained
+    * k-means centroids — the assignment/probe mechanics (argmax-cosine
+    * cell assignment, top-NProbe probe, cell-local search) are the
+    * real IVF plan shape. At cluster scale the corpus would be written
+    * partitioned by cell so probes touch NProbe partitions. */
+  val sAnnIvf: GraftQuery = GraftQuery.sql(
+    "s_ann_ivf",
+    ivfOracleSql
   ) { (s, d) =>
     val n = corpus(s, d)
     val c = n.filter(col("vec_id") < NCells)
@@ -179,6 +186,46 @@ object Similarity {
         col("nrm").as("qnrm"), col("cid").as("pcid"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     cells.join(broadcast(probes),
+        col("cid") === col("pcid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF over a CELL-PARTITIONED physical layout — the 100 TB form of
+    * s_ann_ivf made concrete: the assigned corpus is WRITTEN
+    * partitioned by cell id, and the probe join hits the layout on
+    * the partition column against a broadcast probe set, so dynamic
+    * partition pruning (or an explicit cell-list filter at planning
+    * time) restricts the scan to the NProbe cells each query probes —
+    * a probe reads partitions, not the corpus. Same semantics and
+    * oracle as s_ann_ivf; the spec asserts result equality with the
+    * join form and that the scan is partition-pruned. */
+  val sAnnIvfPartitioned: GraftQuery = GraftQuery.sql(
+    "s_ann_ivf_partitioned",
+    ivfOracleSql
+  ) { (s, d) =>
+    val n = corpus(s, d)
+    val c = n.filter(col("vec_id") < NCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy((Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).desc, col("cid"))
+    val asg = n.crossJoin(broadcast(c))
+      .withColumn("rk", row_number().over(wAsg))
+    val path = graft.operators.Lake.scratch(
+      "ivf_cells_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    asg.filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    val probes = asg.filter(col("vec_id") < QueryCount && col("rk") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cid").as("pcid"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    s.read.parquet(path)
+      .join(broadcast(probes),
         col("cid") === col("pcid") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
@@ -331,5 +378,6 @@ object Similarity {
   }
 
   def all: Seq[GraftQuery] =
-    Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnPq, sHybridRrf)
+    Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnIvfPartitioned,
+      sAnnPq, sHybridRrf)
 }

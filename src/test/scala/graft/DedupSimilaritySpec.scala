@@ -105,6 +105,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recalled >= 6, s"hamming<=1 probes recalled only $recalled of ${truth.size}")
   }
 
+  test("partitioned IVF equals the join-form IVF and partition-prunes the cell scan") {
+    val joinForm = Similarity.sAnnIvf.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank")))
+      .toSet
+    val df = Similarity.sAnnIvfPartitioned.fn(spark, sfDir)
+    val part = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank")))
+      .toSet
+    assert(part == joinForm,
+      s"missing=${(joinForm -- part).take(3)} extra=${(part -- joinForm).take(3)}")
+    // a probe must read partitions, not the corpus: the cell scan
+    // carries a dynamic partition pruning filter on cid
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"cell scan not dynamically partition-pruned:\n$plan")
+  }
+
   test("multimodal feature pairs block on LSH buckets, never nested-loop") {
     val df = graft.operators.Multimodal.mFeaturePairs.fn(spark, sfDir)
     val rows = df.collect()
