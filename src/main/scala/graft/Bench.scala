@@ -11,13 +11,13 @@ object Bench {
     * docs/bench_full.json instead.
     */
   val headline: Vector[String] = Vector(
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "q9_profit", "q18_large_orders", "q21_waiting_supplier",
-    "q_window_running", "q_heavy_hitters", "q_asof_join", "lake_scan",
-    "lake_compaction", "lake_bucketed_join", "d_minhash_lsh",
-    "d_ngram_jaccard", "d_dup_clusters", "s_ann_bruteforce", "s_ann_ivf",
-    "s_ann_pq", "t_ngram_freq", "t_lang_id", "st_session_window",
-    "st_interval_join")
+    "q1_pricing_summary", "q3_shipping_priority", "q9_profit",
+    "q18_large_orders", "q21_waiting_supplier", "q_window_running",
+    "q_heavy_hitters", "q_asof_join", "lake_scan", "lake_bucketed_join",
+    "lake_time_travel", "d_minhash_lsh", "d_dup_clusters",
+    "d_corpus_curate", "d_embed_neardup", "s_ann_bruteforce",
+    "s_ann_ivf_partitioned", "s_ann_pq", "t_ngram_freq", "t_lang_id",
+    "st_session_window", "st_stream_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
