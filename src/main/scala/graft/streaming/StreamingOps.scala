@@ -401,6 +401,35 @@ object StreamingOps {
       case (acc, s) => s :: acc
     }.reverse
 
+  /** Streaming sink into a versioned commit-log table: every
+    * micro-batch lands as one immutable data dir plus one journal
+    * commit (sources.CommitLog), so the stream's history is time
+    * travelable — `snapshot(v)` is the table after batch v,
+    * `snapshotAsOf(ts)` replays to an ingestion instant, and
+    * checkpoints/retention apply as on any commit-log table. Batch
+    * replays after a failure are idempotent: a batch id whose data
+    * dir is already referenced by the log is skipped (the engine can
+    * re-run the last uncommitted batch; `batch-N` naming makes the
+    * collision visible to the journal). */
+  def commitLogSink(events: DataFrame, tableDir: String,
+                    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        val rel = s"data/batch-$batchId"
+        val committed = graft.sources.CommitLog.commits(fs, tableDir)
+          .exists(_.adds.contains(rel))
+        if (!committed)
+          graft.sources.CommitLog.writeCommit(
+            batch.sparkSession, tableDir, batch, rel,
+            ts = System.currentTimeMillis())
+        ()
+      }
+      .start()
+
   /** Custom-state sessionizer via flatMapGroupsWithState: the shape to
     * reach for when session output needs logic session_window can't
     * express (e.g. per-session feature vectors).

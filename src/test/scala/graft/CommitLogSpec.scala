@@ -111,6 +111,44 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.snapshot(spark, dir).count() == 2 * r.count())
   }
 
+  test("streaming commit-log sink: each micro-batch is a version; history time-travels") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.Ev
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = freshTable("stream_sink")
+    val ck = s"/root/repo/target/scratch/commitlog/stream_sink_ck"
+    fs.delete(new Path(ck), true)
+    val events = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.commitLogSink(stream.toDF(), dir, ck)
+    try {
+      stream.addData(events.take(300)); q.processAllAvailable()
+      stream.addData(events.drop(300)); q.processAllAvailable()
+    } finally q.stop()
+    val cs = CommitLog.commits(fs, dir)
+    assert(cs.length == 2 && cs.map(_.version) == Seq(0, 1))
+    // version 0 = first batch only; head = everything
+    assert(CommitLog.snapshot(spark, dir, version = 0).count() == 300)
+    assert(CommitLog.snapshot(spark, dir).count() == events.length)
+    // idempotence: a re-delivered batch id must not double-commit
+    val stream2 = MemoryStream[Ev]
+    val q2 = StreamingOps.commitLogSink(stream2.toDF(), dir, ck + "2")
+    try {
+      // same batch id (0) as an already-committed dir WOULD collide —
+      // simulate by re-running a fresh query whose batch 0 writes
+      // data/batch-0, already referenced
+      stream2.addData(events.take(10)); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(CommitLog.commits(fs, dir).length == 2, "re-delivered batch id double-committed")
+    assert(CommitLog.snapshot(spark, dir).count() == events.length)
+  }
+
   test("vacuum removes only never-referenced staging dirs") {
     val dir = freshTable("vacuum")
     val r = Tables.region(spark, sfDir)
