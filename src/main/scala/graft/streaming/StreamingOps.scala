@@ -406,29 +406,54 @@ object StreamingOps {
     * commit (sources.CommitLog), so the stream's history is time
     * travelable — `snapshot(v)` is the table after batch v,
     * `snapshotAsOf(ts)` replays to an ingestion instant, and
-    * checkpoints/retention apply as on any commit-log table. Batch
-    * replays after a failure are idempotent: a batch id whose data
-    * dir is already referenced by the log is skipped (the engine can
-    * re-run the last uncommitted batch; `batch-N` naming makes the
-    * collision visible to the journal). */
+    * checkpoints/retention apply as on any commit-log table.
+    *
+    * Identity + idempotence: data dirs are named
+    * `data/sink-<id>-batch-<N>` where the sink id derives from the
+    * CHECKPOINT path — the engine's batch ids are only meaningful per
+    * checkpoint, so a second producer (or a rebuilt checkpoint)
+    * writes under its own prefix and can never silently collide with
+    * another stream's batches. Replays of the same checkpoint are
+    * skipped via a per-sink high-water mark file (O(1) per batch, and
+    * it survives journal retention, which may have dropped the
+    * replayed batch's log entry); the first batch past the mark
+    * falls back to a journal lookup to cover a crash between commit
+    * and mark update. */
   def commitLogSink(events: DataFrame, tableDir: String,
-                    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+                    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val sinkId = java.lang.Long.toHexString(graft.plans.GraftRuntime.charHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(checkpointDir)))
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val fs = org.apache.hadoop.fs.FileSystem.get(
           batch.sparkSession.sparkContext.hadoopConfiguration)
-        val rel = s"data/batch-$batchId"
-        val committed = graft.sources.CommitLog.commits(fs, tableDir)
-          .exists(_.adds.contains(rel))
-        if (!committed)
-          graft.sources.CommitLog.writeCommit(
-            batch.sparkSession, tableDir, batch, rel,
-            ts = System.currentTimeMillis())
+        val hwmPath = new org.apache.hadoop.fs.Path(tableDir, s"_sink-$sinkId-hwm")
+        def hwm: Long =
+          if (!fs.exists(hwmPath)) -1L
+          else {
+            val in = fs.open(hwmPath)
+            try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+              .trim.toLong
+            finally in.close()
+          }
+        if (batchId > hwm) {
+          val rel = s"data/sink-$sinkId-batch-$batchId"
+          // crash-between-commit-and-mark fallback: journal lookup
+          val committed = fs.exists(new org.apache.hadoop.fs.Path(tableDir, rel)) &&
+            graft.sources.CommitLog.commits(fs, tableDir).exists(_.adds.contains(rel))
+          if (!committed)
+            graft.sources.CommitLog.writeCommit(
+              batch.sparkSession, tableDir, batch, rel,
+              ts = System.currentTimeMillis())
+          val out = fs.create(hwmPath, true)
+          try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+        }
         ()
       }
       .start()
+  }
 
   /** Custom-state sessionizer via flatMapGroupsWithState: the shape to
     * reach for when session output needs logic session_window can't

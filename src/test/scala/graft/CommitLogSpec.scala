@@ -120,6 +120,7 @@ class CommitLogSpec extends SparkSpec {
     val dir = freshTable("stream_sink")
     val ck = s"/root/repo/target/scratch/commitlog/stream_sink_ck"
     fs.delete(new Path(ck), true)
+    fs.delete(new Path(ck + "2"), true)
     val events = Tables.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .collect()
@@ -136,17 +137,22 @@ class CommitLogSpec extends SparkSpec {
     // version 0 = first batch only; head = everything
     assert(CommitLog.snapshot(spark, dir, version = 0).count() == 300)
     assert(CommitLog.snapshot(spark, dir).count() == events.length)
-    // idempotence: a re-delivered batch id must not double-commit
+    // restarting from the SAME checkpoint commits nothing new (batch
+    // ids at or below the sink's high-water mark are skipped)
     val stream2 = MemoryStream[Ev]
-    val q2 = StreamingOps.commitLogSink(stream2.toDF(), dir, ck + "2")
+    val q2 = StreamingOps.commitLogSink(stream2.toDF(), dir, ck)
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(CommitLog.commits(fs, dir).length == 2, "same-checkpoint restart re-committed")
+    // a DIFFERENT producer (fresh checkpoint) writes under its own
+    // sink prefix: its batch 0 cannot collide with this stream's
+    // batch 0 — the data lands instead of being silently dropped
+    val stream3 = MemoryStream[Ev]
+    val q3 = StreamingOps.commitLogSink(stream3.toDF(), dir, ck + "2")
     try {
-      // same batch id (0) as an already-committed dir WOULD collide —
-      // simulate by re-running a fresh query whose batch 0 writes
-      // data/batch-0, already referenced
-      stream2.addData(events.take(10)); q2.processAllAvailable()
-    } finally q2.stop()
-    assert(CommitLog.commits(fs, dir).length == 2, "re-delivered batch id double-committed")
-    assert(CommitLog.snapshot(spark, dir).count() == events.length)
+      stream3.addData(events.take(10)); q3.processAllAvailable()
+    } finally q3.stop()
+    assert(CommitLog.commits(fs, dir).length == 3, "second producer's batch was dropped")
+    assert(CommitLog.snapshot(spark, dir).count() == events.length + 10)
   }
 
   test("vacuum removes only never-referenced staging dirs") {
