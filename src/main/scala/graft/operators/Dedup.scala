@@ -85,12 +85,11 @@ object Dedup {
   val K = 32; val Bands = 8; val R = 4
   private val perms = GraftHash.perms(K)
 
-  /** Shared oracle fragment: CTE list ending in
-    * pairs(doc_a, doc_b, jaccard) — the MinHash+LSH candidate pairs
-    * verified at exact Jaccard >= 0.8, over `source` (the documents
-    * table or an upstream CTE). Reused by the pair, clustering,
-    * filter and curation oracles so all see identical edges. */
-  private[operators] def minhashPairsCtes(source: String = "documents"): String = {
+  /** Shared oracle fragment: CTE list ending in bl(doc_id, band_idx,
+    * band_key) — the banded MinHash keys over `source` (also leaves
+    * `sh` in scope). The pairs fragment and the cross-set
+    * decontamination oracle both build on it. */
+  private[operators] def minhashBandsCtes(source: String = "documents"): String = {
     val comps = perms.zipWithIndex.map { case ((a, b), j) =>
       s"  ${GraftHash.minhashComponentSql("sh", a, b)} AS c$j"
     }.mkString(",\n")
@@ -107,14 +106,22 @@ object Dedup {
        |bands AS (SELECT *,
        |$bandKeys
        |FROM sig),
-       |bl AS ($bandUnion),
+       |bl AS ($bandUnion)""".stripMargin
+  }
+
+  /** Shared oracle fragment: CTE list ending in
+    * pairs(doc_a, doc_b, jaccard) — the MinHash+LSH candidate pairs
+    * verified at exact Jaccard >= 0.8, over `source` (the documents
+    * table or an upstream CTE). Reused by the pair, clustering,
+    * filter and curation oracles so all see identical edges. */
+  private[operators] def minhashPairsCtes(source: String = "documents"): String =
+    s"""${minhashBandsCtes(source)},
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bl a JOIN bl b ON a.band_idx = b.band_idx
        |           AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
        |pairs AS (SELECT c.doc_a, c.doc_b, ${Shingles.jaccardSql("x.sh", "y.sh")} AS jaccard
        |          FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
        |          WHERE ${Shingles.jaccardSql("x.sh", "y.sh")} >= 0.8)""".stripMargin
-  }
 
   /** MinHash + banded LSH near-dup detection — the content-blocked
     * scale path (pairs found regardless of metadata; candidate count
@@ -400,7 +407,62 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Train/benchmark DECONTAMINATION — the eval-integrity op every
+    * pre-training pipeline runs: find training documents that contain
+    * benchmark content (here: every doc_id % 10 == 0 plays the held-out
+    * benchmark; the rest is the training corpus). Candidates come from
+    * a CROSS-SET banded equi-join (benchmark bands vs training bands —
+    * never benchmark x corpus), verified by benchmark-side CONTAINMENT
+    * |B∩T| / |B| >= 0.8, not Jaccard: a short benchmark item quoted
+    * inside a long training doc has low Jaccard but is exactly what
+    * must be flagged. Output: per-source training-doc accounting. */
+  val dDecontaminate: GraftQuery = GraftQuery.sql(
+    "d_decontaminate",
+    s"""WITH ${minhashBandsCtes()},
+       |blb AS (SELECT * FROM bl WHERE doc_id % 10 = 0),
+       |blt AS (SELECT * FROM bl WHERE doc_id % 10 <> 0),
+       |cand AS (SELECT DISTINCT b.doc_id AS bench_id, t.doc_id AS train_id
+       |         FROM blb b JOIN blt t ON b.band_idx = t.band_idx
+       |           AND b.band_key = t.band_key),
+       |flagged AS (SELECT DISTINCT c.train_id
+       |            FROM cand c JOIN sh x ON c.bench_id = x.doc_id
+       |                        JOIN sh y ON c.train_id = y.doc_id
+       |            WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(x.sh) >= 0.8)
+       |SELECT d.source, COUNT(*) AS n_train,
+       |  CAST(SUM(CASE WHEN f.train_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_contaminated
+       |FROM documents d LEFT JOIN flagged f ON d.doc_id = f.train_id
+       |WHERE d.doc_id % 10 <> 0
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  ) { (s, d) =>
+    import graft.api.Graft
+    val docs = Tables.documents(s, d)
+    val sh = Graft.dedup.shingleSets(docs, "doc_id", "text")
+    val bench = sh.filter(col("doc_id") % 10 === 0)
+    val train = sh.filter(col("doc_id") % 10 =!= 0)
+    val blB = Graft.dedup.bandedKeys(bench, K, Bands)
+      .select(col("band_idx"), col("band_key"), col("doc_id").as("bench_id"))
+    val blT = Graft.dedup.bandedKeys(train, K, Bands)
+      .select(col("band_idx"), col("band_key"), col("doc_id").as("train_id"))
+    val cand = blB.join(blT, Seq("band_idx", "band_key"))
+      .select(col("bench_id"), col("train_id")).distinct()
+    val flagged = cand
+      .join(bench.select(col("doc_id").as("b_id"), col("sh").as("sh_b")),
+        col("bench_id") === col("b_id"))
+      .join(train.select(col("doc_id").as("t_id"), col("sh").as("sh_t")),
+        col("train_id") === col("t_id"))
+      .filter(size(array_intersect(col("sh_b"), col("sh_t"))).cast("double")
+        / size(col("sh_b")) >= 0.8)
+      .select(col("train_id")).distinct()
+    docs.filter(col("doc_id") % 10 =!= 0)
+      .join(flagged, col("doc_id") === col("train_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("train_id").isNull, 0L).otherwise(1L)).as("n_contaminated"))
+      .orderBy(col("source"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     dExactDup, dNgramJaccard, dMinhashLsh, dSimhash, dCorpusSimilarity,
-    dDupClusters, dDedupFilter, dContainment, dCorpusCurate, stStreamNearDup)
+    dDupClusters, dDedupFilter, dContainment, dCorpusCurate, stStreamNearDup,
+    dDecontaminate)
 }

@@ -275,7 +275,46 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  // Sensitive-token denylist for the scrub op. The corpus is synthetic
+  // ASCII with no real PII, so two ordinary tokens stand in for the
+  // entity classes a production pack matches (emails, phone numbers,
+  // government ids — swap the alternation, nothing else changes).
+  val PiiPattern = "\\b(customer|vector)\\b"
+  val PiiReplacement = "[REDACTED]"
+
+  /** PII scrub — the privacy-filter stage of a training-data pipeline:
+    * scan every document against a sensitive-pattern denylist, rewrite
+    * matches to a redaction marker, and account per source (docs hit,
+    * total redactions) with an order-independent checksum of the
+    * REDACTED corpus so the rewrite itself is verifiable. One codegen'd
+    * pass per doc (regexp scan + rewrite + hash); no shuffle beyond the
+    * accounting aggregation. */
+  val tPiiScrub: GraftQuery = GraftQuery.sql(
+    "t_pii_scrub",
+    s"""WITH r AS (
+       |  SELECT source,
+       |    len(regexp_extract_all(text, '$PiiPattern')) AS hits,
+       |    regexp_replace(text, '$PiiPattern', '$PiiReplacement', 'g') AS red
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+       |  CAST(SUM(hits) AS BIGINT) AS n_redactions,
+       |  CAST(SUM(${GraftHash.charHashSql("red")}) % ${GraftHash.P} AS BIGINT) AS redacted_checksum
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit(PiiPattern), lit(0))).as("hits"),
+        regexp_replace(col("text"), PiiPattern, PiiReplacement).as("red"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_docs_with_pii"),
+        sum(col("hits")).cast("long").as("n_redactions"),
+        (sum(GraftHash.charHash(col("red"))) % GraftHash.P).as("redacted_checksum"))
+      .orderBy(col("source"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tTokenCount, tQualityScore, tLangId, tFingerprint, tNgramFreq,
-      tFluencyScore, tLangGini)
+      tFluencyScore, tLangGini, tPiiScrub)
 }
