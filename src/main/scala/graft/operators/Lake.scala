@@ -228,9 +228,13 @@ object Lake {
       .orderBy(col("lang"))
   }
 
-  /** Versioned snapshot writes + snapshot reads (FSImage.java
-    * checkpoints: immutable point-in-time views under versioned
-    * paths). */
+  /** Versioned snapshots ON the commit log (FSImage.java checkpoints
+    * + FSEditLog.java journal, unified): each snapshot is a commit —
+    * v0 lands the narrow view, v1 replaces it with the widened one
+    * (remove+add in a single atomic commit) — and each point-in-time
+    * read is a journal replay of that version. Old snapshot files are
+    * never rewritten; history stays readable until retention drops
+    * it. */
   val lakeSnapshot: GraftQuery = GraftQuery.sql(
     "lake_snapshot",
     """SELECT 'v1' AS version, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
@@ -240,16 +244,21 @@ object Lake {
       |FROM documents WHERE n_chars > 100
       |ORDER BY version""".stripMargin
   ) { (s, d) =>
+    import graft.sources.CommitLog
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val dir = scratch("snapshots/docs_log")
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     val docs = Tables.documents(s, d)
-    val v1 = scratch("snapshots/docs/v1")
-    val v2 = scratch("snapshots/docs/v2")
-    docs.filter(col("n_chars") > 200).write.mode("overwrite").parquet(v1)
-    docs.filter(col("n_chars") > 100).write.mode("overwrite").parquet(v2)
-    def summarize(path: String, v: String): DataFrame =
-      s.read.parquet(path).agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("total_chars"))
+    CommitLog.writeCommit(s, dir, docs.filter(col("n_chars") > 200), "data/narrow", ts = 1000L)
+    docs.filter(col("n_chars") > 100).write.mode("overwrite").parquet(s"$dir/data/wide")
+    CommitLog.commit(fs, dir, ts = 2000L,
+      adds = Seq("data/wide"), removes = Seq("data/narrow"))
+    def summarize(df: DataFrame, v: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
         .select(lit(v).as("version"), col("n_docs"), col("total_chars"))
-    summarize(v1, "v1").union(summarize(v2, "v2")).orderBy(col("version"))
+    summarize(CommitLog.snapshot(s, dir, version = 0), "v1")
+      .union(summarize(CommitLog.snapshot(s, dir, version = 1), "v2"))
+      .orderBy(col("version"))
   }
 
   /** Namespace lifecycle: write -> rename -> read-at-new-path ->

@@ -21,7 +21,8 @@ object Explain {
     // subquery, commit-log time travel, health/mirror lake ops
     "d_embed_neardup", "m_feature_pairs", "q_scalar_subquery",
     "lake_time_travel", "lake_health", "lake_mirror", "lake_acl_audit",
-    "d_corpus_curate", "s_ann_ivf_partitioned", "st_stream_neardup")
+    "d_corpus_curate", "s_ann_ivf_partitioned", "st_stream_neardup",
+    "d_decontaminate", "t_pii_scrub")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
