@@ -179,6 +179,31 @@ object Graft {
           (inter / size(col("sh_b"))).as("contain_b"))
     }
 
+    /** Train/benchmark decontamination over one corpus: flag every
+      * document NOT satisfying `isBench` that contains a benchmark
+      * document's content (benchmark-side containment |B∩T|/|B| >=
+      * threshold — not Jaccard: a short benchmark item quoted inside
+      * a long training doc has low Jaccard but must be flagged).
+      * Zero extra candidate-generation cost: cross-set pairs are the
+      * subset of the family's ONE memoized banded candidate frame
+      * with exactly one benchmark endpoint. Returns (train_id,
+      * bench_id, contain_bench). */
+    def decontaminate(df: DataFrame, idCol: String, textCol: String,
+                      isBench: Column => Column, threshold: Double = 0.8,
+                      k: Int = 32, bands: Int = 8): DataFrame = {
+      val aB = isBench(col("doc_a"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      candidateSets(df, idCol, textCol, k, bands)
+        .filter(isBench(col("doc_a")) =!= isBench(col("doc_b")))
+        .withColumn("contain_bench",
+          when(aB, inter / size(col("sh_a"))).otherwise(inter / size(col("sh_b"))))
+        .filter(col("contain_bench") >= threshold)
+        .select(
+          when(aB, col("doc_b")).otherwise(col("doc_a")).as("train_id"),
+          when(aB, col("doc_a")).otherwise(col("doc_b")).as("bench_id"),
+          col("contain_bench"))
+    }
+
     /** Duplicate clusters from a near-dup pair list: connected
       * components by iterative min-label propagation with POINTER
       * JUMPING (each round propagates labels one hop, then every node

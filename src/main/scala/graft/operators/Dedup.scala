@@ -402,8 +402,8 @@ object Dedup {
     docs.join(dups, col("doc_id") === col("doc_b"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("doc_b").isNull, 0L).otherwise(1L)).as("n_dups"),
-        sum(when(col("doc_b").isNull, 1L).otherwise(0L)).as("n_kept"))
+        count(col("doc_b")).as("n_dups"),
+        (count(lit(1)) - count(col("doc_b"))).as("n_kept"))
       .orderBy(col("source"))
   }
 
@@ -436,28 +436,14 @@ object Dedup {
   ) { (s, d) =>
     import graft.api.Graft
     val docs = Tables.documents(s, d)
-    val sh = Graft.dedup.shingleSets(docs, "doc_id", "text")
-    val bench = sh.filter(col("doc_id") % 10 === 0)
-    val train = sh.filter(col("doc_id") % 10 =!= 0)
-    val blB = Graft.dedup.bandedKeys(bench, K, Bands)
-      .select(col("band_idx"), col("band_key"), col("doc_id").as("bench_id"))
-    val blT = Graft.dedup.bandedKeys(train, K, Bands)
-      .select(col("band_idx"), col("band_key"), col("doc_id").as("train_id"))
-    val cand = blB.join(blT, Seq("band_idx", "band_key"))
-      .select(col("bench_id"), col("train_id")).distinct()
-    val flagged = cand
-      .join(bench.select(col("doc_id").as("b_id"), col("sh").as("sh_b")),
-        col("bench_id") === col("b_id"))
-      .join(train.select(col("doc_id").as("t_id"), col("sh").as("sh_t")),
-        col("train_id") === col("t_id"))
-      .filter(size(array_intersect(col("sh_b"), col("sh_t"))).cast("double")
-        / size(col("sh_b")) >= 0.8)
+    val flagged = Graft.dedup.decontaminate(docs, "doc_id", "text",
+        isBench = id => id % 10 === 0, threshold = 0.8, k = K, bands = Bands)
       .select(col("train_id")).distinct()
     docs.filter(col("doc_id") % 10 =!= 0)
       .join(flagged, col("doc_id") === col("train_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_train"),
-        sum(when(col("train_id").isNull, 0L).otherwise(1L)).as("n_contaminated"))
+        count(col("train_id")).as("n_contaminated"))
       .orderBy(col("source"))
   }
 

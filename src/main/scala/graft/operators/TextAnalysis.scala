@@ -278,7 +278,10 @@ object TextAnalysis {
   // Sensitive-token denylist for the scrub op. The corpus is synthetic
   // ASCII with no real PII, so two ordinary tokens stand in for the
   // entity classes a production pack matches (emails, phone numbers,
-  // government ids — swap the alternation, nothing else changes).
+  // government ids). Replacement patterns MUST stay in the dialect
+  // both engines share — RE2 ∩ Java regex (no lookaround, no
+  // backreferences) — and must not contain single quotes (the pattern
+  // is interpolated into a quoted DuckDB literal).
   val PiiPattern = "\\b(customer|vector)\\b"
   val PiiReplacement = "[REDACTED]"
 
