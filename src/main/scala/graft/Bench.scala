@@ -71,7 +71,7 @@ object Bench {
         case e: Throwable =>
           failures += name
           System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
-      }
+      } finally ScopedCache.releaseAll() // drop query-local persists
       name -> (System.nanoTime() - t0) / 1e9
     }
     // Locale-independent decimal formatting: default-locale f"" would

@@ -62,24 +62,35 @@ object Graft {
     // the same path share; the map is bounded and entries re-persist
     // themselves if an external clearCache() dropped their blocks.
     // ------------------------------------------------------------------
-    private val memo = new java.util.concurrent.ConcurrentHashMap[AnyRef, DataFrame]()
+    private final case class MemoEntry(df: DataFrame, seq: Long)
+    private val memo = new java.util.concurrent.ConcurrentHashMap[AnyRef, MemoEntry]()
+    private val memoSeq = new java.util.concurrent.atomic.AtomicLong()
 
     private def planKey(df: DataFrame, tag: String, params: Any*): AnyRef =
       (System.identityHashCode(df.sparkSession), df.queryExecution.analyzed.canonicalized,
         tag, params.toList)
 
     private def memoized(key: AnyRef, build: => DataFrame): DataFrame = {
-      if (memo.size > 64) { memo.forEach((_, df) => df.unpersist()); memo.clear() }
+      // Bounded memo: evict the OLDEST half by insertion order, never
+      // the whole map — an all-or-nothing clear would unpersist frames
+      // a concurrent consumer is mid-read on (they'd recompute, but a
+      // long-lived multi-tenant session would thrash).
+      if (memo.size > 64) {
+        import scala.jdk.CollectionConverters._
+        memo.entrySet().asScala.toSeq.sortBy(_.getValue.seq).take(32).foreach { e =>
+          Option(memo.remove(e.getKey)).foreach(_.df.unpersist())
+        }
+      }
       // NOT computeIfAbsent: builds nest (candidateSets -> shingleSets
       // on the same map), and a nested computeIfAbsent on one
       // ConcurrentHashMap throws "recursive update" whenever the two
       // keys land in the same bin. get/putIfAbsent tolerates nesting;
       // a racing duplicate build just unpersists its copy.
-      val df = Option(memo.get(key)).getOrElse {
-        val built = build.persist()
+      val df = Option(memo.get(key)).map(_.df).getOrElse {
+        val built = MemoEntry(build.persist(), memoSeq.incrementAndGet())
         Option(memo.putIfAbsent(key, built)) match {
-          case Some(prev) => built.unpersist(); prev
-          case None => built
+          case Some(prev) => built.df.unpersist(); prev.df
+          case None => built.df
         }
       }
       if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
@@ -88,7 +99,7 @@ object Graft {
 
     /** Drop every memoized pipeline frame (test isolation hook). */
     def clearPipelineCache(): Unit = {
-      memo.forEach((_, df) => df.unpersist())
+      memo.forEach((_, e) => e.df.unpersist())
       memo.clear()
     }
 
@@ -217,7 +228,8 @@ object Graft {
       * monotonically decreasing label sum reaching a fixed point.
       * Returns (node, lbl) where lbl = min doc id in the component. */
     def dupClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
-                    maxIter: Int = 25): DataFrame = {
+                    maxIter: Int = 25,
+                    localThreshold: Long = 2000000L): DataFrame = {
       // Ids must be integral: labels are the numeric min over the
       // component and convergence is detected by the label sum. A
       // non-integral id would silently null out (non-ANSI) or crash
@@ -236,7 +248,8 @@ object Graft {
       // The labels frame is memoized on the input pair plan: the
       // clustering entry and the dedup-filter entry both consume the
       // same components, and the iterative loop must not run twice.
-      memoized(planKey(pairs, "cc", aCol, bCol, maxIter), dupClustersImpl(pairs, aCol, bCol, maxIter))
+      memoized(planKey(pairs, "cc", aCol, bCol, maxIter, localThreshold),
+        dupClustersImpl(pairs, aCol, bCol, maxIter, localThreshold))
     }
 
     /** Rounds the most recent dupClusters run took to converge
@@ -245,36 +258,81 @@ object Graft {
     @volatile private[graft] var lastClusterRounds: Int = 0
 
     private def dupClustersImpl(pairs: DataFrame, aCol: String, bCol: String,
-                                maxIter: Int): DataFrame = {
+                                maxIter: Int, localThreshold: Long): DataFrame = {
       // Persist the directed pair list BEFORE mirroring: the union
       // would otherwise run the full candidate-generation pipeline
       // once per direction.
       val base = pairs
         .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
         .persist()
+      val debug = sys.env.contains("GRAFT_CC_DEBUG")
+      val t0 = System.nanoTime()
+      def dbg(msg: => String): Unit =
+        if (debug) println(f"[dupClusters +${(System.nanoTime() - t0) / 1e9}%.2fs] $msg")
+      val nPairs = base.count()
+      // Regime pick, AQE-style. The pair list is NOT the corpus: it is
+      // the verified output of blocked candidate generation, i.e. the
+      // duplicate edges only — orders of magnitude smaller than the
+      // input. Below the threshold (~32 MB of (long, long) rows) the
+      // transitive closure is a driver union-find: one collect + one
+      // parallelize instead of 2-3 Spark jobs per propagation round,
+      // which is where the previous first-consumer wall-clock went
+      // (each driver-scheduled round costs far more than hashing a few
+      // thousand edges). Above it, the distributed pointer-jumping
+      // loop is the scale path.
+      if (nPairs <= localThreshold) {
+        val s = pairs.sparkSession
+        import s.implicits._
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        base.collect().foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val ra = find(a); val rb = find(b)
+          // attach the larger root under the smaller: the final root of
+          // every component is its minimum id, matching the
+          // min-label-propagation output exactly.
+          if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+        }
+        base.unpersist()
+        lastClusterRounds = 1
+        val labels = {
+          import scala.jdk.CollectionConverters._
+          parent.keySet().asScala.toSeq.map(n => (n, find(n)))
+        }
+        return labels.toDF("node", "lbl")
+      }
       val edges = base
         .union(base.select(col("dst").as("src"), col("src").as("dst")))
         .persist()
-      // localCheckpoint (not persist) each round: it truncates the
-      // LOGICAL lineage, keeping driver-side planning O(1) per round —
-      // persist alone lets the plan double every iteration and
-      // analysis/optimization time dominates. On a fault-tolerant
-      // cluster run, swap for reliable checkpoint(dir).
+      // Lineage control each round: reliable checkpoint when the
+      // session has a checkpoint dir (fault-tolerant on a real
+      // cluster — an executor/driver restart replays from the
+      // checkpoint files, not from a dead BlockManager), else
+      // localCheckpoint (single-JVM bench/test runs). Either way the
+      // LOGICAL lineage truncates, keeping driver-side planning O(1)
+      // per round — persist alone lets the plan double every iteration
+      // and analysis/optimization time dominates.
       //
       // Checkpointed frames carry no size stats, so the planner would
       // shuffle-join even a 256-edge graph; the pair list count picks
       // the regime — small graphs broadcast the label side and skip
       // the intermediate checkpoint (2 jobs/round), large graphs keep
       // shuffle joins and materialize prop once per round.
-      val debug = sys.env.contains("GRAFT_CC_DEBUG")
-      val t0 = System.nanoTime()
-      def dbg(msg: => String): Unit =
-        if (debug) println(f"[dupClusters +${(System.nanoTime() - t0) / 1e9}%.2fs] $msg")
-      val small = edges.count() < 1000000L
-      dbg(s"edges counted, small=$small")
+      val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+      def ckpt(df: DataFrame): DataFrame =
+        if (reliable) df.checkpoint() else df.localCheckpoint()
+      val small = 2 * nPairs < 1000000L
+      dbg(s"edges counted, small=$small, reliable_ckpt=$reliable")
       def maybeBcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-      var labels = edges.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("lbl")).localCheckpoint()
+      var labels = ckpt(edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl")))
       def labelSum(df: DataFrame): Long =
         df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
       var prev = labelSum(labels)
@@ -285,15 +343,15 @@ object Graft {
           .select(col("dst").as("node"), col("lbl"))
         val propRaw = labels.unionByName(msgs)
           .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        val prop = if (small) propRaw else propRaw.localCheckpoint()
+        val prop = if (small) propRaw else ckpt(propRaw)
         // Pointer-jump (path halving): adopt the label's own label.
         // Labels are node ids and every node keeps a row, so the
         // lookup is an inner equi-join and the adopted label is <=
         // the current one. Rounds drop from O(chain length) to
         // O(log chain length) on long transitive dup chains.
         val lookup = prop.select(col("node").as("ln"), col("lbl").as("ll"))
-        val next = prop.join(maybeBcast(lookup), col("lbl") === col("ln"))
-          .select(col("node"), col("ll").as("lbl")).localCheckpoint()
+        val next = ckpt(prop.join(maybeBcast(lookup), col("lbl") === col("ln"))
+          .select(col("node"), col("ll").as("lbl")))
         val cur = labelSum(next)
         labels = next
         done = cur == prev

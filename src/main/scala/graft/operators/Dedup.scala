@@ -349,13 +349,12 @@ object Dedup {
     val docs = Tables.documents(s, d)
     // persisted: the scoring scan feeds four funnel legs (n_quality,
     // n_dedup, n_final, and the shingle semi-join) — one pass, not four
-    val q = docs
+    val q = graft.ScopedCache(docs
       .select(col("doc_id"), col("source"), col("text"),
         split(col("text"), " ", -1).as("t"))
       .withColumn("score", Graft.text.qualityScore(col("text"), col("t")))
       .filter(col("score") >= 0.55)
-      .select(col("doc_id"), col("source"))
-      .persist()
+      .select(col("doc_id"), col("source")))
     // Shingling is filter-independent, so the dedup stage derives from
     // the family's ONE materialized shingle frame (semi-join on the
     // quality survivors) instead of re-shingling the filtered text.

@@ -189,7 +189,7 @@ object Multimodal {
       .withColumn("nrm", Vectors.norm(col("emb")))
       .filter(col("nrm") > 0)
       .withColumn("bucket", fpBucket(transform(col("emb"), x => x - lit(0.125))))
-      .persist()
+      .transform(graft.ScopedCache.apply)
     val probes = feats.select(col("doc_id").as("doc_a"), col("emb").as("ea"), col("nrm").as("na"),
       explode(array(col("bucket") +: (0 until FpPlanes).map(j =>
         col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("pb"))

@@ -78,12 +78,13 @@ object RelationalTpch {
       .select(col("s_suppkey"))
     // The partial aggregate feeds both the threshold scalar and the
     // final filter — persist it so the fact scan+agg runs once, not
-    // once per branch (Catalyst has no cross-subtree CSE).
-    val rv = Tables.lineitem(s, d)
+    // once per branch (Catalyst has no cross-subtree CSE). Scoped:
+    // released when the query's action completes, so the handle can't
+    // pile memory pressure onto later queries.
+    val rv = graft.ScopedCache(Tables.lineitem(s, d)
       .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
-      .agg(sum(rev).as("value"))
-      .persist()
+      .agg(sum(rev).as("value")))
     val total = rv.agg(sum(col("value")).cast("double").as("grand_total"))
     rv.crossJoin(broadcast(total))
       .filter(col("value").cast("double") > col("grand_total") * 0.001)
@@ -129,12 +130,11 @@ object RelationalTpch {
        |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
        |ORDER BY s_suppkey""".stripMargin
   ) { (s, d) =>
-    val revBySupp = Tables.lineitem(s, d)
+    val revBySupp = graft.ScopedCache(Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
-      .agg(sum(rev).as("total_rev"))
-      .persist() // shared by the max scalar and the equality filter
+      .agg(sum(rev).as("total_rev"))) // shared by the max scalar and the equality filter
     val mx = revBySupp.agg(max(col("total_rev")).as("max_rev"))
     revBySupp.join(broadcast(mx), col("total_rev") === col("max_rev"))
       .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
@@ -181,11 +181,11 @@ object RelationalTpch {
       |FROM li3 JOIN pa ON l_partkey = pk
       |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
   ) { (s, d) =>
-    val li3 = Tables.lineitem(s, d)
+    val li3 = graft.ScopedCache(Tables.lineitem(s, d)
       .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#3")),
         col("l_partkey") === col("p_partkey"))
-      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-      .persist() // brand-filtered lines feed both the per-part average and the final filter
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice")))
+    // ^ brand-filtered lines feed both the per-part average and the final filter
     val pa = li3.groupBy(col("l_partkey").as("pk"))
       .agg((sum(m(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
     li3.join(pa, col("l_partkey") === col("pk"))
@@ -263,11 +263,10 @@ object RelationalTpch {
   ) { (s, d) =>
     // feeds both the probe chain and the anti-join build — persist so
     // the heaviest join (lineitem x orders) runs once
-    val late = Tables.lineitem(s, d)
+    val late = graft.ScopedCache(Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 2000 DAY"))
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .persist()
+      .select(col("l_orderkey"), col("l_suppkey")))
     val others = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o2_key"), col("l_suppkey").as("s2_key"))
     val lateOthers = late

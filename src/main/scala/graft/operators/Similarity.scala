@@ -303,10 +303,9 @@ object Similarity {
     val ms = s.range(M).select(col("id").cast("int").as("m"))
     // (vector, subspace, centroid) distances feed both the code
     // assignment and the query distance table — one pass, persisted.
-    val sd = n.crossJoin(broadcast(ms)).crossJoin(broadcast(cb))
+    val sd = graft.ScopedCache(n.crossJoin(broadcast(ms)).crossJoin(broadcast(cb))
       .select(col("vec_id"), col("m"), col("cid"),
-        Vectors.subL2(col("v"), col("cv"), col("m"), SubDim).as("dist"))
-      .persist()
+        Vectors.subL2(col("v"), col("cv"), col("m"), SubDim).as("dist")))
     val wCode = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("dist"), col("cid"))
     val codes = sd.withColumn("rk", row_number().over(wCode))

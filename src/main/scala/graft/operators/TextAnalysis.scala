@@ -218,7 +218,7 @@ object TextAnalysis {
       .filter(length(col("b")) === 2) // drop the (last, null) pair
       .select(col("doc_id"), (col("i0") + 1).as("i"), col("b"),
         substring(col("b"), 1, 1).as("c"))
-      .persist() // feeds both model builds and the scoring probe side
+      .transform(graft.ScopedCache.apply) // feeds both model builds and the scoring probe side
     val modelBg = pairs.groupBy(col("b").as("mb_b"))
       .agg(count(lit(1)).as("c12"))
     val modelC1 = pairs.groupBy(col("c").as("mc_c"))

@@ -94,7 +94,10 @@ class GraftApiSpec extends SparkSpec {
     Graft.dedup.clearPipelineCache()
     val chain = spark.range(9999)
       .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
-    val labels = Graft.dedup.dupClusters(chain, maxIter = 30)
+    // localThreshold = 0 forces the DISTRIBUTED loop — the regime the
+    // rounds bound protects; the driver union-find path would trivially
+    // pass.
+    val labels = Graft.dedup.dupClusters(chain, maxIter = 30, localThreshold = 0L)
     val agg = labels.agg(
       count(lit(1)).as("n"), max(col("lbl")).as("maxl"), min(col("lbl")).as("minl"))
       .collect()(0)
@@ -103,6 +106,48 @@ class GraftApiSpec extends SparkSpec {
       "all labels must collapse to the chain minimum")
     assert(Graft.dedup.lastClusterRounds < 20,
       s"chain took ${Graft.dedup.lastClusterRounds} rounds — pointer jumping broken")
+  }
+
+  test("dupClusters driver union-find matches the distributed loop on a random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random edge set: multiple components,
+    // cross-links, self-contained min ids
+    val edges = (0 until 400).map { i =>
+      val a = (i * 37 + 11) % 200
+      val b = (i * 73 + 29) % 200
+      (math.min(a, b).toLong, math.max(a, b).toLong)
+    }.filter(e => e._1 != e._2).toDF("doc_a", "doc_b")
+    Graft.dedup.clearPipelineCache()
+    val local = Graft.dedup.dupClusters(edges, localThreshold = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Graft.dedup.clearPipelineCache()
+    val dist = Graft.dedup.dupClusters(edges, localThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(local == dist, "driver union-find and distributed propagation disagree")
+    Graft.dedup.clearPipelineCache()
+  }
+
+  test("dupClusters distributed loop uses reliable checkpoints when a checkpoint dir is set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      Graft.dedup.clearPipelineCache()
+      val chain = spark.range(100)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      val labels = Graft.dedup.dupClusters(chain, localThreshold = 0L)
+      assert(labels.agg(max(col("lbl"))).collect()(0).getLong(0) == 0L)
+      // reliable checkpoint files must actually exist under the dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "no reliable checkpoint files written")
+    } finally {
+      // Clear BOTH the checkpoint dir config and the memoized labels:
+      // later suites must not inherit a deleted checkpoint dir or a
+      // frame whose lineage points into it.
+      Graft.dedup.clearPipelineCache()
+      spark.sparkContext.setCheckpointDir(null)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
   }
 
   test("lake ACL transforms: chown/chmod respect their predicates, audit flags other-read") {
