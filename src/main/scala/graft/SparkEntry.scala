@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   /** All registered queries, in SURVEY.md §2 order. */
   def registry: Seq[GraftQuery] =
-    operators.Lake.all ++
+    operators.Lake.all ++ operators.Namespace.all ++
       operators.Relational.all ++ operators.RelationalExt.all ++
       operators.RelationalMore.all ++ operators.RelationalTpch.all ++
       operators.Warehouse.all ++

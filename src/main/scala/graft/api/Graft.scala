@@ -480,6 +480,44 @@ object Graft {
     def permissionAudit(ns: DataFrame): DataFrame =
       ns.withColumn("world_readable", col("mode") % 10 >= 4)
 
+    /** Read-bit check for one access class of an octal-styled mode
+      * column (644-as-integer): class digit >= 4. */
+    private def readBit(mode: Column, shift: Int): Column =
+      floor(mode / math.pow(10, shift).toInt).cast("int") % 10 >= 4
+
+    /** READ-PATH permission enforcement (reference
+      * server/namenode/FSPermissionChecker.java:1 — every namespace
+      * read is checked against owner/group/other before any data is
+      * returned; the audit-only transforms above don't refuse
+      * anything). Filters `df` to rows whose `entryCol` value the
+      * principal may read under the ACL manifest (entry, owner, grp,
+      * mode columns): owner class if principal owns the entry, group
+      * class if one of the principal's groups matches, other class
+      * otherwise — exactly one class applies per entry, the reference's
+      * short-circuit order. The readable entry set is a manifest-sized
+      * semi-join build side (broadcast at any scale — the manifest is
+      * namespace metadata, not data). */
+    def enforceRead(df: DataFrame, manifest: DataFrame, entryCol: String,
+                    principal: String, groups: Seq[String]): DataFrame = {
+      val isOwner = col("owner") === principal
+      val inGroup = if (groups.isEmpty) lit(false) else col("grp").isInCollection(groups)
+      val readable = when(isOwner, readBit(col("mode"), 2))
+        .when(inGroup, readBit(col("mode"), 1))
+        .otherwise(readBit(col("mode"), 0))
+      val allowed = manifest.filter(readable).select(col(entryCol).as("__allowed_entry"))
+      df.join(broadcast(allowed), df(entryCol) === col("__allowed_entry"), "left_semi")
+    }
+
+    /** setTimes (reference protocol/ClientProtocol.java:817): touch
+      * mtime/atime on manifest entries matching `cond` — a columnar
+      * metadata transform, never a per-entry RPC loop. Pass -1 to
+      * leave a field unchanged (the reference's sentinel). */
+    def setTimes(ns: DataFrame, cond: Column, mtime: Long, atime: Long): DataFrame = {
+      val m = if (mtime >= 0) when(cond, lit(mtime)).otherwise(col("mtime")) else col("mtime")
+      val a = if (atime >= 0) when(cond, lit(atime)).otherwise(col("atime")) else col("atime")
+      ns.withColumn("mtime", m).withColumn("atime", a)
+    }
+
     /** Versioned commit-log tables — see graft.sources.CommitLog. */
     def commitLog: graft.sources.CommitLog.type = graft.sources.CommitLog
   }

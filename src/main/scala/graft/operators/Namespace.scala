@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.GraftHash
+import graft.functions.Parity._
+import graft.sources.CommitLog
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Namespace features over commit-log tables (SURVEY.md §2): the
+  * symlink/view layer, the layout-upgrade ceremony, read-path
+  * permission enforcement and metadata touch — the remaining
+  * client-protocol surface of the reference namespace
+  * (protocol/ClientProtocol.java) re-expressed lake-side.
+  */
+object Namespace {
+
+  /** Symlink / view layer (reference protocol/ClientProtocol.java:839
+    * createSymlink, :855 getLinkTarget): named aliases over commit-log
+    * tables, optionally pinned to a version — `orders_v0` is a frozen
+    * view, `orders_live` follows the head, `orders_alias` chains
+    * through another link. Each read resolves the chain (driver-side
+    * metadata, O(depth)) then replays the journal — the data scan is
+    * an ordinary pruned parquet read. The oracle recomputes each
+    * view's expected content from the base table. */
+  val lakeLinks: GraftQuery = GraftQuery.sql(
+    "lake_links",
+    s"""SELECT 'orders_alias' AS link_name, 'orders_log' AS target, FALSE AS pinned,
+       |  COUNT(*) AS n_rows, ${sumMSql("o_totalprice")} AS total
+       |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+       |UNION ALL
+       |SELECT 'orders_live', 'orders_log', FALSE, COUNT(*), ${sumMSql("o_totalprice")}
+       |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+       |UNION ALL
+       |SELECT 'orders_v0', 'orders_log', TRUE, COUNT(*), ${sumMSql("o_totalprice")}
+       |FROM orders WHERE o_orderkey % 3 = 0
+       |ORDER BY link_name""".stripMargin
+  ) { (s, d) =>
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val root = Lake.scratch("links_ns")
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val o = Tables.orders(s, d)
+    CommitLog.writeCommit(s, s"$root/orders_log",
+      o.filter(col("o_orderkey") % 3 === 0), "data/mod0", ts = 1000L)  // v0
+    CommitLog.writeCommit(s, s"$root/orders_log",
+      o.filter(col("o_orderkey") % 3 === 1), "data/mod1", ts = 2000L)  // v1
+    CommitLog.createLink(fs, root, "orders_live", "orders_log")
+    CommitLog.createLink(fs, root, "orders_v0", "orders_log", version = Some(0))
+    CommitLog.createLink(fs, root, "orders_alias", "orders_live")     // chain
+    val links = CommitLog.listLinks(fs, root)
+    links.map { l =>
+      val (target, pin) = CommitLog.resolveLink(fs, root, l.name)
+      CommitLog.readLink(s, root, l.name)
+        .agg(count(lit(1)).as("n_rows"), sumM(col("o_totalprice")).as("total"))
+        .select(lit(l.name).as("link_name"), lit(target).as("target"),
+          lit(pin.isDefined).as("pinned"), col("n_rows"), col("total"))
+    }.reduce(_ union _).orderBy(col("link_name"))
+  }
+
+  /** Layout upgrade/rollback ceremony (reference
+    * protocol/ClientProtocol.java:684 finalizeUpgrade, :694
+    * distributedUpgradeProgress): the table starts on a narrow layout,
+    * upgrades to a widened one in a single tagged swap commit, rolls
+    * back (metadata flip — the pre-upgrade files were never touched),
+    * re-upgrades and finalizes, closing the rollback window. Each
+    * stage's state is an ordinary journal replay; the oracle
+    * recomputes every stage from the base table (n_cols pins which
+    * layout was live). */
+  val lakeUpgrade: GraftQuery = GraftQuery.sql(
+    "lake_upgrade",
+    s"""SELECT '1_initial' AS stage, COUNT(*) AS n_rows, 2 AS n_cols,
+       |  ${sumMSql("o_totalprice")} AS total FROM orders
+       |UNION ALL
+       |SELECT '2_upgraded', COUNT(*), 3, ${sumMSql("o_totalprice")} FROM orders
+       |UNION ALL
+       |SELECT '3_rolled_back', COUNT(*), 2, ${sumMSql("o_totalprice")} FROM orders
+       |UNION ALL
+       |SELECT '4_finalized', COUNT(*), 3, ${sumMSql("o_totalprice")} FROM orders
+       |ORDER BY stage""".stripMargin
+  ) { (s, d) =>
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val dir = Lake.scratch("upgrade_orders")
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val o = Tables.orders(s, d)
+    val narrow = o.select(col("o_orderkey"), col("o_totalprice"))
+    val wide = o.select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    CommitLog.writeCommit(s, dir, narrow, "data/narrow", ts = 1000L)
+    def stage(name: String): DataFrame = {
+      val snap = CommitLog.snapshot(s, dir)
+      snap.agg(count(lit(1)).as("n_rows"), sumM(col("o_totalprice")).as("total"))
+        .select(lit(name).as("stage"), col("n_rows"),
+          lit(snap.columns.length).as("n_cols"), col("total"))
+    }
+    val s1 = stage("1_initial")
+    CommitLog.startUpgrade(s, dir, wide, "data/wide1", ts = 2000L)
+    val s2 = stage("2_upgraded")
+    CommitLog.rollbackUpgrade(fs, dir, ts = 3000L)
+    val s3 = stage("3_rolled_back")
+    CommitLog.startUpgrade(s, dir, wide, "data/wide2", ts = 4000L)
+    CommitLog.finalizeUpgrade(fs, dir, ts = 5000L)
+    val s4 = stage("4_finalized")
+    s1.union(s2).union(s3).union(s4).orderBy(col("stage"))
+  }
+
+  /** READ-PATH permission enforcement (reference
+    * server/namenode/FSPermissionChecker.java:1): the same ACL
+    * manifest lake_acl_audit maintains, now actually REFUSING reads —
+    * documents are routed through api.Graft.lake.enforceRead as
+    * principal `ingest` (groups: `ops`), which semi-joins the corpus
+    * against the manifest entries whose applicable access class
+    * (owner / group / other, short-circuit order) grants read. The
+    * world-readable 644 entries and ingest-owned dirs survive;
+    * web-team's 640 dirs return nothing. The checksum proves the
+    * surviving rows are exactly the permitted content. */
+  val lakeAclEnforce: GraftQuery = GraftQuery.sql(
+    "lake_acl_enforce",
+    s"""WITH ns AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+       |acl AS (SELECT source,
+       |  CASE WHEN source LIKE 'src1%' THEN 'web-team' ELSE 'ingest' END AS owner,
+       |  'data' AS grp,
+       |  CASE WHEN length(source) = 4 THEN 644 ELSE 640 END AS mode
+       |  FROM ns),
+       |allowed AS (SELECT source FROM acl WHERE
+       |  CASE WHEN owner = 'ingest' THEN (mode // 100) % 10 >= 4
+       |       WHEN grp IN ('ops') THEN (mode // 10) % 10 >= 4
+       |       ELSE mode % 10 >= 4 END),
+       |fp AS (SELECT d.source, ${GraftHash.charHashSql("d.text")} AS fp
+       |       FROM documents d JOIN allowed a ON d.source = a.source)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(fp) % ${GraftHash.P} AS BIGINT) AS checksum
+       |FROM fp GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    import graft.api.Graft
+    val docs = Tables.documents(s, d)
+    val manifest = docs.select(col("source")).distinct()
+      .select(col("source"), lit("ingest").as("owner"), lit("data").as("grp"),
+        lit(640).as("mode"))
+    val owned = Graft.lake.chown(manifest, col("source").startsWith("src1"), "web-team")
+    val moded = Graft.lake.chmod(owned, length(col("source")) === 4, 644)
+    Graft.lake.enforceRead(docs, moded, "source", "ingest", Seq("ops"))
+      .select(col("source"), GraftHash.charHash(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), (sum(col("fp")) % GraftHash.P).as("checksum"))
+      .orderBy(col("source"))
+  }
+
+  /** setTimes metadata touch (reference
+    * protocol/ClientProtocol.java:817): the namespace manifest carries
+    * mtime/atime derived from content; a touch rewrites mtime on the
+    * matched entries while atime = -1 leaves access times unchanged —
+    * the reference's leave-unchanged sentinel, as a columnar
+    * transform. */
+  val lakeSetTimes: GraftQuery = GraftQuery.sql(
+    "lake_set_times",
+    """WITH ns AS (SELECT source,
+      |  CAST(MAX(doc_id) * 1000 AS BIGINT) AS mtime,
+      |  CAST(MIN(doc_id) * 1000 AS BIGINT) AS atime,
+      |  COUNT(*) AS n_docs FROM documents GROUP BY source)
+      |SELECT source,
+      |  CAST(CASE WHEN source LIKE 'src1%' THEN 999000 ELSE mtime END AS BIGINT) AS mtime,
+      |  atime, n_docs
+      |FROM ns ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    import graft.api.Graft
+    val ns = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg((max(col("doc_id")) * 1000).as("mtime"),
+        (min(col("doc_id")) * 1000).as("atime"),
+        count(lit(1)).as("n_docs"))
+    Graft.lake.setTimes(ns, col("source").startsWith("src1"), mtime = 999000L, atime = -1L)
+      .select(col("source"), col("mtime"), col("atime"), col("n_docs"))
+      .orderBy(col("source"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(lakeLinks, lakeUpgrade, lakeAclEnforce, lakeSetTimes)
+}

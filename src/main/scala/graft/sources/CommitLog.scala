@@ -43,9 +43,11 @@ object CommitLog {
   /** One committed version: (version, commit ts millis, adds, removes)
     * with paths relative to the table dir; `isCheckpoint` marks an
     * image commit (its adds are a self-contained snapshot, so replay
-    * may start at it). */
+    * may start at it). `tags` carries ceremony markers (`upgrade` /
+    * `rollback` / `finalize`) — unknown tags replay as no-ops, so old
+    * readers skip them instead of failing. */
   final case class Commit(version: Int, ts: Long, adds: Seq[String], removes: Seq[String],
-                          isCheckpoint: Boolean = false)
+                          isCheckpoint: Boolean = false, tags: Set[String] = Set.empty)
 
   /** All committed versions in order (driver-side metadata read). A
     * log file without the terminal `end` marker is a commit that died
@@ -72,7 +74,8 @@ object CommitLog {
             st.getPath.getName.stripSuffix(".log").toInt, ts,
             lines.collect { case l if l.startsWith("add ") => l.drop(4) },
             lines.collect { case l if l.startsWith("remove ") => l.drop(7) },
-            isCheckpoint = lines.contains("ckpt")))
+            isCheckpoint = lines.contains("ckpt"),
+            tags = lines.collect { case l if l.startsWith("tag ") => l.drop(4) }.toSet))
         }
       }
   }
@@ -93,13 +96,14 @@ object CommitLog {
     * an error, not a version conflict. */
   def tryCommit(fs: FileSystem, tableDir: String, v: Int, ts: Long,
                 adds: Seq[String], removes: Seq[String],
-                checkpointMarker: Boolean = false): Boolean = {
+                checkpointMarker: Boolean = false,
+                tags: Seq[String] = Nil): Boolean = {
     if (isFrozen(fs, tableDir))
       throw new java.io.IOException(
         s"$tableDir is frozen (safe mode): mutations refused, reads unaffected")
     fs.mkdirs(logDir(tableDir))
     val f = logFile(tableDir, v)
-    val marker = if (checkpointMarker) Seq("ckpt") else Seq.empty
+    val marker = (if (checkpointMarker) Seq("ckpt") else Seq.empty) ++ tags.map("tag " + _)
     val body = (s"ts $ts" +: marker ++: (adds.map("add " + _) ++ removes.map("remove " + _)) :+ "end")
       .mkString("", "\n", "\n")
     val out =
@@ -122,9 +126,10 @@ object CommitLog {
     * Returns the version written. */
   def commit(fs: FileSystem, tableDir: String, ts: Long,
              adds: Seq[String], removes: Seq[String],
-             checkpointMarker: Boolean = false): Int = {
+             checkpointMarker: Boolean = false,
+             tags: Seq[String] = Nil): Int = {
     var v = maxVersionOnDisk(fs, tableDir).map(_ + 1).getOrElse(0)
-    while (!tryCommit(fs, tableDir, v, ts, adds, removes, checkpointMarker)) v += 1
+    while (!tryCommit(fs, tableDir, v, ts, adds, removes, checkpointMarker, tags)) v += 1
     v
   }
 
@@ -238,6 +243,178 @@ object CommitLog {
     dropped.foreach(d => fs.delete(logFile(tableDir, d), false))
     vacuumOrphans(fs, tableDir, graceMs)
     dropped
+  }
+
+  // ------------------------------------------------------------------
+  // Layout upgrade ceremony (reference protocol/ClientProtocol.java:684
+  // finalizeUpgrade, :694 distributedUpgradeProgress): an upgrade swaps
+  // the active set for a new layout in ONE tagged commit while the
+  // pre-upgrade state stays reachable for rollback; finalize closes
+  // the rollback window. The state machine is derived purely from
+  // replayed tags — no side files, so it inherits the journal's
+  // atomicity and survives crashes at any point.
+  // ------------------------------------------------------------------
+
+  /** The pending (started, neither rolled back nor finalized) upgrade
+    * commit, if any. */
+  def pendingUpgrade(fs: FileSystem, tableDir: String): Option[Commit] = {
+    val cs = commits(fs, tableDir)
+    cs.filter(_.tags("upgrade")).lastOption.filter { up =>
+      !cs.exists(c => c.version > up.version && (c.tags("rollback") || c.tags("finalize")))
+    }
+  }
+
+  /** Begin a layout upgrade: write `df` as the new layout and swap it
+    * for the entire current active set in one tagged commit. Refused
+    * while another upgrade is pending (the reference's one-upgrade-at-
+    * a-time rule). Compare-and-swap like checkpoint(): the swap is
+    * computed against the active set as of planning, so it may only
+    * land at the exact next version — a concurrent commit aborts the
+    * ceremony rather than silently resurrecting removed files.
+    * Returns the upgrade version. */
+  def startUpgrade(spark: SparkSession, tableDir: String, df: DataFrame,
+                   relPath: String, ts: Long): Int = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (pendingUpgrade(fs, tableDir).isDefined)
+      throw new IllegalStateException(
+        s"$tableDir has a pending upgrade: rollback or finalize it first")
+    val old = activeSet(commits(fs, tableDir))
+    val next = maxVersionOnDisk(fs, tableDir).map(_ + 1).getOrElse(0)
+    df.write.mode("overwrite").parquet(s"$tableDir/$relPath")
+    if (!tryCommit(fs, tableDir, next, ts, adds = Seq(relPath), removes = old,
+        tags = Seq("upgrade"))) {
+      fs.delete(new Path(tableDir, relPath), true)
+      throw new java.util.ConcurrentModificationException(
+        s"$tableDir advanced past version $next during upgrade — retry")
+    }
+    next
+  }
+
+  /** Roll back the pending upgrade: one inverse commit (re-add what
+    * the upgrade removed, remove its new layout) tagged `rollback`.
+    * The upgrade's files stay on disk for history reads until
+    * retention drops them — rollback is a metadata flip, O(1) in data
+    * size. CAS-pinned against the ceremony state it inspected. */
+  def rollbackUpgrade(fs: FileSystem, tableDir: String, ts: Long): Int = {
+    val up = pendingUpgrade(fs, tableDir).getOrElse(
+      throw new IllegalStateException(s"$tableDir: no pending upgrade to roll back"))
+    val next = maxVersionOnDisk(fs, tableDir).map(_ + 1).getOrElse(0)
+    if (!tryCommit(fs, tableDir, next, ts, adds = up.removes, removes = up.adds,
+        tags = Seq("rollback")))
+      throw new java.util.ConcurrentModificationException(
+        s"$tableDir advanced past version $next during rollback — retry")
+    next
+  }
+
+  /** Finalize the pending upgrade: close the rollback window with an
+    * empty tagged commit. Afterwards rollbackUpgrade refuses and the
+    * pre-upgrade layout becomes retention-reclaimable. */
+  def finalizeUpgrade(fs: FileSystem, tableDir: String, ts: Long): Int = {
+    pendingUpgrade(fs, tableDir).getOrElse(
+      throw new IllegalStateException(s"$tableDir: no pending upgrade to finalize"))
+    val next = maxVersionOnDisk(fs, tableDir).map(_ + 1).getOrElse(0)
+    if (!tryCommit(fs, tableDir, next, ts, adds = Nil, removes = Nil,
+        tags = Seq("finalize")))
+      throw new java.util.ConcurrentModificationException(
+        s"$tableDir advanced past version $next during finalize — retry")
+    next
+  }
+
+  // ------------------------------------------------------------------
+  // Symlink / view layer (reference protocol/ClientProtocol.java:839
+  // createSymlink, :855 getLinkTarget; FSDirectory symlink INodes): a
+  // named alias over a commit-log table, optionally pinned to a
+  // version — the lake's view object. Links live under
+  // `root/_links/<name>.lnk` and are created CREATE-EXCLUSIVELY, the
+  // same atomic-claim discipline as version commits: racing creates
+  // cannot both win.
+  // ------------------------------------------------------------------
+
+  private def linkFile(root: String, name: String) = new Path(root, s"_links/$name.lnk")
+
+  /** One namespace link: alias -> target (a table dir or another link
+    * name, both relative to the root), optionally pinned to a table
+    * version. */
+  final case class Link(name: String, target: String, version: Option[Int])
+
+  /** Create link `name` -> `target`. Fails if the name exists — the
+    * reference's createSymlink contract; remove first to repoint. */
+  def createLink(fs: FileSystem, root: String, name: String, target: String,
+                 version: Option[Int] = None): Unit = {
+    require(name.nonEmpty && !name.contains("/"), s"link name must be a simple name: '$name'")
+    val f = linkFile(root, name)
+    fs.mkdirs(f.getParent)
+    val out =
+      try fs.create(f, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new java.io.IOException(s"link exists: $name")
+        case e: java.io.IOException if fs.exists(f) =>
+          throw new java.io.IOException(s"link exists: $name", e)
+      }
+    val body = (s"target $target" +: version.map(v => s"version $v").toSeq)
+      .mkString("", "\n", "\n")
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  def removeLink(fs: FileSystem, root: String, name: String): Boolean =
+    fs.delete(linkFile(root, name), false)
+
+  /** The raw (unresolved) target of a link — getLinkTarget. */
+  def linkTarget(fs: FileSystem, root: String, name: String): Option[Link] = {
+    val f = linkFile(root, name)
+    if (!fs.exists(f)) return None
+    val in = fs.open(f)
+    val text =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    lines.collectFirst { case l if l.startsWith("target ") => l.drop(7) }
+      .map(t => Link(name, t,
+        lines.collectFirst { case l if l.startsWith("version ") => l.drop(8).toInt }))
+  }
+
+  /** All links under the root (the listing surface — symlinks show up
+    * in namespace listings with their targets, as in the reference's
+    * FileStatus.isSymlink). */
+  def listLinks(fs: FileSystem, root: String): Seq[Link] = {
+    val dir = new Path(root, "_links")
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".lnk")).map(_.stripSuffix(".lnk")).sorted
+      .flatMap(n => linkTarget(fs, root, n))
+  }
+
+  /** Resolve a link through chains (a target that is itself a link
+    * name) to (table dir relative to root, pinned version). The
+    * OUTERMOST version pin along the chain wins — an alias of a pinned
+    * view keeps the pin, a pinned alias of a live view adds one.
+    * Bounded depth guards cycles. */
+  def resolveLink(fs: FileSystem, root: String, name: String,
+                  maxDepth: Int = 8): (String, Option[Int]) = {
+    var cur = name
+    var pin: Option[Int] = None
+    var depth = 0
+    while (depth < maxDepth) {
+      linkTarget(fs, root, cur) match {
+        case Some(l) =>
+          pin = pin.orElse(l.version)
+          cur = l.target
+          depth += 1
+        case None =>
+          if (depth == 0) throw new java.io.FileNotFoundException(s"no such link: $name")
+          return (cur, pin)
+      }
+    }
+    throw new java.io.IOException(s"link chain too deep (cycle?) resolving $name")
+  }
+
+  /** Read the table a link points at, honoring a version pin — the
+    * open-through-symlink path. */
+  def readLink(spark: SparkSession, root: String, name: String): DataFrame = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val (table, pin) = resolveLink(fs, root, name)
+    snapshot(spark, s"$root/$table", pin.getOrElse(Int.MaxValue))
   }
 
   /** Delete data directories never referenced by any commit (staging

@@ -1,0 +1,112 @@
+package graft
+
+import graft.sources.CommitLog
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions._
+
+class NamespaceSpec extends SparkSpec {
+
+  private def fs: FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  private def freshRoot(name: String): String = {
+    val dir = s"/root/repo/target/scratch/namespace/$name"
+    fs.delete(new Path(dir), true)
+    dir
+  }
+
+  test("links: chain resolution, outermost version pin wins, listing shows targets") {
+    val root = freshRoot("links")
+    val r = Tables.region(spark, sfDir)
+    CommitLog.writeCommit(spark, root + "/t", r.filter(col("r_regionkey") < 2), "data/a", 100L)
+    CommitLog.writeCommit(spark, root + "/t", r.filter(col("r_regionkey") >= 2), "data/b", 200L)
+    CommitLog.createLink(fs, root, "live", "t")
+    CommitLog.createLink(fs, root, "frozen", "t", version = Some(0))
+    CommitLog.createLink(fs, root, "alias", "live")           // chain, no pin
+    CommitLog.createLink(fs, root, "pinned_alias", "live", version = Some(0))
+    assert(CommitLog.resolveLink(fs, root, "alias") == ("t", None))
+    assert(CommitLog.resolveLink(fs, root, "frozen") == ("t", Some(0)))
+    // outer pin survives through an unpinned inner link
+    assert(CommitLog.resolveLink(fs, root, "pinned_alias") == ("t", Some(0)))
+    assert(CommitLog.readLink(spark, root, "live").count() == r.count())
+    assert(CommitLog.readLink(spark, root, "frozen").count() == 2)
+    assert(CommitLog.listLinks(fs, root).map(_.name) ==
+      Seq("alias", "frozen", "live", "pinned_alias"))
+  }
+
+  test("links: create is exclusive; remove allows repointing; cycles are bounded") {
+    val root = freshRoot("links_edge")
+    CommitLog.createLink(fs, root, "a", "t1")
+    intercept[java.io.IOException] { CommitLog.createLink(fs, root, "a", "t2") }
+    assert(CommitLog.linkTarget(fs, root, "a").get.target == "t1") // loser changed nothing
+    assert(CommitLog.removeLink(fs, root, "a"))
+    CommitLog.createLink(fs, root, "a", "t2")
+    assert(CommitLog.resolveLink(fs, root, "a") == ("t2", None))
+    // cycle: a2 -> b2 -> a2 must terminate with an error, not hang
+    CommitLog.createLink(fs, root, "a2", "b2")
+    CommitLog.createLink(fs, root, "b2", "a2")
+    intercept[java.io.IOException] { CommitLog.resolveLink(fs, root, "a2") }
+    intercept[java.io.FileNotFoundException] { CommitLog.resolveLink(fs, root, "nope") }
+  }
+
+  test("upgrade ceremony: swap, rollback restores, finalize closes the window") {
+    val dir = freshRoot("upgrade") + "/t"
+    val r = Tables.region(spark, sfDir)
+    val narrow = r.select(col("r_regionkey"))
+    val wide = r.select(col("r_regionkey"), col("r_name"))
+    CommitLog.writeCommit(spark, dir, narrow, "data/narrow", 100L)
+    CommitLog.startUpgrade(spark, dir, wide, "data/wide1", 200L)
+    assert(CommitLog.snapshot(spark, dir).columns.toSeq == Seq("r_regionkey", "r_name"))
+    // one upgrade at a time
+    intercept[IllegalStateException] {
+      CommitLog.startUpgrade(spark, dir, wide, "data/wide_dup", 250L)
+    }
+    CommitLog.rollbackUpgrade(fs, dir, 300L)
+    assert(CommitLog.snapshot(spark, dir).columns.toSeq == Seq("r_regionkey"))
+    assert(CommitLog.snapshot(spark, dir).count() == r.count())
+    // nothing pending now: rollback/finalize both refuse
+    intercept[IllegalStateException] { CommitLog.rollbackUpgrade(fs, dir, 350L) }
+    intercept[IllegalStateException] { CommitLog.finalizeUpgrade(fs, dir, 350L) }
+    CommitLog.startUpgrade(spark, dir, wide, "data/wide2", 400L)
+    CommitLog.finalizeUpgrade(fs, dir, 500L)
+    assert(CommitLog.snapshot(spark, dir).columns.toSeq == Seq("r_regionkey", "r_name"))
+    // finalize closed the rollback window
+    intercept[IllegalStateException] { CommitLog.rollbackUpgrade(fs, dir, 600L) }
+    // history is intact: the pre-upgrade layout still reads at its version
+    assert(CommitLog.snapshot(spark, dir, version = 0).columns.toSeq == Seq("r_regionkey"))
+  }
+
+  test("enforceRead: denied principal sees zero rows; group class grants 640") {
+    import graft.api.Graft
+    val docs = Tables.documents(spark, sfDir)
+    val manifest = docs.select(col("source")).distinct()
+      .select(col("source"), lit("ingest").as("owner"), lit("data").as("grp"),
+        lit(640).as("mode"))
+    // principal with no ownership, no matching group, modes all 640 -> nothing
+    val denied = Graft.lake.enforceRead(docs, manifest, "source", "nobody", Seq("ops"))
+    assert(denied.count() == 0)
+    // group member reads through the group class of 640
+    val grouped = Graft.lake.enforceRead(docs, manifest, "source", "nobody", Seq("data"))
+    assert(grouped.count() == docs.count())
+    // owner class short-circuits: owner with owner-read 0 is denied even
+    // if the world could read (044 = unusual but the checker's order)
+    val invert = manifest.withColumn("mode", lit(44))
+    val ownerDenied = Graft.lake.enforceRead(docs, invert, "source", "ingest", Nil)
+    assert(ownerDenied.count() == 0)
+    val otherAllowed = Graft.lake.enforceRead(docs, invert, "source", "nobody", Nil)
+    assert(otherAllowed.count() == docs.count())
+  }
+
+  test("setTimes: -1 sentinel leaves the field unchanged") {
+    import graft.api.Graft
+    val ns = Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(max(col("doc_id")).as("mtime"), min(col("doc_id")).as("atime"))
+    val touched = Graft.lake.setTimes(ns, lit(true), mtime = 7L, atime = -1L)
+      .select(col("mtime"), col("atime")).distinct().collect()
+    assert(touched.forall(_.getLong(0) == 7L))
+    val untouched = ns.select(col("atime")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(touched.map(_.getLong(1)).sorted.toSeq.distinct.sorted ==
+      untouched.distinct.sorted)
+  }
+}
