@@ -446,8 +446,99 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Incremental dedup against a PERSISTED band index — the production
+    * shape of MinHash dedup at 100 TB: the established corpus's banded
+    * signatures and shingle sets are materialized ONCE as on-disk
+    * index tables (provisioning gated on a metadata-only source
+    * signature, the bucketed-join/IVF discipline); when a new batch
+    * arrives (here: the newest 20% by doc_id — arrival order), ONLY
+    * the batch is shingled. Batch band keys equi-join the stored index
+    * for batch-vs-corpus candidates, a batch-bands self-join finds
+    * batch-internal candidates, and exact-Jaccard verification reads
+    * corpus shingles from the index's shingle table — the established
+    * corpus text is never re-read. A batch doc is a dup if it near-
+    * dups any earlier doc, split by whether any partner is corpus or
+    * only batch. The oracle derives the same split from the
+    * full-corpus pair CTE restricted to batch-side doc_b. */
+  val dIncrementalDedup: GraftQuery = GraftQuery.sql(
+    "d_incremental_dedup",
+    s"""WITH ${minhashPairsCtes()},
+       |c AS (SELECT COUNT(*) * 4 // 5 AS cut FROM documents),
+       |bd AS (SELECT doc_b AS doc_id, CAST(MIN(doc_a) AS BIGINT) AS min_partner
+       |       FROM pairs, c WHERE doc_b >= cut GROUP BY doc_b),
+       |batch AS (SELECT d.source, d.doc_id, bd.min_partner
+       |          FROM documents d CROSS JOIN c LEFT JOIN bd ON d.doc_id = bd.doc_id
+       |          WHERE d.doc_id >= c.cut)
+       |SELECT source, COUNT(*) AS n_batch,
+       |  CAST(SUM(CASE WHEN min_partner < (SELECT cut FROM c) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_corpus,
+       |  CAST(SUM(CASE WHEN min_partner >= (SELECT cut FROM c) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_batch,
+       |  CAST(SUM(CASE WHEN min_partner IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM batch GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    import graft.api.Graft
+    val docs = Tables.documents(s, d)
+    // doc_ids are dense 0..N-1 (arrival order); the newest 20% is the
+    // incoming batch. Parquet row count is a footer-metadata read.
+    val cut = docs.count() * 4 / 5
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val root = Lake.scratch("band_index_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    val srcPath = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    // Provision the corpus index once per source content: banded keys
+    // (the LSH index) + shingle sets (the verification side) — at
+    // 100 TB these live bucketed by band_key/doc_id so the batch join
+    // is co-located.
+    Lake.provisionIfStale(fs, root, s"cut=$cut|${Lake.sourceSig(fs, srcPath)}") {
+      val corpus = docs.filter(col("doc_id") < cut)
+      val shc = corpus.select(col("doc_id"),
+        sort_array(Shingles.shingleHashes(col("text"))).as("sh"))
+      shc.write.mode("overwrite").parquet(s"$root/shingles")
+      Graft.dedup.bandedKeys(s.read.parquet(s"$root/shingles"), K, Bands)
+        .select(col("band_idx"), col("band_key"), col("doc_id"))
+        .write.mode("overwrite").parquet(s"$root/bands")
+    }
+    // The measured query: shingle ONLY the batch, join the stored index.
+    val batch = docs.filter(col("doc_id") >= cut)
+    val shb = graft.ScopedCache(batch.select(col("doc_id"),
+      sort_array(Shingles.shingleHashes(col("text"))).as("sh")))
+    // ^ feeds the index join, the self-join and verification; released
+    //   when the query's action completes
+    val bandsB = Graft.dedup.bandedKeys(shb, K, Bands)
+      .select(col("band_idx"), col("band_key"), col("doc_id"), col("sh"))
+    val idxBands = s.read.parquet(s"$root/bands")
+    val idxSh = s.read.parquet(s"$root/shingles")
+    // batch-vs-corpus: band equi-join against the index, shingles for
+    // the corpus side come from the index's shingle table
+    val vsCorpus = bandsB.as("b").join(idxBands.as("a"),
+        col("b.band_idx") === col("a.band_idx") && col("b.band_key") === col("a.band_key"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("b.sh").as("sh_b"))
+      .distinct()
+      .join(idxSh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+    // batch-internal: self-join of the batch bands
+    val within = bandsB.as("x").join(bandsB.as("y"),
+        col("x.band_idx") === col("y.band_idx") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
+      .distinct()
+    val pairs = vsCorpus.unionByName(within)
+      .withColumn("jaccard", Shingles.jaccardSorted(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.8)
+    val flags = pairs.groupBy(col("doc_b").as("f_id"))
+      .agg(min(col("doc_a")).as("min_partner"))
+    batch.join(flags, col("doc_id") === col("f_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_batch"),
+        sum(when(col("min_partner") < cut, 1).otherwise(0)).as("n_dup_corpus"),
+        sum(when(col("min_partner") >= cut, 1).otherwise(0)).as("n_dup_batch"),
+        sum(when(col("min_partner").isNull, 1).otherwise(0)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     dExactDup, dNgramJaccard, dMinhashLsh, dSimhash, dCorpusSimilarity,
     dDupClusters, dDedupFilter, dContainment, dCorpusCurate, stStreamNearDup,
-    dDecontaminate)
+    dDecontaminate, dIncrementalDedup)
 }

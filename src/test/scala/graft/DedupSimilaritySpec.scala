@@ -132,4 +132,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"all-pairs nested loop in m_feature_pairs:\n$plan")
   }
+
+  test("incremental dedup via the stored band index equals the full-pairs formulation") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val cut = docs.count() * 4 / 5
+    // truth: full-corpus minhash pairs restricted to batch-side doc_b,
+    // split by the earliest partner's side — the same semantics the
+    // index path must reproduce while shingling only the batch
+    val full = graft.api.Graft.dedup.minhashPairs(docs, "doc_id", "text",
+        threshold = 0.8, k = Dedup.K, bands = Dedup.Bands)
+      .filter(col("doc_b") >= cut)
+      .groupBy(col("doc_b")).agg(min(col("doc_a")).as("mp"))
+    val expCorpus = full.filter(col("mp") < cut).count()
+    val expBatch = full.filter(col("mp") >= cut).count()
+    val got = Dedup.dIncrementalDedup.fn(spark, sfDir)
+      .agg(sum("n_dup_corpus"), sum("n_dup_batch"), sum("n_batch"), sum("n_kept"))
+      .head()
+    assert(got.getLong(0) == expCorpus && got.getLong(1) == expBatch,
+      s"index path (${got.getLong(0)}, ${got.getLong(1)}) != full pairs ($expCorpus, $expBatch)")
+    assert(got.getLong(2) == got.getLong(0) + got.getLong(1) + got.getLong(3))
+    assert(expCorpus > 0, "degenerate: no batch-vs-corpus dups at this SF")
+  }
+
+  test("incremental dedup provisioning is idempotent: second run reuses the index") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Dedup.dIncrementalDedup.fn(spark, sfDir).count()
+    val root = new org.apache.hadoop.fs.Path(
+      graft.operators.Lake.scratch("band_index_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")))
+    def sig(): Long = fs.listStatus(new org.apache.hadoop.fs.Path(root, "bands"))
+      .map(st => st.getModificationTime + st.getLen).sum
+    val before = sig()
+    Dedup.dIncrementalDedup.fn(spark, sfDir).count()
+    assert(sig() == before, "unchanged source must not rewrite the band index")
+  }
 }
