@@ -22,7 +22,11 @@ object Explain {
     "d_embed_neardup", "m_feature_pairs", "q_scalar_subquery",
     "lake_time_travel", "lake_health", "lake_mirror", "lake_acl_audit",
     "d_corpus_curate", "s_ann_ivf_partitioned", "st_stream_neardup",
-    "d_decontaminate", "t_pii_scrub")
+    "d_decontaminate", "t_pii_scrub",
+    // round-5 flagships: index-backed RRF arms, the stored-band-index
+    // arrival path, and the namespace layer's read-enforcement join
+    "d_incremental_dedup", "lake_links", "lake_upgrade",
+    "lake_acl_enforce", "lake_set_times")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
