@@ -505,25 +505,29 @@ object Dedup {
     // ^ feeds the index join, the self-join and verification; released
     //   when the query's action completes
     val bandsB = Graft.dedup.bandedKeys(shb, K, Bands)
-      .select(col("band_idx"), col("band_key"), col("doc_id"), col("sh"))
+      .select(col("band_idx"), col("band_key"), col("doc_id"))
     val idxBands = s.read.parquet(s"$root/bands")
     val idxSh = s.read.parquet(s"$root/shingles")
-    // batch-vs-corpus: band equi-join against the index, shingles for
-    // the corpus side come from the index's shingle table
+    // Candidates dedup on BARE id pairs, shingles attach afterwards —
+    // the candidateSetsFromShingles discipline: multi-band collisions
+    // must not drag the heavy shingle arrays through the distinct's
+    // shuffle. batch-vs-corpus candidates come from the stored index;
+    // batch-internal from a self-join of the batch bands.
     val vsCorpus = bandsB.as("b").join(idxBands.as("a"),
         col("b.band_idx") === col("a.band_idx") && col("b.band_key") === col("a.band_key"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("b.sh").as("sh_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
       .join(idxSh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
-    // batch-internal: self-join of the batch bands
+      .drop("doc_id")
     val within = bandsB.as("x").join(bandsB.as("y"),
         col("x.band_idx") === col("y.band_idx") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      .join(shb.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
     val pairs = vsCorpus.unionByName(within)
+      .join(shb.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id"))
       .withColumn("jaccard", Shingles.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.8)
     val flags = pairs.groupBy(col("doc_b").as("f_id"))

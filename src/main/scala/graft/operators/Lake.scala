@@ -42,20 +42,31 @@ object Lake {
     * cells, band indexes): the one-time build pays its shuffle at
     * layout time; the measured query reads the layout. */
   def provisionIfStale(fs: org.apache.hadoop.fs.FileSystem, path: String,
-                       sig: String)(write: => Unit): Unit = {
-    val sigFile = new org.apache.hadoop.fs.Path(path, "_graft_src_sig")
-    val recorded =
-      if (!fs.exists(sigFile)) None
-      else {
-        val in = fs.open(sigFile)
-        try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
-        finally in.close()
-      }
-    if (!recorded.contains(sig)) {
+                       sig: String)(write: => Unit): Unit =
+    if (!recordedSig(fs, path).contains(sig)) {
       write
-      val out = fs.create(sigFile, true)
-      try out.write(sig.getBytes("UTF-8")) finally out.close()
+      recordSig(fs, path, sig)
     }
+
+  private def sigFile(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_src_sig")
+
+  /** The signature recorded at `path` by a previous provisioning run. */
+  def recordedSig(fs: org.apache.hadoop.fs.FileSystem, path: String): Option[String] = {
+    val f = sigFile(path)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
+
+  /** Record `sig` at `path` (overwrite — the layout it describes just
+    * finished building). */
+  def recordSig(fs: org.apache.hadoop.fs.FileSystem, path: String, sig: String): Unit = {
+    val out = fs.create(sigFile(path), true)
+    try out.write(sig.getBytes("UTF-8")) finally out.close()
   }
 
   private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"

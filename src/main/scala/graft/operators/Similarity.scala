@@ -232,28 +232,11 @@ object Similarity {
     val path = graft.operators.Lake.scratch(
       "ivf_cells_" + d.replaceAll("[^A-Za-z0-9]", "_"))
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-    def srcSig: String = {
-      val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
-      val parts =
-        if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq else Seq(fs.getFileStatus(p))
-      parts.map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-        .sorted.mkString("|")
-    }
-    val sigFile = new org.apache.hadoop.fs.Path(path, "_graft_src_sig")
-    def recordedSig: Option[String] =
-      if (!fs.exists(sigFile)) None
-      else {
-        val in = fs.open(sigFile)
-        try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
-        finally in.close()
-      }
-    val fresh = srcSig
-    if (!recordedSig.contains(fresh)) {
+    val srcSig = Lake.sourceSig(fs, new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet"))
+    Lake.provisionIfStale(fs, path, srcSig) {
       asg.filter(col("rk") === 1)
         .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
         .write.mode("overwrite").partitionBy("cid").parquet(path)
-      val out = fs.create(sigFile, true)
-      try out.write(fresh.getBytes("UTF-8")) finally out.close()
     }
     ivfScore(s.read.parquet(path), ivfProbes(asg))
   }

@@ -180,23 +180,11 @@ object Warehouse {
       srcPath: String, src: => org.apache.spark.sql.DataFrame, key: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     val loc = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), tab)
-    def srcSig: String = {
-      val p = new org.apache.hadoop.fs.Path(srcPath)
-      val parts =
-        if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq else Seq(fs.getFileStatus(p))
-      parts.map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-        .sorted.mkString("|")
-    }
-    val sigFile = new org.apache.hadoop.fs.Path(loc, "_graft_src_sig")
-    def recordedSig: Option[String] =
-      if (!fs.exists(sigFile)) None
-      else {
-        val in = fs.open(sigFile)
-        try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
-        finally in.close()
-      }
-    val fresh = srcSig
-    if (fs.exists(loc) && !recordedSig.contains(fresh)) {
+    // shared metadata-only signature helpers (Lake.sourceSig /
+    // recordedSig / recordSig) — one staleness definition for every
+    // amortized layout
+    val fresh = Lake.sourceSig(fs, new org.apache.hadoop.fs.Path(srcPath))
+    if (fs.exists(loc) && !Lake.recordedSig(fs, loc.toString).contains(fresh)) {
       if (s.catalog.tableExists(tab)) s.sql(s"DROP TABLE $tab")
       fs.delete(loc, true)
       ()
@@ -207,8 +195,7 @@ object Warehouse {
                |LOCATION '$loc'""".stripMargin)
     if (!s.catalog.tableExists(tab)) {
       src.write.bucketBy(8, key).sortBy(key).saveAsTable(tab)
-      val out = fs.create(sigFile, true)
-      try out.write(fresh.getBytes("UTF-8")) finally out.close()
+      Lake.recordSig(fs, loc.toString, fresh)
     }
   }
 

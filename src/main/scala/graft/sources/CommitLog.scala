@@ -198,10 +198,14 @@ object CommitLog {
     if (isFrozen(fs, tableDir))
       throw new java.io.IOException(
         s"$tableDir is frozen (safe mode): checkpoint refused before any data I/O")
+    // CAS ordering: claim the next version number BEFORE reading the
+    // state it will swap — any commit that lands after this read
+    // occupies >= next, so tryCommit loses the create-exclusive race
+    // and the ceremony aborts instead of acting on a stale snapshot.
+    val next = maxVersionOnDisk(fs, tableDir).map(_ + 1).getOrElse(0)
     val base = commits(fs, tableDir)
     val active = activeSet(base)
     require(active.nonEmpty, s"nothing to checkpoint in $tableDir")
-    val next = maxVersionOnDisk(fs, tableDir).map(_ + 1).getOrElse(0)
     val image = s"data/ckpt-$next"
     spark.read.parquet(active.map(p => s"$tableDir/$p"): _*)
       .write.mode("overwrite").parquet(s"$tableDir/$image")
@@ -257,12 +261,13 @@ object CommitLog {
 
   /** The pending (started, neither rolled back nor finalized) upgrade
     * commit, if any. */
-  def pendingUpgrade(fs: FileSystem, tableDir: String): Option[Commit] = {
-    val cs = commits(fs, tableDir)
+  def pendingUpgrade(fs: FileSystem, tableDir: String): Option[Commit] =
+    pendingUpgradeIn(commits(fs, tableDir))
+
+  private def pendingUpgradeIn(cs: Seq[Commit]): Option[Commit] =
     cs.filter(_.tags("upgrade")).lastOption.filter { up =>
       !cs.exists(c => c.version > up.version && (c.tags("rollback") || c.tags("finalize")))
     }
-  }
 
   /** Begin a layout upgrade: write `df` as the new layout and swap it
     * for the entire current active set in one tagged commit. Refused
@@ -275,11 +280,16 @@ object CommitLog {
   def startUpgrade(spark: SparkSession, tableDir: String, df: DataFrame,
                    relPath: String, ts: Long): Int = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    if (pendingUpgrade(fs, tableDir).isDefined)
+    // CAS ordering: claim the next version BEFORE reading the state
+    // the swap is computed from — a commit landing after this read
+    // occupies >= next, so tryCommit loses and the ceremony aborts
+    // (it can never act on a stale active set).
+    val next = maxVersionOnDisk(fs, tableDir).map(_ + 1).getOrElse(0)
+    val cs = commits(fs, tableDir)
+    if (pendingUpgradeIn(cs).isDefined)
       throw new IllegalStateException(
         s"$tableDir has a pending upgrade: rollback or finalize it first")
-    val old = activeSet(commits(fs, tableDir))
-    val next = maxVersionOnDisk(fs, tableDir).map(_ + 1).getOrElse(0)
+    val old = activeSet(cs)
     df.write.mode("overwrite").parquet(s"$tableDir/$relPath")
     if (!tryCommit(fs, tableDir, next, ts, adds = Seq(relPath), removes = old,
         tags = Seq("upgrade"))) {
@@ -296,9 +306,9 @@ object CommitLog {
     * retention drops them — rollback is a metadata flip, O(1) in data
     * size. CAS-pinned against the ceremony state it inspected. */
   def rollbackUpgrade(fs: FileSystem, tableDir: String, ts: Long): Int = {
-    val up = pendingUpgrade(fs, tableDir).getOrElse(
-      throw new IllegalStateException(s"$tableDir: no pending upgrade to roll back"))
     val next = maxVersionOnDisk(fs, tableDir).map(_ + 1).getOrElse(0)
+    val up = pendingUpgradeIn(commits(fs, tableDir)).getOrElse(
+      throw new IllegalStateException(s"$tableDir: no pending upgrade to roll back"))
     if (!tryCommit(fs, tableDir, next, ts, adds = up.removes, removes = up.adds,
         tags = Seq("rollback")))
       throw new java.util.ConcurrentModificationException(
@@ -310,9 +320,9 @@ object CommitLog {
     * empty tagged commit. Afterwards rollbackUpgrade refuses and the
     * pre-upgrade layout becomes retention-reclaimable. */
   def finalizeUpgrade(fs: FileSystem, tableDir: String, ts: Long): Int = {
-    pendingUpgrade(fs, tableDir).getOrElse(
-      throw new IllegalStateException(s"$tableDir: no pending upgrade to finalize"))
     val next = maxVersionOnDisk(fs, tableDir).map(_ + 1).getOrElse(0)
+    pendingUpgradeIn(commits(fs, tableDir)).getOrElse(
+      throw new IllegalStateException(s"$tableDir: no pending upgrade to finalize"))
     if (!tryCommit(fs, tableDir, next, ts, adds = Nil, removes = Nil,
         tags = Seq("finalize")))
       throw new java.util.ConcurrentModificationException(
@@ -338,12 +348,18 @@ object CommitLog {
   final case class Link(name: String, target: String, version: Option[Int])
 
   /** Create link `name` -> `target`. Fails if the name exists — the
-    * reference's createSymlink contract; remove first to repoint. */
+    * reference's createSymlink contract; remove first to repoint. A
+    * link body ends with the same terminal `end` marker as commits: a
+    * crash between the exclusive create and the body write leaves a
+    * DEAD file (no terminator) that readers skip and a retrying
+    * create reclaims — the name can't wedge. */
   def createLink(fs: FileSystem, root: String, name: String, target: String,
                  version: Option[Int] = None): Unit = {
     require(name.nonEmpty && !name.contains("/"), s"link name must be a simple name: '$name'")
     val f = linkFile(root, name)
     fs.mkdirs(f.getParent)
+    // reclaim a torn claim: present on disk but unreadable as a link
+    if (fs.exists(f) && linkTarget(fs, root, name).isEmpty) fs.delete(f, false)
     val out =
       try fs.create(f, false)
       catch {
@@ -352,7 +368,7 @@ object CommitLog {
         case e: java.io.IOException if fs.exists(f) =>
           throw new java.io.IOException(s"link exists: $name", e)
       }
-    val body = (s"target $target" +: version.map(v => s"version $v").toSeq)
+    val body = (s"target $target" +: version.map(v => s"version $v").toSeq :+ "end")
       .mkString("", "\n", "\n")
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
@@ -360,7 +376,9 @@ object CommitLog {
   def removeLink(fs: FileSystem, root: String, name: String): Boolean =
     fs.delete(linkFile(root, name), false)
 
-  /** The raw (unresolved) target of a link — getLinkTarget. */
+  /** The raw (unresolved) target of a link — getLinkTarget. A file
+    * without the terminal `end` marker is a torn create: treated as
+    * absent (and reclaimable by createLink). */
   def linkTarget(fs: FileSystem, root: String, name: String): Option[Link] = {
     val f = linkFile(root, name)
     if (!fs.exists(f)) return None
@@ -369,6 +387,7 @@ object CommitLog {
       try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
       finally in.close()
     val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    if (!lines.lastOption.contains("end")) return None
     lines.collectFirst { case l if l.startsWith("target ") => l.drop(7) }
       .map(t => Link(name, t,
         lines.collectFirst { case l if l.startsWith("version ") => l.drop(8).toInt }))
@@ -395,18 +414,21 @@ object CommitLog {
     var cur = name
     var pin: Option[Int] = None
     var depth = 0
-    while (depth < maxDepth) {
-      linkTarget(fs, root, cur) match {
-        case Some(l) =>
-          pin = pin.orElse(l.version)
-          cur = l.target
-          depth += 1
-        case None =>
-          if (depth == 0) throw new java.io.FileNotFoundException(s"no such link: $name")
-          return (cur, pin)
-      }
+    var next = linkTarget(fs, root, cur)
+    if (next.isEmpty) throw new java.io.FileNotFoundException(s"no such link: $name")
+    while (next.isDefined) {
+      depth += 1
+      // depth counts FOLLOWED links, so a valid chain of exactly
+      // maxDepth links resolves; only depth > maxDepth (a cycle or a
+      // genuinely deeper chain) aborts
+      if (depth > maxDepth)
+        throw new java.io.IOException(s"link chain too deep (cycle?) resolving $name")
+      val l = next.get
+      pin = pin.orElse(l.version)
+      cur = l.target
+      next = linkTarget(fs, root, cur)
     }
-    throw new java.io.IOException(s"link chain too deep (cycle?) resolving $name")
+    (cur, pin)
   }
 
   /** Read the table a link points at, honoring a version pin — the

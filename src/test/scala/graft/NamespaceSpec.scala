@@ -47,6 +47,28 @@ class NamespaceSpec extends SparkSpec {
     CommitLog.createLink(fs, root, "b2", "a2")
     intercept[java.io.IOException] { CommitLog.resolveLink(fs, root, "a2") }
     intercept[java.io.FileNotFoundException] { CommitLog.resolveLink(fs, root, "nope") }
+    // a valid chain of exactly maxDepth links resolves (depth counts
+    // followed links, not an off-by-one below the limit)
+    CommitLog.createLink(fs, root, "c3", "tt")
+    CommitLog.createLink(fs, root, "c2", "c3")
+    CommitLog.createLink(fs, root, "c1", "c2")
+    assert(CommitLog.resolveLink(fs, root, "c1", maxDepth = 3) == ("tt", None))
+    intercept[java.io.IOException] { CommitLog.resolveLink(fs, root, "c1", maxDepth = 2) }
+  }
+
+  test("links: a torn create (no terminator) is dead, skipped, and reclaimable") {
+    val root = freshRoot("links_torn")
+    // simulate a crash between the exclusive create and the body write
+    val torn = new Path(root, "_links/t.lnk")
+    fs.mkdirs(torn.getParent)
+    val out = fs.create(torn, false)
+    out.write("target half".getBytes("UTF-8")) // no terminal 'end'
+    out.close()
+    assert(CommitLog.linkTarget(fs, root, "t").isEmpty, "torn link must read as absent")
+    assert(CommitLog.listLinks(fs, root).isEmpty)
+    // the name is not wedged: a retrying create reclaims it
+    CommitLog.createLink(fs, root, "t", "real_table")
+    assert(CommitLog.resolveLink(fs, root, "t") == ("real_table", None))
   }
 
   test("upgrade ceremony: swap, rollback restores, finalize closes the window") {
