@@ -518,6 +518,37 @@ object Graft {
       ns.withColumn("mtime", m).withColumn("atime", a)
     }
 
+    // Delegation tokens (reference protocol/ClientProtocol.java:893
+    // getDelegationToken, :903 renewDelegationToken, :912
+    // cancelDelegationToken): scoped, expiring access grants as a
+    // token MANIFEST — issue/renew/cancel are columnar transforms,
+    // validation at read time is a semi-join, mirroring the ACL
+    // enforcement path.
+
+    /** Renew: extend the expiry of matching RENEWABLE tokens by
+      * `extendMs` (non-renewable tokens are never extended — the
+      * reference refuses renewal for tokens issued without a
+      * renewer). */
+    def renewTokens(tokens: DataFrame, cond: Column, extendMs: Long): DataFrame =
+      tokens.withColumn("expires_at",
+        when(cond && col("renewable"), col("expires_at") + extendMs)
+          .otherwise(col("expires_at")))
+
+    /** Cancel matching tokens — they stop validating immediately. */
+    def cancelTokens(tokens: DataFrame, cond: Column): DataFrame =
+      tokens.filter(!cond)
+
+    /** Read-path token validation: keep only rows of `df` whose
+      * `entryCol` has an unexpired token as of `asOfMillis`. The
+      * valid-token set is manifest-sized (broadcast semi-join at any
+      * scale). */
+    def enforceToken(df: DataFrame, tokens: DataFrame, entryCol: String,
+                     asOfMillis: Long): DataFrame = {
+      val valid = tokens.filter(col("expires_at") > asOfMillis)
+        .select(col(entryCol).as("__valid_entry"))
+      df.join(broadcast(valid), df(entryCol) === col("__valid_entry"), "left_semi")
+    }
+
     /** Versioned commit-log tables — see graft.sources.CommitLog. */
     def commitLog: graft.sources.CommitLog.type = graft.sources.CommitLog
   }

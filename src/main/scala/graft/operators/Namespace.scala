@@ -172,5 +172,47 @@ object Namespace {
       .orderBy(col("source"))
   }
 
-  def all: Seq[GraftQuery] = Seq(lakeLinks, lakeUpgrade, lakeAclEnforce, lakeSetTimes)
+  /** Delegation-token lifecycle (reference
+    * protocol/ClientProtocol.java:893 getDelegationToken, :903
+    * renewDelegationToken, :912 cancelDelegationToken): per-source
+    * tokens issued off content metadata, renewable ones extended,
+    * two cancelled, then a read at a later instant routed through
+    * enforceToken — non-renewed tokens have expired, cancelled ones
+    * are gone, so only the renewed survivors return rows. The oracle
+    * recomputes the full lifecycle in SQL. */
+  val lakeDelegation: GraftQuery = GraftQuery.sql(
+    "lake_delegation",
+    """WITH tok AS (SELECT source,
+      |    CAST(MIN(doc_id) * 1000 AS BIGINT) AS issued_at,
+      |    CAST(MIN(doc_id) * 1000 + 30000 AS BIGINT) AS expires_at,
+      |    source LIKE 'src1%' AS renewable
+      |  FROM documents GROUP BY source),
+      |renewed AS (SELECT source, issued_at,
+      |    CASE WHEN renewable THEN expires_at + 500000 ELSE expires_at END AS expires_at,
+      |    renewable
+      |  FROM tok WHERE source NOT IN ('src10', 'src11')),
+      |valid AS (SELECT * FROM renewed WHERE expires_at > 40000)
+      |SELECT d.source, COUNT(*) AS n_docs, v.expires_at
+      |FROM documents d JOIN valid v ON d.source = v.source
+      |GROUP BY d.source, v.expires_at ORDER BY d.source""".stripMargin
+  ) { (s, d) =>
+    import graft.api.Graft
+    val docs = Tables.documents(s, d)
+    val issued = docs.groupBy(col("source"))
+      .agg((min(col("doc_id")) * 1000).as("issued_at"),
+        (min(col("doc_id")) * 1000 + 30000).as("expires_at"))
+      .withColumn("renewable", col("source").startsWith("src1"))
+    val renewed = Graft.lake.renewTokens(issued, lit(true), extendMs = 500000L)
+    val tokens = Graft.lake.cancelTokens(renewed, col("source").isin("src10", "src11"))
+    Graft.lake.enforceToken(docs, tokens, "source", asOfMillis = 40000L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(tokens.select(col("source").as("t_src"), col("expires_at")),
+        col("source") === col("t_src"))
+      .select(col("source"), col("n_docs"), col("expires_at"))
+      .orderBy(col("source"))
+  }
+
+  def all: Seq[GraftQuery] =
+    Seq(lakeLinks, lakeUpgrade, lakeAclEnforce, lakeSetTimes, lakeDelegation)
 }

@@ -421,7 +421,67 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Index-quality evaluation: recall@k of the LSH-bucketed index
+    * against the exact brute-force baseline, per query — the
+    * measurement every production ANN deployment runs before trusting
+    * an index (tune planes/probes until recall clears the bar). The
+    * exact arm is the intentional brute-force baseline (the same scan
+    * s_ann_bruteforce measures); the index arm is the bucket
+    * equi-join; recall is the per-query overlap of the two top-k sets.
+    * Both arms are bit-deterministic, so recall itself is exact and
+    * oracle-checkable — no sampling noise. */
+  val sAnnRecall: GraftQuery = GraftQuery.sql(
+    "s_ann_recall",
+    s"""WITH $corpusSql,
+       |q AS (SELECT * FROM n WHERE vec_id < $QueryCount),
+       |bsc AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |          ${Vectors.dotSql("q.v", "n.v")} / (q.nrm * n.nrm) AS cosine
+       |        FROM q JOIN n ON q.vec_id <> n.vec_id),
+       |br AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, neighbor_id) AS rank FROM bsc),
+       |btop AS (SELECT query_id, neighbor_id FROM br WHERE rank <= $TopK),
+       |bk AS (SELECT vec_id, v, nrm, ${lshBucketSql("v")} AS bucket FROM n),
+       |lq AS (SELECT * FROM bk WHERE vec_id < $QueryCount),
+       |lsc AS (SELECT lq.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |          ${Vectors.dotSql("lq.v", "c.v")} / (lq.nrm * c.nrm) AS cosine
+       |        FROM lq JOIN bk c ON lq.bucket = c.bucket AND lq.vec_id <> c.vec_id),
+       |lr AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, neighbor_id) AS rank FROM lsc),
+       |ltop AS (SELECT query_id, neighbor_id FROM lr WHERE rank <= $TopK),
+       |hits AS (SELECT b.query_id, COUNT(l.neighbor_id) AS n_hits
+       |         FROM btop b LEFT JOIN ltop l
+       |           ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+       |         GROUP BY b.query_id)
+       |SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+       |  CAST(n_hits AS DOUBLE) / $TopK AS recall
+       |FROM hits ORDER BY query_id""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val btop = graft.api.Graft.ann.cosineTopK(e, e.filter(col("vec_id") < QueryCount),
+        "vec_id", "embedding", TopK)
+      .select(col("query_id"), col("neighbor_id"))
+    // index arm: the same bucket equi-join s_ann_lsh measures
+    val bk = corpus(s, d).withColumn("bucket", lshBucket(col("v")))
+    val q = bk.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+      .filter(col("query_id") < QueryCount)
+    val wL = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    val ltop = bk.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(wL))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id").as("lq_"), col("neighbor_id").as("ln"))
+    btop.join(ltop, col("query_id") === col("lq_") && col("neighbor_id") === col("ln"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("ln")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / TopK).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnIvfPartitioned,
-      sAnnPq, sHybridRrf)
+      sAnnPq, sHybridRrf, sAnnRecall)
 }

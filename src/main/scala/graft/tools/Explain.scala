@@ -26,7 +26,8 @@ object Explain {
     // round-5 flagships: index-backed RRF arms, the stored-band-index
     // arrival path, and the namespace layer's read-enforcement join
     "d_incremental_dedup", "lake_links", "lake_upgrade",
-    "lake_acl_enforce", "lake_set_times")
+    "lake_acl_enforce", "lake_set_times", "lake_delegation",
+    "s_ann_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

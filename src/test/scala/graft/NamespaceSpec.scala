@@ -119,6 +119,30 @@ class NamespaceSpec extends SparkSpec {
     assert(otherAllowed.count() == docs.count())
   }
 
+  test("delegation tokens: expiry blocks reads, renewal only extends renewable, cancel removes") {
+    import graft.api.Graft
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val tokens = docs.select(col("source")).distinct()
+      .select(col("source"), lit(100L).as("issued_at"), lit(200L).as("expires_at"),
+        col("source").startsWith("src1").as("renewable"))
+    // all expired at t=300
+    assert(Graft.lake.enforceToken(docs, tokens, "source", 300L).count() == 0)
+    // renewal extends ONLY renewable tokens, even when cond matches all
+    val renewed = Graft.lake.renewTokens(tokens, lit(true), extendMs = 1000L)
+    val exp = renewed.select(col("source"), col("expires_at")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exp.filter(_._1.startsWith("src1")).values.forall(_ == 1200L))
+    assert(exp.filterNot(_._1.startsWith("src1")).values.forall(_ == 200L))
+    // at t=300 the renewed set reads only src1* rows
+    val readable = Graft.lake.enforceToken(docs, renewed, "source", 300L)
+      .select(col("source")).distinct().as[String].collect().toSet
+    assert(readable.nonEmpty && readable.forall(_.startsWith("src1")))
+    // cancellation removes the grant outright
+    val cancelled = Graft.lake.cancelTokens(renewed, col("source").startsWith("src1"))
+    assert(Graft.lake.enforceToken(docs, cancelled, "source", 300L).count() == 0)
+  }
+
   test("setTimes: -1 sentinel leaves the field unchanged") {
     import graft.api.Graft
     val ns = Tables.documents(spark, sfDir)
