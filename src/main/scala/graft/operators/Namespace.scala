@@ -213,6 +213,64 @@ object Namespace {
       .orderBy(col("source"))
   }
 
+  /** Retention-bounded commit-log vacuum (reference
+    * namenode/NameNode.java:474 startTrashEmptier +
+    * FSImage.java:1 checkpoint-then-purge discipline): history builds
+    * up (insert / insert / delete / CHECKPOINT / insert), a staged-but-
+    * never-committed writer dir plays the crash leftover, then
+    * dropHistoryBefore cuts the journal at the checkpoint — the image
+    * commit is a self-contained replay start, so every retained
+    * version still reconstructs — and vacuums every data dir no
+    * retained commit references. The output audits the contract:
+    * versions dropped, dirs reclaimed, history floor, and the head
+    * row count (which the oracle recomputes from the base table; the
+    * counts are write-contract constants like lake_health's
+    * n_files). */
+  val lakeVacuum: GraftQuery = GraftQuery.sql(
+    "lake_vacuum",
+    """SELECT 'dirs_vacuumed' AS check_name, CAST(3 AS BIGINT) AS n
+      |UNION ALL
+      |SELECT 'head_rows',
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 IN (1, 2))
+      |UNION ALL
+      |SELECT 'history_floor', CAST(3 AS BIGINT)
+      |UNION ALL
+      |SELECT 'versions_dropped', CAST(3 AS BIGINT)
+      |ORDER BY check_name""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val dir = Lake.scratch("vacuum_orders")
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val o = Tables.orders(s, d)
+    def slice(r: Int) = o.filter(col("o_orderkey") % 3 === r)
+    CommitLog.writeCommit(s, dir, slice(0), "data/mod0", ts = 1000L)            // v0
+    CommitLog.writeCommit(s, dir, slice(1), "data/mod1", ts = 2000L)            // v1
+    CommitLog.commit(fs, dir, ts = 3000L, adds = Nil, removes = Seq("data/mod0")) // v2
+    val ckptV = CommitLog.checkpoint(s, dir, ts = 4000L)                        // v3: image
+    CommitLog.writeCommit(s, dir, slice(2), "data/mod2", ts = 5000L)            // v4
+    // a crashed writer's staged-but-uncommitted dir
+    slice(0).limit(1).write.mode("overwrite").parquet(s"$dir/data/staged_orphan")
+    def dataDirs: Set[String] = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "data"))
+      .map(_.getPath.getName).toSet
+    val before = dataDirs
+    val dropped = CommitLog.dropHistoryBefore(fs, dir, ckptV, graceMs = 0L)
+    val floor = CommitLog.commits(fs, dir).head.version
+    val vacuumed = (before -- dataDirs).size.toLong // mod0, mod1, the orphan
+    // the contract is asserted, not assumed: what remains on disk must
+    // be exactly the image and the post-checkpoint add
+    val left = dataDirs.toSeq.sorted
+    require(left == Seq(s"ckpt-$ckptV", "mod2"), s"unexpected data dirs after vacuum: $left")
+    val headRows = CommitLog.snapshot(s, dir).count()
+    Seq(
+      ("dirs_vacuumed", vacuumed.toLong),
+      ("head_rows", headRows),
+      ("history_floor", floor.toLong),
+      ("versions_dropped", dropped.size.toLong)
+    ).toDF("check_name", "n").orderBy(col("check_name"))
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(lakeLinks, lakeUpgrade, lakeAclEnforce, lakeSetTimes, lakeDelegation)
+    Seq(lakeLinks, lakeUpgrade, lakeAclEnforce, lakeSetTimes, lakeDelegation,
+      lakeVacuum)
 }

@@ -143,6 +143,26 @@ class NamespaceSpec extends SparkSpec {
     assert(Graft.lake.enforceToken(docs, cancelled, "source", 300L).count() == 0)
   }
 
+  test("vacuum: pre-cut versions unreadable, retained versions intact, idempotent") {
+    val dir = freshRoot("vacuum") + "/t"
+    val r = Tables.region(spark, sfDir)
+    CommitLog.writeCommit(spark, dir, r.filter(col("r_regionkey") < 2), "data/a", 100L)
+    CommitLog.writeCommit(spark, dir, r.filter(col("r_regionkey") >= 2), "data/b", 200L)
+    val ck = CommitLog.checkpoint(spark, dir, 300L)
+    CommitLog.writeCommit(spark, dir, r.limit(1), "data/c", 400L)
+    val headBefore = CommitLog.snapshot(spark, dir).count()
+    val dropped = CommitLog.dropHistoryBefore(fs, dir, ck, graceMs = 0L)
+    assert(dropped == Seq(0, 1))
+    // the checkpoint version and everything after replay fine
+    assert(CommitLog.snapshot(spark, dir, version = ck).count() == r.count())
+    assert(CommitLog.snapshot(spark, dir).count() == headBefore)
+    // pre-cut versions are gone
+    intercept[IllegalArgumentException] { CommitLog.snapshot(spark, dir, version = 0) }
+    // a second pass reclaims nothing further
+    assert(CommitLog.dropHistoryBefore(fs, dir, ck, graceMs = 0L).isEmpty)
+    assert(CommitLog.vacuumOrphans(fs, dir, graceMs = 0L).isEmpty)
+  }
+
   test("setTimes: -1 sentinel leaves the field unchanged") {
     import graft.api.Graft
     val ns = Tables.documents(spark, sfDir)
