@@ -534,9 +534,12 @@ object Graft {
         when(cond && col("renewable"), col("expires_at") + extendMs)
           .otherwise(col("expires_at")))
 
-    /** Cancel matching tokens — they stop validating immediately. */
+    /** Cancel matching tokens — they stop validating immediately. A
+      * NULL-evaluating condition is NOT a match: revocation must name
+      * a token to revoke it (filter(!cond) alone would silently drop
+      * NULL rows). */
     def cancelTokens(tokens: DataFrame, cond: Column): DataFrame =
-      tokens.filter(!cond)
+      tokens.filter(!coalesce(cond, lit(false)))
 
     /** Read-path token validation: keep only rows of `df` whose
       * `entryCol` has an unexpired token as of `asOfMillis`. The

@@ -263,7 +263,7 @@ object Namespace {
     require(left == Seq(s"ckpt-$ckptV", "mod2"), s"unexpected data dirs after vacuum: $left")
     val headRows = CommitLog.snapshot(s, dir).count()
     Seq(
-      ("dirs_vacuumed", vacuumed.toLong),
+      ("dirs_vacuumed", vacuumed),
       ("head_rows", headRows),
       ("history_floor", floor.toLong),
       ("versions_dropped", dropped.size.toLong)

@@ -456,12 +456,23 @@ object Similarity {
        |  CAST(n_hits AS DOUBLE) / $TopK AS recall
        |FROM hits ORDER BY query_id""".stripMargin
   ) { (s, d) =>
-    val e = Tables.embeddings(s, d)
-    val btop = graft.api.Graft.ann.cosineTopK(e, e.filter(col("vec_id") < QueryCount),
-        "vec_id", "embedding", TopK)
+    // Both arms read the ONE persisted normalized corpus (a second
+    // cosineTopK-style read would re-scan and re-normalize the
+    // parquet). The exact arm is the intentional brute-force
+    // baseline: broadcast query set, one corpus pass.
+    val bk = corpus(s, d).withColumn("bucket", lshBucket(col("v")))
+    val bq = bk.select(col("vec_id").as("query_id"), col("v").as("bqv"),
+        col("nrm").as("bqn"))
+      .filter(col("query_id") < QueryCount)
+    val wB = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    val btop = bk.crossJoin(broadcast(bq))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (Vectors.dot(col("bqv"), col("v")) / (col("bqn") * col("nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(wB))
+      .filter(col("rank") <= TopK)
       .select(col("query_id"), col("neighbor_id"))
     // index arm: the same bucket equi-join s_ann_lsh measures
-    val bk = corpus(s, d).withColumn("bucket", lshBucket(col("v")))
     val q = bk.select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("bucket").as("qbucket"))
       .filter(col("query_id") < QueryCount)
