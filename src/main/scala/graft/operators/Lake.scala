@@ -587,7 +587,50 @@ object Lake {
       .orderBy(col("lang"))
   }
 
+  /** Table statistics profile — the ANALYZE surface a cost-based
+    * planner consults (reference protocol/ClientProtocol.java:574
+    * getStats + the namenode metrics/ package expose namespace-level
+    * statistics; per-COLUMN stats are their table analogue, feeding
+    * join-order and broadcast decisions the way block counts feed
+    * placement). ONE pass over the table computes every column's
+    * null count, exact distinct count, and min/max (Spark rewrites
+    * the multi-distinct aggregate with a single expand — no
+    * per-column scans); values surface as strings so the profile has
+    * one schema for any column type. */
+  val lakeAnalyze: GraftQuery = {
+    val cols = Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus")
+    GraftQuery.sql(
+      "lake_analyze",
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    ) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val agg = o.agg(
+        count(lit(1)).as("n_rows"),
+        cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          countDistinct(col(c)).as(s"${c}_distinct"),
+          min(col(c)).cast("string").as(s"${c}_min"),
+          max(col(c)).cast("string").as(s"${c}_max"))): _*)
+      agg.select(col("n_rows"), explode(array(cols.map(c => struct(
+          lit(c).as("col_name"),
+          col(s"${c}_nulls").as("n_nulls"),
+          col(s"${c}_distinct").as("n_distinct"),
+          col(s"${c}_min").as("min_val"),
+          col(s"${c}_max").as("max_val"))): _*)).as("p"))
+        .select(col("p.col_name"), col("n_rows"), col("p.n_nulls"),
+          col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
+        .orderBy(col("col_name"))
+    }
+  }
+
   def all: Seq[GraftQuery] = Seq(
+    lakeAnalyze,
     lakeScan, lakeRoundtripCsv, lakeRoundtripJson, lakeRoundtripOrc,
     lakePartitionedWrite, lakeCompaction, lakeContentSummary, lakeFsck,
     lakeQuota, lakeChecksum, lakeSnapshot, lakeLifecycle, lakeConcat,

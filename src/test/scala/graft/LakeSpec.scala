@@ -60,6 +60,23 @@ class LakeSpec extends SparkSpec {
     assert(legacy == want, s"v1 rows should surface NULL: $legacy != $want")
   }
 
+  test("analyze profiles every column in one expand pass, not per-column scans") {
+    val df = Lake.lakeAnalyze.fn(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 4)
+    val byCol = rows.map(r => r.getString(0) -> r).toMap
+    assert(byCol("o_orderstatus").getAs[Long]("n_distinct") == 3)
+    assert(rows.forall(_.getAs[Long]("n_nulls") == 0L))
+    assert(rows.forall(r => r.getAs[Long]("n_rows") == Tables.orders(spark, sfDir).count()))
+    // the multi-distinct aggregate must compile to ONE scan + expand
+    // (count leaves on the optimized logical plan — the AQE physical
+    // string duplicates the tree as Current/Initial plan copies)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"expected expand-based multi-distinct:\n$plan")
+    assert(df.queryExecution.optimizedPlan.collectLeaves().length == 1,
+      "profile must read the table exactly once")
+  }
+
   test("multimodal stub decode emits deterministic per-asset features") {
     val a = Multimodal.mMultimodalMeta.fn(spark, sfDir).collect()
     val b = Multimodal.mMultimodalMeta.fn(spark, sfDir).collect()
