@@ -317,7 +317,54 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Data-mixture rebalancing — the mixture-control op every
+    * pre-training pipeline runs before a training dump: downsample
+    * every language to the rarest one's count so the corpus mix is
+    * (approximately) uniform. The keep fraction is integer
+    * per-mille arithmetic ((min_count * 1000) / lang_count — exact
+    * in both engines) and the sample is a deterministic LCG-mixed
+    * modulo filter ((doc_id * 1103515245 + 12345) % 1000 <
+    * keep_per_mille — mixing decorrelates the residue from raw id
+    * ranges, which at small scale don't wrap the modulus), so the
+    * selected set is reproducible run-over-run and auditable. At
+    * 100 TB this is one aggregate (lang histogram, broadcast back)
+    * plus an embarrassingly parallel filter: no shuffle of the
+    * corpus itself. */
+  val tLangRebalance: GraftQuery = GraftQuery.sql(
+    "t_lang_rebalance",
+    """WITH cnt AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+      |mn AS (SELECT MIN(n_docs) AS min_docs FROM cnt),
+      |pm AS (SELECT lang, n_docs, (min_docs * 1000) // n_docs AS keep_per_mille
+      |       FROM cnt CROSS JOIN mn),
+      |kept AS (SELECT d.lang, COUNT(*) AS n_kept
+      |         FROM documents d JOIN pm ON d.lang = pm.lang
+      |         WHERE (d.doc_id * 1103515245 + 12345) % 1000 < pm.keep_per_mille
+      |         GROUP BY d.lang)
+      |SELECT pm.lang, pm.n_docs, CAST(pm.keep_per_mille AS BIGINT) AS keep_per_mille,
+      |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+      |FROM pm LEFT JOIN kept k ON pm.lang = k.lang
+      |ORDER BY pm.lang""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val cnt = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val mn = cnt.agg(min(col("n_docs")).as("min_docs"))
+    // scalar broadcast (never a driver collect), then integer
+    // per-mille keep fraction per language
+    val pm = cnt.crossJoin(broadcast(mn))
+      .select(col("lang"), col("n_docs"),
+        expr("(min_docs * 1000) div n_docs").as("keep_per_mille"))
+    val kept = docs.join(broadcast(pm.select(col("lang").as("p_lang"), col("keep_per_mille"))),
+        col("lang") === col("p_lang") &&
+          (col("doc_id") * 1103515245L + 12345L) % 1000 < col("keep_per_mille"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      .select(col("lang").as("k_lang"), col("n_kept"))
+    pm.join(kept, col("lang") === col("k_lang"), "left")
+      .select(col("lang"), col("n_docs"), col("keep_per_mille"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tTokenCount, tQualityScore, tLangId, tFingerprint, tNgramFreq,
-      tFluencyScore, tLangGini, tPiiScrub)
+      tFluencyScore, tLangGini, tPiiScrub, tLangRebalance)
 }
