@@ -27,7 +27,7 @@ object Explain {
     // arrival path, and the namespace layer's read-enforcement join
     "d_incremental_dedup", "lake_links", "lake_upgrade",
     "lake_acl_enforce", "lake_set_times", "lake_delegation",
-    "lake_vacuum", "s_ann_recall")
+    "lake_vacuum", "s_ann_recall", "lake_analyze", "t_lang_rebalance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
