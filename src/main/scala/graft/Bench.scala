@@ -17,7 +17,8 @@ object Bench {
     "lake_time_travel", "d_minhash_lsh", "d_dup_clusters",
     "d_corpus_curate", "d_embed_neardup", "s_ann_bruteforce",
     "s_ann_ivf_partitioned", "s_ann_pq", "t_ngram_freq", "t_lang_id",
-    "st_session_window", "st_stream_neardup")
+    "st_session_window", "st_stream_neardup",
+    "lake_zorder", "q_bloom_join", "g_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

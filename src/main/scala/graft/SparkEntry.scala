@@ -16,7 +16,8 @@ object SparkEntry {
       operators.StreamJoins.all ++ operators.Temporal.all ++
       operators.TextAnalysis.all ++ operators.Dedup.all ++
       operators.Similarity.all ++ operators.Multimodal.all ++
-      operators.Streaming.all
+      operators.Streaming.all ++ operators.Layout.all ++
+      operators.Analytics.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

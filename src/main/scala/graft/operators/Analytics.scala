@@ -1,0 +1,324 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.Parity._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 analytic operators: runtime-filter joins, incremental view
+  * maintenance, time-series resampling, fuzzy entity resolution,
+  * skyline, lateness audit, and fixed-point graph ranking.
+  *
+  * Every numeric output goes through the Parity decimal/integer
+  * discipline (functions/Parity.scala) so results hash-match the
+  * DuckDB oracle bit-for-bit regardless of execution order.
+  */
+object Analytics {
+
+  /** BLOOM-FILTER SEMI-JOIN REDUCTION: build a bloom filter over the
+    * filtered dim side's join keys (one partial-aggregated pass,
+    * ~100 KB regardless of data volume), ship it to every fact-side
+    * task, and drop non-matching fact rows BEFORE the join shuffle.
+    * This is Spark's own runtime-filter machinery
+    * (InjectRuntimeFilter) made explicit with the native
+    * BloomFilterAggregate / BloomFilterMightContain expressions —
+    * at 100 TB the fact-side shuffle volume drops by the filter's
+    * selectivity while the exact join keeps the result precise
+    * (false positives die in the join, so correctness is
+    * layout-independent).
+    *
+    * (reference analogue: DataTransferProtocol moves only the blocks
+    * a read actually needs; here the shuffle moves only the rows the
+    * join can actually match.) */
+  val qBloomJoin: GraftQuery = GraftQuery.sql(
+    "q_bloom_join",
+    s"""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+       |  COUNT(*) AS n_lines, ${sumMSql("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '1-URGENT'
+       |GROUP BY 1 ORDER BY yr""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Shims
+    val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    // one aggregate pass builds the filter; its size is bounded by
+    // numBits (fixed), not by the data — safe to ship at any scale
+    val bloomAgg = Shims.column(
+      new BloomFilterAggregate(
+        Shims.expression(col("o_orderkey")),
+        Literal(1000000L), Literal(8L * 1000000L)).toAggregateExpression())
+    val bloomBytes = urgent.select(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+    val mightContain = Shims.column(
+      BloomFilterMightContain(Literal(bloomBytes),
+        Shims.expression(col("l_orderkey"))))
+    Tables.lineitem(s, d)
+      .filter(mightContain) // pre-shuffle row pruning
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n_lines"), sumM(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("yr"))
+  }
+
+  /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE: the base partition of
+    * the view is aggregated once and reused; a delta batch is
+    * aggregated alone and MERGED by re-aggregating the partials
+    * (sum-of-sums, sum-of-counts). At 100 TB the base partials are a
+    * stored table and each refresh touches only the delta — the
+    * oracle proves partial-merge ≡ full recompute, which is exactly
+    * the algebraic property (commutative monoid) that makes the
+    * incremental plan safe.
+    * (reference analogue: FSImage + FSEditLog — a checkpoint plus a
+    * replayed delta equals the full state, FSImage.java:1.) */
+  val qMvIncremental: GraftQuery = GraftQuery.sql(
+    "q_mv_incremental",
+    """WITH base AS (
+      |  SELECT o_custkey, COUNT(*) AS pn,
+      |         SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS pt
+      |  FROM orders WHERE o_orderdate < DATE '1999-01-01' GROUP BY o_custkey),
+      |delta AS (
+      |  SELECT o_custkey, COUNT(*) AS pn,
+      |         SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS pt
+      |  FROM orders WHERE o_orderdate >= DATE '1999-01-01' GROUP BY o_custkey),
+      |merged AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+      |SELECT o_custkey, CAST(SUM(pn) AS BIGINT) AS n_orders,
+      |       CAST(SUM(pt) AS DOUBLE) AS total_spent
+      |FROM merged GROUP BY o_custkey HAVING SUM(pn) >= 12
+      |ORDER BY o_custkey""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("pn"), sum(m(col("o_totalprice"))).as("pt"))
+    val base = partial(o.filter(col("o_orderdate") < lit("1999-01-01").cast("date")))
+    val delta = partial(o.filter(col("o_orderdate") >= lit("1999-01-01").cast("date")))
+    base.union(delta)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("pn")).as("n_orders"), sum(col("pt")).cast("double").as("total_spent"))
+      .filter(col("n_orders") >= 12)
+      .orderBy(col("o_custkey"))
+  }
+
+  /** TIME-SERIES RESAMPLE: project the irregular event stream onto a
+    * regular hourly spine per series (event_type), zero-filling the
+    * count and carrying the last observed hourly total forward across
+    * gaps. The spine is generated (sequence + explode — no data
+    * shuffle), the join is an equi-join on (series, bucket), and the
+    * forward fill is one window per series — each step linear and
+    * partition-parallel at 100 TB. */
+  val tsResample: GraftQuery = GraftQuery.sql(
+    "ts_resample",
+    s"""WITH bounds AS (
+       |  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+       |  FROM events),
+       |spine AS (
+       |  SELECT t.event_type, g.bucket
+       |  FROM (SELECT DISTINCT event_type FROM events) t
+       |  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+       |              FROM bounds) g),
+       |agg AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+       |         COUNT(*) AS n, SUM(${mSql("value")}) AS total
+       |  FROM events GROUP BY 1, 2)
+       |SELECT s.event_type, s.bucket, COALESCE(a.n, 0) AS n_events,
+       |  CAST(last_value(a.total IGNORE NULLS) OVER (
+       |    PARTITION BY s.event_type ORDER BY s.bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled_total
+       |FROM spine s LEFT JOIN agg a
+       |  ON s.event_type = a.event_type AND s.bucket = a.bucket
+       |ORDER BY s.event_type, s.bucket""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val agg = ev.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(m(col("value"))).as("total"))
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val spine = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("bucket"))
+    val fillW = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(agg, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("total"), ignoreNulls = true).over(fillW).cast("double").as("filled_total"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  /** FUZZY ENTITY RESOLUTION (blocked edit-distance join): candidate
+    * pairs are generated by an equi-join on a cheap blocking key (the
+    * entity's category token) over the DISTINCT name set, then
+    * verified with Levenshtein. Distinct-first collapses the row
+    * explosion (N rows → |names| entities); blocking turns the O(n²)
+    * all-pairs compare into per-block work — the standard scalable
+    * shape for entity resolution, same blocking discipline as the
+    * MinHash/SimHash candidate generators (operators/Dedup.scala). */
+  val dEditDistance: GraftQuery = GraftQuery.sql(
+    "d_edit_distance",
+    """WITH names AS (
+      |  SELECT DISTINCT p_name AS name, split_part(p_name, ' ', 2) AS block
+      |  FROM part)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+      |FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
+      |WHERE levenshtein(a.name, b.name) <= 3
+      |ORDER BY name_a, name_b""".stripMargin
+  ) { (s, d) =>
+    val names = Tables.part(s, d)
+      .select(col("p_name").as("name"), split(col("p_name"), " ").getItem(1).as("block"))
+      .distinct()
+    val a = names.select(col("name").as("name_a"), col("block"))
+    val b = names.select(col("name").as("name_b"), col("block").as("block_b"))
+    a.join(b, col("block") === col("block_b") && col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 3)
+      .select(col("name_a"), col("name_b"), col("dist"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  /** SKYLINE / PARETO FRONTIER (minimize price, maximize size), in
+    * two phases: each partition prunes its local non-frontier points
+    * with a running-max sweep, then the (small) union of local
+    * frontiers is swept once globally. The local phase removes the
+    * all-pairs NOT-EXISTS the oracle runs — the global sort touches
+    * only points that survived local pruning, so the final
+    * single-partition sweep is over a provably small set at any
+    * scale. */
+  val qParetoFrontier: GraftQuery = GraftQuery.sql(
+    "q_pareto_frontier",
+    """WITH pts AS (
+      |  SELECT DISTINCT p_retailprice AS price, CAST(p_size AS BIGINT) AS size
+      |  FROM part)
+      |SELECT price, size FROM pts a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts b
+      |  WHERE b.price <= a.price AND b.size >= a.size
+      |    AND (b.price < a.price OR b.size > a.size))
+      |ORDER BY price""".stripMargin
+  ) { (s, d) =>
+    val pts = Tables.part(s, d)
+      .select(col("p_retailprice").as("price"), col("p_size").cast("long").as("size"))
+      .distinct()
+    // phase 1: local sweep — a point is on the frontier only if no
+    // point earlier in (price asc, size desc) order has size >= it
+    def sweep(df: DataFrame, part: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(part: _*)
+        .orderBy(col("price").asc, col("size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("pm", max(col("size")).over(w))
+        .filter(col("pm").isNull || col("pm") < col("size"))
+        .drop("pm")
+    }
+    val local = sweep(pts.withColumn("pid", spark_partition_id()), Seq(col("pid"))).drop("pid")
+    sweep(local, Seq.empty).orderBy(col("price"))
+  }
+
+  /** WATERMARK LATENESS AUDIT: per source partition (event_type), the
+    * watermark before each event is the max event-time seen so far in
+    * ARRIVAL order; an event more than the allowed delay behind it
+    * would be dropped by a streaming watermark. The audit quantifies
+    * exactly what a given `withWatermark` delay costs — the number
+    * every pipeline needs before choosing its delay. The synthetic
+    * events table is already event-time-sorted, so arrival is modeled
+    * as a deterministic transport jitter (0–14 min keyed on
+    * event_id); integer epoch-second math end to end (exact
+    * cross-engine parity, no float lateness). */
+  val stLatenessAudit: GraftQuery = GraftQuery.sql(
+    "st_lateness_audit",
+    """WITH seq AS (
+      |  SELECT event_type, ts_sec,
+      |    MAX(ts_sec) OVER (
+      |      PARTITION BY event_type ORDER BY ts_sec + (event_id % 15) * 60, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+      |  FROM (SELECT event_type, event_id,
+      |          CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec FROM events)),
+      |lat AS (
+      |  SELECT event_type,
+      |    CASE WHEN wm IS NULL THEN 0
+      |         ELSE GREATEST(0, wm - 600 - ts_sec) END AS late_sec
+      |  FROM seq)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN late_sec > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(MAX(late_sec) AS BIGINT) AS max_late_sec,
+      |  CAST(SUM(late_sec) AS BIGINT) AS total_late_sec
+      |FROM lat GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("arr_sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("ts").cast("long").as("ts_sec"))
+      .withColumn("arr_sec", col("ts_sec") + (col("event_id") % 15) * 60)
+      .withColumn("wm", max(col("ts_sec")).over(w))
+      .withColumn("late_sec",
+        when(col("wm").isNull, lit(0L))
+          .otherwise(greatest(lit(0L), col("wm") - 600 - col("ts_sec"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_sec") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_sec")).as("max_late_sec"),
+        sum(col("late_sec")).as("total_late_sec"))
+      .orderBy(col("event_type"))
+  }
+
+  /** FIXED-ITERATION PAGERANK over the customer↔supplier trade graph
+    * (edges = distinct (customer, supplier) pairs through orders ⋈
+    * lineitem, symmetrized so every node has out-degree ≥ 1). Ranks
+    * are kept in integer micro-units with floor division, so every
+    * iteration is exact and order-independent in both engines — the
+    * parity discipline applied to an iterative algorithm (the oracle
+    * unrolls the same three iterations as CTEs). Each iteration is
+    * one equi-join + one aggregation: the scalable BSP shape, same
+    * skeleton as the dup-clustering loop (api/Graft.scala). */
+  val gPagerank: GraftQuery = GraftQuery.sql(
+    "g_pagerank",
+    """WITH cs AS (
+      |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |e AS (SELECT src, dst FROM cs UNION ALL SELECT dst AS src, src AS dst FROM cs),
+      |deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY src),
+      |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr, outdeg FROM deg),
+      |r1 AS (SELECT deg.node, CAST(150000 + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS pr, deg.outdeg
+      |       FROM deg LEFT JOIN (SELECT e.dst, r0.pr // r0.outdeg AS contrib
+      |                           FROM e JOIN r0 ON e.src = r0.node) c ON c.dst = deg.node
+      |       GROUP BY deg.node, deg.outdeg),
+      |r2 AS (SELECT deg.node, CAST(150000 + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS pr, deg.outdeg
+      |       FROM deg LEFT JOIN (SELECT e.dst, r1.pr // r1.outdeg AS contrib
+      |                           FROM e JOIN r1 ON e.src = r1.node) c ON c.dst = deg.node
+      |       GROUP BY deg.node, deg.outdeg),
+      |r3 AS (SELECT deg.node, CAST(150000 + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS pr, deg.outdeg
+      |       FROM deg LEFT JOIN (SELECT e.dst, r2.pr // r2.outdeg AS contrib
+      |                           FROM e JOIN r2 ON e.src = r2.node) c ON c.dst = deg.node
+      |       GROUP BY deg.node, deg.outdeg)
+      |SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 25""".stripMargin
+  ) { (s, d) =>
+    val cs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val edges = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .select(col("src").as("node"), col("outdeg"))
+    var ranks = deg.select(col("node"), lit(1000000L).as("pr"), col("outdeg"))
+    for (_ <- 1 to 3) {
+      val contribs = edges
+        .join(ranks, edges("src") === ranks("node"))
+        .select(col("dst"), expr("pr div outdeg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("c"))
+      ranks = deg
+        .join(contribs, deg("node") === contribs("dst"), "left")
+        .select(deg("node"),
+          (lit(150000L) + expr("(85 * coalesce(c, 0L)) div 100")).as("pr"),
+          col("outdeg"))
+    }
+    ranks.select(col("node"), col("pr")).orderBy(col("pr").desc, col("node")).limit(25)
+  }
+
+  def all: Seq[GraftQuery] = Seq(
+    qBloomJoin, qMvIncremental, tsResample, dEditDistance,
+    qParetoFrontier, stLatenessAudit, gPagerank)
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.Parity._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators: multi-dimensional clustering and
+  * threshold-gated (incremental) compaction.
+  *
+  * Reference analogue: block placement IS the physical layout lever
+  * in the reference (namenode/BlockPlacementPolicyDefault.java:1
+  * chooses where bytes live; server/balancer/Balancer.java:1 moves
+  * them toward a target). In a columnar lake the same lever is file
+  * clustering: which rows co-reside in which files decides how much
+  * a selective scan must read. lake_zorder is placement-by-key in two
+  * dimensions at once; lake_compact_incremental is the balancer run
+  * as an incremental, threshold-gated maintenance pass.
+  */
+object Layout {
+
+  /** Z-value: bit-interleave two non-negative int columns (16 bits
+    * each → 32-bit z-curve position). Pure codegen'd builtins —
+    * shifts and masks fold into one whole-stage-codegen projection. */
+  private[graft] def zValue(a: org.apache.spark.sql.Column,
+                            b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      val abit = shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      val bbit = shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i)
+      abit.bitwiseOR(bbit)
+    }.reduce(_.bitwiseOR(_))
+
+  private[graft] def zorderedPath(d: String): String = {
+    val suffix = d.replaceAll("[^A-Za-z0-9]", "_")
+    Lake.scratch(s"zorder_lineitem_$suffix")
+  }
+
+  /** Provision the z-ordered lineitem copy once per source version:
+    * range-partitioned + sorted by z(l_partkey, l_suppkey), so every
+    * file covers a small rectangle of the (partkey, suppkey) plane
+    * and a 2-dim box predicate prunes most files on min/max stats.
+    * Metadata-only staleness gate, same discipline as every other
+    * amortized layout (Lake.provisionIfStale). */
+  private[graft] def ensureZordered(s: SparkSession, d: String): String = {
+    val path = zorderedPath(d)
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val sig = Lake.sourceSig(fs, new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet"))
+    Lake.provisionIfStale(fs, path, sig) {
+      Tables.lineitem(s, d)
+        .withColumn("zv", zValue(col("l_partkey"), col("l_suppkey")))
+        .repartitionByRange(16, col("zv"))
+        .sortWithinPartitions(col("zv"))
+        .drop("zv")
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** Z-ORDER clustering: a 2-dim box predicate over the z-ordered
+    * layout. Correctness is layout-independent (the oracle runs the
+    * same predicate on the original table); the LayoutSpec asserts
+    * the scale property — most files' (partkey, suppkey) min/max
+    * rectangles miss the box, so parquet row-group stats skip them.
+    * A single-key sort can only prune one of the two dimensions;
+    * the z-curve bounds both. */
+  val lakeZorder: GraftQuery = GraftQuery.sql(
+    "lake_zorder",
+    s"""SELECT l_returnflag, COUNT(*) AS n, ${sumMSql("l_extendedprice")} AS revenue
+       |FROM lineitem
+       |WHERE l_partkey BETWEEN 20 AND 79 AND l_suppkey BETWEEN 2 AND 5
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    val path = ensureZordered(s, d)
+    s.read.parquet(path)
+      .filter(col("l_partkey").between(20, 79) && col("l_suppkey").between(2, 5))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sumM(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** One hive-style partition dir per event_type, written with a
+    * chosen file count (fragmentation model: hot partitions accrete
+    * many small appends, cold ones few). */
+  private[graft] def writeFragmented(s: SparkSession, d: String, base: String): Unit = {
+    val ev = Tables.events(s, d)
+    val types = Seq("click" -> 24, "view" -> 2, "purchase" -> 2, "signup" -> 2, "error" -> 2)
+    types.foreach { case (t, files) =>
+      ev.filter(col("event_type") === t).drop("event_type")
+        .repartition(files)
+        .write.mode("overwrite").parquet(s"$base/event_type=$t")
+    }
+  }
+
+  /** Compact only the partitions whose small-file count exceeds the
+    * threshold; others are untouched. */
+  private[graft] def compactOver(s: SparkSession, base: String, threshold: Int): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(base)).filter(_.isDirectory)
+    dirs.foreach { st =>
+      val nFiles = fs.listStatus(st.getPath)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (nFiles > threshold) {
+        val tmp = new org.apache.hadoop.fs.Path(st.getPath.getParent, s".compact_${st.getPath.getName}")
+        s.read.parquet(st.getPath.toString).coalesce(2)
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(st.getPath, true)
+        fs.rename(tmp, st.getPath)
+        ()
+      }
+    }
+  }
+
+  /** INCREMENTAL compaction: the balancer as a maintenance cadence.
+    * Full-table rewrite compaction (lake_compaction) re-pays the
+    * whole write every run — at 100 TB that is the dominant cost, and
+    * almost all of it is wasted on partitions that were already
+    * compact. This pass lists file counts per partition (pure
+    * metadata, namenode-style) and rewrites ONLY partitions over the
+    * small-file threshold; the spec asserts the hot partition
+    * collapsed while a cold partition's files were not rewritten.
+    * (reference server/balancer/Balancer.java:1 — iterates until
+    * utilization is within threshold, moving only over-full nodes.) */
+  val lakeCompactIncremental: GraftQuery = GraftQuery.sql(
+    "lake_compact_incremental",
+    s"""SELECT event_type, COUNT(*) AS n, ${sumMSql("value")} AS total
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val base = Lake.scratch("incremental_compact_events")
+    writeFragmented(s, d, base)
+    compactOver(s, base, threshold = 8)
+    s.read.option("basePath", base).parquet(base)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumM(col("value")).as("total"))
+      .orderBy(col("event_type"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(lakeZorder, lakeCompactIncremental)
+}

@@ -1,0 +1,149 @@
+package graft
+
+import graft.operators.{Analytics, Layout}
+import org.apache.spark.sql.functions._
+
+/** Round-5 additions: layout ops (z-order, incremental compaction)
+  * and the analytic family (bloom join, incremental MV, resample,
+  * fuzzy ER, skyline, lateness audit, pagerank). Beyond run+rows>0,
+  * each test pins the SCALE property the operator exists for.
+  */
+class LayoutAnalyticsSpec extends SparkSpec {
+
+  test("every Layout and Analytics query runs and returns rows at sf0.001") {
+    (Layout.all ++ Analytics.all).foreach { q =>
+      val n = q.fn(spark, sfDir).count()
+      assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("z-order layout: most files are skippable for the 2-dim box predicate") {
+    Layout.lakeZorder.fn(spark, sfDir).count() // ensures provisioning
+    val path = Layout.zorderedPath(sfDir)
+    val perFile = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+        min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+      .collect()
+    val total = perFile.length
+    assert(total >= 8, s"expected a multi-file layout, got $total files")
+    // a file can contain a match only if its (partkey, suppkey)
+    // min/max rectangle intersects the predicate box — the same test
+    // parquet row-group stats pruning applies
+    val overlapping = perFile.count { r =>
+      r.getAs[Long]("pmax") >= 20 && r.getAs[Long]("pmin") <= 79 &&
+        r.getAs[Long]("smax") >= 2 && r.getAs[Long]("smin") <= 5
+    }
+    assert(overlapping * 2 <= total,
+      s"z-order should let most files skip the box: $overlapping/$total overlap")
+  }
+
+  test("zValue interleaves bits monotonically within a row-major cell") {
+    // z(1,0)=2, z(0,1)=1, z(1,1)=3, z(2,2)=12 — the standard Morton curve
+    val rows = spark.range(1).select(
+      Layout.zValue(lit(1L), lit(0L)).as("a"),
+      Layout.zValue(lit(0L), lit(1L)).as("b"),
+      Layout.zValue(lit(1L), lit(1L)).as("c"),
+      Layout.zValue(lit(2L), lit(2L)).as("d")).head
+    assert((rows.getLong(0), rows.getLong(1), rows.getLong(2), rows.getLong(3))
+      == ((2L, 1L, 3L, 12L)))
+  }
+
+  test("incremental compaction rewrites only the over-threshold partition") {
+    Layout.lakeCompactIncremental.fn(spark, sfDir).count()
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def nFiles(t: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(
+          operators.Lake.scratch(s"incremental_compact_events/event_type=$t")))
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    assert(nFiles("click") <= 2, s"hot partition not compacted: ${nFiles("click")} files")
+    assert(nFiles("view") == 2, s"cold partition should be untouched: ${nFiles("view")} files")
+  }
+
+  test("bloom pre-filter passes every joining key (no false negatives)") {
+    val viaBloom = Analytics.qBloomJoin.fn(spark, sfDir)
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n_lines"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaBloom.collect().foreach { r =>
+      assert(plain(r.getAs[Long]("yr")) == r.getAs[Long]("n_lines"),
+        s"bloom path diverged for year ${r.getAs[Long]("yr")}")
+    }
+  }
+
+  test("incremental MV merge equals full recompute") {
+    val inc = Analytics.qMvIncremental.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("n_orders"))).toMap
+    val full = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 12)
+      .collect().map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("n"))).toMap
+    assert(inc == full)
+  }
+
+  test("resample spine is dense: every series covers every hourly bucket") {
+    val rows = Analytics.tsResample.fn(spark, sfDir).collect()
+    val perSeries = rows.groupBy(_.getAs[String]("event_type")).view.mapValues(_.length)
+    assert(perSeries.values.toSet.size == 1,
+      s"series have unequal spine lengths: ${perSeries.toMap}")
+    // forward fill: once a series has seen data, filled_total is never null
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("bucket").getTime)
+      val firstData = sorted.indexWhere(_.getAs[Long]("n_events") > 0)
+      sorted.drop(firstData).foreach(r =>
+        assert(!r.isNullAt(r.fieldIndex("filled_total")), "gap in forward fill"))
+    }
+  }
+
+  test("pareto frontier: strictly increasing price and strictly increasing size") {
+    val rows = Analytics.qParetoFrontier.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Double]("price"), r.getAs[Long]("size")))
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array((p1, s1), (p2, s2)) =>
+        // min-price/max-size frontier: a later (pricier) survivor must
+        // offer strictly more size, else the cheaper point dominates it
+        assert(p1 < p2 && s1 < s2, s"not a frontier: ($p1,$s1) then ($p2,$s2)")
+      case _ =>
+    }
+    // no point in the set dominates a frontier point
+    val all = Tables.part(spark, sfDir)
+      .select(col("p_retailprice"), col("p_size").cast("long")).distinct()
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    rows.foreach { case (p, sz) =>
+      assert(!all.exists { case (p2, s2) =>
+        p2 <= p && s2 >= sz && (p2 < p || s2 > sz) },
+        s"($p,$sz) is dominated")
+    }
+  }
+
+  test("lateness audit: late events exist and totals are consistent") {
+    val rows = Analytics.stLatenessAudit.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nLate = r.getAs[Long]("n_late")
+      val maxLate = r.getAs[Long]("max_late_sec")
+      val totLate = r.getAs[Long]("total_late_sec")
+      assert((nLate == 0) == (totLate == 0))
+      assert(maxLate <= totLate)
+      assert(nLate <= r.getAs[Long]("n_events"))
+    }
+    // the synthetic stream is unordered, so some lateness must show up
+    assert(rows.map(_.getAs[Long]("n_late")).sum > 0, "no late events found at all")
+  }
+
+  test("pagerank: well-connected suppliers outrank leaf customers") {
+    val rows = Analytics.gPagerank.fn(spark, sfDir).collect()
+    assert(rows.length == 25)
+    val prs = rows.map(_.getAs[Long]("pr"))
+    assert(prs.sameElements(prs.sortBy(-_)), "not sorted by rank")
+    // ranks are bounded below by the teleport term
+    prs.foreach(pr => assert(pr >= 150000))
+    // suppliers aggregate many customers' mass — the top node must be
+    // a supplier in this bipartite trade graph
+    assert(rows.head.getAs[String]("node").startsWith("s"))
+  }
+}
