@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 100+ codegen-heavy queries in one JVM overflow the default 240 MB
+  // code cache; once it fills, HotSpot disables the JIT and every
+  // later query runs interpreted (50× slower memcpy-bound plans).
+  "-XX:ReservedCodeCacheSize=768m",
 )

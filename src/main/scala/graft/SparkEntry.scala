@@ -17,7 +17,7 @@ object SparkEntry {
       operators.TextAnalysis.all ++ operators.Dedup.all ++
       operators.Similarity.all ++ operators.Multimodal.all ++
       operators.Streaming.all ++ operators.Layout.all ++
-      operators.Analytics.all
+      operators.Analytics.all ++ operators.Insights.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

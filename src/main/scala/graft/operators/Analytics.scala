@@ -276,7 +276,7 @@ object Analytics {
   val gPagerank: GraftQuery = GraftQuery.sql(
     "g_pagerank",
     """WITH cs AS (
-      |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
       |e AS (SELECT src, dst FROM cs UNION ALL SELECT dst AS src, src AS dst FROM cs),
       |deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY src),
@@ -292,30 +292,58 @@ object Analytics {
       |r3 AS (SELECT deg.node, CAST(150000 + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS pr, deg.outdeg
       |       FROM deg LEFT JOIN (SELECT e.dst, r2.pr // r2.outdeg AS contrib
       |                           FROM e JOIN r2 ON e.src = r2.node) c ON c.dst = deg.node
-      |       GROUP BY deg.node, deg.outdeg)
-      |SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 25""".stripMargin
+      |       GROUP BY deg.node, deg.outdeg),
+      |top AS (SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 25)
+      |SELECT CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
+      |            ELSE 's' || (node // 2) END AS node, pr
+      |FROM top""".stripMargin
   ) { (s, d) =>
+    // integer node encoding (customer = 2k, supplier = 2k+1): long
+    // join keys hash and shuffle at a fraction of the string cost;
+    // the display id is reconstructed only on the final 25 rows
     val cs = Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    val edges = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .select(col("src").as("node"), col("outdeg"))
+    // the fact-join edge derivation would otherwise re-run inside
+    // every iteration's contribs AND deg branches (2 consumers × 3
+    // iterations) — pay it once, release when the query completes.
+    // The edge list is tiny relative to the facts (distinct pairs),
+    // so cache it in FEW partitions: each iteration then moves a
+    // handful of shuffle blocks instead of partitions² tiny ones
+    // (per-block open/mmap overhead dominated the iteration cost).
+    val edges = graft.ScopedCache(
+      cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(4, col("src")))
+    val deg = graft.ScopedCache(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .select(col("src").as("node"), col("outdeg")).coalesce(1))
     var ranks = deg.select(col("node"), lit(1000000L).as("pr"), col("outdeg"))
     for (_ <- 1 to 3) {
       val contribs = edges
-        .join(ranks, edges("src") === ranks("node"))
+        .join(broadcast(ranks), edges("src") === ranks("node"))
         .select(col("dst"), expr("pr div outdeg").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("c"))
       ranks = deg
-        .join(contribs, deg("node") === contribs("dst"), "left")
+        .join(broadcast(contribs), deg("node") === contribs("dst"), "left")
         .select(deg("node"),
           (lit(150000L) + expr("(85 * coalesce(c, 0L)) div 100")).as("pr"),
           col("outdeg"))
+      // materialize each (small — one row per node) iterate: without
+      // the cache boundary the final plan inlines the whole unrolled
+      // tree into one enormous codegen unit that HotSpot can't JIT,
+      // and recomputes iteration i inside every iteration > i
+      ranks = graft.ScopedCache(ranks.coalesce(1))
+      ranks.count()
     }
-    ranks.select(col("node"), col("pr")).orderBy(col("pr").desc, col("node")).limit(25)
+    ranks
+      .select(col("node"), col("pr"))
+      .orderBy(col("pr").desc, col("node")).limit(25)
+      .select(
+        when(col("node") % 2 === 0, concat(lit("c"), (col("node") / 2).cast("long")))
+          .otherwise(concat(lit("s"), (col("node") / 2).cast("long"))).as("node"),
+        col("pr"))
   }
 
   def all: Seq[GraftQuery] = Seq(

@@ -27,7 +27,13 @@ object Explain {
     // arrival path, and the namespace layer's read-enforcement join
     "d_incremental_dedup", "lake_links", "lake_upgrade",
     "lake_acl_enforce", "lake_set_times", "lake_delegation",
-    "lake_vacuum", "s_ann_recall", "lake_analyze", "t_lang_rebalance")
+    "lake_vacuum", "s_ann_recall", "lake_analyze", "t_lang_rebalance",
+    // round-5 continued: layout/analytics/insights families
+    "lake_zorder", "lake_compact_incremental", "q_bloom_join",
+    "q_mv_incremental", "ts_resample", "d_edit_distance",
+    "q_pareto_frontier", "st_lateness_audit", "g_pagerank",
+    "lake_snapshot_diff", "q_funnel", "q_retention_cohorts",
+    "q_event_transitions", "t_vocab_coverage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

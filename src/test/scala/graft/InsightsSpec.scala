@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Insights
+import org.apache.spark.sql.functions._
+
+class InsightsSpec extends SparkSpec {
+
+  test("every Insights query runs and returns rows at sf0.001") {
+    Insights.all.foreach { q =>
+      val n = q.fn(spark, sfDir).count()
+      assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("snapshot diff matches the slice construction") {
+    val rows = Insights.lakeSnapshotDiff.fn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("change") -> r.getAs[Long]("n_rows")).toMap
+    val o = Tables.orders(spark, sfDir)
+    def n(r: Int) = o.filter(col("o_orderkey") % 3 === r).count()
+    assert(rows("added") == n(2), "added side should be the mod-2 slice")
+    assert(rows("removed") == n(0), "removed side should be the mod-0 slice")
+  }
+
+  test("funnel stages are monotonically decreasing and start at the view users") {
+    val rows = Insights.qFunnel.fn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(rows("1_view") >= rows("2_click"))
+    assert(rows("2_click") >= rows("3_purchase"))
+    val viewers = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "view").select("user_id").distinct().count()
+    assert(rows("1_view") == viewers)
+  }
+
+  test("cohort cells never exceed the cohort's size and offset 0 equals it") {
+    val rows = Insights.qRetentionCohorts.fn(spark, sfDir).collect()
+    val size = rows.filter(_.getAs[Long]("offset_day") == 0L)
+      .map(r => r.getAs[Long]("cohort_day") -> r.getAs[Long]("n_users")).toMap
+    rows.foreach { r =>
+      val c = r.getAs[Long]("cohort_day")
+      assert(r.getAs[Long]("n_users") <= size(c),
+        s"cohort $c cell exceeds its day-0 size")
+    }
+  }
+
+  test("transition counts sum to events minus one per active user") {
+    val total = Insights.qEventTransitions.fn(spark, sfDir)
+      .agg(sum("n")).collect()(0).getLong(0)
+    val ev = Tables.events(spark, sfDir)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(total == expected, s"transitions $total != events - users $expected")
+  }
+
+  test("vocab coverage: OOV is a strict nonzero subset of all tokens") {
+    val rows = Insights.tVocabCoverage.fn(spark, sfDir).collect()
+    val oov = rows.map(_.getAs[Long]("oov_tokens")).sum
+    val tot = rows.map(_.getAs[Long]("total_tokens")).sum
+    assert(oov > 0, "top-20 vocab should leave an OOV tail on this corpus")
+    assert(oov < tot, "OOV must not swallow the whole corpus")
+  }
+}
