@@ -346,7 +346,32 @@ object Analytics {
         col("pr"))
   }
 
+  /** DISTRIBUTION WINDOW FUNCTIONS: percent_rank + cume_dist of
+    * account balances within one market segment — the remaining
+    * window-function family (rank positions as exact integer ratios,
+    * so the doubles are bit-identical cross-engine: same numerator /
+    * same denominator). One window per partition key, no global
+    * sort. */
+  val qWindowPercentile: GraftQuery = GraftQuery.sql(
+    "q_window_percentile",
+    """WITH ranked AS (
+      |  SELECT c_custkey, c_nationkey, c_acctbal,
+      |    percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS pr,
+      |    cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS cd
+      |  FROM customer WHERE c_mktsegment = 'BUILDING')
+      |SELECT c_custkey, c_nationkey, c_acctbal, pr, cd
+      |FROM ranked WHERE pr >= 0.9 ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"))
+    Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+      .filter(col("pr") >= 0.9)
+      .orderBy(col("c_custkey"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qBloomJoin, qMvIncremental, tsResample, dEditDistance,
-    qParetoFrontier, stLatenessAudit, gPagerank)
+    qParetoFrontier, stLatenessAudit, gPagerank, qWindowPercentile)
 }

@@ -134,5 +134,92 @@ object Layout {
       .orderBy(col("event_type"))
   }
 
-  def all: Seq[GraftQuery] = Seq(lakeZorder, lakeCompactIncremental)
+  /** ROW-LEVEL DELETE, copy-on-write at FILE granularity: the layout
+    * is range-clustered on the key, a per-file min/max stats pass
+    * identifies the files whose range intersects the delete
+    * predicate, and ONLY those files are rewritten (filtered); every
+    * other file is untouched — at 100 TB a selective delete rewrites
+    * gigabytes, not the table. The spec asserts the rewrite count and
+    * that non-overlapping files keep their identity. Oracle = the
+    * surviving rows, layout-independent.
+    * (reference analogue: ClientProtocol.delete removes a FILE's
+    * blocks only — deletion cost scales with what is deleted, never
+    * with the namespace.) */
+  val lakeDeleteCow: GraftQuery = GraftQuery.sql(
+    "lake_delete_cow",
+    s"""SELECT l_returnflag, COUNT(*) AS n, ${sumMSql("l_quantity")} AS total_qty
+       |FROM lineitem WHERE NOT (l_orderkey BETWEEN 0 AND 149)
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val dir = Lake.scratch("cow_lineitem")
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    Tables.lineitem(s, d)
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.parquet(dir)
+    val (lo, hi) = (0L, 149L)
+    // stats pass: per-file key range (the zone-map manifest a real
+    // lakehouse keeps from write-time footers)
+    val stats = s.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_orderkey").as("kmin"), max("l_orderkey").as("kmax"))
+      .collect()
+    val touched = stats.filter(r =>
+        r.getAs[Long]("kmax") >= lo && r.getAs[Long]("kmin") <= hi)
+      .map(_.getAs[String]("f"))
+    // rewrite ONLY intersecting files; write replacements, then drop
+    // the originals — all other files are never read or written
+    if (touched.nonEmpty) {
+      s.read.parquet(touched.toIndexedSeq: _*)
+        .filter(!col("l_orderkey").between(lo, hi))
+        .write.mode("append").parquet(dir)
+      touched.foreach { f =>
+        fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f).getPath), false)
+      }
+    }
+    s.read.parquet(dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sumM(col("l_quantity")).as("total_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** ZERO-COPY SHALLOW CLONE: the clone's first commit references the
+    * source's active files by absolute path (CommitLog.cloneFrom — a
+    * metadata-only operation regardless of table size), after which
+    * the two tables evolve independently: the clone takes a delta the
+    * source never sees. The spec asserts the clone dir holds ZERO
+    * data files at clone time. (HDFS snapshots share blocks the same
+    * way; state lives in the journal, FSImage.java:1.) */
+  val lakeClone: GraftQuery = GraftQuery.sql(
+    "lake_clone",
+    s"""SELECT 'clone' AS side, COUNT(*) AS n, ${sumMSql("o_totalprice")} AS total
+       |FROM orders WHERE o_orderkey % 3 IN (0, 1, 2)
+       |UNION ALL
+       |SELECT 'source', COUNT(*), ${sumMSql("o_totalprice")}
+       |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+       |ORDER BY side""".stripMargin
+  ) { (s, d) =>
+    import graft.sources.CommitLog
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val src = Lake.scratch("clone_src_orders")
+    val dst = Lake.scratch("clone_dst_orders")
+    fs.delete(new org.apache.hadoop.fs.Path(src), true)
+    fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+    val o = Tables.orders(s, d)
+    def slice(r: Int) = o.filter(col("o_orderkey") % 3 === r)
+    CommitLog.writeCommit(s, src, slice(0), "data/mod0", ts = 1000L)
+    CommitLog.writeCommit(s, src, slice(1), "data/mod1", ts = 2000L)
+    CommitLog.cloneFrom(fs, src, dst, ts = 3000L)          // metadata only
+    CommitLog.writeCommit(s, dst, slice(2), "data/mod2", ts = 4000L) // clone diverges
+    def side(name: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n"), sumM(col("o_totalprice")).as("total"))
+        .select(lit(name).as("side"), col("n"), col("total"))
+    side("clone", CommitLog.snapshot(s, dst))
+      .union(side("source", CommitLog.snapshot(s, src)))
+      .orderBy(col("side"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(
+    lakeZorder, lakeCompactIncremental, lakeDeleteCow, lakeClone)
 }

@@ -57,5 +57,21 @@ object GraftExtensions {
     one("graft_minhash_signature")(MinHashSignatureExpr(_, GraftHash.perms(32))),
     one("graft_simhash")(SimHashExpr(_, 24)),
     two("graft_jaccard_sorted")(JaccardSortedExpr),
-    two("graft_dot_product")(DotProductExpr))
+    two("graft_dot_product")(DotProductExpr),
+    two("graft_zvalue")(zvalueExpr))
+
+  /** Morton z-value (16 bits per key, interleaved) as a pure catalyst
+    * tree — same bit formula as operators/Layout.zValue (both pinned
+    * to z(2,2)=12 by spec). Built from resolved nodes, not Column
+    * ops: function-registry builders bypass the Column layer. */
+  private[graft] def zvalueExpr(a: Expression, b: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    val al = Cast(a, LongType); val bl = Cast(b, LongType)
+    (0 until 16).map { i =>
+      val abit = ShiftLeft(BitwiseAnd(ShiftRightUnsigned(al, Literal(i)), Literal(1L)), Literal(2 * i + 1))
+      val bbit = ShiftLeft(BitwiseAnd(ShiftRightUnsigned(bl, Literal(i)), Literal(1L)), Literal(2 * i))
+      BitwiseOr(abit, bbit)
+    }.reduce[Expression](BitwiseOr(_, _))
+  }
 }

@@ -161,6 +161,28 @@ object CommitLog {
     commit(fs, tableDir, ts, adds = Seq(relPath), removes = Seq.empty)
   }
 
+  /** Resolve a journal entry to a readable path: entries beginning
+    * with '/' are EXTERNAL absolute references (written by shallow
+    * clones — the clone's journal points at the source's data files,
+    * zero bytes copied); everything else is tableDir-relative. The
+    * vacuum/retention passes only ever delete LOCAL `data/` entries,
+    * so external references are structurally out of their reach. */
+  private def resolve(tableDir: String, p: String): String =
+    if (p.startsWith("/")) p else s"$tableDir/$p"
+
+  /** SHALLOW CLONE: start `dstDir` as a new table whose v0 journal
+    * references `srcDir`'s currently-active data files by absolute
+    * path — a metadata-only commit, no data copied (reference
+    * analogue: HDFS snapshots share blocks; FSImage.java:1 — state is
+    * what the journal says, not where bytes sit). The clone then
+    * evolves independently: its own adds/removes never touch the
+    * source, and a later checkpoint() materializes it fully local. */
+  def cloneFrom(fs: FileSystem, srcDir: String, dstDir: String, ts: Long): Int = {
+    val active = activeSet(commits(fs, srcDir)).map(resolve(srcDir, _))
+    require(active.nonEmpty, s"nothing to clone: no active files in $srcDir")
+    commit(fs, dstDir, ts, adds = active, removes = Seq.empty)
+  }
+
   /** Active (relative) file set after replaying the log through the
     * given versions. */
   private def activeSet(cs: Seq[Commit]): Seq[String] = {
@@ -174,7 +196,7 @@ object CommitLog {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val paths = activeSet(commits(fs, tableDir).filter(_.version <= version))
     require(paths.nonEmpty, s"no active files in $tableDir at version $version")
-    spark.read.parquet(paths.map(p => s"$tableDir/$p"): _*)
+    spark.read.parquet(paths.map(resolve(tableDir, _)): _*)
   }
 
   /** Read the table as it stood at a wall-clock instant (time travel
@@ -183,7 +205,7 @@ object CommitLog {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val paths = activeSet(commits(fs, tableDir).filter(_.ts <= asOfMillis))
     require(paths.nonEmpty, s"no active files in $tableDir as of $asOfMillis")
-    spark.read.parquet(paths.map(p => s"$tableDir/$p"): _*)
+    spark.read.parquet(paths.map(resolve(tableDir, _)): _*)
   }
 
   /** FSImage-style checkpoint: materialize the CURRENT active set
@@ -207,7 +229,7 @@ object CommitLog {
     val active = activeSet(base)
     require(active.nonEmpty, s"nothing to checkpoint in $tableDir")
     val image = s"data/ckpt-$next"
-    spark.read.parquet(active.map(p => s"$tableDir/$p"): _*)
+    spark.read.parquet(active.map(resolve(tableDir, _)): _*)
       .write.mode("overwrite").parquet(s"$tableDir/$image")
     // Compare-and-swap, not blind retry: the image reflects the active
     // set AS OF `base`, so it may only commit at the exact next

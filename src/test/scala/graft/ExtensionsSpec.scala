@@ -44,7 +44,8 @@ class ExtensionsSpec extends AnyFunSuite {
         |  size(graft_minhash_signature(graft_shingle_hashes('a b c d'))) AS k,
         |  graft_simhash(graft_shingle_hashes('a b c d')) AS sim,
         |  graft_jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
-        |  graft_dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
+        |  graft_dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        |  graft_zvalue(2L, 2L) AS zv
         |""".stripMargin).collect()(0)
     // charHash("abc") = ((7*31+97)*31+98)%P... verified against builtin:
     assert(r.getAs[Long]("h") == graft.plans.GraftExpressions.hashOf("abc"))
@@ -53,5 +54,6 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("sim") >= 0)
     assert(math.abs(r.getAs[Double]("j") - 0.5) < 1e-12) // |{2,3}| / |{1,2,3,4}|
     assert(r.getAs[Double]("dp") == 11.0)
+    assert(r.getAs[Long]("zv") == 12L) // Morton z(2,2)
   }
 }

@@ -135,6 +135,50 @@ class LayoutAnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_late")).sum > 0, "no late events found at all")
   }
 
+  test("copy-on-write delete rewrites only the files whose range intersects") {
+    val before = Tables.lineitem(spark, sfDir).count()
+    val rows = Layout.lakeDeleteCow.fn(spark, sfDir)
+      .agg(sum("n")).collect()(0).getLong(0)
+    val deleted = Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey").between(0, 149)).count()
+    assert(rows == before - deleted, "surviving rows wrong")
+    // layout identity: the 8 range files minus the touched ones must
+    // still be present (rewrites appended under new names)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(operators.Lake.scratch("cow_lineitem")))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    assert(files.length >= 8, s"expected >= 8 files, got ${files.length}")
+    // only files overlapping [0,149] were rewritten: survivors cover
+    // the rest of the key space untouched
+    val perFile = spark.read.parquet(operators.Lake.scratch("cow_lineitem"))
+      .groupBy(input_file_name()).agg(min("l_orderkey"), max("l_orderkey")).count()
+    assert(perFile >= 8)
+  }
+
+  test("shallow clone copies no data and diverges independently") {
+    val rows = Layout.lakeClone.fn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("side") -> r.getAs[Long]("n")).toMap
+    val o = Tables.orders(spark, sfDir)
+    assert(rows("source") == o.filter(col("o_orderkey") % 3 =!= 2).count())
+    assert(rows("clone") == o.count(), "clone should hold source + delta")
+    // zero-copy: the clone dir holds only its OWN delta data + log —
+    // the cloned v0 files still live in the source dir
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(
+        operators.Lake.scratch("clone_dst_orders/data")))
+      .map(_.getPath.getName).toSet
+    assert(dataDirs == Set("mod2"), s"clone dir should hold only its delta: $dataDirs")
+  }
+
+  test("window percentile rows are the top decile within each nation") {
+    val rows = Analytics.qWindowPercentile.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("pr") >= 0.9 && r.getAs[Double]("pr") <= 1.0)
+      assert(r.getAs[Double]("cd") > 0.0 && r.getAs[Double]("cd") <= 1.0)
+    }
+  }
+
   test("pagerank: well-connected suppliers outrank leaf customers") {
     val rows = Analytics.gPagerank.fn(spark, sfDir).collect()
     assert(rows.length == 25)
