@@ -43,12 +43,15 @@ object Analytics {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.Shims
     val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
-    // one aggregate pass builds the filter; its size is bounded by
-    // numBits (fixed), not by the data — safe to ship at any scale
+    // right-size the filter from the dim-side count (a cheap
+    // pushed-down scan): ~10 bits/key ≈ 1% false positives. The
+    // filter stays kilobytes at test scale and linear in the DIM side
+    // — never the fact side — at 100 TB
+    val nKeys = math.max(urgent.count(), 1000L)
     val bloomAgg = Shims.column(
       new BloomFilterAggregate(
         Shims.expression(col("o_orderkey")),
-        Literal(1000000L), Literal(8L * 1000000L)).toAggregateExpression())
+        Literal(nKeys), Literal(math.max(65536L, 10L * nKeys))).toAggregateExpression())
     val bloomBytes = urgent.select(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
     val mightContain = Shims.column(
       BloomFilterMightContain(Literal(bloomBytes),

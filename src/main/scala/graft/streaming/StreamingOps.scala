@@ -82,6 +82,45 @@ object StreamingOps {
         min(col("ts")).as("session_start"))
       .select(col("user_id"), col("session_start"), col("n_events"), col("span_secs"))
 
+  /** Cumulative lateness counters per source partition. */
+  case class LateState(wm: Long, n: Long, nLate: Long, maxLate: Long, totalLate: Long)
+  case class LateOut(event_type: String, n_events: Long, n_late: Long,
+                     max_late_sec: Long, total_late_sec: Long)
+
+  /** Streaming lateness profile (streaming form of st_lateness_audit):
+    * per event_type, O(1) state — the max event-time seen so far in
+    * arrival order — and per-event lateness against (state - delay).
+    * Arrival uses the same deterministic 0-14 min transport-jitter
+    * model as the batch audit (the synthetic table is event-time
+    * sorted); events within a micro-batch fold in (arr_sec, event_id)
+    * order, so feeding arrival-ordered batches reproduces the batch
+    * truth EXACTLY (LatenessSpec asserts equality, any chunking). */
+  def latenessProfile(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.as[Ev]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[LateState, LateOut](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (key, evs, state) =>
+          val s0 = state.getOption.getOrElse(LateState(Long.MinValue, 0, 0, 0, 0))
+          val ordered = evs.toSeq.map { e =>
+            val tsSec = tsToMicros(e.ts) / 1000000L
+            (tsSec + (e.event_id % 15) * 60, e.event_id, tsSec)
+          }.sortBy(t => (t._1, t._2))
+          val s1 = ordered.foldLeft(s0) { case (st, (_, _, tsSec)) =>
+            val late = if (st.wm == Long.MinValue) 0L
+              else math.max(0L, st.wm - 600L - tsSec)
+            LateState(math.max(st.wm, tsSec), st.n + 1,
+              st.nLate + (if (late > 0) 1 else 0),
+              math.max(st.maxLate, late), st.totalLate + late)
+          }
+          state.update(s1)
+          LateOut(key, s1.n, s1.nLate, s1.maxLate, s1.totalLate)
+      }
+      .toDF()
+  }
+
   /** Streaming dedup: first event per (user_id, event_type), state
     * bounded by the watermark (st_stream_dedup's batch truth counts
     * all events; the streaming form keeps the first arrival per key). */

@@ -33,7 +33,8 @@ object Explain {
     "q_mv_incremental", "ts_resample", "d_edit_distance",
     "q_pareto_frontier", "st_lateness_audit", "g_pagerank",
     "lake_snapshot_diff", "q_funnel", "q_retention_cohorts",
-    "q_event_transitions", "t_vocab_coverage")
+    "q_event_transitions", "t_vocab_coverage",
+    "lake_delete_cow", "lake_clone", "q_window_percentile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -409,4 +409,39 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
     assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
+
+  test("streaming lateness profile converges to the batch audit exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // feed in ARRIVAL order (the jittered order the batch audit
+    // models), chunked arbitrarily — per-key state folds across
+    // batches must reproduce the batch truth bit-for-bit
+    val arrival = loadEvents().sortBy { e =>
+      val tsSec = StreamingOps.tsToMicros(e.ts) / 1000000L
+      (tsSec + (e.event_id % 15) * 60, e.event_id)
+    }
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.latenessProfile(stream.toDF()).writeStream
+      .format("memory").queryName("lateness_sink").outputMode("update").start()
+    try {
+      arrival.grouped(1500).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // latest cumulative row per type == the batch audit
+    val got = spark.table("lateness_sink")
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("n_events"), col("n_late"), col("max_late_sec"),
+        col("total_late_sec"))).as("s"))
+      .select(col("event_type"), col("s.n_events"), col("s.n_late"),
+        col("s.max_late_sec"), col("s.total_late_sec"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val want = graft.operators.Analytics.stLatenessAudit.fn(spark, sfDir)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_late"),
+         r.getAs[Long]("max_late_sec"), r.getAs[Long]("total_late_sec"))).toMap
+    assert(got == want, s"stream $got != batch $want")
+  }
 }
