@@ -193,6 +193,69 @@ object Insights {
       .orderBy(col("source"))
   }
 
+  /** SCD TYPE-2 INTERVAL CONSTRUCTION: each change event for a key
+    * becomes a validity interval [eff_from, eff_to) closed by the
+    * NEXT change (NULL = current) — one lead() window per key
+    * partition with a deterministic (date, orderkey) tiebreak,
+    * partition-parallel at any scale (the standard dimension-history
+    * build every warehouse ships). Bounded to a customer range so the
+    * result set stays reviewable. */
+  val qScd2: GraftQuery = GraftQuery.sql(
+    "q_scd2",
+    """SELECT o_custkey, o_orderdate AS eff_from,
+      |  LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS eff_to,
+      |  o_orderstatus AS status, o_totalprice AS attr
+      |FROM orders WHERE o_custkey < 100
+      |ORDER BY o_custkey, eff_from, attr""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderdate").as("eff_from"),
+        lead(col("o_orderdate"), 1).over(w).as("eff_to"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("attr"))
+      .orderBy(col("o_custkey"), col("eff_from"), col("attr"))
+  }
+
+  /** GAPS AND ISLANDS: per user, maximal runs of consecutive active
+    * days via the day − row_number() constant-per-island trick —
+    * integer arithmetic end to end, one window + one aggregate per
+    * user partition (no self-join, no global sort). */
+  val qGapsIslands: GraftQuery = GraftQuery.sql(
+    "q_gaps_islands",
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS dy
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id, dy,
+      |    dy - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dy) AS grp
+      |  FROM ud),
+      |runs AS (
+      |  SELECT user_id, grp, COUNT(*) AS run_len FROM isl
+      |  GROUP BY user_id, grp)
+      |SELECT user_id, COUNT(*) AS n_islands,
+      |  CAST(MAX(run_len) AS BIGINT) AS longest_run,
+      |  CAST(SUM(run_len) AS BIGINT) AS active_days
+      |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), expr("cast(ts as long) div 86400").as("dy"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("dy"))
+    ud.withColumn("grp", col("dy") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        max(col("run_len")).as("longest_run"),
+        sum(col("run_len")).as("active_days"))
+      .orderBy(col("user_id"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
-    lakeSnapshotDiff, qFunnel, qRetentionCohorts, qEventTransitions, tVocabCoverage)
+    lakeSnapshotDiff, qFunnel, qRetentionCohorts, qEventTransitions,
+    tVocabCoverage, qScd2, qGapsIslands)
 }

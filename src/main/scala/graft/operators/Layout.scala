@@ -220,6 +220,66 @@ object Layout {
       .orderBy(col("side"))
   }
 
+  private[graft] def pointLookupPath(d: String): String = {
+    val suffix = d.replaceAll("[^A-Za-z0-9]", "_")
+    Lake.scratch(s"pointlookup_lineitem_$suffix")
+  }
+
+  /** Provision (once per source version) a range-clustered layout on
+    * the lookup key PLUS its zone-map manifest — (file, kmin, kmax)
+    * rows written at layout time, exactly the metadata a lakehouse
+    * keeps from write-time parquet footers. */
+  private[graft] def ensurePointLayout(s: SparkSession, d: String): String = {
+    val path = pointLookupPath(d)
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val sig = Lake.sourceSig(fs, new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet"))
+    Lake.provisionIfStale(fs, path, sig) {
+      Tables.lineitem(s, d)
+        .repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$path/table")
+      s.read.parquet(s"$path/table")
+        .groupBy(input_file_name().as("file"))
+        .agg(min("l_orderkey").as("kmin"), max("l_orderkey").as("kmax"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/manifest")
+    }
+    path
+  }
+
+  /** MANIFEST-PRUNED POINT LOOKUP: a key lookup consults the zone-map
+    * manifest (a handful of rows, metadata-scale) to find the file(s)
+    * whose key range can contain the key, then reads ONLY those with
+    * the predicate pushed down — the secondary-index read path. At
+    * 100 TB this is one manifest read + one file read instead of a
+    * table scan; the spec asserts the candidate file count.
+    * (reference namenode/BlocksMap.java:1 — resolve block locations
+    * from metadata first, then read exactly those blocks.) */
+  val lakePointLookup: GraftQuery = GraftQuery.sql(
+    "lake_point_lookup",
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+      |  l_quantity, l_returnflag
+      |FROM lineitem WHERE l_orderkey = 777
+      |ORDER BY line_no""".stripMargin
+  ) { (s, d) =>
+    val path = ensurePointLayout(s, d)
+    val key = 777L
+    val files = candidateFiles(s, path, key)
+    s.read.parquet(files: _*)
+      .filter(col("l_orderkey") === key)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("line_no"),
+        col("l_quantity"), col("l_returnflag"))
+      .orderBy(col("line_no"))
+  }
+
+  /** Manifest consultation: the files whose [kmin, kmax] contains the
+    * key (driver-side — the manifest is metadata, not data). */
+  private[graft] def candidateFiles(s: SparkSession, path: String, key: Long): Seq[String] =
+    s.read.parquet(s"$path/manifest")
+      .filter(col("kmin") <= key && col("kmax") >= key)
+      .collect().map(_.getAs[String]("file")).toSeq
+
   def all: Seq[GraftQuery] = Seq(
-    lakeZorder, lakeCompactIncremental, lakeDeleteCow, lakeClone)
+    lakeZorder, lakeCompactIncremental, lakeDeleteCow, lakeClone,
+    lakePointLookup)
 }

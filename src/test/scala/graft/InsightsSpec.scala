@@ -57,4 +57,27 @@ class InsightsSpec extends SparkSpec {
     assert(oov > 0, "top-20 vocab should leave an OOV tail on this corpus")
     assert(oov < tot, "OOV must not swallow the whole corpus")
   }
+
+  test("SCD2 intervals chain: eff_to equals the next eff_from per key") {
+    val rows = Insights.qScd2.fn(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("o_custkey"))
+    rows.foreach { case (_, rs) =>
+      // exactly one open (current) interval per key
+      assert(rs.count(_.isNullAt(2)) == 1)
+    }
+  }
+
+  test("gaps/islands: island totals reconcile with distinct active days") {
+    val rows = Insights.qGapsIslands.fn(spark, sfDir).collect()
+    val activeDays = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("cast(ts as long) div 86400").as("dy"))
+      .distinct().groupBy("user_id").count()
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      assert(r.getAs[Long]("active_days") == activeDays(u))
+      assert(r.getAs[Long]("longest_run") <= r.getAs[Long]("active_days"))
+      assert(r.getAs[Long]("n_islands") >= 1)
+    }
+  }
 }

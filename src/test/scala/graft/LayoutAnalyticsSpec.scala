@@ -190,4 +190,16 @@ class LayoutAnalyticsSpec extends SparkSpec {
     // a supplier in this bipartite trade graph
     assert(rows.head.getAs[String]("node").startsWith("s"))
   }
+
+  test("point lookup consults the manifest and touches few files") {
+    val rows = Layout.lakePointLookup.fn(spark, sfDir).collect()
+    val direct = Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") === 777).count()
+    assert(rows.length.toLong == direct)
+    val path = Layout.pointLookupPath(sfDir)
+    val total = spark.read.parquet(path + "/manifest").count()
+    val cand = Layout.candidateFiles(spark, path, 777L)
+    assert(total >= 8, s"expected a multi-file layout, got $total")
+    assert(cand.length <= 2, s"manifest should prune to 1-2 files, got ${cand.length}")
+  }
 }
