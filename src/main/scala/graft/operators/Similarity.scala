@@ -244,20 +244,11 @@ object Similarity {
   // PQ: M subspaces of SubDim dims; NCodes centroids per subspace.
   val M = 8; val SubDim = 8; val NCodes = 16
 
-  /** Product-quantization ANN: corpus vectors are compressed to M
-    * one-byte codes (argmin squared-L2 centroid per subspace), queries
-    * score candidates through an asymmetric-distance table (query ->
-    * centroid distances per subspace, summed in fixed m order so the
-    * double fold is bit-deterministic). The codebook is a fixed
-    * deterministic corpus slice standing in for trained k-means
-    * centroids — the compression/ADC mechanics are the real PQ shape.
-    * At 100 TB the codes table is ~M bytes/vector (64x smaller than
-    * the float corpus), the distance table is built per query on the
-    * driver-free broadcast path, and the scan touches codes only. */
-  val sAnnPq: GraftQuery = GraftQuery.sql(
-    "s_ann_pq",
-    s"""WITH $corpusSql,
-       |cb AS (SELECT vec_id AS cid, v AS cv FROM e
+  /** PQ-ADC CTE chain (through the per-candidate aggregated distance
+    * `ad`) — shared verbatim by the s_ann_pq and s_ann_rerank
+    * oracles so the two stages can never drift. */
+  private val pqAdSql =
+    s"""cb AS (SELECT vec_id AS cid, v AS cv FROM e
        |       WHERE vec_id >= $QueryCount AND vec_id < ${QueryCount + NCodes}),
        |ms AS (SELECT unnest(generate_series(0, ${M - 1})) AS m),
        |sd AS (SELECT e.vec_id, ms.m, cb.cid,
@@ -273,12 +264,11 @@ object Similarity {
        |      WHERE codes.vec_id <> qd.query_id),
        |ad AS (SELECT query_id, neighbor_id,
        |         list_reduce(list(qdist ORDER BY m), (x, y) -> x + y) AS adist
-       |       FROM j GROUP BY query_id, neighbor_id),
-       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-       |        ORDER BY adist, neighbor_id) AS rank FROM ad)
-       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adist
-       |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
-  ) { (s, d) =>
+       |       FROM j GROUP BY query_id, neighbor_id)""".stripMargin
+
+  /** PQ-ADC candidate distances (query_id, neighbor_id, adist) —
+    * the Scala twin of pqAdSql, shared by s_ann_pq and s_ann_rerank. */
+  private def pqAdc(s: SparkSession, d: String): DataFrame = {
     val n = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val cb = n.filter(col("vec_id") >= QueryCount && col("vec_id") < QueryCount + NCodes)
@@ -297,8 +287,6 @@ object Similarity {
     val qd = sd.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("query_id"), col("m").as("qm"),
         col("cid").as("qcid"), col("dist").as("qdist"))
-    val wR = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist"), col("neighbor_id"))
     codes.join(broadcast(qd),
         col("m") === col("qm") && col("cid") === col("qcid") &&
           col("vec_id") =!= col("query_id"))
@@ -307,6 +295,30 @@ object Similarity {
         transform(sort_array(collect_list(struct(col("qm"), col("qdist")))),
           x => x.getField("qdist")),
         lit(0.0), (acc, x) => acc + x).as("adist"))
+  }
+
+  /** Product-quantization ANN: corpus vectors are compressed to M
+    * one-byte codes (argmin squared-L2 centroid per subspace), queries
+    * score candidates through an asymmetric-distance table (query ->
+    * centroid distances per subspace, summed in fixed m order so the
+    * double fold is bit-deterministic). The codebook is a fixed
+    * deterministic corpus slice standing in for trained k-means
+    * centroids — the compression/ADC mechanics are the real PQ shape.
+    * At 100 TB the codes table is ~M bytes/vector (64x smaller than
+    * the float corpus), the distance table is built per query on the
+    * driver-free broadcast path, and the scan touches codes only. */
+  val sAnnPq: GraftQuery = GraftQuery.sql(
+    "s_ann_pq",
+    s"""WITH $corpusSql,
+       |$pqAdSql,
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY adist, neighbor_id) AS rank FROM ad)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adist
+       |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  ) { (s, d) =>
+    val wR = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    pqAdc(s, d)
       .withColumn("rank", row_number().over(wR).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
@@ -492,7 +504,57 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  // Two-stage retrieval: PQ-ADC shortlist, then exact re-rank.
+  val RerankDepth = 20
+
+  /** TWO-STAGE ANN (shortlist + exact re-rank): stage 1 scans only
+    * the compact PQ codes to produce a RerankDepth shortlist per
+    * query (~64x less data than raw vectors); stage 2 fetches ONLY
+    * the shortlisted full vectors and re-ranks by exact cosine. The
+    * production retrieval shape at 100 TB: approximate distances
+    * decide WHAT to read, exact distances decide the ORDER — recall
+    * of the exact metric at a fraction of the scan. Oracle composes
+    * the SAME PQ CTE chain (pqAdSql) + an exact-cosine re-rank. */
+  val sAnnRerank: GraftQuery = GraftQuery.sql(
+    "s_ann_rerank",
+    s"""WITH $corpusSql,
+       |$pqAdSql,
+       |shortlist AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adist, neighbor_id) AS rk FROM ad) WHERE rk <= $RerankDepth),
+       |ex AS (SELECT sl.query_id, sl.neighbor_id,
+       |         ${Vectors.dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
+       |       FROM shortlist sl
+       |       JOIN n q ON q.vec_id = sl.query_id
+       |       JOIN n c ON c.vec_id = sl.neighbor_id),
+       |rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, neighbor_id) AS rank FROM ex)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+       |FROM rr WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  ) { (s, d) =>
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    val shortlist = pqAdc(s, d)
+      .withColumn("rk", row_number().over(wShort))
+      .filter(col("rk") <= RerankDepth)
+      .select(col("query_id"), col("neighbor_id"))
+    val n = corpus(s, d)
+    val q = n.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = n.select(col("vec_id").as("c_id"), col("v").as("cv2"), col("nrm").as("cn"))
+    val wR = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    shortlist
+      .join(broadcast(q), col("query_id") === col("q_id"))
+      .join(c, col("neighbor_id") === col("c_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (Vectors.dot(col("qv"), col("cv2")) / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnIvfPartitioned,
-      sAnnPq, sHybridRrf, sAnnRecall)
+      sAnnPq, sAnnRerank, sHybridRrf, sAnnRecall)
 }

@@ -36,6 +36,22 @@ class MoreOpsSpec extends SparkSpec {
     assert(overlap > 0, "IVF found no brute-force neighbors at all")
   }
 
+  test("exact re-rank recalls at least as much of brute-force top-k as raw PQ") {
+    def byQuery(q: GraftQuery) =
+      q.fn(spark, sfDir).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val bf = byQuery(Similarity.sAnnBruteforce)
+    val pq = byQuery(Similarity.sAnnPq)
+    val rr = byQuery(Similarity.sAnnRerank)
+    val pqHits = pq.keys.map(k => (pq(k) intersect bf.getOrElse(k, Set())).size).sum
+    val rrHits = rr.keys.map(k => (rr(k) intersect bf.getOrElse(k, Set())).size).sum
+    // the exact re-rank stage orders the SAME shortlist by the true
+    // metric — it can only match or beat the ADC ordering's recall
+    assert(rrHits >= pqHits, s"rerank recall $rrHits < pq recall $pqHits")
+    assert(rrHits > 0)
+  }
+
   test("as-of join matches purchases at-or-before each error") {
     val ev = Tables.events(spark, sfDir).select("event_id", "ts", "user_id", "event_type")
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
