@@ -561,4 +561,92 @@ object Graft {
 
   /** Exact decimal-routed aggregation helpers (order-independent). */
   def parity: Parity.type = Parity
+
+  /** Physical-layout helpers (operators/Layout.scala re-expressed as
+    * reusable functions over any frame). */
+  object layout {
+    /** Morton z-value of two non-negative integral columns (16 bits
+      * each) — sort/range-partition by this to cluster a 2-dim key
+      * space so box predicates prune on min/max stats. */
+    def zvalue(a: Column, b: Column): Column =
+      graft.operators.Layout.zValue(a, b)
+
+    /** Write `df` z-order-clustered on (a, b): every output file
+      * covers a small rectangle of the key plane. */
+    def writeZordered(df: DataFrame, a: String, b: String,
+                      path: String, numFiles: Int = 16): Unit =
+      df.withColumn("_zv", zvalue(col(a), col(b)))
+        .repartitionByRange(numFiles, col("_zv"))
+        .sortWithinPartitions(col("_zv"))
+        .drop("_zv")
+        .write.mode("overwrite").parquet(path)
+  }
+
+  /** Generic analytic shapes (operators/Analytics.scala). */
+  object analytics {
+    /** A pre-shuffle row filter from the OTHER side's join keys: one
+      * aggregate pass over `keys` builds a right-sized bloom filter
+      * (~10 bits/key), returned as a pushable Column predicate on
+      * `probeCol`. False positives only — follow with the exact join. */
+    def bloomMightContain(keys: DataFrame, keyCol: String, probeCol: Column): Column = {
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graft.Shims
+      val n = math.max(keys.count(), 1000L)
+      val agg = Shims.column(new BloomFilterAggregate(
+        Shims.expression(col(keyCol)), Literal(n),
+        Literal(math.max(65536L, 10L * n))).toAggregateExpression())
+      val bytes = keys.select(agg.as("bf")).head.getAs[Array[Byte]](0)
+      Shims.column(BloomFilterMightContain(Literal(bytes), Shims.expression(probeCol)))
+    }
+
+    /** 2-D skyline (minimize `minCol`, maximize `maxCol`): local
+      * running-max sweep per partition, then one global sweep over
+      * the small survivor set. Returns the distinct frontier points. */
+    def skyline2D(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val pts = df.select(col(minCol).as("_mn"), col(maxCol).as("_mx")).distinct()
+      def sweep(d: DataFrame, part: Seq[Column]): DataFrame = {
+        val w = Window.partitionBy(part: _*)
+          .orderBy(col("_mn").asc, col("_mx").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        d.withColumn("_pm", max(col("_mx")).over(w))
+          .filter(col("_pm").isNull || col("_pm") < col("_mx"))
+          .drop("_pm")
+      }
+      sweep(sweep(pts.withColumn("_pid", spark_partition_id()), Seq(col("_pid")))
+          .drop("_pid"), Seq.empty)
+        .select(col("_mn").as(minCol), col("_mx").as(maxCol))
+    }
+  }
+
+  /** Iterative graph computation in exact integer arithmetic. */
+  object graph {
+    /** Fixed-iteration PageRank over (src, dst) LONG-keyed edges, in
+      * integer micro-units with floor division — deterministic and
+      * order-independent (the discipline that lets an iterative
+      * algorithm be oracle-checked). Returns (node, pr). Each
+      * iteration is one broadcast join + one aggregation; iterates
+      * are cache-materialized so plans stay shallow. */
+    def pagerankInt(edges: DataFrame, iterations: Int = 3): DataFrame = {
+      val e = graft.ScopedCache(edges.select(col("src"), col("dst"))
+        .repartition(4, col("src")))
+      val deg = graft.ScopedCache(
+        e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+          .select(col("src").as("node"), col("outdeg")).coalesce(1))
+      var ranks = deg.select(col("node"), lit(1000000L).as("pr"), col("outdeg"))
+      for (_ <- 1 to iterations) {
+        val contribs = e.join(broadcast(ranks), e("src") === ranks("node"))
+          .select(col("dst"), expr("pr div outdeg").as("contrib"))
+          .groupBy(col("dst")).agg(sum(col("contrib")).as("c"))
+        ranks = deg.join(broadcast(contribs), deg("node") === contribs("dst"), "left")
+          .select(deg("node"),
+            (lit(150000L) + expr("(85 * coalesce(c, 0L)) div 100")).as("pr"),
+            col("outdeg"))
+        ranks = graft.ScopedCache(ranks.coalesce(1))
+        ranks.count()
+      }
+      ranks.select(col("node"), col("pr"))
+    }
+  }
 }

@@ -34,7 +34,8 @@ object Explain {
     "q_pareto_frontier", "st_lateness_audit", "g_pagerank",
     "lake_snapshot_diff", "q_funnel", "q_retention_cohorts",
     "q_event_transitions", "t_vocab_coverage",
-    "lake_delete_cow", "lake_clone", "q_window_percentile")
+    "lake_delete_cow", "lake_clone", "q_window_percentile",
+    "lake_point_lookup", "q_scd2", "q_gaps_islands", "s_ann_rerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

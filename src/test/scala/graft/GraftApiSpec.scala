@@ -161,4 +161,41 @@ class GraftApiSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(3), r.getBoolean(4))).toSet
     assert(out == Set(("a", "web", 640, false), ("b", "ingest", 644, true)))
   }
+
+  test("layout.zvalue matches the operator's Morton curve") {
+    val r = spark.range(1).select(
+      Graft.layout.zvalue(lit(2L), lit(2L)).as("z"),
+      Graft.layout.zvalue(lit(5L), lit(3L)).as("z2")).head
+    assert(r.getLong(0) == 12L)
+    // z(5,3): 5=101b -> odd positions, 3=011b -> even: 100110b + 000101b... pinned:
+    assert(r.getLong(1) == ((1L<<5) | (1L<<2) | (1L<<1) | (1L<<0)))
+  }
+
+  test("analytics.bloomMightContain never drops a joining key on any frame") {
+    import spark.implicits._
+    val dim = Seq(10L, 20L, 30L, 40L).toDF("k")
+    val fact = spark.range(100).select(col("id").as("fk"))
+    val filt = Graft.analytics.bloomMightContain(dim, "k", col("fk"))
+    val kept = fact.filter(filt).collect().map(_.getLong(0)).toSet
+    assert(Set(10L, 20L, 30L, 40L).subsetOf(kept), s"false negative: $kept")
+  }
+
+  test("analytics.skyline2D equals the NOT-EXISTS definition on a user frame") {
+    import spark.implicits._
+    val pts = Seq((1.0, 1L), (1.0, 5L), (2.0, 3L), (2.0, 7L), (3.0, 7L), (3.0, 9L))
+      .toDF("cost", "gain")
+    val got = Graft.analytics.skyline2D(pts, "cost", "gain")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSet
+    assert(got == Set((1.0, 5L), (2.0, 7L), (3.0, 9L)))
+  }
+
+  test("graph.pagerankInt on a star graph ranks the hub highest") {
+    import spark.implicits._
+    // undirected star: hub 0 <-> leaves 1..5
+    val e = (1L to 5L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
+    val pr = Graft.graph.pagerankInt(e, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(0L) > pr(1L), s"hub should outrank leaves: $pr")
+    assert((1L to 5L).map(pr).toSet.size == 1, "leaves must tie exactly")
+  }
 }
