@@ -173,4 +173,24 @@ class CommitLogSpec extends SparkSpec {
     assert(fs.exists(new Path(dir, "data/retired")))
     assert(CommitLog.snapshot(spark, dir, version = 1).count() == 2 * r.count())
   }
+
+  test("clone checkpoint localizes the external references; source untouched") {
+    val src = freshTable("clone_src")
+    val dst = freshTable("clone_dst")
+    val r = Tables.region(spark, sfDir)
+    CommitLog.writeCommit(spark, src, r.filter(col("r_regionkey") < 3), "data/a", ts = 100L)
+    CommitLog.cloneFrom(fs, src, dst, ts = 200L)
+    val before = CommitLog.snapshot(spark, dst).count()
+    // the clone holds NO data of its own yet — journal only
+    assert(!fs.exists(new Path(s"$dst/data")))
+    // checkpoint materializes the active set locally
+    CommitLog.checkpoint(spark, dst, ts = 300L)
+    assert(CommitLog.snapshot(spark, dst).count() == before)
+    assert(fs.exists(new Path(s"$dst/data")), "checkpoint should localize the clone")
+    // source table is structurally untouched and still readable
+    assert(CommitLog.snapshot(spark, src).count() == before)
+    // vacuum on the clone can never reach the source's files
+    CommitLog.vacuumOrphans(fs, dst, graceMs = 0L)
+    assert(CommitLog.snapshot(spark, src).count() == before)
+  }
 }
