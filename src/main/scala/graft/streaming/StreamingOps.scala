@@ -121,6 +121,37 @@ object StreamingOps {
       .toDF()
   }
 
+  case class TransOut(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming transition emission (streaming form of
+    * q_event_transitions): per user, O(1) state — the last event type
+    * — and one output row per adjacent pair as it completes. Events
+    * within a micro-batch fold in (ts, event_id) order, so feeding
+    * time-ordered batches reproduces the batch transition counts
+    * EXACTLY under any chunking (cross-batch pairs bridge through the
+    * stored last type). */
+  def transitionStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, TransOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (uid, evs, state) =>
+          val ordered = evs.toSeq.sortBy(e => (tsToMicros(e.ts), e.event_id))
+          var last = state.getOption.orNull
+          val out = Seq.newBuilder[TransOut]
+          ordered.foreach { e =>
+            if (last != null) out += TransOut(uid, last, e.event_type)
+            last = e.event_type
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   /** Streaming dedup: first event per (user_id, event_type), state
     * bounded by the watermark (st_stream_dedup's batch truth counts
     * all events; the streaming form keeps the first arrival per key). */

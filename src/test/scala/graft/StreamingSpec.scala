@@ -444,4 +444,26 @@ class StreamingSpec extends SparkSpec {
          r.getAs[Long]("max_late_sec"), r.getAs[Long]("total_late_sec"))).toMap
     assert(got == want, s"stream $got != batch $want")
   }
+
+  test("streaming transition emission converges to the batch matrix exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ordered = loadEvents().sortBy(e => (StreamingOps.tsToMicros(e.ts), e.event_id))
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.transitionStream(stream.toDF()).writeStream
+      .format("memory").queryName("trans_sink").outputMode("append").start()
+    try {
+      ordered.grouped(1700).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("trans_sink")
+      .groupBy(col("from_type"), col("to_type")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = graft.operators.Insights.qEventTransitions.fn(spark, sfDir)
+      .collect().map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        r.getAs[Long]("n")).toMap
+    assert(got == want, s"stream counts != batch matrix")
+  }
 }
