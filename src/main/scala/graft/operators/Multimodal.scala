@@ -202,5 +202,40 @@ object Multimodal {
       .limit(20)
   }
 
-  def all: Seq[GraftQuery] = Seq(mMultimodalMeta, mMediaResize, mFeaturePairs)
+  /** FIXED-WINDOW CHUNKING with per-chunk features — the audio/video
+    * frame pipeline shape: each payload splits into 256-byte windows
+    * at a 128-byte stride (50% overlap), each chunk gets a content
+    * feature (here the parity hash; a real pipeline would emit MFCCs
+    * or frame embeddings). Chunking is posexplode over a generated
+    * offset sequence — pure compute, no shuffle, and each chunk row
+    * carries (doc, index, offset) so downstream windowed aggregation
+    * or alignment can join on position. Bounded to 50 docs so the
+    * oracle result stays reviewable. */
+  val mChunkedFeatures: GraftQuery = GraftQuery.sql(
+    "m_chunked_features", {
+      import graft.functions.GraftHash
+      s"""WITH ch AS (
+         |  SELECT doc_id, text, unnest(generate_series(1, length(text), 128)) AS p
+         |  FROM documents WHERE doc_id < 50 AND length(text) > 0),
+         |c2 AS (SELECT doc_id, CAST((p - 1) // 128 AS BIGINT) AS chunk_idx,
+         |         substring(text, p, 256) AS chunk FROM ch)
+         |SELECT doc_id, chunk_idx, CAST(length(chunk) AS BIGINT) AS chunk_len,
+         |  ${GraftHash.charHashSql("chunk")} AS chunk_hash
+         |FROM c2 ORDER BY doc_id, chunk_idx""".stripMargin
+    }
+  ) { (s, d) =>
+    import graft.functions.GraftHash
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50 && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(1), length(col("text")), lit(128))).as(Seq("chunk_idx", "p")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        expr("substring(text, p, 256)").as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        GraftHash.charHash(col("chunk")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(mMultimodalMeta, mMediaResize, mFeaturePairs, mChunkedFeatures)
 }
