@@ -134,50 +134,93 @@ object Layout {
       .orderBy(col("event_type"))
   }
 
+  /** Per-file zone-map stats (kmin/kmax of the clustering key) over
+    * exactly the given files — the metadata a lakehouse extracts from
+    * parquet footers as it writes them. */
+  private def cowStats(s: SparkSession, files: Seq[String]): DataFrame =
+    s.read.parquet(files: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("l_orderkey").as("kmin"), max("l_orderkey").as("kmax"))
+
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem, dir: String): Set[String] =
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+
+  /** Lay out the COW table: range-clustered data files PLUS the
+    * zone-map manifest, written AT LAYOUT TIME (when the rows are in
+    * hand anyway) under `_manifest` — underscore-prefixed, so Spark's
+    * file listing hides it from table reads. This is the one and only
+    * full pass over the data; every later delete consults the
+    * manifest as metadata. */
+  private[graft] def writeCowLayout(s: SparkSession, d: String, dir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    Tables.lineitem(s, d)
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.parquet(dir)
+    cowStats(s, Seq(dir)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_manifest")
+  }
+
+  /** COW delete against the persisted manifest: reads the manifest
+    * (file-count rows, metadata-scale), rewrites ONLY the files whose
+    * [kmin,kmax] intersects [lo,hi], drops the originals, and patches
+    * the manifest — replacement-file stats come from scanning just
+    * the replacements. NO full-table read happens at delete time (the
+    * spec proves it by corrupting a non-intersecting file and
+    * asserting the delete still succeeds). Returns the touched files. */
+  private[graft] def cowDelete(s: SparkSession, dir: String, lo: Long, hi: Long): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val manifest = s.read.parquet(s"$dir/_manifest").collect()
+    val (touchedRows, keptRows) = manifest.partition(r =>
+      r.getAs[Long]("kmax") >= lo && r.getAs[Long]("kmin") <= hi)
+    val touched = touchedRows.map(_.getAs[String]("file")).toSeq
+    if (touched.nonEmpty) {
+      val before = listDataFiles(fs, dir)
+      s.read.parquet(touched: _*)
+        .filter(!col("l_orderkey").between(lo, hi))
+        .write.mode("append").parquet(dir)
+      val newNames = (listDataFiles(fs, dir) -- before).toSeq
+      touched.foreach { f =>
+        fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f).getPath), false)
+      }
+      val newStats =
+        if (newNames.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else cowStats(s, newNames.map(n => s"$dir/$n")).collect()
+      import s.implicits._
+      (keptRows ++ newStats).toSeq
+        .map(r => (r.getAs[String]("file"), r.getAs[Long]("kmin"), r.getAs[Long]("kmax")))
+        .toDF("file", "kmin", "kmax")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_manifest")
+    }
+    touched
+  }
+
   /** ROW-LEVEL DELETE, copy-on-write at FILE granularity: the layout
-    * is range-clustered on the key, a per-file min/max stats pass
-    * identifies the files whose range intersects the delete
-    * predicate, and ONLY those files are rewritten (filtered); every
-    * other file is untouched — at 100 TB a selective delete rewrites
-    * gigabytes, not the table. The spec asserts the rewrite count and
-    * that non-overlapping files keep their identity. Oracle = the
-    * surviving rows, layout-independent.
+    * is range-clustered on the key and carries a PERSISTED zone-map
+    * manifest written at layout time (same pattern as
+    * ensurePointLayout); the delete consults the manifest — metadata,
+    * never the table — to find the files whose range intersects the
+    * predicate, and ONLY those files are read and rewritten. At
+    * 100 TB a selective delete costs one manifest read plus the
+    * gigabytes it actually deletes, with no stats scan of the table.
+    * The spec asserts the rewrite set and proves non-intersecting
+    * files are never opened. Oracle = the surviving rows,
+    * layout-independent.
     * (reference analogue: ClientProtocol.delete removes a FILE's
-    * blocks only — deletion cost scales with what is deleted, never
-    * with the namespace.) */
+    * blocks only, resolved via BlocksMap metadata — deletion cost
+    * scales with what is deleted, never with the namespace.) */
   val lakeDeleteCow: GraftQuery = GraftQuery.sql(
     "lake_delete_cow",
     s"""SELECT l_returnflag, COUNT(*) AS n, ${sumMSql("l_quantity")} AS total_qty
        |FROM lineitem WHERE NOT (l_orderkey BETWEEN 0 AND 149)
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   ) { (s, d) =>
-    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     val dir = Lake.scratch("cow_lineitem")
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    Tables.lineitem(s, d)
-      .repartitionByRange(8, col("l_orderkey"))
-      .sortWithinPartitions(col("l_orderkey"))
-      .write.parquet(dir)
-    val (lo, hi) = (0L, 149L)
-    // stats pass: per-file key range (the zone-map manifest a real
-    // lakehouse keeps from write-time footers)
-    val stats = s.read.parquet(dir)
-      .groupBy(input_file_name().as("f"))
-      .agg(min("l_orderkey").as("kmin"), max("l_orderkey").as("kmax"))
-      .collect()
-    val touched = stats.filter(r =>
-        r.getAs[Long]("kmax") >= lo && r.getAs[Long]("kmin") <= hi)
-      .map(_.getAs[String]("f"))
-    // rewrite ONLY intersecting files; write replacements, then drop
-    // the originals — all other files are never read or written
-    if (touched.nonEmpty) {
-      s.read.parquet(touched.toIndexedSeq: _*)
-        .filter(!col("l_orderkey").between(lo, hi))
-        .write.mode("append").parquet(dir)
-      touched.foreach { f =>
-        fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f).getPath), false)
-      }
-    }
+    writeCowLayout(s, d, dir)
+    cowDelete(s, dir, 0L, 149L)
     s.read.parquet(dir)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), sumM(col("l_quantity")).as("total_qty"))

@@ -155,6 +155,40 @@ class LayoutAnalyticsSpec extends SparkSpec {
     assert(perFile >= 8)
   }
 
+  test("cow delete consults the manifest only — non-intersecting files are never opened") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dir = operators.Lake.scratch("cow_spec_lineitem")
+    Layout.writeCowLayout(spark, sfDir, dir)
+    val manifest = spark.read.parquet(dir + "/_manifest").collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[Long]("kmin"), r.getAs[Long]("kmax")))
+    val (intersecting, outside) = manifest.partition { case (_, kmin, kmax) =>
+      kmax >= 0L && kmin <= 149L }
+    assert(intersecting.nonEmpty && outside.length >= 2,
+      s"layout not selective enough to test: ${intersecting.length}/${manifest.length} intersect")
+    // Corrupt one NON-intersecting file: any attempt to open it —
+    // footer read, stats scan, anything — throws. The delete
+    // succeeding at all is proof it reads only manifest + candidates.
+    val victim = new org.apache.hadoop.fs.Path(new java.net.URI(outside.head._1).getPath)
+    val out = fs.create(victim, true)
+    out.write("definitely not a parquet file".getBytes("UTF-8")); out.close()
+    // byte-identity baseline for the other untouched files
+    def identity(): Map[String, (Long, Long)] = outside.tail.map { case (f, _, _) =>
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(new java.net.URI(f).getPath))
+      f -> (st.getLen, st.getModificationTime)
+    }.toMap
+    val beforeId = identity()
+    val touched = Layout.cowDelete(spark, dir, 0L, 149L)
+    assert(touched.toSet == intersecting.map(_._1).toSet,
+      "delete must rewrite exactly the manifest-intersecting files")
+    assert(identity() == beforeId, "untouched files must keep byte identity")
+    // manifest was patched: old touched entries gone, replacements
+    // present, survivors (incl. the corrupt victim's entry) intact
+    val after = spark.read.parquet(dir + "/_manifest").collect()
+      .map(_.getAs[String]("file")).toSet
+    assert(touched.forall(f => !after.contains(f)), "stale manifest entries survive")
+    assert(outside.map(_._1).toSet.subsetOf(after), "kept entries lost from manifest")
+  }
+
   test("shallow clone copies no data and diverges independently") {
     val rows = Layout.lakeClone.fn(spark, sfDir).collect()
       .map(r => r.getAs[String]("side") -> r.getAs[Long]("n")).toMap
