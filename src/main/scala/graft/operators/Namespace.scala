@@ -270,7 +270,72 @@ object Namespace {
     ).toDF("check_name", "n").orderBy(col("check_name"))
   }
 
+  /** DECOMMISSION / DRAIN a storage directory (reference
+    * server/namenode/DecommissionManager.java:1 — a node is retired
+    * only after its blocks are re-replicated elsewhere;
+    * ClientProtocol.java:675 refreshNodes starts the ceremony). Lake
+    * analogue: the table's journal references files across several
+    * storage dirs; draining one rewrites ITS rows into a surviving
+    * location (data I/O proportional to the drained dir, never the
+    * table), swaps the references in one checkpoint-marked commit,
+    * and retention then physically retires the dir. Every surviving
+    * file keeps its byte identity — only the drained bytes move,
+    * exactly the decommission re-replication contract. Content is
+    * unchanged by construction; the oracle checks exactly that. */
+  val lakeDrain: GraftQuery = GraftQuery.sql(
+    "lake_drain",
+    s"""SELECT o_orderstatus, COUNT(*) AS n, ${sumMSql("o_totalprice")} AS total
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  ) { (s, d) =>
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val dir = Lake.scratch("drain_orders")
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val o = Tables.orders(s, d)
+    def slice(r: Int) = o.filter(col("o_orderkey") % 3 === r)
+    CommitLog.writeCommit(s, dir, slice(0), "data/store0", ts = 1000L)
+    CommitLog.writeCommit(s, dir, slice(1), "data/store1", ts = 2000L)
+    CommitLog.writeCommit(s, dir, slice(2), "data/store2", ts = 3000L)
+    val (v, _) = CommitLog.drain(s, dir, "data/store1", "data/absorbed1", ts = 4000L)
+    CommitLog.dropHistoryBefore(fs, dir, v, graceMs = 0L) // physical retire
+    CommitLog.snapshot(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sumM(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** RESTORE-to-version — undelete as one metadata commit (reference
+    * FSImage.java:1 rollback; NameNode.java:474 trash semantics:
+    * deletion is reversible while the metadata survives). Time travel
+    * (lake_time_travel) READS an old version; restore makes it
+    * CURRENT again — one journal commit of set differences, zero data
+    * rewrite at any table size — and the table then diverges from the
+    * restored lineage under new commits, with all pre-restore
+    * versions still readable. Here: v0..v2 accrete three slices, a
+    * bad v2 is unwound by restoring v1, and a post-restore append
+    * lands on the restored lineage — final content is slices 0,1,3. */
+  val lakeRestore: GraftQuery = GraftQuery.sql(
+    "lake_restore",
+    s"""SELECT o_orderstatus, COUNT(*) AS n, ${sumMSql("o_totalprice")} AS total
+       |FROM orders WHERE o_orderkey % 4 IN (0, 1, 3)
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  ) { (s, d) =>
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val dir = Lake.scratch("restore_orders")
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val o = Tables.orders(s, d)
+    def slice(r: Int) = o.filter(col("o_orderkey") % 4 === r)
+    CommitLog.writeCommit(s, dir, slice(0), "data/m0", ts = 1000L) // v0
+    CommitLog.writeCommit(s, dir, slice(1), "data/m1", ts = 2000L) // v1
+    CommitLog.writeCommit(s, dir, slice(2), "data/m2", ts = 3000L) // v2: the bad commit
+    CommitLog.restore(fs, dir, v = 1, ts = 4000L)                  // unwind it
+    CommitLog.writeCommit(s, dir, slice(3), "data/m3", ts = 5000L) // diverge
+    CommitLog.snapshot(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sumM(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(lakeLinks, lakeUpgrade, lakeAclEnforce, lakeSetTimes, lakeDelegation,
-      lakeVacuum)
+      lakeVacuum, lakeDrain, lakeRestore)
 }

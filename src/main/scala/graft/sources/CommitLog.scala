@@ -176,7 +176,18 @@ object CommitLog {
     * analogue: HDFS snapshots share blocks; FSImage.java:1 — state is
     * what the journal says, not where bytes sit). The clone then
     * evolves independently: its own adds/removes never touch the
-    * source, and a later checkpoint() materializes it fully local. */
+    * source, and a later checkpoint() materializes it fully local.
+    *
+    * HAZARD (the Delta shallow-clone caveat): the SOURCE keeps no
+    * record that clones exist, so a source-side checkpoint() +
+    * dropHistoryBefore() / vacuumOrphans() can delete data files a
+    * clone's journal still references, silently breaking the clone's
+    * snapshot() reads. The clone's own vacuum can never do this (it
+    * only deletes LOCAL `data/` entries — see resolve()), but source
+    * retention is invisible to it. If the source is retention-managed,
+    * run checkpoint() on the clone promptly after cloning: it
+    * materializes the referenced rows locally and drops the external
+    * references from the clone's head. */
   def cloneFrom(fs: FileSystem, srcDir: String, dstDir: String, ts: Long): Int = {
     val active = activeSet(commits(fs, srcDir)).map(resolve(srcDir, _))
     require(active.nonEmpty, s"nothing to clone: no active files in $srcDir")
@@ -459,6 +470,61 @@ object CommitLog {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val (table, pin) = resolveLink(fs, root, name)
     snapshot(spark, s"$root/$table", pin.getOrElse(Int.MaxValue))
+  }
+
+  /** RESTORE-to-version — undelete as one journal commit (reference
+    * FSImage.java:1 rollback semantics; NameNode.java:474 trash: a
+    * delete is reversible because the state that mattered is
+    * metadata). Makes version `v`'s active file set CURRENT again by
+    * committing the set difference (re-add what was dropped since,
+    * drop what was added since) — no data file is read, copied, or
+    * rewritten, so restore is O(metadata) at any table size. The
+    * restored lineage then diverges under new commits, and every
+    * pre-restore version stays readable via snapshot(version):
+    * restore adds history, never erases it. CAS-pinned like the
+    * other ceremonies. Returns the restore commit's version. */
+  def restore(fs: FileSystem, tableDir: String, v: Int, ts: Long): Int = {
+    val next = maxVersionOnDisk(fs, tableDir).map(_ + 1).getOrElse(0)
+    val cs = commits(fs, tableDir)
+    val target = activeSet(cs.filter(_.version <= v))
+    require(target.nonEmpty, s"nothing to restore: version $v has no active files in $tableDir")
+    val current = activeSet(cs)
+    val adds = target.filterNot(current.toSet)
+    val removes = current.filterNot(target.toSet)
+    if (!tryCommit(fs, tableDir, next, ts, adds, removes, tags = Seq("restore")))
+      throw new java.util.ConcurrentModificationException(
+        s"$tableDir advanced past version $next during restore — retry")
+    next
+  }
+
+  /** DECOMMISSION / DRAIN a storage prefix (reference
+    * server/namenode/DecommissionManager.java:1 — retire a node by
+    * re-replicating its blocks elsewhere first; ClientProtocol.java:675
+    * refreshNodes): rewrite the prefix's ACTIVE rows into
+    * `destRelPath` (the only data I/O, proportional to what is being
+    * drained, never the table), then swap the references in ONE
+    * checkpoint-marked commit whose adds list the full post-drain
+    * active set — a self-contained replay start, so a follow-up
+    * `dropHistoryBefore(drainVersion)` physically retires the drained
+    * dirs while every surviving file keeps its byte identity (nothing
+    * else is rewritten). Returns (commit version, drained relpaths). */
+  def drain(spark: SparkSession, tableDir: String, prefix: String,
+            destRelPath: String, ts: Long): (Int, Seq[String]) = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val next = maxVersionOnDisk(fs, tableDir).map(_ + 1).getOrElse(0)
+    val active = activeSet(commits(fs, tableDir))
+    val doomed = active.filter(p => p == prefix || p.startsWith(prefix + "/"))
+    require(doomed.nonEmpty, s"nothing to drain: no active files under $prefix in $tableDir")
+    val survivors = active.filterNot(doomed.toSet)
+    spark.read.parquet(doomed.map(resolve(tableDir, _)): _*)
+      .write.mode("overwrite").parquet(s"$tableDir/$destRelPath")
+    if (!tryCommit(fs, tableDir, next, ts, adds = survivors :+ destRelPath,
+        removes = doomed, checkpointMarker = true, tags = Seq("drain"))) {
+      fs.delete(new Path(tableDir, destRelPath), true)
+      throw new java.util.ConcurrentModificationException(
+        s"$tableDir advanced past version $next during drain — retry")
+    }
+    (next, doomed)
   }
 
   /** Delete data directories never referenced by any commit (staging

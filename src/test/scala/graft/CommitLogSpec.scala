@@ -174,6 +174,53 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.snapshot(spark, dir, version = 1).count() == 2 * r.count())
   }
 
+  test("restore makes an old version current again, then diverges; history intact") {
+    val dir = freshTable("restore")
+    val n = Tables.nation(spark, sfDir)
+    def slice(r: Int) = n.filter(col("n_nationkey") % 4 === r)
+    CommitLog.writeCommit(spark, dir, slice(0), "data/m0", ts = 100L) // v0
+    CommitLog.writeCommit(spark, dir, slice(1), "data/m1", ts = 200L) // v1
+    CommitLog.writeCommit(spark, dir, slice(2), "data/m2", ts = 300L) // v2
+    val v1Keys = CommitLog.snapshot(spark, dir, version = 1)
+      .select("n_nationkey").collect().map(_.getInt(0)).sorted.toSeq
+    val rv = CommitLog.restore(fs, dir, v = 1, ts = 400L)
+    assert(rv == 3, "restore is one ordinary journal commit")
+    // head == v1 exactly, via pure metadata (no data dir was touched)
+    assert(CommitLog.snapshot(spark, dir)
+      .select("n_nationkey").collect().map(_.getInt(0)).sorted.toSeq == v1Keys)
+    // pre-restore history is still readable — restore adds, never erases
+    assert(CommitLog.snapshot(spark, dir, version = 2).count() ==
+      slice(0).count() + slice(1).count() + slice(2).count())
+    // post-restore append lands on the restored lineage: 0,1,3 — not 2
+    CommitLog.writeCommit(spark, dir, slice(3), "data/m3", ts = 500L)
+    val headKeys = CommitLog.snapshot(spark, dir)
+      .select("n_nationkey").collect().map(_.getInt(0) % 4).toSet
+    assert(headKeys == Set(0, 1, 3), s"diverged head should hold slices 0,1,3: $headKeys")
+  }
+
+  test("drain retires a storage dir; survivors keep byte identity, content unchanged") {
+    val dir = freshTable("drain")
+    val n = Tables.nation(spark, sfDir)
+    def slice(r: Int) = n.filter(col("n_nationkey") % 3 === r)
+    CommitLog.writeCommit(spark, dir, slice(0), "data/store0", ts = 100L)
+    CommitLog.writeCommit(spark, dir, slice(1), "data/store1", ts = 200L)
+    CommitLog.writeCommit(spark, dir, slice(2), "data/store2", ts = 300L)
+    val total = CommitLog.snapshot(spark, dir).count()
+    def identity(store: String): Map[String, (Long, Long)] =
+      fs.listStatus(new Path(s"$dir/data/$store")).filter(_.isFile)
+        .map(st => st.getPath.getName -> (st.getLen, st.getModificationTime)).toMap
+    val id0 = identity("store0"); val id2 = identity("store2")
+    val (v, moved) = CommitLog.drain(spark, dir, "data/store1", "data/absorbed1", ts = 400L)
+    assert(moved == Seq("data/store1"), s"drain should move exactly store1: $moved")
+    CommitLog.dropHistoryBefore(fs, dir, v, graceMs = 0L) // physical retire
+    assert(!fs.exists(new Path(s"$dir/data/store1")), "drained dir must be gone")
+    assert(identity("store0") == id0 && identity("store2") == id2,
+      "surviving stores must keep byte identity — drain rewrites only what it drains")
+    assert(CommitLog.snapshot(spark, dir).count() == total, "drain must not change content")
+    // drained rows now live in the absorbed location
+    assert(fs.exists(new Path(s"$dir/data/absorbed1")))
+  }
+
   test("clone checkpoint localizes the external references; source untouched") {
     val src = freshTable("clone_src")
     val dst = freshTable("clone_dst")
