@@ -81,7 +81,7 @@ object Bench {
       }
     // OUTLIER RE-MEASUREMENT: this VM's file-open/mmap latency is
     // bimodal (2-8x stalls land on a different random query set every
-    // run — see docs/BENCH_NOTES), so a single timed pass per query is
+    // run — measurements in SURVEY.md §6), so a single timed pass is
     // falsifiable by one bad I/O window. Any query whose first-pass
     // time exceeds max(3s, 5x its family median) is re-run (up to 2x,
     // cold cache, stopping early once a run lands under threshold) and

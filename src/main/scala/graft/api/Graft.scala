@@ -627,13 +627,29 @@ object Graft {
       * order-independent (the discipline that lets an iterative
       * algorithm be oracle-checked). Returns (node, pr). Each
       * iteration is one broadcast join + one aggregation; iterates
-      * are cache-materialized so plans stay shallow. */
+      * are cache-materialized so plans stay shallow.
+      *
+      * The node set is src UNION dst: a sink (a node appearing only
+      * as dst) gets a rank row with teleport-only mass plus whatever
+      * flows in — it contributes nothing out (outdeg 0 never enters a
+      * division: contributions join through e.src, and a sink is
+      * never a src). Its incoming mass is absorbed, not redistributed
+      * — the standard dangling-node simplification, acceptable for
+      * ranking; symmetrize the edges first if mass conservation
+      * matters (as g_pagerank does).
+      *
+      * Uses ScopedCache for the per-iteration materialization; call
+      * under a ScopedCache scope (as Bench/Verify do) or invoke
+      * graft.ScopedCache.releaseAll() afterwards — otherwise the
+      * persisted iterates stay pinned in executor memory. */
     def pagerankInt(edges: DataFrame, iterations: Int = 3): DataFrame = {
       val e = graft.ScopedCache(edges.select(col("src"), col("dst"))
         .repartition(4, col("src")))
       val deg = graft.ScopedCache(
-        e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-          .select(col("src").as("node"), col("outdeg")).coalesce(1))
+        e.select(col("src").as("node"), lit(1L).as("w"))
+          .union(e.select(col("dst").as("node"), lit(0L).as("w")))
+          .groupBy(col("node")).agg(sum(col("w")).as("outdeg"))
+          .coalesce(1))
       var ranks = deg.select(col("node"), lit(1000000L).as("pr"), col("outdeg"))
       for (_ <- 1 to iterations) {
         val contribs = e.join(broadcast(ranks), e("src") === ranks("node"))

@@ -170,8 +170,13 @@ object Analytics {
       |WHERE levenshtein(a.name, b.name) <= 3
       |ORDER BY name_a, name_b""".stripMargin
   ) { (s, d) =>
+    // coalesce to "": on a single-token name, split(...).getItem(1)
+    // is NULL (the row would silently drop out of the equi-join)
+    // while the oracle's split_part yields '' — such rows must block
+    // together in both engines
     val names = Tables.part(s, d)
-      .select(col("p_name").as("name"), split(col("p_name"), " ").getItem(1).as("block"))
+      .select(col("p_name").as("name"),
+        coalesce(split(col("p_name"), " ").getItem(1), lit("")).as("block"))
       .distinct()
     val a = names.select(col("name").as("name_a"), col("block"))
     val b = names.select(col("name").as("name_b"), col("block").as("block_b"))
@@ -249,13 +254,39 @@ object Analytics {
       |  CAST(SUM(late_sec) AS BIGINT) AS total_late_sec
       |FROM lat GROUP BY event_type ORDER BY event_type""".stripMargin
   ) { (s, d) =>
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("arr_sec"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.events(s, d)
+    // TWO-PHASE PREFIX SCAN: a running max partitioned only by
+    // event_type caps parallelism at the type cardinality (5) — each
+    // source would be one sorted stream no matter the table size. So
+    // the scan is split the way distributed prefix sums are: (1) a
+    // LOCAL running max within (event_type, coarse arrival bucket) —
+    // parallelism = types x buckets, growing with the data's time
+    // span; (2) a per-bucket carry table (one row per bucket,
+    // metadata-scale) whose own running max is the watermark carried
+    // in from all earlier buckets; (3) broadcast the carries back and
+    // take the greater of local and carried watermark. Rows in
+    // earlier buckets have strictly smaller arr_sec, so the combined
+    // value equals the single sequential window exactly — same
+    // oracle, >5-way parallel plan (spec-asserted).
+    val ev = Tables.events(s, d)
       .select(col("event_type"), col("event_id"), col("ts").cast("long").as("ts_sec"))
       .withColumn("arr_sec", col("ts_sec") + (col("event_id") % 15) * 60)
-      .withColumn("wm", max(col("ts_sec")).over(w))
+      .withColumn("bkt", floor(col("arr_sec") / lit(3600L)).cast("long"))
+    val localW = Window.partitionBy(col("event_type"), col("bkt"))
+      .orderBy(col("arr_sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryW = Window.partitionBy(col("event_type"))
+      .orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = ev.groupBy(col("event_type"), col("bkt"))
+      .agg(max(col("ts_sec")).as("bmax"))
+      .withColumn("prefix_wm", max(col("bmax")).over(carryW))
+      .select(col("event_type"), col("bkt"), col("prefix_wm"))
+    ev.withColumn("local_wm", max(col("ts_sec")).over(localW))
+      .join(broadcast(carries), Seq("event_type", "bkt"))
+      // greatest() skips nulls: null only when BOTH are null, i.e.
+      // the first-arriving row of its type — same as the sequential
+      // window's empty frame
+      .withColumn("wm", greatest(col("local_wm"), col("prefix_wm")))
       .withColumn("late_sec",
         when(col("wm").isNull, lit(0L))
           .otherwise(greatest(lit(0L), col("wm") - 600 - col("ts_sec"))))

@@ -41,12 +41,10 @@ object Insights {
     CommitLog.writeCommit(s, dir, slice(1), "data/mod1", ts = 2000L) // v1
     CommitLog.commit(fs, dir, ts = 3000L, adds = Nil, removes = Seq("data/mod0")) // v2
     CommitLog.writeCommit(s, dir, slice(2), "data/mod2", ts = 4000L) // v3
-    // journal replay → active file set at a version (metadata only)
-    def activeAt(v: Int): Set[String] = {
-      val upTo = CommitLog.commits(fs, dir).filter(_.version <= v)
-      val adds = upTo.flatMap(_.adds); val removes = upTo.flatMap(_.removes).toSet
-      adds.filterNot(removes.contains).toSet
-    }
+    // journal replay → active file set at a version (metadata only);
+    // CommitLog.activeFiles is the one true replay — order-sensitive,
+    // so remove-then-re-add histories resolve correctly
+    def activeAt(v: Int): Set[String] = CommitLog.activeFiles(fs, dir, v).toSet
     val (before, after) = (activeAt(1), activeAt(3))
     def readFiles(rel: Set[String]): DataFrame = {
       val paths = rel.toSeq.sorted.map(r => s"$dir/$r")

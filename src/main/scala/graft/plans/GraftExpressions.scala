@@ -84,6 +84,22 @@ case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(child = c)
 }
 
+/** bandKey(components): long — (acc*31 + c) % P folded over a MinHash
+  * signature slice; equals functions/GraftHash.bandKey column-side and
+  * its bandKeySql DuckDB fragment (all three spec-pinned). The SQL
+  * user's path to LSH bucket joins:
+  * `graft_band_key(slice(sig, band*r+1, r))`. */
+case class BandKeyExpr(child: Expression) extends UnaryExpression {
+  import GraftExpressions.RT
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_band_key"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftRuntime.bandKey(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$RT.bandKey($c)")
+  override protected def withNewChildInternal(c: Expression): BandKeyExpr = copy(child = c)
+}
+
 /** jaccardSorted(a, b): double — exact Jaccard of two SORTED distinct
   * long arrays via a single merge scan (no per-pair hash set). */
 case class JaccardSortedExpr(left: Expression, right: Expression) extends BinaryExpression {

@@ -56,9 +56,25 @@ object GraftExtensions {
     one("graft_shingle_hashes")(ShingleHashExpr),
     one("graft_minhash_signature")(MinHashSignatureExpr(_, GraftHash.perms(32))),
     one("graft_simhash")(SimHashExpr(_, 24)),
+    one("graft_band_key")(BandKeyExpr),
+    one("graft_norm")(normExpr),
+    one("graft_money")(moneyExpr),
     two("graft_jaccard_sorted")(JaccardSortedExpr),
     two("graft_dot_product")(DotProductExpr),
     two("graft_zvalue")(zvalueExpr))
+
+  /** L2 norm: sqrt(dot(v, v)) — the SQL form of functions/Vectors.norm. */
+  private[graft] def normExpr(v: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Sqrt
+    Sqrt(DotProductExpr(v, v))
+  }
+
+  /** The money-parity cast (functions/Parity.m): DECIMAL(15,2), the
+    * discipline that makes float aggregates hash-match DuckDB. */
+  private[graft] def moneyExpr(c: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    Cast(c, org.apache.spark.sql.types.DecimalType(15, 2))
+  }
 
   /** Morton z-value (16 bits per key, interleaved) as a pure catalyst
     * tree — same bit formula as operators/Layout.zValue (both pinned

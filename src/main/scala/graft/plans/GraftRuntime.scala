@@ -113,4 +113,15 @@ object GraftRuntime {
     while (i < x.length) { acc += x(i) * y(i); i += 1 }
     acc
   }
+
+  /** LSH band key: fold (acc*31 + c) % P over signature components.
+    * Starting at 0 equals starting at the first component (0*31+c0 =
+    * c0), so this matches functions/GraftHash.bandKey's reduce. */
+  def bandKey(components: ArrayData): Long = {
+    var acc = 0L
+    var i = 0
+    val n = components.numElements()
+    while (i < n) { acc = (acc * 31 + components.getLong(i)) % P; i += 1 }
+    acc
+  }
 }

@@ -194,6 +194,14 @@ object CommitLog {
     commit(fs, dstDir, ts, adds = active, removes = Seq.empty)
   }
 
+  /** Active (journal-entry) file set at a version — the ORDER-
+    * SENSITIVE replay: a remove-then-re-add history resolves to
+    * active, which naive all-adds-minus-all-removes set algebra gets
+    * wrong. Every consumer of "what files is the table at version N"
+    * must come through here (or snapshot), never reimplement replay. */
+  def activeFiles(fs: FileSystem, tableDir: String, version: Int = Int.MaxValue): Seq[String] =
+    activeSet(commits(fs, tableDir).filter(_.version <= version))
+
   /** Active (relative) file set after replaying the log through the
     * given versions. */
   private def activeSet(cs: Seq[Commit]): Seq[String] = {

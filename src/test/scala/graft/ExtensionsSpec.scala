@@ -56,4 +56,43 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("dp") == 11.0)
     assert(r.getAs[Long]("zv") == 12L) // Morton z(2,2)
   }
+
+  test("band key, norm, and money cast are callable from SQL and match the column API") {
+    val r = spark.sql(
+      """SELECT graft_band_key(array(5L, 6L, 7L)) AS bk,
+        |  graft_norm(array(3.0d, 4.0d)) AS nrm,
+        |  graft_money(1.005) AS m,
+        |  graft_band_key(slice(graft_minhash_signature(graft_shingle_hashes('a b c d')), 1, 4)) AS bk_sig
+        |""".stripMargin).collect()(0)
+    // fold (acc*31+c)%P from 0: ((5*31+6)*31+7) = 4998
+    assert(r.getAs[Long]("bk") == 4998L)
+    assert(r.getAs[Double]("nrm") == 5.0)
+    assert(r.getAs[java.math.BigDecimal]("m").toPlainString == "1.01")
+    // matches the column-side band key over the same signature slice
+    import org.apache.spark.sql.functions._
+    import graft.functions.{GraftHash, Shingles}
+    val sig = Shingles.shingleHashes(lit("a b c d"))
+    val want = spark.range(1).select(
+      GraftHash.bandKey((0 until 4).map { j =>
+        val (a, b) = GraftHash.perms(32)(j)
+        GraftHash.minhashComponent(sig, a, b)
+      }).as("bk")).collect()(0).getAs[Long]("bk")
+    assert(r.getAs[Long]("bk_sig") == want)
+  }
+
+  test("GraftViews exposes operators as graft_* views to SQL-only clients") {
+    val s = spark
+    graft.api.GraftViews.register(s, "/root/testdata/sf0.001",
+      names = Seq("q1_pricing_summary", "lake_restore"))
+    // base table + operator views queryable from plain SQL
+    assert(s.sql("SELECT COUNT(*) FROM lineitem").collect()(0).getLong(0) > 0)
+    val q1 = s.sql(
+      "SELECT * FROM graft_q1_pricing_summary WHERE l_returnflag = 'A'").collect()
+    assert(q1.nonEmpty && q1.forall(_.getAs[String]("l_returnflag") == "A"))
+    assert(s.sql("SELECT COUNT(*) FROM graft_lake_restore").collect()(0).getLong(0) > 0)
+    // unknown operator names fail fast, not at first SELECT
+    intercept[IllegalArgumentException] {
+      graft.api.GraftViews.register(s, "/root/testdata/sf0.001", Seq("nope"))
+    }
+  }
 }

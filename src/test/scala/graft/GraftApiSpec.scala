@@ -198,4 +198,17 @@ class GraftApiSpec extends SparkSpec {
     assert(pr(0L) > pr(1L), s"hub should outrank leaves: $pr")
     assert((1L to 5L).map(pr).toSet.size == 1, "leaves must tie exactly")
   }
+
+  test("graph.pagerankInt gives sink nodes rank rows instead of dropping them") {
+    import spark.implicits._
+    // directed chain 1 -> 2 -> 3 plus 4 -> 3: node 3 is a pure sink
+    val e = Seq((1L, 2L), (2L, 3L), (4L, 3L)).toDF("src", "dst")
+    val pr = Graft.graph.pagerankInt(e, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.keySet == Set(1L, 2L, 3L, 4L), s"every node needs a rank row: $pr")
+    // sources with no inbound mass sit at the teleport floor; the
+    // sink absorbs inflow from two nodes and must rank above them
+    assert(pr(1L) == 150000L && pr(4L) == 150000L, s"teleport floor: $pr")
+    assert(pr(3L) > pr(2L) && pr(2L) > pr(1L), s"inflow must rank the sink highest: $pr")
+  }
 }

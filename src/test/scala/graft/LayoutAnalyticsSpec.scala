@@ -135,6 +135,23 @@ class LayoutAnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_late")).sum > 0, "no late events found at all")
   }
 
+  test("lateness audit's heavy window is bucketed — parallelism beyond type cardinality") {
+    val df = Analytics.stLatenessAudit.fn(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the per-row running max must be keyed by (event_type, bkt), not
+    // event_type alone — otherwise each source is one sorted stream
+    val windowLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.exists(l => l.contains("event_type") && l.contains("bkt")),
+      s"local window not bucketed:\n${windowLines.mkString("\n")}")
+    // and the bucketing actually multiplies the key count
+    val keys = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts").cast("long").as("ts_sec"), col("event_id"))
+      .withColumn("arr_sec", col("ts_sec") + (col("event_id") % 15) * 60)
+      .select(col("event_type"), floor(col("arr_sec") / lit(3600L)))
+      .distinct().count()
+    assert(keys > 5, s"expected more window keys than event types, got $keys")
+  }
+
   test("copy-on-write delete rewrites only the files whose range intersects") {
     val before = Tables.lineitem(spark, sfDir).count()
     val rows = Layout.lakeDeleteCow.fn(spark, sfDir)
