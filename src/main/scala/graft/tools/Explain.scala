@@ -35,7 +35,10 @@ object Explain {
     "lake_snapshot_diff", "q_funnel", "q_retention_cohorts",
     "q_event_transitions", "t_vocab_coverage",
     "lake_delete_cow", "lake_clone", "q_window_percentile",
-    "lake_point_lookup", "q_scd2", "q_gaps_islands", "s_ann_rerank")
+    "lake_point_lookup", "q_scd2", "q_gaps_islands", "s_ann_rerank",
+    // round-6: decommission/restore ceremonies and the re-shaped
+    // two-phase lateness scan
+    "lake_drain", "lake_restore")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

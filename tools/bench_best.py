@@ -11,10 +11,14 @@ the best wall-clock any run measured — with the source run recorded
 per query. Sum-of-minima approximates what one fully-good-phase run
 would measure.
 
-Usage: python3 tools/bench_best.py   (writes docs/bench_best.json)
+Usage: python3 tools/bench_best.py [extra_bench_full.json ...]
+(writes docs/bench_best.json; extra args are additional run files to
+fold in, e.g. uncommitted runs parked under /tmp)
 """
 import json
+import os
 import subprocess
+import sys
 
 
 def versions():
@@ -40,6 +44,16 @@ def versions():
             continue
         seen.add(key)
         vs.append((h[:8], d))
+    for p in sys.argv[1:]:
+        try:
+            d = json.load(open(p))
+        except Exception:
+            continue
+        key = (d["value"], d["n_queries"])
+        if key in seen or d.get("failures"):
+            continue
+        seen.add(key)
+        vs.append((os.path.basename(p), d))
     return vs
 
 
