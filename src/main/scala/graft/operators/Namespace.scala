@@ -335,7 +335,41 @@ object Namespace {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** CHECKPOINT CADENCE (reference server/namenode/Checkpointer.java:1
+    * — the image is rewritten when the edit log outgrows a threshold,
+    * not on every commit; SecondaryNameNode.java:1): replay cost is
+    * bounded by checkpointing ON A CADENCE. maybeCheckpoint reads the
+    * journal (metadata) and compacts only when commits-since-image
+    * exceed the threshold — at 100 TB this is the difference between
+    * paying an image write per commit and paying it per N commits
+    * while replay stays O(N). Here: 4 slice commits trip a cadence of
+    * 3 (one image write), the follow-up call declines (replay = 1),
+    * and a post-image append replays from the image — content equals
+    * the full table either way, which is what the oracle checks. */
+  val lakeCheckpointCadence: GraftQuery = GraftQuery.sql(
+    "lake_checkpoint_cadence",
+    s"""SELECT o_orderpriority, COUNT(*) AS n, ${sumMSql("o_totalprice")} AS total
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  ) { (s, d) =>
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val dir = Lake.scratch("ckpt_cadence_orders")
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val o = Tables.orders(s, d)
+    def slice(r: Int) = o.filter(col("o_orderkey") % 5 === r)
+    (0 to 3).foreach(r =>
+      CommitLog.writeCommit(s, dir, slice(r), s"data/m$r", ts = 1000L * (r + 1)))
+    val v = CommitLog.maybeCheckpoint(s, dir, ts = 5000L, maxReplay = 3)
+    require(v.nonEmpty, "4 commits over a cadence of 3 must checkpoint")
+    require(CommitLog.maybeCheckpoint(s, dir, ts = 6000L, maxReplay = 3).isEmpty,
+      "replay of 1 right after the image must decline")
+    CommitLog.writeCommit(s, dir, slice(4), "data/m4", ts = 7000L)
+    CommitLog.snapshot(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumM(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(lakeLinks, lakeUpgrade, lakeAclEnforce, lakeSetTimes, lakeDelegation,
-      lakeVacuum, lakeDrain, lakeRestore)
+      lakeVacuum, lakeDrain, lakeRestore, lakeCheckpointCadence)
 }

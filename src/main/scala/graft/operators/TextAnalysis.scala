@@ -364,7 +364,51 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** REPETITION FILTER — the Gopher/MassiveText repetition-removal
+    * signal: a document whose duplicate-bigram fraction exceeds 5% is
+    * boilerplate/template suspect. Per doc: bigram count, distinct
+    * bigram count (both from one token-array projection — the
+    * zip_with-shifted-slice pairing proven bit-compatible with the
+    * oracle's generate_series formulation by t_ngram_freq), dup =
+    * difference; the 5% flag is an INTEGER comparison (dup*20 > n, no
+    * float threshold), and the corpus-level fraction is one division
+    * of two exact integer sums — deterministic at any parallelism.
+    * Embarrassingly parallel (one groupBy on lang), no shuffle of the
+    * corpus itself: the scale shape of every per-doc quality pass. */
+  val tRepetitionFilter: GraftQuery = GraftQuery.sql(
+    "t_repetition_filter",
+    """WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT lang, list_transform(generate_series(1, len(t) - 1),
+      |         i -> t[i] || ' ' || t[i+1]) AS bg FROM toks),
+      |m AS (SELECT lang, len(bg) AS nbg, len(list_distinct(bg)) AS ndist FROM bg),
+      |d AS (SELECT lang, nbg, nbg - ndist AS dup FROM m)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN dup * 20 > nbg THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  CAST(SUM(dup) AS BIGINT) AS dup_bigrams,
+      |  CAST(SUM(nbg) AS BIGINT) AS total_bigrams,
+      |  CAST(SUM(dup) AS DOUBLE) / SUM(nbg) AS corpus_dup_frac
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    val t = col("t")
+    Tables.documents(s, d)
+      .select(col("lang"), split(col("text"), " ", -1).as("t"))
+      .select(col("lang"),
+        filter(zip_with(t, slice(t, lit(2), size(t) - 1),
+          (x, y) => concat(x, lit(" "), y)), _.isNotNull).as("bg"))
+      .select(col("lang"), size(col("bg")).as("nbg"),
+        (size(col("bg")) - size(array_distinct(col("bg")))).as("dup"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup") * 20 > col("nbg"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("dup")).cast("long").as("dup_bigrams"),
+        sum(col("nbg")).cast("long").as("total_bigrams"))
+      .withColumn("corpus_dup_frac",
+        col("dup_bigrams").cast("double") / col("total_bigrams"))
+      .orderBy(col("lang"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tTokenCount, tQualityScore, tLangId, tFingerprint, tNgramFreq,
-      tFluencyScore, tLangGini, tPiiScrub, tLangRebalance)
+      tFluencyScore, tLangGini, tPiiScrub, tLangRebalance,
+      tRepetitionFilter)
 }

@@ -264,6 +264,24 @@ object CommitLog {
     next
   }
 
+  /** CHECKPOINT CADENCE — the reference's automatic image policy
+    * (server/namenode/Checkpointer.java:1 triggers a checkpoint when
+    * the edit log outgrows a threshold; SecondaryNameNode.java:1 is
+    * the daemon form): checkpoint only when replay cost — commits
+    * since the last image (or since v0) — exceeds `maxReplay`. The
+    * decision is a driver-side metadata read; below threshold the
+    * call is free. Returns the image version, or None if replay is
+    * still cheap. Idempotent at the cadence level: a call right
+    * after a triggered checkpoint sees replay length 1 and declines. */
+  def maybeCheckpoint(spark: SparkSession, tableDir: String, ts: Long,
+                      maxReplay: Int): Option[Int] = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val cs = commits(fs, tableDir)
+    val lastCkpt = cs.filter(_.isCheckpoint).lastOption.map(_.version).getOrElse(-1)
+    val replay = cs.count(_.version > lastCkpt)
+    if (replay > maxReplay) Some(checkpoint(spark, tableDir, ts)) else None
+  }
+
   /** Retention: make history before `v` unreadable and reclaimable.
     * Replay must still reconstruct every retained version from the
     * truncated log, so the cut lands on the latest CHECKPOINT commit

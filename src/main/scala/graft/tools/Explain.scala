@@ -36,9 +36,10 @@ object Explain {
     "q_event_transitions", "t_vocab_coverage",
     "lake_delete_cow", "lake_clone", "q_window_percentile",
     "lake_point_lookup", "q_scd2", "q_gaps_islands", "s_ann_rerank",
-    // round-6: decommission/restore ceremonies and the re-shaped
-    // two-phase lateness scan
-    "lake_drain", "lake_restore")
+    // round-6: decommission/restore/cadence ceremonies, the re-shaped
+    // two-phase lateness scan, and the repetition quality signal
+    "lake_drain", "lake_restore", "lake_checkpoint_cadence",
+    "t_repetition_filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -174,6 +174,31 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.snapshot(spark, dir, version = 1).count() == 2 * r.count())
   }
 
+  test("checkpoint cadence: free below threshold, compacts above, declines after") {
+    val dir = freshTable("cadence")
+    val n = Tables.nation(spark, sfDir)
+    def slice(r: Int) = n.filter(col("n_nationkey") % 5 === r)
+    (0 to 2).foreach(r =>
+      CommitLog.writeCommit(spark, dir, slice(r), s"data/m$r", ts = 100L * (r + 1)))
+    // replay = 3, cadence 3: not yet
+    assert(CommitLog.maybeCheckpoint(spark, dir, ts = 400L, maxReplay = 3).isEmpty)
+    assert(!CommitLog.commits(fs, dir).exists(_.isCheckpoint), "no image below threshold")
+    CommitLog.writeCommit(spark, dir, slice(3), "data/m3", ts = 500L)
+    val total = CommitLog.snapshot(spark, dir).count()
+    // replay = 4 > 3: image commit lands, content unchanged
+    val v = CommitLog.maybeCheckpoint(spark, dir, ts = 600L, maxReplay = 3)
+    assert(v.contains(4), s"image should land at the next version: $v")
+    assert(CommitLog.commits(fs, dir).exists(c => c.isCheckpoint && c.version == 4))
+    assert(CommitLog.snapshot(spark, dir).count() == total)
+    // replay = 1 right after: declines
+    assert(CommitLog.maybeCheckpoint(spark, dir, ts = 700L, maxReplay = 3).isEmpty)
+    // post-image appends replay image + delta; pre-image history readable
+    CommitLog.writeCommit(spark, dir, slice(4), "data/m4", ts = 800L)
+    assert(CommitLog.snapshot(spark, dir).count() == n.count())
+    assert(CommitLog.snapshot(spark, dir, version = 2).count() ==
+      slice(0).count() + slice(1).count() + slice(2).count())
+  }
+
   test("restore makes an old version current again, then diverges; history intact") {
     val dir = freshTable("restore")
     val n = Tables.nation(spark, sfDir)

@@ -107,6 +107,18 @@ class RuntimePropSpec extends AnyFunSuite {
     }
   }
 
+  test("bandKey kernel equals the column-side reduce formula bit-for-bit") {
+    (1 to Trials).foreach { _ =>
+      val comps = Array.fill(1 + rnd.nextInt(8))(rnd.nextLong(GraftRuntime.P))
+      val got = GraftRuntime.bandKey(new GenericArrayData(comps))
+      // functions/GraftHash.bandKey: reduce((acc, c) => (acc*31 + c) % P)
+      // seeded at the first component — identical to folding from 0
+      val ref = comps.reduce((acc, c) => (acc * 31 + c) % GraftRuntime.P)
+      assert(got == ref)
+      assert(got >= 0 && got < GraftRuntime.P)
+    }
+  }
+
   test("coalesceSpans: incremental micro-batched merge equals one-shot batch sessionization") {
     import graft.streaming.StreamingOps
     import graft.streaming.StreamingOps.{GapMicros, SessionSpan}
