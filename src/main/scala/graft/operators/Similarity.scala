@@ -241,6 +241,47 @@ object Similarity {
     ivfScore(s.read.parquet(path), ivfProbes(asg))
   }
 
+  /** FILTERED vector search — top-k under a metadata predicate, the
+    * standard vector-store capability (pgvector/Qdrant-style
+    * pre-filtering). The predicate restricts the CANDIDATE side
+    * BEFORE scoring (post-filtering a top-k loses recall: the k
+    * survivors may all fail the filter); queries are unrestricted.
+    * Runs through the same IVF probe blocking as s_ann_ivf — at
+    * 100 TB this is the cell-partitioned layout with the label
+    * predicate pushed into the pruned partition scan, so a filtered
+    * probe reads NProbe partitions AND skips non-matching row groups
+    * on column stats. Oracle mirrors the probe blocking + filter. */
+  val sAnnFiltered: GraftQuery = GraftQuery.sql(
+    "s_ann_filtered",
+    s"""WITH $corpusSql,
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NCells),
+       |asg AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |  ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |    ORDER BY ${Vectors.dotSql("n.v", "c.cv")} / (n.nrm * c.cnrm) DESC, c.cid) AS rk
+       |  FROM n CROSS JOIN c),
+       |cells AS (SELECT a.vec_id, a.v, a.nrm, a.cid FROM asg a
+       |          JOIN embeddings em ON em.vec_id = a.vec_id
+       |          WHERE a.rk = 1 AND em.label < 3),
+       |probes AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cid
+       |           FROM asg WHERE vec_id < $QueryCount AND rk <= $NProbe),
+       |sc AS (SELECT p.query_id, cl.vec_id AS neighbor_id,
+       |         ${Vectors.dotSql("p.qv", "cl.v")} / (p.qnrm * cl.nrm) AS cosine
+       |       FROM probes p JOIN cells cl ON p.cid = cl.cid AND cl.vec_id <> p.query_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+       |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  ) { (s, d) =>
+    val asg = ivfAssignment(s, d)
+    val lbl = Tables.embeddings(s, d)
+      .filter(col("label") < 3)                 // pushed to the scan
+      .select(col("vec_id").as("l_vid"))
+    val cells = asg.filter(col("rk") === 1)
+      .join(lbl, col("vec_id") === col("l_vid")) // pre-filter candidates
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+    ivfScore(cells, ivfProbes(asg))
+  }
+
   // PQ: M subspaces of SubDim dims; NCodes centroids per subspace.
   val M = 8; val SubDim = 8; val NCodes = 16
 
@@ -556,5 +597,5 @@ object Similarity {
 
   def all: Seq[GraftQuery] =
     Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnIvfPartitioned,
-      sAnnPq, sAnnRerank, sHybridRrf, sAnnRecall)
+      sAnnPq, sAnnRerank, sHybridRrf, sAnnRecall, sAnnFiltered)
 }

@@ -39,7 +39,7 @@ object Explain {
     // round-6: decommission/restore/cadence ceremonies, the re-shaped
     // two-phase lateness scan, and the repetition quality signal
     "lake_drain", "lake_restore", "lake_checkpoint_cadence",
-    "t_repetition_filter")
+    "t_repetition_filter", "s_ann_filtered")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

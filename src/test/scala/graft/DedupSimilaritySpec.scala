@@ -122,6 +122,28 @@ class DedupSimilaritySpec extends SparkSpec {
       s"cell scan not dynamically partition-pruned:\n$plan")
   }
 
+  test("filtered ANN: every neighbor satisfies the predicate; pre-filter beats post-filter") {
+    import org.apache.spark.sql.functions._
+    val allowed = Tables.embeddings(spark, sfDir)
+      .filter(col("label") < 3).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val got = Similarity.sAnnFiltered.fn(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(allowed.contains(r.getAs[Long]("neighbor_id")),
+        s"neighbor ${r.getAs[Long]("neighbor_id")} violates the label filter")
+      assert(r.getAs[Long]("rank") >= 1 && r.getAs[Long]("rank") <= 5)
+    }
+    // pre-filtering must surface neighbors post-filtering would lose:
+    // some filtered result is NOT in the unfiltered IVF top-k at all
+    val unfiltered = Similarity.sAnnIvf.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val filteredPairs = got.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert((filteredPairs -- unfiltered).nonEmpty,
+      "filtered search found nothing beyond post-filtering the unfiltered top-k")
+  }
+
   test("multimodal feature pairs block on LSH buckets, never nested-loop") {
     val df = graft.operators.Multimodal.mFeaturePairs.fn(spark, sfDir)
     val rows = df.collect()
