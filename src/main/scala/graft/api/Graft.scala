@@ -435,6 +435,66 @@ object Graft {
 
     /** Sign-random-projection bucket id for LSH-partitioned layouts. */
     def lshBucket(vec: Column): Column = graft.operators.Similarity.lshBucket(vec)
+
+    /** Argmax-cosine assignment of every vector to the given centroid
+      * frame (`cid`, `cv` array<double>, `cnrm`). Centroids broadcast. */
+    private def assign(n: DataFrame, cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy((Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).desc,
+          col("cid"))
+      n.crossJoin(broadcast(cents))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .drop("rk")
+    }
+
+    /** One exact Lloyd iteration of k-means: the k lowest-id vectors
+      * seed the centroids, every vector is assigned by argmax cosine,
+      * centroids are recomputed as member means through integer
+      * micro-unit sums (exact, order-independent — the s_kmeans
+      * parity discipline), and vectors are reassigned against the
+      * updated centroids. Returns (idCol, cid). Call iteratively for
+      * more refinement; at scale the explode+groupBy centroid update
+      * map-side-combines to k x dim rows and the reassignment
+      * broadcasts k x dim doubles. */
+    def kmeansOnce(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+      val n = normalized(df, idCol, vecCol)
+      val seeds = n.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val asg1 = assign(n, seeds)
+      val cent = asg1.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(round(col("x") * 1e10).cast("long")).cast("double")
+          / (count(lit(1)).cast("double") * 1e10)).as("mu"))
+      val c2 = cent.groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+          p => p.getField("mu")).as("cv"))
+        .select(col("cid"), col("cv"), Vectors.norm(col("cv")).as("cnrm"))
+      assign(n, c2).select(col("vec_id").as(idCol), col("cid"))
+    }
+
+    /** SemDeDup-style semantic prune: cluster by `kmeansOnce`, compare
+      * pairs ONLY within a cluster (the cluster id is the blocking
+      * key — never all-pairs), and mark every vector that has a
+      * lower-id cluster-mate with cosine above `theta`. Returns
+      * (idCol, cid, pruned); filter `!pruned` for the surviving set.
+      * Choose k ~ corpus/target_cluster_size so per-cluster pair
+      * counts stay bounded at scale. */
+    def semanticPrune(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, theta: Double): DataFrame = {
+      val n = normalized(df, idCol, vecCol)
+      val cl = n.join(
+        kmeansOnce(df, idCol, vecCol, k)
+          .select(col(idCol).as("a_id"), col("cid")),
+        col("vec_id") === col("a_id")).drop("a_id")
+      val b = cl.select(col("cid").as("bcid"), col("vec_id").as("vb"),
+        col("v").as("bv"), col("nrm").as("bn"))
+      val pruned = cl.join(b, col("cid") === col("bcid") && col("vec_id") < col("vb"))
+        .filter(Vectors.dot(col("v"), col("bv")) / (col("nrm") * col("bn")) > theta)
+        .select(col("vb")).distinct().withColumn("is_pruned", lit(true))
+      cl.join(pruned, col("vec_id") === col("vb"), "left")
+        .select(col("vec_id").as(idCol), col("cid"),
+          coalesce(col("is_pruned"), lit(false)).as("pruned"))
+    }
   }
 
   /** Lake maintenance over arbitrary frames/paths. */

@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
   * metadata staleness gates as the Scala path. Registering a view
   * does run the operator's plan-construction side effects (scratch
   * layout writes for the lake ops), which is why registration takes
-  * an explicit name list rather than defaulting to all 146.
+  * an explicit name list rather than defaulting to the full registry.
   */
 object GraftViews {
 

@@ -405,7 +405,51 @@ object Analytics {
       .orderBy(col("c_custkey"))
   }
 
+  /** TIME-SERIES ANOMALY DETECTION — z-score outliers per event_type:
+    * the monitoring primitive over the event stream (flag readings
+    * more than 3 sigma from their series mean). Mean and variance
+    * come from EXACT decimal sums (functions/Parity.scala: value and
+    * value^2 are 2- and 4-decimal-exact, sums associative and
+    * order-independent; the scaled integers stay < 2^53 so the final
+    * decimal->double conversions are exact on both engines), so the
+    * per-row z-scores are bit-deterministic at any parallelism. Plan:
+    * one aggregate to a 5-row stats table, broadcast back over one
+    * scan — two passes over the data, no corpus shuffle; at 100 TB
+    * the stats aggregate is map-side-combined to per-type partials.
+    * The streaming twin is an st_tumbling_window-style windowed agg
+    * feeding the same z-rule. */
+  val tsAnomaly: GraftQuery = GraftQuery.sql(
+    "ts_anomaly",
+    s"""WITH st AS (SELECT event_type, COUNT(*) AS n,
+       |    ${sumMSql("value")} AS s1,
+       |    CAST(SUM(${mSql("value")} * ${mSql("value")}) AS DOUBLE) AS s2
+       |  FROM events GROUP BY event_type),
+       |mv AS (SELECT event_type, s1 / n AS mu,
+       |    sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)) AS sd FROM st)
+       |SELECT e.event_id, e.event_type, e.value,
+       |  (e.value - mv.mu) / mv.sd AS zscore
+       |FROM events e JOIN mv ON e.event_type = mv.event_type
+       |WHERE abs((e.value - mv.mu) / mv.sd) > 3
+       |ORDER BY e.event_type, e.event_id""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val st = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sumM(col("value")).as("s1"),
+      sum(m(col("value")) * m(col("value"))).cast("double").as("s2"))
+    val mv = st.select(col("event_type").as("m_type"),
+      (col("s1") / col("n")).as("mu"),
+      sqrt(greatest(col("s2") / col("n")
+        - (col("s1") / col("n")) * (col("s1") / col("n")), lit(0))).as("sd"))
+    ev.join(broadcast(mv), col("event_type") === col("m_type"))
+      .withColumn("zscore", (col("value") - col("mu")) / col("sd"))
+      .filter(abs(col("zscore")) > 3)
+      .select(col("event_id"), col("event_type"), col("value"), col("zscore"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qBloomJoin, qMvIncremental, tsResample, dEditDistance,
-    qParetoFrontier, stLatenessAudit, gPagerank, qWindowPercentile)
+    qParetoFrontier, stLatenessAudit, gPagerank, qWindowPercentile,
+    tsAnomaly)
 }

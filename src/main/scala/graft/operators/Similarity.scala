@@ -595,7 +595,158 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** K-MEANS — one exact Lloyd iteration over the embedding corpus:
+    * the TRAINING step that the IVF/PQ entries' deterministic centroid
+    * slices stand in for. Seeds are the same fixed slice (vec_id <
+    * NCells); the iteration assigns every vector to its argmax-cosine
+    * seed, recomputes each centroid as the member mean, then
+    * reassigns against the updated centroids. The centroid mean is
+    * routed through per-(cluster, position) INTEGER micro-unit sums
+    * (components quantized at 1e-10: round(x*1e10) as BIGINT — exact
+    * and associative, order-independent at any parallelism; every
+    * value stays < 2^53 so the final int->double conversions are
+    * exact, sidestepping DuckDB's double-rounding decimal->double
+    * path), so the updated centroids — and therefore every downstream
+    * assignment comparison — are bit-identical cross-engine
+    * (functions/Parity.scala discipline, integer form).
+    * Plan shape at 100 TB: the component explode + groupBy(cid, pos)
+    * is the standard distributed centroid update (map-side partial
+    * aggregation reduces to K x dim rows); reassignment broadcasts
+    * the K x dim centroid table. Per-cluster output: seed-assignment
+    * size, post-update size, members that changed cluster, and the
+    * cosine between seed and updated centroid (convergence signal).
+    * Reference: the reference engine has no ML surface; this is pure
+    * engine capability (iterative refinement over an aggregate, the
+    * Balancer.java:1 iterate-until-stable pattern applied to data). */
+  val sKmeans: GraftQuery = GraftQuery.sql(
+    "s_kmeans",
+    s"""WITH $corpusSql,
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NCells),
+       |asg AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |  ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |    ORDER BY ${Vectors.dotSql("n.v", "c.cv")} / (n.nrm * c.cnrm) DESC, c.cid) AS rk
+       |  FROM n CROSS JOIN c),
+       |cl AS (SELECT vec_id, v, nrm, cid FROM asg WHERE rk = 1),
+       |comp AS (SELECT cid, i AS pos, v[i] AS x
+       |         FROM cl, unnest(generate_series(1, len(v))) AS t(i)),
+       |cent AS (SELECT cid, pos,
+       |           CAST(SUM(CAST(round(x * 1e10) AS BIGINT)) AS DOUBLE)
+       |             / (COUNT(*) * 1e10) AS mu
+       |         FROM comp GROUP BY cid, pos),
+       |c2 AS (SELECT cid, list(mu ORDER BY pos) AS cv2 FROM cent GROUP BY cid),
+       |c2n AS (SELECT cid, cv2, ${Vectors.normSql("cv2")} AS cnrm2 FROM c2),
+       |asg2 AS (SELECT n.vec_id, c2n.cid,
+       |  ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |    ORDER BY ${Vectors.dotSql("n.v", "c2n.cv2")} / (n.nrm * c2n.cnrm2) DESC, c2n.cid) AS rk
+       |  FROM n CROSS JOIN c2n),
+       |a2 AS (SELECT vec_id, cid FROM asg2 WHERE rk = 1),
+       |s1 AS (SELECT cid, COUNT(*) AS size_seed FROM cl GROUP BY cid),
+       |s2 AS (SELECT a2.cid, COUNT(*) AS size_lloyd,
+       |         SUM(CASE WHEN cl.cid <> a2.cid THEN 1 ELSE 0 END) AS n_moved
+       |       FROM a2 JOIN cl ON a2.vec_id = cl.vec_id GROUP BY a2.cid),
+       |dr AS (SELECT c.cid,
+       |         ${Vectors.dotSql("c.cv", "c2n.cv2")} / (c.cnrm * c2n.cnrm2) AS drift_cos
+       |       FROM c JOIN c2n ON c.cid = c2n.cid)
+       |SELECT s1.cid, CAST(s1.size_seed AS BIGINT) AS size_seed,
+       |  CAST(COALESCE(s2.size_lloyd, 0) AS BIGINT) AS size_lloyd,
+       |  CAST(COALESCE(s2.n_moved, 0) AS BIGINT) AS n_moved, dr.drift_cos
+       |FROM s1 LEFT JOIN s2 ON s1.cid = s2.cid
+       |JOIN dr ON s1.cid = dr.cid ORDER BY s1.cid""".stripMargin
+  ) { (s, d) =>
+    val n = corpus(s, d)
+    val cSeed = n.filter(col("vec_id") < NCells)
+      .select(col("vec_id").as("scid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val asg1 = ivfAssignment(s, d).filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+    // Exact integer centroid update: K x dim rows after partial agg.
+    val comp = asg1.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+    val cent = comp.groupBy(col("cid"), col("pos"))
+      .agg((sum(round(col("x") * 1e10).cast("long")).cast("double")
+        / (count(lit(1)).cast("double") * 1e10)).as("mu"))
+    val c2 = cent.groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+        p => p.getField("mu")).as("cv2"))
+      .withColumn("cnrm2", Vectors.norm(col("cv2")))
+    val w2 = Window.partitionBy(col("vec_id"))
+      .orderBy((Vectors.dot(col("v"), col("cv2")) / (col("nrm") * col("cnrm2"))).desc,
+        col("cid2"))
+    val asg2 = n.crossJoin(broadcast(c2.select(col("cid").as("cid2"), col("cv2"), col("cnrm2"))))
+      .withColumn("rk", row_number().over(w2)).filter(col("rk") === 1)
+      .select(col("vec_id").as("vid2"), col("cid2"))
+    val a1 = asg1.select(col("vec_id").as("vid1"), col("cid").as("cid1"))
+    val s2 = asg2.join(a1, col("vid2") === col("vid1"))
+      .groupBy(col("cid2"))
+      .agg(count(lit(1)).as("size_lloyd"),
+        sum(when(col("cid1") =!= col("cid2"), 1L).otherwise(0L)).as("n_moved"))
+    val s1 = a1.groupBy(col("cid1")).agg(count(lit(1)).as("size_seed"))
+    val dr = c2.join(broadcast(cSeed), col("cid") === col("scid"))
+      .select(col("scid").as("dcid"),
+        (Vectors.dot(col("cv"), col("cv2")) / (col("cnrm") * col("cnrm2"))).as("drift_cos"))
+    s1.join(s2, col("cid1") === col("cid2"), "left")
+      .join(dr, col("cid1") === col("dcid"))
+      .select(col("cid1").as("cid"), col("size_seed"),
+        coalesce(col("size_lloyd"), lit(0L)).as("size_lloyd"),
+        coalesce(col("n_moved"), lit(0L)).as("n_moved"), col("drift_cos"))
+      .orderBy(col("cid"))
+  }
+
+  /** Semantic-duplicate cosine threshold (~p99 of within-cluster
+    * pair mass on this corpus; a real deployment tunes this). */
+  val SemTheta = 0.3
+
+  /** SEMDEDUP (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * deduplication by cluster-then-prune: embeddings are clustered
+    * (argmax-cosine assignment to the centroid set), pairwise cosine
+    * is computed ONLY within a cluster, and any document with a
+    * higher-similarity-than-theta cluster-mate of lower id is pruned
+    * (the paper keeps one representative per semantic duplicate
+    * group; lowest-id is the deterministic pick). The cluster is the
+    * blocking key — candidate generation is an equi-join on cid,
+    * never an all-pairs product; at 100 TB the centroid count scales
+    * with the corpus (K ~ N/target_cluster_size), keeping
+    * within-cluster pair counts bounded per cluster, and the corpus
+    * would be written cell-partitioned (s_ann_ivf_partitioned's
+    * layout) so each cluster's pairs are partition-local. Theta=0.3
+    * sits at ~p99 of this corpus's within-cluster cosine mass. */
+  val dSemdedup: GraftQuery = GraftQuery.sql(
+    "d_semdedup",
+    s"""WITH $corpusSql,
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NCells),
+       |asg AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |  ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |    ORDER BY ${Vectors.dotSql("n.v", "c.cv")} / (n.nrm * c.cnrm) DESC, c.cid) AS rk
+       |  FROM n CROSS JOIN c),
+       |cl AS (SELECT vec_id, v, nrm, cid FROM asg WHERE rk = 1),
+       |pr AS (SELECT DISTINCT b.cid AS pcid, b.vec_id AS vb
+       |       FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |       WHERE ${Vectors.dotSql("a.v", "b.v")} / (a.nrm * b.nrm) > $SemTheta),
+       |pc AS (SELECT pcid, COUNT(*) AS n_pruned FROM pr GROUP BY pcid),
+       |m AS (SELECT cid, COUNT(*) AS members FROM cl GROUP BY cid)
+       |SELECT m.cid, CAST(m.members AS BIGINT) AS members,
+       |  CAST(COALESCE(pc.n_pruned, 0) AS BIGINT) AS n_pruned,
+       |  CAST(m.members - COALESCE(pc.n_pruned, 0) AS BIGINT) AS n_kept
+       |FROM m LEFT JOIN pc ON m.cid = pc.pcid ORDER BY m.cid""".stripMargin
+  ) { (s, d) =>
+    val cl = graft.ScopedCache(ivfAssignment(s, d).filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid")))
+    val a = cl.select(col("cid").as("acid"), col("vec_id").as("va"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = cl.select(col("cid").as("bcid"), col("vec_id").as("vb"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val pruned = a.join(b, col("acid") === col("bcid") && col("va") < col("vb"))
+      .filter(Vectors.dot(col("av"), col("bv")) / (col("an") * col("bn")) > SemTheta)
+      .select(col("bcid").as("pcid"), col("vb")).distinct()
+    val pc = pruned.groupBy(col("pcid")).agg(count(lit(1)).as("n_pruned"))
+    cl.groupBy(col("cid")).agg(count(lit(1)).as("members"))
+      .join(pc, col("cid") === col("pcid"), "left")
+      .select(col("cid"), col("members"),
+        coalesce(col("n_pruned"), lit(0L)).as("n_pruned"),
+        (col("members") - coalesce(col("n_pruned"), lit(0L))).as("n_kept"))
+      .orderBy(col("cid"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnIvfPartitioned,
-      sAnnPq, sAnnRerank, sHybridRrf, sAnnRecall, sAnnFiltered)
+      sAnnPq, sAnnRerank, sHybridRrf, sAnnRecall, sAnnFiltered,
+      sKmeans, dSemdedup)
 }

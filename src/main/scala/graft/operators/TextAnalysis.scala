@@ -407,8 +407,125 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** C4/GOPHER-STYLE DOCUMENT QUALITY GATE — the rule-based document
+    * filter every web-scale corpus pass runs before training
+    * (C4/Raffel et al. 2020 heuristics; Gopher/Rae et al. 2021 §A1.1
+    * quality rules). Three rules, each an exact integer/thresholded
+    * signal per document:
+    *  - too_short: word count < 25 (C4 drops pages with < 3
+    *    sentences; word-count floor is the Gopher form, bound chosen
+    *    for this corpus's 10-99-word documents);
+    *  - word_len: mean word length outside [3, 10] (Gopher rule,
+    *    computed as an integer cross-multiplication — sum_len*1 vs
+    *    3*n and 10*n — so no float threshold is involved);
+    *  - dup_word: most-frequent unigram exceeds 12.5% of tokens
+    *    (Gopher's repeated-content family; integer comparison
+    *    top_cnt * 8 > n_tok).
+    * A document passes the gate iff no rule fires. Output is the
+    * per-language audit: documents, per-rule failure counts, kept
+    * count — exact integers, deterministic at any parallelism.
+    * Embarrassingly parallel per-doc map + one tiny groupBy(lang):
+    * the corpus itself never shuffles — the scale shape of every
+    * quality pass at 100 TB. */
+  val tC4Filter: GraftQuery = GraftQuery.sql(
+    "t_c4_filter",
+    """WITH f AS (
+      |  SELECT lang,
+      |    len(string_split(text, ' ')) AS n_tok,
+      |    list_reduce(list_transform(string_split(text, ' '), w -> length(w)),
+      |      (x, y) -> x + y) AS sum_len,
+      |    (SELECT MAX(cnt) FROM (
+      |       SELECT COUNT(*) AS cnt
+      |       FROM unnest(string_split(text, ' ')) AS u(w) GROUP BY w)) AS top_cnt
+      |  FROM documents),
+      |r AS (SELECT lang,
+      |    CASE WHEN n_tok < 25 THEN 1 ELSE 0 END AS f_short,
+      |    CASE WHEN sum_len < 3 * n_tok OR sum_len > 10 * n_tok THEN 1 ELSE 0 END AS f_wordlen,
+      |    CASE WHEN top_cnt * 8 > n_tok THEN 1 ELSE 0 END AS f_dupword
+      |  FROM f)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(f_short) AS BIGINT) AS n_too_short,
+      |  CAST(SUM(f_wordlen) AS BIGINT) AS n_bad_wordlen,
+      |  CAST(SUM(f_dupword) AS BIGINT) AS n_dup_word,
+      |  CAST(SUM(CASE WHEN f_short + f_wordlen + f_dupword = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    val toks = col("t")
+    val f = Tables.documents(s, d)
+      .select(col("lang"), split(col("text"), " ", -1).as("t"))
+      .select(col("lang"),
+        size(toks).as("n_tok"),
+        aggregate(transform(toks, w => length(w)), lit(0), (x, y) => x + y).as("sum_len"),
+        array_max(map_values(  // per-doc unigram histogram, row-local
+          aggregate(toks, map().cast("map<string,int>"),
+            (m, w) => map_zip_with(m, map_from_arrays(array(w), array(lit(1))),
+              (_, a, b) => coalesce(a, lit(0)) + coalesce(b, lit(0)))))).as("top_cnt"))
+    val r = f.select(col("lang"),
+      when(col("n_tok") < 25, 1).otherwise(0).as("f_short"),
+      when(col("sum_len") < lit(3) * col("n_tok") ||
+        col("sum_len") > lit(10) * col("n_tok"), 1).otherwise(0).as("f_wordlen"),
+      when(col("top_cnt") * 8 > col("n_tok"), 1).otherwise(0).as("f_dupword"))
+    r.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("f_short")).as("n_too_short"),
+        sum(col("f_wordlen")).as("n_bad_wordlen"),
+        sum(col("f_dupword")).as("n_dup_word"),
+        sum(when(col("f_short") + col("f_wordlen") + col("f_dupword") === 0, 1)
+          .otherwise(0)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  /** STRATIFIED MIXTURE SAMPLE — build a training mixture by sampling
+    * each (lang, source) stratum at a per-language target rate (the
+    * data-mixture step after quality filtering: down-weight the
+    * dominant language, keep the tail). Membership is the same
+    * deterministic integer-LCG coin as t_lang_rebalance —
+    * (doc_id * 1103515245 + 12345) mod 1000 < rate — so the sample is
+    * reproducible at any parallelism, needs no RNG state, and the
+    * corpus never shuffles: one scan, a broadcast rate table, one
+    * tiny groupBy on the stratum key. Output audits realized vs
+    * target per-mille per stratum — exact integers plus one integer
+    * division. Differs from t_lang_rebalance (equalize to the min
+    * count) in that rates are an explicit mixture policy and strata
+    * are two-level. */
+  val tStratifiedSample: GraftQuery = {
+    val rates: Seq[(String, Int)] =
+      Seq("de" -> 800, "en" -> 200, "es" -> 600, "fr" -> 800, "zh" -> 500)
+    val rateSql = rates.map { case (l, r) =>
+      s"SELECT '$l' AS lang, $r AS target_pm" }.mkString(" UNION ALL ")
+    GraftQuery.sql(
+      "t_stratified_sample",
+      s"""WITH rt AS ($rateSql),
+         |k AS (SELECT d.lang, d.source,
+         |        COUNT(*) AS n_docs,
+         |        SUM(CASE WHEN (d.doc_id * 1103515245 + 12345) % 1000 < rt.target_pm
+         |            THEN 1 ELSE 0 END) AS n_kept,
+         |        MAX(rt.target_pm) AS target_pm
+         |      FROM documents d JOIN rt ON d.lang = rt.lang
+         |      GROUP BY d.lang, d.source)
+         |SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_kept AS BIGINT) AS n_kept,
+         |  CAST(target_pm AS BIGINT) AS target_pm,
+         |  CAST((n_kept * 1000) // n_docs AS BIGINT) AS realized_pm
+         |FROM k ORDER BY lang, source""".stripMargin
+    ) { (s, d) =>
+      val rt = s.createDataFrame(rates.map(r => (r._1, r._2)))
+        .toDF("r_lang", "target_pm")
+      Tables.documents(s, d)
+        .join(broadcast(rt), col("lang") === col("r_lang"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when((col("doc_id") * 1103515245L + 12345L) % 1000 < col("target_pm"), 1L)
+            .otherwise(0L)).as("n_kept"),
+          max(col("target_pm")).cast("long").as("target_pm"))
+        .select(col("lang"), col("source"), col("n_docs"), col("n_kept"), col("target_pm"),
+          expr("(n_kept * 1000) div n_docs").as("realized_pm"))
+        .orderBy(col("lang"), col("source"))
+    }
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tTokenCount, tQualityScore, tLangId, tFingerprint, tNgramFreq,
       tFluencyScore, tLangGini, tPiiScrub, tLangRebalance,
-      tRepetitionFilter)
+      tRepetitionFilter, tC4Filter, tStratifiedSample)
 }

@@ -39,7 +39,11 @@ object Explain {
     // round-6: decommission/restore/cadence ceremonies, the re-shaped
     // two-phase lateness scan, and the repetition quality signal
     "lake_drain", "lake_restore", "lake_checkpoint_cadence",
-    "t_repetition_filter", "s_ann_filtered")
+    "t_repetition_filter", "s_ann_filtered",
+    // round-6 continued: the trained-centroid/cluster-prune pair,
+    // the rule-based quality gate, mixture sampling, and anomaly scan
+    "s_kmeans", "d_semdedup", "t_c4_filter", "t_stratified_sample",
+    "ts_anomaly")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

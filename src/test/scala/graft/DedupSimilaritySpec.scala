@@ -177,6 +177,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(expCorpus > 0, "degenerate: no batch-vs-corpus dups at this SF")
   }
 
+  test("k-means Lloyd iteration conserves members and reports sane drift") {
+    val rows = Similarity.sKmeans.fn(spark, sfDir).collect()
+    assert(rows.length == 8)
+    val corpus = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("size_seed")).sum == corpus,
+      "seed assignment must partition the corpus")
+    assert(rows.map(_.getAs[Long]("size_lloyd")).sum == corpus,
+      "post-update assignment must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_moved") <= r.getAs[Long]("size_lloyd"))
+      val drift = r.getAs[Double]("drift_cos")
+      // updated centroid is a mean of members assigned BY cosine to
+      // the seed — it cannot be anti-correlated with the seed
+      assert(drift > 0.0 && drift <= 1.0 + 1e-12, s"drift_cos $drift")
+    }
+    // the iteration must actually refine something at this SF
+    assert(rows.map(_.getAs[Long]("n_moved")).sum > 0, "no vector moved")
+  }
+
+  test("semdedup prunes exactly the docs with a lower-id >theta cluster-mate") {
+    val rows = Similarity.dSemdedup.fn(spark, sfDir).collect()
+    val corpus = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("members")).sum == corpus)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("members") ==
+        r.getAs[Long]("n_pruned") + r.getAs[Long]("n_kept"))
+    }
+    assert(rows.map(_.getAs[Long]("n_pruned")).sum > 0,
+      "degenerate: nothing pruned at this SF")
+    assert(rows.map(_.getAs[Long]("n_kept")).sum > 0, "pruned everything")
+  }
+
   test("incremental dedup provisioning is idempotent: second run reuses the index") {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     Dedup.dIncrementalDedup.fn(spark, sfDir).count()

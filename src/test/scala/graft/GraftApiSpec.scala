@@ -211,4 +211,33 @@ class GraftApiSpec extends SparkSpec {
     assert(pr(1L) == 150000L && pr(4L) == 150000L, s"teleport floor: $pr")
     assert(pr(3L) > pr(2L) && pr(2L) > pr(1L), s"inflow must rank the sink highest: $pr")
   }
+
+  private lazy val vecs = {
+    import spark.implicits._
+    // two tight groups around orthogonal axes + one lone vector
+    Seq(
+      (10L, Array(1.0, 0.02, 0.0)), (11L, Array(1.0, 0.05, 0.01)),
+      (12L, Array(0.99, 0.0, 0.03)),
+      (20L, Array(0.0, 1.0, 0.02)), (21L, Array(0.03, 1.0, 0.0)),
+      (30L, Array(0.1, 0.1, 1.0))
+    ).toDF("id", "emb")
+  }
+
+  test("kmeansOnce partitions a user frame; co-directional vectors share a cluster") {
+    val asg = Graft.ann.kmeansOnce(vecs, "id", "emb", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asg.keySet == Set(10L, 11L, 12L, 20L, 21L, 30L))
+    assert(asg(10L) == asg(11L) && asg(11L) == asg(12L), s"x-axis group split: $asg")
+    assert(asg(20L) == asg(21L), s"y-axis group split: $asg")
+    assert(asg(10L) != asg(20L), s"orthogonal groups merged: $asg")
+  }
+
+  test("semanticPrune keeps the lowest id per semantic group, spares the loner") {
+    val rows = Graft.ann.semanticPrune(vecs, "id", "emb", k = 2, theta = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(!rows(10L), "lowest id of the x-group must survive")
+    assert(rows(11L) && rows(12L), s"x-group near-dups must be pruned: $rows")
+    assert(!rows(20L) && rows(21L), s"y-group: keep 20, prune 21: $rows")
+    assert(!rows(30L), "the lone vector has no >theta mate and must survive")
+  }
 }

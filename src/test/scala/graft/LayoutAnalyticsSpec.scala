@@ -253,4 +253,23 @@ class LayoutAnalyticsSpec extends SparkSpec {
     assert(total >= 8, s"expected a multi-file layout, got $total")
     assert(cand.length <= 2, s"manifest should prune to 1-2 files, got ${cand.length}")
   }
+
+  test("ts_anomaly flags exactly the >3-sigma rows of an independent recount") {
+    val rows = Analytics.tsAnomaly.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty, "no anomalies at this SF")
+    rows.foreach { r =>
+      val z = r.getAs[Double]("zscore")
+      assert(math.abs(z) > 3.0 && !z.isNaN && !z.isInfinite)
+    }
+    // independent recount with plain double stats (tolerance-based:
+    // the operator's exact-decimal path may differ by ULPs)
+    val ev = Tables.events(spark, sfDir)
+    val stats = ev.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_pop(col("value")).as("sd"))
+    val expected = ev.join(stats, "event_type")
+      .filter(abs((col("value") - col("mu")) / col("sd")) > 3.0001)
+    val loose = ev.join(stats, "event_type")
+      .filter(abs((col("value") - col("mu")) / col("sd")) > 2.9999)
+    assert(rows.length >= expected.count() && rows.length <= loose.count())
+  }
 }

@@ -42,4 +42,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("dup_bigrams")).sum == viaExplode.getLong(0))
     assert(rows.map(_.getAs[Long]("total_bigrams")).sum == viaExplode.getLong(1))
   }
+
+  test("c4 filter accounting: kept + any-rule-fired covers every doc") {
+    val rows = TextAnalysis.tC4Filter.fn(spark, sfDir).collect()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.foreach { r =>
+      val (docs, kept) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))
+      assert(kept <= docs)
+      // kept can't exceed docs minus the strictest single rule's hits
+      val worst = Seq("n_too_short", "n_bad_wordlen", "n_dup_word")
+        .map(r.getAs[Long]).max
+      assert(kept <= docs - worst, s"kept $kept docs $docs worst $worst")
+    }
+    assert(rows.map(_.getAs[Long]("n_too_short")).sum > 0,
+      "word-count floor should fire on this corpus")
+    assert(rows.map(_.getAs[Long]("n_kept")).sum > 0, "gate rejected everything")
+  }
+
+  test("stratified sample matches a direct LCG recount and the target rates") {
+    val rows = TextAnalysis.tStratifiedSample.fn(spark, sfDir).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+      .view.mapValues(rs => (rs.map(_.getAs[Long]("n_docs")).sum,
+        rs.map(_.getAs[Long]("n_kept")).sum)).toMap
+    // direct recount of one stratum family with the same coin
+    val en = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en" &&
+        (col("doc_id") * 1103515245L + 12345L) % 1000 < 200)
+      .count()
+    assert(byLang("en")._2 == en, s"en recount $en != ${byLang("en")._2}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("realized_pm") <= 1000L)
+    }
+    // mixture direction: the down-weighted language keeps a smaller
+    // fraction than the heavily-kept ones (wide margin: 200 vs 800)
+    val keepFrac = (l: String) => byLang(l)._2.toDouble / byLang(l)._1
+    assert(keepFrac("en") < keepFrac("de") && keepFrac("en") < keepFrac("fr"))
+  }
 }
