@@ -178,20 +178,64 @@ object CommitLog {
     * evolves independently: its own adds/removes never touch the
     * source, and a later checkpoint() materializes it fully local.
     *
-    * HAZARD (the Delta shallow-clone caveat): the SOURCE keeps no
-    * record that clones exist, so a source-side checkpoint() +
-    * dropHistoryBefore() / vacuumOrphans() can delete data files a
-    * clone's journal still references, silently breaking the clone's
-    * snapshot() reads. The clone's own vacuum can never do this (it
-    * only deletes LOCAL `data/` entries — see resolve()), but source
-    * retention is invisible to it. If the source is retention-managed,
-    * run checkpoint() on the clone promptly after cloning: it
-    * materializes the referenced rows locally and drops the external
-    * references from the clone's head. */
+    * The Delta shallow-clone hazard — source retention deleting data
+    * files a clone still references — is CLOSED here by back-
+    * references: cloneFrom registers the clone in the source's
+    * `_clones/` directory (the HDFS-snapshot refcount idea,
+    * server/namenode/INodeFile.java:1 — shared blocks are not
+    * reclaimable while a snapshot references them), and
+    * vacuumOrphans / dropHistoryBefore treat every data file still
+    * referenced by a registered live clone's journal as pinned. The
+    * pin releases itself: once the clone checkpoints and drops its
+    * pre-checkpoint history (or the clone dir is deleted), its
+    * journal holds no external references and the marker is swept on
+    * the source's next vacuum. The clone's own vacuum can never
+    * touch the source regardless (it only deletes LOCAL `data/`
+    * entries — see resolve()). */
   def cloneFrom(fs: FileSystem, srcDir: String, dstDir: String, ts: Long): Int = {
     val active = activeSet(commits(fs, srcDir)).map(resolve(srcDir, _))
     require(active.nonEmpty, s"nothing to clone: no active files in $srcDir")
-    commit(fs, dstDir, ts, adds = active, removes = Seq.empty)
+    val v = commit(fs, dstDir, ts, adds = active, removes = Seq.empty)
+    val out = fs.create(cloneMarker(srcDir, dstDir), true)
+    try out.write(dstDir.getBytes("UTF-8")) finally out.close()
+    v
+  }
+
+  private def clonesDir(tableDir: String) = new Path(tableDir, "_clones")
+
+  private def cloneMarker(srcDir: String, dstDir: String): Path = {
+    val sane = dstDir.replaceAll("[^A-Za-z0-9]", "_").takeRight(64)
+    // hash disambiguates dst paths that sanitize identically
+    new Path(clonesDir(srcDir), f"${sane}_${dstDir.hashCode & 0x7fffffff}%08x.ref")
+  }
+
+  /** Registered clone dirs of this table (back-reference markers). */
+  def registeredClones(fs: FileSystem, tableDir: String): Seq[String] = {
+    val dir = clonesDir(tableDir)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.filter(_.getPath.getName.endsWith(".ref")).map { st =>
+      val in = fs.open(st.getPath)
+      try {
+        val buf = new Array[Byte](st.getLen.toInt)
+        in.readFully(buf); new String(buf, "UTF-8")
+      } finally in.close()
+    }
+  }
+
+  /** Relative paths under `tableDir` still referenced by registered
+    * live clones' journals — pinned against vacuum. Stale markers
+    * (clone gone, or its journal no longer references this source)
+    * are swept as a side effect. */
+  private def clonePinned(fs: FileSystem, tableDir: String): Set[String] = {
+    registeredClones(fs, tableDir).flatMap { dst =>
+      val refs =
+        if (!fs.exists(logDir(dst))) Seq.empty
+        else commits(fs, dst).flatMap(_.adds)
+          .filter(_.startsWith(tableDir + "/"))
+          .map(_.drop(tableDir.length + 1))
+      if (refs.isEmpty) fs.delete(cloneMarker(tableDir, dst), false)
+      refs
+    }.toSet
   }
 
   /** Active (journal-entry) file set at a version — the ORDER-
@@ -562,7 +606,8 @@ object CommitLog {
     * writer can be in flight, e.g. tests). */
   def vacuumOrphans(fs: FileSystem, tableDir: String,
                     graceMs: Long = 3600000L): Seq[String] = {
-    val referenced = commits(fs, tableDir).flatMap(_.adds).toSet
+    val referenced = commits(fs, tableDir).flatMap(_.adds).toSet ++
+      clonePinned(fs, tableDir) // shallow-clone back-references pin files
     val dataDir = new Path(tableDir, "data")
     if (!fs.exists(dataDir)) return Seq.empty
     val cutoff = System.currentTimeMillis() - graceMs

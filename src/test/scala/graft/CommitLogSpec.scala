@@ -265,4 +265,49 @@ class CommitLogSpec extends SparkSpec {
     CommitLog.vacuumOrphans(fs, dst, graceMs = 0L)
     assert(CommitLog.snapshot(spark, src).count() == before)
   }
+
+  test("source retention cannot break a live clone: back-references pin, then release") {
+    val src = freshTable("pin_src")
+    val dst = freshTable("pin_dst")
+    val r = Tables.region(spark, sfDir)
+    CommitLog.writeCommit(spark, src, r.filter(col("r_regionkey") < 3), "data/a", ts = 100L)
+    CommitLog.cloneFrom(fs, src, dst, ts = 200L)
+    val cloneRows = CommitLog.snapshot(spark, dst).count()
+    assert(CommitLog.registeredClones(fs, src) == Seq(dst))
+    // source moves on: checkpoint supersedes data/a, retention runs
+    CommitLog.writeCommit(spark, src, r.filter(col("r_regionkey") >= 3), "data/b", ts = 300L)
+    val ck = CommitLog.checkpoint(spark, src, ts = 400L)
+    val reclaimed = CommitLog.dropHistoryBefore(fs, src, ck, graceMs = 0L)
+    assert(reclaimed.nonEmpty, "history should actually drop")
+    // data/a is no longer in the source's journal, but the clone
+    // still references it — it must survive the vacuum
+    assert(fs.exists(new Path(s"$src/data/a")), "clone-pinned file was vacuumed")
+    assert(CommitLog.snapshot(spark, dst).count() == cloneRows,
+      "clone must stay readable through source retention")
+    // clone localizes + drops its external-ref history -> pin releases
+    val cloneCk = CommitLog.checkpoint(spark, dst, ts = 500L)
+    CommitLog.dropHistoryBefore(fs, dst, cloneCk, graceMs = 0L)
+    CommitLog.vacuumOrphans(fs, src, graceMs = 0L)
+    assert(!fs.exists(new Path(s"$src/data/a")),
+      "released pin should let the source reclaim the file")
+    assert(CommitLog.registeredClones(fs, src).isEmpty,
+      "stale clone marker should be swept")
+    assert(CommitLog.snapshot(spark, dst).count() == cloneRows,
+      "localized clone unaffected by source reclaim")
+  }
+
+  test("deleting a clone wholesale releases its pin on the next source vacuum") {
+    val src = freshTable("pin2_src")
+    val dst = freshTable("pin2_dst")
+    val r = Tables.region(spark, sfDir)
+    CommitLog.writeCommit(spark, src, r, "data/a", ts = 100L)
+    CommitLog.cloneFrom(fs, src, dst, ts = 200L)
+    CommitLog.writeCommit(spark, src, r.limit(1), "data/b", ts = 300L)
+    val ck = CommitLog.checkpoint(spark, src, ts = 400L)
+    fs.delete(new Path(dst), true) // clone abandoned
+    CommitLog.dropHistoryBefore(fs, src, ck, graceMs = 0L)
+    assert(!fs.exists(new Path(s"$src/data/a")),
+      "dead clone must not pin source files")
+    assert(CommitLog.registeredClones(fs, src).isEmpty)
+  }
 }
