@@ -448,8 +448,66 @@ object Analytics {
       .orderBy(col("event_type"), col("event_id"))
   }
 
+  /** TRAILING-BASELINE ANOMALY SCAN — the production shape of
+    * real-time monitoring: each day's events are scored against the
+    * PREVIOUS observed day's statistics for their series (the
+    * baseline is always a CLOSED window, so a live deployment
+    * broadcasts yesterday's 5-row stats table and scores today's
+    * stream with zero coordination — unlike ts_anomaly's global
+    * stats, which need the full corpus before any row can be
+    * flagged). Daily stats come from the same exact decimal sums
+    * (bit-deterministic mu/sd), the baseline shift is one lag() over
+    * the tiny per-(series, day) stats timeline, and scoring is a
+    * broadcast join back over one scan. First observed day per
+    * series has no baseline and is excluded from scoring (n_scored
+    * counts only baselined rows). */
+  val tsBaselineAnomaly: GraftQuery = GraftQuery.sql(
+    "ts_baseline_anomaly",
+    s"""WITH st AS (SELECT event_type, date_trunc('day', ts) AS day,
+       |    COUNT(*) AS n, ${sumMSql("value")} AS s1,
+       |    CAST(SUM(${mSql("value")} * ${mSql("value")}) AS DOUBLE) AS s2
+       |  FROM events GROUP BY 1, 2),
+       |mv AS (SELECT event_type, day, n, s1 / n AS mu,
+       |    sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)) AS sd FROM st),
+       |pv AS (SELECT event_type, day,
+       |    lag(mu) OVER w AS baseline_mu, lag(sd) OVER w AS baseline_sd
+       |  FROM mv WINDOW w AS (PARTITION BY event_type ORDER BY day))
+       |SELECT e.event_type, pv.day, COUNT(*) AS n_scored,
+       |  CAST(SUM(CASE WHEN abs((e.value - pv.baseline_mu) / pv.baseline_sd) > 2
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+       |  pv.baseline_mu
+       |FROM events e JOIN pv ON e.event_type = pv.event_type
+       |  AND date_trunc('day', e.ts) = pv.day
+       |WHERE pv.baseline_mu IS NOT NULL
+       |GROUP BY e.event_type, pv.day, pv.baseline_mu
+       |ORDER BY e.event_type, pv.day""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val st = ev.groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), sumM(col("value")).as("s1"),
+        sum(m(col("value")) * m(col("value"))).cast("double").as("s2"))
+    val wLag = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val pv = st.select(col("event_type"), col("day"),
+        (col("s1") / col("n")).as("mu"),
+        sqrt(greatest(col("s2") / col("n")
+          - (col("s1") / col("n")) * (col("s1") / col("n")), lit(0))).as("sd"))
+      .select(col("event_type").as("p_type"), col("day"),
+        lag(col("mu"), 1).over(wLag).as("baseline_mu"),
+        lag(col("sd"), 1).over(wLag).as("baseline_sd"))
+      .filter(col("baseline_mu").isNotNull)
+    ev.join(broadcast(pv), col("event_type") === col("p_type")
+        && date_trunc("day", col("ts")) === col("day"))
+      .groupBy(col("event_type"), col("day"), col("baseline_mu"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(abs((col("value") - col("baseline_mu")) / col("baseline_sd")) > 2, 1L)
+          .otherwise(0L)).as("n_anomalous"))
+      .select(col("event_type"), col("day"), col("n_scored"),
+        col("n_anomalous"), col("baseline_mu"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qBloomJoin, qMvIncremental, tsResample, dEditDistance,
     qParetoFrontier, stLatenessAudit, gPagerank, qWindowPercentile,
-    tsAnomaly)
+    tsAnomaly, tsBaselineAnomaly)
 }

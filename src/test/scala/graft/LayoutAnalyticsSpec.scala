@@ -272,4 +272,27 @@ class LayoutAnalyticsSpec extends SparkSpec {
       .filter(abs((col("value") - col("mu")) / col("sd")) > 2.9999)
     assert(rows.length >= expected.count() && rows.length <= loose.count())
   }
+
+  test("ts_baseline_anomaly scores every day but each series' first") {
+    val rows = Analytics.tsBaselineAnomaly.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+    val dayCount = ev.select(col("event_type"), date_trunc("day", col("ts")))
+      .distinct().count()
+    val series = ev.select(col("event_type")).distinct().count()
+    assert(rows.length == dayCount - series,
+      s"expected one scored row per (series, day) minus first days: " +
+        s"$dayCount - $series != ${rows.length}")
+    val scored = rows.map(_.getAs[Long]("n_scored")).sum
+    val firstDayRows = ev.join(
+      ev.groupBy(col("event_type")).agg(date_trunc("day", min(col("ts"))).as("d0")),
+      "event_type").filter(date_trunc("day", col("ts")) === col("d0")).count()
+    assert(scored == ev.count() - firstDayRows,
+      "every event outside its series' first day must be scored exactly once")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_anomalous") <= r.getAs[Long]("n_scored"))
+      assert(!r.getAs[Double]("baseline_mu").isNaN)
+    }
+    assert(rows.map(_.getAs[Long]("n_anomalous")).sum > 0, "degenerate: nothing flagged")
+  }
 }
