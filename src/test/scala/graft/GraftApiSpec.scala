@@ -232,6 +232,28 @@ class GraftApiSpec extends SparkSpec {
     assert(asg(10L) != asg(20L), s"orthogonal groups merged: $asg")
   }
 
+  test("kmeansOnce/semanticPrune properties on a seeded random frame") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val data = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
+    val df = data.toDF("id", "emb")
+    val asg = Graft.ann.kmeansOnce(df, "id", "emb", k = 4).collect()
+    // a partition: every id exactly once, at most k clusters
+    assert(asg.map(_.getLong(0)).sorted.toSeq == (0L until 40L))
+    assert(asg.map(_.getLong(1)).distinct.length <= 4)
+    // theta above the cosine range prunes nothing
+    val none = Graft.ann.semanticPrune(df, "id", "emb", k = 4, theta = 1.01)
+    assert(none.filter(col("pruned")).count() == 0)
+    // theta below the range prunes everything but each cluster's min id
+    val all = Graft.ann.semanticPrune(df, "id", "emb", k = 4, theta = -1.0).collect()
+    val survivors = all.filter(!_.getBoolean(2)).map(r => r.getLong(1) -> r.getLong(0))
+    val minPerCluster = all.groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(0)).min)
+    assert(survivors.length == minPerCluster.size,
+      "with theta=-1 exactly one survivor per cluster")
+    assert(survivors.toMap == minPerCluster.toMap,
+      "with theta=-1 only each cluster's lowest id survives")
+  }
+
   test("semanticPrune keeps the lowest id per semantic group, spares the loner") {
     val rows = Graft.ann.semanticPrune(vecs, "id", "emb", k = 2, theta = 0.95)
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
