@@ -745,8 +745,60 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** INDEX SCOREBOARD — the "which index do I deploy" decision table:
+    * recall@k of every approximate index (LSH buckets, IVF probes,
+    * PQ codes, PQ+exact re-rank) against the brute-force truth, in
+    * one output. Composed from the SAME per-method top-k pipelines
+    * (Scala side) and the SAME per-method oracle SQL embedded as
+    * subqueries (DuckDB side) that the individual entries verify —
+    * the scoreboard can never drift from the indexes it scores.
+    * This is the index-selection evaluation a vector deployment runs
+    * before committing to a layout; at 100 TB it runs on a sampled
+    * query set while each arm keeps its own documented scale shape. */
+  val sIndexScoreboard: GraftQuery = GraftQuery.sql(
+    "s_index_scoreboard",
+    s"""WITH b AS (SELECT query_id, neighbor_id FROM (${sAnnBruteforce.oracle.get}) bx),
+       |l AS (SELECT query_id, neighbor_id FROM (${sAnnLsh.oracle.get}) lx),
+       |i AS (SELECT query_id, neighbor_id FROM (${sAnnIvf.oracle.get}) ix),
+       |p AS (SELECT query_id, neighbor_id FROM (${sAnnPq.oracle.get}) px),
+       |rr AS (SELECT query_id, neighbor_id FROM (${sAnnRerank.oracle.get}) rx)
+       |SELECT * FROM (
+       |  SELECT 'ivf' AS method, CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+       |    CAST(COUNT(*) AS BIGINT) AS n_possible,
+       |    CAST(COUNT(i.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+       |  FROM b LEFT JOIN i ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+       |  UNION ALL
+       |  SELECT 'lsh', CAST(COUNT(l.neighbor_id) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(l.neighbor_id) AS DOUBLE) / COUNT(*)
+       |  FROM b LEFT JOIN l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+       |  UNION ALL
+       |  SELECT 'pq', CAST(COUNT(p.neighbor_id) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(p.neighbor_id) AS DOUBLE) / COUNT(*)
+       |  FROM b LEFT JOIN p ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+       |  UNION ALL
+       |  SELECT 'rerank', CAST(COUNT(rr.neighbor_id) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(rr.neighbor_id) AS DOUBLE) / COUNT(*)
+       |  FROM b LEFT JOIN rr ON b.query_id = rr.query_id AND b.neighbor_id = rr.neighbor_id
+       |) ORDER BY method""".stripMargin
+  ) { (s, d) =>
+    val btop = sAnnBruteforce.fn(s, d).select(col("query_id"), col("neighbor_id"))
+    def arm(name: String, m: DataFrame): DataFrame = {
+      val mt = m.select(col("query_id").as("mq"), col("neighbor_id").as("mn"))
+      btop.join(mt, col("query_id") === col("mq") && col("neighbor_id") === col("mn"),
+          "left")
+        .agg(count(col("mn")).as("n_hits"), count(lit(1)).as("n_possible"))
+        .select(lit(name).as("method"), col("n_hits"), col("n_possible"),
+          (col("n_hits").cast("double") / col("n_possible")).as("recall"))
+    }
+    arm("ivf", sAnnIvf.fn(s, d))
+      .union(arm("lsh", sAnnLsh.fn(s, d)))
+      .union(arm("pq", sAnnPq.fn(s, d)))
+      .union(arm("rerank", sAnnRerank.fn(s, d)))
+      .orderBy(col("method"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnIvfPartitioned,
       sAnnPq, sAnnRerank, sHybridRrf, sAnnRecall, sAnnFiltered,
-      sKmeans, dSemdedup)
+      sKmeans, dSemdedup, sIndexScoreboard)
 }

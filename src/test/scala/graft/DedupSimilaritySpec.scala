@@ -209,6 +209,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_kept")).sum > 0, "pruned everything")
   }
 
+  test("index scoreboard agrees with s_ann_recall and ranks re-rank above raw PQ") {
+    val rows = Similarity.sIndexScoreboard.fn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("n_possible"), r.getAs[Double]("recall")))
+      .toMap
+    assert(rows.keySet == Set("ivf", "lsh", "pq", "rerank"))
+    rows.values.foreach { case (h, p, rec) =>
+      assert(p == 80L, "16 queries x top-5")
+      assert(h >= 0 && h <= p && rec >= 0.0 && rec <= 1.0)
+    }
+    // re-ranking a PQ shortlist by exact cosine can only improve recall
+    assert(rows("rerank")._1 >= rows("pq")._1,
+      s"re-rank ${rows("rerank")._1} < raw PQ ${rows("pq")._1}")
+    // the lsh row must total exactly what s_ann_recall reports per query
+    val lshHits = Similarity.sAnnRecall.fn(spark, sfDir).collect()
+      .map(_.getAs[Long]("n_hits")).sum
+    assert(rows("lsh")._1 == lshHits,
+      s"scoreboard lsh ${rows("lsh")._1} != s_ann_recall sum $lshHits")
+  }
+
   test("incremental dedup provisioning is idempotent: second run reuses the index") {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     Dedup.dIncrementalDedup.fn(spark, sfDir).count()
