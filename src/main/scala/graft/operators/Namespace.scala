@@ -369,7 +369,55 @@ object Namespace {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** JOURNAL AUDIT — the offline-edits-viewer surface (reference
+    * tools/offlineEditsViewer/OfflineEditsViewer.java:49, and the
+    * image twin tools/offlineImageViewer/OfflineImageViewer.java:1):
+    * introspect the commit journal itself — per version: action
+    * counts, checkpoint marker, ceremony tag, and the ACTIVE file
+    * count after replaying through that version (the "what does the
+    * namespace look like after each txn" view). The audited history
+    * exercises one of every journal construct — plain adds, a
+    * remove, a checkpoint image, a post-image append, and a tagged
+    * RESTORE ceremony — so the audit row shapes are write-contract
+    * constants the oracle pins literally (the lake_vacuum
+    * discipline). Replay is driver-side metadata, O(versions) at any
+    * table size; the operator output is rows-per-version, never
+    * rows-per-file. */
+  val lakeJournalAudit: GraftQuery = GraftQuery.sql(
+    "lake_journal_audit",
+    """SELECT * FROM (
+      |  SELECT CAST(0 AS BIGINT) AS version, CAST(1000 AS BIGINT) AS ts,
+      |    CAST(1 AS BIGINT) AS n_adds, CAST(0 AS BIGINT) AS n_removes,
+      |    CAST(0 AS BIGINT) AS is_checkpoint, '' AS tag, CAST(1 AS BIGINT) AS n_active
+      |  UNION ALL SELECT 1, 2000, 1, 0, 0, '', 2
+      |  UNION ALL SELECT 2, 3000, 0, 1, 0, '', 1
+      |  UNION ALL SELECT 3, 4000, 1, 1, 1, '', 1
+      |  UNION ALL SELECT 4, 5000, 1, 0, 0, '', 2
+      |  UNION ALL SELECT 5, 6000, 2, 2, 0, 'restore', 2
+      |) ORDER BY version""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val dir = Lake.scratch("journal_audit_region")
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val r = Tables.region(s, d)
+    CommitLog.writeCommit(s, dir, r.filter(col("r_regionkey") < 3), "data/a", ts = 1000L)
+    CommitLog.writeCommit(s, dir, r.filter(col("r_regionkey") >= 3), "data/b", ts = 2000L)
+    CommitLog.commit(fs, dir, ts = 3000L, adds = Nil, removes = Seq("data/a"))
+    CommitLog.checkpoint(s, dir, ts = 4000L)
+    CommitLog.writeCommit(s, dir, r.filter(col("r_regionkey") === 0), "data/c", ts = 5000L)
+    CommitLog.restore(fs, dir, v = 1, ts = 6000L)
+    val rows = CommitLog.commits(fs, dir).map { c =>
+      (c.version.toLong, c.ts, c.adds.size.toLong, c.removes.size.toLong,
+        if (c.isCheckpoint) 1L else 0L, c.tags.toSeq.sorted.headOption.getOrElse(""),
+        CommitLog.activeFiles(fs, dir, c.version).size.toLong)
+    }
+    rows.toDF("version", "ts", "n_adds", "n_removes", "is_checkpoint", "tag", "n_active")
+      .orderBy(col("version"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(lakeLinks, lakeUpgrade, lakeAclEnforce, lakeSetTimes, lakeDelegation,
-      lakeVacuum, lakeDrain, lakeRestore, lakeCheckpointCadence)
+      lakeVacuum, lakeDrain, lakeRestore, lakeCheckpointCadence,
+      lakeJournalAudit)
 }

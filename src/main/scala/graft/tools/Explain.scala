@@ -43,7 +43,8 @@ object Explain {
     // round-6 continued: the trained-centroid/cluster-prune pair,
     // the rule-based quality gate, mixture sampling, and anomaly scan
     "s_kmeans", "d_semdedup", "t_c4_filter", "t_stratified_sample",
-    "ts_anomaly", "ts_baseline_anomaly", "s_index_scoreboard")
+    "ts_anomaly", "ts_baseline_anomaly", "s_index_scoreboard",
+    "lake_journal_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -163,6 +163,21 @@ class NamespaceSpec extends SparkSpec {
     assert(CommitLog.vacuumOrphans(fs, dir, graceMs = 0L).isEmpty)
   }
 
+  test("journal audit replays to the same head the snapshot read sees") {
+    val rows = graft.operators.Namespace.lakeJournalAudit.fn(spark, sfDir).collect()
+    assert(rows.length == 6)
+    val byV = rows.map(r => r.getAs[Long]("version") -> r).toMap
+    assert(byV(3).getAs[Long]("is_checkpoint") == 1L)
+    assert(byV(5).getAs[String]("tag") == "restore")
+    // the audit's final n_active must equal what a snapshot read opens
+    val dir = graft.operators.Lake.scratch("journal_audit_region")
+    val head = graft.sources.CommitLog.activeFiles(
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration), dir)
+    assert(byV(5).getAs[Long]("n_active") == head.size.toLong)
+    // restore made v1's content current: 5 region rows
+    assert(graft.sources.CommitLog.snapshot(spark, dir).count() == 5L)
+  }
+
   test("setTimes: -1 sentinel leaves the field unchanged") {
     import graft.api.Graft
     val ns = Tables.documents(spark, sfDir)
