@@ -132,7 +132,12 @@ object Bench {
         var tries = 0
         while (tries < 2 && best > threshold(name)) {
           spark.catalog.clearCache()
-          best = math.min(best, runOnce(name))
+          val before = failures.size
+          val rerun = runOnce(name)
+          // A failed re-run returns a short wall-time for a query that
+          // threw — adopting it would report fast-and-healthy for a
+          // failure. Only a clean re-run may lower the minimum.
+          if (failures.size == before) best = math.min(best, rerun)
           tries += 1
         }
         name -> best

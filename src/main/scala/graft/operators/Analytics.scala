@@ -429,7 +429,7 @@ object Analytics {
        |SELECT e.event_id, e.event_type, e.value,
        |  (e.value - mv.mu) / mv.sd AS zscore
        |FROM events e JOIN mv ON e.event_type = mv.event_type
-       |WHERE abs((e.value - mv.mu) / mv.sd) > 3
+       |WHERE mv.sd > 0 AND abs((e.value - mv.mu) / mv.sd) > 3
        |ORDER BY e.event_type, e.event_id""".stripMargin
   ) { (s, d) =>
     val ev = Tables.events(s, d)
@@ -437,10 +437,15 @@ object Analytics {
       count(lit(1)).as("n"),
       sumM(col("value")).as("s1"),
       sum(m(col("value")) * m(col("value"))).cast("double").as("s2"))
+    // sd > 0 guarded IDENTICALLY here and in the oracle: Spark's
+    // non-ANSI x/0 is NULL (row silently dropped) while DuckDB IEEE
+    // division yields inf/NaN (row flagged) — a constant series would
+    // otherwise diverge cross-engine.
     val mv = st.select(col("event_type").as("m_type"),
       (col("s1") / col("n")).as("mu"),
       sqrt(greatest(col("s2") / col("n")
         - (col("s1") / col("n")) * (col("s1") / col("n")), lit(0))).as("sd"))
+      .filter(col("sd") > 0)
     ev.join(broadcast(mv), col("event_type") === col("m_type"))
       .withColumn("zscore", (col("value") - col("mu")) / col("sd"))
       .filter(abs(col("zscore")) > 3)
@@ -478,7 +483,7 @@ object Analytics {
        |  pv.baseline_mu
        |FROM events e JOIN pv ON e.event_type = pv.event_type
        |  AND date_trunc('day', e.ts) = pv.day
-       |WHERE pv.baseline_mu IS NOT NULL
+       |WHERE pv.baseline_mu IS NOT NULL AND pv.baseline_sd > 0
        |GROUP BY e.event_type, pv.day, pv.baseline_mu
        |ORDER BY e.event_type, pv.day""".stripMargin
   ) { (s, d) =>
@@ -494,7 +499,9 @@ object Analytics {
       .select(col("event_type").as("p_type"), col("day"),
         lag(col("mu"), 1).over(wLag).as("baseline_mu"),
         lag(col("sd"), 1).over(wLag).as("baseline_sd"))
-      .filter(col("baseline_mu").isNotNull)
+      // baseline_sd > 0 guard mirrors the oracle exactly (see tsAnomaly):
+      // a one-event or constant baseline day must not divide by zero.
+      .filter(col("baseline_mu").isNotNull && col("baseline_sd") > 0)
     ev.join(broadcast(pv), col("event_type") === col("p_type")
         && date_trunc("day", col("ts")) === col("day"))
       .groupBy(col("event_type"), col("day"), col("baseline_mu"))

@@ -407,10 +407,12 @@ object Namespace {
     CommitLog.checkpoint(s, dir, ts = 4000L)
     CommitLog.writeCommit(s, dir, r.filter(col("r_regionkey") === 0), "data/c", ts = 5000L)
     CommitLog.restore(fs, dir, v = 1, ts = 6000L)
-    val rows = CommitLog.commits(fs, dir).map { c =>
+    // One journal read + one incremental fold: per-version n_active in
+    // O(V), not the O(V^2) of replaying activeFiles for each version.
+    val rows = CommitLog.journalTimeline(CommitLog.commits(fs, dir)).map { case (c, nActive) =>
       (c.version.toLong, c.ts, c.adds.size.toLong, c.removes.size.toLong,
         if (c.isCheckpoint) 1L else 0L, c.tags.toSeq.sorted.headOption.getOrElse(""),
-        CommitLog.activeFiles(fs, dir, c.version).size.toLong)
+        nActive)
     }
     rows.toDF("version", "ts", "n_adds", "n_removes", "is_checkpoint", "tag", "n_active")
       .orderBy(col("version"))

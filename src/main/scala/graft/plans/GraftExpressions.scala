@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -28,8 +28,9 @@ object GraftExpressions {
 }
 
 /** charHash(text): long — JIT'd form of the parity rolling hash. */
-case class CharHashExpr(child: Expression) extends UnaryExpression {
+case class CharHashExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   import GraftExpressions.RT
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Shims.AbsType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_char_hash"
   override protected def nullSafeEval(input: Any): Any =
@@ -42,8 +43,9 @@ case class CharHashExpr(child: Expression) extends UnaryExpression {
 /** shingleHashes(text): array<long> — distinct hashed word-3-grams,
   * first-occurrence order; identical values/order to the builtin
   * split/transform/array_distinct formulation. */
-case class ShingleHashExpr(child: Expression) extends UnaryExpression {
+case class ShingleHashExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   import GraftExpressions.RT
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Shims.AbsType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_hashes"
   override protected def nullSafeEval(input: Any): Any =
@@ -56,8 +58,9 @@ case class ShingleHashExpr(child: Expression) extends UnaryExpression {
 /** minhashSignature(shingles): array<long> of k components — all k
   * permutation minima in one pass over the shingle set. */
 case class MinHashSignatureExpr(child: Expression, perms: Seq[(Long, Long)])
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   import GraftExpressions.RT
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Shims.AbsType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_signature"
   private val as = perms.map(_._1).toArray
@@ -73,8 +76,9 @@ case class MinHashSignatureExpr(child: Expression, perms: Seq[(Long, Long)])
 }
 
 /** simhash(shingles): long — n-bit SimHash in one pass. */
-case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
+case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression with ImplicitCastInputTypes {
   import GraftExpressions.RT
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Shims.AbsType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
   override protected def nullSafeEval(input: Any): Any =
@@ -89,8 +93,11 @@ case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
   * its bandKeySql DuckDB fragment (all three spec-pinned). The SQL
   * user's path to LSH bucket joins:
   * `graft_band_key(slice(sig, band*r+1, r))`. */
-case class BandKeyExpr(child: Expression) extends UnaryExpression {
+case class BandKeyExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   import GraftExpressions.RT
+  // getLong over the array slots: an untyped SQL literal array(5,6,7)
+  // is array<int> and would read garbage without this cast-or-fail.
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Shims.AbsType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_band_key"
   override protected def nullSafeEval(input: Any): Any =
@@ -102,8 +109,10 @@ case class BandKeyExpr(child: Expression) extends UnaryExpression {
 
 /** jaccardSorted(a, b): double — exact Jaccard of two SORTED distinct
   * long arrays via a single merge scan (no per-pair hash set). */
-case class JaccardSortedExpr(left: Expression, right: Expression) extends BinaryExpression {
+case class JaccardSortedExpr(left: Expression, right: Expression) extends BinaryExpression
+    with ImplicitCastInputTypes {
   import GraftExpressions.RT
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Shims.AbsType] = Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_jaccard_sorted"
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -119,8 +128,10 @@ case class JaccardSortedExpr(left: Expression, right: Expression) extends Binary
   * list_reduce fold. NULL on mismatched lengths (malformed embedding
   * data must surface, not silently truncate — matches the zip_with
   * builtin and DuckDB list semantics). */
-case class DotProductExpr(left: Expression, right: Expression) extends BinaryExpression {
+case class DotProductExpr(left: Expression, right: Expression) extends BinaryExpression
+    with ImplicitCastInputTypes {
   import GraftExpressions.RT
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Shims.AbsType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_dot_product"

@@ -254,6 +254,20 @@ object CommitLog {
     active.toSeq
   }
 
+  /** One incremental replay over an already-read journal: each commit
+    * paired with the active-file count AFTER applying it. Equals
+    * `activeFiles(_, _, c.version).size` for every commit (spec-pinned)
+    * but costs O(V) total instead of O(V^2) per-version replays — and
+    * taking the commit list (not fs+dir) makes "one journal read" a
+    * property of the signature, not caller discipline. */
+  def journalTimeline(cs: Seq[Commit]): Seq[(Commit, Long)] = {
+    val active = scala.collection.mutable.LinkedHashSet.empty[String]
+    cs.sortBy(_.version).map { c =>
+      active ++= c.adds; active --= c.removes
+      (c, active.size.toLong)
+    }
+  }
+
   /** Read the table as of a version (default: latest). */
   def snapshot(spark: SparkSession, tableDir: String, version: Int = Int.MaxValue): DataFrame = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -585,6 +599,12 @@ object CommitLog {
     val active = activeSet(commits(fs, tableDir))
     val doomed = active.filter(p => p == prefix || p.startsWith(prefix + "/"))
     require(doomed.nonEmpty, s"nothing to drain: no active files under $prefix in $tableDir")
+    // The overwrite-write below (and the delete on CAS failure) would
+    // clobber live data if destRelPath is already an active path — the
+    // mirror of the doomed-nonempty check on the other side.
+    require(!active.exists(p => p == destRelPath || p.startsWith(destRelPath + "/")
+        || destRelPath.startsWith(p + "/")),
+      s"drain dest $destRelPath overlaps an active path in $tableDir")
     val survivors = active.filterNot(doomed.toSet)
     spark.read.parquet(doomed.map(resolve(tableDir, _)): _*)
       .write.mode("overwrite").parquet(s"$tableDir/$destRelPath")

@@ -7,6 +7,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 /** Bridge from Catalyst Expressions to the public Column API (the
   * Column constructor is sql-package-private in Spark 4.x). */
 object Shims {
+  /** AbstractDataType is sql-package-private in Spark 4.x; exported so
+    * graft expressions can declare ExpectsInputTypes.inputTypes. */
+  type AbsType = org.apache.spark.sql.types.AbstractDataType
+
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 

@@ -296,6 +296,124 @@ class CommitLogSpec extends SparkSpec {
       "localized clone unaffected by source reclaim")
   }
 
+  test("journalTimeline: one O(V) fold equals per-version activeFiles replay") {
+    val dir = freshTable("timeline")
+    val n = Tables.nation(spark, sfDir)
+    def slice(r: Int) = n.filter(col("n_nationkey") % 4 === r)
+    CommitLog.writeCommit(spark, dir, slice(0), "data/m0", ts = 100L)
+    CommitLog.writeCommit(spark, dir, slice(1), "data/m1", ts = 200L)
+    CommitLog.commit(fs, dir, 300L, Nil, Seq("data/m0"))
+    CommitLog.checkpoint(spark, dir, ts = 400L)
+    CommitLog.writeCommit(spark, dir, slice(2), "data/m2", ts = 500L)
+    CommitLog.restore(fs, dir, v = 1, ts = 600L)
+    val cs = CommitLog.commits(fs, dir)
+    val timeline = CommitLog.journalTimeline(cs)
+    assert(timeline.map(_._1.version) == cs.map(_.version).sorted)
+    // the single-pass counts must equal the O(V^2) per-version replay
+    timeline.foreach { case (c, nActive) =>
+      assert(nActive == CommitLog.activeFiles(fs, dir, c.version).size.toLong,
+        s"timeline diverges from replay at v${c.version}")
+    }
+  }
+
+  test("restore racing an append: one winner per version, journal linearizes") {
+    val n = Tables.nation(spark, sfDir)
+    var sawRestoreLose = false
+    var sawRestoreWin = false
+    for (trial <- 0 until 4) {
+      val dir = freshTable(s"race_restore_$trial")
+      CommitLog.writeCommit(spark, dir, n.filter(col("n_nationkey") < 5), "data/m0", ts = 100L)
+      CommitLog.writeCommit(spark, dir, n.filter(col("n_nationkey") >= 5), "data/m1", ts = 200L)
+      n.limit(1).write.parquet(s"$dir/data/m2") // appended data, staged pre-race
+      // both contenders enter targeting version 2
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      @volatile var restoreV: Int = -1
+      @volatile var restoreLost = false
+      val rt = new Thread(() => {
+        barrier.await()
+        try restoreV = CommitLog.restore(fs, dir, v = 0, ts = 300L)
+        catch { case _: java.util.ConcurrentModificationException => restoreLost = true }
+      })
+      @volatile var appendV: Int = -1
+      val at = new Thread(() => {
+        barrier.await()
+        appendV = CommitLog.commit(fs, dir, 301L, Seq("data/m2"), Nil)
+      })
+      rt.start(); at.start(); rt.join(30000); at.join(30000)
+      assert(appendV >= 2, "append must always land (commit retries past losses)")
+      if (restoreLost) { sawRestoreLose = true; restoreV = CommitLog.restore(fs, dir, v = 0, ts = 400L) }
+      else sawRestoreWin = true
+      // exactly one commit per version, contiguous — create-exclusive linearized the race
+      val vs = CommitLog.commits(fs, dir).map(_.version)
+      assert(vs == (0 to vs.max), s"journal must be contiguous with one winner per slot: $vs")
+      assert(vs.max == 3 && Set(restoreV, appendV) == Set(2, 3),
+        s"restore@$restoreV append@$appendV must occupy versions 2 and 3 exactly")
+      // replay is consistent with whichever order won
+      val expectHead =
+        if (restoreV > appendV) Set("data/m0") // restore last: back to v0's set
+        else Set("data/m0", "data/m2") // append on the restored lineage
+      assert(CommitLog.activeFiles(fs, dir).toSet == expectHead)
+      assert(CommitLog.snapshot(spark, dir).count() ==
+        expectHead.toSeq.map(p => spark.read.parquet(s"$dir/$p").count()).sum)
+    }
+    info(s"race coverage: restore lost=$sawRestoreLose won=$sawRestoreWin")
+  }
+
+  test("drain racing an append: loser cleans its staging, retry succeeds") {
+    val n = Tables.nation(spark, sfDir)
+    for (trial <- 0 until 3) {
+      val dir = freshTable(s"race_drain_$trial")
+      def slice(r: Int) = n.filter(col("n_nationkey") % 3 === r)
+      CommitLog.writeCommit(spark, dir, slice(0), "data/store0", ts = 100L)
+      CommitLog.writeCommit(spark, dir, slice(1), "data/store1", ts = 200L)
+      slice(2).write.parquet(s"$dir/data/late")
+      val total = CommitLog.snapshot(spark, dir).count()
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      @volatile var drainLost = false
+      val dt = new Thread(() => {
+        barrier.await()
+        try CommitLog.drain(spark, dir, "data/store1", "data/absorbed", ts = 300L)
+        catch { case _: java.util.ConcurrentModificationException => drainLost = true }
+      })
+      val at = new Thread(() => {
+        barrier.await()
+        CommitLog.commit(fs, dir, 301L, Seq("data/late"), Nil)
+      })
+      dt.start(); at.start(); dt.join(60000); at.join(60000)
+      if (drainLost) {
+        // CAS failure path must have deleted the staged rewrite
+        assert(!fs.exists(new Path(s"$dir/data/absorbed")),
+          "losing drain must clean up its staging dir")
+        CommitLog.drain(spark, dir, "data/store1", "data/absorbed", ts = 400L)
+      }
+      val vs = CommitLog.commits(fs, dir).map(_.version)
+      assert(vs == (0 to vs.max), s"journal must stay contiguous: $vs")
+      // content: everything except nothing — drain moves, append adds
+      assert(CommitLog.snapshot(spark, dir).count() == total + slice(2).count())
+      assert(!CommitLog.activeFiles(fs, dir).contains("data/store1"))
+      assert(CommitLog.activeFiles(fs, dir).contains("data/absorbed"))
+    }
+  }
+
+  test("drain refuses a dest that overlaps an active path") {
+    val dir = freshTable("drain_guard")
+    val n = Tables.nation(spark, sfDir)
+    CommitLog.writeCommit(spark, dir, n.filter(col("n_nationkey") < 5), "data/store0", ts = 100L)
+    CommitLog.writeCommit(spark, dir, n.filter(col("n_nationkey") >= 5), "data/store1", ts = 200L)
+    // dest == an active path, dest under an active path, active path under dest
+    intercept[IllegalArgumentException] {
+      CommitLog.drain(spark, dir, "data/store1", "data/store0", ts = 300L)
+    }
+    intercept[IllegalArgumentException] {
+      CommitLog.drain(spark, dir, "data/store1", "data/store0/sub", ts = 300L)
+    }
+    intercept[IllegalArgumentException] {
+      CommitLog.drain(spark, dir, "data/store1", "data", ts = 300L)
+    }
+    // live data untouched by the refused ceremonies
+    assert(CommitLog.snapshot(spark, dir).count() == n.count())
+  }
+
   test("deleting a clone wholesale releases its pin on the next source vacuum") {
     val src = freshTable("pin2_src")
     val dst = freshTable("pin2_dst")
