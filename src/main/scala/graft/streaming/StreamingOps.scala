@@ -461,6 +461,90 @@ object StreamingOps {
       }
   }
 
+  /** Per-series trailing-baseline scoring state: the day being
+    * accumulated (its exact integer sums become the NEXT baseline),
+    * the previous closed day's broadcast-shape stats, and the open
+    * day's scoring counters. */
+  case class BaselineState(day: Long, n: Long, cents: Long, e4: Long,
+                           hasBase: Boolean, baseMu: Double, baseSd: Double,
+                           scored: Long, anomalous: Long)
+  case class BaselineOut(event_type: String, day: java.sql.Timestamp,
+                         n_scored: Long, n_anomalous: Long, baseline_mu: Double)
+
+  /** STREAMING trailing-baseline anomaly scan (streaming form of
+    * ts_baseline_anomaly): each event is scored the moment it arrives
+    * against its series' PREVIOUS CLOSED day's stats — exactly the
+    * deployment the batch operator's doc promises, where yesterday's
+    * 5-row stats table is broadcast and today's stream needs zero
+    * coordination. State per event_type is O(1): the open day's three
+    * exact integer accumulators (n, cents, cents^2 at 1e-4 scale — the
+    * same decimal-exact sums the batch op uses, so the mu/sd doubles
+    * are BIT-IDENTICAL to sumM/cast arithmetic), the previous closed
+    * day's (mu, sd), and the open day's counters. A day closes when
+    * its series' first later-day event arrives; its stats become the
+    * new baseline. First observed day per series is unscored, and a
+    * zero-sd baseline scores nothing — both mirroring the batch
+    * operator's guards. Emits (Update mode) the open day's cumulative
+    * row per invocation; the LAST row per (event_type, day) equals the
+    * batch audit EXACTLY under any event-time-ordered chunking
+    * (StreamingSpec asserts equality at two chunk sizes). Requires
+    * time-ordered feeding, like transitionStream. */
+  def anomalyStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val zoneId = spark.conf.get("spark.sql.session.timeZone",
+      java.time.ZoneId.systemDefault().getId)
+    events.as[Ev]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[BaselineState, BaselineOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key, evs, state) =>
+          val zone = java.time.ZoneId.of(zoneId)
+          def dayStartMicros(ts: java.sql.Timestamp): Long =
+            ts.toInstant.atZone(zone).toLocalDate.atStartOfDay(zone)
+              .toInstant.toEpochMilli * 1000L
+          // value -> exact cents, mirroring cast(value as decimal(15,2)):
+          // shortest-repr BigDecimal, HALF_UP to 2 dp
+          def cents(v: Double): Long =
+            java.math.BigDecimal.valueOf(v)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
+          // decimal-sum -> double -> double division: the batch op's
+          // exact numeric path (sums < 2^53, conversions exact)
+          def stats(s: BaselineState): (Double, Double) = {
+            val mu = (s.cents / 100.0) / s.n
+            val sd = math.sqrt(math.max((s.e4 / 10000.0) / s.n - mu * mu, 0.0))
+            (mu, sd)
+          }
+          def row(s: BaselineState): Option[BaselineOut] =
+            if (s.hasBase && s.baseSd > 0 && s.scored > 0)
+              Some(BaselineOut(key, microsToTs(s.day), s.scored, s.anomalous, s.baseMu))
+            else None
+          val out = scala.collection.mutable.ArrayBuffer.empty[BaselineOut]
+          var s = state.getOption
+            .getOrElse(BaselineState(Long.MinValue, 0, 0, 0, false, 0, 0, 0, 0))
+          evs.toSeq.sortBy(e => (tsToMicros(e.ts), e.event_id)).foreach { e =>
+            val d = dayStartMicros(e.ts)
+            if (s.day == Long.MinValue) s = s.copy(day = d)
+            else if (d > s.day) {
+              row(s).foreach(out += _) // the closed day's FINAL counters
+              val (mu, sd) = stats(s) // its stats become the new baseline
+              s = BaselineState(d, 0, 0, 0, hasBase = true, mu, sd, 0, 0)
+            }
+            val c = cents(e.value)
+            s = s.copy(n = s.n + 1, cents = s.cents + c, e4 = s.e4 + c * c)
+            if (s.hasBase && s.baseSd > 0) {
+              val z = (e.value - s.baseMu) / s.baseSd
+              s = s.copy(scored = s.scored + 1,
+                anomalous = s.anomalous + (if (math.abs(z) > 2) 1L else 0L))
+            }
+          }
+          state.update(s)
+          row(s).foreach(out += _) // provisional row for the open day
+          out.iterator
+      }.toDF()
+  }
+
   /** Merge-adjacent coalesce over session spans: sort by start, merge
     * any neighbor starting within the gap of the running span — the
     * batch session_window closure, applied incrementally. */

@@ -466,4 +466,39 @@ class StreamingSpec extends SparkSpec {
         r.getAs[Long]("n")).toMap
     assert(got == want, s"stream counts != batch matrix")
   }
+
+  test("streaming trailing-baseline anomaly converges to the batch audit exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ordered = loadEvents().sortBy(e => (StreamingOps.tsToMicros(e.ts), e.event_id))
+    val want = graft.operators.Analytics.tsBaselineAnomaly.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("day")) ->
+        (r.getAs[Long]("n_scored"), r.getAs[Long]("n_anomalous"),
+          r.getAs[Double]("baseline_mu"))).toMap
+    assert(want.nonEmpty, "degenerate batch truth")
+    // two different chunkings must both converge to the same batch truth
+    Seq(1100, 3700).zipWithIndex.foreach { case (chunkSize, qi) =>
+      val stream = MemoryStream[Ev]
+      val q = StreamingOps.anomalyStream(stream.toDF()).writeStream
+        .format("memory").queryName(s"anomaly_sink_$qi").outputMode("update").start()
+      try {
+        ordered.grouped(chunkSize).foreach { chunk =>
+          stream.addData(chunk)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // counters are cumulative within a (type, day): the max struct is
+      // the final row (the latenessProfile spec discipline)
+      val got = spark.table(s"anomaly_sink_$qi")
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(struct(col("n_scored"), col("n_anomalous"), col("baseline_mu"))).as("s"))
+        .collect().map(r => (r.getString(0), r.getTimestamp(1)) -> {
+          val s = r.getStruct(2); (s.getLong(0), s.getLong(1), s.getDouble(2))
+        }).toMap
+      assert(got == want,
+        s"chunk=$chunkSize missing=${(want.keySet -- got.keySet).take(3)} " +
+          s"extra=${(got.keySet -- want.keySet).take(3)} " +
+          s"diff=${want.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(3)}")
+    }
+  }
 }
