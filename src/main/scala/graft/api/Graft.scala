@@ -472,6 +472,86 @@ object Graft {
       assign(n, c2).select(col("vec_id").as(idCol), col("cid"))
     }
 
+    /** Public argmax-cosine assignment against a trained centroid
+      * frame (`cid`, `cv`, `cnrm`). Returns (idCol, cid). */
+    def assignCentroids(df: DataFrame, idCol: String, vecCol: String,
+                        cents: DataFrame): DataFrame =
+      assign(normalized(df, idCol, vecCol), cents.select(col("cid"), col("cv"), col("cnrm")))
+        .select(col("vec_id").as(idCol), col("cid"))
+
+    /** Lloyd iterations TO CONVERGENCE — kmeansOnce run until the
+      * centroids stop moving or `maxIter` is reached. Seeds are the k
+      * lowest-id vectors; each iteration assigns by argmax cosine and
+      * recomputes centroids through the exact integer micro-unit sums
+      * (order-independent, bit-identical cross-engine — the s_kmeans
+      * parity discipline). The stop test compares consecutive
+      * centroids in micro-units (round(mu*1e10) as BIGINT): an exact
+      * integer on both engines, so the early-stop DECISION is itself
+      * deterministic; with tolMicro=0 stopping early requires a true
+      * fixed point, where the remaining iterations are no-ops — a
+      * fixed `maxIter` oracle unroll stays exact.
+      *
+      * Each iterate is ScopedCache-materialized (the pagerankInt
+      * discipline), so plans stay one-iteration shallow no matter how
+      * many iterations run — without it the lineage nests one
+      * crossJoin+window+explode+groupBy per iteration and codegen
+      * blows up. A cluster that empties drops out (its centroid is
+      * undefined) and, assignment being against surviving centroids
+      * only, never returns. At 100 TB each iteration is the standard
+      * distributed k-means step: explode+groupBy(cid,pos)
+      * map-side-combines to K x dim rows, reassignment broadcasts
+      * K x dim doubles, and the corpus is scanned once per iteration
+      * from cache.
+      *
+      * Returns the final centroid frame (cid, cv, cnrm, move_micro)
+      * where move_micro is the centroid's max component movement in
+      * the LAST executed iteration. */
+    def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                        maxIter: Int, tolMicro: Long = 0L): DataFrame = {
+      require(maxIter >= 1, "kmeansCentroids needs at least one iteration")
+      val n = graft.ScopedCache(normalized(df, idCol, vecCol))
+      var cents = n.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      // component view in micro-units, for the movement comparison
+      var prevM = cents.select(col("cid"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .select(col("cid"), col("pos"), round(col("x") * 1e10).cast("long").as("micro"))
+      var lastMove: DataFrame = null
+      var iter = 0
+      var converged = false
+      while (iter < maxIter && !converged) {
+        iter += 1
+        val asg = assign(n, cents)
+        val centM = graft.ScopedCache(
+          asg.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+            .groupBy(col("cid"), col("pos"))
+            .agg((sum(round(col("x") * 1e10).cast("long")).cast("double")
+              / (count(lit(1)).cast("double") * 1e10)).as("mu"))
+            .withColumn("micro", round(col("mu") * 1e10).cast("long"))
+            .coalesce(1))
+        centM.count() // materialize: next iterate reads the cache, not the lineage
+        lastMove = graft.ScopedCache(
+          centM.join(prevM.withColumnRenamed("micro", "pmicro"), Seq("cid", "pos"))
+            .groupBy(col("cid"))
+            .agg(max(abs(col("micro") - col("pmicro"))).as("move_micro"))
+            .coalesce(1))
+        val maxMove = lastMove.agg(max(col("move_micro"))).head.getLong(0)
+        cents = centM.groupBy(col("cid"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+            p => p.getField("mu")).as("cv"))
+          .select(col("cid"), col("cv"), Vectors.norm(col("cv")).as("cnrm"))
+        prevM = centM.select(col("cid"), col("pos"), col("micro"))
+        converged = maxMove <= tolMicro
+      }
+      cents.join(lastMove, Seq("cid"))
+    }
+
+    /** k-means-to-convergence assignment: (idCol, cid) against the
+      * kmeansCentroids result. */
+    def kmeansLoop(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                   maxIter: Int, tolMicro: Long = 0L): DataFrame =
+      assignCentroids(df, idCol, vecCol,
+        kmeansCentroids(df, idCol, vecCol, k, maxIter, tolMicro))
+
     /** SemDeDup-style semantic prune: cluster by `kmeansOnce`, compare
       * pairs ONLY within a cluster (the cluster id is the blocking
       * key — never all-pairs), and mark every vector that has a

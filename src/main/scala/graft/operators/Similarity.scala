@@ -690,6 +690,78 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** Fixed Lloyd-iteration count for the oracle-gated loop entry. */
+  val KmIters = 3
+
+  /** DuckDB oracle for s_kmeans_loop: the SAME `KmIters` Lloyd
+    * iterations unrolled as CTEs (the g_pagerank fixed-iteration
+    * discipline) — per iteration: argmax-cosine assignment against
+    * the previous centroids, integer micro-unit centroid update, and
+    * the micro-unit movement vs the previous component table. */
+  private def kmeansLoopOracleSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $corpusSql,\n"
+    sb ++= s"c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $k),\n"
+    sb ++= s"m0 AS (SELECT vec_id AS cid, i AS pos, CAST(round(v[i] * 1e10) AS BIGINT) AS micro\n"
+    sb ++= s"      FROM n, unnest(generate_series(1, len(v))) AS t(i) WHERE vec_id < $k),\n"
+    for (r <- 1 to iters) {
+      val p = r - 1
+      sb ++= s"""asg$r AS (SELECT n.vec_id, n.v, c.cid,
+                |  ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                |    ORDER BY ${Vectors.dotSql("n.v", "c.cv")} / (n.nrm * c.cnrm) DESC, c.cid) AS rk
+                |  FROM n CROSS JOIN c$p c),
+                |cl$r AS (SELECT vec_id, v, cid FROM asg$r WHERE rk = 1),
+                |comp$r AS (SELECT cid, i AS pos, v[i] AS x
+                |           FROM cl$r, unnest(generate_series(1, len(v))) AS t(i)),
+                |cent$r AS (SELECT cid, pos, CAST(SUM(CAST(round(x * 1e10) AS BIGINT)) AS DOUBLE)
+                |             / (COUNT(*) * 1e10) AS mu FROM comp$r GROUP BY cid, pos),
+                |m$r AS (SELECT cid, pos, CAST(round(mu * 1e10) AS BIGINT) AS micro, mu FROM cent$r),
+                |mv$r AS (SELECT a.cid, MAX(ABS(a.micro - b.micro)) AS move_micro
+                |         FROM m$r a JOIN m$p b ON a.cid = b.cid AND a.pos = b.pos GROUP BY a.cid),
+                |cg$r AS (SELECT cid, list(mu ORDER BY pos) AS cv FROM m$r GROUP BY cid),
+                |c$r AS (SELECT cid, cv, ${Vectors.normSql("cv")} AS cnrm FROM cg$r),
+                |""".stripMargin
+    }
+    sb ++= s"""fasg AS (SELECT n.vec_id, c.cid,
+              |  ROW_NUMBER() OVER (PARTITION BY n.vec_id
+              |    ORDER BY ${Vectors.dotSql("n.v", "c.cv")} / (n.nrm * c.cnrm) DESC, c.cid) AS rk
+              |  FROM n CROSS JOIN c$iters c),
+              |mem AS (SELECT cid, COUNT(*) AS n_members FROM fasg WHERE rk = 1 GROUP BY cid)
+              |SELECT c.cid, CAST(mem.n_members AS BIGINT) AS n_members, mv.move_micro,
+              |  c.cnrm AS centroid_norm
+              |FROM c$iters c JOIN mv$iters mv ON c.cid = mv.cid JOIN mem ON c.cid = mem.cid
+              |ORDER BY c.cid""".stripMargin
+    sb.toString
+  }
+
+  /** K-MEANS TO CONVERGENCE — the multi-iteration training loop
+    * (api Graft.ann.kmeansCentroids/kmeansLoop) s_kmeans's single
+    * Lloyd step builds toward: up to KmIters iterations, each
+    * materialized through ScopedCache so the iterate plan stays
+    * one-iteration shallow (the g_pagerank discipline — Similarity
+    * Spec asserts plan size does not grow with iteration count), with
+    * the exact integer micro-unit centroid parity end to end. The
+    * early-stop test (max component movement in micro-units <=
+    * tolMicro) is an exact integer on both engines; at tolMicro=0 an
+    * early stop requires a true fixed point, so the oracle's fixed
+    * KmIters unroll is exact by construction. Output per surviving
+    * cluster: final membership, last-iteration movement (the
+    * convergence signal), and the final centroid norm. */
+  val sKmeansLoop: GraftQuery = GraftQuery.sql(
+    "s_kmeans_loop",
+    kmeansLoopOracleSql(NCells, KmIters)
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val cents = graft.api.Graft.ann.kmeansCentroids(
+      e, "vec_id", "embedding", NCells, KmIters)
+    val members = graft.api.Graft.ann.assignCentroids(e, "vec_id", "embedding", cents)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+    cents.select(col("cid"), col("cnrm").as("centroid_norm"), col("move_micro"))
+      .join(members, Seq("cid"))
+      .select(col("cid"), col("n_members"), col("move_micro"), col("centroid_norm"))
+      .orderBy(col("cid"))
+  }
+
   /** Semantic-duplicate cosine threshold (~p99 of within-cluster
     * pair mass on this corpus; a real deployment tunes this). */
   val SemTheta = 0.3
@@ -800,5 +872,5 @@ object Similarity {
   def all: Seq[GraftQuery] =
     Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnIvfPartitioned,
       sAnnPq, sAnnRerank, sHybridRrf, sAnnRecall, sAnnFiltered,
-      sKmeans, dSemdedup, sIndexScoreboard)
+      sKmeans, sKmeansLoop, dSemdedup, sIndexScoreboard)
 }

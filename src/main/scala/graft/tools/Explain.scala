@@ -44,7 +44,9 @@ object Explain {
     // the rule-based quality gate, mixture sampling, and anomaly scan
     "s_kmeans", "d_semdedup", "t_c4_filter", "t_stratified_sample",
     "ts_anomaly", "ts_baseline_anomaly", "s_index_scoreboard",
-    "lake_journal_audit")
+    "lake_journal_audit",
+    // round-7: the convergence loop over the trained centroids
+    "s_kmeans_loop")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

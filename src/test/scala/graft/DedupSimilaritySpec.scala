@@ -196,6 +196,49 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_moved")).sum > 0, "no vector moved")
   }
 
+  test("k-means loop conserves members; iterate plans stay bounded across iterations") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.sKmeansLoop.fn(spark, sfDir).collect()
+    graft.ScopedCache.releaseAll()
+    assert(rows.nonEmpty && rows.length <= 8)
+    val corpus = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == corpus,
+      "final assignment must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("move_micro") >= 0L)
+      assert(r.getAs[Double]("centroid_norm") > 0.0)
+    }
+    val e = Tables.embeddings(spark, sfDir)
+    // ScopedCache materialization per iterate: the returned frame's
+    // plan must NOT grow with iteration count (the g_pagerank
+    // discipline this operator exists to demonstrate)
+    def planSize(maxIter: Int): Int = {
+      val df = graft.api.Graft.ann.kmeansCentroids(e, "vec_id", "embedding", 8, maxIter)
+      val size = df.queryExecution.optimizedPlan.collect { case p => p }.length
+      graft.ScopedCache.releaseAll()
+      size
+    }
+    val s1 = planSize(1); val s3 = planSize(3)
+    assert(s1 == s3, s"iterate plan grew with iterations: $s1 -> $s3")
+    // an effectively-infinite tolerance stops after one iteration and
+    // equals the maxIter=1 result exactly
+    def snap(df: org.apache.spark.sql.DataFrame) = {
+      val out = df.orderBy(col("cid")).collect()
+        .map(r => (r.getAs[Long]("cid"), r.getAs[Long]("move_micro"),
+          r.getAs[Double]("cnrm"))).toSeq
+      graft.ScopedCache.releaseAll()
+      out
+    }
+    val one = snap(graft.api.Graft.ann.kmeansCentroids(e, "vec_id", "embedding", 8, 1))
+    val tol = snap(graft.api.Graft.ann.kmeansCentroids(
+      e, "vec_id", "embedding", 8, 3, tolMicro = Long.MaxValue))
+    assert(one == tol, "tolMicro=MAX must stop after the first iteration")
+    // the loop refines: movement in iteration 3 is below iteration 1's
+    val m1 = one.map(_._2).max
+    val m3 = rows.map(_.getAs[Long]("move_micro")).max
+    assert(m3 < m1, s"no convergence signal: iter1 max move $m1, iter3 $m3")
+  }
+
   test("semdedup prunes exactly the docs with a lower-id >theta cluster-mate") {
     val rows = Similarity.dSemdedup.fn(spark, sfDir).collect()
     val corpus = Tables.embeddings(spark, sfDir).count()
