@@ -252,6 +252,71 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_kept")).sum > 0, "pruned everything")
   }
 
+  test("semdedup K-scaling: scaled K keeps candidates linear as the corpus doubles") {
+    import org.apache.spark.sql.functions._
+    import graft.api.Graft
+    val e1 = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val n1 = e1.count()
+    val e2 = e1.union(e1.select((col("vec_id") + n1 * 2).as("vec_id"), col("embedding")))
+    val target = 32L // target cluster size: K = N / target
+    def k(n: Long): Int = math.max(2L, n / target).toInt
+    // within-cluster candidate-pair accounting for a clustering
+    def pairStats(e: org.apache.spark.sql.DataFrame, kk: Int): (Long, Long) = {
+      val sizes = Graft.ann.kmeansOnce(e, "vec_id", "embedding", kk)
+        .groupBy(col("cid")).count().collect().map(_.getLong(1))
+      graft.ScopedCache.releaseAll()
+      (sizes.max, sizes.map(m => m * (m - 1) / 2).sum)
+    }
+    val (max1, pairs1) = pairStats(e1, k(n1))
+    val (max2, pairs2) = pairStats(e2, k(n1 * 2))
+    // K scaled with the corpus: total candidate pairs grow ~linearly
+    // (<= 3x on a doubling), never quadratically
+    assert(pairs2 <= 3 * pairs1,
+      s"scaled-K pairs grew superlinearly: $pairs1 -> $pairs2")
+    assert(max2 <= 3 * max1, s"max cluster blew up: $max1 -> $max2")
+    // the fixed-K counterfactual the demo entry documents: same
+    // doubling under a FIXED K grows pair counts ~quadratically
+    val (_, fixed1) = pairStats(e1, 8)
+    val (_, fixed2) = pairStats(e2, 8)
+    assert(fixed2 >= 3 * fixed1,
+      s"fixed-K contrast lost: $fixed1 -> $fixed2 (expected ~4x)")
+    assert(pairs2 < fixed2, "scaled K must beat fixed K on the doubled corpus")
+    // the full prune over the scaled-K clustering stays green and
+    // partitions the corpus into pruned + kept
+    val pr = Graft.ann.semanticPrune(e2, "vec_id", "embedding", k(n1 * 2), Similarity.SemTheta)
+      .collect()
+    graft.ScopedCache.releaseAll()
+    assert(pr.length == n1 * 2)
+    assert(pr.count(_.getAs[Boolean]("pruned")) > 0,
+      "doubled corpus contains exact duplicates; prune must flag some")
+    // cell-partitioned layout: each cluster's members land in one
+    // partition dir, so a per-cluster pair pass reads ONE directory
+    val path = graft.operators.Lake.scratch("semdedup_cells")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val cl = Graft.ann.kmeansLoop(e2, "vec_id", "embedding", k(n1 * 2), 1)
+    e2.join(cl.withColumnRenamed("vec_id", "cvid"), col("vec_id") === col("cvid"))
+      .select(col("vec_id"), col("embedding"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    graft.ScopedCache.releaseAll()
+    val layout = spark.read.parquet(path)
+    val someCid = layout.select(col("cid")).head.getAs[Number](0).longValue()
+    val pruned = layout.filter(col("cid") === someCid)
+    // static partition pruning: the scan's selected partition count
+    // (executed-plan FileSourceScan) must collapse to 1 of K dirs
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val selected = scan.metadata.get("PartitionFilters")
+    assert(selected.exists(_.contains("cid")),
+      s"cid filter not pushed as a partition filter: ${scan.metadata}")
+    assert(pruned.count() < layout.count(),
+      "one cell must be a strict subset of the corpus")
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .map(_.files.size).sum < layout.inputFiles.length,
+      "cid filter should prune the partitioned scan to one dir")
+  }
+
   test("index scoreboard agrees with s_ann_recall and ranks re-rank above raw PQ") {
     val rows = Similarity.sIndexScoreboard.fn(spark, sfDir).collect()
       .map(r => r.getAs[String]("method") ->
