@@ -37,20 +37,38 @@ object Dedup {
       .orderBy(col("source"))
   }
 
-  /** N-gram Jaccard near-dup pairs, blocked by length bands: each doc
-    * lands in buckets floor(n/16) and floor(n/16)+1, so any pair
-    * within 16 chars of each other shares a bucket — an equi-join,
-    * never a cross join (near-identical docs have near-identical
-    * length; the injected dups differ by <= 4 chars). A shingle-count
-    * ratio prefilter (implied by jaccard >= 0.8, so it never drops a
-    * true pair) prunes candidates before the expensive intersect. */
+  /** N-gram Jaccard near-dup pairs via AllPairs/PPJoin prefix
+    * filtering (Bayardo et al., WWW'07; Xiao et al., WWW'08): with
+    * jaccard >= t a pair must share >= ceil(t*max(|A|,|B|)) shingles,
+    * so the common shingle that is globally SMALLEST in a fixed total
+    * order lies within each side's first |S| - ceil(t*|S|) + 1
+    * shingles. Candidates are therefore an equi-join on PREFIX
+    * shingles — lossless for any total order. The order used is
+    * ascending DOCUMENT FREQUENCY (ties by hash): prefixes then hold
+    * each doc's rarest shingles, so popular/boilerplate shingles never
+    * generate candidates — the standard AllPairs ordering, and the
+    * difference between linear and quadratic on corpora with shared
+    * vocabulary (round-7 ScaleStress: length-band blocking ran 113x at
+    * 10x data — every same-length doc paired; hash-ordered prefixes
+    * still 31x because popular shingles land in prefixes; DF-ordered
+    * prefixes collide only on genuinely shared rare content). The
+    * shingle-count ratio prefilter (implied by jaccard >= 0.8) prunes
+    * further before the exact intersect. Integer-exact on both
+    * engines: df counts and ceil(0.8n) = (4n+4)//5. */
   val dNgramJaccard: GraftQuery = GraftQuery.sql(
     "d_ngram_jaccard",
-    s"""WITH ${Shingles.shingleCteSql(", n_chars")},
-       |b AS (SELECT doc_id, sh, unnest([n_chars // 16, n_chars // 16 + 1]) AS bucket FROM sh),
+    s"""WITH ${Shingles.shingleCteSql()},
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |dfq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+       |rk AS (SELECT e.doc_id, e.s,
+       |         row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.s) AS rn
+       |       FROM ex e JOIN dfq d USING (s)),
+       |ns AS (SELECT doc_id, len(sh) AS nsh FROM sh),
+       |pr AS (SELECT r.doc_id, n.nsh, r.s AS psh FROM rk r JOIN ns n USING (doc_id)
+       |       WHERE r.rn <= n.nsh - (4*n.nsh+4)//5 + 1),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |         FROM b a JOIN b b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-       |         WHERE LEAST(len(a.sh), len(b.sh)) >= 0.8 * GREATEST(len(a.sh), len(b.sh)))
+       |         FROM pr a JOIN pr b ON a.psh = b.psh AND a.doc_id < b.doc_id
+       |         WHERE LEAST(a.nsh, b.nsh) >= 0.8 * GREATEST(a.nsh, b.nsh))
        |SELECT c.doc_a, c.doc_b, ${Shingles.jaccardSql("x.sh", "y.sh")} AS jaccard
        |FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
        |WHERE ${Shingles.jaccardSql("x.sh", "y.sh")} >= 0.8
@@ -58,17 +76,23 @@ object Dedup {
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
     // Shared materialized shingle frame (one text pass for the whole
-    // dedup family); n_chars joins back on doc_id WITHOUT a broadcast
-    // hint — the projection is corpus-sized, so at 100 TB this must
-    // stay a co-partitioned shuffle join (AQE broadcasts it at bench
-    // scale on its own).
+    // dedup family). DF is a map-side-combined groupBy on the exploded
+    // shingle stream (linear); the per-doc (df, hash) rank is a window
+    // partitioned by doc_id — both shuffles are corpus-proportional,
+    // never pair-proportional.
     val sh = graft.api.Graft.dedup.shingleSets(docs, "doc_id", "text")
-      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
-    val b = sh.withColumn("bucket",
-      explode(array(floor(col("n_chars") / 16), floor(col("n_chars") / 16) + 1)))
-      .select(col("doc_id"), col("bucket"), size(col("sh")).as("nsh"))
-    val cand = b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id") &&
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val ranked = ex.join(dfq, Seq("s"))
+      .withColumn("rn", row_number().over(w))
+    val ns = sh.select(col("doc_id"), size(col("sh")).as("nsh"))
+    val pref = ranked.join(ns, Seq("doc_id"))
+      .filter(col("rn") <= col("nsh") - floor((col("nsh") * 4 + 4) / 5) + 1)
+      .select(col("doc_id"), col("nsh"), col("s").as("psh"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.psh") === col("b.psh") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.nsh"), col("b.nsh")) >= lit(0.8) * greatest(col("a.nsh"), col("b.nsh")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()

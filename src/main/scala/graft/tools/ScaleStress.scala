@@ -1,0 +1,209 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SCALE-STEP VALIDATION (VERDICT r6 #1): materialize a ~`factor`x
+  * dataset from the base scale by unioning the fact tables with
+  * key-offset remapping, then time (a) the most expensive queries and
+  * (b) every operator whose SURVEY §5 row claims metadata-only cost,
+  * at BOTH scales. Done-criterion: data-proportional ops scale
+  * ~linearly (ratio ~factor, not factor^2) and the metadata-claimed
+  * ceremonies stay ~flat — converting the 100 TB plan-shape arguments
+  * into a measured artifact (docs/SCALE_r7.json).
+  *
+  * Dataset construction (dims stay fixed, facts replicate):
+  * - region/nation/customer/supplier/part copied as-is, so fact
+  *   foreign keys stay valid (10x data per dim key — the realistic
+  *   shape of growing a warehouse under a stable dimension universe).
+  * - orders+lineitem share ONE orderkey offset per copy, so the
+  *   order-lineitem join matches strictly within a copy.
+  * - documents get per-copy distinct text (a copy token injected
+  *   between words rewrites every shingle) — a naive identical copy
+  *   would make every doc a 10-way near-dup and quadratically inflate
+  *   banded candidate groups, which is NOT what 10x organic growth
+  *   looks like; n_chars is recomputed to stay consistent.
+  * - embeddings get a small per-copy component shift for the same
+  *   reason (identical vectors pile into identical LSH/IVF buckets).
+  * - events keep their timestamps (10x density per day) with offset
+  *   event ids; ts is copied in raw nanos-long form so the scaled
+  *   parquet reads through the same Tables.events path.
+  *
+  * Methodology: each op runs twice per scale with a cleared cache;
+  * the MIN is the op's cost at that scale (first runs carry one-time
+  * layout provisioning, which amortizes at any scale by design — the
+  * steady-state claim is exactly what SURVEY §5 makes). ratio =
+  * min(t_scaled) / min(t_base).
+  *
+  * Usage: runMain graft.tools.ScaleStress [baseDir] [outJson] [factor]
+  */
+object ScaleStress {
+
+  /** Operators whose SURVEY §5 rows claim O(commits)/O(manifest)/
+    * metadata-only cost — the flat set. */
+  val MetaOps: Seq[String] = Seq(
+    "lake_time_travel", "lake_vacuum", "lake_restore", "lake_clone",
+    "lake_snapshot_diff", "lake_point_lookup", "lake_checkpoint_cadence",
+    "lake_journal_audit", "lake_delete_cow")
+
+  val NDataOps = 15
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outJson = if (args.length > 1) args(1) else "docs/SCALE_r7.json"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scaledDir = s"/root/repo/target/scratch/scale$factor"
+    materialize(spark, base, scaledDir, factor)
+
+    // the NDataOps most expensive queries by cross-run best, skipping
+    // the metadata set (measured separately); SPARK_GRAFT_SCALE_ONLY
+    // re-measures a named subset (comma-separated) instead
+    val best = readBest("docs/bench_best.json")
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val dataOps = only match {
+      case Some(names) => names.filter(SparkEntry.queries.contains).toSeq.sorted
+      case None => best.filterNot { case (n, _) => MetaOps.contains(n) }
+        .filter { case (n, _) => SparkEntry.queries.contains(n) }
+        .toSeq.sortBy(-_._2).take(NDataOps).map(_._1).sorted
+    }
+
+    def runOnce(name: String, dir: String): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.ScopedCache.releaseAll()
+      dt
+    }
+    def measure(name: String): (Seq[Double], Seq[Double]) = {
+      val t1 = Seq(runOnce(name, base), runOnce(name, base))
+      val tN = Seq(runOnce(name, scaledDir), runOnce(name, scaledDir))
+      System.err.println(f"SCALE $name%-28s base=${t1.min}%7.2fs scaled=${tN.min}%7.2fs ratio=${tN.min / t1.min}%6.2f")
+      (t1, tN)
+    }
+
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def opJson(name: String, t1: Seq[Double], tN: Seq[Double]): String =
+      s""""$name":{"t_base":[${t1.map(num).mkString(",")}],""" +
+        s""""t_scaled":[${tN.map(num).mkString(",")}],""" +
+        s""""ratio":${num(tN.min / t1.min)}}"""
+
+    val metaSet = only match {
+      case Some(names) => MetaOps.filter(names.contains).sorted
+      case None => MetaOps.sorted
+    }
+    val dataResults = dataOps.filterNot(metaSet.contains)
+      .map { n => val (a, b) = measure(n); (n, a, b) }
+    val metaResults = metaSet.map { n => val (a, b) = measure(n); (n, a, b) }
+
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0 else { val s = xs.sorted; s(s.size / 2) }
+    val dataRatios = dataResults.map { case (_, a, b) => b.min / a.min } match {
+      case Nil => Seq(0.0); case rs => rs }
+    val metaRatios = metaResults.map { case (_, a, b) => b.min / a.min } match {
+      case Nil => Seq(0.0); case rs => rs }
+    val json =
+      s"""{"factor":$factor,"base":"$base","scaled":"$scaledDir",
+         |"data_ratio_median":${num(median(dataRatios))},"data_ratio_max":${num(dataRatios.max)},
+         |"meta_ratio_median":${num(median(metaRatios))},"meta_ratio_max":${num(metaRatios.max)},
+         |"data_ops":{${dataResults.map(r => opJson(r._1, r._2, r._3)).mkString(",\n")}},
+         |"meta_ops":{${metaResults.map(r => opJson(r._1, r._2, r._3)).mkString(",\n")}}}""".stripMargin
+    val p = java.nio.file.Paths.get(outJson)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+    println(s"""{"scale_stress":"done","factor":$factor,"data_ratio_median":${num(median(dataRatios))},"meta_ratio_median":${num(median(metaRatios))},"out":"$outJson"}""")
+    spark.stop()
+  }
+
+  private def readBest(path: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      // the "queries" object is the only place bare name->seconds pairs
+      // appear; top-level scalars are filtered by name
+      """"([a-z0-9_]+)":\s*([0-9.]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap -
+        "value" - "n_queries"
+    } catch { case _: Throwable => Map.empty }
+
+  /** Idempotent: a marker file records (base, factor); rebuilt only
+    * when absent or stale. */
+  private def materialize(spark: SparkSession, base: String,
+                          out: String, factor: Int): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(out, "_scale_ok")
+    val sig = s"$base factor=$factor"
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val txt = try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+                finally in.close()
+      if (txt == sig) return
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    System.err.println(s"SCALE materializing ${factor}x of $base at $out ...")
+
+    def copies(df: DataFrame)(remap: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => remap(df, i)).reduce(_ unionByName _)
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    def keyOffset(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head.getLong(0) + 1
+
+    // dims: fixed universe
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(t => write(spark.read.parquet(s"$base/$t.parquet"), t))
+
+    // orders + lineitem: one shared orderkey offset per copy
+    val orders = spark.read.parquet(s"$base/orders.parquet")
+    val offO = keyOffset(orders, "o_orderkey")
+    write(copies(orders)((d, i) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * offO))), "orders")
+    val lineitem = spark.read.parquet(s"$base/lineitem.parquet")
+    write(copies(lineitem)((d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * offO))), "lineitem")
+
+    // events: raw nanos-long ts so the scaled parquet reads through
+    // the same Tables.events path as the originals
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$base/events.parquet")
+    val offE = keyOffset(events, "event_id")
+    write(copies(events)((d, i) =>
+      d.withColumn("event_id", col("event_id") + lit(i * offE))), "events")
+
+    // documents: per-copy DISTINCT text (copy token between words
+    // rewrites every shingle) — organic growth, not 10-way near-dups
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val offD = keyOffset(docs, "doc_id")
+    write(copies(docs)((d, i) =>
+      if (i == 0) d
+      else d.withColumn("doc_id", col("doc_id") + lit(i * offD))
+        .withColumn("text", regexp_replace(col("text"), " ", s" c$i "))
+        .withColumn("n_chars", length(col("text")))), "documents")
+
+    // embeddings: small per-copy component shift keeps copies out of
+    // each other's LSH/IVF buckets; element type preserved
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val offV = keyOffset(emb, "vec_id")
+    write(copies(emb)((d, i) =>
+      if (i == 0) d
+      else d.withColumn("vec_id", col("vec_id") + lit(i * offV))
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(i * 0.001))
+            .cast("array<float>"))), "embeddings")
+
+    val outS = fs.create(marker, true)
+    try outS.write(sig.getBytes("UTF-8")) finally outS.close()
+    System.err.println("SCALE materialization done")
+  }
+}
