@@ -130,57 +130,106 @@ object Multimodal {
       if (n == 0) new Array[Double](8) else counts.map(_.toDouble / n))
   }
 
-  // Feature-pair LSH: 4 deterministic hyperplanes in the 8-dim
-  // histogram space -> 16 buckets. Histograms all sit near the corpus
-  // centroid, so projections are taken on the CENTERED vector
-  // (emb - 1/8 per bucket) — signs then split on content, not on the
-  // shared baseline.
-  val FpPlanes = 4
-  private val fplanes = graft.functions.Vectors.hyperplanes(FpPlanes, 8)
+  // Feature-pair LSH: deterministic hyperplanes in the 8-dim
+  // histogram space. Histograms all sit near the corpus centroid, so
+  // projections are taken on the CENTERED vector (emb - 1/8 per
+  // bucket) — signs then split on content, not the shared baseline.
+  // The plane COUNT scales with the corpus: np = clamp(4..12,
+  // ceil_log2(ceil(N/64))) targets ~64 docs per bucket instead of the
+  // ~N^2/2^np a FIXED plane count degrades to (round-7 ScaleStress
+  // measured the fixed-16-bucket version at 11.9x wall-clock for 10x
+  // data). The LCG plane sequence is shared, so smaller corpora use a
+  // prefix of the same planes; past N ~ 64*2^12 extend FpPlanesMax.
+  // Buckets alone are NOT enough: corpora with cluster structure
+  // (domains, languages — or the scale-step corpus, whose per-copy
+  // token shifts each copy's whole histogram identically) pile a
+  // cluster into one bucket and within-bucket all-pairs goes
+  // quadratic in the cluster (measured 26x at 10x data even with
+  // adaptive np). So within each bucket docs are SORTED by their
+  // projection on FpSortDirs reserved directions and each doc pairs
+  // only with its FpWindow successors per direction — the classic
+  // sorted-neighborhood method. Candidates are exactly
+  // <= R*W*N whatever the skew; the per-bucket sort (n log n,
+  // spillable) is the only superlinear-in-bucket cost.
+  val FpPlanesMax = 12
+  val FpSortDirs = 4
+  val FpWindow = 8
+  private val fplanes =
+    graft.functions.Vectors.hyperplanes(FpPlanesMax + FpSortDirs, 8)
+  private val sortPlanes = fplanes.drop(FpPlanesMax)
+
+  /** clamp(4..FpPlanesMax, ceil_log2(ceil(n/64))) — integer-exact on
+    * both engines (the oracle's length(bin(m-1)) is the same
+    * ceil_log2). */
+  def fpPlaneCount(n: Long): Int = {
+    val m = (n + 63) / 64
+    val cl2 = if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.min(FpPlanesMax, math.max(4, cl2))
+  }
 
   /** Multimodal feature pipeline end-to-end: binary payload ->
-    * batch-local stub embedding -> cosine closest pairs among LSH
-    * candidates (same bucket-equi-join + hamming<=1 probe blocking as
-    * d_embed_neardup — never an all-pairs product; the oracle mirrors
-    * the blocking). Swapping in a real encoder re-uses the whole
-    * downstream plan. Zero-NORM embeddings are filtered on both arms
-    * (not just zero-LENGTH payloads: an all-non-ASCII document also
-    * yields the zero vector under this stub) — a direction-free
-    * vector would turn every cosine it touches into NaN, and Spark
-    * sorts NaN above every real double, flooding the top-k. */
+    * batch-local stub embedding -> cosine closest pairs among
+    * bucketed sorted-neighborhood candidates (the oracle mirrors the
+    * blocking exactly, including the corpus-adaptive plane count:
+    * Spark picks np from one driver-side count before planning — the
+    * AQE-style adaptive decision, read from table stats in a real
+    * deployment — while the oracle gates 12 pre-generated plane terms
+    * on the same np computed in SQL). Swapping in a real encoder
+    * re-uses the whole downstream plan. Zero-NORM embeddings are
+    * filtered on both arms (not just zero-LENGTH payloads: an
+    * all-non-ASCII document also yields the zero vector under this
+    * stub) — a direction-free vector would turn every cosine it
+    * touches into NaN, and Spark sorts NaN above every real double,
+    * flooding the top-k. */
   val mFeaturePairs: GraftQuery = GraftQuery.sql(
     "m_feature_pairs", {
       import graft.functions.Vectors
       def planeSql(p: Seq[Double]): String = p.mkString("[", ", ", "]")
-      val bucketSql = fplanes.zipWithIndex.map { case (p, j) =>
-        s"CASE WHEN ${Vectors.dotSql("ce", planeSql(p))} > 0 THEN ${1L << j} ELSE 0 END"
+      val bucketSql = fplanes.take(FpPlanesMax).zipWithIndex.map { case (p, j) =>
+        s"CASE WHEN $j < np AND ${Vectors.dotSql("ce", planeSql(p))} > 0 THEN ${1L << j} ELSE 0 END"
       }.mkString("(", " + ", ")")
-      val probeList = ("bucket" +: (0 until FpPlanes).map(j => s"xor(bucket, ${1L << j})"))
-        .mkString("[", ", ", "]")
-      s"""WITH h AS (SELECT doc_id,
+      val projSql = sortPlanes.zipWithIndex.map { case (p, r) =>
+        s"WHEN $r THEN ${Vectors.dotSql("ce", planeSql(p))}"
+      }.mkString("CASE r ", " ", " END")
+      s"""WITH cnt AS (SELECT LEAST($FpPlanesMax, GREATEST(4,
+         |    CASE WHEN (count(*) + 63) // 64 <= 1 THEN 0
+         |         ELSE length(bin((count(*) + 63) // 64 - 1)) END)) AS np
+         |  FROM documents WHERE length(text) > 0),
+         |h AS (SELECT doc_id,
          |    list_transform(generate_series(0, 7), b ->
          |      CAST(len(list_filter(string_split(text, ''), ch -> ord(ch) // 16 = b)) AS DOUBLE)
          |        / length(text)) AS emb
          |  FROM documents WHERE length(text) > 0),
          |n2 AS (SELECT doc_id, emb, ${Vectors.normSql("emb")} AS nrm,
          |         list_transform(emb, x -> x - 0.125) AS ce FROM h),
-         |bk AS (SELECT doc_id, emb, nrm, $bucketSql AS bucket FROM n2 WHERE nrm > 0),
-         |pr AS (SELECT doc_id, emb, nrm, unnest($probeList) AS pb FROM bk)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  ${Vectors.dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS cosine
-         |FROM pr a JOIN bk b ON a.pb = b.bucket AND a.doc_id < b.doc_id
+         |bk AS (SELECT doc_id, emb, nrm, ce, $bucketSql AS bucket
+         |       FROM n2, cnt WHERE nrm > 0),
+         |rk AS (SELECT doc_id, bucket, r,
+         |         row_number() OVER (PARTITION BY r, bucket
+         |                            ORDER BY $projSql, doc_id) AS rn
+         |       FROM (SELECT *, unnest(generate_series(0, ${FpSortDirs - 1})) AS r FROM bk)),
+         |lk AS (SELECT r, bucket, doc_id AS ida,
+         |         unnest(generate_series(rn + 1, rn + $FpWindow)) AS rnb FROM rk),
+         |pq AS (SELECT DISTINCT LEAST(l.ida, k.doc_id) AS doc_a,
+         |         GREATEST(l.ida, k.doc_id) AS doc_b
+         |       FROM lk l JOIN rk k ON l.r = k.r AND l.bucket = k.bucket AND l.rnb = k.rn)
+         |SELECT p.doc_a, p.doc_b,
+         |  ${Vectors.dotSql("x.emb", "y.emb")} / (x.nrm * y.nrm) AS cosine
+         |FROM pq p JOIN bk x ON p.doc_a = x.doc_id JOIN bk y ON p.doc_b = y.doc_id
          |ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""".stripMargin
     }
   ) { (s, d) =>
     import s.implicits._
     import graft.functions.Vectors
+    val docs0 = Tables.documents(s, d).filter(length(col("text")) > 0)
+    val np = fpPlaneCount(docs0.count())
     def planeLit(p: Seq[Double]) = array(p.map(lit(_)): _*)
     def fpBucket(ce: org.apache.spark.sql.Column) =
-      fplanes.zipWithIndex.map { case (p, j) =>
+      fplanes.take(np).zipWithIndex.map { case (p, j) =>
         when(Vectors.dot(ce, planeLit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
-    val feats = Tables.documents(s, d)
-      .filter(length(col("text")) > 0)
+    val ce = transform(col("emb"), x => x - lit(0.125))
+    val feats = docs0
       .select(col("doc_id"), lit("utf8").as("codec"), lit(0L).as("n_frames"),
         encode(col("text"), "UTF-8").as("media"))
       .as[MediaAsset]
@@ -188,14 +237,24 @@ object Multimodal {
       .toDF()
       .withColumn("nrm", Vectors.norm(col("emb")))
       .filter(col("nrm") > 0)
-      .withColumn("bucket", fpBucket(transform(col("emb"), x => x - lit(0.125))))
+      .withColumn("bucket", fpBucket(ce))
       .transform(graft.ScopedCache.apply)
-    val probes = feats.select(col("doc_id").as("doc_a"), col("emb").as("ea"), col("nrm").as("na"),
-      explode(array(col("bucket") +: (0 until FpPlanes).map(j =>
-        col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("pb"))
-    val right = feats.select(col("doc_id").as("doc_b"), col("emb").as("eb"),
-      col("nrm").as("nb"), col("bucket").as("bb"))
-    probes.join(right, col("pb") === col("bb") && col("doc_a") < col("doc_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("r"), col("bucket")).orderBy(col("proj"), col("doc_id"))
+    val rk = feats
+      .select(col("doc_id"), col("bucket"),
+        posexplode(array(sortPlanes.map(p => Vectors.dot(ce, planeLit(p))): _*))
+          .as(Seq("r", "proj")))
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("bucket"), col("r"), col("rn"))
+    val lk = rk.select(col("r"), col("bucket"), col("doc_id").as("ida"),
+      explode(sequence(col("rn") + 1, col("rn") + FpWindow)).as("rnb"))
+    val pq = lk.join(rk.withColumnRenamed("rn", "rnb"), Seq("r", "bucket", "rnb"))
+      .select(least(col("ida"), col("doc_id")).as("doc_a"),
+        greatest(col("ida"), col("doc_id")).as("doc_b"))
+      .distinct()
+    pq.join(feats.select(col("doc_id").as("doc_a"), col("emb").as("ea"), col("nrm").as("na")), Seq("doc_a"))
+      .join(feats.select(col("doc_id").as("doc_b"), col("emb").as("eb"), col("nrm").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (Vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
       .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))

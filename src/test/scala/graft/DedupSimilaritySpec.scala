@@ -155,6 +155,26 @@ class DedupSimilaritySpec extends SparkSpec {
       s"all-pairs nested loop in m_feature_pairs:\n$plan")
   }
 
+  test("fpPlaneCount targets ~64 docs/bucket: clamped, monotone, power-of-two exact") {
+    import graft.operators.Multimodal.{fpPlaneCount, FpPlanesMax}
+    // floor of the clamp: tiny corpora still split into 16 buckets
+    assert(Seq(0L, 1L, 64L, 1024L).map(fpPlaneCount) == Seq(4, 4, 4, 4))
+    // exact at power-of-two bucket counts: n = 64 * 2^p needs exactly p planes
+    (4 to FpPlanesMax).foreach { p =>
+      assert(fpPlaneCount(64L << p) == p, s"n=64*2^$p")
+      assert(fpPlaneCount((64L << p) + 1) == math.min(p + 1, FpPlanesMax),
+        s"one past n=64*2^$p must round up")
+    }
+    // ceiling of the clamp: plane count never exceeds the generated planes
+    assert(fpPlaneCount(Long.MaxValue / 2) == FpPlanesMax)
+    // monotone: more docs never means fewer planes
+    val ns = (0 until 60).map(i => (1L << (i / 3)) + i % 3)
+    ns.sorted.map(fpPlaneCount).sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b, "fpPlaneCount not monotone")
+      case _ =>
+    }
+  }
+
   test("incremental dedup via the stored band index equals the full-pairs formulation") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sfDir)
