@@ -88,9 +88,13 @@ object Dedup {
     val ranked = ex.join(dfq, Seq("s"))
       .withColumn("rn", row_number().over(w))
     val ns = sh.select(col("doc_id"), size(col("sh")).as("nsh"))
+    // Materialized: the frame feeds both sides of the candidate
+    // self-join — without the persist the exploded-shingle window
+    // rank (the dominant corpus-proportional sort) runs twice.
     val pref = ranked.join(ns, Seq("doc_id"))
       .filter(col("rn") <= col("nsh") - floor((col("nsh") * 4 + 4) / 5) + 1)
       .select(col("doc_id"), col("nsh"), col("s").as("psh"))
+      .transform(graft.ScopedCache.apply)
     val cand = pref.as("a").join(pref.as("b"),
         col("a.psh") === col("b.psh") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.nsh"), col("b.nsh")) >= lit(0.8) * greatest(col("a.nsh"), col("b.nsh")))

@@ -194,7 +194,7 @@ object Multimodal {
       s"""WITH cnt AS (SELECT LEAST($FpPlanesMax, GREATEST(4,
          |    CASE WHEN (count(*) + 63) // 64 <= 1 THEN 0
          |         ELSE length(bin((count(*) + 63) // 64 - 1)) END)) AS np
-         |  FROM documents WHERE length(text) > 0),
+         |  FROM documents),
          |h AS (SELECT doc_id,
          |    list_transform(generate_series(0, 7), b ->
          |      CAST(len(list_filter(string_split(text, ''), ch -> ord(ch) // 16 = b)) AS DOUBLE)
@@ -221,8 +221,14 @@ object Multimodal {
   ) { (s, d) =>
     import s.implicits._
     import graft.functions.Vectors
+    // np comes from the TOTAL table row count — a metadata-cheap
+    // statistic (no text decode; table stats in a real deployment) —
+    // not the filtered non-empty count: bucket sizing needs only the
+    // order of magnitude of N, and scanning the text column of a
+    // 100 TB corpus just to pick a plane count would cost more than
+    // it saves. The oracle's cnt CTE counts the same unfiltered table.
     val docs0 = Tables.documents(s, d).filter(length(col("text")) > 0)
-    val np = fpPlaneCount(docs0.count())
+    val np = fpPlaneCount(Tables.documents(s, d).count())
     def planeLit(p: Seq[Double]) = array(p.map(lit(_)): _*)
     def fpBucket(ce: org.apache.spark.sql.Column) =
       fplanes.take(np).zipWithIndex.map { case (p, j) =>
@@ -247,6 +253,9 @@ object Multimodal {
           .as(Seq("r", "proj")))
       .withColumn("rn", row_number().over(w))
       .select(col("doc_id"), col("bucket"), col("r"), col("rn"))
+      // materialized: rk feeds both sides of the successor equi-join —
+      // without the persist the per-bucket window sort runs twice
+      .transform(graft.ScopedCache.apply)
     val lk = rk.select(col("r"), col("bucket"), col("doc_id").as("ida"),
       explode(sequence(col("rn") + 1, col("rn") + FpWindow)).as("rnb"))
     val pq = lk.join(rk.withColumnRenamed("rn", "rnb"), Seq("r", "bucket", "rnb"))

@@ -524,8 +524,54 @@ object TextAnalysis {
     }
   }
 
+  /** Shard count for sequence packing — local[32]-sized here; at
+    * 100 TB set to O(cluster cores): shards never interact, so the
+    * packing stays exact at any shard count (only WHICH docs share a
+    * training sequence changes, deterministically). */
+  val PackShards = 8
+  /** Tokens per packed training sequence (context window). */
+  val SeqBudget = 512
+
+  /** SEQUENCE PACKING — the pretraining dataset-assembly step (the
+    * GPT/T5 concat-and-slice regime): each shard's whitespace-token
+    * stream is concatenated in deterministic doc_id order and sliced
+    * into fixed SeqBudget-token training sequences; documents cross
+    * sequence boundaries instead of leaving tail padding. Output is
+    * the PACK MANIFEST — per doc its shard, first/last sequence
+    * index, and token offset within the first sequence — which is all
+    * a loader needs to assemble any sequence. Cost: one cumulative
+    * window per shard over per-doc token counts — no joins, no
+    * pairwise work; the only shuffle is the partition-by-shard, and
+    * shards are embarrassingly parallel. Integer-exact on both
+    * engines (BIGINT token counts, integer div/mod). */
+  val tSeqPack: GraftQuery = GraftQuery.sql(
+    "t_seq_pack",
+    s"""WITH tok AS (SELECT doc_id, doc_id % $PackShards AS shard,
+       |    len(string_split(text, ' ')) AS n_tok FROM documents),
+       |cs AS (SELECT doc_id, shard, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS cum FROM tok)
+       |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       |  CAST(n_tok AS BIGINT) AS n_tok,
+       |  CAST((cum - n_tok) // $SeqBudget AS BIGINT) AS seq_first,
+       |  CAST((cum - 1) // $SeqBudget AS BIGINT) AS seq_last,
+       |  CAST((cum - n_tok) % $SeqBudget AS BIGINT) AS seq_offset
+       |FROM cs ORDER BY shard, doc_id""".stripMargin
+  ) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % PackShards).cast("long").as("shard"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        expr(s"(cum - n_tok) div $SeqBudget").as("seq_first"),
+        expr(s"(cum - 1) div $SeqBudget").as("seq_last"),
+        expr(s"(cum - n_tok) % $SeqBudget").as("seq_offset"))
+      .orderBy(col("shard"), col("doc_id"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tTokenCount, tQualityScore, tLangId, tFingerprint, tNgramFreq,
       tFluencyScore, tLangGini, tPiiScrub, tLangRebalance,
-      tRepetitionFilter, tC4Filter, tStratifiedSample)
+      tRepetitionFilter, tC4Filter, tStratifiedSample, tSeqPack)
 }

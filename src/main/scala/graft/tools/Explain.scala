@@ -45,10 +45,10 @@ object Explain {
     "s_kmeans", "d_semdedup", "t_c4_filter", "t_stratified_sample",
     "ts_anomaly", "ts_baseline_anomaly", "s_index_scoreboard",
     "lake_journal_audit",
-    // round-7: the convergence loop over the trained centroids, plus
-    // the two scale-step rewrites (DF-ordered prefix filtering,
-    // bucket-local sorted neighborhood)
-    "s_kmeans_loop", "d_ngram_jaccard")
+    // round-7: the convergence loop over the trained centroids, the
+    // two scale-step rewrites (DF-ordered prefix filtering,
+    // bucket-local sorted neighborhood), and sequence packing
+    "s_kmeans_loop", "d_ngram_jaccard", "t_seq_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -71,10 +71,18 @@ object ScaleStress {
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val dataOps = only match {
-      case Some(names) => names.filter(SparkEntry.queries.contains).toSeq.sorted
-      case None => best.filterNot { case (n, _) => MetaOps.contains(n) }
-        .filter { case (n, _) => SparkEntry.queries.contains(n) }
-        .toSeq.sortBy(-_._2).take(NDataOps).map(_._1).sorted
+      case Some(names) =>
+        val unknown = names.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_SCALE_ONLY names not in the registry: ${unknown.mkString(", ")}")
+        names.toSeq.sorted
+      case None =>
+        require(best.nonEmpty,
+          "docs/bench_best.json missing or unparseable — the most-expensive-query " +
+            "set cannot be chosen; run the bench first or pass SPARK_GRAFT_SCALE_ONLY")
+        best.filterNot { case (n, _) => MetaOps.contains(n) }
+          .filter { case (n, _) => SparkEntry.queries.contains(n) }
+          .toSeq.sortBy(-_._2).take(NDataOps).map(_._1).sorted
     }
 
     def runOnce(name: String, dir: String): Double = {
@@ -137,13 +145,19 @@ object ScaleStress {
         "value" - "n_queries"
     } catch { case _: Throwable => Map.empty }
 
-  /** Idempotent: a marker file records (base, factor); rebuilt only
-    * when absent or stale. */
+  /** Idempotent: a marker file records (base, factor, base-file
+    * sizes+mtimes); rebuilt when absent or when the BASE DATA itself
+    * changed — a regenerated base at the same path must not be
+    * compared against stale scaled parquet. */
   private def materialize(spark: SparkSession, base: String,
                           out: String, factor: Int): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(out, "_scale_ok")
-    val sig = s"$base factor=$factor"
+    val baseSig = fs.listStatus(new org.apache.hadoop.fs.Path(base))
+      .sortBy(_.getPath.getName)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .mkString(";")
+    val sig = s"$base factor=$factor $baseSig"
     if (fs.exists(marker)) {
       val in = fs.open(marker)
       val txt = try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
@@ -157,8 +171,11 @@ object ScaleStress {
       (0 until factor).map(i => remap(df, i)).reduce(_ unionByName _)
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
-    def keyOffset(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).head.getLong(0) + 1
+    def keyOffset(df: DataFrame, key: String): Long = {
+      val row = df.agg(max(col(key).cast("long"))).head
+      require(!row.isNullAt(0), s"base table has no rows — cannot offset key '$key'")
+      row.getLong(0) + 1
+    }
 
     // dims: fixed universe
     Seq("region", "nation", "customer", "supplier", "part")

@@ -80,4 +80,42 @@ class TextAnalysisSpec extends SparkSpec {
     val keepFrac = (l: String) => byLang(l)._2.toDouble / byLang(l)._1
     assert(keepFrac("en") < keepFrac("de") && keepFrac("en") < keepFrac("fr"))
   }
+
+  test("sequence packing: conservation, span consistency, contiguity per shard") {
+    import TextAnalysis.{PackShards, SeqBudget}
+    val rows = TextAnalysis.tSeqPack.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tok, off) = (r.getAs[Long]("n_tok"), r.getAs[Long]("seq_offset"))
+      val (sf, sl) = (r.getAs[Long]("seq_first"), r.getAs[Long]("seq_last"))
+      assert(off >= 0 && off < SeqBudget, s"offset $off outside [0,$SeqBudget)")
+      // the doc's token span determines exactly which sequences it touches
+      assert(sl == sf + (off + tok - 1) / SeqBudget,
+        s"span mismatch: first=$sf last=$sl off=$off tok=$tok")
+      assert(r.getAs[Long]("shard") == r.getAs[Long]("doc_id") % PackShards)
+    }
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rs) =>
+      val total = rs.map(_.getAs[Long]("n_tok")).sum
+      // conservation: the shard's token stream ends exactly where the
+      // last doc's slice says it does — no token lost or duplicated
+      val last = rs.maxBy(r => (r.getAs[Long]("seq_first"), r.getAs[Long]("seq_offset")))
+      assert(last.getAs[Long]("seq_first") * SeqBudget + last.getAs[Long]("seq_offset") +
+        last.getAs[Long]("n_tok") == total, s"shard $shard stream length mismatch")
+      assert(rs.map(_.getAs[Long]("seq_last")).max == (total - 1) / SeqBudget)
+      // contiguity: consecutive docs in doc_id order abut exactly —
+      // next doc starts one token after the previous doc ends
+      val ordered = rs.sortBy(_.getAs[Long]("doc_id"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          val endA = a.getAs[Long]("seq_first") * SeqBudget +
+            a.getAs[Long]("seq_offset") + a.getAs[Long]("n_tok")
+          val startB = b.getAs[Long]("seq_first") * SeqBudget + b.getAs[Long]("seq_offset")
+          assert(startB == endA, s"gap in shard $shard between docs")
+        case _ =>
+      }
+      // every sequence except the shard's last is exactly full by
+      // construction (concat-and-slice leaves no internal padding):
+      // implied by contiguity + conservation above
+    }
+  }
 }
