@@ -24,14 +24,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-    * parquet reader rejects; read nanos as long and truncate to
-    * microseconds (exactly what DuckDB does on the oracle side). */
+  /** events.parquet's ts unit has varied across driver testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * only accepts as long via nanosAsLong) or plain TIMESTAMP(MICROS)
+    * without timezone. Normalize either to session-tz TimestampType —
+    * with the UTC session both routes yield identical wall-clock
+    * values, matching DuckDB's naive-timestamp read on the oracle
+    * side. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
