@@ -869,8 +869,70 @@ object Similarity {
       .orderBy(col("method"))
   }
 
+  /** Neighbors per node in the k-NN graph. */
+  val KnnK = 3
+
+  /** SYMMETRIC k-NN GRAPH — the graph artifact downstream semantic
+    * pipelines consume (graph-based near-dup clustering, label
+    * propagation, NN-descent seeding, SemDeDup variants that prune on
+    * graph components instead of cluster mates): per vector, its
+    * KnnK nearest cell-mates by exact cosine, then symmetrized into
+    * undirected edges (a < b) carrying whether the edge is MUTUAL
+    * (in both endpoints' top-k — the reciprocal-NN signal that
+    * separates true near-dups from hub artifacts). Candidate
+    * generation is the IVF cell blocking, never all-pairs: the
+    * per-src top-k is a window inside the cell, and at 100 TB this
+    * runs over the cell-partitioned layout (s_ann_ivf_partitioned's
+    * dirs) with K scaled as N/target_cell_size so per-cell work stays
+    * bounded — the d_semdedup scale rule, same blocking key. The
+    * symmetrize step is a groupBy on the edge key: edge-proportional,
+    * not corpus-quadratic. Cosine parity is the left-fold dot
+    * (functions.Vectors), so MAX over the two directions is exact
+    * (per-component products commute — both directions fold the same
+    * value). */
+  val sKnnGraph: GraftQuery = GraftQuery.sql(
+    "s_knn_graph",
+    s"""WITH $corpusSql,
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NCells),
+       |asg AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |  ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |    ORDER BY ${Vectors.dotSql("n.v", "c.cv")} / (n.nrm * c.cnrm) DESC, c.cid) AS rk
+       |  FROM n CROSS JOIN c),
+       |cl AS (SELECT vec_id, v, nrm, cid FROM asg WHERE rk = 1),
+       |sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |         ${Vectors.dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+       |       FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+       |        ORDER BY cosine DESC, dst) AS rk FROM sc),
+       |knn AS (SELECT * FROM r WHERE rk <= $KnnK),
+       |sym AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+       |          MAX(cosine) AS cosine, COUNT(*) AS n_dir FROM knn GROUP BY 1, 2)
+       |SELECT a, b, cosine, CAST(n_dir AS BIGINT) AS n_dir,
+       |  CAST(CASE WHEN n_dir = 2 THEN 1 ELSE 0 END AS BIGINT) AS mutual
+       |FROM sym ORDER BY a, b""".stripMargin
+  ) { (s, d) =>
+    val cl = graft.ScopedCache(ivfAssignment(s, d).filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid")))
+    val a = cl.select(col("cid").as("acid"), col("vec_id").as("src"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = cl.select(col("cid").as("bcid"), col("vec_id").as("dst"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+    val knn = a.join(b, col("acid") === col("bcid") && col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        (Vectors.dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KnnK)
+    knn.groupBy(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .agg(max(col("cosine")).as("cosine"), count(lit(1)).as("n_dir"))
+      .select(col("a"), col("b"), col("cosine"), col("n_dir"),
+        when(col("n_dir") === 2, 1L).otherwise(0L).as("mutual"))
+      .orderBy(col("a"), col("b"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnIvfPartitioned,
       sAnnPq, sAnnRerank, sHybridRrf, sAnnRecall, sAnnFiltered,
-      sKmeans, sKmeansLoop, dSemdedup, sIndexScoreboard)
+      sKmeans, sKmeansLoop, dSemdedup, sIndexScoreboard, sKnnGraph)
 }

@@ -570,8 +570,88 @@ object TextAnalysis {
       .orderBy(col("shard"), col("doc_id"))
   }
 
+  /** BPE MERGE CANDIDATES — one byte-pair-encoding training
+    * iteration (Sennrich et al. 2016, the tokenizer-training step
+    * every LLM pipeline runs before t_seq_pack can tokenize): count
+    * adjacent character pairs WEIGHTED BY WORD FREQUENCY and rank
+    * merge candidates. The corpus-size pass is only the word-count
+    * aggregation (map-side combined groupBy, the t_vocab_coverage
+    * shape); pair explosion and pair counting then run over the
+    * DISTINCT-WORD table, which is vocabulary-sized (~10^5-10^6
+    * rows) regardless of corpus size — at 100 TB the expensive
+    * per-character work never touches the corpus again, which is
+    * exactly how production BPE trainers scale. Top-20 under the
+    * total order (weight desc, pair asc) so the cut is
+    * deterministic; integer-exact counts on both engines. */
+  val tBpePairs: GraftQuery = GraftQuery.sql(
+    "t_bpe_pairs",
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks WHERE len(tok) >= 2 GROUP BY tok),
+      |pairs AS (SELECT substr(tok, i, 2) AS pair, cnt
+      |          FROM vocab, unnest(generate_series(1, len(tok)-1)) AS g(i))
+      |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS weight
+      |FROM pairs GROUP BY pair ORDER BY weight DESC, pair LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ", -1)).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // sequence(1, n) needs n >= 1, guaranteed by the length filter;
+    // an explicit step keeps Spark from inferring a descending one.
+    vocab
+      .select(col("tok"), col("cnt"),
+        explode(sequence(lit(1), length(col("tok")) - 1, lit(1))).as("i"))
+      .select(expr("substring(tok, i, 2)").as("pair"), col("cnt"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("weight"))
+      .orderBy(col("weight").desc, col("pair")).limit(20)
+  }
+
+  /** Shard count for the training shuffle — local[32]-sized; at
+    * 100 TB set to O(desired reader parallelism). */
+  val ShuffleShards = 16
+
+  /** DETERMINISTIC TRAINING SHUFFLE — the global-shuffle-then-shard
+    * step a pretraining dataloader needs between curation and
+    * t_seq_pack: every doc gets a pseudorandom but REPRODUCIBLE
+    * position via the integer-LCG key (no RNG state, stable at any
+    * parallelism), sharded by key so co-shard docs are a uniform
+    * corpus sample, with the intra-shard order and the round-robin
+    * interleaved read order (read_ord) materialized per doc — the
+    * manifest a distributed loader consumes. Scale shape: NO global
+    * sort — one hash shuffle on shard plus a per-shard window; shards
+    * never interact, so this is embarrassingly parallel in the shard
+    * count at any corpus size (the t_seq_pack discipline, upstream of
+    * it in the pipeline). Integer-exact on both engines. */
+  val tShuffleShard: GraftQuery = GraftQuery.sql(
+    "t_shuffle_shard",
+    s"""WITH k AS (SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n_tok,
+       |    (doc_id * 1103515245 + 12345) % 1048576 AS skey FROM documents),
+       |sh AS (SELECT doc_id, n_tok, skey, skey % $ShuffleShards AS shard,
+       |    ROW_NUMBER() OVER (PARTITION BY skey % $ShuffleShards
+       |      ORDER BY skey, doc_id) AS pos FROM k)
+       |SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(pos AS BIGINT) AS pos,
+       |  CAST((pos - 1) * $ShuffleShards + shard AS BIGINT) AS read_ord,
+       |  CAST(n_tok AS BIGINT) AS n_tok
+       |FROM sh ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tok"),
+        ((col("doc_id") * 1103515245L + 12345L) % 1048576L).as("skey"))
+      .withColumn("shard", (col("skey") % ShuffleShards).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"),
+        ((col("pos") - 1L) * ShuffleShards + col("shard")).as("read_ord"),
+        col("n_tok"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tTokenCount, tQualityScore, tLangId, tFingerprint, tNgramFreq,
       tFluencyScore, tLangGini, tPiiScrub, tLangRebalance,
-      tRepetitionFilter, tC4Filter, tStratifiedSample, tSeqPack)
+      tRepetitionFilter, tC4Filter, tStratifiedSample, tSeqPack,
+      tBpePairs, tShuffleShard)
 }

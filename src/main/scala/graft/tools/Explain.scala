@@ -48,7 +48,11 @@ object Explain {
     // round-7: the convergence loop over the trained centroids, the
     // two scale-step rewrites (DF-ordered prefix filtering,
     // bucket-local sorted neighborhood), and sequence packing
-    "s_kmeans_loop", "d_ngram_jaccard", "t_seq_pack")
+    "s_kmeans_loop", "d_ngram_jaccard", "t_seq_pack",
+    // round-7 continued: BPE merge counting over the vocab table,
+    // the deterministic training shuffle, and the cell-blocked
+    // symmetric k-NN graph
+    "t_bpe_pairs", "t_shuffle_shard", "s_knn_graph")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

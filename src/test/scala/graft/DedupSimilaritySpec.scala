@@ -368,4 +368,35 @@ class DedupSimilaritySpec extends SparkSpec {
     Dedup.dIncrementalDedup.fn(spark, sfDir).count()
     assert(sig() == before, "unchanged source must not rewrite the band index")
   }
+
+  test("knn graph: degrees bounded by k, mutual edges are exactly the reciprocal pairs") {
+    val edges = Similarity.sKnnGraph.fn(spark, sfDir).collect()
+    assert(edges.nonEmpty)
+    edges.foreach { r =>
+      assert(r.getAs[Long]("a") < r.getAs[Long]("b"), "edges must be canonical a<b")
+      val nd = r.getAs[Long]("n_dir")
+      assert(nd == 1L || nd == 2L)
+      assert((nd == 2L) == (r.getAs[Long]("mutual") == 1L))
+    }
+    // undirected degree from the symmetric edge list: a node sources
+    // at most KnnK edges, so degree <= KnnK + times it was chosen by
+    // others; but OUT-degree reconstructed from non-mutual + mutual
+    // split cannot exceed KnnK
+    val k = Similarity.KnnK
+    val outDeg = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    edges.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      if (r.getAs[Long]("mutual") == 1L) { outDeg(a) += 1; outDeg(b) += 1 }
+    }
+    // mutual edges consume an out-slot at BOTH endpoints
+    outDeg.foreach { case (n, d) =>
+      assert(d <= k, s"node $n has $d mutual edges > k=$k")
+    }
+    // mutual count is symmetric by construction; cross-check one
+    // endpoint pair against brute-force within the whole corpus:
+    // every mutual pair must be each other's cell-mate (same cid)
+    // which the oracle already enforces; here assert the mutual set
+    // is nonempty on this corpus (reciprocal structure exists)
+    assert(edges.exists(_.getAs[Long]("mutual") == 1L), "no reciprocal pairs found")
+  }
 }

@@ -118,4 +118,40 @@ class TextAnalysisSpec extends SparkSpec {
       // implied by contiguity + conservation above
     }
   }
+
+  test("bpe pairs: top merge weight matches an independent corpus-level count") {
+    val rows = TextAnalysis.tBpePairs.fn(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val weights = rows.map(_.getAs[Long]("weight"))
+    assert(weights.sameElements(weights.sorted.reverse), "not weight-descending")
+    // recompute the winning pair's weight straight off the corpus
+    // token stream (no vocab intermediate): occurrences of the pair
+    // at any position in any token of length >= 2
+    val top = rows.head
+    val pair = top.getAs[String]("pair")
+    val direct = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ", -1)).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(sequence(lit(1), length(col("tok")) - 1, lit(1))).as("i"), col("tok"))
+      .filter(expr("substring(tok, i, 2)") === pair)
+      .count()
+    assert(top.getAs[Long]("weight") == direct,
+      s"vocab-weighted count ${top.getAs[Long]("weight")} != corpus count $direct")
+  }
+
+  test("shuffle shard is a permutation: read order total, shards contiguous") {
+    val rows = TextAnalysis.tShuffleShard.fn(spark, sfDir).collect()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.length == total, "every doc must appear exactly once")
+    // read_ord = (pos-1)*S + shard is injective iff (shard, pos) is
+    assert(rows.map(_.getAs[Long]("read_ord")).distinct.length == rows.length)
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rs) =>
+      val ps = rs.map(_.getAs[Long]("pos")).sorted
+      assert(ps.head == 1L && ps.last == ps.length.toLong,
+        s"shard $shard positions not contiguous 1..${ps.length}")
+    }
+    // deterministic: a second run yields the identical manifest
+    val again = TextAnalysis.tShuffleShard.fn(spark, sfDir).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
 }
