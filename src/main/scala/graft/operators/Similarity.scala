@@ -871,6 +871,17 @@ object Similarity {
 
   /** Neighbors per node in the k-NN graph. */
   val KnnK = 3
+  /** Target vectors per cell for the graph's ADAPTIVE cell count:
+    * K = max(NCells, N/KnnCellTarget), so per-cell population — and
+    * with it the cell-local pair work — stays ~constant as the corpus
+    * grows (the d_semdedup K-scaling rule, here enforced in code, not
+    * prose). N is the table row count: a metadata-cheap statistic
+    * (table stats in a real deployment), mirrored by the oracle's cnt
+    * CTE. */
+  val KnnCellTarget = 64
+
+  private[operators] def knnCellCount(n: Long): Long =
+    math.max(NCells.toLong, n / KnnCellTarget)
 
   /** SYMMETRIC k-NN GRAPH — the graph artifact downstream semantic
     * pipelines consume (graph-based near-dup clustering, label
@@ -881,10 +892,12 @@ object Similarity {
     * (in both endpoints' top-k — the reciprocal-NN signal that
     * separates true near-dups from hub artifacts). Candidate
     * generation is the IVF cell blocking, never all-pairs: the
-    * per-src top-k is a window inside the cell, and at 100 TB this
-    * runs over the cell-partitioned layout (s_ann_ivf_partitioned's
-    * dirs) with K scaled as N/target_cell_size so per-cell work stays
-    * bounded — the d_semdedup scale rule, same blocking key. The
+    * per-src top-k is a window inside the cell, and the cell count is
+    * CORPUS-ADAPTIVE (knnCellCount: K = max(8, N/KnnCellTarget), the
+    * d_semdedup K-scaling rule enforced in code) so per-cell
+    * population — and the cell-local pair work — stays ~constant as
+    * the corpus grows; at 100 TB this runs over the cell-partitioned
+    * layout (s_ann_ivf_partitioned's dirs), same blocking key. The
     * symmetrize step is a groupBy on the edge key: edge-proportional,
     * not corpus-quadratic. Cosine parity is the left-fold dot
     * (functions.Vectors), so MAX over the two directions is exact
@@ -893,7 +906,8 @@ object Similarity {
   val sKnnGraph: GraftQuery = GraftQuery.sql(
     "s_knn_graph",
     s"""WITH $corpusSql,
-       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NCells),
+       |cnt AS (SELECT GREATEST($NCells, count(*) // $KnnCellTarget) AS kc FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n, cnt WHERE vec_id < kc),
        |asg AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
        |  ROW_NUMBER() OVER (PARTITION BY n.vec_id
        |    ORDER BY ${Vectors.dotSql("n.v", "c.cv")} / (n.nrm * c.cnrm) DESC, c.cid) AS rk
@@ -911,7 +925,14 @@ object Similarity {
        |  CAST(CASE WHEN n_dir = 2 THEN 1 ELSE 0 END AS BIGINT) AS mutual
        |FROM sym ORDER BY a, b""".stripMargin
   ) { (s, d) =>
-    val cl = graft.ScopedCache(ivfAssignment(s, d).filter(col("rk") === 1)
+    val kc = knnCellCount(Tables.embeddings(s, d).count())
+    val n = corpus(s, d)
+    val c = n.filter(col("vec_id") < kc)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy((Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).desc, col("cid"))
+    val cl = graft.ScopedCache(n.crossJoin(broadcast(c))
+      .withColumn("rk", row_number().over(wAsg)).filter(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid")))
     val a = cl.select(col("cid").as("acid"), col("vec_id").as("src"),
       col("v").as("av"), col("nrm").as("an"))
