@@ -569,8 +569,72 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Tokens per substring window. */
+  val SubNgram = 8
+
+  /** SUBSTRING-LEVEL DUPLICATION — the exact-substring dedup signal
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"): doc-level dedup misses boilerplate and quoted
+    * spans REPEATED INSIDE otherwise-distinct documents, which is
+    * what actually drives memorization. Every overlapping
+    * SubNgram-token window is fingerprinted (parity rolling hash);
+    * an occurrence is duplicated iff its fingerprint appears >= 2
+    * times corpus-wide (within- OR cross-doc — both are training
+    * repeats). Per-doc duplicated fraction flags docs with >= 20% of
+    * their windows duplicated (integer cross-multiplied), rolled up
+    * per (lang, source) — the report that locates WHICH feed ships
+    * boilerplate. Cost shape (the suffix-array work re-expressed
+    * relationally): the window table is corpus-TOKEN-proportional —
+    * one count-over-key (shuffle on the hash key, the only
+    * corpus-wide exchange, exactly what a distributed suffix-array
+    * build pays) and one per-doc partial agg; no joins, no pairwise
+    * work. At 100 TB the key is xxhash64 instead of the parity hash
+    * (GraftHash.fastHash — same plan, wider hash). Docs shorter than
+    * SubNgram tokens carry no windows and are excluded from the
+    * denominator on both engines. */
+  val dSubstringDup: GraftQuery = GraftQuery.sql(
+    "d_substring_dup",
+    s"""WITH toks AS (SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),
+       |gr AS (SELECT doc_id, lang, source,
+       |         ${GraftHash.charHashSql(s"array_to_string(t[i:i+${SubNgram - 1}], ' ')")} AS key
+       |       FROM toks, unnest(generate_series(1, len(t) - ${SubNgram - 1})) AS g(i)
+       |       WHERE len(t) >= $SubNgram),
+       |wc AS (SELECT doc_id, lang, source,
+       |         COUNT(*) OVER (PARTITION BY key) AS c FROM gr),
+       |pd AS (SELECT doc_id, lang, source, COUNT(*) AS n_g,
+       |         SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_d
+       |       FROM wc GROUP BY doc_id, lang, source)
+       |SELECT lang, source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN 5 * n_d >= n_g THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |  CAST(SUM(n_g) AS BIGINT) AS total_ngrams,
+       |  CAST(SUM(n_d) AS BIGINT) AS dup_ngrams
+       |FROM pd GROUP BY lang, source ORDER BY lang, source""".stripMargin
+  ) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+    val gr = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        split(col("text"), " ", -1).as("t"))
+      .filter(size(col("t")) >= SubNgram)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(sequence(lit(1), size(col("t")) - (SubNgram - 1), lit(1))).as("i"),
+        col("t"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        GraftHash.charHash(
+          array_join(slice(col("t"), col("i"), lit(SubNgram)), " ")).as("key"))
+    gr.withColumn("c", count(lit(1)).over(w))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_d"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_d") * 5 >= col("n_g"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("n_g")).as("total_ngrams"),
+        sum(col("n_d")).as("dup_ngrams"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     dExactDup, dNgramJaccard, dMinhashLsh, dSimhash, dCorpusSimilarity,
     dDupClusters, dDedupFilter, dContainment, dCorpusCurate, stStreamNearDup,
-    dDecontaminate, dIncrementalDedup)
+    dDecontaminate, dIncrementalDedup, dSubstringDup)
 }

@@ -369,6 +369,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sig() == before, "unchanged source must not rewrite the band index")
   }
 
+  test("substring dup: window-over-key formulation equals the groupBy-join one") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.dSubstringDup.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("dup_ngrams") <= r.getAs[Long]("total_ngrams"))
+    }
+    // independent formulation: per-key counts via groupBy, joined back
+    val k = graft.operators.Dedup.SubNgram
+    val gr = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - (k - 1), lit(1))).as("i"), col("t"))
+      .select(col("doc_id"),
+        graft.functions.GraftHash.charHash(
+          array_join(slice(col("t"), col("i"), lit(k)), " ")).as("key"))
+    val kc = gr.groupBy(col("key")).agg(count(lit(1)).as("c"))
+    val totals = gr.join(kc, "key")
+      .agg(count(lit(1)).as("tot"), sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup"))
+      .collect()(0)
+    assert(rows.map(_.getAs[Long]("total_ngrams")).sum == totals.getAs[Long]("tot"))
+    assert(rows.map(_.getAs[Long]("dup_ngrams")).sum == totals.getAs[Long]("dup"))
+  }
+
   test("knn graph: degrees bounded by k, mutual edges are exactly the reciprocal pairs") {
     val edges = Similarity.sKnnGraph.fn(spark, sfDir).collect()
     assert(edges.nonEmpty)
