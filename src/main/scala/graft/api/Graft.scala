@@ -41,6 +41,37 @@ object Graft {
         lit(0.3) * (lit(1.0) - nPunct / nChars) +
         lit(0.2) * least(lit(1.0), lit(4.0) * nStop / nTok)
     }
+
+    /** BPE merge candidates over any text frame (the t_bpe_pairs
+      * machinery): adjacent character pairs weighted by word
+      * frequency, top-`topN` under the (weight desc, pair asc) total
+      * order. The corpus-size pass is only the word-count groupBy;
+      * pair explosion runs over the vocabulary-sized distinct-word
+      * table. Returns (pair, weight). */
+    def bpeMerges(df: DataFrame, textCol: String, topN: Int): DataFrame =
+      df.select(explode(split(col(textCol), " ", -1)).as("tok"))
+        .filter(length(col("tok")) >= 2)
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .select(col("tok"), col("cnt"),
+          explode(sequence(lit(1), length(col("tok")) - 1, lit(1))).as("i"))
+        .select(expr("substring(tok, i, 2)").as("pair"), col("cnt"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("weight"))
+        .orderBy(col("weight").desc, col("pair")).limit(topN)
+
+    /** Deterministic training shuffle of any keyed frame (the
+      * t_shuffle_shard machinery): reproducible LCG position per id,
+      * sharded, with intra-shard order and the round-robin
+      * interleaved read order. No global sort — one hash shuffle plus
+      * a per-shard window. Returns the input columns plus
+      * (shard, pos, read_ord). */
+    def shuffleShards(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+      val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col(idCol))
+      df.withColumn("skey", (col(idCol) * 1103515245L + 12345L) % 1048576L)
+        .withColumn("shard", (col("skey") % shards).cast("long"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .withColumn("read_ord", (col("pos") - 1L) * shards + col("shard"))
+        .drop("skey")
+    }
   }
 
   /** Deduplication over any (id, text) frame. */
@@ -385,6 +416,30 @@ object Graft {
 
     /** SimHash near-dup pairs at a hamming bound, chunk-blocked
       * (pigeonhole guarantees recall for maxHamming < chunks). */
+    /** Substring-level duplication stats over any (id, text) frame
+      * (the d_substring_dup machinery, Lee et al. 2022): every
+      * overlapping `n`-token window fingerprinted, an occurrence
+      * duplicated iff its fingerprint appears >= 2 times corpus-wide.
+      * Returns per-doc (idCol, n_windows, n_dup) — filter
+      * `n_dup * 100 >= pct * n_windows` for a flag, or aggregate for
+      * the corpus report. One shuffle (count-over-key), no joins;
+      * docs shorter than `n` tokens carry no rows. */
+    def substringDupStats(df: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+      val w = Window.partitionBy(col("key"))
+      df.select(col(idCol), split(col(textCol), " ", -1).as("t"))
+        .filter(size(col("t")) >= n)
+        .select(col(idCol),
+          explode(sequence(lit(1), size(col("t")) - (n - 1), lit(1))).as("i"),
+          col("t"))
+        .select(col(idCol),
+          GraftHash.charHash(array_join(slice(col("t"), col("i"), lit(n)), " ")).as("key"))
+        .withColumn("c", count(lit(1)).over(w))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup"))
+    }
+
     def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3, bits: Int = 24, chunks: Int = 4): DataFrame = {
       import org.apache.spark.sql.graft.Shims
@@ -574,6 +629,35 @@ object Graft {
       cl.join(pruned, col("vec_id") === col("vb"), "left")
         .select(col("vec_id").as(idCol), col("cid"),
           coalesce(col("is_pruned"), lit(false)).as("pruned"))
+    }
+
+    /** Symmetric k-NN graph with cell blocking (the s_knn_graph
+      * machinery over any frame): vectors are assigned to cells by
+      * argmax cosine against a caller-provided centroid frame (the
+      * kmeansCentroids output shape: `cid`, `cv`, `cnrm`), each
+      * vector's k nearest CELL-MATES are found by exact cosine, and
+      * the directed top-k lists are symmetrized into undirected
+      * `(a, b, cosine, mutual)` edges — `mutual` marks reciprocal
+      * pairs (in both endpoints' top-k). Choose the centroid count
+      * ~corpus/target_cell_size so cell-local pair work stays
+      * bounded at scale; never all-pairs. */
+    def knnGraph(df: DataFrame, idCol: String, vecCol: String,
+                 centroids: DataFrame, k: Int): DataFrame = {
+      val cl = assign(normalized(df, idCol, vecCol), centroids)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+      val b = cl.select(col("cid").as("bcid"), col("vec_id").as("dst"),
+        col("v").as("bv"), col("nrm").as("bn"))
+      val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+      val knn = cl.join(b, col("cid") === col("bcid") && col("vec_id") =!= col("dst"))
+        .select(col("vec_id").as("src"), col("dst"),
+          (Vectors.dot(col("v"), col("bv")) / (col("nrm") * col("bn"))).as("cosine"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+      knn.groupBy(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .agg(max(col("cosine")).as("cosine"), count(lit(1)).as("n_dir"))
+        .select(col("a"), col("b"), col("cosine"),
+          (col("n_dir") === 2).as("mutual"))
     }
   }
 

@@ -262,4 +262,49 @@ class GraftApiSpec extends SparkSpec {
     assert(!rows(20L) && rows(21L), s"y-group: keep 20, prune 21: $rows")
     assert(!rows(30L), "the lone vector has no >theta mate and must survive")
   }
+
+  test("bpeMerges surfaces the dominant adjacent pair of a user corpus") {
+    val top = Graft.text.bpeMerges(docs, "body", topN = 5).collect()
+    assert(top.length == 5)
+    val weights = top.map(_.getAs[Long]("weight"))
+    assert(weights.sameElements(weights.sorted.reverse))
+    // "ta": beta x3 + delta x3 + zeta x2 + eta x1 + totally x1 = 10
+    val m = top.map(r => r.getAs[String]("pair") -> r.getAs[Long]("weight")).toMap
+    assert(m.get("ta").contains(10L), s"expected ta->10 in $m")
+  }
+
+  test("shuffleShards is a reproducible permutation with contiguous shard positions") {
+    val a = Graft.text.shuffleShards(docs, "id", shards = 2).collect()
+    val b = Graft.text.shuffleShards(docs, "id", shards = 2).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+    assert(a.map(_.getAs[Long]("read_ord")).distinct.length == a.length)
+    a.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      val ps = rs.map(_.getAs[Long]("pos")).sorted
+      assert(ps.head == 1L && ps.last == ps.length.toLong)
+    }
+  }
+
+  test("substringDupStats finds the repeated window across the dup docs") {
+    // docs 1 and 5 are identical 6-token texts; with n=6 their single
+    // window is shared (corpus count 2) while docs 3/4 are unique
+    val st = Graft.dedup.substringDupStats(docs, "id", "body", n = 6)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup"))).toMap
+    assert(st(1L) == (1L, 1L) && st(5L) == (1L, 1L), s"dup pair missed: $st")
+    assert(st(3L) == (2L, 0L), s"7-token unique doc must have 2 clean windows: $st")
+    assert(st(4L) == (1L, 0L), s"unique doc flagged: $st")
+  }
+
+  test("knnGraph over caller centroids matches mutuality within cells") {
+    val cents = Graft.ann.kmeansCentroids(vecs, "id", "emb", k = 2, maxIter = 2)
+    val g = Graft.ann.knnGraph(vecs, "id", "emb", cents, k = 2).collect()
+    assert(g.nonEmpty)
+    g.foreach { r =>
+      assert(r.getAs[Long]("a") < r.getAs[Long]("b"))
+    }
+    // the three co-directional x-axis vectors are mutual neighbors
+    val mutualPairs = g.filter(_.getAs[Boolean]("mutual"))
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(mutualPairs.exists { case (x, y) => Set(10L, 11L, 12L).contains(x) && Set(10L, 11L, 12L).contains(y) },
+      s"x-group mutual edge missing: $mutualPairs")
+  }
 }
