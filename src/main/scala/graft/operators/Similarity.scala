@@ -883,6 +883,21 @@ object Similarity {
   private[operators] def knnCellCount(n: Long): Long =
     math.max(NCells.toLong, n / KnnCellTarget)
 
+  /** Corpus assigned to ADAPTIVE cells (knnCellCount centroids),
+    * ScopedCache-materialized: (vec_id, v, nrm, cid). Shared by the
+    * k-NN-graph family. */
+  private def adaptiveCells(s: SparkSession, d: String): DataFrame = {
+    val kc = knnCellCount(Tables.embeddings(s, d).count())
+    val n = corpus(s, d)
+    val c = n.filter(col("vec_id") < kc)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy((Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).desc, col("cid"))
+    graft.ScopedCache(n.crossJoin(broadcast(c))
+      .withColumn("rk", row_number().over(wAsg)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid")))
+  }
+
   /** SYMMETRIC k-NN GRAPH — the graph artifact downstream semantic
     * pipelines consume (graph-based near-dup clustering, label
     * propagation, NN-descent seeding, SemDeDup variants that prune on
@@ -925,15 +940,7 @@ object Similarity {
        |  CAST(CASE WHEN n_dir = 2 THEN 1 ELSE 0 END AS BIGINT) AS mutual
        |FROM sym ORDER BY a, b""".stripMargin
   ) { (s, d) =>
-    val kc = knnCellCount(Tables.embeddings(s, d).count())
-    val n = corpus(s, d)
-    val c = n.filter(col("vec_id") < kc)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val wAsg = Window.partitionBy(col("vec_id"))
-      .orderBy((Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).desc, col("cid"))
-    val cl = graft.ScopedCache(n.crossJoin(broadcast(c))
-      .withColumn("rk", row_number().over(wAsg)).filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid")))
+    val cl = adaptiveCells(s, d)
     val a = cl.select(col("cid").as("acid"), col("vec_id").as("src"),
       col("v").as("av"), col("nrm").as("an"))
     val b = cl.select(col("cid").as("bcid"), col("vec_id").as("dst"),
@@ -952,8 +959,82 @@ object Similarity {
       .orderBy(col("a"), col("b"))
   }
 
+  /** TRIANGLE CENSUS over the mutual k-NN graph — the corpus-structure
+    * signal downstream curation reads off the graph s_knn_graph
+    * builds: a triangle of RECIPROCAL neighbors is the strongest
+    * local evidence of a tight semantic cluster (dedup candidates,
+    * topic knots), and per-cell triangle density is the
+    * graph-quality number an ANN deployment tracks. Classic
+    * distributed triangle counting: canonical a<b edges, two
+    * equi-joins (e1.b=e2.a wedge build, closing-edge check) — never
+    * enumerates node neighborhoods driver-side; triangles are
+    * cell-local by construction (every edge is within-cell), so the
+    * joins inherit the cell blocking and the edge table is
+    * ≤ K·N/2 rows whatever the corpus size. Output: per-cell nodes,
+    * mutual edges, triangles — exact integers on both engines. */
+  val gKnnTriangles: GraftQuery = GraftQuery.sql(
+    "g_knn_triangles",
+    s"""WITH $corpusSql,
+       |cnt AS (SELECT GREATEST($NCells, count(*) // $KnnCellTarget) AS kc FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n, cnt WHERE vec_id < kc),
+       |asg AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |  ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |    ORDER BY ${Vectors.dotSql("n.v", "c.cv")} / (n.nrm * c.cnrm) DESC, c.cid) AS rk
+       |  FROM n CROSS JOIN c),
+       |cl AS (SELECT vec_id, v, nrm, cid FROM asg WHERE rk = 1),
+       |sc AS (SELECT a.vec_id AS src, b.vec_id AS dst, a.cid,
+       |         ${Vectors.dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+       |       FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+       |        ORDER BY cosine DESC, dst) AS rk FROM sc),
+       |knn AS (SELECT * FROM r WHERE rk <= $KnnK),
+       |me AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, MAX(cid) AS cid
+       |       FROM knn GROUP BY 1, 2 HAVING COUNT(*) = 2),
+       |tri AS (SELECT e1.cid, COUNT(*) AS n_tri
+       |        FROM me e1 JOIN me e2 ON e1.b = e2.a
+       |                   JOIN me e3 ON e3.a = e1.a AND e3.b = e2.b
+       |        GROUP BY e1.cid),
+       |nn AS (SELECT cid, COUNT(*) AS n_nodes FROM cl GROUP BY cid),
+       |ne AS (SELECT cid, COUNT(*) AS n_edges FROM me GROUP BY cid)
+       |SELECT nn.cid, CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(COALESCE(ne.n_edges, 0) AS BIGINT) AS n_mutual_edges,
+       |  CAST(COALESCE(tri.n_tri, 0) AS BIGINT) AS n_triangles
+       |FROM nn LEFT JOIN ne ON nn.cid = ne.cid LEFT JOIN tri ON nn.cid = tri.cid
+       |ORDER BY nn.cid""".stripMargin
+  ) { (s, d) =>
+    val cl = adaptiveCells(s, d)
+    val b = cl.select(col("cid").as("bcid"), col("vec_id").as("dst"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+    val knn = cl.join(b, col("cid") === col("bcid") && col("vec_id") =!= col("dst"))
+      .select(col("vec_id").as("src"), col("dst"), col("cid"),
+        (Vectors.dot(col("v"), col("bv")) / (col("nrm") * col("bn"))).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KnnK)
+    val me = graft.ScopedCache(
+      knn.groupBy(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .agg(max(col("cid")).as("cid"), count(lit(1)).as("n_dir"))
+        .filter(col("n_dir") === 2)
+        .select(col("a"), col("b"), col("cid")))
+    val e2 = me.select(col("a").as("wa"), col("b").as("wb"))
+    val e3 = me.select(col("a").as("ca"), col("b").as("cb"))
+    val tri = me.join(e2, col("b") === col("wa"))
+      .join(e3, col("a") === col("ca") && col("wb") === col("cb"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_tri"))
+    val nn = cl.groupBy(col("cid")).agg(count(lit(1)).as("n_nodes"))
+    val ne = me.groupBy(col("cid").as("necid")).agg(count(lit(1)).as("n_edges"))
+    nn.join(ne, col("cid") === col("necid"), "left")
+      .join(tri.withColumnRenamed("cid", "tcid"), col("cid") === col("tcid"), "left")
+      .select(col("cid"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_mutual_edges"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"))
+      .orderBy(col("cid"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnIvfPartitioned,
       sAnnPq, sAnnRerank, sHybridRrf, sAnnRecall, sAnnFiltered,
-      sKmeans, sKmeansLoop, dSemdedup, sIndexScoreboard, sKnnGraph)
+      sKmeans, sKmeansLoop, dSemdedup, sIndexScoreboard, sKnnGraph,
+      gKnnTriangles)
 }

@@ -52,7 +52,8 @@ object Explain {
     // round-7 continued: BPE merge counting over the vocab table,
     // the deterministic training shuffle, and the cell-blocked
     // symmetric k-NN graph
-    "t_bpe_pairs", "t_shuffle_shard", "s_knn_graph", "d_substring_dup")
+    "t_bpe_pairs", "t_shuffle_shard", "s_knn_graph", "d_substring_dup",
+    "g_knn_triangles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

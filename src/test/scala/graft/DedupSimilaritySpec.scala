@@ -395,6 +395,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("dup_ngrams")).sum == totals.getAs[Long]("dup"))
   }
 
+  test("knn triangles: distributed count equals a driver-side recount of the edge set") {
+    val rows = Similarity.gKnnTriangles.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // reconstruct the mutual edge set from s_knn_graph and recount
+    // triangles by brute force on the (small) collected edges
+    val edges = Similarity.sKnnGraph.fn(spark, sfDir).collect()
+      .filter(_.getAs[Long]("mutual") == 1L)
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val adj = edges.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val triCount = edges.toSeq.map { case (a, b) =>
+      adj.getOrElse(a, Set.empty[Long]).count(c => c > b && edges.contains((b, c)))
+    }.sum
+    assert(rows.map(_.getAs[Long]("n_triangles")).sum == triCount.toLong,
+      s"distributed=${rows.map(_.getAs[Long]("n_triangles")).sum} driver=$triCount")
+    assert(rows.map(_.getAs[Long]("n_mutual_edges")).sum == edges.size.toLong)
+  }
+
   test("knn graph: degrees bounded by k, mutual edges are exactly the reciprocal pairs") {
     val edges = Similarity.sKnnGraph.fn(spark, sfDir).collect()
     assert(edges.nonEmpty)
