@@ -513,8 +513,43 @@ object Analytics {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** WEEKLY SEASONALITY PROFILE — the dow×hour load map every
+    * capacity plan and seasonal anomaly baseline starts from (the
+    * seasonal component ts_anomaly's global stats and
+    * ts_baseline_anomaly's trailing day both deliberately ignore):
+    * per (event_type, day-of-week, hour) event counts, with a HOT
+    * flag for buckets exceeding 2× the event type's mean bucket load
+    * — the comparison is integer cross-multiplied (n·168 > 2·total),
+    * no division, so it is bit-exact on both engines. Scale shape:
+    * the corpus is scanned once into a groupBy that map-side
+    * combines to ≤ types×168 rows; the per-type total is a window
+    * over that tiny frame — the corpus never shuffles. Day-of-week
+    * alignment: Spark dayofweek() is 1-based Sunday, DuckDB 0-based
+    * Sunday; the Spark side subtracts 1. */
+  val tsSeasonality: GraftQuery = GraftQuery.sql(
+    "ts_seasonality",
+    """WITH b AS (SELECT event_type, dayofweek(ts) AS dow, hour(ts) AS hr,
+      |             COUNT(*) AS n_events FROM events GROUP BY 1, 2, 3),
+      |w AS (SELECT *, SUM(n_events) OVER (PARTITION BY event_type) AS n_tot FROM b)
+      |SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(hr AS BIGINT) AS hr,
+      |  CAST(n_events AS BIGINT) AS n_events,
+      |  CAST(CASE WHEN n_events * 168 > 2 * n_tot THEN 1 ELSE 0 END AS BIGINT) AS hot
+      |FROM w ORDER BY event_type, dow, hr""".stripMargin
+  ) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("n_tot", sum(col("n_events")).over(w))
+      .select(col("event_type"), col("dow"), col("hr"), col("n_events"),
+        when(col("n_events") * 168 > col("n_tot") * 2, 1L).otherwise(0L).as("hot"))
+      .orderBy(col("event_type"), col("dow"), col("hr"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qBloomJoin, qMvIncremental, tsResample, dEditDistance,
     qParetoFrontier, stLatenessAudit, gPagerank, qWindowPercentile,
-    tsAnomaly, tsBaselineAnomaly)
+    tsAnomaly, tsBaselineAnomaly, tsSeasonality)
 }

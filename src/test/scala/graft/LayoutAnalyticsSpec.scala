@@ -295,4 +295,24 @@ class LayoutAnalyticsSpec extends SparkSpec {
     }
     assert(rows.map(_.getAs[Long]("n_anomalous")).sum > 0, "degenerate: nothing flagged")
   }
+
+  test("ts_seasonality conserves event counts and bounds buckets per type") {
+    val rows = Analytics.tsSeasonality.fn(spark, sfDir).collect()
+    val total = Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total,
+      "bucket counts must partition the event stream")
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      assert(rs.length <= 168, s"$t has ${rs.length} dow*hour buckets")
+      val tot = rs.map(_.getAs[Long]("n_events")).sum
+      rs.foreach { r =>
+        val hot = r.getAs[Long]("hot") == 1L
+        assert(hot == (r.getAs[Long]("n_events") * 168 > 2 * tot),
+          s"hot flag must be the exact 2x-mean cross-multiplication for $t")
+      }
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dow") >= 0 && r.getAs[Long]("dow") <= 6)
+      assert(r.getAs[Long]("hr") >= 0 && r.getAs[Long]("hr") <= 23)
+    }
+  }
 }
