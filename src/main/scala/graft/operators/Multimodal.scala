@@ -305,5 +305,61 @@ object Multimodal {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
-  def all: Seq[GraftQuery] = Seq(mMultimodalMeta, mMediaResize, mFeaturePairs, mChunkedFeatures)
+  /** SCENE-CUT DETECTION over the chunk stream — the shot-boundary
+    * step of a video/audio ingest pipeline (frame-histogram delta >
+    * threshold => cut), run here over m_chunked_features' windows
+    * with a character-class rate standing in for the stubbed frame
+    * histogram: a boundary is flagged when the vowel RATE shifts by
+    * more than 5% between adjacent chunks of the same doc. Rate
+    * comparison is integer cross-multiplied
+    * (20·|nv·plen − pnv·clen| > clen·plen) so trailing partial
+    * chunks don't false-positive on length alone and the cut
+    * decision is bit-exact on both engines. Cost shape: the chunk
+    * stream is position-generated (no shuffle), the lag() is a
+    * per-doc window — embarrassingly parallel in docs; output is
+    * cut-proportional. At 100 TB the same plan runs over real frame
+    * histograms from the decode stage (m_multimodal_meta's
+    * mapPartitions site). */
+  val mSceneCuts: GraftQuery = GraftQuery.sql(
+    "m_scene_cuts",
+    """WITH ch AS (
+      |  SELECT doc_id, text, unnest(generate_series(1, length(text), 128)) AS p
+      |  FROM documents WHERE length(text) > 0),
+      |c2 AS (SELECT doc_id, CAST((p - 1) // 128 AS BIGINT) AS chunk_idx,
+      |         substring(text, p, 256) AS chunk FROM ch),
+      |f AS (SELECT doc_id, chunk_idx,
+      |        CAST(length(chunk) AS BIGINT) AS clen,
+      |        CAST(len(regexp_extract_all(chunk, '[aeiou]')) AS BIGINT) AS nv
+      |      FROM c2),
+      |d AS (SELECT doc_id, chunk_idx, clen, nv,
+      |        LAG(clen) OVER w AS plen, LAG(nv) OVER w AS pnv
+      |      FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_idx))
+      |SELECT doc_id, chunk_idx, clen, nv, plen, pnv
+      |FROM d WHERE plen IS NOT NULL
+      |  AND 20 * ABS(nv * plen - pnv * clen) > clen * plen
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+  ) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("chunk_idx"))
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(1), length(col("text")), lit(128))).as(Seq("chunk_idx", "p")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        expr("substring(text, p, 256)").as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        length(col("chunk")).cast("long").as("clen"),
+        size(regexp_extract_all(col("chunk"), lit("[aeiou]"), lit(0))).cast("long").as("nv"))
+      .withColumn("plen", lag(col("clen"), 1).over(w))
+      .withColumn("pnv", lag(col("nv"), 1).over(w))
+      .filter(col("plen").isNotNull &&
+        abs(col("nv") * col("plen") - col("pnv") * col("clen")) * 20 >
+          col("clen") * col("plen"))
+      .select(col("doc_id"), col("chunk_idx"), col("clen"), col("nv"),
+        col("plen"), col("pnv"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  def all: Seq[GraftQuery] =
+    Seq(mMultimodalMeta, mMediaResize, mFeaturePairs, mChunkedFeatures, mSceneCuts)
 }

@@ -86,4 +86,22 @@ class LakeSpec extends SparkSpec {
       assert(r.getAs[Double]("sample_mean") > 0)
     }
   }
+
+  test("scene cuts fire exactly on the cross-multiplied 5% rate shift") {
+    val cuts = Multimodal.mSceneCuts.fn(spark, sfDir).collect()
+    assert(cuts.nonEmpty, "no cuts on this corpus")
+    cuts.foreach { r =>
+      val (clen, nv) = (r.getAs[Long]("clen"), r.getAs[Long]("nv"))
+      val (plen, pnv) = (r.getAs[Long]("plen"), r.getAs[Long]("pnv"))
+      assert(20L * math.abs(nv * plen - pnv * clen) > clen * plen,
+        "every emitted row must satisfy the cut predicate")
+      assert(r.getAs[Long]("chunk_idx") >= 1, "chunk 0 has no predecessor")
+    }
+    // never fires on a length-only change: an identical rate at a
+    // different length has |nv*plen - pnv*clen| == 0
+    assert(cuts.forall { r =>
+      r.getAs[Long]("nv") * r.getAs[Long]("plen") !=
+        r.getAs[Long]("pnv") * r.getAs[Long]("clen")
+    })
+  }
 }
