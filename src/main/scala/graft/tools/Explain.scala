@@ -53,7 +53,7 @@ object Explain {
     // the deterministic training shuffle, and the cell-blocked
     // symmetric k-NN graph
     "t_bpe_pairs", "t_shuffle_shard", "s_knn_graph", "d_substring_dup",
-    "g_knn_triangles", "ts_seasonality")
+    "g_knn_triangles", "ts_seasonality", "m_scene_cuts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
