@@ -58,15 +58,20 @@ object Graft {
         .groupBy(col("pair")).agg(sum(col("cnt")).as("weight"))
         .orderBy(col("weight").desc, col("pair")).limit(topN)
 
-    /** Deterministic training shuffle of any keyed frame (the
+    /** Deterministic training shuffle of any integer-keyed frame (the
       * t_shuffle_shard machinery): reproducible LCG position per id,
       * sharded, with intra-shard order and the round-robin
       * interleaved read order. No global sort — one hash shuffle plus
       * a per-shard window. Returns the input columns plus
-      * (shard, pos, read_ord). */
+      * (shard, pos, read_ord). The id is reduced mod 2^20 BEFORE the
+      * LCG multiply so every intermediate stays < 2^51 (no overflow
+      * at any id magnitude — identical result to the unreduced form
+      * for non-negative ids since 2^20 divides the modulus), and
+      * pmod keeps skey/shard non-negative for negative ids too. */
     def shuffleShards(df: DataFrame, idCol: String, shards: Int): DataFrame = {
       val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col(idCol))
-      df.withColumn("skey", (col(idCol) * 1103515245L + 12345L) % 1048576L)
+      df.withColumn("skey",
+          pmod(pmod(col(idCol), lit(1048576L)) * 1103515245L + 12345L, lit(1048576L)))
         .withColumn("shard", (col("skey") % shards).cast("long"))
         .withColumn("pos", row_number().over(w).cast("long"))
         .withColumn("read_ord", (col("pos") - 1L) * shards + col("shard"))
@@ -414,32 +419,35 @@ object Graft {
       df.join(drop, df(idCol) === drop("node"), "left_anti")
     }
 
-    /** SimHash near-dup pairs at a hamming bound, chunk-blocked
-      * (pigeonhole guarantees recall for maxHamming < chunks). */
     /** Substring-level duplication stats over any (id, text) frame
       * (the d_substring_dup machinery, Lee et al. 2022): every
       * overlapping `n`-token window fingerprinted, an occurrence
       * duplicated iff its fingerprint appears >= 2 times corpus-wide.
-      * Returns per-doc (idCol, n_windows, n_dup) — filter
-      * `n_dup * 100 >= pct * n_windows` for a flag, or aggregate for
-      * the corpus report. One shuffle (count-over-key), no joins;
-      * docs shorter than `n` tokens carry no rows. */
+      * Returns per-doc (idCol, carryCols..., n_windows, n_dup) —
+      * filter `n_dup * 100 >= pct * n_windows` for a flag, or
+      * aggregate for the corpus report. One shuffle (count-over-key),
+      * no joins; docs shorter than `n` tokens carry no rows.
+      * `carryCols` are per-doc attributes carried through to the
+      * output (no extra join). */
     def substringDupStats(df: DataFrame, idCol: String, textCol: String,
-                          n: Int): DataFrame = {
+                          n: Int, carryCols: String*): DataFrame = {
       val w = Window.partitionBy(col("key"))
-      df.select(col(idCol), split(col(textCol), " ", -1).as("t"))
+      val keyed = col(idCol) +: carryCols.map(col)
+      df.select((keyed :+ split(col(textCol), " ", -1).as("t")): _*)
         .filter(size(col("t")) >= n)
-        .select(col(idCol),
-          explode(sequence(lit(1), size(col("t")) - (n - 1), lit(1))).as("i"),
-          col("t"))
-        .select(col(idCol),
-          GraftHash.charHash(array_join(slice(col("t"), col("i"), lit(n)), " ")).as("key"))
+        .select((keyed :+
+          explode(sequence(lit(1), size(col("t")) - (n - 1), lit(1))).as("i") :+
+          col("t")): _*)
+        .select((keyed :+
+          GraftHash.charHash(array_join(slice(col("t"), col("i"), lit(n)), " ")).as("key")): _*)
         .withColumn("c", count(lit(1)).over(w))
-        .groupBy(col(idCol))
+        .groupBy(keyed: _*)
         .agg(count(lit(1)).as("n_windows"),
           sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup"))
     }
 
+    /** SimHash near-dup pairs at a hamming bound, chunk-blocked
+      * (pigeonhole guarantees recall for maxHamming < chunks). */
     def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3, bits: Int = 24, chunks: Int = 4): DataFrame = {
       import org.apache.spark.sql.graft.Shims

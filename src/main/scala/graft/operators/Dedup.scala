@@ -610,21 +610,10 @@ object Dedup {
        |  CAST(SUM(n_d) AS BIGINT) AS dup_ngrams
        |FROM pd GROUP BY lang, source ORDER BY lang, source""".stripMargin
   ) { (s, d) =>
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
-    val gr = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("source"),
-        split(col("text"), " ", -1).as("t"))
-      .filter(size(col("t")) >= SubNgram)
-      .select(col("doc_id"), col("lang"), col("source"),
-        explode(sequence(lit(1), size(col("t")) - (SubNgram - 1), lit(1))).as("i"),
-        col("t"))
-      .select(col("doc_id"), col("lang"), col("source"),
-        GraftHash.charHash(
-          array_join(slice(col("t"), col("i"), lit(SubNgram)), " ")).as("key"))
-    gr.withColumn("c", count(lit(1)).over(w))
-      .groupBy(col("doc_id"), col("lang"), col("source"))
-      .agg(count(lit(1)).as("n_g"),
-        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_d"))
+    graft.api.Graft.dedup
+      .substringDupStats(Tables.documents(s, d), "doc_id", "text", SubNgram,
+        "lang", "source")
+      .withColumnRenamed("n_windows", "n_g").withColumnRenamed("n_dup", "n_d")
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("n_d") * 5 >= col("n_g"), 1L).otherwise(0L)).as("n_flagged"),

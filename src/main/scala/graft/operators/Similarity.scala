@@ -883,19 +883,83 @@ object Similarity {
   private[operators] def knnCellCount(n: Long): Long =
     math.max(NCells.toLong, n / KnnCellTarget)
 
-  /** Corpus assigned to ADAPTIVE cells (knnCellCount centroids),
-    * ScopedCache-materialized: (vec_id, v, nrm, cid). Shared by the
-    * k-NN-graph family. */
+  /** Corpus assigned to ADAPTIVE cells, TWO-LEVEL (coarse→fine), so
+    * the assignment stage itself scales: a flat argmax against
+    * K = N/KnnCellTarget centroids would be O(N·K) = O(N²/64)
+    * cosines with an N-proportional broadcast — the exact quadratic
+    * shape the ScaleStress methodology exists to catch. Instead:
+    * (1) every vector argmax-assigns to one of the NCells COARSE
+    * centroids (O(N·8), tiny broadcast); (2) the K fine centroids
+    * carry their own coarse assignment, so the fine argmax is an
+    * EQUI-JOIN on the coarse cell (candidates = fine centroids of
+    * one coarse cell, ~K/8 each; no broadcast hint — at scale the
+    * K-row side shuffles on ccid). Total O(N·(8 + K/8)) with every
+    * join a blocked equi-join — the standard hierarchical-IVF
+    * assignment. Each level's winner uses the same (cosine DESC,
+    * cid) total order on both engines. ScopedCache-materialized:
+    * (vec_id, v, nrm, cid). */
   private def adaptiveCells(s: SparkSession, d: String): DataFrame = {
     val kc = knnCellCount(Tables.embeddings(s, d).count())
     val n = corpus(s, d)
-    val c = n.filter(col("vec_id") < kc)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val wAsg = Window.partitionBy(col("vec_id"))
-      .orderBy((Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).desc, col("cid"))
-    graft.ScopedCache(n.crossJoin(broadcast(c))
-      .withColumn("rk", row_number().over(wAsg)).filter(col("rk") === 1)
+    val cc = n.filter(col("vec_id") < NCells)
+      .select(col("vec_id").as("ccid"), col("v").as("ccv"), col("nrm").as("ccnrm"))
+    val wC = Window.partitionBy(col("vec_id"))
+      .orderBy((Vectors.dot(col("v"), col("ccv")) / (col("nrm") * col("ccnrm"))).desc,
+        col("ccid"))
+    val ca = graft.ScopedCache(n.crossJoin(broadcast(cc))
+      .withColumn("crk", row_number().over(wC)).filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("ccid")))
+    val fc = ca.filter(col("vec_id") < kc)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"),
+        col("ccid").as("fccid"))
+    val wF = Window.partitionBy(col("vec_id"))
+      .orderBy((Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).desc,
+        col("cid"))
+    graft.ScopedCache(ca.join(fc, col("ccid") === col("fccid"))
+      .withColumn("rk", row_number().over(wF)).filter(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid")))
+  }
+
+  /** Shared oracle CTE chain for the k-NN-graph family: two-level
+    * cell assignment (coarse crk=1, then fine rk=1 restricted to the
+    * vector's coarse cell — mirrors adaptiveCells exactly) through
+    * the directed per-src top-KnnK list. Appended after corpusSql. */
+  private val knnCtesSql =
+    s"""cnt AS (SELECT GREATEST($NCells, count(*) // $KnnCellTarget) AS kc FROM embeddings),
+       |cc AS (SELECT vec_id AS ccid, v AS ccv, nrm AS ccnrm FROM n WHERE vec_id < $NCells),
+       |casg AS (SELECT n.vec_id, n.v, n.nrm, cc.ccid,
+       |  ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |    ORDER BY ${Vectors.dotSql("n.v", "cc.ccv")} / (n.nrm * cc.ccnrm) DESC, cc.ccid) AS crk
+       |  FROM n CROSS JOIN cc),
+       |ca AS (SELECT vec_id, v, nrm, ccid FROM casg WHERE crk = 1),
+       |fc AS (SELECT a.vec_id AS cid, a.v AS cv, a.nrm AS cnrm, a.ccid
+       |       FROM ca a, cnt WHERE a.vec_id < kc),
+       |asg AS (SELECT a.vec_id, a.v, a.nrm, f.cid,
+       |  ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |    ORDER BY ${Vectors.dotSql("a.v", "f.cv")} / (a.nrm * f.cnrm) DESC, f.cid) AS rk
+       |  FROM ca a JOIN fc f ON a.ccid = f.ccid),
+       |cl AS (SELECT vec_id, v, nrm, cid FROM asg WHERE rk = 1),
+       |sc AS (SELECT a.vec_id AS src, b.vec_id AS dst, a.cid,
+       |         ${Vectors.dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+       |       FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+       |        ORDER BY cosine DESC, dst) AS rk FROM sc),
+       |knn AS (SELECT * FROM r WHERE rk <= $KnnK)""".stripMargin
+
+  /** Shared Spark arm for the k-NN-graph family: (cells, directed
+    * top-k) — cells is adaptiveCells' output, knn carries
+    * (src, dst, cid, cosine). */
+  private def knnDirected(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val cl = adaptiveCells(s, d)
+    val b = cl.select(col("cid").as("bcid"), col("vec_id").as("dst"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+    val knn = cl.join(b, col("cid") === col("bcid") && col("vec_id") =!= col("dst"))
+      .select(col("vec_id").as("src"), col("dst"), col("cid"),
+        (Vectors.dot(col("v"), col("bv")) / (col("nrm") * col("bn"))).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KnnK)
+    (cl, knn)
   }
 
   /** SYMMETRIC k-NN GRAPH — the graph artifact downstream semantic
@@ -911,8 +975,11 @@ object Similarity {
     * CORPUS-ADAPTIVE (knnCellCount: K = max(8, N/KnnCellTarget), the
     * d_semdedup K-scaling rule enforced in code) so per-cell
     * population — and the cell-local pair work — stays ~constant as
-    * the corpus grows; at 100 TB this runs over the cell-partitioned
-    * layout (s_ann_ivf_partitioned's dirs), same blocking key. The
+    * the corpus grows. The assignment itself is TWO-LEVEL
+    * (adaptiveCells: coarse argmax then an equi-joined fine argmax,
+    * O(N·(8 + K/8)) — a flat argmax against N/64 centroids would
+    * itself be quadratic); at 100 TB this runs over the
+    * cell-partitioned layout (s_ann_ivf_partitioned's dirs). The
     * symmetrize step is a groupBy on the edge key: edge-proportional,
     * not corpus-quadratic. Cosine parity is the left-fold dot
     * (functions.Vectors), so MAX over the two directions is exact
@@ -921,36 +988,14 @@ object Similarity {
   val sKnnGraph: GraftQuery = GraftQuery.sql(
     "s_knn_graph",
     s"""WITH $corpusSql,
-       |cnt AS (SELECT GREATEST($NCells, count(*) // $KnnCellTarget) AS kc FROM embeddings),
-       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n, cnt WHERE vec_id < kc),
-       |asg AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
-       |  ROW_NUMBER() OVER (PARTITION BY n.vec_id
-       |    ORDER BY ${Vectors.dotSql("n.v", "c.cv")} / (n.nrm * c.cnrm) DESC, c.cid) AS rk
-       |  FROM n CROSS JOIN c),
-       |cl AS (SELECT vec_id, v, nrm, cid FROM asg WHERE rk = 1),
-       |sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-       |         ${Vectors.dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
-       |       FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
-       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
-       |        ORDER BY cosine DESC, dst) AS rk FROM sc),
-       |knn AS (SELECT * FROM r WHERE rk <= $KnnK),
+       |$knnCtesSql,
        |sym AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
        |          MAX(cosine) AS cosine, COUNT(*) AS n_dir FROM knn GROUP BY 1, 2)
        |SELECT a, b, cosine, CAST(n_dir AS BIGINT) AS n_dir,
        |  CAST(CASE WHEN n_dir = 2 THEN 1 ELSE 0 END AS BIGINT) AS mutual
        |FROM sym ORDER BY a, b""".stripMargin
   ) { (s, d) =>
-    val cl = adaptiveCells(s, d)
-    val a = cl.select(col("cid").as("acid"), col("vec_id").as("src"),
-      col("v").as("av"), col("nrm").as("an"))
-    val b = cl.select(col("cid").as("bcid"), col("vec_id").as("dst"),
-      col("v").as("bv"), col("nrm").as("bn"))
-    val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
-    val knn = a.join(b, col("acid") === col("bcid") && col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        (Vectors.dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("cosine"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= KnnK)
+    val (_, knn) = knnDirected(s, d)
     knn.groupBy(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .agg(max(col("cosine")).as("cosine"), count(lit(1)).as("n_dir"))
@@ -975,19 +1020,7 @@ object Similarity {
   val gKnnTriangles: GraftQuery = GraftQuery.sql(
     "g_knn_triangles",
     s"""WITH $corpusSql,
-       |cnt AS (SELECT GREATEST($NCells, count(*) // $KnnCellTarget) AS kc FROM embeddings),
-       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n, cnt WHERE vec_id < kc),
-       |asg AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
-       |  ROW_NUMBER() OVER (PARTITION BY n.vec_id
-       |    ORDER BY ${Vectors.dotSql("n.v", "c.cv")} / (n.nrm * c.cnrm) DESC, c.cid) AS rk
-       |  FROM n CROSS JOIN c),
-       |cl AS (SELECT vec_id, v, nrm, cid FROM asg WHERE rk = 1),
-       |sc AS (SELECT a.vec_id AS src, b.vec_id AS dst, a.cid,
-       |         ${Vectors.dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
-       |       FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
-       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
-       |        ORDER BY cosine DESC, dst) AS rk FROM sc),
-       |knn AS (SELECT * FROM r WHERE rk <= $KnnK),
+       |$knnCtesSql,
        |me AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, MAX(cid) AS cid
        |       FROM knn GROUP BY 1, 2 HAVING COUNT(*) = 2),
        |tri AS (SELECT e1.cid, COUNT(*) AS n_tri
@@ -1002,15 +1035,7 @@ object Similarity {
        |FROM nn LEFT JOIN ne ON nn.cid = ne.cid LEFT JOIN tri ON nn.cid = tri.cid
        |ORDER BY nn.cid""".stripMargin
   ) { (s, d) =>
-    val cl = adaptiveCells(s, d)
-    val b = cl.select(col("cid").as("bcid"), col("vec_id").as("dst"),
-      col("v").as("bv"), col("nrm").as("bn"))
-    val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
-    val knn = cl.join(b, col("cid") === col("bcid") && col("vec_id") =!= col("dst"))
-      .select(col("vec_id").as("src"), col("dst"), col("cid"),
-        (Vectors.dot(col("v"), col("bv")) / (col("nrm") * col("bn"))).as("cosine"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= KnnK)
+    val (cl, knn) = knnDirected(s, d)
     val me = graft.ScopedCache(
       knn.groupBy(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))

@@ -592,18 +592,7 @@ object TextAnalysis {
       |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS weight
       |FROM pairs GROUP BY pair ORDER BY weight DESC, pair LIMIT 20""".stripMargin
   ) { (s, d) =>
-    val vocab = Tables.documents(s, d)
-      .select(explode(split(col("text"), " ", -1)).as("tok"))
-      .filter(length(col("tok")) >= 2)
-      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    // sequence(1, n) needs n >= 1, guaranteed by the length filter;
-    // an explicit step keeps Spark from inferring a descending one.
-    vocab
-      .select(col("tok"), col("cnt"),
-        explode(sequence(lit(1), length(col("tok")) - 1, lit(1))).as("i"))
-      .select(expr("substring(tok, i, 2)").as("pair"), col("cnt"))
-      .groupBy(col("pair")).agg(sum(col("cnt")).as("weight"))
-      .orderBy(col("weight").desc, col("pair")).limit(20)
+    graft.api.Graft.text.bpeMerges(Tables.documents(s, d), "text", 20)
   }
 
   /** Shard count for the training shuffle — local[32]-sized; at
@@ -624,9 +613,12 @@ object TextAnalysis {
     * it in the pipeline). Integer-exact on both engines. */
   val tShuffleShard: GraftQuery = GraftQuery.sql(
     "t_shuffle_shard",
+    // doc_id reduced mod 2^20 before the multiply: every intermediate
+    // < 2^51 so the checked BIGINT arithmetic can never overflow at
+    // any doc_id — same result as the unreduced form (2^20 | modulus)
     s"""WITH k AS (SELECT doc_id,
        |    len(string_split(text, ' ')) AS n_tok,
-       |    (doc_id * 1103515245 + 12345) % 1048576 AS skey FROM documents),
+       |    ((doc_id % 1048576) * 1103515245 + 12345) % 1048576 AS skey FROM documents),
        |sh AS (SELECT doc_id, n_tok, skey, skey % $ShuffleShards AS shard,
        |    ROW_NUMBER() OVER (PARTITION BY skey % $ShuffleShards
        |      ORDER BY skey, doc_id) AS pos FROM k)
@@ -635,17 +627,11 @@ object TextAnalysis {
        |  CAST(n_tok AS BIGINT) AS n_tok
        |FROM sh ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
-    Tables.documents(s, d)
+    val keyed = Tables.documents(s, d)
       .select(col("doc_id"),
-        size(split(col("text"), " ", -1)).cast("long").as("n_tok"),
-        ((col("doc_id") * 1103515245L + 12345L) % 1048576L).as("skey"))
-      .withColumn("shard", (col("skey") % ShuffleShards).cast("long"))
-      .withColumn("pos", row_number().over(w).cast("long"))
-      .select(col("doc_id"), col("shard"), col("pos"),
-        ((col("pos") - 1L) * ShuffleShards + col("shard")).as("read_ord"),
-        col("n_tok"))
+        size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+    graft.api.Graft.text.shuffleShards(keyed, "doc_id", ShuffleShards)
+      .select(col("doc_id"), col("shard"), col("pos"), col("read_ord"), col("n_tok"))
       .orderBy(col("doc_id"))
   }
 
