@@ -646,4 +646,32 @@ object StreamingOps {
           closed.sortBy(_.start).map(toOut).iterator
       }
   }
+
+  /** Streaming twin of ts_seasonality's bucket map: a complete-mode
+    * groupBy over (event_type, day-of-week, hour) — engine-managed
+    * state is one counter per live bucket (≤ types×168 rows, O(1)
+    * per event), no watermark needed because buckets never close
+    * (seasonality accumulates forever; a production variant windows
+    * by week). Emits the full map each refresh; apply
+    * [[seasonalityHot]] sink-side for the hot flags — the per-type
+    * total is a second aggregation level, which streaming cannot
+    * stack, and deriving it at read time over ≤ types×168 rows is
+    * free. The LAST refresh equals the batch operator's buckets
+    * EXACTLY under any chunking (StreamingSpec asserts it). */
+  def seasonalityStream(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+        (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"))
+      .groupBy(col("event_type"), col("dow"), col("hr"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Read-time hot-flag derivation over a materialized bucket map
+    * (the stateless transform a sink applies per refresh): the exact
+    * integer cross-multiplication ts_seasonality uses. */
+  def seasonalityHot(buckets: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    buckets.withColumn("n_tot", sum(col("n_events")).over(w))
+      .select(col("event_type"), col("dow"), col("hr"), col("n_events"),
+        when(col("n_events") * 168 > col("n_tot") * 2, 1L).otherwise(0L).as("hot"))
+  }
 }

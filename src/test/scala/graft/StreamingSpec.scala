@@ -48,6 +48,26 @@ class StreamingSpec extends SparkSpec {
     spark.table(name)
   }
 
+  test("seasonality stream converges to the batch bucket map under any chunking") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = loadEvents()
+    val want = graft.operators.Analytics.tsSeasonality.fn(spark, sfDir)
+      .collect().map(_.toString).sorted
+    for ((chunk, name) <- Seq(events.size -> "season_one", 997 -> "season_many")) {
+      val stream = MemoryStream[Ev]
+      val q = StreamingOps.seasonalityStream(stream.toDF()).writeStream
+        .format("memory").queryName(name).outputMode("complete").start()
+      try {
+        events.grouped(chunk).foreach { g => stream.addData(g); q.processAllAvailable() }
+      } finally q.stop()
+      val got = StreamingOps.seasonalityHot(spark.table(name))
+        .collect().map(_.toString).sorted
+      assert(got.sameElements(want),
+        s"$name: streaming map diverged (got ${got.length}, want ${want.length})")
+    }
+  }
+
   test("tumbling windows stream to a parquet file sink with checkpointing") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
