@@ -536,15 +536,11 @@ object Analytics {
       |  CAST(CASE WHEN n_events * 168 > 2 * n_tot THEN 1 ELSE 0 END AS BIGINT) AS hot
       |FROM w ORDER BY event_type, dow, hr""".stripMargin
   ) { (s, d) =>
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
-    Tables.events(s, d)
-      .groupBy(col("event_type"),
-        (dayofweek(col("ts")) - 1).cast("long").as("dow"),
-        hour(col("ts")).cast("long").as("hr"))
-      .agg(count(lit(1)).as("n_events"))
-      .withColumn("n_tot", sum(col("n_events")).over(w))
-      .select(col("event_type"), col("dow"), col("hr"), col("n_events"),
-        when(col("n_events") * 168 > col("n_tot") * 2, 1L).otherwise(0L).as("hot"))
+    // composed from the streaming twin's own building blocks (the
+    // groupBy is batch/streaming-agnostic), so batch/stream parity is
+    // structural, not just spec-enforced
+    graft.streaming.StreamingOps.seasonalityHot(
+        graft.streaming.StreamingOps.seasonalityStream(Tables.events(s, d)))
       .orderBy(col("event_type"), col("dow"), col("hr"))
   }
 

@@ -14,6 +14,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * State discipline for 100 TB/day streams: every stateful operator
   * carries a watermark so state is bounded and evicted; session state
   * is O(open sessions per user); nothing buffers unbounded history.
+  * One deliberate exception: seasonalityStream is watermark-free —
+  * its state is capped by KEY CARDINALITY (≤ types×168 counters),
+  * not by time, so "unbounded history" still costs O(1) rows per
+  * bucket.
   */
 object StreamingOps {
 
