@@ -20,6 +20,10 @@ import os
 import subprocess
 import sys
 
+# minima are only comparable within one scale factor: a stray smoke
+# run at sf0.001 would poison per-query floors if folded in
+SF = "/root/testdata/sf0.1"
+
 
 def versions():
     out = subprocess.run(
@@ -61,6 +65,9 @@ def main():
     best, src = {}, {}
     runs = []
     for tag, d in versions():
+        if d.get("sf", SF) != SF:
+            print(f"skip {tag}: sf={d.get('sf')} (folding only {SF} runs)")
+            continue
         runs.append({"run": tag, "total": d["value"], "n": d["n_queries"]})
         for q, t in d["queries"].items():
             if q not in best or t < best[q]:
