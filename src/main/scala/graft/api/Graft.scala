@@ -67,12 +67,19 @@ object Graft {
       * LCG multiply so every intermediate stays < 2^51 (no overflow
       * at any id magnitude — identical result to the unreduced form
       * for non-negative ids since 2^20 divides the modulus), and
-      * pmod keeps skey/shard non-negative for negative ids too. */
+      * pmod keeps skey/shard non-negative for negative ids too.
+      * The shard is the key space RANGE-partitioned (skey·shards
+      * div 2^20) — i.e. the LCG's HIGH bits: the low bits of a
+      * power-of-two-modulus LCG are an affine function of id mod
+      * shards (bit k has period 2^k), so `skey % shards` would
+      * degenerate to id-mod striping and bias range-clustered ids;
+      * the high bits carry the full mixing, and the range form stays
+      * uniform for any shard count ≤ 2^20. */
     def shuffleShards(df: DataFrame, idCol: String, shards: Int): DataFrame = {
       val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col(idCol))
       df.withColumn("skey",
           pmod(pmod(col(idCol), lit(1048576L)) * 1103515245L + 12345L, lit(1048576L)))
-        .withColumn("shard", (col("skey") % shards).cast("long"))
+        .withColumn("shard", expr(s"(skey * $shards) div 1048576").cast("long"))
         .withColumn("pos", row_number().over(w).cast("long"))
         .withColumn("read_ord", (col("pos") - 1L) * shards + col("shard"))
         .drop("skey")

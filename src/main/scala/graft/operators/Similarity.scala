@@ -21,12 +21,30 @@ object Similarity {
   private val QueryCount = 16
   private val TopK = 5
 
+  // Family-shared memo (the api.Graft.dedup discipline): one persisted
+  // copy per (session, dir) instead of a fresh persist() per query —
+  // the r7 review caught the per-call persist accumulating 16 cached
+  // copies of the same corpus across the family. Entries re-persist
+  // themselves if the harness's family-boundary clearCache() dropped
+  // their blocks.
+  private val famMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
+  private def famMemoized(s: SparkSession, d: String, tag: String)
+                         (build: => DataFrame): DataFrame = {
+    val df = famMemo.computeIfAbsent((System.identityHashCode(s), d, tag),
+      _ => build.persist())
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+    df
+  }
+
   /** Normalized corpus: (vec_id, v, nrm). */
   private def corpus(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", Vectors.norm(col("v")))
-      .persist() // referenced as both join sides; norms computed once
+    famMemoized(s, d, "corpus") { // referenced as both join sides; norms computed once
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", Vectors.norm(col("v")))
+    }
 
   private val corpusSql =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -896,29 +914,37 @@ object Similarity {
     * K-row side shuffles on ccid). Total O(N·(8 + K/8)) with every
     * join a blocked equi-join — the standard hierarchical-IVF
     * assignment. Each level's winner uses the same (cosine DESC,
-    * cid) total order on both engines. ScopedCache-materialized:
-    * (vec_id, v, nrm, cid). */
-  private def adaptiveCells(s: SparkSession, d: String): DataFrame = {
-    val kc = knnCellCount(Tables.embeddings(s, d).count())
-    val n = corpus(s, d)
-    val cc = n.filter(col("vec_id") < NCells)
-      .select(col("vec_id").as("ccid"), col("v").as("ccv"), col("nrm").as("ccnrm"))
-    val wC = Window.partitionBy(col("vec_id"))
-      .orderBy((Vectors.dot(col("v"), col("ccv")) / (col("nrm") * col("ccnrm"))).desc,
-        col("ccid"))
-    val ca = graft.ScopedCache(n.crossJoin(broadcast(cc))
-      .withColumn("crk", row_number().over(wC)).filter(col("crk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("ccid")))
-    val fc = ca.filter(col("vec_id") < kc)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"),
-        col("ccid").as("fccid"))
-    val wF = Window.partitionBy(col("vec_id"))
-      .orderBy((Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).desc,
-        col("cid"))
-    graft.ScopedCache(ca.join(fc, col("ccid") === col("fccid"))
-      .withColumn("rk", row_number().over(wF)).filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid")))
-  }
+    * cid) total order on both engines. The fine argmax is a LEFT
+    * join with a coarse-cell fallback: a coarse cell containing
+    * vectors but no fine centroid (possible only if sqrt rounding
+    * ever kept cosine(v,v) below another centroid's — the r7 review's
+    * edge case) keeps its vectors with cid = ccid instead of silently
+    * dropping them from the graph. Family-memoized per (session,
+    * dir): s_knn_graph and g_knn_triangles share one persisted copy
+    * and the corpus-count statistic is read once, not per query. */
+  private def adaptiveCells(s: SparkSession, d: String): DataFrame =
+    famMemoized(s, d, "acells") {
+      val kc = knnCellCount(Tables.embeddings(s, d).count())
+      val n = corpus(s, d)
+      val cc = n.filter(col("vec_id") < NCells)
+        .select(col("vec_id").as("ccid"), col("v").as("ccv"), col("nrm").as("ccnrm"))
+      val wC = Window.partitionBy(col("vec_id"))
+        .orderBy((Vectors.dot(col("v"), col("ccv")) / (col("nrm") * col("ccnrm"))).desc,
+          col("ccid"))
+      val ca = graft.ScopedCache(n.crossJoin(broadcast(cc))
+        .withColumn("crk", row_number().over(wC)).filter(col("crk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("ccid")))
+      val fc = ca.filter(col("vec_id") < kc)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"),
+          col("ccid").as("fccid"))
+      val wF = Window.partitionBy(col("vec_id"))
+        .orderBy((Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).desc,
+          col("cid"))
+      ca.join(fc, col("ccid") === col("fccid"), "left")
+        .withColumn("rk", row_number().over(wF)).filter(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          coalesce(col("cid"), col("ccid")).as("cid"))
+    }
 
   /** Shared oracle CTE chain for the k-NN-graph family: two-level
     * cell assignment (coarse crk=1, then fine rk=1 restricted to the
@@ -934,11 +960,11 @@ object Similarity {
        |ca AS (SELECT vec_id, v, nrm, ccid FROM casg WHERE crk = 1),
        |fc AS (SELECT a.vec_id AS cid, a.v AS cv, a.nrm AS cnrm, a.ccid
        |       FROM ca a, cnt WHERE a.vec_id < kc),
-       |asg AS (SELECT a.vec_id, a.v, a.nrm, f.cid,
+       |asg AS (SELECT a.vec_id, a.v, a.nrm, f.cid, a.ccid,
        |  ROW_NUMBER() OVER (PARTITION BY a.vec_id
-       |    ORDER BY ${Vectors.dotSql("a.v", "f.cv")} / (a.nrm * f.cnrm) DESC, f.cid) AS rk
-       |  FROM ca a JOIN fc f ON a.ccid = f.ccid),
-       |cl AS (SELECT vec_id, v, nrm, cid FROM asg WHERE rk = 1),
+       |    ORDER BY ${Vectors.dotSql("a.v", "f.cv")} / (a.nrm * f.cnrm) DESC NULLS LAST, f.cid) AS rk
+       |  FROM ca a LEFT JOIN fc f ON a.ccid = f.ccid),
+       |cl AS (SELECT vec_id, v, nrm, COALESCE(cid, ccid) AS cid FROM asg WHERE rk = 1),
        |sc AS (SELECT a.vec_id AS src, b.vec_id AS dst, a.cid,
        |         ${Vectors.dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
        |       FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id <> b.vec_id),

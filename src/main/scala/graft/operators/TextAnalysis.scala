@@ -615,12 +615,15 @@ object TextAnalysis {
     "t_shuffle_shard",
     // doc_id reduced mod 2^20 before the multiply: every intermediate
     // < 2^51 so the checked BIGINT arithmetic can never overflow at
-    // any doc_id — same result as the unreduced form (2^20 | modulus)
+    // any doc_id — same result as the unreduced form (2^20 | modulus).
+    // Shard = key space range-partitioned (skey·shards div 2^20): the
+    // HIGH bits of the LCG — its low bits are affine in id mod 2^k,
+    // so `skey % shards` would degenerate to doc_id-mod striping.
     s"""WITH k AS (SELECT doc_id,
        |    len(string_split(text, ' ')) AS n_tok,
        |    ((doc_id % 1048576) * 1103515245 + 12345) % 1048576 AS skey FROM documents),
-       |sh AS (SELECT doc_id, n_tok, skey, skey % $ShuffleShards AS shard,
-       |    ROW_NUMBER() OVER (PARTITION BY skey % $ShuffleShards
+       |sh AS (SELECT doc_id, n_tok, skey, (skey * $ShuffleShards) // 1048576 AS shard,
+       |    ROW_NUMBER() OVER (PARTITION BY (skey * $ShuffleShards) // 1048576
        |      ORDER BY skey, doc_id) AS pos FROM k)
        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(pos AS BIGINT) AS pos,
        |  CAST((pos - 1) * $ShuffleShards + shard AS BIGINT) AS read_ord,

@@ -65,7 +65,9 @@ def main():
     best, src = {}, {}
     runs = []
     for tag, d in versions():
-        if d.get("sf", SF) != SF:
+        # a missing "sf" key means the run predates the field — its scale
+        # factor is unknown, so it must not be folded into the floors
+        if d.get("sf") != SF:
             print(f"skip {tag}: sf={d.get('sf')} (folding only {SF} runs)")
             continue
         runs.append({"run": tag, "total": d["value"], "n": d["n_queries"]})
