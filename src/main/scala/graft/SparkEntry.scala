@@ -10,6 +10,7 @@ object SparkEntry {
   /** All registered queries, in SURVEY.md §2 order. */
   def registry: Seq[GraftQuery] =
     operators.Lake.all ++ operators.Namespace.all ++
+      operators.Durability.all ++
       operators.Relational.all ++ operators.RelationalExt.all ++
       operators.RelationalMore.all ++ operators.RelationalTpch.all ++
       operators.Warehouse.all ++

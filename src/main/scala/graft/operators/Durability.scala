@@ -1,0 +1,235 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.GraftHash
+import graft.sources.CommitLog
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durability ceremonies over commit-log tables (SURVEY.md §2): the
+  * reference's detect→quarantine→re-replicate loop and its hot-standby
+  * journal tailing, re-expressed lake-side. These are the two halves of
+  * HDFS's data-safety story the earlier lake ops only gestured at:
+  * lake_fsck finds referential orphans and lake_mirror verifies a DR
+  * copy, but nothing REMOVED a corrupt file from service and repaired
+  * it, and the mirror was a point-in-time copy with no tailing.
+  */
+object Durability {
+
+  /** Readability audit of every active journal entry: attempt a real
+    * parquet read of each entry (footer + row decode — the block
+    * scanner's verification pass, reference
+    * server/datanode/DataBlockScanner.java:1) and report the
+    * unreadable ones. O(entries) reads, each pruned to its own dir;
+    * at 100 TB this is the scrubber that runs on a cadence, not per
+    * query — and per entry it is exactly the I/O a scrubber must pay. */
+  def unreadableEntries(s: SparkSession, tableDir: String): Seq[String] = {
+    val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+    CommitLog.activeFiles(fs, tableDir).filter { rel =>
+      try { s.read.parquet(s"$tableDir/$rel").foreach(_ => ()); false }
+      catch { case _: Throwable => true }
+    }
+  }
+
+  /** QUARANTINE a corrupt entry (reference
+    * protocol/ClientProtocol.java:356 reportBadBlocks →
+    * server/namenode/CorruptReplicasMap.java:1; fsck's -move mode,
+    * server/namenode/NamenodeFsck.java:1): one journal commit removes
+    * the entry from the active set — readers never see it again from
+    * the instant the commit lands — then the bytes are moved into
+    * `_quarantine/` for forensics instead of deletion. Metadata-only
+    * except the rename. Returns the quarantine commit version. */
+  def quarantine(s: SparkSession, tableDir: String, rel: String, ts: Long): Int = {
+    val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+    require(CommitLog.activeFiles(fs, tableDir).contains(rel),
+      s"$rel is not an active entry of $tableDir")
+    val v = CommitLog.commit(fs, tableDir, ts,
+      adds = Seq.empty, removes = Seq(rel), tags = Seq("quarantine"))
+    val dst = new Path(tableDir, s"_quarantine/${rel.replace('/', '_')}")
+    fs.mkdirs(dst.getParent)
+    fs.rename(new Path(tableDir, rel), dst)
+    v
+  }
+
+  /** REPAIR a quarantined entry from a verified mirror copy (the
+    * re-replication half of the loop — reference
+    * server/namenode/UnderReplicatedBlocks.java:1: a corrupt replica's
+    * block re-replicates from a healthy one): byte-copy the mirror's
+    * entry to a FRESH path (never reuse the quarantined one), verify
+    * the copy is readable, then commit the add. Returns the repair
+    * commit version. */
+  def repairFrom(s: SparkSession, tableDir: String, mirrorDir: String,
+                 rel: String, ts: Long): Int = {
+    val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val fresh = s"$rel-r$ts"
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new Path(mirrorDir, rel), fs, new Path(tableDir, fresh),
+      false, true, s.sparkContext.hadoopConfiguration)
+    s.read.parquet(s"$tableDir/$fresh").foreach(_ => ()) // verify-after-copy
+    CommitLog.commit(fs, tableDir, ts,
+      adds = Seq(fresh), removes = Seq.empty, tags = Seq("repair"))
+  }
+
+  /** Flip bits under the filesystem — the bit-rot simulator the spec
+    * and the operator's built-in canary use: truncate the single
+    * parquet part file of entry `rel` to half, which destroys the
+    * footer so any read attempt fails immediately. */
+  def corruptInPlace(fs: FileSystem, tableDir: String, rel: String): Path = {
+    val part = fs.listStatus(new Path(tableDir, rel)).toSeq
+      .map(_.getPath).filter(_.getName.startsWith("part-"))
+      .headOption.getOrElse(sys.error(s"no part file under $tableDir/$rel"))
+    val local = new java.io.File(part.toUri.getPath)
+    val raf = new java.io.RandomAccessFile(local, "rw")
+    try raf.setLength(local.length() / 2) finally raf.close()
+    val crc = new java.io.File(local.getParentFile, s".${local.getName}.crc")
+    if (crc.exists()) { crc.delete(); () } // rot beneath the checksum layer too
+    part
+  }
+
+  /** CORRUPT-DATA QUARANTINE + REPAIR — the full detect → quarantine →
+    * re-replicate → audit loop (reference ClientProtocol.java:356
+    * reportBadBlocks, CorruptReplicasMap.java:1, NamenodeFsck.java:1
+    * move/delete, UnderReplicatedBlocks.java:1 re-replication): the
+    * documents table lands as four journal entries with a verified
+    * byte-identical mirror; one entry is then corrupted IN PLACE
+    * (truncated beneath the engine); the scrubber detects exactly
+    * that entry; a quarantine commit removes it from service (the
+    * degraded table still reads — three healthy entries); repair
+    * byte-copies the mirror's entry to a fresh path, verifies, and
+    * commits. The output is the per-lang count + checksum of the
+    * REPAIRED table with two verified flags: repaired_ok (the final
+    * state hash-equals the pre-corruption source, per lang) and
+    * quarantine_isolated (the corrupt entry is out of every current
+    * read path and parked in `_quarantine/`). The oracle recomputes
+    * the expected final state from the source table — which is the
+    * whole point: after the loop the table IS the source again. */
+  val lakeQuarantine: GraftQuery = GraftQuery.sql(
+    "lake_quarantine",
+    s"""WITH fp AS (SELECT lang, ${GraftHash.charHashSql("text")} AS fp FROM documents)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(fp) % ${GraftHash.P} AS BIGINT) AS checksum,
+       |  TRUE AS repaired_ok, TRUE AS quarantine_isolated
+       |FROM fp GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val primary = Lake.scratch("quarantine/primary")
+    val mirror = Lake.scratch("quarantine/mirror")
+    Seq(primary, mirror).foreach(p => fs.delete(new Path(p), true))
+    val docs = Tables.documents(s, d)
+    val shards = 4
+    (0 until shards).foreach { i =>
+      CommitLog.writeCommit(s, primary,
+        docs.filter(col("doc_id") % shards === i).coalesce(1),
+        s"data/shard_$i", ts = 1000L + i)
+    }
+    // DR mirror: byte-identical copy of every active entry, verified
+    // readable (lake_mirror's verify-after-copy, per entry)
+    CommitLog.activeFiles(fs, primary).foreach { rel =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(primary, rel),
+        fs, new Path(mirror, rel), false, true, s.sparkContext.hadoopConfiguration)
+      s.read.parquet(s"$mirror/$rel").foreach(_ => ())
+    }
+    val victim = "data/shard_1"
+    corruptInPlace(fs, primary, victim)
+    // detect: the scrubber must flag exactly the corrupted entry
+    val bad = unreadableEntries(s, primary)
+    require(bad == Seq(victim), s"scrubber found $bad, expected Seq($victim)")
+    quarantine(s, primary, victim, ts = 5000L)
+    // degraded-but-serving: the table reads with three healthy entries
+    // (this read is also the canary — if the quarantined bytes were
+    // still in the read path, the truncated footer would throw here)
+    val degraded = CommitLog.snapshot(s, primary).count()
+    repairFrom(s, primary, mirror, victim, ts = 6000L)
+    val isolated = !CommitLog.activeFiles(fs, primary).contains(victim) &&
+      fs.exists(new Path(primary, "_quarantine/data_shard_1")) &&
+      degraded < docs.count()
+    val a = graft.api.Graft.lake.groupChecksum(
+      CommitLog.snapshot(s, primary), "text", "lang")
+    val b = graft.api.Graft.lake.groupChecksum(docs, "text", "lang")
+      .select(col("lang").as("s_lang"), col("n_rows").as("s_n"),
+        col("checksum").as("s_ck"))
+    a.join(b, col("lang") === col("s_lang"), "full_outer")
+      .select(col("lang"), col("n_rows").as("n_docs"), col("checksum"),
+        (col("n_rows") === col("s_n") && col("checksum") === col("s_ck"))
+          .as("repaired_ok"),
+        lit(isolated).as("quarantine_isolated"))
+      .orderBy(col("lang"))
+  }
+
+  /** HOT-STANDBY JOURNAL TAILING — the reference's backup-node DR
+    * (server/namenode/BackupNode.java:1 streamed edits,
+    * BackupImage.java:1 bounded lag): the primary commits three
+    * document batches and then a rewrite (remove+add in one commit);
+    * CommitLog.ship tails the journal onto the standby on a cadence
+    * of two commits, so the standby's lag is bounded by the cadence
+    * (asserted in-op) and each ship pays only the delta. The output
+    * reads EVERY version FROM THE STANDBY and flags in_sync by
+    * comparing (count, checksum) against the primary's read of the
+    * same version — the oracle recomputes all four versions from the
+    * source table, so a replay divergence on either side fails the
+    * gate. */
+  val lakeStandby: GraftQuery = GraftQuery.sql(
+    "lake_standby", {
+      def v(n: Int, cond: String) =
+        s"""SELECT CAST($n AS BIGINT) AS version, COUNT(*) AS n_docs,
+           |  CAST(SUM(fp) % ${GraftHash.P} AS BIGINT) AS checksum, TRUE AS in_sync
+           |FROM fp WHERE $cond""".stripMargin
+      s"""WITH fp AS (SELECT doc_id % 3 AS m, ${GraftHash.charHashSql("text")} AS fp
+         |           FROM documents)
+         |${v(0, "m = 0")}
+         |UNION ALL
+         |${v(1, "m IN (0, 1)")}
+         |UNION ALL
+         |${v(2, "TRUE")}
+         |UNION ALL
+         |${v(3, "TRUE")}
+         |ORDER BY version""".stripMargin
+    }
+  ) { (s, d) =>
+    val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val primary = Lake.scratch("standby/primary")
+    val standby = Lake.scratch("standby/dr")
+    Seq(primary, standby).foreach(p => fs.delete(new Path(p), true))
+    val docs = Tables.documents(s, d)
+    def head(dir: String): Int =
+      CommitLog.commits(fs, dir).lastOption.map(_.version).getOrElse(-1)
+    CommitLog.writeCommit(s, primary,
+      docs.filter(col("doc_id") % 3 === 0), "data/b0", ts = 1000L)       // v0
+    CommitLog.ship(s, primary, standby)
+    require(head(standby) == head(primary), "standby behind after ship")
+    CommitLog.writeCommit(s, primary,
+      docs.filter(col("doc_id") % 3 === 1), "data/b1", ts = 2000L)       // v1
+    CommitLog.writeCommit(s, primary,
+      docs.filter(col("doc_id") % 3 === 2), "data/b2", ts = 3000L)       // v2
+    // mid-cadence staleness is BOUNDED by the cadence, never unbounded
+    val lag = head(primary) - head(standby)
+    require(lag > 0 && lag <= 2, s"lag $lag outside the shipping cadence")
+    CommitLog.ship(s, primary, standby)
+    // a rewrite commit (remove+add, the compaction shape) must replay
+    // identically on the standby: b0 is rewritten to a fresh dir
+    docs.filter(col("doc_id") % 3 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$primary/data/b0c")
+    CommitLog.commit(fs, primary, ts = 4000L,
+      adds = Seq("data/b0c"), removes = Seq("data/b0"))                  // v3
+    CommitLog.ship(s, primary, standby)
+    require(head(standby) == head(primary), "standby behind after final ship")
+    def versions(dir: String, tag: String): DataFrame =
+      (0 to 3).map { v =>
+        CommitLog.snapshot(s, dir, version = v)
+          .select(GraftHash.charHash(col("text")).as("fp"))
+          .agg(count(lit(1)).as(s"${tag}_n"),
+            (sum(col("fp")) % GraftHash.P).as(s"${tag}_ck"))
+          .select(lit(v.toLong).as(s"${tag}_version"),
+            col(s"${tag}_n"), col(s"${tag}_ck"))
+      }.reduce(_ union _)
+    versions(standby, "sb").join(versions(primary, "pr"),
+        col("sb_version") === col("pr_version"))
+      .select(col("sb_version").as("version"), col("sb_n").as("n_docs"),
+        col("sb_ck").as("checksum"),
+        (col("sb_n") === col("pr_n") && col("sb_ck") === col("pr_ck")).as("in_sync"))
+      .orderBy(col("version"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(lakeQuarantine, lakeStandby)
+}

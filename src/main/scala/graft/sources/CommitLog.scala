@@ -366,6 +366,52 @@ object CommitLog {
     dropped
   }
 
+  /** HOT-STANDBY SHIP — one tailing step of the reference's backup
+    * node (server/namenode/BackupNode.java:1 receives streamed edits,
+    * BackupImage.java:1 applies them to its own image): copy every
+    * journal version the standby lacks, byte-identical, plus the data
+    * dirs those versions add. Per ship the cost is proportional to
+    * the DELTA (new log files + newly-added data), never the table:
+    * a ship with no new commits touches only the two log listings,
+    * and a metadata-only commit (remove/restore/tag) ships as one
+    * tiny log file. Data dirs are copied BEFORE their log file so a
+    * torn ship can never leave the standby's journal referencing
+    * data it does not hold (the closed-segment rule: the log file is
+    * the commit point on the standby too). Removes need no I/O — the
+    * standby keeps the dropped dirs until its own retention pass,
+    * exactly like a backup namenode holding blocks until its own
+    * deletion schedule. External absolute references (shallow-clone
+    * entries) are NOT copied: they point outside the primary and
+    * resolve identically from the standby. Returns the shipped
+    * version numbers (empty = already in sync). */
+  def ship(spark: SparkSession, primaryDir: String, standbyDir: String): Seq[Int] = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val have = Option(fs)
+      .filter(_.exists(logDir(standbyDir)))
+      .map(_.listStatus(logDir(standbyDir)).toSeq.map(_.getPath.getName).toSet)
+      .getOrElse(Set.empty)
+    val conf = spark.sparkContext.hadoopConfiguration
+    fs.mkdirs(logDir(standbyDir))
+    val pending = fs.listStatus(logDir(primaryDir)).toSeq
+      .filter(st => st.getPath.getName.endsWith(".log") && !have(st.getPath.getName))
+      .sortBy(_.getPath.getName)
+    val byVersion = commits(fs, primaryDir).map(c => c.version -> c).toMap
+    pending.map { st =>
+      val v = st.getPath.getName.stripSuffix(".log").toInt
+      byVersion.get(v).foreach { c =>
+        c.adds.filterNot(_.startsWith("/")).foreach { rel =>
+          org.apache.hadoop.fs.FileUtil.copy(
+            fs, new Path(primaryDir, rel), fs, new Path(standbyDir, rel),
+            false, true, conf)
+        }
+      }
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, st.getPath, fs, new Path(logDir(standbyDir), st.getPath.getName),
+        false, true, conf)
+      v
+    }
+  }
+
   // ------------------------------------------------------------------
   // Layout upgrade ceremony (reference protocol/ClientProtocol.java:684
   // finalizeUpgrade, :694 distributedUpgradeProgress): an upgrade swaps

@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.Durability
+import graft.sources.CommitLog
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions._
+
+/** Quarantine/repair + hot-standby tailing (SURVEY §2 lake_quarantine,
+  * lake_standby): the detect→quarantine→re-replicate loop and the
+  * journal-shipping DR path, asserted at the mechanism level — the
+  * operator entries assert the end state, these pin the ceremony
+  * steps (never-served, byte-identity, bounded lag, delta-only ship).
+  */
+class DurabilitySpec extends SparkSpec {
+
+  private def fs: FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  private def fresh(name: String): String = {
+    val dir = s"/root/repo/target/scratch/durability/$name"
+    fs.delete(new Path(dir), true)
+    dir
+  }
+
+  private def tableHash(dir: String): (Long, Long) = {
+    val r = CommitLog.snapshot(spark, dir)
+      .select(graft.functions.GraftHash.charHash(col("text")).as("fp"))
+      .agg(count(lit(1)), sum(col("fp")) % graft.functions.GraftHash.P)
+      .collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("quarantine loop: corrupt entry detected, never served, repaired table hash-equals pre-corruption") {
+    val primary = fresh("q/primary")
+    val mirror = fresh("q/mirror")
+    val docs = Tables.documents(spark, sfDir)
+    (0 until 3).foreach { i =>
+      CommitLog.writeCommit(spark, primary,
+        docs.filter(col("doc_id") % 3 === i).coalesce(1), s"data/s$i", ts = 100L + i)
+    }
+    CommitLog.activeFiles(fs, primary).foreach { rel =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(primary, rel),
+        fs, new Path(mirror, rel), false, true, spark.sparkContext.hadoopConfiguration)
+    }
+    val before = tableHash(primary)
+
+    Durability.corruptInPlace(fs, primary, "data/s1")
+    // the full-table read now fails — the corruption is real
+    intercept[Throwable] { CommitLog.snapshot(spark, primary).count() }
+    // detection flags exactly the corrupted entry
+    assert(Durability.unreadableEntries(spark, primary) == Seq("data/s1"))
+
+    Durability.quarantine(spark, primary, "data/s1", ts = 500L)
+    // NEVER SERVED: from the quarantine commit on, every read of the
+    // table succeeds — the truncated file would throw if it were in
+    // any read path (corrupt-file canary), and the active set and the
+    // on-disk layout both exclude it
+    val degraded = CommitLog.snapshot(spark, primary).count()
+    assert(degraded > 0 && degraded < before._1)
+    assert(!CommitLog.activeFiles(fs, primary).contains("data/s1"))
+    assert(!fs.exists(new Path(primary, "data/s1")))
+    assert(fs.exists(new Path(primary, "_quarantine/data_s1")))
+
+    Durability.repairFrom(spark, primary, mirror, "data/s1", ts = 600L)
+    // REPAIRED: the table hash-equals its pre-corruption self
+    assert(tableHash(primary) == before)
+    // history is honest: the quarantine and repair commits are tagged
+    val tags = CommitLog.commits(fs, primary).flatMap(_.tags)
+    assert(tags.contains("quarantine") && tags.contains("repair"))
+    // and the degraded window stays replayable: the version between
+    // quarantine and repair still reads (without the corrupt entry)
+    assert(CommitLog.snapshot(spark, primary, version = 3).count() == degraded)
+  }
+
+  test("standby tailing: each shipped version reads identically, lag bounded, ship is delta-only") {
+    val primary = fresh("sb/primary")
+    val standby = fresh("sb/standby")
+    val r = Tables.region(spark, sfDir)
+    def head(dir: String): Int =
+      CommitLog.commits(fs, dir).lastOption.map(_.version).getOrElse(-1)
+
+    CommitLog.writeCommit(spark, primary, r.filter(col("r_regionkey") < 2), "data/a", ts = 100L)
+    assert(CommitLog.ship(spark, primary, standby) == Seq(0))
+    CommitLog.writeCommit(spark, primary, r.filter(col("r_regionkey") >= 2), "data/b", ts = 200L)
+    CommitLog.commit(fs, primary, ts = 300L, adds = Nil, removes = Seq("data/a"))
+    // mid-cadence lag is bounded by the number of unshipped commits
+    assert(head(primary) - head(standby) == 2)
+    // delta-only: the second ship carries exactly the two new versions
+    assert(CommitLog.ship(spark, primary, standby) == Seq(1, 2))
+    assert(head(standby) == head(primary))
+    // every version replays identically on the standby — including the
+    // metadata-only remove commit, which shipped as one log file
+    (0 to 2).foreach { v =>
+      val p = CommitLog.snapshot(spark, primary, version = v)
+        .collect().map(_.toString).sorted.toSeq
+      val s = CommitLog.snapshot(spark, standby, version = v)
+        .collect().map(_.toString).sorted.toSeq
+      assert(p == s, s"standby diverged at version $v")
+    }
+    // idempotent when in sync: nothing ships, nothing changes
+    assert(CommitLog.ship(spark, primary, standby).isEmpty)
+    // DR failover: the standby serves reads with the primary gone
+    fs.delete(new Path(primary), true)
+    assert(CommitLog.snapshot(spark, standby).count() == 3)
+  }
+}
