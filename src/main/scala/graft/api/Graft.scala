@@ -597,6 +597,9 @@ object Graft {
             .agg((sum(round(col("x") * 1e10).cast("long")).cast("double")
               / (count(lit(1)).cast("double") * 1e10)).as("mu"))
             .withColumn("micro", round(col("mu") * 1e10).cast("long"))
+            // K×dim rows at ANY corpus size (model-proportional, not
+            // data-proportional) — a fixed coalesce(1) is the right
+            // bound here, unlike the node-proportional rank iterates
             .coalesce(1))
         centM.count() // materialize: next iterate reads the cache, not the lineage
         lastMove = graft.ScopedCache(
@@ -861,6 +864,23 @@ object Graft {
 
   /** Iterative graph computation in exact integer arithmetic. */
   object graph {
+    /** Partition count for a NODE-PROPORTIONAL iterate frame: one
+      * partition per ~10M rows, floor 1. A fixed coalesce(1) is right
+      * for K×dim centroid frames (bounded by the model, not the data)
+      * but a rank table grows with the graph — at 10⁸-10⁹ nodes a
+      * 1-partition iterate is a straggler and a driver-adjacent
+      * bottleneck, while size-scaled partitioning keeps per-partition
+      * rows ~constant at any graph size (and collapses to 1 locally,
+      * preserving the few-shuffle-blocks win that motivated the
+      * coalesce in the first place). The divisor is overridable
+      * (-Dgraft.iterate.rowsPerPartition=N) so tests and the scale
+      * harness can force the multi-partition path at small data and
+      * prove the result is partitioning-independent. */
+    def iterateParts(rows: Long): Int = {
+      val per = java.lang.Long.getLong("graft.iterate.rowsPerPartition", 10000000L)
+      math.max(1L, rows / per).toInt
+    }
+
     /** Fixed-iteration PageRank over (src, dst) LONG-keyed edges, in
       * integer micro-units with floor division — deterministic and
       * order-independent (the discipline that lets an iterative
@@ -884,21 +904,29 @@ object Graft {
     def pagerankInt(edges: DataFrame, iterations: Int = 3): DataFrame = {
       val e = graft.ScopedCache(edges.select(col("src"), col("dst"))
         .repartition(4, col("src")))
+      // size-scaled iterate partitioning: the rank/degree frames are
+      // node-proportional, so their partition count must grow with
+      // the graph (iterateParts), not pin to 1
+      val parts = iterateParts(e.count())
       val deg = graft.ScopedCache(
         e.select(col("src").as("node"), lit(1L).as("w"))
           .union(e.select(col("dst").as("node"), lit(0L).as("w")))
           .groupBy(col("node")).agg(sum(col("w")).as("outdeg"))
-          .coalesce(1))
+          .coalesce(parts))
+      // the rank/contrib tables are node-proportional too: broadcast
+      // them only while the iterate fits one partition — at cluster
+      // scale the join shuffles on the node key like any BSP step
+      def bc(df: DataFrame): DataFrame = if (parts == 1) broadcast(df) else df
       var ranks = deg.select(col("node"), lit(1000000L).as("pr"), col("outdeg"))
       for (_ <- 1 to iterations) {
-        val contribs = e.join(broadcast(ranks), e("src") === ranks("node"))
+        val contribs = e.join(bc(ranks), e("src") === ranks("node"))
           .select(col("dst"), expr("pr div outdeg").as("contrib"))
           .groupBy(col("dst")).agg(sum(col("contrib")).as("c"))
-        ranks = deg.join(broadcast(contribs), deg("node") === contribs("dst"), "left")
+        ranks = deg.join(bc(contribs), deg("node") === contribs("dst"), "left")
           .select(deg("node"),
             (lit(150000L) + expr("(85 * coalesce(c, 0L)) div 100")).as("pr"),
             col("outdeg"))
-        ranks = graft.ScopedCache(ranks.coalesce(1))
+        ranks = graft.ScopedCache(ranks.coalesce(parts))
         ranks.count()
       }
       ranks.select(col("node"), col("pr"))

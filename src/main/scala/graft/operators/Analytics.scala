@@ -350,17 +350,23 @@ object Analytics {
     val edges = graft.ScopedCache(
       cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
         .repartition(4, col("src")))
+    // node-proportional iterate frames get SIZE-SCALED partitioning
+    // (one partition per ~10M rows, floor 1 — so locally this still
+    // coalesces to a single partition) and broadcast only while the
+    // iterate is single-partition small; see Graft.graph.iterateParts
+    val parts = graft.api.Graft.graph.iterateParts(edges.count())
+    def bc(df: DataFrame): DataFrame = if (parts == 1) broadcast(df) else df
     val deg = graft.ScopedCache(
       edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-        .select(col("src").as("node"), col("outdeg")).coalesce(1))
+        .select(col("src").as("node"), col("outdeg")).coalesce(parts))
     var ranks = deg.select(col("node"), lit(1000000L).as("pr"), col("outdeg"))
     for (_ <- 1 to 3) {
       val contribs = edges
-        .join(broadcast(ranks), edges("src") === ranks("node"))
+        .join(bc(ranks), edges("src") === ranks("node"))
         .select(col("dst"), expr("pr div outdeg").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("c"))
       ranks = deg
-        .join(broadcast(contribs), deg("node") === contribs("dst"), "left")
+        .join(bc(contribs), deg("node") === contribs("dst"), "left")
         .select(deg("node"),
           (lit(150000L) + expr("(85 * coalesce(c, 0L)) div 100")).as("pr"),
           col("outdeg"))
@@ -368,7 +374,7 @@ object Analytics {
       // the cache boundary the final plan inlines the whole unrolled
       // tree into one enormous codegen unit that HotSpot can't JIT,
       // and recomputes iteration i inside every iteration > i
-      ranks = graft.ScopedCache(ranks.coalesce(1))
+      ranks = graft.ScopedCache(ranks.coalesce(parts))
       ranks.count()
     }
     ranks

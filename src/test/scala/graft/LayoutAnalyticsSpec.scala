@@ -242,6 +242,18 @@ class LayoutAnalyticsSpec extends SparkSpec {
     assert(rows.head.getAs[String]("node").startsWith("s"))
   }
 
+  test("pagerank is partitioning-independent: forced multi-partition iterates match the single-partition result") {
+    val single = Analytics.gPagerank.fn(spark, sfDir).collect().map(_.toString).toSeq
+    // force iterateParts > 1 (and the non-broadcast join path) at
+    // test scale — the production shape at 10⁸-10⁹ nodes
+    System.setProperty("graft.iterate.rowsPerPartition", "50")
+    try {
+      val multi = Analytics.gPagerank.fn(spark, sfDir).collect().map(_.toString).toSeq
+      assert(multi == single,
+        "rank iterates must be bit-identical at any partition count")
+    } finally System.clearProperty("graft.iterate.rowsPerPartition")
+  }
+
   test("point lookup consults the manifest and touches few files") {
     val rows = Layout.lakePointLookup.fn(spark, sfDir).collect()
     val direct = Tables.lineitem(spark, sfDir)
