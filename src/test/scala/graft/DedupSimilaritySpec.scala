@@ -122,6 +122,28 @@ class DedupSimilaritySpec extends SparkSpec {
       s"cell scan not dynamically partition-pruned:\n$plan")
   }
 
+  test("knn graph reads the persisted cell layout and a single cell is partition-pruned") {
+    import org.apache.spark.sql.functions._
+    val g = Similarity.sKnnGraph.fn(spark, sfDir).collect()
+    assert(g.nonEmpty)
+    // the graph build provisioned the cell-partitioned layout
+    val path = "/root/repo/target/scratch/knn_cells_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val layout = spark.read.parquet(path)
+    assert(layout.count() == Tables.embeddings(spark, sfDir).count(),
+      "every vector must be in exactly one cell of the layout (no drops)")
+    // the per-cell incremental path: one cell reads ONE partition dir
+    val someCid = layout.select(col("cid")).head.get(0)
+    val pruned = layout.filter(col("cid") === someCid)
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata.get("PartitionFilters").exists(_.contains("cid")),
+      s"cid filter not pushed as a partition filter: ${scan.metadata}")
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil).length == 1,
+      "cid filter should prune the partitioned scan to one dir")
+  }
+
   test("filtered ANN: every neighbor satisfies the predicate; pre-filter beats post-filter") {
     import org.apache.spark.sql.functions._
     val allowed = Tables.embeddings(spark, sfDir)
