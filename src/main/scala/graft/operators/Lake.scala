@@ -309,26 +309,43 @@ object Lake {
 
   /** Namespace lifecycle: write -> rename -> read-at-new-path ->
     * delete-old (ClientProtocol.rename/delete; DFSClient.rename).
-    * Output audits each step; FS metadata isn't SQL-reachable →
-    * rows-only check. */
-  val lakeLifecycle: GraftQuery = GraftQuery.rowsOnly("lake_lifecycle") { (s, d) =>
+    * Every step's verdict is computed from real FS state and every
+    * step's row count is recomputable from the source table, so the
+    * gate checks the full (step, ok, n_rows) shape — the oracle
+    * declares the all-steps-succeed contract with the write/read
+    * counts recounted from `region` (r7 verdict #6: rows-only
+    * entries must pin their schema). */
+  val lakeLifecycle: GraftQuery = GraftQuery.sql(
+    "lake_lifecycle",
+    """WITH rc AS (SELECT COUNT(*) AS n FROM region)
+      |SELECT step, ok, n_rows FROM (
+      |  SELECT 'write_stage' AS step, TRUE AS ok, rc.n AS n_rows FROM rc
+      |  UNION ALL SELECT 'rename', TRUE, CAST(0 AS BIGINT) FROM rc
+      |  UNION ALL SELECT 'read_after_rename', TRUE, rc.n FROM rc
+      |  UNION ALL SELECT 'stage_removed', TRUE, CAST(0 AS BIGINT) FROM rc
+      |  UNION ALL SELECT 'delete', TRUE, CAST(0 AS BIGINT) FROM rc)
+      |ORDER BY step""".stripMargin
+  ) { (s, d) =>
     import s.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     val stage = new org.apache.hadoop.fs.Path(scratch("lifecycle/stage"))
     val fin = new org.apache.hadoop.fs.Path(scratch("lifecycle/final"))
     fs.delete(stage, true); fs.delete(fin, true)
-    Tables.region(s, d).write.parquet(stage.toString)
+    val src = Tables.region(s, d)
+    val staged = src.count()
+    src.write.parquet(stage.toString)
     val renamed = fs.rename(stage, fin)
     val rowsAtFinal = s.read.parquet(fin.toString).count()
     val stageGone = !fs.exists(stage)
     val deleted = fs.delete(fin, true)
     Seq(
-      ("write_stage", true),
-      ("rename", renamed),
-      ("read_after_rename", rowsAtFinal == Tables.region(s, d).count()),
-      ("stage_removed", stageGone),
-      ("delete", deleted)
-    ).toDF("step", "ok")
+      ("write_stage", true, staged),
+      ("rename", renamed, 0L),
+      ("read_after_rename", rowsAtFinal == staged, rowsAtFinal),
+      ("stage_removed", stageGone, 0L),
+      ("delete", deleted, 0L)
+    ).toDF("step", "ok", "n_rows")
+      .orderBy(col("step"))
   }
 
   /** Concat: multiple part-dirs combined into one logical dataset

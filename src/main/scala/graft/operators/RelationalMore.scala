@@ -111,19 +111,28 @@ object RelationalMore {
 
   /** File-status listing over the table namespace — ls / listStatus
     * (reference DistributedFileSystem.listStatus,
-    * protocol/DirectoryListing.java), including the ownership triple
-    * (owner, group, permission — protocol/ClientProtocol.java:230
-    * setPermission, :247 setOwner surface the same FileStatus fields).
-    * Sizes/owners are driver metadata, not SQL-reachable → rows-only
-    * check; the SQL-checked permission surface is lake_acl_audit. */
-  val lakeLs: GraftQuery = GraftQuery.rowsOnly("lake_ls") { (s, d) =>
+    * protocol/DirectoryListing.java). The listing pairs each entry's
+    * FS metadata (status + nonzero length — the raw bytes/owner
+    * values are environment metadata; ownership is the SQL-checked
+    * lake_acl_audit surface) with its row count, so the gate checks
+    * the full (name, status, size-sane, rows) shape instead of
+    * rows-only (r7 verdict #6). */
+  val lakeLs: GraftQuery = GraftQuery.sql(
+    "lake_ls",
+    graft.Tables.names.sorted.map { t =>
+      s"""SELECT '$t' AS table_name, TRUE AS is_entry, TRUE AS bytes_positive,
+         |  COUNT(*) AS n_rows FROM $t""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+  ) { (s, d) =>
     import s.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     graft.Tables.names.map { t =>
       val p = new org.apache.hadoop.fs.Path(s"$d/$t.parquet")
       val st = fs.getFileStatus(p)
-      (t, st.getLen, st.isDirectory, st.getOwner, st.getGroup, st.getPermission.toString)
-    }.toDF("table_name", "n_bytes", "is_dir", "owner", "grp", "permission")
+      (t, st.isDirectory || st.isFile, // entry present, either layout
+        fs.getContentSummary(p).getLength > 0, // du: real bytes on disk
+        graft.Tables.load(s, d, t).count())
+    }.toDF("table_name", "is_entry", "bytes_positive", "n_rows")
       .orderBy(col("table_name"))
   }
 
@@ -182,6 +191,68 @@ object RelationalMore {
       .agg(max(col("n")).as("n"),
         max(when(col("rn") === ceil(lit(0.5) * col("n")).cast("long"), col("o_totalprice"))).as("p50"),
         max(when(col("rn") === ceil(lit(0.9) * col("n")).cast("long"), col("o_totalprice"))).as("p90"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** MERGEABLE-SKETCH PERCENTILES — the 100 TB form of q_percentiles:
+    * percentile_approx is a Greenwald-Khanna quantile summary, a
+    * partial-agg-friendly mergeable sketch (map-side combine, no
+    * per-group sort of the full value set — the shape that replaces
+    * the exact rank pick when a group no longer fits a window). The
+    * sketch value itself is merge-order-dependent, so the gate checks
+    * what the ALGORITHM guarantees deterministically: GK returns an
+    * element whose rank is within N/accuracy of the target at ANY
+    * merge order, so the within-rank-tolerance flag (accuracy 100 →
+    * 1% guaranteed, flagged at 5%) is stable at any parallelism. The
+    * exact p50/p90 (same rank pick as q_percentiles) anchor the hash. */
+  val qApproxPercentile: GraftQuery = GraftQuery.sql(
+    "q_approx_percentile",
+    """WITH r AS (SELECT o_orderstatus, o_totalprice,
+      |  ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |    ORDER BY o_totalprice, o_orderkey) AS rn,
+      |  COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      |  FROM orders)
+      |SELECT o_orderstatus, CAST(MAX(n) AS BIGINT) AS n,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN o_totalprice END) AS p50,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN o_totalprice END) AS p90,
+      |  TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+      |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    // the sketch pass: one mergeable aggregate, no window, no sort
+    val ap = o.groupBy(col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("ap_n"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(100)).as("a50"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(100)).as("a90"))
+    // rank the sketch's answers: value v covers ranks
+    // [count(<v)+1, count(<=v)]; GK guarantees that span is within
+    // eps*N of the target rank
+    val spans = o.join(broadcast(ap), col("o_orderstatus") === col("st"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(when(col("o_totalprice") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("o_totalprice") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("o_totalprice") < col("a90"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("o_totalprice") <= col("a90"), 1L).otherwise(0L)).as("le90"))
+    val w = Window.partitionBy(col("o_orderstatus"))
+    val exact = o.select(col("o_orderstatus"), col("o_totalprice"),
+        row_number().over(w.orderBy(col("o_totalprice"), col("o_orderkey"))).as("rn"),
+        count(lit(1)).over(w).as("n"))
+      .groupBy(col("o_orderstatus"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === ceil(lit(0.5) * col("n")).cast("long"),
+          col("o_totalprice"))).as("p50"),
+        max(when(col("rn") === ceil(lit(0.9) * col("n")).cast("long"),
+          col("o_totalprice"))).as("p90"))
+    def rankOk(p: Double, lt: String, le: String) = {
+      val target = ceil(lit(p) * col("n")).cast("long")
+      val tol = ceil(col("n") * 0.05).cast("long")
+      target >= col(lt) + 1L - tol && target <= col(le) + tol
+    }
+    exact.join(spans, Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("n"), col("p50"), col("p90"),
+        rankOk(0.5, "lt50", "le50").as("p50_rank_ok"),
+        rankOk(0.9, "lt90", "le90").as("p90_rank_ok"))
       .orderBy(col("o_orderstatus"))
   }
 
@@ -270,6 +341,6 @@ object RelationalMore {
 
   def all: Seq[GraftQuery] = Seq(
     q12PriorityLines, q14PromoRevenue, q18LargeOrders, qCorrelatedMin,
-    lakeLs, stStreamDedup, qJsonExtract, qPercentiles,
+    lakeLs, stStreamDedup, qJsonExtract, qPercentiles, qApproxPercentile,
     qWindowRange, qCollectAgg, lakeRoundtripText, qSample)
 }

@@ -15,10 +15,42 @@ class MoreOpsSpec extends SparkSpec {
     }
   }
 
-  test("lake_ls reports every table with nonzero size") {
+  test("lake_ls reports every table present, with bytes on disk and a true row count") {
     val rows = RelationalMore.lakeLs.fn(spark, sfDir).collect()
     assert(rows.length == Tables.names.length)
-    rows.foreach(r => assert(r.getAs[Long]("n_bytes") > 0))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_entry") && r.getAs[Boolean]("bytes_positive"))
+      val t = r.getAs[String]("table_name")
+      assert(r.getAs[Long]("n_rows") == Tables.load(spark, sfDir, t).count(),
+        s"listing row count wrong for $t")
+    }
+  }
+
+  test("approx percentile sketch lands within the guaranteed rank tolerance of the exact pick") {
+    val rows = RelationalMore.qApproxPercentile.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("p50_rank_ok") && r.getAs[Boolean]("p90_rank_ok"),
+        s"sketch outside rank tolerance for ${r.getAs[String]("o_orderstatus")}")
+    }
+    // independent error bound: the sketch VALUE itself must sit within
+    // 5% rank distance of the exact percentile value per group
+    val o = Tables.orders(spark, sfDir).select(col("o_orderstatus"), col("o_totalprice"))
+      .collect().groupBy(_.getString(0))
+    val ap = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(percentile_approx(col("o_totalprice"), lit(0.9), lit(100)).as("a90"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    ap.foreach { case (st, a90) =>
+      val vals = o(st).map(_.getDouble(1)).sorted
+      val n = vals.length
+      val rankLo = vals.count(_ < a90) + 1
+      val rankHi = vals.count(_ <= a90)
+      val target = math.ceil(0.9 * n).toLong
+      val tol = math.ceil(0.05 * n).toLong
+      assert(target >= rankLo - tol && target <= rankHi + tol,
+        s"$st: approx p90 rank [$rankLo,$rankHi] vs target $target (n=$n)")
+    }
   }
 
   test("IVF ANN recall: neighbors come from brute-force top ranks") {
