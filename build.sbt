@@ -32,3 +32,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // later query runs interpreted (50× slower memcpy-bound plans).
   "-XX:ReservedCodeCacheSize=768m",
 )
+// Extra -D flags for forked runs (e.g. the scale harness forcing
+// graft.iterate.rowsPerPartition down to exercise multi-partition
+// iterates at test data sizes).
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))

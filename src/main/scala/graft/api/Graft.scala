@@ -56,6 +56,9 @@ object Graft {
           explode(sequence(lit(1), length(col("tok")) - 1, lit(1))).as("i"))
         .select(expr("substring(tok, i, 2)").as("pair"), col("cnt"))
         .groupBy(col("pair")).agg(sum(col("cnt")).as("weight"))
+        // global top-K over the distinct-PAIR frame (bounded by the
+        // character-pair alphabet, corpus-independent) — adjudicated
+        // in PLANS_r7/r8: the cut never sorts corpus-sized data
         .orderBy(col("weight").desc, col("pair")).limit(topN)
 
     /** Deterministic training shuffle of any integer-keyed frame (the
@@ -856,6 +859,11 @@ object Graft {
           .filter(col("_pm").isNull || col("_pm") < col("_mx"))
           .drop("_pm")
       }
+      // the second sweep is a GLOBAL window (empty partitionBy — it is
+      // the one WindowExec-warning site in this file): bounded by
+      // construction, because its input is only the per-partition
+      // survivors of the first sweep (frontier-candidate-sized, not
+      // corpus-sized) — adjudicated in PLANS_r7/r8, safe at any scale
       sweep(sweep(pts.withColumn("_pid", spark_partition_id()), Seq(col("_pid")))
           .drop("_pid"), Seq.empty)
         .select(col("_mn").as(minCol), col("_mx").as(maxCol))

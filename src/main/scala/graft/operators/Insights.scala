@@ -181,6 +181,10 @@ object Insights {
   ) { (s, d) =>
     val toks = Tables.documents(s, d)
       .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
+    // global top-K cut over the DISTINCT-TOKEN frame (vocabulary-sized
+    // at any corpus size, ~10^5-10^6 rows at 100 TB) — the global sort
+    // is bounded by the vocabulary, never the corpus; adjudicated in
+    // PLANS_r7/r8
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("tok")).limit(20)
       .select(col("tok").as("v_tok"))

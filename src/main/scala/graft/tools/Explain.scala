@@ -53,7 +53,11 @@ object Explain {
     // the deterministic training shuffle, and the cell-blocked
     // symmetric k-NN graph
     "t_bpe_pairs", "t_shuffle_shard", "s_knn_graph", "d_substring_dup",
-    "g_knn_triangles", "ts_seasonality", "m_scene_cuts")
+    "g_knn_triangles", "ts_seasonality", "m_scene_cuts",
+    // round-8: durability ceremonies, the sketch-evaluation pair, and
+    // the oracle-gated listing
+    "lake_quarantine", "lake_standby", "q_approx_percentile",
+    "q_approx_distinct", "lake_ls")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
