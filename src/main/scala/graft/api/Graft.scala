@@ -1,7 +1,7 @@
 package graft.api
 
 import graft.functions.{GraftHash, Parity, Shingles, Vectors}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -705,6 +705,28 @@ object Graft {
       df.select((groupCols.map(col) :+ GraftHash.charHash(col(textCol)).as("fp")): _*)
         .groupBy(groupCols.map(col): _*)
         .agg(count(lit(1)).as("n_rows"), (sum(col("fp")) % GraftHash.P).as("checksum"))
+
+    // Durability loop over commit-log tables (operators/Durability
+    // holds the implementations; re-exported here so the facade
+    // carries the whole detect→quarantine→repair→DR surface).
+
+    /** Scrubber pass: active journal entries that fail a real read. */
+    def scrub(s: SparkSession, tableDir: String): Seq[String] =
+      graft.operators.Durability.unreadableEntries(s, tableDir)
+
+    /** Remove a corrupt entry from service (one tagged journal
+      * commit) and park its bytes under `_quarantine/`. */
+    def quarantine(s: SparkSession, tableDir: String, rel: String, ts: Long): Int =
+      graft.operators.Durability.quarantine(s, tableDir, rel, ts)
+
+    /** Re-replicate a quarantined entry from a verified mirror copy. */
+    def repairFrom(s: SparkSession, tableDir: String, mirrorDir: String,
+                   rel: String, ts: Long): Int =
+      graft.operators.Durability.repairFrom(s, tableDir, mirrorDir, rel, ts)
+
+    /** Tail the primary's journal onto a hot standby (delta-only). */
+    def ship(s: SparkSession, primaryDir: String, standbyDir: String): Seq[Int] =
+      graft.sources.CommitLog.ship(s, primaryDir, standbyDir)
 
     // ACL manifest transforms over a namespace frame carrying
     // owner/grp/mode columns (reference ClientProtocol.setOwner /

@@ -87,6 +87,76 @@ object Durability {
     part
   }
 
+  /** BUDGETED SCRUB CYCLE — the reference's block scanner discipline
+    * (server/datanode/DataBlockScanner.java:1: every block verified
+    * on a period, never the whole disk at once; the scanner keeps a
+    * cursor and spends a bounded verification budget per pass). Each
+    * call verifies the next `budget` active entries past a PERSISTED
+    * cursor (`_scrub/cursor`, wrapping over the sorted entry list)
+    * and advances it — at 100 TB the scrub I/O per cycle is
+    * budget-bounded whatever the table size, and full coverage is a
+    * cadence guarantee (ceil(entries/budget) cycles), not a scan.
+    * Returns (entries checked, unreadable subset). */
+  def scrubCycle(s: SparkSession, tableDir: String, budget: Int): (Seq[String], Seq[String]) = {
+    val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val entries = CommitLog.activeFiles(fs, tableDir).sorted
+    require(entries.nonEmpty, s"nothing to scrub in $tableDir")
+    val curPath = new Path(tableDir, "_scrub/cursor")
+    val cur =
+      if (!fs.exists(curPath)) 0
+      else {
+        val in = fs.open(curPath)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").trim.toInt
+        finally in.close()
+      }
+    val picked = (0 until math.min(budget, entries.size))
+      .map(i => entries((cur + i) % entries.size))
+    val bad = picked.filter { rel =>
+      try { s.read.parquet(s"$tableDir/$rel").foreach(_ => ()); false }
+      catch { case _: Throwable => true }
+    }
+    val out = fs.create(curPath, true)
+    try out.write(s"${(cur + budget) % entries.size}\n".getBytes("UTF-8"))
+    finally out.close()
+    (picked, bad)
+  }
+
+  /** SCRUB CADENCE over a six-entry table, budget two per cycle: three
+    * cycles reach full coverage, each cycle's I/O bounded by the
+    * budget regardless of table size (the DataBlockScanner period
+    * made concrete — lake_quarantine's detector run the way a real
+    * deployment runs it). Per cycle: entries checked, verified ok,
+    * the rows those entries serve (oracle recounts them from the
+    * source table), and cumulative coverage per-mille. */
+  val lakeScrubCadence: GraftQuery = GraftQuery.sql(
+    "lake_scrub_cadence", {
+      def cyc(k: Int) =
+        s"""SELECT CAST($k AS BIGINT) AS cycle, CAST(2 AS BIGINT) AS n_checked,
+           |  CAST(2 AS BIGINT) AS n_ok, COUNT(*) AS n_rows_checked,
+           |  CAST(${(k + 1) * 2 * 1000 / 6} AS BIGINT) AS cum_coverage_pm
+           |FROM documents WHERE doc_id % 6 IN (${2 * k}, ${2 * k + 1})""".stripMargin
+      s"${cyc(0)}\nUNION ALL\n${cyc(1)}\nUNION ALL\n${cyc(2)}\nORDER BY cycle"
+    }
+  ) { (s, d) =>
+    import s.implicits._
+    val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val dir = Lake.scratch("scrub_cadence/table")
+    fs.delete(new Path(dir), true)
+    val docs = Tables.documents(s, d)
+    (0 until 6).foreach { i =>
+      CommitLog.writeCommit(s, dir,
+        docs.filter(col("doc_id") % 6 === i).coalesce(1), s"data/s$i", ts = 1000L + i)
+    }
+    (0 until 3).map { k =>
+      val (checked, bad) = scrubCycle(s, dir, budget = 2)
+      val rows = s.read.parquet(checked.map(r => s"$dir/$r"): _*).count()
+      (k.toLong, checked.size.toLong, (checked.size - bad.size).toLong,
+        rows, ((k + 1) * 2 * 1000 / 6).toLong)
+    }.toDF("cycle", "n_checked", "n_ok", "n_rows_checked", "cum_coverage_pm")
+      .orderBy(col("cycle"))
+  }
+
   /** CORRUPT-DATA QUARANTINE + REPAIR — the full detect → quarantine →
     * re-replicate → audit loop (reference ClientProtocol.java:356
     * reportBadBlocks, CorruptReplicasMap.java:1, NamenodeFsck.java:1
@@ -231,5 +301,5 @@ object Durability {
       .orderBy(col("version"))
   }
 
-  def all: Seq[GraftQuery] = Seq(lakeQuarantine, lakeStandby)
+  def all: Seq[GraftQuery] = Seq(lakeQuarantine, lakeStandby, lakeScrubCadence)
 }

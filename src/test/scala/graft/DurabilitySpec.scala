@@ -72,6 +72,28 @@ class DurabilitySpec extends SparkSpec {
     assert(CommitLog.snapshot(spark, primary, version = 3).count() == degraded)
   }
 
+  test("budgeted scrub: cursor persists across cycles, coverage completes, the covering cycle flags the corrupt entry") {
+    val dir = fresh("scrub/table")
+    val r = Tables.region(spark, sfDir)
+    (0 until 4).foreach { i =>
+      CommitLog.writeCommit(spark, dir,
+        r.filter(col("r_regionkey") % 4 === i).coalesce(1), s"data/e$i", ts = 100L + i)
+    }
+    // entry e2 rots; with budget 2 it is reached in the SECOND cycle
+    Durability.corruptInPlace(fs, dir, "data/e2")
+    val (c1, bad1) = Durability.scrubCycle(spark, dir, budget = 2)
+    assert(c1 == Seq("data/e0", "data/e1") && bad1.isEmpty)
+    val (c2, bad2) = Durability.scrubCycle(spark, dir, budget = 2)
+    assert(c2 == Seq("data/e2", "data/e3"),
+      "cursor must persist between cycles and continue where it left off")
+    assert(bad2 == Seq("data/e2"), s"scrub missed the rot: $bad2")
+    // wrap-around: the third cycle starts over
+    val (c3, _) = Durability.scrubCycle(spark, dir, budget = 2)
+    assert(c3 == Seq("data/e0", "data/e1"))
+    assert((c1 ++ c2).toSet == CommitLog.activeFiles(fs, dir).toSet,
+      "two cycles at budget 2 must cover all four entries exactly")
+  }
+
   test("standby tailing: each shipped version reads identically, lag bounded, ship is delta-only") {
     val primary = fresh("sb/primary")
     val standby = fresh("sb/standby")
