@@ -383,7 +383,17 @@ object CommitLog {
     * deletion schedule. External absolute references (shallow-clone
     * entries) are NOT copied: they point outside the primary and
     * resolve identically from the standby. Returns the shipped
-    * version numbers (empty = already in sync). */
+    * version numbers (empty = already in sync).
+    *
+    * Torn-file discipline: a terminator-less log file is either a
+    * BURNED version (its writer died — stable forever) or a commit
+    * currently being written. The two are indistinguishable by
+    * content, but an in-flight write can only be the newest
+    * version(s), so ship copies a terminator-less file ONLY when its
+    * version is below the primary's completed head — copying an
+    * in-flight head file would freeze a half-commit on the standby
+    * (the `have` set never re-copies a name), silently dropping that
+    * version from the standby forever once the primary completes it. */
   def ship(spark: SparkSession, primaryDir: String, standbyDir: String): Seq[Int] = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val have = Option(fs)
@@ -392,10 +402,17 @@ object CommitLog {
       .getOrElse(Set.empty)
     val conf = spark.sparkContext.hadoopConfiguration
     fs.mkdirs(logDir(standbyDir))
-    val pending = fs.listStatus(logDir(primaryDir)).toSeq
-      .filter(st => st.getPath.getName.endsWith(".log") && !have(st.getPath.getName))
-      .sortBy(_.getPath.getName)
     val byVersion = commits(fs, primaryDir).map(c => c.version -> c).toMap
+    val head = if (byVersion.isEmpty) -1 else byVersion.keys.max
+    val pending = fs.listStatus(logDir(primaryDir)).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.endsWith(".log") && !have(n) && {
+          val v = n.stripSuffix(".log").toInt
+          byVersion.contains(v) || v < head // completed, or provably burned
+        }
+      }
+      .sortBy(_.getPath.getName)
     pending.map { st =>
       val v = st.getPath.getName.stripSuffix(".log").toInt
       byVersion.get(v).foreach { c =>

@@ -121,6 +121,18 @@ class DurabilitySpec extends SparkSpec {
     }
     // idempotent when in sync: nothing ships, nothing changes
     assert(CommitLog.ship(spark, primary, standby).isEmpty)
+    // torn-file discipline: a terminator-less log file AT the head is
+    // indistinguishable from an in-flight write, so ship must leave it
+    // for a later cycle; once completed it ships normally
+    val inFlight = new Path(primary, "_log/000000003.log")
+    val out = fs.create(inFlight, true)
+    out.write("ts 400\nadd data/c".getBytes("UTF-8")); out.close() // no `end`
+    assert(CommitLog.ship(spark, primary, standby).isEmpty,
+      "an in-flight head commit must not ship half-written")
+    assert(!fs.exists(new Path(standby, "_log/000000003.log")))
+    val out2 = fs.create(inFlight, true)
+    out2.write("ts 400\nadd data/b\nend\n".getBytes("UTF-8")); out2.close()
+    assert(CommitLog.ship(spark, primary, standby) == Seq(3))
     // DR failover: the standby serves reads with the primary gone
     fs.delete(new Path(primary), true)
     assert(CommitLog.snapshot(spark, standby).count() == 3)
