@@ -284,6 +284,22 @@ class GraftApiSpec extends SparkSpec {
     }
   }
 
+  test("shuffleShards spreads RANGE-CLUSTERED ids across all shards (high-bit derivation)") {
+    import spark.implicits._
+    // contiguous id block — the exact case the r7 review flagged:
+    // with shard = skey % shards (low bits of a power-of-two LCG),
+    // 1000 consecutive ids would stripe as id mod 16 deterministically
+    val ids = (100000L until 101000L).toDF("id")
+    val byShard = Graft.text.shuffleShards(ids, "id", shards = 16)
+      .groupBy("shard").count().collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("count")).toMap
+    assert(byShard.keySet == (0L until 16L).toSet,
+      s"contiguous ids must reach every shard: ${byShard.keySet.toSeq.sorted}")
+    // balanced within 2x of uniform (1000/16 = 62.5)
+    byShard.values.foreach(n => assert(n >= 31 && n <= 125,
+      s"shard sizes unbalanced: $byShard"))
+  }
+
   test("substringDupStats finds the repeated window across the dup docs") {
     // docs 1 and 5 are identical 6-token texts; with n=6 their single
     // window is shared (corpus count 2) while docs 3/4 are unique
