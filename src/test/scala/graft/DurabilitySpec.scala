@@ -94,6 +94,54 @@ class DurabilitySpec extends SparkSpec {
       "two cycles at budget 2 must cover all four entries exactly")
   }
 
+  test("journal replay equals a set-fold model over 30 random histories (burned files ignored)") {
+    val rnd = new scala.util.Random(42)
+    (0 until 30).foreach { trial =>
+      val dir = fresh(s"model/t$trial")
+      var model = Vector.empty[(Int, Set[String])] // version -> active set AFTER it
+      var active = scala.collection.immutable.ListSet.empty[String]
+      var nextFile = 0
+      (0 until 3 + rnd.nextInt(10)).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 | 1 => // add a fresh entry
+            val f = s"data/f$nextFile"; nextFile += 1
+            val v = CommitLog.commit(fs, dir, ts = 1000L + model.size,
+              adds = Seq(f), removes = Nil)
+            active = active + f
+            model :+= (v, active.toSet)
+          case 2 if active.nonEmpty => // rewrite: remove one, add one, same commit
+            val victim = active.toSeq(rnd.nextInt(active.size))
+            val f = s"data/f$nextFile"; nextFile += 1
+            val v = CommitLog.commit(fs, dir, ts = 1000L + model.size,
+              adds = Seq(f), removes = Seq(victim))
+            active = active - victim + f
+            model :+= (v, active.toSet)
+          case 3 if active.size > 1 => // pure metadata remove
+            val victim = active.toSeq(rnd.nextInt(active.size))
+            val v = CommitLog.commit(fs, dir, ts = 1000L + model.size,
+              adds = Nil, removes = Seq(victim))
+            active = active - victim
+            model :+= (v, active.toSet)
+          case _ => // burn a version: torn log file, must replay as a no-op
+            val burned = CommitLog.commits(fs, dir).lastOption.map(_.version + 1).getOrElse(0)
+            val out = fs.create(new Path(dir, f"_log/$burned%09d.log"), true)
+            out.write(s"ts 0\nadd data/torn\n".getBytes("UTF-8")); out.close()
+        }
+      }
+      model.foreach { case (v, expect) =>
+        assert(CommitLog.activeFiles(fs, dir, version = v).toSet == expect,
+          s"trial $trial: replay diverged from the model at version $v")
+      }
+      // the incremental timeline agrees with per-version replays
+      val cs = CommitLog.commits(fs, dir)
+      CommitLog.journalTimeline(cs).foreach { case (c, n) =>
+        assert(n == CommitLog.activeFiles(fs, dir, c.version).size.toLong)
+      }
+      assert(!CommitLog.activeFiles(fs, dir).contains("data/torn"),
+        s"trial $trial: a burned version leaked an action into replay")
+    }
+  }
+
   test("standby tailing: each shipped version reads identically, lag bounded, ship is delta-only") {
     val primary = fresh("sb/primary")
     val standby = fresh("sb/standby")
