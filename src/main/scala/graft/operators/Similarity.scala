@@ -32,8 +32,20 @@ object Similarity {
 
   private def famMemoized(s: SparkSession, d: String, tag: String)
                          (build: => DataFrame): DataFrame = {
-    val df = famMemo.computeIfAbsent((System.identityHashCode(s), d, tag),
-      _ => build.persist())
+    // NOT computeIfAbsent: builds nest on this map (cells_layout →
+    // acells → corpus), and a nested computeIfAbsent on one
+    // ConcurrentHashMap throws "recursive update" whenever two keys
+    // land in the same bin — the api.Graft.dedup memo's documented
+    // hazard. get/putIfAbsent tolerates nesting; a racing duplicate
+    // build just unpersists its copy.
+    val key = (System.identityHashCode(s), d, tag)
+    val df = Option(famMemo.get(key)).getOrElse {
+      val built = build.persist()
+      Option(famMemo.putIfAbsent(key, built)) match {
+        case Some(prev) => built.unpersist(); prev
+        case None => built
+      }
+    }
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
     df
   }
