@@ -48,7 +48,11 @@ object Durability {
       adds = Seq.empty, removes = Seq(rel), tags = Seq("quarantine"))
     val dst = new Path(tableDir, s"_quarantine/${rel.replace('/', '_')}")
     fs.mkdirs(dst.getParent)
-    fs.rename(new Path(tableDir, rel), dst)
+    // loud failure: a failed rename would leave the (unreferenced)
+    // corrupt bytes where the next vacuum reclaims them instead of
+    // preserving them for forensics
+    require(fs.rename(new Path(tableDir, rel), dst),
+      s"quarantine rename failed: $rel -> $dst (entry already out of service)")
     v
   }
 

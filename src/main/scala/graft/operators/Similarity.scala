@@ -262,7 +262,8 @@ object Similarity {
     val path = graft.operators.Lake.scratch(
       "ivf_cells_" + d.replaceAll("[^A-Za-z0-9]", "_"))
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-    val srcSig = Lake.sourceSig(fs, new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet"))
+    val srcSig = Lake.sourceSig(fs,
+      new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")) + s"|nc=$NCells"
     Lake.provisionIfStale(fs, path, srcSig) {
       asg.filter(col("rk") === 1)
         .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
@@ -979,8 +980,12 @@ object Similarity {
   private def adaptiveCellsLayout(s: SparkSession, d: String): DataFrame = {
     val path = Lake.scratch("knn_cells_" + d.replaceAll("[^A-Za-z0-9]", "_"))
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    // the layout bakes in the cell constants — salt them into the
+    // staleness signature so changing them rebuilds instead of
+    // silently serving a layout cut with the old cell count
     val srcSig = Lake.sourceSig(fs,
-      new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet"))
+      new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")) +
+      s"|nc=$NCells|tgt=$KnnCellTarget"
     Lake.provisionIfStale(fs, path, srcSig) {
       adaptiveCells(s, d).repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid").parquet(path)
