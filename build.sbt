@@ -35,4 +35,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // Extra -D flags for forked runs (e.g. the scale harness forcing
 // graft.iterate.rowsPerPartition down to exercise multi-partition
 // iterates at test data sizes).
-javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+")).filter(_.nonEmpty)

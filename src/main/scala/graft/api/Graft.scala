@@ -935,14 +935,16 @@ object Graft {
       val e = graft.ScopedCache(edges.select(col("src"), col("dst"))
         .repartition(4, col("src")))
       // size-scaled iterate partitioning: the rank/degree frames are
-      // node-proportional, so their partition count must grow with
-      // the graph (iterateParts), not pin to 1
-      val parts = iterateParts(e.count())
-      val deg = graft.ScopedCache(
+      // NODE-proportional, so size them from the node count (the deg
+      // frame), not the edge count — a dense graph (10⁹ edges over
+      // 10⁷ nodes) would otherwise spread a comfortably-broadcastable
+      // rank table over 100 partitions and forfeit the broadcast join
+      val deg0 = graft.ScopedCache(
         e.select(col("src").as("node"), lit(1L).as("w"))
           .union(e.select(col("dst").as("node"), lit(0L).as("w")))
-          .groupBy(col("node")).agg(sum(col("w")).as("outdeg"))
-          .coalesce(parts))
+          .groupBy(col("node")).agg(sum(col("w")).as("outdeg")))
+      val parts = iterateParts(deg0.count())
+      val deg = graft.ScopedCache(deg0.coalesce(parts))
       // the rank/contrib tables are node-proportional too: broadcast
       // them only while the iterate fits one partition — at cluster
       // scale the join shuffles on the node key like any BSP step

@@ -353,12 +353,15 @@ object Analytics {
     // node-proportional iterate frames get SIZE-SCALED partitioning
     // (one partition per ~10M rows, floor 1 — so locally this still
     // coalesces to a single partition) and broadcast only while the
-    // iterate is single-partition small; see Graft.graph.iterateParts
-    val parts = graft.api.Graft.graph.iterateParts(edges.count())
-    def bc(df: DataFrame): DataFrame = if (parts == 1) broadcast(df) else df
-    val deg = graft.ScopedCache(
+    // iterate is single-partition small; sized from the NODE count
+    // (deg frame), not the edge count, so a dense graph keeps its
+    // broadcastable rank table; see Graft.graph.iterateParts
+    val deg0 = graft.ScopedCache(
       edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-        .select(col("src").as("node"), col("outdeg")).coalesce(parts))
+        .select(col("src").as("node"), col("outdeg")))
+    val parts = graft.api.Graft.graph.iterateParts(deg0.count())
+    def bc(df: DataFrame): DataFrame = if (parts == 1) broadcast(df) else df
+    val deg = graft.ScopedCache(deg0.coalesce(parts))
     var ranks = deg.select(col("node"), lit(1000000L).as("pr"), col("outdeg"))
     for (_ <- 1 to 3) {
       val contribs = edges

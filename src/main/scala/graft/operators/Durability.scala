@@ -26,11 +26,18 @@ object Durability {
     * query — and per entry it is exactly the I/O a scrubber must pay. */
   def unreadableEntries(s: SparkSession, tableDir: String): Seq[String] = {
     val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
-    CommitLog.activeFiles(fs, tableDir).filter { rel =>
-      try { s.read.parquet(s"$tableDir/$rel").foreach(_ => ()); false }
-      catch { case _: Throwable => true }
-    }
+    CommitLog.activeFiles(fs, tableDir).filter(rel => failsRead(s, s"$tableDir/$rel"))
   }
+
+  /** One verification read. Scope matters: only NON-FATAL failures
+    * (decode errors, checksum mismatches, missing footers) classify
+    * as corruption — an OOM or interrupt must propagate, because a
+    * caller following the documented detect→quarantine loop would
+    * otherwise remove a HEALTHY entry from service over a transient
+    * driver condition. */
+  private def failsRead(s: SparkSession, path: String): Boolean =
+    try { s.read.parquet(path).foreach(_ => ()); false }
+    catch { case scala.util.control.NonFatal(_) => true }
 
   /** QUARANTINE a corrupt entry (reference
     * protocol/ClientProtocol.java:356 reportBadBlocks →
@@ -96,10 +103,16 @@ object Durability {
     * on a period, never the whole disk at once; the scanner keeps a
     * cursor and spends a bounded verification budget per pass). Each
     * call verifies the next `budget` active entries past a PERSISTED
-    * cursor (`_scrub/cursor`, wrapping over the sorted entry list)
-    * and advances it — at 100 TB the scrub I/O per cycle is
-    * budget-bounded whatever the table size, and full coverage is a
-    * cadence guarantee (ceil(entries/budget) cycles), not a scan.
+    * NAME cursor (`_scrub/cursor`: the last entry scrubbed, wrapping
+    * over the sorted entry list) and advances it — at 100 TB the
+    * scrub I/O per cycle is budget-bounded whatever the table size,
+    * and full coverage is a cadence guarantee
+    * (ceil(entries/budget) cycles), not a scan. The cursor is a NAME,
+    * not an index: under churn (commits adding/removing entries
+    * between cycles) a positional cursor desynchronizes from what was
+    * actually checked — re-scrubbing some entries and starving
+    * others — while a name cursor resumes strictly after the last
+    * verified entry whatever the list now looks like.
     * Returns (entries checked, unreadable subset). */
   def scrubCycle(s: SparkSession, tableDir: String, budget: Int): (Seq[String], Seq[String]) = {
     val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
@@ -107,21 +120,18 @@ object Durability {
     require(entries.nonEmpty, s"nothing to scrub in $tableDir")
     val curPath = new Path(tableDir, "_scrub/cursor")
     val cur =
-      if (!fs.exists(curPath)) 0
+      if (!fs.exists(curPath)) ""
       else {
         val in = fs.open(curPath)
         try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          "UTF-8").trim.toInt
+          "UTF-8").trim
         finally in.close()
       }
-    val picked = (0 until math.min(budget, entries.size))
-      .map(i => entries((cur + i) % entries.size))
-    val bad = picked.filter { rel =>
-      try { s.read.parquet(s"$tableDir/$rel").foreach(_ => ()); false }
-      catch { case _: Throwable => true }
-    }
+    val after = entries.filter(_ > cur)
+    val picked = (after ++ entries).take(math.min(budget, entries.size)).distinct
+    val bad = picked.filter(rel => failsRead(s, s"$tableDir/$rel"))
     val out = fs.create(curPath, true)
-    try out.write(s"${(cur + budget) % entries.size}\n".getBytes("UTF-8"))
+    try out.write(s"${picked.last}\n".getBytes("UTF-8"))
     finally out.close()
     (picked, bad)
   }

@@ -22,15 +22,25 @@ object Similarity {
   private val TopK = 5
 
   // Family-shared memo (the api.Graft.dedup discipline): one persisted
-  // copy per (session, dir) instead of a fresh persist() per query —
-  // the r7 review caught the per-call persist accumulating 16 cached
-  // copies of the same corpus across the family. Entries re-persist
-  // themselves if the harness's family-boundary clearCache() dropped
-  // their blocks.
+  // copy per (session, dir, source-content) instead of a fresh
+  // persist() per query — the r7 review caught the per-call persist
+  // accumulating 16 cached copies of the same corpus across the
+  // family. Keys carry the embeddings SOURCE SIGNATURE so a
+  // mid-session regeneration of the table (it has happened — the r7
+  // testdata gotcha) rebuilds instead of serving a frame bound to
+  // deleted files; a superseded same-tag entry is evicted and
+  // unpersisted on insert. Entries re-persist themselves if the
+  // harness's family-boundary clearCache() dropped their blocks.
+  private final case class FamKey(session: Int, dir: String, tag: String, sig: String)
   private val famMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[FamKey, DataFrame]()
 
-  private def famMemoized(s: SparkSession, d: String, tag: String)
+  private def embSig(s: SparkSession, d: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    Lake.sourceSig(fs, new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet"))
+  }
+
+  private def famMemoized(s: SparkSession, d: String, tag: String, sig: String)
                          (build: => DataFrame): DataFrame = {
     // NOT computeIfAbsent: builds nest on this map (cells_layout →
     // acells → corpus), and a nested computeIfAbsent on one
@@ -38,12 +48,19 @@ object Similarity {
     // land in the same bin — the api.Graft.dedup memo's documented
     // hazard. get/putIfAbsent tolerates nesting; a racing duplicate
     // build just unpersists its copy.
-    val key = (System.identityHashCode(s), d, tag)
+    val key = FamKey(System.identityHashCode(s), d, tag, sig)
     val df = Option(famMemo.get(key)).getOrElse {
       val built = build.persist()
       Option(famMemo.putIfAbsent(key, built)) match {
         case Some(prev) => built.unpersist(); prev
-        case None => built
+        case None =>
+          // evict the superseded source-content generation, if any
+          import scala.jdk.CollectionConverters._
+          famMemo.keySet().asScala
+            .filter(k => k.session == key.session && k.dir == key.dir &&
+              k.tag == key.tag && k.sig != key.sig)
+            .foreach(k => Option(famMemo.remove(k)).foreach(_.unpersist()))
+          built
       }
     }
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
@@ -52,7 +69,7 @@ object Similarity {
 
   /** Normalized corpus: (vec_id, v, nrm). */
   private def corpus(s: SparkSession, d: String): DataFrame =
-    famMemoized(s, d, "corpus") { // referenced as both join sides; norms computed once
+    famMemoized(s, d, "corpus", embSig(s, d)) { // both join sides; norms computed once
       Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", Vectors.norm(col("v")))
@@ -936,7 +953,7 @@ object Similarity {
     * dir): s_knn_graph and g_knn_triangles share one persisted copy
     * and the corpus-count statistic is read once, not per query. */
   private def adaptiveCells(s: SparkSession, d: String): DataFrame =
-    famMemoized(s, d, "acells") {
+    famMemoized(s, d, "acells", embSig(s, d)) {
       val kc = knnCellCount(Tables.embeddings(s, d).count())
       val n = corpus(s, d)
       val cc = n.filter(col("vec_id") < NCells)
@@ -990,7 +1007,7 @@ object Similarity {
       adaptiveCells(s, d).repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid").parquet(path)
     }
-    famMemoized(s, d, "cells_layout") {
+    famMemoized(s, d, "cells_layout", srcSig) {
       s.read.parquet(path)
         .select(col("vec_id"), col("v"), col("nrm"), col("cid").cast("long").as("cid"))
     }

@@ -385,32 +385,31 @@ object CommitLog {
     * resolve identically from the standby. Returns the shipped
     * version numbers (empty = already in sync).
     *
-    * Torn-file discipline: a terminator-less log file is either a
-    * BURNED version (its writer died — stable forever) or a commit
-    * currently being written. The two are indistinguishable by
-    * content, but an in-flight write can only be the newest
-    * version(s), so ship copies a terminator-less file ONLY when its
-    * version is below the primary's completed head — copying an
-    * in-flight head file would freeze a half-commit on the standby
-    * (the `have` set never re-copies a name), silently dropping that
-    * version from the standby forever once the primary completes it. */
+    * Torn-file discipline, both directions:
+    * - PRIMARY side: a terminator-less log file is either a burned
+    *   version (its writer died) or a commit mid-write — including
+    *   BELOW the completed head (a writer that lost the version race
+    *   can still be writing its file while the winner of a later
+    *   version completes). The two are indistinguishable by content,
+    *   so ship copies ONLY completed commits. A burned version that
+    *   stays burned simply never ships — it carries no actions, so
+    *   standby replay is identical without it.
+    * - STANDBY side: a ship interrupted mid-copy leaves a
+    *   terminator-less log file on the standby. Only COMPLETED
+    *   standby files count as already-shipped, so a torn copy is
+    *   re-copied (overwrite) on the next cycle instead of silently
+    *   burning that version on the standby forever. */
   def ship(spark: SparkSession, primaryDir: String, standbyDir: String): Seq[Int] = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val have = Option(fs)
-      .filter(_.exists(logDir(standbyDir)))
-      .map(_.listStatus(logDir(standbyDir)).toSeq.map(_.getPath.getName).toSet)
-      .getOrElse(Set.empty)
+    val have = commits(fs, standbyDir).map(c => logFile(standbyDir, c.version).getName).toSet
     val conf = spark.sparkContext.hadoopConfiguration
     fs.mkdirs(logDir(standbyDir))
     val byVersion = commits(fs, primaryDir).map(c => c.version -> c).toMap
-    val head = if (byVersion.isEmpty) -1 else byVersion.keys.max
     val pending = fs.listStatus(logDir(primaryDir)).toSeq
       .filter { st =>
         val n = st.getPath.getName
-        n.endsWith(".log") && !have(n) && {
-          val v = n.stripSuffix(".log").toInt
-          byVersion.contains(v) || v < head // completed, or provably burned
-        }
+        n.endsWith(".log") && !have(n) &&
+          byVersion.contains(n.stripSuffix(".log").toInt) // completed only
       }
       .sortBy(_.getPath.getName)
     pending.map { st =>

@@ -181,6 +181,16 @@ class DurabilitySpec extends SparkSpec {
     val out2 = fs.create(inFlight, true)
     out2.write("ts 400\nadd data/b\nend\n".getBytes("UTF-8")); out2.close()
     assert(CommitLog.ship(spark, primary, standby) == Seq(3))
+    // torn STANDBY copy (a ship killed mid-copy): only completed
+    // standby files count as shipped, so the next cycle repairs it
+    val tornCopy = new Path(standby, "_log/000000001.log")
+    val out3 = fs.create(tornCopy, true)
+    out3.write("ts 200\nadd data/b".getBytes("UTF-8")); out3.close() // no `end`
+    assert(CommitLog.commits(fs, standby).map(_.version) == Seq(0, 2, 3),
+      "torn copy must parse as burned before repair")
+    assert(CommitLog.ship(spark, primary, standby) == Seq(1),
+      "a torn standby copy of a completed version must be re-shipped")
+    assert(CommitLog.commits(fs, standby).map(_.version) == Seq(0, 1, 2, 3))
     // DR failover: the standby serves reads with the primary gone
     fs.delete(new Path(primary), true)
     assert(CommitLog.snapshot(spark, standby).count() == 3)
