@@ -401,6 +401,7 @@ object CommitLog {
     *   burning that version on the standby forever. */
   def ship(spark: SparkSession, primaryDir: String, standbyDir: String): Seq[Int] = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logDir(primaryDir))) return Seq.empty // nothing committed yet
     val have = commits(fs, standbyDir).map(c => logFile(standbyDir, c.version).getName).toSet
     val conf = spark.sparkContext.hadoopConfiguration
     fs.mkdirs(logDir(standbyDir))
