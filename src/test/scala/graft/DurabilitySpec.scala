@@ -94,6 +94,29 @@ class DurabilitySpec extends SparkSpec {
       "two cycles at budget 2 must cover all four entries exactly")
   }
 
+  test("checkpoint images ship like any commit: standby head and pre-image history both replay") {
+    val primary = fresh("ckpt/primary")
+    val standby = fresh("ckpt/standby")
+    val r = Tables.region(spark, sfDir)
+    CommitLog.writeCommit(spark, primary, r.filter(col("r_regionkey") < 2), "data/a", ts = 100L)
+    CommitLog.writeCommit(spark, primary, r.filter(col("r_regionkey") >= 2), "data/b", ts = 200L)
+    CommitLog.ship(spark, primary, standby)
+    // image commit: adds one self-contained snapshot, removes the rest
+    val v = CommitLog.checkpoint(spark, primary, ts = 300L)
+    CommitLog.writeCommit(spark, primary, r.filter(col("r_regionkey") === 0), "data/c", ts = 400L)
+    assert(CommitLog.ship(spark, primary, standby) == Seq(v, v + 1))
+    def rows(dir: String, ver: Int) = CommitLog.snapshot(spark, dir, version = ver)
+      .collect().map(_.toString).sorted.toSeq
+    (0 to v + 1).foreach { ver =>
+      assert(rows(standby, ver) == rows(primary, ver),
+        s"standby diverged at version $ver (image commit at $v)")
+    }
+    // the standby owns a full copy of the image: failover after the
+    // primary dies serves the checkpointed head + the post-image edit
+    fs.delete(new Path(primary), true)
+    assert(CommitLog.snapshot(spark, standby).count() == 5 + 1) // image (all 5) + regionkey-0 batch
+  }
+
   test("journal replay equals a set-fold model over 30 random histories (burned files ignored)") {
     val rnd = new scala.util.Random(42)
     (0 until 30).foreach { trial =>
