@@ -360,6 +360,47 @@ object Multimodal {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** BINARY-FILE INGESTION — the missing FIRST step of the multimodal
+    * pipeline: media arrives as FILES in an object store, and Spark's
+    * built-in `binaryFile` source reads them distributed as
+    * (path, modificationTime, length, content) with no driver byte
+    * path — the on-ramp every other m_* entry's synthetic `media`
+    * column stands downstream of (reference analogue: the
+    * DFSInputStream byte-stream read path, DFSInputStream.java:1 —
+    * whole-file reads as opaque payloads). Twenty documents are
+    * staged as .bin files (bounded driver loop standing in for the
+    * object store manifest); the measured query is the binaryFile
+    * scan itself: per file its name, the SOURCE's length metadata
+    * column, and the parity checksum of the payload — the oracle
+    * recomputes all three from the source table (ASCII corpus, so
+    * codepoints == bytes). */
+  val mBinaryIngest: GraftQuery = GraftQuery.sql(
+    "m_binary_ingest",
+    s"""SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS file_name,
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |  ${graft.functions.GraftHash.charHashSql("text")} AS checksum
+       |FROM documents WHERE doc_id < 20 ORDER BY file_name""".stripMargin
+  ) { (s, d) =>
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val dir = Lake.scratch("binary_ingest")
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    Tables.documents(s, d).filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("text")).collect() // 20-row staging, bounded
+      .foreach { r =>
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(dir, s"doc_${r.getLong(0)}.bin"), true)
+        try out.write(r.getString(1).getBytes("UTF-8")) finally out.close()
+      }
+    s.read.format("binaryFile").load(dir)
+      .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+        col("length").as("n_bytes"), // source metadata, not a recount
+        graft.functions.GraftHash.charHash(decode(col("content"), "UTF-8"))
+          .as("checksum"))
+      .orderBy(col("file_name"))
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(mMultimodalMeta, mMediaResize, mFeaturePairs, mChunkedFeatures, mSceneCuts)
+    Seq(mMultimodalMeta, mMediaResize, mFeaturePairs, mChunkedFeatures, mSceneCuts,
+      mBinaryIngest)
 }

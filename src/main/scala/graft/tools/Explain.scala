@@ -57,7 +57,8 @@ object Explain {
     // round-8: durability ceremonies, the sketch-evaluation pair, and
     // the oracle-gated listing
     "lake_quarantine", "lake_standby", "q_approx_percentile",
-    "q_approx_distinct", "lake_ls")
+    "q_approx_distinct", "lake_ls", "lake_scrub_cadence",
+    "m_binary_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -87,6 +87,23 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("binaryFile ingestion: source length metadata equals payload bytes, checksums match fingerprints") {
+    val rows = Multimodal.mBinaryIngest.fn(spark, sfDir).collect()
+    assert(rows.length == 20)
+    // the length column is SOURCE metadata; it must equal the decoded
+    // payload's byte count, and the checksum must match t_fingerprint
+    // for the same doc (same parity hash over the same text)
+    val fps = graft.operators.TextAnalysis.tFingerprint.fn(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 20).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("fp"), r.getAs[Long]("n"))).toMap
+    rows.foreach { r =>
+      val id = r.getAs[String]("file_name").stripPrefix("doc_").stripSuffix(".bin").toLong
+      val (fp, n) = fps(id)
+      assert(r.getAs[Long]("checksum") == fp, s"checksum mismatch for doc $id")
+      assert(r.getAs[Long]("n_bytes") == n, s"byte length mismatch for doc $id (ASCII corpus)")
+    }
+  }
+
   test("scene cuts fire exactly on the cross-multiplied 5% rate shift") {
     val cuts = Multimodal.mSceneCuts.fn(spark, sfDir).collect()
     assert(cuts.nonEmpty, "no cuts on this corpus")
