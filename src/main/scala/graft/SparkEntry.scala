@@ -15,7 +15,8 @@ object SparkEntry {
       operators.RelationalMore.all ++ operators.RelationalTpch.all ++
       operators.Warehouse.all ++
       operators.StreamJoins.all ++ operators.Temporal.all ++
-      operators.TextAnalysis.all ++ operators.Dedup.all ++
+      operators.TextAnalysis.all ++ operators.Curation.all ++
+      operators.Dedup.all ++
       operators.Similarity.all ++ operators.Multimodal.all ++
       operators.Streaming.all ++ operators.Layout.all ++
       operators.Analytics.all ++ operators.Insights.all

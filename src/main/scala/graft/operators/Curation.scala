@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation tranche of the LLM-pipeline surface (SURVEY.md §2):
+  * tokenizer APPLICATION (the encode half t_bpe_pairs trains for) and
+  * mixture materialization (the epoch-weighted source recipe a
+  * pretraining run consumes after curation).
+  */
+object Curation {
+
+  /** Fixed BPE merge table, rank order (the contract: merges apply
+    * greedily best-rank-first, later merges may consume earlier
+    * merges' output — 'th'+'e' below only exists because 't'+'h' ran
+    * first). Embedded identically in both engines. */
+  val Merges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "a" -> "n",
+    "o" -> "n", "r" -> "e", "a" -> "t", "s" -> "t", "o" -> "r")
+
+  /** Marker-string BPE encode of a text column: the doc becomes
+    * `/|c|h|a|r|s` (every word opens with `/`, every symbol with `|`),
+    * and each merge (a,b) is one whole-string literal replace of
+    * `|a|b` with `|ab`, applied in rank order. The leading markers
+    * make matching boundary-exact with NO shared characters between
+    * adjacent matches (a pattern consumes its own markers only), so
+    * leftmost non-overlapping replace — the semantics of both
+    * engines' `replace` — applies consecutive equal pairs correctly
+    * and can never merge across a token or word boundary (a `|`/`/`
+    * always intervenes). Returns `bpe` (encoded string), `n_tokens`
+    * (symbols after merging = `|` count), `n_chars` (payload chars).
+    *
+    * Scale shape: pure per-row map work over one scan — no shuffle,
+    * no UDF (codegen'd regexp/replace/length chain); the merge table
+    * is a compile-time constant exactly as a production tokenizer
+    * ships its vocabulary to every executor. */
+  def bpeEncode(df: org.apache.spark.sql.DataFrame, textCol: String,
+                merges: Seq[(String, String)] = Merges): org.apache.spark.sql.DataFrame = {
+    val base: Column =
+      concat(lit("/"), replace(
+        regexp_replace(col(textCol), "(.)", "|$1"), lit("| "), lit("/")))
+    val enc = merges.foldLeft(base) { case (e, (a, b)) =>
+      replace(e, lit(s"|$a|$b"), lit(s"|$a$b"))
+    }
+    df.withColumn("bpe", enc)
+      .withColumn("n_tokens",
+        (length(col("bpe")) - length(replace(col("bpe"), lit("|"), lit("")))).cast("long"))
+      .withColumn("n_chars",
+        length(replace(replace(col("bpe"), lit("|"), lit("")), lit("/"), lit(""))).cast("long"))
+  }
+
+  /** DuckDB SQL computing exactly bpeEncode's `bpe` column. */
+  def bpeEncodeSql(textExpr: String, merges: Seq[(String, String)] = Merges): String =
+    merges.foldLeft(
+      s"'/' || replace(regexp_replace($textExpr, '(.)', '|\\1', 'g'), '| ', '/')") {
+      case (e, (a, b)) => s"replace($e, '|$a|$b', '|$a$b')"
+    }
+
+  /** BPE ENCODE — apply the learned merge ranks to the corpus (the
+    * inference half of tokenizer training; t_bpe_pairs is the
+    * training half): per language, docs, post-merge token count,
+    * payload chars, and the realized compression as integer chars
+    * per kilotoken. Integer-exact in both engines. */
+  val tBpeEncode: GraftQuery = GraftQuery.sql(
+    "t_bpe_encode", {
+      val e = bpeEncodeSql("text")
+      s"""WITH enc AS (SELECT lang, $e AS e FROM documents)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(length(e) - length(replace(e, '|', ''))) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(length(replace(replace(e, '|', ''), '/', ''))) AS BIGINT) AS n_chars,
+         |  CAST(SUM(length(replace(replace(e, '|', ''), '/', ''))) * 1000
+         |    // SUM(length(e) - length(replace(e, '|', ''))) AS BIGINT) AS chars_per_ktok
+         |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
+    }
+  ) { (s, d) =>
+    bpeEncode(Tables.documents(s, d), "text")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .withColumn("chars_per_ktok", expr("n_chars * 1000 div n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("chars_per_ktok"))
+      .orderBy(col("lang"))
+  }
+
+  /** Epoch-weighted mixture materialization: every doc of source k is
+    * repeated `epochs(k)` times (a `copy` index distinguishes
+    * repeats) — the upsampling recipe pretraining runs use to weight
+    * high-quality sources by multiple epochs. The repeat factor here
+    * is a deterministic per-source tier (1..4); a production caller
+    * passes its own weights. Returns the materialized frame with the
+    * `copy` column: downstream it composes with
+    * Graft.text.shuffleShards on (doc_id·maxEpochs + copy) for the
+    * interleaved read order.
+    *
+    * Scale shape: explode(sequence) is a narrow per-row generator —
+    * output rows = Σ epochs(k)·|src_k| with NO shuffle or join; the
+    * corpus is scanned once and the blow-up factor is the mixture's
+    * own token multiplier, the minimum any materialized recipe pays. */
+  def datasetMix(df: org.apache.spark.sql.DataFrame,
+                 epochsCol: Column): org.apache.spark.sql.DataFrame =
+    df.withColumn("epochs", epochsCol.cast("long"))
+      .withColumn("copy", explode(expr("sequence(cast(0 as long), epochs - 1)")))
+
+  /** DATASET MIX — materialize the epoch-weighted mixture and audit
+    * it: per source, input docs, epoch factor, materialized samples,
+    * realized corpus share (per-mille, integer-exact), and token
+    * mass. The audit aggregates the MATERIALIZED frame, so a wrong
+    * explode shows up as a count/share mismatch, not just a bad
+    * formula. share_pm divides by the cross-source total via a
+    * window over the post-aggregation frame — bounded by the source
+    * count (20 rows), never corpus-sized. */
+  val tDatasetMix: GraftQuery = GraftQuery.sql(
+    "t_dataset_mix",
+    """WITH m AS (SELECT source,
+      |    CAST(substring(source, 4) AS INT) % 4 + 1 AS epochs,
+      |    COUNT(*) AS n_docs, SUM(n_chars) AS toks
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT source, CAST(epochs AS BIGINT) AS epochs, n_docs,
+      |  CAST(n_docs * epochs AS BIGINT) AS n_samples,
+      |  CAST(n_docs * epochs * 1000 // SUM(n_docs * epochs) OVER () AS BIGINT) AS share_pm,
+      |  CAST(toks * epochs AS BIGINT) AS tok_samples
+      |FROM m ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val mixed = datasetMix(Tables.documents(s, d),
+      expr("cast(substring(source, 4) as int) % 4 + 1"))
+    mixed.groupBy(col("source"), col("epochs"))
+      .agg(count(when(col("copy") === 0L, 1)).as("n_docs"),
+        count(lit(1)).as("n_samples"),
+        sum(col("n_chars")).as("tok_samples"))
+      // bounded global window: runs over the per-SOURCE aggregate
+      // (20 rows at any corpus size), the adjudicated tiny class
+      .withColumn("share_pm", expr("n_samples * 1000 div sum(n_samples) over ()"))
+      .select(col("source"), col("epochs"), col("n_docs"), col("n_samples"),
+        col("share_pm"), col("tok_samples"))
+      .orderBy(col("source"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(tBpeEncode, tDatasetMix)
+}

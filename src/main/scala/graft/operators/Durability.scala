@@ -315,5 +315,74 @@ object Durability {
       .orderBy(col("version"))
   }
 
-  def all: Seq[GraftQuery] = Seq(lakeQuarantine, lakeStandby, lakeScrubCadence)
+  /** LEASE RECOVERY — the reference's recoverLease ceremony
+    * (protocol/ClientProtocol.java:549 recoverLease,
+    * server/namenode/LeaseManager.java:63 expiry + takeover,
+    * FSNamesystem internalReleaseLease): writer A holds the table's
+    * writer lease and crashes mid-write, leaving an in-flight
+    * UNCOMMITTED data file; writer B recovers — the expired lease is
+    * FENCED via a create-exclusive higher epoch (A can never finish
+    * its write), the in-flight orphan is reclaimed, and B completes
+    * the intended batch under its own lease. The output reads both
+    * versions of the recovered table with two verified flags:
+    * orphan_reclaimed (the partial file is gone and was never
+    * served) and writer_fenced (A's post-recovery acquire throws).
+    * The oracle recomputes both versions from the source table — a
+    * recovery that lost or duplicated rows fails the gate. */
+  val lakeLeaseRecover: GraftQuery = GraftQuery.sql(
+    "lake_lease_recover", {
+      def v(n: Int, cond: String) =
+        s"""SELECT CAST($n AS BIGINT) AS version, COUNT(*) AS n_docs,
+           |  CAST(SUM(fp) % ${GraftHash.P} AS BIGINT) AS checksum,
+           |  TRUE AS orphan_reclaimed, TRUE AS writer_fenced
+           |FROM fp WHERE $cond""".stripMargin
+      s"""WITH fp AS (SELECT doc_id % 3 AS m, ${GraftHash.charHashSql("text")} AS fp
+         |           FROM documents)
+         |${v(0, "m = 0")}
+         |UNION ALL
+         |${v(1, "m IN (0, 1)")}
+         |ORDER BY version""".stripMargin
+    }
+  ) { (s, d) =>
+    import graft.streaming.StreamingOps
+    val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val dir = Lake.scratch("lease_recover/table")
+    fs.delete(new Path(dir), true)
+    val docs = Tables.documents(s, d)
+    CommitLog.writeCommit(s, dir,
+      docs.filter(col("doc_id") % 3 === 0), "data/b0", ts = 1000L)       // v0
+    val stateDir = s"$dir/_writer"
+    // writer A: lease, in-flight write, crash (no commit, no release)
+    StreamingOps.acquireLease(fs, stateDir, "writerA", ttlMs = 100L)
+    docs.filter(col("doc_id") % 3 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/data/b1")
+    Thread.sleep(150L)                          // A's lease expires
+    // writer B: recover — fence the expired lease (higher epoch),
+    // reclaim the uncommitted in-flight file, complete the batch
+    StreamingOps.acquireLease(fs, stateDir, "writerB")
+    val reclaimed = CommitLog.vacuumOrphans(fs, dir, graceMs = 0L)
+    require(reclaimed == Seq("data/b1"),
+      s"expected to reclaim exactly data/b1, got $reclaimed")
+    val orphanGone = !fs.exists(new Path(dir, "data/b1"))
+    StreamingOps.verifyLease(fs, stateDir, "writerB")
+    CommitLog.writeCommit(s, dir,
+      docs.filter(col("doc_id") % 3 === 1), "data/b1r", ts = 2000L)      // v1
+    // fencing proof: the crashed writer's late acquire must throw
+    val fenced =
+      try { StreamingOps.acquireLease(fs, stateDir, "writerA", ttlMs = 100L); false }
+      catch { case _: StreamingOps.LeaseHeldException => true }
+    (0 to 1).map { v =>
+      CommitLog.snapshot(s, dir, version = v)
+        .select(GraftHash.charHash(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("fp")) % GraftHash.P).as("checksum"))
+        .select(lit(v.toLong).as("version"), col("n_docs"), col("checksum"))
+    }.reduce(_ union _)
+      .withColumn("orphan_reclaimed", lit(orphanGone))
+      .withColumn("writer_fenced", lit(fenced))
+      .orderBy(col("version"))
+  }
+
+  def all: Seq[GraftQuery] =
+    Seq(lakeQuarantine, lakeStandby, lakeScrubCadence, lakeLeaseRecover)
 }

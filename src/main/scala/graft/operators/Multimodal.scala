@@ -400,7 +400,61 @@ object Multimodal {
       .orderBy(col("file_name"))
   }
 
+  /** Per-asset output of the frame-sampling stage. */
+  case class FrameSample(doc_id: Long, n_frames: Long, n_sampled: Long,
+                         checksum: Long, frame_mean: Double)
+
+  /** STUB FRAME SAMPLER — deterministic fake for fps-downsampling a
+    * video stream: the payload is an 8-byte-per-frame stream, and the
+    * sampler keeps every 3rd frame with a per-asset PHASE (doc_id
+    * mod 3) so sampling isn't aligned across assets (the real-world
+    * "sample at t0 + k/fps" discipline). Features per asset: total
+    * frames, sampled frames, additive checksum and mean of the
+    * sampled frames' first byte. Same batch-local plan shape as a
+    * real ffmpeg `-vf fps=` pass. */
+  def frameSampleStub(a: MediaAsset): FrameSample = {
+    val bytes = a.media
+    val nf = (bytes.length + 7) / 8
+    var sum = 0L; var n = 0L
+    var i = (a.doc_id % 3).toInt
+    while (i < nf) { sum += bytes(i * 8) & 0xffL; n += 1; i += 3 }
+    FrameSample(a.doc_id, nf.toLong, n,
+      if (n > 0) sum % 997 else 0L,
+      if (n > 0) sum.toDouble / n else 0.0)
+  }
+
+  /** FPS-based FRAME SAMPLING over the binary payload — the
+    * decode-side downsampling step between ingestion and feature
+    * extraction (every video pipeline samples frames before
+    * embedding; processing all frames is the classic 30× cost
+    * mistake). One narrow mapPartitions pass, no shuffle; the oracle
+    * recomputes the identical stride/phase arithmetic from the
+    * source text (ASCII corpus: codepoints == bytes). */
+  val mFrameSample: GraftQuery = GraftQuery.sql(
+    "m_frame_sample",
+    """WITH f AS (SELECT doc_id, text,
+      |    list_filter(generate_series(0, (length(text) + 7) // 8 - 1),
+      |                i -> (i % 3) = (doc_id % 3)) AS idx
+      |  FROM documents),
+      |v AS (SELECT doc_id, (length(text) + 7) // 8 AS nf, len(idx) AS ns,
+      |    list_sum(list_transform(idx, i -> ord(substring(text, i * 8 + 1, 1))::BIGINT)) AS sm
+      |  FROM f)
+      |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames, CAST(ns AS BIGINT) AS n_sampled,
+      |  CAST(CASE WHEN ns > 0 THEN sm % 997 ELSE 0 END AS BIGINT) AS checksum,
+      |  CASE WHEN ns > 0 THEN CAST(sm AS DOUBLE) / ns ELSE 0.0 END AS frame_mean
+      |FROM v ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), lit("utf8").as("codec"), lit(0L).as("n_frames"),
+        encode(col("text"), "UTF-8").as("media"))
+      .as[MediaAsset]
+      .mapPartitions(_.map(frameSampleStub))   // batch-local decode, no shuffle
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(mMultimodalMeta, mMediaResize, mFeaturePairs, mChunkedFeatures, mSceneCuts,
-      mBinaryIngest)
+      mBinaryIngest, mFrameSample)
 }

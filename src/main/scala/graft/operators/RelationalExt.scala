@@ -379,8 +379,45 @@ object RelationalExt {
       .orderBy(col("bucket"))
   }
 
+  /** UNPIVOT (melt): wide per-flag measure columns back to long
+    * (measure, value) rows — the inverse of q_pivot and the missing
+    * half of the reshape surface. Spark expresses it with the
+    * codegen'd `stack` generator over the 6-row aggregate (the melt
+    * runs on the AGGREGATE, so at 100 TB the wide frame is
+    * group-count-sized and the reshape is free — never melt the fact
+    * table when the measure is associative). Values are exact decimal
+    * sums surfaced as double (Parity discipline); the oracle spells
+    * the same melt as UNION ALL, the portable ANSI form. */
+  val qUnpivot: GraftQuery = GraftQuery.sql(
+    "q_unpivot",
+    s"""WITH a AS (SELECT l_returnflag,
+       |    ${sumMSql("l_quantity")} AS qty,
+       |    ${sumMSql("l_extendedprice")} AS price,
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS disc_price
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, 'disc_price' AS measure, disc_price AS value FROM a
+       |UNION ALL
+       |SELECT l_returnflag, 'price', price FROM a
+       |UNION ALL
+       |SELECT l_returnflag, 'qty', qty FROM a
+       |ORDER BY l_returnflag, measure""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val one = lit(1).cast(DecimalType(4, 2))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sumM(col("l_quantity")).as("qty"),
+        sumM(col("l_extendedprice")).as("price"),
+        sum(m(col("l_extendedprice")) * (one - pct(col("l_discount"))))
+          .cast("double").as("disc_price"))
+      .selectExpr("l_returnflag",
+        "stack(3, 'disc_price', disc_price, 'price', price, 'qty', qty) AS (measure, value)")
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qWindowRunning, qWindowLag, qRollup, qCube, qApproxDistinct, qOuterJoin,
     qScalarSubquery, qSetops, qPivot, qStringFuncs, qDateFuncs, qHeavyHitters,
-    qNtileDeciles, qSkewJoinSalted, qGroupingSets, qHistogram)
+    qNtileDeciles, qSkewJoinSalted, qGroupingSets, qHistogram, qUnpivot)
 }

@@ -218,4 +218,37 @@ class DurabilitySpec extends SparkSpec {
     fs.delete(new Path(primary), true)
     assert(CommitLog.snapshot(spark, standby).count() == 3)
   }
+
+  test("lease recovery: fence is one-way, the in-flight file never enters a read path") {
+    import graft.streaming.StreamingOps
+    val dir = fresh("lease/table")
+    val docs = Tables.documents(spark, sfDir)
+    CommitLog.writeCommit(spark, dir,
+      docs.filter(col("doc_id") % 3 === 0), "data/b0", ts = 100L)
+    val v0 = CommitLog.snapshot(spark, dir).count()
+    val stateDir = s"$dir/_writer"
+    StreamingOps.acquireLease(fs, stateDir, "writerA", ttlMs = 80L)
+    docs.filter(col("doc_id") % 3 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/data/b1")
+    // the UNCOMMITTED in-flight file is invisible to every read even
+    // while it exists on disk — commits, not files, define the table
+    assert(CommitLog.snapshot(spark, dir).count() == v0)
+    Thread.sleep(120L)
+    StreamingOps.acquireLease(fs, stateDir, "writerB")
+    // reclaim removes exactly the uncommitted file; committed data stays
+    assert(CommitLog.vacuumOrphans(fs, dir, graceMs = 0L) == Seq("data/b1"))
+    assert(fs.exists(new Path(dir, "data/b0")))
+    // fence is one-way: A cannot re-acquire, and A's release is a
+    // no-op against B's lease (it doesn't own the current epoch)
+    intercept[StreamingOps.LeaseHeldException] {
+      StreamingOps.acquireLease(fs, stateDir, "writerA", ttlMs = 80L)
+    }
+    StreamingOps.releaseLease(fs, stateDir, "writerA")
+    StreamingOps.verifyLease(fs, stateDir, "writerB") // must still hold
+    // B completes the batch; the recovered table is exactly m0+m1
+    CommitLog.writeCommit(spark, dir,
+      docs.filter(col("doc_id") % 3 === 1), "data/b1r", ts = 200L)
+    val want = docs.filter(col("doc_id") % 3 <= 1).count()
+    assert(CommitLog.snapshot(spark, dir).count() == want)
+  }
 }

@@ -121,4 +121,25 @@ class LakeSpec extends SparkSpec {
         r.getAs[Long]("pnv") * r.getAs[Long]("clen")
     })
   }
+
+  test("frame sampling: stride/phase arithmetic recounted from the source text") {
+    val rows = Multimodal.mFrameSample.fn(spark, sfDir).collect()
+    val texts = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val t = texts(id)
+      val nf = (t.length + 7) / 8
+      val idx = ((id % 3).toInt until nf by 3).toSeq
+      val vals = idx.map(i => t.charAt(i * 8).toLong)
+      assert(r.getAs[Long]("n_frames") == nf)
+      assert(r.getAs[Long]("n_sampled") == idx.length)
+      assert(r.getAs[Long]("checksum") == (if (idx.nonEmpty) vals.sum % 997 else 0L))
+    }
+    // all three phases occur, so sampling is genuinely unaligned
+    assert(rows.map(r => r.getAs[Long]("doc_id") % 3).distinct.length == 3)
+  }
 }

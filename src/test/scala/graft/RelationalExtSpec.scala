@@ -35,6 +35,24 @@ class RelationalExtSpec extends SparkSpec {
     assert(Seq("click", "error", "purchase", "signup", "view").forall(df.columns.contains))
   }
 
+  test("unpivot melts every flag into exactly three measures with recounted values") {
+    import org.apache.spark.sql.functions._
+    val long = RelationalExt.qUnpivot.fn(spark, sfDir).collect()
+    val flags = long.map(_.getAs[String]("l_returnflag")).distinct
+    assert(long.length == flags.length * 3)
+    flags.foreach { f =>
+      val ms = long.filter(_.getAs[String]("l_returnflag") == f)
+        .map(_.getAs[String]("measure")).sorted.toSeq
+      assert(ms == Seq("disc_price", "price", "qty"))
+    }
+    // melted qty equals a direct recount of the wide aggregate
+    val qty = long.filter(_.getAs[String]("measure") == "qty")
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("value")).toMap
+    Tables.lineitem(spark, sfDir).groupBy(col("l_returnflag"))
+      .agg(graft.functions.Parity.sumM(col("l_quantity")).as("q")).collect()
+      .foreach(r => assert(qty(r.getAs[String]("l_returnflag")) == r.getAs[Double]("q")))
+  }
+
   test("salted heavy-hitter agg equals plain aggregation") {
     import org.apache.spark.sql.functions._
     val salted = RelationalExt.qHeavyHitters.fn(spark, sfDir).collect()
