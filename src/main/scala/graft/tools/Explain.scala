@@ -58,7 +58,11 @@ object Explain {
     // the oracle-gated listing
     "lake_quarantine", "lake_standby", "q_approx_percentile",
     "q_approx_distinct", "lake_ls", "lake_scrub_cadence",
-    "m_binary_ingest")
+    "m_binary_ingest",
+    // round-8 continued: the lease-recovery ceremony, the tokenizer
+    // encode pass, mixture materialization, melt, and frame sampling
+    "lake_lease_recover", "t_bpe_encode", "t_dataset_mix", "q_unpivot",
+    "m_frame_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
