@@ -138,5 +138,105 @@ object Curation {
       .orderBy(col("source"))
   }
 
-  def all: Seq[GraftQuery] = Seq(tBpeEncode, tDatasetMix)
+  /** Chunk window (tokens) and stride; overlap = ChunkW - ChunkS.
+    * Sized to the synthetic docs (~54 tokens avg); a production
+    * caller uses its context budget (e.g. 512/384). The math is
+    * size-independent. */
+  val ChunkW = 32
+  val ChunkS = 24
+
+  /** TOKEN-WINDOW CHUNKING — split every document into fixed-size
+    * overlapping token windows (the retrieval/embedding prep step:
+    * each chunk becomes an embedding unit; the overlap keeps
+    * boundary-spanning context retrievable). Complementary to
+    * t_seq_pack: packing CONCATENATES docs into training sequences,
+    * chunking SPLITS docs into indexable windows. Output is the full
+    * chunk manifest — (doc, chunk index, chunk token count, parity
+    * fingerprint of the chunk TEXT) — so the gate verifies chunk
+    * content, not just counts: a one-token boundary slip changes
+    * every fp.
+    *
+    * Scale shape: pure narrow per-row work — one scan, a sequence()
+    * generator per doc (output rows = total chunks, the pipeline's
+    * own fan-out), codegen'd slice/array_join/hash, NO shuffle or
+    * join at any corpus size. */
+  val tDocChunk: GraftQuery = GraftQuery.sql(
+    "t_doc_chunk", {
+      val fp = graft.functions.GraftHash.charHashSql(
+        s"array_to_string(list_slice(t, chunk * $ChunkS + 1, chunk * $ChunkS + $ChunkW), ' ')")
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t,
+         |    len(string_split(text, ' ')) AS n FROM documents),
+         |ch AS (SELECT doc_id, t, n, unnest(range(CASE WHEN n <= $ChunkW THEN 1
+         |    ELSE (n - $ChunkW + ${ChunkS - 1}) // $ChunkS + 1 END)) AS chunk FROM tk)
+         |SELECT doc_id, CAST(chunk AS BIGINT) AS chunk,
+         |  CAST(LEAST($ChunkW, n - chunk * $ChunkS) AS BIGINT) AS n_tok,
+         |  $fp AS fp
+         |FROM ch ORDER BY doc_id, chunk""".stripMargin
+    }
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .withColumn("chunk", explode(expr(
+        s"sequence(0L, CASE WHEN n <= $ChunkW THEN 0L ELSE (n - $ChunkW + ${ChunkS - 1}) div $ChunkS END)")))
+      .select(col("doc_id"), col("chunk"),
+        least(lit(ChunkW.toLong), col("n") - col("chunk") * ChunkS).as("n_tok"),
+        graft.functions.GraftHash.charHash(
+          array_join(slice(col("t"), (col("chunk") * ChunkS + 1).cast("int"),
+            lit(ChunkW)), " ")).as("fp"))
+      .orderBy(col("doc_id"), col("chunk"))
+  }
+
+  /** Leak-key prefix length (tokens): two docs sharing their first
+    * PfxTok tokens share the leak fingerprint. */
+  val PfxTok = 16
+
+  /** TRAIN/VAL/TEST SPLIT with a shared-opening leakage audit — the
+    * split-assignment step every training run pays, made reproducible
+    * and audited: membership is the deterministic integer-LCG coin on
+    * doc_id (the t_stratified_sample convention — no RNG state, stable
+    * at any parallelism; 900/50/50 per-mille), and every non-train doc
+    * whose OPENING fingerprint (parity hash of the first PfxTok
+    * tokens — the cheap contamination proxy: contaminated evals
+    * overwhelmingly share document openings with their training copy)
+    * also appears in train is counted as leaked. The near-dup-aware
+    * half is d_decontaminate (banded cross-set candidates); this is
+    * the exact prefix gate that runs first.
+    *
+    * Scale shape: one scan computes (split, fp); the train fingerprint
+    * set is a hash-distinct and the leak check a fp equi-join — both
+    * shuffle on fp, both linear; no all-pairs anything. */
+  val tTrainSplit: GraftQuery = GraftQuery.sql(
+    "t_train_split", {
+      val fp = graft.functions.GraftHash.charHashSql(
+        s"array_to_string(list_slice(string_split(text, ' '), 1, $PfxTok), ' ')")
+      s"""WITH f AS (SELECT lang, $fp AS fp,
+         |    CASE WHEN (doc_id * 1103515245 + 12345) % 1000 < 900 THEN 'train'
+         |         WHEN (doc_id * 1103515245 + 12345) % 1000 < 950 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |tr AS (SELECT DISTINCT fp FROM f WHERE split = 'train')
+         |SELECT f.split, f.lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN f.split <> 'train' AND tr.fp IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+         |FROM f LEFT JOIN tr ON f.fp = tr.fp
+         |GROUP BY f.split, f.lang ORDER BY f.split, f.lang""".stripMargin
+    }
+  ) { (s, d) =>
+    val f = Tables.documents(s, d).select(col("lang"),
+      graft.functions.GraftHash.charHash(
+        array_join(slice(split(col("text"), " ", -1), 1, PfxTok), " ")).as("fp"),
+      when((col("doc_id") * 1103515245L + 12345L) % 1000 < 900, "train")
+        .when((col("doc_id") * 1103515245L + 12345L) % 1000 < 950, "val")
+        .otherwise("test").as("split"))
+    val tr = f.filter(col("split") === "train").select(col("fp").as("tfp")).distinct()
+    f.join(tr, col("fp") === col("tfp"), "left")
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("split") =!= "train" && col("tfp").isNotNull, 1L)
+          .otherwise(0L)).as("n_leaked"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(tBpeEncode, tDatasetMix, tDocChunk, tTrainSplit)
 }

@@ -1150,9 +1150,149 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** SEMANTIC COMPONENTS over the mutual k-NN graph — the cluster
+    * extraction step downstream pipelines run on the graph artifact
+    * (near-dup groups beyond pairwise thresholds, topic knots for
+    * diversity sampling; the graph-component flavor of what
+    * d_semdedup does with k-means cells): connected components of
+    * the RECIPROCAL-edge graph, summarized per component. Reuses the
+    * two production pieces end-to-end — candidate generation is the
+    * persisted cell layout (edges are cell-local equi-joins, never
+    * all-pairs), and the closure is api.Graft.dedup.dupClusters
+    * (pointer-jumped min-label propagation, O(log n) rounds; driver
+    * union-find below the adjudicated 2M-pair threshold). Because
+    * every mutual edge lives inside one IVF cell, components never
+    * span cells, so component diameter — and the propagation round
+    * count — is bounded by the ~constant cell population however
+    * large the corpus grows. The oracle recomputes the same closure
+    * as a recursive CTE over the same edge CTEs: two independent
+    * formulations of transitive closure over an identically-derived
+    * graph. Output: component label (min member id), its cell,
+    * member count, reciprocal-edge count — exact integers. */
+  val gKnnComponents: GraftQuery = GraftQuery.sql(
+    "g_knn_components",
+    s"""WITH RECURSIVE $corpusSql,
+       |$knnCtesSql,
+       |me AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, MAX(cid) AS cid
+       |       FROM knn GROUP BY 1, 2 HAVING COUNT(*) = 2),
+       |ed AS (SELECT a AS src, b AS dst FROM me
+       |       UNION ALL SELECT b AS src, a AS dst FROM me),
+       |reach AS (SELECT src AS node, src AS lbl FROM ed
+       |          UNION
+       |          SELECT e.dst AS node, r.lbl AS lbl
+       |          FROM reach r JOIN ed e ON r.node = e.src),
+       |comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+       |cm AS (SELECT component, COUNT(*) AS n_members FROM comp GROUP BY 1),
+       |ce AS (SELECT c.component, COUNT(*) AS n_edges, MAX(m.cid) AS cid
+       |       FROM me m JOIN comp c ON m.a = c.node GROUP BY 1)
+       |SELECT cm.component, ce.cid, CAST(cm.n_members AS BIGINT) AS n_members,
+       |  CAST(ce.n_edges AS BIGINT) AS n_edges
+       |FROM cm JOIN ce ON cm.component = ce.component
+       |ORDER BY cm.component""".stripMargin
+  ) { (s, d) =>
+    val (_, knn) = knnDirected(s, d)
+    val me = graft.ScopedCache(
+      knn.groupBy(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .agg(max(col("cid")).as("cid"), count(lit(1)).as("n_dir"))
+        .filter(col("n_dir") === 2)
+        .select(col("a"), col("b"), col("cid")))
+    val labels = graft.api.Graft.dedup.dupClusters(me, "a", "b")
+    val cm = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+    val ce = me.join(labels, col("a") === col("node"))
+      .groupBy(col("lbl").as("elbl"))
+      .agg(count(lit(1)).as("n_edges"), max(col("cid")).as("cid"))
+    cm.join(ce, col("lbl") === col("elbl"))
+      .select(col("lbl").as("component"), col("cid"), col("n_members"),
+        col("n_edges"))
+      .orderBy(col("component"))
+  }
+
+  /** BFS hop cap — bounds the oracle recursion AND the Spark loop
+    * identically; cell-local components make real eccentricities tiny
+    * (cap hit only on a pathological chain, reported as unreached). */
+  val KnnBfsMaxHops = 12
+
+  /** BFS HOP PROFILE over the mutual k-NN graph — the transitivity
+    * audit of the near-dup relation: hop 1 from a cluster's canonical
+    * node is a direct reciprocal neighbor, hop ≥2 is a CHAINED
+    * near-dup (kept only because of an intermediate doc — exactly the
+    * members a conservative dedup pass re-examines), and nodes
+    * unreached from any seed are edge-bearing but in a different
+    * component of their cell. Seeds = min edge-endpoint per cell; the
+    * Spark side is textbook distributed BFS — per-level frontier
+    * expansion as an edge equi-join + anti-join against the visited
+    * set, each level materialized (the g_pagerank iterate
+    * discipline), terminating early on an empty frontier; the oracle
+    * walks the same edges with a bounded recursive CTE and takes
+    * MIN(hop). Work per level is frontier-edge-proportional, and
+    * because every edge is cell-local, total depth is bounded by cell
+    * population however large the corpus — at 100 TB the levels are
+    * big flat equi-joins, the classic BSP BFS. Output: nodes per hop
+    * (-1 = unreached), exact integers. */
+  val gKnnHops: GraftQuery = GraftQuery.sql(
+    "g_knn_hops",
+    s"""WITH RECURSIVE $corpusSql,
+       |$knnCtesSql,
+       |me AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, MAX(cid) AS cid
+       |       FROM knn GROUP BY 1, 2 HAVING COUNT(*) = 2),
+       |ed AS (SELECT a AS src, b AS dst FROM me
+       |       UNION ALL SELECT b AS src, a AS dst FROM me),
+       |seed AS (SELECT MIN(a) AS node FROM me GROUP BY cid),
+       |walk AS (SELECT node, 0 AS hop FROM seed
+       |         UNION
+       |         SELECT e.dst AS node, w.hop + 1 AS hop
+       |         FROM walk w JOIN ed e ON w.node = e.src
+       |         WHERE w.hop < $KnnBfsMaxHops),
+       |dist AS (SELECT node, MIN(hop) AS hop FROM walk GROUP BY node),
+       |uni AS (SELECT DISTINCT src AS node FROM ed)
+       |SELECT CAST(COALESCE(d.hop, -1) AS BIGINT) AS hop,
+       |  COUNT(*) AS n_nodes
+       |FROM uni u LEFT JOIN dist d ON u.node = d.node
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val (_, knn) = knnDirected(s, d)
+    val me = graft.ScopedCache(
+      knn.groupBy(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .agg(max(col("cid")).as("cid"), count(lit(1)).as("n_dir"))
+        .filter(col("n_dir") === 2)
+        .select(col("a"), col("b"), col("cid")))
+    val ed = graft.ScopedCache(
+      me.select(col("a").as("src"), col("b").as("dst"))
+        .union(me.select(col("b").as("src"), col("a").as("dst"))))
+    // Lineage control per level (the dupClusters discipline): dist is
+    // a union-of-levels, so persist alone lets the LOGICAL plan double
+    // every iteration — checkpoint/localCheckpoint truncates it,
+    // keeping driver-side planning O(1) per level. The checkpointed
+    // frame also serves as the early-stop count.
+    val reliable = s.sparkContext.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    var dist = ckpt(
+      me.groupBy(col("cid")).agg(min(col("a")).as("node"))
+        .select(col("node"), lit(0L).as("hop")))
+    var frontier = dist
+    var h = 1L
+    while (h <= KnnBfsMaxHops && frontier.count() > 0) {
+      frontier = ckpt(
+        frontier.join(ed, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .select(col("node"), lit(h).as("hop")))
+      dist = ckpt(dist.union(frontier))
+      h += 1
+    }
+    ed.select(col("src").as("node")).distinct()
+      .join(dist, Seq("node"), "left")
+      .groupBy(coalesce(col("hop"), lit(-1L)).as("hop"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("hop"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnIvfPartitioned,
       sAnnPq, sAnnRerank, sHybridRrf, sAnnRecall, sAnnFiltered,
       sKmeans, sKmeansLoop, dSemdedup, sIndexScoreboard, sKnnGraph,
-      gKnnTriangles)
+      gKnnTriangles, gKnnComponents, gKnnHops)
 }

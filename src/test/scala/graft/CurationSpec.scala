@@ -62,4 +62,62 @@ class CurationSpec extends SparkSpec {
       .select(col("share_pm")).collect().map(_.getLong(0))
     assert(shares.sum <= 1000 && shares.sum > 1000 - shares.length)
   }
+
+  test("doc chunk: windows cover every token, overlap by W-S, and fps match a local rechunk") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val manifest = Curation.tDocChunk.fn(spark, sfDir).collect()
+    val byDoc = manifest.groupBy(_.getLong(0))
+    assert(byDoc.keySet == docs.keySet, "every doc must produce chunks")
+    val (w, s) = (Curation.ChunkW, Curation.ChunkS)
+    byDoc.foreach { case (id, rows) =>
+      val n = docs(id).split(" ", -1).length
+      val expect = if (n <= w) 1 else (n - w + s - 1) / s + 1
+      assert(rows.length == expect, s"doc $id: ${rows.length} chunks, expected $expect")
+      // chunk indices are 0..expect-1; all but possibly the last are full
+      val idx = rows.map(_.getLong(1)).sorted
+      assert(idx.sameElements(0L until expect.toLong))
+      rows.foreach { r =>
+        val tok = r.getLong(2)
+        if (r.getLong(1) < expect - 1) assert(tok == w) else assert(tok > 0 && tok <= w)
+      }
+      // coverage: last chunk reaches the final token
+      assert(idx.last * s + rows.maxBy(_.getLong(1)).getLong(2) == n)
+    }
+    // content gate sanity: a local rechunk reproduces a sample of fps
+    import graft.functions.GraftHash.{P, Seed}
+    def charHash(t: String): Long =
+      t.codePoints().toArray.foldLeft(Seed)((h, c) => (h * 31 + c) % P)
+    manifest.take(50).foreach { r =>
+      val toks = docs(r.getLong(0)).split(" ", -1)
+      val start = (r.getLong(1) * s).toInt
+      val chunk = toks.slice(start, start + w).mkString(" ")
+      assert(charHash(chunk) == r.getLong(3), s"fp mismatch doc ${r.getLong(0)} chunk ${r.getLong(1)}")
+    }
+  }
+
+  test("train split: partition is total, leak-free train, and leaks are exactly cross-split dup fps") {
+    val out = Curation.tTrainSplit.fn(spark, sfDir).collect()
+    val total = out.map(_.getLong(2)).sum
+    assert(total == Tables.documents(spark, sfDir).count())
+    // train rows never count leaks (leakage is an eval-side concept)
+    out.filter(_.getString(0) == "train").foreach(r => assert(r.getLong(3) == 0L))
+    // recount leaks locally from fingerprints
+    import graft.functions.GraftHash.{P, Seed}
+    def charHash(t: String): Long =
+      t.codePoints().toArray.foldLeft(Seed)((h, c) => (h * 31 + c) % P)
+    val rows = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        charHash(r.getString(1).split(" ", -1).take(Curation.PfxTok).mkString(" "))))
+    def splitOf(id: Long): String = {
+      val pm = (id * 1103515245L + 12345L) % 1000
+      if (pm < 900) "train" else if (pm < 950) "val" else "test"
+    }
+    val trainFps = rows.collect { case (id, fp) if splitOf(id) == "train" => fp }.toSet
+    val leaks = rows.count { case (id, fp) => splitOf(id) != "train" && trainFps(fp) }
+    assert(out.map(_.getLong(3)).sum == leaks)
+    assert(leaks > 0, "synthetic corpus has exact dups — the audit must see some")
+  }
 }

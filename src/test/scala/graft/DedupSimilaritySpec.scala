@@ -464,4 +464,76 @@ class DedupSimilaritySpec extends SparkSpec {
     // is nonempty on this corpus (reciprocal structure exists)
     assert(edges.exists(_.getAs[Long]("mutual") == 1L), "no reciprocal pairs found")
   }
+
+  test("knn components equal a driver union-find over the mutual edge set") {
+    val comps = Similarity.gKnnComponents.fn(spark, sfDir).collect()
+    assert(comps.nonEmpty)
+    val edges = Similarity.sKnnGraph.fn(spark, sfDir).collect()
+      .filter(_.getAs[Long]("mutual") == 1L)
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    // independent closure: plain union-find over the collected edges
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.toSeq.groupBy(find).map { case (_, ms) =>
+      (ms.min, ms.size.toLong)
+    }.toMap
+    assert(comps.length == expect.size,
+      s"components: distributed=${comps.length} driver=${expect.size}")
+    comps.foreach { r =>
+      val c = r.getAs[Long]("component")
+      assert(expect(c) == r.getAs[Long]("n_members"),
+        s"component $c: members=${r.getAs[Long]("n_members")} expected ${expect(c)}")
+      // label is the min member id by construction
+      assert(find(c) == c)
+    }
+    // edge totals and cell-locality: edges partition across components
+    assert(comps.map(_.getAs[Long]("n_edges")).sum == edges.length.toLong)
+  }
+
+  test("knn hop profile equals a driver-side BFS from the same seeds") {
+    val prof = Similarity.gKnnHops.fn(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("hop") -> r.getAs[Long]("n_nodes")).toMap
+    val g = Similarity.sKnnGraph.fn(spark, sfDir).collect()
+    val mutual = g.filter(_.getAs[Long]("mutual") == 1L)
+    // seeds: min edge endpoint per cell — reconstruct cells from the
+    // component summary's cid (edges don't carry cid in the public
+    // schema, components do and are cell-local)
+    val comp = Similarity.gKnnComponents.fn(spark, sfDir).collect()
+    // map each node to its component cell via union-find over edges
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]].withDefaultValue(Nil)
+    mutual.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      adj(a) ::= b; adj(b) ::= a
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val cellOf = comp.map(r => r.getAs[Long]("component") -> r.getAs[Long]("cid")).toMap
+    val nodes = adj.keys.toSeq
+    val seeds = nodes.groupBy(n => cellOf(find(n))).values.map(_.min).toSet
+    // driver BFS
+    val hop = scala.collection.mutable.Map.empty[Long, Long]
+    var frontier = seeds.toList.sorted
+    frontier.foreach(n => hop(n) = 0L)
+    var h = 1L
+    while (frontier.nonEmpty && h <= Similarity.KnnBfsMaxHops) {
+      frontier = frontier.flatMap(adj(_)).distinct.filterNot(hop.contains)
+      frontier.foreach(n => hop(n) = h)
+      h += 1
+    }
+    val expect = nodes.groupBy(n => hop.getOrElse(n, -1L))
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(prof == expect, s"profile $prof vs driver $expect")
+  }
 }
