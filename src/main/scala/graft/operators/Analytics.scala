@@ -553,8 +553,66 @@ object Analytics {
       .orderBy(col("event_type"), col("dow"), col("hr"))
   }
 
+  /** CUSUM CHANGEPOINT AUDIT — cumulative-drift detection over the
+    * daily revenue series per event_type (the distribution-shift
+    * monitor a pipeline runs on its telemetry: ts_anomaly flags
+    * pointwise outliers, this flags SUSTAINED level shifts a z-score
+    * misses because no single day is extreme). Classic CUSUM against
+    * the series' own mean, kept integer-exact: with N days, total T
+    * cents, and day-t cumulative sum C_t, the drift is
+    * N·C_t − t·T (= N·T·(C_t/T − t/N), the scaled deviation from the
+    * uniform-accrual diagonal); sign, per-mille magnitude, and the 5%
+    * flag are integer comparisons with the division cross-multiplied
+    * away where it decides the flag (|drift|·20 > N·T) — no floats
+    * anywhere, so parity holds at any parallelism. Plan shape: the
+    * corpus pays ONE groupBy to the (type, day) aggregate; every
+    * window after that runs over the day-count-sized frame (types ×
+    * days — thousands of rows at a century of days), the adjudicated
+    * bounded class. */
+  val tsChangepoint: GraftQuery = GraftQuery.sql(
+    "ts_changepoint",
+    s"""WITH dd AS (SELECT event_type, date_trunc('day', ts) AS day,
+       |    CAST(SUM(CAST(${mSql("value")} * 100 AS BIGINT)) AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2),
+       |c AS (SELECT event_type, day, cents,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+       |    SUM(cents) OVER (PARTITION BY event_type ORDER BY day) AS cum,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS nd,
+       |    SUM(cents) OVER (PARTITION BY event_type) AS tot
+       |  FROM dd)
+       |SELECT event_type, day, CAST(t AS BIGINT) AS t, cents,
+       |  CAST(cum AS BIGINT) AS cum,
+       |  CAST(CASE WHEN nd * cum > t * tot THEN 1
+       |            WHEN nd * cum < t * tot THEN -1 ELSE 0 END AS BIGINT) AS sign,
+       |  CAST(ABS(nd * cum - t * tot) * 1000 // (nd * tot) AS BIGINT) AS dev_pm,
+       |  CAST(CASE WHEN ABS(nd * cum - t * tot) * 20 > nd * tot
+       |       THEN 1 ELSE 0 END AS BIGINT) AS flag
+       |FROM c ORDER BY event_type, day""".stripMargin
+  ) { (s, d) =>
+    // bounded windows: both run over the per-(type, day) AGGREGATE
+    // (days × 5 types rows at any corpus size) — the adjudicated
+    // bounded-global-sort class, never the event stream
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum((m(col("value")) * 100).cast("long")).as("cents"))
+      .withColumn("t", row_number().over(wCum).cast("long"))
+      .withColumn("cum", sum(col("cents")).over(wCum))
+      .withColumn("nd", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("cents")).over(wAll))
+      .withColumn("drift", col("nd") * col("cum") - col("t") * col("tot"))
+      .select(col("event_type"), col("day"), col("t"), col("cents"), col("cum"),
+        when(col("drift") > 0, 1L).when(col("drift") < 0, -1L).otherwise(0L)
+          .as("sign"),
+        expr("abs(drift) * 1000 div (nd * tot)").as("dev_pm"),
+        when(abs(col("drift")) * 20 > col("nd") * col("tot"), 1L).otherwise(0L)
+          .as("flag"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qBloomJoin, qMvIncremental, tsResample, dEditDistance,
     qParetoFrontier, stLatenessAudit, gPagerank, qWindowPercentile,
-    tsAnomaly, tsBaselineAnomaly, tsSeasonality)
+    tsAnomaly, tsBaselineAnomaly, tsSeasonality, tsChangepoint)
 }

@@ -327,4 +327,29 @@ class LayoutAnalyticsSpec extends SparkSpec {
       assert(r.getAs[Long]("hr") >= 0 && r.getAs[Long]("hr") <= 23)
     }
   }
+
+  test("ts_changepoint: drift telescopes to zero at the series end and flags match the cross-multiplication") {
+    val rows = Analytics.tsChangepoint.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (ty, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("t"))
+      val nd = sorted.length.toLong
+      val tot = sorted.map(_.getAs[Long]("cents")).sum
+      // cum is a true prefix sum and t is dense 1..N
+      var running = 0L
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("t") == i + 1)
+        running += r.getAs[Long]("cents")
+        assert(r.getAs[Long]("cum") == running, s"$ty cum broken at t=${i + 1}")
+        val drift = nd * running - (i + 1) * tot
+        val sign = if (drift > 0) 1L else if (drift < 0) -1L else 0L
+        assert(r.getAs[Long]("sign") == sign)
+        assert(r.getAs[Long]("dev_pm") == math.abs(drift) * 1000 / (nd * tot))
+        assert((r.getAs[Long]("flag") == 1L) == (math.abs(drift) * 20 > nd * tot))
+      }
+      // CUSUM telescopes: at t=N, N*cum - N*tot = 0 — sign/dev must say so
+      val last = sorted.last
+      assert(last.getAs[Long]("sign") == 0L && last.getAs[Long]("dev_pm") == 0L)
+    }
+  }
 }
