@@ -963,5 +963,41 @@ object Graft {
       }
       ranks.select(col("node"), col("pr"))
     }
+
+    /** Level-synchronous BFS over (src, dst) LONG-keyed edges from a
+      * seed frame (one `node` column): returns (node, hop) with
+      * hop = minimum edge count from any seed (seeds at hop 0);
+      * nodes unreached within maxHops are absent. Directed — pass
+      * both directions for an undirected walk. Each level is one
+      * frontier⋈edges equi-join plus an anti-join against the
+      * visited set, checkpoint-truncated per level (the dupClusters
+      * lineage discipline — bare persist doubles the logical plan
+      * every level) with the materialized count doubling as the
+      * early-stop test: classic BSP BFS, per-level cost
+      * frontier-edge-proportional at any graph size.
+      *
+      * ScopedCache caveat as pagerankInt: call under a harness scope
+      * or releaseAll() afterwards. */
+    def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int = 12): DataFrame = {
+      val sess = edges.sparkSession
+      val reliable = sess.sparkContext.getCheckpointDir.isDefined
+      def ckpt(df: DataFrame): DataFrame =
+        if (reliable) df.checkpoint() else df.localCheckpoint()
+      val e = graft.ScopedCache(edges.select(col("src"), col("dst")))
+      var dist = ckpt(seeds.select(col("node")).distinct()
+        .select(col("node"), lit(0L).as("hop")))
+      var frontier = dist
+      var h = 1L
+      while (h <= maxHops && frontier.count() > 0) {
+        frontier = ckpt(
+          frontier.join(e, col("node") === col("src"))
+            .select(col("dst").as("node")).distinct()
+            .join(dist, Seq("node"), "left_anti")
+            .select(col("node"), lit(h).as("hop")))
+        dist = ckpt(dist.union(frontier))
+        h += 1
+      }
+      dist
+    }
   }
 }

@@ -1258,31 +1258,12 @@ object Similarity {
         .agg(max(col("cid")).as("cid"), count(lit(1)).as("n_dir"))
         .filter(col("n_dir") === 2)
         .select(col("a"), col("b"), col("cid")))
-    val ed = graft.ScopedCache(
-      me.select(col("a").as("src"), col("b").as("dst"))
-        .union(me.select(col("b").as("src"), col("a").as("dst"))))
-    // Lineage control per level (the dupClusters discipline): dist is
-    // a union-of-levels, so persist alone lets the LOGICAL plan double
-    // every iteration — checkpoint/localCheckpoint truncates it,
-    // keeping driver-side planning O(1) per level. The checkpointed
-    // frame also serves as the early-stop count.
-    val reliable = s.sparkContext.getCheckpointDir.isDefined
-    def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
-    var dist = ckpt(
-      me.groupBy(col("cid")).agg(min(col("a")).as("node"))
-        .select(col("node"), lit(0L).as("hop")))
-    var frontier = dist
-    var h = 1L
-    while (h <= KnnBfsMaxHops && frontier.count() > 0) {
-      frontier = ckpt(
-        frontier.join(ed, col("node") === col("src"))
-          .select(col("dst").as("node")).distinct()
-          .join(dist, Seq("node"), "left_anti")
-          .select(col("node"), lit(h).as("hop")))
-      dist = ckpt(dist.union(frontier))
-      h += 1
-    }
+    val ed = me.select(col("a").as("src"), col("b").as("dst"))
+      .union(me.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = me.groupBy(col("cid")).agg(min(col("a")).as("node"))
+    // the BFS engine (level-synchronous, checkpoint-truncated per
+    // level) lives in the public API — Graft.graph.bfsHops
+    val dist = graft.api.Graft.graph.bfsHops(ed, seeds, KnnBfsMaxHops)
     ed.select(col("src").as("node")).distinct()
       .join(dist, Seq("node"), "left")
       .groupBy(coalesce(col("hop"), lit(-1L)).as("hop"))

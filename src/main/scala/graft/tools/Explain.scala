@@ -62,7 +62,11 @@ object Explain {
     // round-8 continued: the lease-recovery ceremony, the tokenizer
     // encode pass, mixture materialization, melt, and frame sampling
     "lake_lease_recover", "t_bpe_encode", "t_dataset_mix", "q_unpivot",
-    "m_frame_sample")
+    "m_frame_sample",
+    // round-8 final batch: chunk manifest, leak-audited split, the
+    // knn-graph component/BFS pair, and the CUSUM drift audit
+    "t_doc_chunk", "t_train_split", "g_knn_components", "g_knn_hops",
+    "ts_changepoint")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -323,4 +323,28 @@ class GraftApiSpec extends SparkSpec {
     assert(mutualPairs.exists { case (x, y) => Set(10L, 11L, 12L).contains(x) && Set(10L, 11L, 12L).contains(y) },
       s"x-group mutual edge missing: $mutualPairs")
   }
+
+  test("bfsHops: chain distances, cycle min-hop, cap, and unreachable absence") {
+    import spark.implicits._
+    // chain 1-2-3-4-5, cycle 10-11-12-10 (directed both ways), and an
+    // isolated edge 20-21 never seeded
+    val undirected = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 21L))
+    val edges = undirected.toDF("src", "dst")
+      .union(undirected.map(_.swap).toDF("src", "dst"))
+    val seeds = Seq(1L, 10L).toDF("node")
+    val hops = Graft.graph.bfsHops(edges, seeds, maxHops = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.ScopedCache.releaseAll()
+    assert(hops == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L,
+      10L -> 0L, 11L -> 1L, 12L -> 1L), s"got $hops")
+    // cap: from the chain head, node 5 is 4 hops out — a cap of 3
+    // must drop it while keeping everything nearer
+    val capped = Graft.graph.bfsHops(edges, Seq(1L).toDF("node"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.ScopedCache.releaseAll()
+    assert(capped == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L), s"got $capped")
+  }
 }
