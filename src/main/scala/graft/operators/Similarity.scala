@@ -191,16 +191,19 @@ object Similarity {
     * deterministic centroid slice, top-NProbe probes, cell-local
     * search — used verbatim by the join-form and the
     * partitioned-layout-form entries (identical semantics). */
-  private val ivfOracleSql =
-    s"""WITH $corpusSql,
-       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NCells),
+  private val ivfCtesSql =
+    s"""c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NCells),
        |asg AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
        |  ROW_NUMBER() OVER (PARTITION BY n.vec_id
        |    ORDER BY ${Vectors.dotSql("n.v", "c.cv")} / (n.nrm * c.cnrm) DESC, c.cid) AS rk
        |  FROM n CROSS JOIN c),
        |cells AS (SELECT vec_id, v, nrm, cid FROM asg WHERE rk = 1),
        |probes AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cid
-       |           FROM asg WHERE vec_id < $QueryCount AND rk <= $NProbe),
+       |           FROM asg WHERE vec_id < $QueryCount AND rk <= $NProbe)""".stripMargin
+
+  private val ivfOracleSql =
+    s"""WITH $corpusSql,
+       |$ivfCtesSql,
        |sc AS (SELECT p.query_id, cl.vec_id AS neighbor_id,
        |         ${Vectors.dotSql("p.qv", "cl.v")} / (p.qnrm * cl.nrm) AS cosine
        |       FROM probes p JOIN cells cl ON p.cid = cl.cid AND cl.vec_id <> p.query_id),
@@ -1208,6 +1211,87 @@ object Similarity {
       .orderBy(col("component"))
   }
 
+  /** The elementwise SQ8 dequantization expression (shared shape of
+    * both engines): code = clamp(floor((x−mn)·255/rng)), value =
+    * mn + (code+0.5)·rng/255 (midpoint reconstruction — the exact
+    * inverse of the 255-level quantizer, roundtrip error ≤ rng/510;
+    * a /256 reconstruction is NOT the inverse and biases every value
+    * by ~rng/500, which the spec's error bound catches). Operator
+    * association is written identically on both sides so every IEEE
+    * intermediate matches bit-for-bit. */
+  private def sq8DequantSpark(dim: Int): String =
+    s"""transform(sequence(1, $dim), i ->
+       |  element_at(mn, i) + (least(floor(CASE WHEN element_at(rng, i) > 0d
+       |      THEN (element_at(v, i) - element_at(mn, i)) * 255d / element_at(rng, i)
+       |      ELSE 0d END), 255d) + 0.5d) * element_at(rng, i) / 255d)""".stripMargin
+
+  private def sq8DequantSql(dim: Int): String =
+    s"""list_transform(generate_series(1, $dim), i ->
+       |  mn[i] + (LEAST(FLOOR(CASE WHEN rng[i] > 0
+       |      THEN (v[i] - mn[i]) * 255 / rng[i]
+       |      ELSE 0 END), 255) + 0.5) * rng[i] / 255)""".stripMargin
+
+  /** IVF + SCALAR QUANTIZATION (SQ8) — the FAISS IVF_SQ8 index shape:
+    * the cell-probed search of s_ann_ivf runs over 8-bit-quantized
+    * codes instead of the float corpus. Per-dimension [min, max]
+    * bounds are ONE tiny aggregate (dim rows — posexplode + min/max,
+    * map-side combined; broadcast back as two dim-length arrays);
+    * each vector stores only its byte codes (64 B vs 256 B of floats
+    * at dim 64 — a 4× scan-bandwidth cut, the reason this index
+    * exists), and scoring dequantizes by midpoint reconstruction
+    * (mn + (code+0.5)·rng/255) inside the probe join. Quantize and
+    * dequantize are fused here (the roundtrip is exercised end to
+    * end; a layout variant would persist the byte codes like
+    * s_ann_ivf_partitioned persists cells). Candidates stay the IVF
+    * cell equi-join — quantization changes the bytes scanned, never
+    * the blocking — and approximate cosine = dot(q, dequant(x)) /
+    * (|q|·|dequant(x)|) with the proven left-fold parity, so ranks
+    * are bit-deterministic cross-engine. */
+  val sAnnIvfSq8: GraftQuery = GraftQuery.sql(
+    "s_ann_ivf_sq8",
+    s"""WITH $corpusSql,
+       |$ivfCtesSql,
+       |dims AS (SELECT unnest(generate_series(1, ${M * SubDim})) AS pos),
+       |bnd AS (SELECT pos, MIN(v[pos]) AS mn, MAX(v[pos]) - MIN(v[pos]) AS rng
+       |        FROM cells CROSS JOIN dims GROUP BY pos),
+       |ba AS (SELECT list(mn ORDER BY pos) AS mn, list(rng ORDER BY pos) AS rng
+       |       FROM bnd),
+       |cq AS (SELECT vec_id, cid, ${sq8DequantSql(M * SubDim)} AS xq
+       |       FROM cells CROSS JOIN ba),
+       |sc AS (SELECT p.query_id, c2.vec_id AS neighbor_id,
+       |         ${Vectors.dotSql("p.qv", "c2.xq")} / (p.qnrm * ${Vectors.normSql("c2.xq")}) AS acos
+       |       FROM probes p JOIN cq c2 ON p.cid = c2.cid AND c2.vec_id <> p.query_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY acos DESC, neighbor_id) AS rank FROM sc)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, acos
+       |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  ) { (s, d) =>
+    val asg = ivfAssignment(s, d)
+    val cells = graft.ScopedCache(asg.filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid")))
+    val bnd = cells.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), (max(col("x")) - min(col("x"))).as("rng"))
+    val ba = bnd.agg(
+      transform(sort_array(collect_list(struct(col("pos"), col("mn")))),
+        x => x.getField("mn")).as("mn"),
+      transform(sort_array(collect_list(struct(col("pos"), col("rng")))),
+        x => x.getField("rng")).as("rng"))
+    val cq = cells.crossJoin(broadcast(ba))
+      .select(col("vec_id"), col("cid"), expr(sq8DequantSpark(M * SubDim)).as("xq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    cq.join(broadcast(ivfProbes(asg).withColumnRenamed("pcid", "pc")),
+        col("cid") === col("pc") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (Vectors.dot(col("qv"), col("xq")) /
+          (col("qnrm") * Vectors.norm(col("xq")))).as("acos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("acos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** BFS hop cap — bounds the oracle recursion AND the Spark loop
     * identically; cell-local components make real eccentricities tiny
     * (cap hit only on a pathological chain, reported as unreached). */
@@ -1275,5 +1359,5 @@ object Similarity {
     Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnIvfPartitioned,
       sAnnPq, sAnnRerank, sHybridRrf, sAnnRecall, sAnnFiltered,
       sKmeans, sKmeansLoop, dSemdedup, sIndexScoreboard, sKnnGraph,
-      gKnnTriangles, gKnnComponents, gKnnHops)
+      gKnnTriangles, gKnnComponents, gKnnHops, sAnnIvfSq8)
 }

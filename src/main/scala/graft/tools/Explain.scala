@@ -66,7 +66,7 @@ object Explain {
     // round-8 final batch: chunk manifest, leak-audited split, the
     // knn-graph component/BFS pair, and the CUSUM drift audit
     "t_doc_chunk", "t_train_split", "g_knn_components", "g_knn_hops",
-    "ts_changepoint")
+    "ts_changepoint", "s_ann_ivf_sq8")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -497,6 +497,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(comps.map(_.getAs[Long]("n_edges")).sum == edges.length.toLong)
   }
 
+  test("ivf+sq8: quantization error bounded by half a step, results well-formed") {
+    // recompute the dequantized corpus locally and bound the roundtrip
+    // error: midpoint reconstruction at step rng/255 guarantees
+    // |x - xq| <= rng/510 per dimension (half a step), including the
+    // clamped top code (midpoint overshoots max by exactly rng/510)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val dim = vecs.head._2.length
+    val mn = (0 until dim).map(i => vecs.values.map(_(i)).min).toArray
+    val mx = (0 until dim).map(i => vecs.values.map(_(i)).max).toArray
+    vecs.values.take(100).foreach { v =>
+      (0 until dim).foreach { i =>
+        val rng = mx(i) - mn(i)
+        if (rng > 0) {
+          val code = math.min(math.floor((v(i) - mn(i)) * 255d / rng), 255d)
+          val xq = mn(i) + (code + 0.5) * rng / 255d
+          assert(math.abs(v(i) - xq) <= rng / 510d + 1e-12,
+            s"dim $i: x=${v(i)} xq=$xq rng=$rng")
+        }
+      }
+    }
+    // the operator output: TopK rows per query, scores in [-1, 1]
+    val rows = Similarity.sAnnIvfSq8.fn(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.sameElements(1L to rs.length),
+        s"query $q ranks not dense")
+      rs.foreach { r =>
+        assert(math.abs(r.getAs[Double]("acos")) <= 1.0 + 1e-6,
+          s"quantized cosine out of range: ${r.getAs[Double]("acos")}")
+        assert(r.getAs[Long]("neighbor_id") != q)
+      }
+    }
+  }
+
   test("knn hop profile equals a driver-side BFS from the same seeds") {
     val prof = Similarity.gKnnHops.fn(spark, sfDir).collect()
       .map(r => r.getAs[Long]("hop") -> r.getAs[Long]("n_nodes")).toMap
