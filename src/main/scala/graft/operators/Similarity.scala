@@ -878,13 +878,16 @@ object Similarity {
     * This is the index-selection evaluation a vector deployment runs
     * before committing to a layout; at 100 TB it runs on a sampled
     * query set while each arm keeps its own documented scale shape. */
-  val sIndexScoreboard: GraftQuery = GraftQuery.sql(
+  // lazy: the SQL embeds sAnnIvfSq8's oracle, defined later in the
+  // file — by-value init would read it before construction
+  lazy val sIndexScoreboard: GraftQuery = GraftQuery.sql(
     "s_index_scoreboard",
     s"""WITH b AS (SELECT query_id, neighbor_id FROM (${sAnnBruteforce.oracle.get}) bx),
        |l AS (SELECT query_id, neighbor_id FROM (${sAnnLsh.oracle.get}) lx),
        |i AS (SELECT query_id, neighbor_id FROM (${sAnnIvf.oracle.get}) ix),
        |p AS (SELECT query_id, neighbor_id FROM (${sAnnPq.oracle.get}) px),
-       |rr AS (SELECT query_id, neighbor_id FROM (${sAnnRerank.oracle.get}) rx)
+       |rr AS (SELECT query_id, neighbor_id FROM (${sAnnRerank.oracle.get}) rx),
+       |sq AS (SELECT query_id, neighbor_id FROM (${sAnnIvfSq8.oracle.get}) sx)
        |SELECT * FROM (
        |  SELECT 'ivf' AS method, CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
        |    CAST(COUNT(*) AS BIGINT) AS n_possible,
@@ -902,6 +905,10 @@ object Similarity {
        |  SELECT 'rerank', CAST(COUNT(rr.neighbor_id) AS BIGINT), CAST(COUNT(*) AS BIGINT),
        |    CAST(COUNT(rr.neighbor_id) AS DOUBLE) / COUNT(*)
        |  FROM b LEFT JOIN rr ON b.query_id = rr.query_id AND b.neighbor_id = rr.neighbor_id
+       |  UNION ALL
+       |  SELECT 'ivf_sq8', CAST(COUNT(sq.neighbor_id) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(sq.neighbor_id) AS DOUBLE) / COUNT(*)
+       |  FROM b LEFT JOIN sq ON b.query_id = sq.query_id AND b.neighbor_id = sq.neighbor_id
        |) ORDER BY method""".stripMargin
   ) { (s, d) =>
     val btop = sAnnBruteforce.fn(s, d).select(col("query_id"), col("neighbor_id"))
@@ -917,6 +924,7 @@ object Similarity {
       .union(arm("lsh", sAnnLsh.fn(s, d)))
       .union(arm("pq", sAnnPq.fn(s, d)))
       .union(arm("rerank", sAnnRerank.fn(s, d)))
+      .union(arm("ivf_sq8", sAnnIvfSq8.fn(s, d)))
       .orderBy(col("method"))
   }
 
