@@ -364,7 +364,11 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(r => r.getAs[String]("method") ->
         (r.getAs[Long]("n_hits"), r.getAs[Long]("n_possible"), r.getAs[Double]("recall")))
       .toMap
-    assert(rows.keySet == Set("ivf", "lsh", "pq", "rerank"))
+    assert(rows.keySet == Set("ivf", "lsh", "pq", "rerank", "ivf_sq8"))
+    // quantization can only lose hits vs the same blocking at full
+    // precision — SQ8 recall is bounded by raw IVF's
+    assert(rows("ivf_sq8")._1 <= rows("ivf")._1,
+      s"sq8 ${rows("ivf_sq8")._1} > ivf ${rows("ivf")._1}")
     rows.values.foreach { case (h, p, rec) =>
       assert(p == 80L, "16 queries x top-5")
       assert(h >= 0 && h <= p && rec >= 0.0 && rec <= 1.0)
