@@ -1066,6 +1066,22 @@ object Similarity {
     (cl, knn)
   }
 
+  /** Mutual (reciprocal) edge set of the k-NN graph — shared by the
+    * triangle/component/hops family: ONE persisted copy per (session,
+    * dir, source content) instead of each query re-paying the
+    * directed top-k window plus the edge-key groupBy (the famMemoized
+    * discipline; the r8 bench showed the three graph-derived queries
+    * each rebuilding this frame). Carries n_dir so callers filter
+    * mutuality themselves. */
+  private def knnMutual(s: SparkSession, d: String): DataFrame =
+    famMemoized(s, d, "knn_mutual", embSig(s, d)) {
+      val (_, knn) = knnDirected(s, d)
+      knn.groupBy(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .agg(max(col("cid")).as("cid"), count(lit(1)).as("n_dir"))
+        .select(col("a"), col("b"), col("cid"), col("n_dir"))
+    }
+
   /** SYMMETRIC k-NN GRAPH — the graph artifact downstream semantic
     * pipelines consume (graph-based near-dup clustering, label
     * propagation, NN-descent seeding, SemDeDup variants that prune on
@@ -1139,13 +1155,9 @@ object Similarity {
        |FROM nn LEFT JOIN ne ON nn.cid = ne.cid LEFT JOIN tri ON nn.cid = tri.cid
        |ORDER BY nn.cid""".stripMargin
   ) { (s, d) =>
-    val (cl, knn) = knnDirected(s, d)
-    val me = graft.ScopedCache(
-      knn.groupBy(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .agg(max(col("cid")).as("cid"), count(lit(1)).as("n_dir"))
-        .filter(col("n_dir") === 2)
-        .select(col("a"), col("b"), col("cid")))
+    val cl = knnDirected(s, d)._1
+    val me = knnMutual(s, d).filter(col("n_dir") === 2)
+      .select(col("a"), col("b"), col("cid"))
     val e2 = me.select(col("a").as("wa"), col("b").as("wb"))
     val e3 = me.select(col("a").as("ca"), col("b").as("cb"))
     val tri = me.join(e2, col("b") === col("wa"))
@@ -1201,13 +1213,8 @@ object Similarity {
        |FROM cm JOIN ce ON cm.component = ce.component
        |ORDER BY cm.component""".stripMargin
   ) { (s, d) =>
-    val (_, knn) = knnDirected(s, d)
-    val me = graft.ScopedCache(
-      knn.groupBy(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .agg(max(col("cid")).as("cid"), count(lit(1)).as("n_dir"))
-        .filter(col("n_dir") === 2)
-        .select(col("a"), col("b"), col("cid")))
+    val me = knnMutual(s, d).filter(col("n_dir") === 2)
+      .select(col("a"), col("b"), col("cid"))
     val labels = graft.api.Graft.dedup.dupClusters(me, "a", "b")
     val cm = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
     val ce = me.join(labels, col("a") === col("node"))
@@ -1343,13 +1350,8 @@ object Similarity {
        |FROM uni u LEFT JOIN dist d ON u.node = d.node
        |GROUP BY 1 ORDER BY 1""".stripMargin
   ) { (s, d) =>
-    val (_, knn) = knnDirected(s, d)
-    val me = graft.ScopedCache(
-      knn.groupBy(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .agg(max(col("cid")).as("cid"), count(lit(1)).as("n_dir"))
-        .filter(col("n_dir") === 2)
-        .select(col("a"), col("b"), col("cid")))
+    val me = knnMutual(s, d).filter(col("n_dir") === 2)
+      .select(col("a"), col("b"), col("cid"))
     val ed = me.select(col("a").as("src"), col("b").as("dst"))
       .union(me.select(col("b").as("src"), col("a").as("dst")))
     val seeds = me.groupBy(col("cid")).agg(min(col("a")).as("node"))
