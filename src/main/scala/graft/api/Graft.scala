@@ -984,20 +984,27 @@ object Graft {
       def ckpt(df: DataFrame): DataFrame =
         if (reliable) df.checkpoint() else df.localCheckpoint()
       val e = graft.ScopedCache(edges.select(col("src"), col("dst")))
-      var dist = ckpt(seeds.select(col("node")).distinct()
+      // ONE materialization per level: each checkpointed frontier is a
+      // LEAF, and the visited set is the shallow union of those leaves
+      // (linear plan growth — it was checkpointing the accumulated
+      // union each level that paid a second job per level; the
+      // exponential-plan hazard only exists without any truncation).
+      val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var frontier = ckpt(seeds.select(col("node")).distinct()
         .select(col("node"), lit(0L).as("hop")))
-      var frontier = dist
+      levels += frontier
       var h = 1L
       while (h <= maxHops && frontier.count() > 0) {
+        val visited = levels.map(_.select(col("node"))).reduce(_.union(_))
         frontier = ckpt(
           frontier.join(e, col("node") === col("src"))
             .select(col("dst").as("node")).distinct()
-            .join(dist, Seq("node"), "left_anti")
+            .join(visited, Seq("node"), "left_anti")
             .select(col("node"), lit(h).as("hop")))
-        dist = ckpt(dist.union(frontier))
+        levels += frontier
         h += 1
       }
-      dist
+      levels.reduce(_.union(_))
     }
   }
 }
