@@ -584,8 +584,10 @@ object Analytics {
        |  CAST(cum AS BIGINT) AS cum,
        |  CAST(CASE WHEN nd * cum > t * tot THEN 1
        |            WHEN nd * cum < t * tot THEN -1 ELSE 0 END AS BIGINT) AS sign,
-       |  CAST(ABS(nd * cum - t * tot) * 1000 // (nd * tot) AS BIGINT) AS dev_pm,
-       |  CAST(CASE WHEN ABS(nd * cum - t * tot) * 20 > nd * tot
+       |  CAST(CASE WHEN nd * tot > 0
+       |       THEN ABS(nd * cum - t * tot) * 1000 // (nd * tot)
+       |       ELSE 0 END AS BIGINT) AS dev_pm,
+       |  CAST(CASE WHEN nd * tot > 0 AND ABS(nd * cum - t * tot) * 20 > nd * tot
        |       THEN 1 ELSE 0 END AS BIGINT) AS flag
        |FROM c ORDER BY event_type, day""".stripMargin
   ) { (s, d) =>
@@ -605,8 +607,14 @@ object Analytics {
       .select(col("event_type"), col("day"), col("t"), col("cents"), col("cum"),
         when(col("drift") > 0, 1L).when(col("drift") < 0, -1L).otherwise(0L)
           .as("sign"),
-        expr("abs(drift) * 1000 div (nd * tot)").as("dev_pm"),
-        when(abs(col("drift")) * 20 > col("nd") * col("tot"), 1L).otherwise(0L)
+        // ADVICE r8: guard nd*tot ≤ 0 — a zero-total series divided
+        // by zero (NULL in Spark div, an ERROR in DuckDB //) and a
+        // negative total flips floor-division vs truncation parity;
+        // both engines now short-circuit to 0 unless nd*tot > 0.
+        when(col("nd") * col("tot") > 0,
+          expr("abs(drift) * 1000 div (nd * tot)")).otherwise(0L).as("dev_pm"),
+        when(col("nd") * col("tot") > 0 &&
+          abs(col("drift")) * 20 > col("nd") * col("tot"), 1L).otherwise(0L)
           .as("flag"))
       .orderBy(col("event_type"), col("day"))
   }

@@ -211,8 +211,8 @@ object Curation {
       val fp = graft.functions.GraftHash.charHashSql(
         s"array_to_string(list_slice(string_split(text, ' '), 1, $PfxTok), ' ')")
       s"""WITH f AS (SELECT lang, $fp AS fp,
-         |    CASE WHEN (doc_id * 1103515245 + 12345) % 1000 < 900 THEN 'train'
-         |         WHEN (doc_id * 1103515245 + 12345) % 1000 < 950 THEN 'val'
+         |    CASE WHEN ((doc_id % 1000) * 245 + 345) % 1000 < 900 THEN 'train'
+         |         WHEN ((doc_id % 1000) * 245 + 345) % 1000 < 950 THEN 'val'
          |         ELSE 'test' END AS split
          |  FROM documents),
          |tr AS (SELECT DISTINCT fp FROM f WHERE split = 'train')
@@ -226,8 +226,14 @@ object Curation {
     val f = Tables.documents(s, d).select(col("lang"),
       graft.functions.GraftHash.charHash(
         array_join(slice(split(col("text"), " ", -1), 1, PfxTok), " ")).as("fp"),
-      when((col("doc_id") * 1103515245L + 12345L) % 1000 < 900, "train")
-        .when((col("doc_id") * 1103515245L + 12345L) % 1000 < 950, "val")
+      // ADVICE r8: the full-width LCG (doc_id * 1103515245 + 12345)
+      // overflows Int64 for doc_id ≳ 8.4e9 — Spark wraps silently
+      // negative (emptying val/test) while DuckDB raises. Reduce
+      // doc_id mod 1000 FIRST: 1103515245 ≡ 245 and 12345 ≡ 345
+      // (mod 1000), so this is the identical residue map for every
+      // non-negative doc_id, with a max intermediate of 245 100.
+      when(((col("doc_id") % 1000) * 245L + 345L) % 1000 < 900, "train")
+        .when(((col("doc_id") % 1000) * 245L + 345L) % 1000 < 950, "val")
         .otherwise("test").as("split"))
     val tr = f.filter(col("split") === "train").select(col("fp").as("tfp")).distinct()
     f.join(tr, col("fp") === col("tfp"), "left")

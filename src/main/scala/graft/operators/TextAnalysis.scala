@@ -323,7 +323,7 @@ object TextAnalysis {
     * (approximately) uniform. The keep fraction is integer
     * per-mille arithmetic ((min_count * 1000) / lang_count — exact
     * in both engines) and the sample is a deterministic LCG-mixed
-    * modulo filter ((doc_id * 1103515245 + 12345) % 1000 <
+    * modulo filter (((doc_id % 1000) * 245 + 345) % 1000 <
     * keep_per_mille — mixing decorrelates the residue from raw id
     * ranges, which at small scale don't wrap the modulus), so the
     * selected set is reproducible run-over-run and auditable. At
@@ -338,7 +338,7 @@ object TextAnalysis {
       |       FROM cnt CROSS JOIN mn),
       |kept AS (SELECT d.lang, COUNT(*) AS n_kept
       |         FROM documents d JOIN pm ON d.lang = pm.lang
-      |         WHERE (d.doc_id * 1103515245 + 12345) % 1000 < pm.keep_per_mille
+      |         WHERE ((d.doc_id % 1000) * 245 + 345) % 1000 < pm.keep_per_mille
       |         GROUP BY d.lang)
       |SELECT pm.lang, pm.n_docs, CAST(pm.keep_per_mille AS BIGINT) AS keep_per_mille,
       |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
@@ -355,7 +355,7 @@ object TextAnalysis {
         expr("(min_docs * 1000) div n_docs").as("keep_per_mille"))
     val kept = docs.join(broadcast(pm.select(col("lang").as("p_lang"), col("keep_per_mille"))),
         col("lang") === col("p_lang") &&
-          (col("doc_id") * 1103515245L + 12345L) % 1000 < col("keep_per_mille"))
+          ((col("doc_id") % 1000) * 245L + 345L) % 1000 < col("keep_per_mille"))
       .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
       .select(col("lang").as("k_lang"), col("n_kept"))
     pm.join(kept, col("lang") === col("k_lang"), "left")
@@ -480,7 +480,7 @@ object TextAnalysis {
     * data-mixture step after quality filtering: down-weight the
     * dominant language, keep the tail). Membership is the same
     * deterministic integer-LCG coin as t_lang_rebalance —
-    * (doc_id * 1103515245 + 12345) mod 1000 < rate — so the sample is
+    * ((doc_id mod 1000) * 245 + 345) mod 1000 < rate (residues of the LCG constants — reduced BEFORE the multiply so the coin can never overflow Int64 at any doc_id) — so the sample is
     * reproducible at any parallelism, needs no RNG state, and the
     * corpus never shuffles: one scan, a broadcast rate table, one
     * tiny groupBy on the stratum key. Output audits realized vs
@@ -498,7 +498,7 @@ object TextAnalysis {
       s"""WITH rt AS ($rateSql),
          |k AS (SELECT d.lang, d.source,
          |        COUNT(*) AS n_docs,
-         |        SUM(CASE WHEN (d.doc_id * 1103515245 + 12345) % 1000 < rt.target_pm
+         |        SUM(CASE WHEN ((d.doc_id % 1000) * 245 + 345) % 1000 < rt.target_pm
          |            THEN 1 ELSE 0 END) AS n_kept,
          |        MAX(rt.target_pm) AS target_pm
          |      FROM documents d JOIN rt ON d.lang = rt.lang
@@ -515,7 +515,7 @@ object TextAnalysis {
         .join(broadcast(rt), col("lang") === col("r_lang"))
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(when((col("doc_id") * 1103515245L + 12345L) % 1000 < col("target_pm"), 1L)
+          sum(when(((col("doc_id") % 1000) * 245L + 345L) % 1000 < col("target_pm"), 1L)
             .otherwise(0L)).as("n_kept"),
           max(col("target_pm")).cast("long").as("target_pm"))
         .select(col("lang"), col("source"), col("n_docs"), col("n_kept"), col("target_pm"),

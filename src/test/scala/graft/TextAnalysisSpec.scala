@@ -68,7 +68,7 @@ class TextAnalysisSpec extends SparkSpec {
     // direct recount of one stratum family with the same coin
     val en = Tables.documents(spark, sfDir)
       .filter(col("lang") === "en" &&
-        (col("doc_id") * 1103515245L + 12345L) % 1000 < 200)
+        ((col("doc_id") % 1000) * 245L + 345L) % 1000 < 200)
       .count()
     assert(byLang("en")._2 == en, s"en recount $en != ${byLang("en")._2}")
     rows.foreach { r =>
