@@ -383,6 +383,120 @@ object Durability {
       .orderBy(col("version"))
   }
 
+  /** SAFE MODE — the last uncovered ClientProtocol method
+    * (protocol/ClientProtocol.java:648 setSafeMode;
+    * server/namenode/SafeModeException.java:1;
+    * FSNamesystem.SafeModeInfo threshold machine,
+    * server/namenode/FSNamesystem.java:3997): the read-only gate every
+    * maintenance window leans on. The ceremony drives all four edges
+    * of the state machine against a live commit-log table and VERIFIES
+    * each one in-op:
+    *
+    *  1. STARTUP GATE: after a simulated restart the table enters
+    *     startup safe mode (threshold 1000‰ = every active file must
+    *     replay-verify); a write attempt throws BEFORE any journal or
+    *     data I/O and burns no version (`startup_blocked`).
+    *  2. THRESHOLD: a partial verification report (1 of 2 files — the
+    *     incremental block-report analogue) leaves the gate closed;
+    *     writes still refuse (`threshold_enforced`). Reads replay
+    *     normally the whole time (asserted against the expected
+    *     count).
+    *  3. AUTO-EXIT: the second report crosses the threshold and the
+    *     gate opens ITSELF — no operator action (`auto_exited`); the
+    *     next write commits.
+    *  4. MANUAL: `enterSafeModeManual` closes the gate with an
+    *     unreachable threshold (the reference's 1.5); a full
+    *     verification report does NOT open it and a write refuses
+    *     (`manual_blocked`) until the explicit leave.
+    *
+    * Replay identity is the output itself: the three per-version
+    * (count, checksum) rows are read AFTER every refused write, and
+    * the oracle recomputes them from the source table — a refusal
+    * that leaked a version or half a commit fails the hash gate.
+    * Scale shape: the gate is one driver-side marker read per commit
+    * attempt; verification reports are parquet footer-counts over
+    * only the files being reported — the whole ceremony is
+    * journal-metadata work, independent of data volume. */
+  val lakeSafemode: GraftQuery = GraftQuery.sql(
+    "lake_safemode", {
+      def v(n: Int, cond: String) =
+        s"""SELECT CAST($n AS BIGINT) AS version, COUNT(*) AS n_docs,
+           |  CAST(SUM(fp) % ${GraftHash.P} AS BIGINT) AS checksum,
+           |  TRUE AS startup_blocked, TRUE AS threshold_enforced,
+           |  TRUE AS auto_exited, TRUE AS manual_blocked
+           |FROM fp WHERE $cond""".stripMargin
+      s"""WITH fp AS (SELECT doc_id % 3 AS m, ${GraftHash.charHashSql("text")} AS fp
+         |           FROM documents)
+         |${v(0, "m = 0")}
+         |UNION ALL
+         |${v(1, "m IN (0, 1)")}
+         |UNION ALL
+         |${v(2, "TRUE")}
+         |ORDER BY version""".stripMargin
+    }
+  ) { (s, d) =>
+    val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val dir = Lake.scratch("safemode/table")
+    fs.delete(new Path(dir), true)
+    val docs = Tables.documents(s, d)
+    def head: Int =
+      CommitLog.commits(fs, dir).lastOption.map(_.version).getOrElse(-1)
+    def refused(body: => Unit): Boolean = {
+      val before = head
+      val blocked = try { body; false } catch { case _: java.io.IOException => true }
+      blocked && head == before // loud AND traceless: no burned version
+    }
+    CommitLog.writeCommit(s, dir,
+      docs.filter(col("doc_id") % 3 === 0), "data/b0", ts = 1000L)       // v0
+    CommitLog.writeCommit(s, dir,
+      docs.filter(col("doc_id") % 3 === 1), "data/b1", ts = 2000L)       // v1
+    // --- restart: startup safe mode, strict threshold ---
+    CommitLog.enterSafeMode(fs, dir, thresholdPm = 1000)
+    val startupBlocked = refused {
+      CommitLog.writeCommit(s, dir,
+        docs.filter(col("doc_id") % 3 === 2), "data/b2", ts = 3000L)
+    }
+    // reads replay normally while frozen
+    val expectV1 = docs.filter(col("doc_id") % 3 =!= 2).count()
+    require(CommitLog.snapshot(s, dir).count() == expectV1,
+      "read during safe mode diverged from the v1 snapshot")
+    // partial report: 1 of 2 active files — below threshold, gate holds
+    val (n1, t1, frozen1) = CommitLog.reportVerified(s, dir, Seq("data/b0"))
+    require(n1 == 1 && t1 == 2 && frozen1, s"partial report state ($n1/$t1, $frozen1)")
+    val thresholdEnforced = refused {
+      CommitLog.writeCommit(s, dir,
+        docs.filter(col("doc_id") % 3 === 2), "data/b2", ts = 3000L)
+    }
+    // full report: threshold crossed, the gate opens ITSELF
+    val (n2, t2, frozen2) = CommitLog.reportVerified(s, dir, Seq("data/b1"))
+    val autoExited = n2 == 2 && t2 == 2 && !frozen2 && !CommitLog.isFrozen(fs, dir)
+    CommitLog.writeCommit(s, dir,
+      docs.filter(col("doc_id") % 3 === 2), "data/b2", ts = 4000L)       // v2
+    // --- manual: no threshold can open it, only the explicit leave ---
+    CommitLog.enterSafeModeManual(fs, dir)
+    val (_, _, frozenM) = CommitLog.reportVerified(s, dir,
+      Seq("data/b0", "data/b1", "data/b2"))
+    val manualBlocked = frozenM && refused {
+      CommitLog.writeCommit(s, dir,
+        docs.filter(col("doc_id") % 3 === 0), "data/b3", ts = 5000L)
+    }
+    CommitLog.leaveSafeMode(fs, dir)
+    require(!CommitLog.isFrozen(fs, dir), "manual leave did not open the gate")
+    (0 to 2).map { v =>
+      CommitLog.snapshot(s, dir, version = v)
+        .select(GraftHash.charHash(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("fp")) % GraftHash.P).as("checksum"))
+        .select(lit(v.toLong).as("version"), col("n_docs"), col("checksum"))
+    }.reduce(_ union _)
+      .withColumn("startup_blocked", lit(startupBlocked))
+      .withColumn("threshold_enforced", lit(thresholdEnforced))
+      .withColumn("auto_exited", lit(autoExited))
+      .withColumn("manual_blocked", lit(manualBlocked))
+      .orderBy(col("version"))
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(lakeQuarantine, lakeStandby, lakeScrubCadence, lakeLeaseRecover)
+    Seq(lakeQuarantine, lakeStandby, lakeScrubCadence, lakeLeaseRecover,
+      lakeSafemode)
 }

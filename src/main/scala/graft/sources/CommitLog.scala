@@ -135,20 +135,127 @@ object CommitLog {
 
   private def frozenMarker(tableDir: String) = new Path(tableDir, "_frozen")
 
-  /** Safe mode for a versioned table (the reference's
-    * ClientProtocol.setSafeMode analogue): while frozen, every commit
-    * attempt is refused; reads replay normally. */
-  def freeze(fs: FileSystem, tableDir: String): Unit = {
-    val out = fs.create(frozenMarker(tableDir), true)
-    try out.write("frozen\n".getBytes("UTF-8")) finally out.close()
-  }
+  /** SAFE MODE for a versioned table — the reference's
+    * ClientProtocol.setSafeMode (protocol/ClientProtocol.java:648)
+    * plus FSNamesystem.SafeModeInfo's threshold machine
+    * (server/namenode/FSNamesystem.java:3997): while the `_frozen`
+    * marker exists, every commit attempt is refused loudly
+    * (SafeModeException analogue —
+    * server/namenode/SafeModeException.java:1) BEFORE any journal or
+    * data I/O, so a refused write burns no version and replay is
+    * byte-identical to a history in which it never happened; reads
+    * replay normally throughout.
+    *
+    * Two modes, as in the reference:
+    *  - STARTUP (`enterSafeMode`): carries a per-mille replay
+    *    threshold. Verification progress arrives via
+    *    `reportVerified` (the block-report analogue: each call
+    *    actually READS the named active files — a parquet
+    *    footer-count job, metadata-only however large the files —
+    *    and accumulates them in the marker). The moment
+    *    verified/active ≥ threshold the marker is deleted: automatic
+    *    exit, no operator action (SafeModeInfo.canLeave).
+    *  - MANUAL (`enterSafeModeManual`): the threshold is
+    *    unreachable by construction (the reference sets it to 1.5 —
+    *    FSNamesystem.java:4064); only `leaveSafeMode` exits.
+    *
+    * All state is the one marker file, rewritten per report — a
+    * driver-side metadata op like the journal itself; the only
+    * cluster work is the verification read, which is one job per
+    * report over only the files being reported. */
+  final case class SafeModeState(manual: Boolean, thresholdPm: Int,
+                                 verified: Set[String])
 
-  def unfreeze(fs: FileSystem, tableDir: String): Unit = {
+  /** Enter startup safe mode: frozen until `reportVerified` calls
+    * push the verified fraction of active files to `thresholdPm`
+    * per-mille (1000 = every active file, the strict default). */
+  def enterSafeMode(fs: FileSystem, tableDir: String,
+                    thresholdPm: Int = 1000): Unit =
+    writeSafeMode(fs, tableDir, SafeModeState(manual = false, thresholdPm, Set.empty))
+
+  /** Enter manual safe mode: no threshold can exit it (reference:
+    * manual SafeModeInfo sets threshold 1.5, unreachable); only
+    * `leaveSafeMode` does. */
+  def enterSafeModeManual(fs: FileSystem, tableDir: String): Unit =
+    writeSafeMode(fs, tableDir, SafeModeState(manual = true, 0, Set.empty))
+
+  /** Back-compat alias for the pre-threshold API: manual freeze. */
+  def freeze(fs: FileSystem, tableDir: String): Unit =
+    enterSafeModeManual(fs, tableDir)
+
+  def leaveSafeMode(fs: FileSystem, tableDir: String): Unit = {
     fs.delete(frozenMarker(tableDir), false); ()
   }
 
+  /** Back-compat alias: manual leave. */
+  def unfreeze(fs: FileSystem, tableDir: String): Unit =
+    leaveSafeMode(fs, tableDir)
+
   def isFrozen(fs: FileSystem, tableDir: String): Boolean =
     fs.exists(frozenMarker(tableDir))
+
+  /** Current safe-mode state, None when the table is writable. A
+    * marker whose content predates the threshold machine (or was
+    * hand-placed) parses as MANUAL — the conservative reading: it
+    * never self-exits. */
+  def safeMode(fs: FileSystem, tableDir: String): Option[SafeModeState] = {
+    val f = frozenMarker(tableDir)
+    if (!fs.exists(f)) return None
+    val in = fs.open(f)
+    val text =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val pm = lines.collectFirst { case l if l.startsWith("startup ") =>
+      l.drop(8).toInt }
+    Some(SafeModeState(
+      manual = pm.isEmpty,
+      thresholdPm = pm.getOrElse(0),
+      verified = lines.collect { case l if l.startsWith("safe ") => l.drop(5) }.toSet))
+  }
+
+  private def writeSafeMode(fs: FileSystem, tableDir: String,
+                            st: SafeModeState): Unit = {
+    val head = if (st.manual) "manual" else s"startup ${st.thresholdPm}"
+    val body = (head +: st.verified.toSeq.sorted.map("safe " + _))
+      .mkString("", "\n", "\n")
+    val out = fs.create(frozenMarker(tableDir), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** One verification report: (verified so far, active total, still
+    * frozen). Each named relPath must be an ACTIVE journal entry; it
+    * counts as verified only after an actual read succeeds — a
+    * parquet count() over exactly those files, which Spark answers
+    * from footers (no row scan), so a report is cheap at any file
+    * size while still proving the footer + schema are intact. In
+    * startup mode, crossing the threshold deletes the marker
+    * (automatic exit); manual mode records progress but never
+    * exits. */
+  def reportVerified(spark: SparkSession, tableDir: String,
+                     relPaths: Seq[String]): (Int, Int, Boolean) = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val st = safeMode(fs, tableDir).getOrElse(
+      return (0, activeFiles(fs, tableDir).size, false))
+    val active = activeFiles(fs, tableDir)
+    val toCheck = relPaths.filter(active.contains).filterNot(st.verified)
+    // the actual read — a corrupt footer throws here and the file
+    // simply never joins the verified set
+    val ok = toCheck.filter { rel =>
+      // footer failures surface as different exception types per
+      // phase (schema inference vs scan) — any failure means
+      // unverified, never an op abort
+      try { spark.read.parquet(resolve(tableDir, rel)).count() >= 0L }
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+    val next = st.copy(verified = st.verified ++ ok)
+    val exit = !next.manual &&
+      next.verified.count(active.contains) * 1000L >=
+        next.thresholdPm.toLong * active.size
+    if (exit) leaveSafeMode(fs, tableDir)
+    else writeSafeMode(fs, tableDir, next)
+    (next.verified.count(active.contains), active.size, !exit)
+  }
 
   /** Write `df` under `tableDir/<relPath>` and commit the addition. */
   def writeCommit(spark: SparkSession, tableDir: String, df: DataFrame,

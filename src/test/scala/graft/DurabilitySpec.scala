@@ -251,4 +251,83 @@ class DurabilitySpec extends SparkSpec {
     val want = docs.filter(col("doc_id") % 3 <= 1).count()
     assert(CommitLog.snapshot(spark, dir).count() == want)
   }
+
+  test("safe mode: startup gate blocks writes tracelessly, threshold auto-exits, manual exits only by hand") {
+    val dir = fresh("safemode/machine")
+    val docs = Tables.documents(spark, sfDir)
+    CommitLog.writeCommit(spark, dir,
+      docs.filter(col("doc_id") % 3 === 0), "data/b0", ts = 100L)        // v0
+    CommitLog.writeCommit(spark, dir,
+      docs.filter(col("doc_id") % 3 === 1), "data/b1", ts = 200L)        // v1
+    def head: Int = CommitLog.commits(fs, dir).last.version
+    val preHash = tableHash(dir)
+
+    // --- startup gate ---
+    CommitLog.enterSafeMode(fs, dir, thresholdPm = 1000)
+    intercept[java.io.IOException] {
+      CommitLog.writeCommit(spark, dir,
+        docs.filter(col("doc_id") % 3 === 2), "data/b2", ts = 300L)
+    }
+    assert(head == 1, "refused write burned a version")
+    // reads replay normally while the gate is closed
+    assert(tableHash(dir) == preHash)
+
+    // --- threshold: partial report holds the gate ---
+    val (n1, t1, f1) = CommitLog.reportVerified(spark, dir, Seq("data/b0"))
+    assert((n1, t1, f1) == ((1, 2, true)), s"partial report ($n1,$t1,$f1)")
+    intercept[java.io.IOException] {
+      CommitLog.writeCommit(spark, dir,
+        docs.filter(col("doc_id") % 3 === 2), "data/b2", ts = 300L)
+    }
+    // progress survives in the marker across process-visible state
+    assert(CommitLog.safeMode(fs, dir).get.verified == Set("data/b0"))
+
+    // --- auto-exit: crossing the threshold opens the gate itself ---
+    val (n2, t2, f2) = CommitLog.reportVerified(spark, dir, Seq("data/b1"))
+    assert((n2, t2, f2) == ((2, 2, false)), s"full report ($n2,$t2,$f2)")
+    assert(!CommitLog.isFrozen(fs, dir))
+    CommitLog.writeCommit(spark, dir,
+      docs.filter(col("doc_id") % 3 === 2), "data/b2", ts = 400L)        // v2
+    assert(head == 2)
+
+    // --- manual: a full report never opens it, leave does ---
+    CommitLog.enterSafeModeManual(fs, dir)
+    val (_, _, fm) = CommitLog.reportVerified(spark, dir,
+      Seq("data/b0", "data/b1", "data/b2"))
+    assert(fm, "manual safe mode auto-exited on a report")
+    intercept[java.io.IOException] {
+      CommitLog.writeCommit(spark, dir,
+        docs.filter(col("doc_id") % 3 === 0), "data/b3", ts = 500L)
+    }
+    CommitLog.leaveSafeMode(fs, dir)
+    assert(!CommitLog.isFrozen(fs, dir))
+    CommitLog.writeCommit(spark, dir,
+      docs.filter(col("doc_id") % 3 === 0), "data/b3", ts = 600L)        // v3
+    assert(head == 3)
+  }
+
+  test("safe mode: a corrupt active file never verifies, so the startup threshold holds until it is repaired") {
+    val dir = fresh("safemode/corrupt")
+    val docs = Tables.documents(spark, sfDir)
+    CommitLog.writeCommit(spark, dir,
+      docs.filter(col("doc_id") % 3 === 0).coalesce(1), "data/b0", ts = 100L)
+    CommitLog.writeCommit(spark, dir,
+      docs.filter(col("doc_id") % 3 === 1).coalesce(1), "data/b1", ts = 200L)
+    Durability.corruptInPlace(fs, dir, "data/b1")
+    CommitLog.enterSafeMode(fs, dir, thresholdPm = 1000)
+    // reporting BOTH files verifies only the readable one — the
+    // corrupt footer fails its read and stays out of the verified set
+    val (n, t, frozen) = CommitLog.reportVerified(spark, dir, Seq("data/b0", "data/b1"))
+    assert((n, t, frozen) == ((1, 2, true)), s"corrupt file verified? ($n,$t,$frozen)")
+    // repair: the admin leaves safe mode, quarantines the corrupt
+    // entry out of service (the commit gate applies to admins too —
+    // that is the point of the gate), and re-enters; the restart
+    // verification now exits on what remains
+    CommitLog.leaveSafeMode(fs, dir)
+    CommitLog.commit(fs, dir, ts = 300L, adds = Seq.empty, removes = Seq("data/b1"))
+    CommitLog.enterSafeMode(fs, dir, thresholdPm = 1000)
+    val (n3, t3, f3) = CommitLog.reportVerified(spark, dir, Seq("data/b0"))
+    assert((n3, t3, f3) == ((1, 1, false)), s"post-repair report ($n3,$t3,$f3)")
+    assert(!CommitLog.isFrozen(fs, dir))
+  }
 }
