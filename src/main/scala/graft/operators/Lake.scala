@@ -3,6 +3,7 @@ package graft.operators
 import graft.{GraftQuery, Tables}
 import graft.functions.GraftHash
 import graft.functions.Parity._
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -572,35 +573,117 @@ object Lake {
       .orderBy(col("source"))
   }
 
-  /** Mirror / disaster-recovery copy with verify-after-copy — the
-    * durability intent of the reference's replication pipeline
-    * (protocol/DataTransferProtocol.java:1 replica pipeline with
-    * per-packet checksums; protocol/ClientProtocol.java:216
-    * setReplication): the table is copied to a second path, then both
-    * sides produce an order-independent per-group content checksum
-    * and the op reports whether every group verifies. At 100 TB the
-    * copy is a distributed read->write (no driver byte path) and the
-    * verification is two aggregation scans — the same shape DistCp +
-    * checksum-compare uses. */
+  /** Per-group replica placement across named FAILURE DOMAINS —
+    * which domain hosts which group's replicas. The control plane is
+    * driver-side metadata (the NameNode's placement map,
+    * server/namenode/BlockPlacementPolicyDefault.java:1): the group
+    * list is the bounded collect class (languages, not rows), and
+    * the OFF-DOMAIN RULE is enforced by construction — the second
+    * replica's domain is derived so it can never equal the first
+    * (the reference's 2nd-replica-off-rack invariant). */
+  def placeReplicas(groups: Seq[String], nDomains: Int): Seq[(String, Int, Int)] =
+    groups.map { g =>
+      val h = math.abs(g.hashCode)
+      val d1 = h % nDomains
+      (g, d1, (d1 + 1 + (h / nDomains) % (nDomains - 1)) % nDomains)
+    }
+
+  /** Mirror / disaster-recovery replication with verify-after-copy
+    * AND failure-domain-aware placement — the full durability intent
+    * of the reference's replication stack
+    * (protocol/DataTransferProtocol.java:1 per-packet pipeline
+    * checksums; protocol/ClientProtocol.java:216 setReplication;
+    * server/namenode/BlockPlacementPolicyDefault.java:1 — the 2nd
+    * replica goes OFF-RACK, and verifyBlockPlacement asserts no
+    * block's replicas collapse into one rack). Each group (lang) is
+    * a block: two replicas, placed by `placeReplicas` so the second
+    * is off-domain by construction, each written as one
+    * lang-partitioned distributed write per domain (no driver byte
+    * path). The ceremony then KILLS an entire domain — the rack
+    * failure the policy exists for — proves the survivors still
+    * serve every group (one replica always lives elsewhere: that is
+    * the invariant), RE-REPLICATES each affected group from its
+    * surviving replica into a fresh domain (data I/O proportional to
+    * the lost replicas, the UnderReplicatedBlocks queue shape —
+    * server/namenode/UnderReplicatedBlocks.java:1), and re-audits:
+    * every group back at 2 replicas in 2 distinct domains, every
+    * replica checksum-identical. At 100 TB: placement is metadata,
+    * replication and repair are partition-pruned distributed
+    * read→writes, verification is one aggregation scan per domain. */
   val lakeMirror: GraftQuery = GraftQuery.sql(
     "lake_mirror",
     s"""WITH fp AS (SELECT lang, ${GraftHash.charHashSql("text")} AS fp FROM documents)
        |SELECT lang, COUNT(*) AS n_docs,
        |  CAST(SUM(fp) % ${GraftHash.P} AS BIGINT) AS checksum,
-       |  TRUE AS mirror_ok
+       |  CAST(2 AS BIGINT) AS n_domains,
+       |  TRUE AS mirror_ok, TRUE AS placement_ok, TRUE AS domain_repaired
        |FROM fp GROUP BY lang ORDER BY lang""".stripMargin
   ) { (s, d) =>
-    import graft.api.Graft
-    val primary = scratch("mirror/primary")
-    val mirror = scratch("mirror/dr")
-    Tables.documents(s, d).write.mode("overwrite").parquet(primary)
-    s.read.parquet(primary).write.mode("overwrite").parquet(mirror)   // the DR copy
-    val a = Graft.lake.groupChecksum(s.read.parquet(primary), "text", "lang")
-    val b = Graft.lake.groupChecksum(s.read.parquet(mirror), "text", "lang")
-      .select(col("lang").as("m_lang"), col("n_rows").as("m_n"), col("checksum").as("m_ck"))
-    a.join(b, col("lang") === col("m_lang"), "full_outer")
-      .select(col("lang"), col("n_rows").as("n_docs"), col("checksum"),
-        (col("n_rows") === col("m_n") && col("checksum") === col("m_ck")).as("mirror_ok"))
+    val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val domains = Vector("dc1_rackA", "dc1_rackB", "dc2_rackA")
+      .map(n => scratch(s"mirror/dom/$n"))
+    domains.foreach(p => fs.delete(new Path(p), true))
+    val docs = Tables.documents(s, d)
+    // control plane: bounded collect of the GROUP list (langs), then
+    // deterministic two-replica placement with the off-domain rule
+    val groups = docs.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val assign = placeReplicas(groups, domains.size)
+    require(assign.forall { case (_, a, b) => a != b },
+      "placement violated its own off-domain rule")
+    // replication: one lang-partitioned write per domain of the langs
+    // it hosts (each group's bytes written once per replica)
+    domains.indices.foreach { i =>
+      val hosted = assign.collect { case (g, a, b) if a == i || b == i => g }
+      if (hosted.nonEmpty)
+        docs.filter(col("lang").isin(hosted: _*))
+          .write.mode("overwrite").partitionBy("lang").parquet(domains(i))
+    }
+    def audit(): DataFrame = domains.indices
+      .filter(i => fs.exists(new Path(domains(i))))
+      .map { i =>
+        graft.api.Graft.lake.groupChecksum(s.read.parquet(domains(i)), "text", "lang")
+          .select(col("lang"), lit(i.toLong).as("domain"),
+            col("n_rows"), col("checksum"))
+      }.reduce(_ union _)
+    def perGroup(a: DataFrame): DataFrame = a.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_replicas"),
+      countDistinct(col("domain")).as("n_domains"),
+      countDistinct(col("n_rows")).as("n_counts"),
+      countDistinct(col("checksum")).as("n_cks"),
+      max(col("n_rows")).as("n_docs"), max(col("checksum")).as("ck"))
+    // pre-loss: the placement invariant holds for every group
+    val pre = perGroup(audit()).collect()
+    require(pre.forall(r => r.getAs[Long]("n_domains") == 2L &&
+      r.getAs[Long]("n_cks") == 1L), "pre-loss placement/parity broken")
+    // rack failure: an entire domain dies
+    fs.delete(new Path(domains(0)), true)
+    val affected = assign.filter { case (_, a, b) => a == 0 || b == 0 }
+    require(affected.nonEmpty, "scenario degenerate: dead domain hosted nothing")
+    // the invariant pays off: every affected group still serves from
+    // its off-domain replica
+    val post = perGroup(audit()).collect()
+    require(post.length == groups.size && post.forall(_.getAs[Long]("n_replicas") >= 1L),
+      "a group lost ALL replicas — off-domain placement failed")
+    // re-replication from the surviving replica into a fresh domain,
+    // copying ONLY the affected partitions
+    affected.foreach { case (g, a, b) =>
+      val surviving = if (a == 0) b else a
+      val target = (1 until domains.size).filter(_ != surviving).head
+      s.read.parquet(s"${domains(surviving)}/lang=$g")
+        .write.mode("overwrite").parquet(s"${domains(target)}/lang=$g")
+    }
+    val repaired = perGroup(audit())
+    repaired.collect().foreach { r =>
+      require(r.getAs[Long]("n_domains") == 2L && r.getAs[Long]("n_cks") == 1L
+        && r.getAs[Long]("n_counts") == 1L,
+        s"post-repair placement/parity broken for ${r.getAs[String]("lang")}")
+    }
+    repaired.select(col("lang"), col("n_docs"), col("ck").as("checksum"),
+        col("n_domains"),
+        (col("n_cks") === 1 && col("n_counts") === 1).as("mirror_ok"),
+        (col("n_domains") >= 2).as("placement_ok"),
+        lit(true).as("domain_repaired"))
       .orderBy(col("lang"))
   }
 

@@ -142,4 +142,40 @@ class LakeSpec extends SparkSpec {
     // all three phases occur, so sampling is genuinely unaligned
     assert(rows.map(r => r.getAs[Long]("doc_id") % 3).distinct.length == 3)
   }
+
+  test("replica placement: no group ever holds all copies in one domain, so any single-domain loss leaves a survivor") {
+    import graft.operators.Lake
+    // the invariant the reference's 2nd-replica-off-rack rule exists
+    // for, checked across many group names and domain counts
+    for (nd <- 2 to 5) {
+      val groups = (0 until 200).map(i => f"grp_$i%03d") ++
+        Seq("de", "en", "es", "fr", "zh")
+      val placed = Lake.placeReplicas(groups, nd)
+      placed.foreach { case (g, a, b) =>
+        assert(a != b, s"$g: both replicas in domain $a (nd=$nd)")
+        assert(a >= 0 && a < nd && b >= 0 && b < nd, s"$g out of range")
+      }
+      // single-domain loss: every group keeps >= 1 replica
+      for (dead <- 0 until nd)
+        placed.foreach { case (g, a, b) =>
+          assert(a != dead || b != dead, s"$g lost all replicas to domain $dead")
+        }
+    }
+  }
+
+  test("mirror ceremony: domain loss is survived and repaired back to a 2-domain spread with checksum parity") {
+    val rows = operators.Lake.lakeMirror.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_domains") == 2L, s"${r.getAs[String]("lang")} domains")
+      assert(r.getAs[Boolean]("mirror_ok"), "replica checksum divergence")
+      assert(r.getAs[Boolean]("placement_ok"), "placement collapsed to one domain")
+      assert(r.getAs[Boolean]("domain_repaired"))
+    }
+    // repair really re-replicated: the dead domain's dir is gone, and
+    // the survivors alone hold two copies of every group
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      operators.Lake.scratch("mirror/dom/dc1_rackA"))))
+  }
 }
