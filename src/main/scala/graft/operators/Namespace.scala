@@ -355,14 +355,22 @@ object Namespace {
     val dir = Lake.scratch("ckpt_cadence_orders")
     fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     val o = Tables.orders(s, d)
-    def slice(r: Int) = o.filter(col("o_orderkey") % 5 === r)
+    // Ceremony job diet (VERDICT r8 #5): ONE partitioned write lays
+    // down all five slice dirs; the five commits are then pure
+    // journal metadata. Replay-identical to one write per commit —
+    // each version references exactly the same rows — but the
+    // sequential Spark-job depth is layout(1) + image(1) + final
+    // read, not one table scan per commit.
+    o.withColumn("m", pmod(col("o_orderkey"), lit(5)))
+      .write.partitionBy("m").mode("overwrite").parquet(s"$dir/data")
     (0 to 3).foreach(r =>
-      CommitLog.writeCommit(s, dir, slice(r), s"data/m$r", ts = 1000L * (r + 1)))
+      CommitLog.commit(fs, dir, ts = 1000L * (r + 1),
+        adds = Seq(s"data/m=$r"), removes = Seq.empty))
     val v = CommitLog.maybeCheckpoint(s, dir, ts = 5000L, maxReplay = 3)
     require(v.nonEmpty, "4 commits over a cadence of 3 must checkpoint")
     require(CommitLog.maybeCheckpoint(s, dir, ts = 6000L, maxReplay = 3).isEmpty,
       "replay of 1 right after the image must decline")
-    CommitLog.writeCommit(s, dir, slice(4), "data/m4", ts = 7000L)
+    CommitLog.commit(fs, dir, ts = 7000L, adds = Seq("data/m=4"), removes = Seq.empty)
     CommitLog.snapshot(s, dir)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), sumM(col("o_totalprice")).as("total"))
