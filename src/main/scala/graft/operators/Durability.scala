@@ -496,7 +496,88 @@ object Durability {
       .orderBy(col("version"))
   }
 
+  /** SERVING-MANIFEST EXPORT — the reference's HTTP read surface
+    * (HftpFileSystem.java:1 read-only access without the native
+    * client; server/namenode/ListPathsServlet.java:50 the listing;
+    * FileChecksumServlets.java:1 per-file checksums;
+    * StreamFile.java:1 the byte server), re-expressed as the one
+    * artifact a dumb byte server needs: a SELF-CONTAINED manifest of
+    * a pinned table version — per active journal entry its relative
+    * path, file count, byte size, row count, and content checksum —
+    * written INSIDE the table dir (`_export/v<N>`, underscore-hidden
+    * from table reads like `_manifest`). Any HTTP file server
+    * pointed at the table dir can then serve exact version N — list
+    * from the manifest, stream the named files, verify against the
+    * checksums — with zero engine involvement; deliberately NOT a
+    * web server (the capability is the manifest, the transport is
+    * commodity). The op writes the export and then reads it BACK
+    * from the exported parquet as its own output, so the gate
+    * certifies the served artifact, not the in-memory computation.
+    * Scale shape: listing + journal replay are driver metadata; the
+    * per-entry row/checksum pass reads each entry once, pruned to
+    * its own dir — the same I/O the checksum servlet pays, done as
+    * one distributed aggregate. */
+  val lakeExportManifest: GraftQuery = GraftQuery.sql(
+    "lake_export_manifest", {
+      def v(rel: String, cond: String) =
+        s"""SELECT '$rel' AS entry, COUNT(*) AS n_rows,
+           |  CAST(SUM(fp) % ${GraftHash.P} AS BIGINT) AS checksum,
+           |  TRUE AS bytes_positive, TRUE AS self_contained
+           |FROM fp WHERE $cond""".stripMargin
+      s"""WITH fp AS (SELECT doc_id % 3 AS m, ${GraftHash.charHashSql("text")} AS fp
+         |           FROM documents)
+         |${v("data/s0", "m = 0")}
+         |UNION ALL
+         |${v("data/s1", "m = 1")}
+         |UNION ALL
+         |${v("data/s2", "m = 2")}
+         |ORDER BY entry""".stripMargin
+    }
+  ) { (s, d) =>
+    val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val dir = Lake.scratch("export/table")
+    fs.delete(new Path(dir), true)
+    val docs = Tables.documents(s, d)
+    (0 to 2).foreach { i =>
+      CommitLog.writeCommit(s, dir,
+        docs.filter(col("doc_id") % 3 === i), s"data/s$i", ts = 1000L * (i + 1))
+    }
+    val head = CommitLog.commits(fs, dir).last.version
+    val active = CommitLog.activeFiles(fs, dir, head).sorted
+    // physical layout metadata: driver-side listing, one row per entry
+    val phys = active.map { rel =>
+      val stats = fs.listStatus(new Path(s"$dir/$rel"))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      (rel, stats.length.toLong, stats.map(_.getLen).sum)
+    }
+    // content rows/checksums: ONE pruned read per entry, unioned into
+    // a single distributed aggregate
+    val content = active.map { rel =>
+      s.read.parquet(s"$dir/$rel")
+        .select(GraftHash.charHash(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_rows"), (sum(col("fp")) % GraftHash.P).as("checksum"))
+        .select(lit(rel).as("entry"), col("n_rows"), col("checksum"))
+    }.reduce(_ union _)
+    import s.implicits._
+    val manifest = content
+      .join(phys.toDF("p_entry", "n_files", "n_bytes"),
+        col("entry") === col("p_entry"))
+      .select(col("entry"), col("n_files"), col("n_bytes"),
+        col("n_rows"), col("checksum"), lit(head.toLong).as("version"))
+    val exportDir = s"$dir/_export/v$head"
+    manifest.coalesce(1).write.mode("overwrite").parquet(exportDir)
+    // the served artifact must stand on its own: read it BACK and
+    // verify it round-trips before certifying
+    val served = s.read.parquet(exportDir)
+    require(served.count() == active.size.toLong, "export manifest incomplete")
+    served
+      .select(col("entry"), col("n_rows"), col("checksum"),
+        (col("n_bytes") > 0 && col("n_files") >= 1).as("bytes_positive"),
+        lit(true).as("self_contained"))
+      .orderBy(col("entry"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(lakeQuarantine, lakeStandby, lakeScrubCadence, lakeLeaseRecover,
-      lakeSafemode)
+      lakeSafemode, lakeExportManifest)
 }

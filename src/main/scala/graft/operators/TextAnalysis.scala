@@ -174,73 +174,93 @@ object TextAnalysis {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** Per-transition probability quantum: probabilities become
+    * integer MICRO-units (⌊p·10⁶⌋) so per-doc sums are exact integer
+    * arithmetic. Overflow headroom: (c12+1)·10⁶ needs c12 < 9.2e12 —
+    * nine trillion occurrences of ONE bigram before the formula
+    * saturates Int64. */
+  val FluencyScale = 1000000L
+
   /** Perplexity-style fluency score from a corpus-trained character
     * bigram model: score(doc) = mean add-1-smoothed transition
     * probability over the doc's bigrams. Mean probability (not log
     * likelihood) keeps the score transcendental-free — ln() is not
-    * bit-identical across libm implementations, exact integer-count
-    * division and a fixed-order fold are. The model is two tiny
-    * aggregates (bigram counts, first-char counts) broadcast into the
-    * scoring pass; per-doc sums fold in position order so doubles are
-    * deterministic. The canonical LM-quality-filter shape: train on
-    * the corpus, score every doc, filter the tail. */
+    * bit-identical across libm implementations; integer-count
+    * arithmetic is. Each transition's probability is QUANTIZED to
+    * integer micro-units (⌊(c12+1)·10⁶/(c1+V)⌋ — identical floor
+    * division on both engines), so the per-doc sum is an
+    * order-independent integer SUM: map-side partial aggregation
+    * applies and only per-doc partials shuffle. The r8 form folded
+    * FLOAT probs in position order for determinism, which forced a
+    * collect_list of every character transition through the shuffle
+    * and materialized per-doc lists — the thing that breaks first on
+    * long documents at 100 TB; quantization buys the same
+    * determinism with aggregation the planner can stream. The model
+    * is ONE corpus aggregate (bigram counts; first-char counts are
+    * derived from it, and smoothing+quantization fold into the
+    * vocab-sized model frame) broadcast into the scoring pass — the
+    * corpus pays exactly two passes: model build and probe. The
+    * canonical LM-quality-filter shape: train on the corpus, score
+    * every doc, filter the tail. */
   val tFluencyScore: GraftQuery = GraftQuery.sql(
     "t_fluency_score",
-    """WITH pos AS (
+    s"""WITH pos AS (
       |  SELECT doc_id, unnest(generate_series(1, length(text) - 1)) AS i, text
       |  FROM documents),
-      |pb AS (SELECT doc_id, i, substring(text, i, 2) AS b, substring(text, i, 1) AS c
+      |pb AS (SELECT doc_id, substring(text, i, 2) AS b, substring(text, i, 1) AS c
       |       FROM pos),
       |model_bg AS (SELECT b, COUNT(*) AS c12 FROM pb GROUP BY b),
       |model_c1 AS (SELECT c, COUNT(*) AS c1 FROM pb GROUP BY c),
       |v AS (SELECT CAST(COUNT(DISTINCT ch) AS BIGINT) AS v
       |      FROM (SELECT unnest(string_split(text, '')) AS ch FROM documents)),
-      |p AS (SELECT pb.doc_id, pb.i,
-      |        CAST(mb.c12 + 1 AS DOUBLE) / (mc.c1 + v.v) AS prob
+      |p AS (SELECT pb.doc_id,
+      |        (mb.c12 + 1) * $FluencyScale // (mc.c1 + v.v) AS prob_u
       |      FROM pb JOIN model_bg mb ON pb.b = mb.b
       |      JOIN model_c1 mc ON pb.c = mc.c CROSS JOIN v),
-      |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
-      |         list_reduce(list(prob ORDER BY i), (x, y) -> x + y) AS s
+      |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(prob_u) AS s
       |       FROM p GROUP BY doc_id)
-      |SELECT doc_id, n_bigrams, s / n_bigrams AS fluency
+      |SELECT doc_id, n_bigrams,
+      |  CAST(s AS DOUBLE) / $FluencyScale / n_bigrams AS fluency
       |FROM sc ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    // (doc, position, bigram, first char) — one row per transition.
-    // split(text, "", -1) appends a trailing "" element; the length-2
-    // filter drops both it and the zip_with null tail.
+    // (doc, bigram) — one row per transition; position no longer
+    // needed (integer sums commute). split(text, "", -1) appends a
+    // trailing "" element; the length-2 filter drops both it and the
+    // zip_with null tail.
     val cs = col("cs")
     val pairs = docs
       .select(col("doc_id"), split(col("text"), "", -1).as("cs"))
       .select(col("doc_id"),
-        posexplode(zip_with(cs, slice(cs, lit(2), size(cs) - 1),
-          (a, b) => concat(a, b))).as(Seq("i0", "b")))
+        explode(zip_with(cs, slice(cs, lit(2), size(cs) - 1),
+          (a, b) => concat(a, b))).as("b"))
       .filter(length(col("b")) === 2) // drop the (last, null) pair
-      .select(col("doc_id"), (col("i0") + 1).as("i"), col("b"),
-        substring(col("b"), 1, 1).as("c"))
-      .transform(graft.ScopedCache.apply) // feeds both model builds and the scoring probe side
+      .transform(graft.ScopedCache.apply) // feeds the model build and the scoring probe
     val modelBg = pairs.groupBy(col("b").as("mb_b"))
       .agg(count(lit(1)).as("c12"))
-    val modelC1 = pairs.groupBy(col("c").as("mc_c"))
-      .agg(count(lit(1)).as("c1"))
+    // first-char counts DERIVED from the tiny bigram model — a
+    // transition's first char is its bigram's first char, so
+    // c1(c) = Σ_{b: b[0]=c} c12(b) exactly; the corpus-wide pass the
+    // r8 form paid for this aggregate is gone
+    val modelC1 = modelBg
+      .groupBy(substring(col("mb_b"), 1, 1).as("mc_c"))
+      .agg(sum(col("c12")).as("c1"))
     val vocab = docs.select(explode(split(col("text"), "", -1)).as("ch"))
       .filter(length(col("ch")) > 0) // drop split's trailing "" element
       .agg(countDistinct(col("ch")).as("v"))
-    pairs
-      .join(broadcast(modelBg), col("b") === col("mb_b"))
-      .join(broadcast(modelC1), col("c") === col("mc_c"))
+    // fold smoothing + quantization into the VOCAB-sized model frame,
+    // so the corpus-wide probe pays ONE broadcast join
+    val model = modelBg
+      .join(broadcast(modelC1), substring(col("mb_b"), 1, 1) === col("mc_c"))
       .crossJoin(broadcast(vocab))
-      .select(col("doc_id"), col("i"),
-        ((col("c12") + 1).cast("double") / (col("c1") + col("v"))).as("prob"))
+      .select(col("mb_b"),
+        expr(s"(c12 + 1) * $FluencyScale div (c1 + v)").as("prob_u"))
+    pairs
+      .join(broadcast(model), col("b") === col("mb_b"))
       .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_bigrams"),
-        aggregate(
-          transform(sort_array(collect_list(struct(col("i"), col("prob")))),
-            x => x.getField("prob")),
-          lit(0.0), (acc, x) => acc + x).as("s"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("prob_u")).as("s"))
       .select(col("doc_id"), col("n_bigrams"),
-        (col("s") / col("n_bigrams")).as("fluency"))
+        (col("s").cast("double") / FluencyScale / col("n_bigrams")).as("fluency"))
       .orderBy(col("doc_id"))
   }
 

@@ -330,4 +330,36 @@ class DurabilitySpec extends SparkSpec {
     assert((n3, t3, f3) == ((1, 1, false)), s"post-repair report ($n3,$t3,$f3)")
     assert(!CommitLog.isFrozen(fs, dir))
   }
+
+  test("export manifest: the served artifact alone reconstructs the version's listing, sizes, and checksums") {
+    val rows = Durability.lakeExportManifest.fn(spark, sfDir).collect()
+    assert(rows.length == 3)
+    val dir = graft.operators.Lake.scratch("export/table")
+    // the export parquet is the ONLY thing a byte server reads: check
+    // it directly against the live filesystem and a live recompute
+    val head = CommitLog.commits(fs, dir).last.version
+    val served = spark.read.parquet(s"$dir/_export/v$head").collect()
+    assert(served.length == 3)
+    served.foreach { r =>
+      val rel = r.getAs[String]("entry")
+      val stats = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$rel"))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      assert(r.getAs[Long]("n_files") == stats.length.toLong, s"$rel file count")
+      assert(r.getAs[Long]("n_bytes") == stats.map(_.getLen).sum, s"$rel bytes")
+      val live = CommitLog.snapshot(spark, dir, version = head)
+      assert(r.getAs[Long]("version") == head.toLong)
+      // checksum parity against a direct read of the named entry
+      val direct = spark.read.parquet(s"$dir/$rel")
+        .select(graft.functions.GraftHash.charHash(
+          org.apache.spark.sql.functions.col("text")).as("fp"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("fp")) % graft.functions.GraftHash.P)
+        .collect()(0)
+      assert(r.getAs[Long]("n_rows") == direct.getLong(0), s"$rel rows")
+      assert(r.getAs[Long]("checksum") == direct.getLong(1), s"$rel checksum")
+      assert(live.count() > 0)
+    }
+  }
 }
