@@ -24,14 +24,31 @@ object Tables {
     * relation once; these source tables are immutable test fixtures,
     * so caching the DataFrame (an immutable logical plan + file
     * index, NOT materialized data) is the honest equivalent. Keyed
-    * per session so Verify/Bench/spec sessions never share state;
-    * weak on the session so stopped sessions are collectable. */
+    * per session so Verify/Bench/spec sessions never share state.
+    *
+    * Lifetime (ADVICE r9): a WeakHashMap keyed on the session is
+    * useless here — the cached DataFrames strongly reference their
+    * SparkSession, so the weak key stays reachable through its own
+    * values and nothing is ever collected. Instead, eviction is
+    * explicit and double-guarded: every lookup first SWEEPS entries
+    * whose SparkContext has stopped (a stopped session's plans are
+    * dead weight — drop its whole per-session map), and the map is
+    * access-ordered LRU-bounded at 8 sessions as a backstop for
+    * long-lived JVMs that churn sessions without stopping them. */
+  private val MaxSessions = 8
   private val relCache =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    new java.util.LinkedHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession,
+            java.util.concurrent.ConcurrentHashMap[String, DataFrame]]): Boolean =
+        size() > MaxSessions
+    }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     relCache.synchronized {
+      val it = relCache.keySet().iterator()
+      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
       var m = relCache.get(spark)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()

