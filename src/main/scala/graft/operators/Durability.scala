@@ -207,13 +207,17 @@ object Durability {
         docs.filter(col("doc_id") % shards === i).coalesce(1),
         s"data/shard_$i", ts = 1000L + i)
     }
-    // DR mirror: byte-identical copy of every active entry, verified
-    // readable (lake_mirror's verify-after-copy, per entry)
-    CommitLog.activeFiles(fs, primary).foreach { rel =>
+    // DR mirror: byte-identical copy of every active entry, then
+    // verify-after-copy as ONE batched full read over all copied
+    // entries — same bytes decoded, one job instead of one per entry
+    // (VERDICT r9 #1: the per-entry loop paid 4× fixed job latency
+    // for work one scan covers)
+    val mirrored = CommitLog.activeFiles(fs, primary)
+    mirrored.foreach { rel =>
       org.apache.hadoop.fs.FileUtil.copy(fs, new Path(primary, rel),
         fs, new Path(mirror, rel), false, true, s.sparkContext.hadoopConfiguration)
-      s.read.parquet(s"$mirror/$rel").foreach(_ => ())
     }
+    s.read.parquet(mirrored.map(rel => s"$mirror/$rel"): _*).foreach(_ => ())
     val victim = "data/shard_1"
     corruptInPlace(fs, primary, victim)
     // detect: the scrubber must flag exactly the corrupted entry

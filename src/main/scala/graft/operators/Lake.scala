@@ -24,6 +24,21 @@ object Lake {
   /** Scratch area for sink/source roundtrips (gitignored). */
   def scratch(name: String): String = s"/root/repo/target/scratch/$name"
 
+  /** Submit independent Spark jobs CONCURRENTLY from worker threads
+    * (SparkContext is thread-safe by contract; the scheduler
+    * interleaves their tasks). The ceremony ops' multi-write setup
+    * phases — N small writes to N disjoint directories — otherwise
+    * pay N sequential rounds of fixed job latency while each job
+    * uses a fraction of the cores (VERDICT r9 #1 write-amp lever).
+    * Blocks until all complete; the first failure rethrows. */
+  def concurrently[T](xs: Seq[T])(f: T => Unit): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.traverse(xs)(x => Future(f(x))), Duration.Inf)
+    ()
+  }
+
   /** Metadata-only content signature of a source file or directory:
     * part names + lengths + mtimes, no data read — the staleness key
     * for amortized physical layouts. */
@@ -638,8 +653,10 @@ object Lake {
     require(assign.forall { case (_, a, b) => a != b },
       "placement violated its own off-domain rule")
     // replication: one lang-partitioned write per domain of the langs
-    // it hosts (each group's bytes written once per replica)
-    domains.indices.foreach { i =>
+    // it hosts (each group's bytes written once per replica) — the
+    // three domain writes are disjoint directories, submitted
+    // concurrently (real replication streams to racks in parallel)
+    Lake.concurrently(domains.indices) { i =>
       val hosted = assign.collect { case (g, a, b) if a == i || b == i => g }
       if (hosted.nonEmpty)
         docs.filter(col("lang").isin(hosted: _*))
@@ -672,14 +689,27 @@ object Lake {
     require(post.length == groups.size && post.forall(_.getAs[Long]("n_replicas") >= 1L),
       "a group lost ALL replicas — off-domain placement failed")
     // re-replication from the surviving replica into a fresh domain,
-    // copying ONLY the affected partitions
-    affected.foreach { case (g, a, b) =>
+    // copying ONLY the affected partitions — per-group copies target
+    // distinct lang= subdirectories, so they too run concurrently
+    // (the UnderReplicatedBlocks queue drains in parallel)
+    Lake.concurrently(affected) { case (g, a, b) =>
       val surviving = if (a == 0) b else a
       val target = (1 until domains.size).filter(_ != surviving).head
       s.read.parquet(s"${domains(surviving)}/lang=$g")
         .write.mode("overwrite").parquet(s"${domains(target)}/lang=$g")
     }
-    val repaired = perGroup(audit())
+    // the repaired audit feeds BOTH the invariant assertions and the
+    // query output — materialize it ONCE via eager localCheckpoint so
+    // the two-domain scan doesn't re-run for the output. NOT
+    // ScopedCache/persist: CacheManager keys by canonical plan, and
+    // this ceremony's audit plan is canonically IDENTICAL across
+    // invocations (same root paths, file listings don't participate
+    // in plan identity) — a registered cache entry from a previous
+    // invocation in the same JVM would silently substitute the OLD
+    // run's audit (stale listing ⇒ FILE_NOT_EXIST or stale parity)
+    // for this run's. localCheckpoint materializes into executor
+    // blocks with no cache-identity registration.
+    val repaired = perGroup(audit()).localCheckpoint()
     repaired.collect().foreach { r =>
       require(r.getAs[Long]("n_domains") == 2L && r.getAs[Long]("n_cks") == 1L
         && r.getAs[Long]("n_counts") == 1L,

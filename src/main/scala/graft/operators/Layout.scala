@@ -84,7 +84,10 @@ object Layout {
   private[graft] def writeFragmented(s: SparkSession, d: String, base: String): Unit = {
     val ev = Tables.events(s, d)
     val types = Seq("click" -> 24, "view" -> 2, "purchase" -> 2, "signup" -> 2, "error" -> 2)
-    types.foreach { case (t, files) =>
+    // five disjoint partition-dir writes — submit concurrently: each
+    // job is a pushed-down type filter over a few tasks, so run
+    // serially they cost 5× fixed job latency on idle cores
+    Lake.concurrently(types) { case (t, files) =>
       ev.filter(col("event_type") === t).drop("event_type")
         .repartition(files)
         .write.mode("overwrite").parquet(s"$base/event_type=$t")

@@ -371,10 +371,13 @@ object Similarity {
     val sd = graft.ScopedCache(n.crossJoin(broadcast(ms)).crossJoin(broadcast(cb))
       .select(col("vec_id"), col("m"), col("cid"),
         Vectors.subL2(col("v"), col("cv"), col("m"), SubDim).as("dist")))
-    val wCode = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("dist"), col("cid"))
-    val codes = sd.withColumn("rk", row_number().over(wCode))
-      .filter(col("rk") === 1)
+    // argmin centroid per (vector, subspace) as a map-side-combining
+    // group-min_by — the row_number window paid a per-group sort of
+    // the K=NCodes candidates after the same shuffle (VERDICT r9 #3);
+    // the (dist, cid) struct ordering keeps the tie-break identical
+    // to the oracle's ORDER BY dist, cid
+    val codes = sd.groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
       .select(col("vec_id"), col("m"), col("cid"))
     val qd = sd.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("query_id"), col("m").as("qm"),
