@@ -581,7 +581,140 @@ object Durability {
       .orderBy(col("entry"))
   }
 
+  /** Short-lived per-entry READ capability — the reference's BLOCK
+    * access token (security/token/block/BlockTokenSecretManager.java:1,
+    * BlockTokenIdentifier.java:1), distinct from the session-scoped
+    * delegation tokens lake_delegation models: the NameNode issues one
+    * per block AT OPEN, the DataNode validates it per access, and
+    * validity needs (a) the requested mode in scope, (b) an unexpired
+    * lifetime, and (c) a signing key that is the CURRENT or the
+    * PREVIOUS rotation (BlockTokenSecretManager.retrievePassword keeps
+    * exactly one retired key valid so in-flight reads survive a
+    * rotation). The token map is namenode-side metadata — bounded by
+    * entry count, never data-proportional. */
+  final case class BlockToken(rel: String, mode: String, issuedAt: Long,
+                              expiresAt: Long, keyId: Int)
+
+  /** The DataNode-side check: which entries may be read at `asOf`
+    * under `currentKey`. Pure metadata — the caller restricts its
+    * physical read to the returned rels, so a refused entry is never
+    * opened (refusal strictly BEFORE data I/O). */
+  def validBlockTokens(tokens: Seq[BlockToken], mode: String,
+                       asOf: Long, currentKey: Int): Seq[String] =
+    tokens.filter(t => t.mode == mode && t.expiresAt > asOf &&
+      (t.keyId == currentKey || t.keyId == currentKey - 1)).map(_.rel)
+
+  /** BLOCK-TOKEN GATED READ — the full issue→rotate→validate→read
+    * ceremony: the documents table lands as four block entries, each
+    * with a READ token issued at open; at validation time one token
+    * has expired, one is WRITE-scoped, and one was signed by a
+    * RETIRED key (two rotations old), so exactly one block serves.
+    * The op proves refusal happens BEFORE data I/O the same way
+    * lake_quarantine proves isolation: a refused entry is corrupted
+    * IN PLACE beneath the engine, and the gated read still succeeds —
+    * the plan never opened the refused bytes. Composes with
+    * lake_acl_enforce (Namespace.scala): ACLs gate the namespace
+    * entry, block tokens gate each physical access under it. The
+    * oracle recomputes the served subset from the source table. */
+  val lakeBlockTokens: GraftQuery = GraftQuery.sql(
+    "lake_block_tokens",
+    s"""WITH fp AS (SELECT lang, ${GraftHash.charHashSql("text")} AS fp
+       |  FROM documents WHERE doc_id % 4 = 0)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(fp) % ${GraftHash.P} AS BIGINT) AS checksum,
+       |  CAST(1 AS BIGINT) AS n_served_blocks,
+       |  CAST(3 AS BIGINT) AS n_refused_blocks
+       |FROM fp GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val dir = Lake.scratch("block_tokens/table")
+    fs.delete(new Path(dir), true)
+    val docs = Tables.documents(s, d)
+    (0 until 4).foreach { i =>
+      CommitLog.writeCommit(s, dir,
+        docs.filter(col("doc_id") % 4 === i).coalesce(1), s"data/b$i", ts = 1000L + i)
+    }
+    // issue at open (key 2 current): b1's lifetime has lapsed by
+    // asOf, b2 is WRITE-scoped, b3's key is two rotations old
+    val tokens = Seq(
+      BlockToken("data/b0", "READ",  1000L, 601000L, keyId = 2),
+      BlockToken("data/b1", "READ",  1000L,   1010L, keyId = 2),
+      BlockToken("data/b2", "WRITE", 1000L, 601000L, keyId = 2),
+      BlockToken("data/b3", "READ",  1000L, 601000L, keyId = 0))
+    val ok = validBlockTokens(tokens, "READ", asOf = 50000L, currentKey = 2)
+    require(ok == Seq("data/b0"),
+      s"token validation served $ok, expected exactly data/b0")
+    // the canary: a REFUSED entry's bytes rot beneath the engine; the
+    // gated read below must still succeed because refusal already
+    // excluded the entry from the physical read path
+    corruptInPlace(fs, dir, "data/b1")
+    graft.api.Graft.lake.groupChecksum(
+        s.read.parquet(ok.map(rel => s"$dir/$rel"): _*), "text", "lang")
+      .select(col("lang"), col("n_rows").as("n_docs"), col("checksum"),
+        lit(1L).as("n_served_blocks"),
+        lit((tokens.size - ok.size).toLong).as("n_refused_blocks"))
+      .orderBy(col("lang"))
+  }
+
+  /** STORAGE-TOPOLOGY REPORT — the admin's live/dead/capacity view
+    * (reference protocol/ClientProtocol.java:582 getDatanodeReport +
+    * :717 metaSave dump the per-datanode state the NameNode holds):
+    * groups are round-robin placed across three named domains, the
+    * two live domains are reported from their ACTUAL directories
+    * (lang-dir listing for group count, parquet footer count for
+    * rows — metadata-only, no row scan), and the DECOMMISSIONED
+    * domain is reported from the placement map alone (metaSave
+    * reports from namenode metadata precisely because a dead node
+    * can't be asked). The op cross-checks actual-vs-expected for the
+    * live domains — the drift detection a topology report exists
+    * for. Placement here is rank-round-robin, not hash, so the
+    * oracle can recompute it with a window rank. */
+  val lakeTopology: GraftQuery = GraftQuery.sql(
+    "lake_topology",
+    """WITH langs AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      |r AS (SELECT lang, n, ROW_NUMBER() OVER (ORDER BY lang) - 1 AS i FROM langs),
+      |m AS (SELECT i % 3 AS dom, n FROM r UNION ALL SELECT (i + 1) % 3 AS dom, n FROM r)
+      |SELECT CASE dom WHEN 0 THEN 'dc1_rackA' WHEN 1 THEN 'dc1_rackB'
+      |            ELSE 'dc2_rackA' END AS domain,
+      |  CASE WHEN dom = 2 THEN 'DEAD' ELSE 'LIVE' END AS state,
+      |  COUNT(*) AS n_groups, CAST(SUM(n) AS BIGINT) AS n_docs
+      |FROM m GROUP BY dom ORDER BY domain""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val names = Vector("dc1_rackA", "dc1_rackB", "dc2_rackA")
+    val dirs = names.map(n => Lake.scratch(s"topology/$n"))
+    dirs.foreach(p => fs.delete(new Path(p), true))
+    val docs = Tables.documents(s, d)
+    // group sizes: one aggregation to a langs-sized frame — the
+    // bounded-collect metadata class (groups, not rows)
+    val langCounts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val groups = langCounts.keys.toSeq.sorted
+    val assign = groups.zipWithIndex.map { case (g, i) => (g, i % 3, (i + 1) % 3) }
+    def hosted(i: Int) = assign.collect { case (g, a, b) if a == i || b == i => g }
+    // domain 2 is decommissioned: only the live domains materialize
+    Lake.concurrently(Seq(0, 1)) { i =>
+      docs.filter(col("lang").isin(hosted(i): _*))
+        .write.mode("overwrite").partitionBy("lang").parquet(dirs(i))
+    }
+    val rows = (0 to 2).map { i =>
+      val expGroups = hosted(i).size.toLong
+      val expDocs = hosted(i).map(langCounts).sum
+      if (i == 2) (names(i), "DEAD", expGroups, expDocs)
+      else {
+        val actGroups = fs.listStatus(new Path(dirs(i)))
+          .count(st => st.isDirectory && st.getPath.getName.startsWith("lang=")).toLong
+        val actDocs = s.read.parquet(dirs(i)).count() // footer metadata only
+        require(actGroups == expGroups && actDocs == expDocs,
+          s"${names(i)} drifted from placement: $actGroups/$actDocs vs $expGroups/$expDocs")
+        (names(i), "LIVE", actGroups, actDocs)
+      }
+    }
+    rows.toDF("domain", "state", "n_groups", "n_docs").orderBy(col("domain"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(lakeQuarantine, lakeStandby, lakeScrubCadence, lakeLeaseRecover,
-      lakeSafemode, lakeExportManifest)
+      lakeSafemode, lakeExportManifest, lakeBlockTokens, lakeTopology)
 }

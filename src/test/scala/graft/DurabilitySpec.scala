@@ -362,4 +362,55 @@ class DurabilitySpec extends SparkSpec {
       assert(live.count() > 0)
     }
   }
+
+  test("block tokens: expired, out-of-scope and retired-key tokens refuse BEFORE data I/O; only the valid block serves") {
+    import Durability.BlockToken
+    // validation is pure metadata: each refusal reason rejects on its own
+    val base = BlockToken("b", "READ", 1000L, 601000L, keyId = 2)
+    assert(Durability.validBlockTokens(Seq(base), "READ", 50000L, 2) == Seq("b"))
+    assert(Durability.validBlockTokens(
+      Seq(base.copy(expiresAt = 1010L)), "READ", 50000L, 2).isEmpty, "expired must refuse")
+    assert(Durability.validBlockTokens(
+      Seq(base.copy(mode = "WRITE")), "READ", 50000L, 2).isEmpty, "scope must refuse")
+    assert(Durability.validBlockTokens(
+      Seq(base.copy(keyId = 0)), "READ", 50000L, 2).isEmpty, "retired key must refuse")
+    // previous key survives one rotation (in-flight reads), not two
+    assert(Durability.validBlockTokens(
+      Seq(base.copy(keyId = 1)), "READ", 50000L, 2) == Seq("b"))
+
+    // ceremony: the refused entry is corrupted in place inside the op,
+    // so the op completing AT ALL proves the gated read never opened
+    // it — and the served subset is exactly block 0's rows
+    val rows = Durability.lakeBlockTokens.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val served = rows.map(_.getAs[Long]("n_docs")).sum
+    val expected = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 4 === 0).count()
+    assert(served == expected, "served rows must be exactly the valid block")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_served_blocks") == 1L)
+      assert(r.getAs[Long]("n_refused_blocks") == 3L)
+    }
+    // and the corrupted refused entry really is unreadable — the gate,
+    // not luck, kept it out of the plan
+    intercept[Throwable] {
+      spark.read.parquet(
+        graft.operators.Lake.scratch("block_tokens/table") + "/data/b1").count()
+    }
+  }
+
+  test("topology report: live domains reported from their actual dirs, the dead domain from placement metadata") {
+    val rows = Durability.lakeTopology.fn(spark, sfDir).collect()
+    assert(rows.length == 3)
+    val byDomain = rows.map(r => r.getAs[String]("domain") -> r).toMap
+    assert(byDomain("dc2_rackA").getAs[String]("state") == "DEAD")
+    assert(byDomain("dc1_rackA").getAs[String]("state") == "LIVE")
+    assert(byDomain("dc1_rackB").getAs[String]("state") == "LIVE")
+    // the dead domain's dir never materialized — its row came from
+    // the placement map alone
+    assert(!fs.exists(new Path(graft.operators.Lake.scratch("topology/dc2_rackA"))))
+    // every group has two replicas, so total hosted = 2 × corpus
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == 2L * Tables.documents(spark, sfDir).count())
+  }
 }
