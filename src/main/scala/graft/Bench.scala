@@ -87,12 +87,16 @@ object Bench {
     // first-pass time as suspect:
     //  (a) relative: > max(3s, 5x its family median) — catches lone
     //      spikes in a healthy run;
-    //  (b) cost-model: > max(1.5s, 6x the query's cross-run best
+    //  (b) cost-model: > max(1.5s, 3x the query's cross-run best
     //      from docs/bench_best.json) — catches GLOBALLY degraded
     //      windows, where every family median inflates together and
-    //      trigger (a)'s threshold inflates with it.
+    //      trigger (a)'s threshold inflates with it. (Was 6x through
+    //      r9; the r9 residue was ~15 I/O-ceremony ops sitting at
+    //      2.5-5x their floors — ABOVE the 2x-best relative arm but
+    //      BELOW the 6x cost-model arm, so degraded windows were
+    //      never re-sampled. VERDICT r9 #1.)
     // Suspects are re-run (up to 2x, cold cache, worst excess first,
-    // bounded at 30 re-runs so a degraded run can't take unbounded
+    // bounded at 40 re-runs so a degraded run can't take unbounded
     // extra wall-clock) and the MINIMUM is reported — min across
     // runs is the code's cost; spikes are host noise, not plan time.
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
@@ -113,10 +117,10 @@ object Bench {
         case Some(b) =>
           // 2x best joins the relative max so an intrinsically
           // expensive query doesn't trip the 3s floor every run; the
-          // 6x-best arm stays low so degraded windows are caught
+          // 3x-best arm stays low so degraded windows are caught
           // even when every family median inflates together
           math.min(math.max(3.0, math.max(5.0 * med, 2.0 * b)),
-            math.max(1.5, 6.0 * b))
+            math.max(1.5, 3.0 * b))
         case None => math.max(3.0, 5.0 * med)
       }
     }
@@ -124,7 +128,7 @@ object Bench {
     val suspects = firstPass
       .filter { case (n, t) => !failed.contains(n) && t > threshold(n) }
       .sortBy { case (n, t) => -(t - threshold(n)) }
-      .take(30)
+      .take(40)
       .map(_._1).toSet
     val nRemeasured = suspects.size
     val results = firstPass.map { case (name, t) =>

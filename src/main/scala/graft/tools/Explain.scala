@@ -66,7 +66,11 @@ object Explain {
     // round-8 final batch: chunk manifest, leak-audited split, the
     // knn-graph component/BFS pair, and the CUSUM drift audit
     "t_doc_chunk", "t_train_split", "g_knn_components", "g_knn_hops",
-    "ts_changepoint", "s_ann_ivf_sq8")
+    "ts_changepoint", "s_ann_ivf_sq8",
+    // round-9/10: safe mode + export manifest, the block-token gate,
+    // the topology report, and the reworked mirror/pagerank
+    "lake_safemode", "lake_export_manifest", "lake_block_tokens",
+    "lake_topology")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -24,6 +24,17 @@ import sys
 # run at sf0.001 would poison per-query floors if folded in
 SF = "/root/testdata/sf0.1"
 
+# Queries whose ceremony was deliberately made HEAVIER in a rework, so
+# historical minima measure a retired (lighter) ceremony and are not
+# like-for-like floors (VERDICT r9 #6: lake_mirror's 0.52s floor
+# predates the failure-domain/domain-loss-repair rework). For these,
+# fold only the worktree run and explicitly passed run files — i.e.
+# fresh measurements of the current ceremony.
+STALE_FLOORS = {
+    "lake_mirror": "r9 failure-domain rework (3 domain writes + "
+                   "pre/post/repaired audits + domain-loss repair)",
+}
+
 
 def versions():
     out = subprocess.run(
@@ -62,6 +73,7 @@ def versions():
 
 
 def main():
+    fresh_tags = {"worktree"} | {os.path.basename(p) for p in sys.argv[1:]}
     best, src = {}, {}
     runs = []
     for tag, d in versions():
@@ -72,6 +84,8 @@ def main():
             continue
         runs.append({"run": tag, "total": d["value"], "n": d["n_queries"]})
         for q, t in d["queries"].items():
+            if q in STALE_FLOORS and tag not in fresh_tags:
+                continue  # historical floor measures a retired ceremony
             if q not in best or t < best[q]:
                 best[q], src[q] = t, tag
     total = round(sum(best.values()), 3)
