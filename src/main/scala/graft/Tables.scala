@@ -36,27 +36,47 @@ object Tables {
     * access-ordered LRU-bounded at 8 sessions as a backstop for
     * long-lived JVMs that churn sessions without stopping them. */
   private val MaxSessions = 8
+  private final case class CachedRel(sig: String, df: DataFrame)
   private val relCache =
     new java.util.LinkedHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]](16, 0.75f, true) {
+      java.util.concurrent.ConcurrentHashMap[String, CachedRel]](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[SparkSession,
-            java.util.concurrent.ConcurrentHashMap[String, DataFrame]]): Boolean =
+            java.util.concurrent.ConcurrentHashMap[String, CachedRel]]): Boolean =
         size() > MaxSessions
     }
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    relCache.synchronized {
+  /** One stat call on the table file — the staleness key. The cache
+    * keys on PATH; without this, a regenerated table at the same path
+    * (the r7 testdata-refresh gotcha) would serve the old file index
+    * forever. One FileStatus round-trip per lookup is the price of a
+    * real catalog's version check, ~1000x cheaper than the recursive
+    * listing + footer schema read the cache avoids. */
+  private def sig(spark: SparkSession, path: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p)
+      s"${st.getLen}:${st.getModificationTime}"
+    } catch { case scala.util.control.NonFatal(_) => "absent" }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val m = relCache.synchronized {
       val it = relCache.keySet().iterator()
       while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
       var m = relCache.get(spark)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        m = new java.util.concurrent.ConcurrentHashMap[String, CachedRel]()
         relCache.put(spark, m)
       }
       m
-    }.computeIfAbsent(s"$dir/$name",
-      _ => spark.read.parquet(s"$dir/$name.parquet"))
+    }
+    val path = s"$dir/$name.parquet"
+    val now = sig(spark, path)
+    m.compute(s"$dir/$name", (_, cur) =>
+      if (cur != null && cur.sig == now) cur
+      else CachedRel(now, spark.read.parquet(path))).df
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

@@ -159,13 +159,23 @@ object Layout {
   private[graft] def writeCowLayout(s: SparkSession, d: String, dir: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    // FILE-SIZE-BOUNDED range layout (SCALE_r10: the fixed-8-file
+    // variant made each file grow linearly with the table, so the
+    // delete's one-file rewrite unit grew linearly too — 2.7x at 10x
+    // data for a metadata-claimed op). A selective COW delete's cost
+    // driver is the SIZE of the touched file, not the file count:
+    // cap rows-per-file so the rewrite unit is constant at any
+    // scale, and let the file count (= manifest rows, metadata)
+    // carry the growth. The row count is a parquet-footer read.
+    val rows = Tables.lineitem(s, d).count()
+    val parts = math.max(8, math.ceil(rows / 65536.0).toInt)
     // deliberately UNcached double read: repartitionByRange's range
     // sampler scans only the pruned key column from parquet — a
     // cache here would force full-width materialization during the
     // sampling job and cost more than the second scan it saves
     // (measured: +0.9 s at sf0.1)
     Tables.lineitem(s, d)
-      .repartitionByRange(8, col("l_orderkey"))
+      .repartitionByRange(parts, col("l_orderkey"))
       .sortWithinPartitions(col("l_orderkey"))
       .write.parquet(dir)
     cowStats(s, Seq(dir)).coalesce(1)

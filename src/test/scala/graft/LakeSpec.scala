@@ -178,4 +178,35 @@ class LakeSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(
       operators.Lake.scratch("mirror/dom/dc1_rackA"))))
   }
+
+  test("relation cache invalidates when the table file is regenerated at the same path") {
+    import org.apache.spark.sql.functions.lit
+    val dir = operators.Lake.scratch("relcache")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    // Tables.load reads <dir>/<name>.parquet as a single file — write
+    // a one-file table the way the driver's testdata is laid out
+    def writeV(n: Long): Unit = {
+      val tmp = s"$dir/stage"
+      spark.range(n).select(lit(1L).as("v")).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/t.parquet"), false)
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/t.parquet"))
+      ()
+    }
+    writeV(5)
+    assert(Tables.load(spark, dir, "t").count() == 5)
+    // same path, same session: cache hit must serve (no staleness)
+    assert(Tables.load(spark, dir, "t").count() == 5)
+    Thread.sleep(1100) // local FS mtime can be second-granular
+    writeV(9)
+    // regenerated at the same path: the (len, mtime) signature changes,
+    // so the cache must hand back a FRESH relation (the r7 gotcha —
+    // a path-keyed cache without a version check serves the old file
+    // index forever)
+    assert(Tables.load(spark, dir, "t").count() == 9)
+  }
 }
