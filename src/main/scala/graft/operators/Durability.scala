@@ -714,7 +714,137 @@ object Durability {
     rows.toDF("domain", "state", "n_groups", "n_docs").orderBy(col("domain"))
   }
 
+  /** STORAGE BALANCER — the admin rebalancing tool itself (reference
+    * server/balancer/Balancer.java:1, bin/start-balancer.sh): a
+    * cluster is balanced when every node's utilization is within a
+    * THRESHOLD of the cluster mean; the balancer iteratively moves
+    * blocks from over- to under-utilized nodes, each node moving no
+    * more than threshold×capacity per iteration, re-reading cluster
+    * state between iterations. lake_compaction / lake_compact_
+    * incremental borrow the Balancer's iterate-until-threshold CADENCE
+    * for small-file work; this op is the Balancer's actual CONTRACT —
+    * cross-domain utilization equalization with per-iteration move
+    * caps, whole blocks only, content untouched.
+    *
+    * Lake shape: 12 block files (doc_id mod 12) across 4 equal-
+    * capacity storage domains, 9 of them piled on one domain (the
+    * "new empty nodes joined" scenario the Balancer javadoc opens
+    * with). Each iteration lists placement from the DOMAIN DIRS (the
+    * datanode report), pairs the most-over domain with the most-under,
+    * and renames whole blocks within the iteration budget. Every step
+    * is metadata (listings + renames); the only data-proportional
+    * work is the one staging write and the final content audit — at
+    * 100 TB a block move is a bounded-size copy the mover streams,
+    * never a table scan. The oracle checks the contract: balance
+    * achieved, content byte-identical (order-independent checksum
+    * recomputed from the source table), blocks conserved. */
+  val lakeBalancer: GraftQuery = GraftQuery.sql(
+    "lake_balancer",
+    s"""WITH fp AS (SELECT ${GraftHash.charHashSql("text")} AS fp FROM documents)
+       |SELECT 'balanced_after' AS check_name, CAST(1 AS BIGINT) AS n
+       |UNION ALL SELECT 'balanced_before', CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'content_checksum',
+       |  (SELECT CAST(SUM(fp) % ${GraftHash.P} AS BIGINT) FROM fp)
+       |UNION ALL SELECT 'n_blocks', CAST(12 AS BIGINT)
+       |UNION ALL SELECT 'total_docs', (SELECT COUNT(*) FROM documents)
+       |ORDER BY check_name""".stripMargin
+  ) { (s, d) =>
+    val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val NBlocks = 12
+    val doms = Vector("dom0", "dom1", "dom2", "dom3")
+    val base = Lake.scratch("balancer")
+    def domDir(i: Int) = s"$base/${doms(i)}"
+    fs.delete(new Path(base), true)
+    val docs = Tables.documents(s, d)
+    // block weights: one 12-row aggregate — namenode-side metadata
+    val weight: Map[Int, Long] = docs
+      .groupBy((col("doc_id") % NBlocks).cast("int").as("blk"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val totalDocs = weight.values.sum
+    // one staging write lays down all 12 blocks; placement is renames
+    docs.withColumn("blk", (col("doc_id") % NBlocks).cast("int"))
+      .write.partitionBy("blk").parquet(s"$base/_stage")
+    doms.indices.foreach(i => fs.mkdirs(new Path(domDir(i))))
+    def place(blk: Int, dom: Int): Unit =
+      require(fs.rename(new Path(s"$base/_stage/blk=$blk"),
+        new Path(s"${domDir(dom)}/b$blk")), s"placing b$blk on ${doms(dom)} failed")
+    // skewed start: b0..b8 on dom0, b9-b10 on dom1, b11 on dom2
+    (0 to 8).foreach(place(_, 0)); place(9, 1); place(10, 1); place(11, 2)
+    // equal capacities; threshold 10% of capacity, per Balancer default
+    val cap = totalDocs.toDouble
+    val tol = 0.10 * cap
+    val mean = totalDocs.toDouble / doms.size
+    def placement: Map[Int, Seq[Int]] = doms.indices.map { i =>
+      i -> fs.listStatus(new Path(domDir(i))).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("b"))
+        .map(_.stripPrefix("b").toInt).sorted
+    }.toMap
+    def used(pl: Map[Int, Seq[Int]]): Map[Int, Long] =
+      pl.map { case (i, bs) => i -> bs.map(weight).sum }
+    def balanced(u: Map[Int, Long]): Boolean =
+      u.values.forall(x => math.abs(x - mean) <= tol)
+    require(!balanced(used(placement)), "ceremony needs an unbalanced start")
+    var moves = 0
+    var iter = 0
+    val MaxIter = 10
+    while (iter < MaxIter && !balanced(used(placement))) {
+      iter += 1
+      // the iteration re-reads cluster state, then each domain may
+      // move/receive at most threshold*capacity within it
+      val u = collection.mutable.Map(used(placement).toSeq: _*)
+      val budget = collection.mutable.Map(doms.indices.map(_ -> tol): _*)
+      var progressed = true
+      while (progressed) {
+        progressed = false
+        val over = doms.indices.filter(i => u(i) - mean > tol)
+          .sortBy(i => (-u(i), i))
+        val srcOpt = over.find(budget(_) > 0)
+        srcOpt.foreach { src =>
+          // largest block that fits the budget and doesn't push the
+          // receiver past mean+tol; receiver = least-utilized domain
+          val dst = doms.indices.filter(_ != src).minBy(i => (u(i), i))
+          val blk = placement(src).sortBy(b => (-weight(b), b)).find { b =>
+            val w = weight(b)
+            w <= budget(src) && w <= budget(dst) &&
+              u(dst) + w <= mean + tol && u(src) - w >= mean - tol
+          }
+          blk.foreach { b =>
+            require(fs.rename(new Path(s"${domDir(src)}/b$b"),
+              new Path(s"${domDir(dst)}/b$b")), s"move b$b failed")
+            val w = weight(b)
+            u(src) -= w; u(dst) += w
+            budget(src) -= w; budget(dst) -= w
+            moves += 1; progressed = true
+          }
+        }
+      }
+    }
+    val finalPl = placement
+    val finalUsed = used(finalPl)
+    require(balanced(finalUsed),
+      s"not balanced after $iter iterations: $finalUsed vs mean $mean tol $tol")
+    require(finalPl.values.map(_.size).sum == NBlocks, "blocks must be conserved")
+    require(moves <= MaxIter * doms.size, s"runaway move count $moves")
+    // content audit: ONE read over the union of final block locations
+    val paths = finalPl.toSeq.flatMap { case (i, bs) => bs.map(b => s"${domDir(i)}/b$b") }
+    val audit = s.read.parquet(paths: _*)
+      .agg(count(lit(1)).as("n"),
+        (sum(GraftHash.charHash(col("text"))) % GraftHash.P).as("ck"))
+      .collect().head
+    require(audit.getLong(0) == totalDocs, "balancer lost rows")
+    import s.implicits._
+    Seq(
+      ("balanced_after", 1L),
+      ("balanced_before", 0L),
+      ("content_checksum", audit.getLong(1)),
+      ("n_blocks", NBlocks.toLong),
+      ("total_docs", totalDocs)
+    ).toDF("check_name", "n").orderBy(col("check_name"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(lakeQuarantine, lakeStandby, lakeScrubCadence, lakeLeaseRecover,
-      lakeSafemode, lakeExportManifest, lakeBlockTokens, lakeTopology)
+      lakeSafemode, lakeExportManifest, lakeBlockTokens, lakeTopology,
+      lakeBalancer)
 }

@@ -257,7 +257,72 @@ object Insights {
       .orderBy(col("user_id"))
   }
 
+  /** Inactivity gap that closes a session (seconds) — the same 30 min
+    * the streaming session-window op uses, so the two views of
+    * "session" agree on the rule. */
+  val SessionGapSec = 1800L
+
+  /** BATCH SESSIONIZATION: per user, events sorted by (ts, event_id)
+    * are cut into sessions wherever the inactivity gap exceeds
+    * SessionGapSec; the output is one row per session with its event
+    * count, span, and distinct-type count. Complementary to
+    * st_session_window (Streaming.scala): that op aggregates values
+    * into watermarked event-time windows as data arrives; this one is
+    * the full-history replay producing per-session STATS — the shape
+    * behind "average session length" dashboards and sessionized
+    * training-data grouping.
+    *
+    * Plan shape: the lag marker and the running new-session sum share
+    * ONE window spec (same partition + order → a single sort within
+    * the user partition, one shuffle), then one hash aggregate on
+    * (user, session). All integer epoch-second arithmetic — exact in
+    * both engines. At 100 TB the only corpus-wide movement is the one
+    * hash partition on user_id; no global sort, no collect. */
+  val qSessionize: GraftQuery = GraftQuery.sql(
+    "q_sessionize",
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type,
+       |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec
+       |  FROM events),
+       |mk AS (
+       |  SELECT user_id, event_id, event_type, ts_sec,
+       |    CASE WHEN ts_sec - LAG(ts_sec) OVER w > $SessionGapSec
+       |           OR LAG(ts_sec) OVER w IS NULL
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+       |ss AS (
+       |  SELECT user_id, event_type, ts_sec,
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+       |                     ROWS UNBOUNDED PRECEDING) AS session_idx
+       |  FROM mk)
+       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       |  COUNT(*) AS n_events,
+       |  MIN(ts_sec) AS start_sec,
+       |  MAX(ts_sec) - MIN(ts_sec) AS duration_sec,
+       |  COUNT(DISTINCT event_type) AS n_types
+       |FROM ss GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("ts_sec"))
+      .withColumn("new_s",
+        when(col("ts_sec") - lag(col("ts_sec"), 1).over(w) > SessionGapSec ||
+          lag(col("ts_sec"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_s")).over(run))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_sec")).as("start_sec"),
+        (max(col("ts_sec")) - min(col("ts_sec"))).as("duration_sec"),
+        countDistinct(col("event_type")).as("n_types"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("start_sec"), col("duration_sec"), col("n_types"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     lakeSnapshotDiff, qFunnel, qRetentionCohorts, qEventTransitions,
-    tVocabCoverage, qScd2, qGapsIslands)
+    tVocabCoverage, qScd2, qGapsIslands, qSessionize)
 }

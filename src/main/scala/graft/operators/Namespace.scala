@@ -426,8 +426,87 @@ object Namespace {
       .orderBy(col("version"))
   }
 
+  /** CLIENT TRASH — the recoverable-delete surface (reference
+    * NameNode.java:474 startTrashEmptier runs the emptier thread;
+    * TestHDFSTrash.java:1 pins the user-visible contract): `rm` MOVES
+    * the entry into `.Trash/Current` instead of destroying bytes, a
+    * trash CHECKPOINT rolls Current into a timestamped dir, the
+    * emptier EXPUNGES checkpoints older than the interval, and an
+    * UNDELETE before expiry restores the entry byte-identically.
+    * Distinct from lake_restore (Namespace): restore rolls the whole
+    * TABLE back to a journal version; trash is per-PATH — each rm'd
+    * entry is individually recoverable until its checkpoint ages out,
+    * with no table-wide rollback. Every trash step is fs metadata
+    * (rename/list/delete of entry dirs + one journal commit) —
+    * nothing data-proportional at any table size.
+    *
+    * Ceremony: four slices land; slice1 is rm'd and its trash
+    * checkpoint ages past the interval (expunged — unrecoverable by
+    * design), slice2 is rm'd later and undeleted from Current before
+    * any checkpoint. Final content = slices 0, 2, 3, which is exactly
+    * what the oracle recomputes from the source table. */
+  val lakeTrash: GraftQuery = GraftQuery.sql(
+    "lake_trash",
+    s"""SELECT o_orderstatus, COUNT(*) AS n, ${sumMSql("o_totalprice")} AS total
+       |FROM orders WHERE o_orderkey % 4 IN (0, 2, 3)
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  ) { (s, d) =>
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    def p(x: String) = new org.apache.hadoop.fs.Path(x)
+    val dir = Lake.scratch("trash_orders")
+    fs.delete(p(dir), true)
+    val o = Tables.orders(s, d)
+    // Ceremony job diet: ONE partitioned write lays down all four
+    // slice dirs; the four commits are then pure metadata renames.
+    o.withColumn("m", col("o_orderkey") % 4)
+      .write.partitionBy("m").parquet(s"$dir/_stage")
+    (0 until 4).foreach { i =>
+      fs.mkdirs(p(s"$dir/data"))
+      fs.rename(p(s"$dir/_stage/m=$i"), p(s"$dir/data/m$i"))
+      CommitLog.commit(fs, dir, ts = 1000L * (i + 1),
+        adds = Seq(s"data/m$i"), removes = Nil)
+    }
+    val trash = s"$dir/_trash"
+    /** rm: journal remove + physical move into .Trash/Current — the
+      * entry name keeps its path shape so undelete is a pure rename. */
+    def trashRm(rel: String, ts: Long): Unit = {
+      fs.mkdirs(p(s"$trash/Current/data"))
+      require(fs.rename(p(s"$dir/$rel"), p(s"$trash/Current/$rel")),
+        s"trash move failed for $rel")
+      CommitLog.commit(fs, dir, ts, adds = Nil, removes = Seq(rel))
+    }
+    trashRm("data/m1", ts = 5000L)
+    // checkpoint: Current -> timestamped dir (metadata rename)
+    require(fs.rename(p(s"$trash/Current"), p(s"$trash/ckpt-6000")),
+      "trash checkpoint failed")
+    trashRm("data/m2", ts = 7000L)
+    require(CommitLog.snapshot(s, dir).count() ==
+      o.filter(col("o_orderkey") % 4 === 0 || col("o_orderkey") % 4 === 3).count(),
+      "rm'd slices still visible")
+    // emptier at asOf=8000, interval=1000: ckpt-6000 (age 2000) goes,
+    // Current (holding m2) is untouched — m1 is now unrecoverable
+    val expunged = fs.listStatus(p(trash)).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("ckpt-") && 8000L - n.stripPrefix("ckpt-").toLong > 1000L
+      }
+    expunged.foreach(st => fs.delete(st.getPath, true))
+    require(expunged.map(_.getPath.getName) == Seq("ckpt-6000") &&
+      !fs.exists(p(s"$trash/ckpt-6000")) && fs.exists(p(s"$trash/Current/data/m2")),
+      "emptier must drop exactly the aged checkpoint and keep Current")
+    // undelete m2 from Current before any checkpoint claims it:
+    // rename back + one journal add — byte identity by construction
+    require(fs.rename(p(s"$trash/Current/data/m2"), p(s"$dir/data/m2")),
+      "undelete rename failed")
+    CommitLog.commit(fs, dir, ts = 9000L, adds = Seq("data/m2"), removes = Nil)
+    CommitLog.snapshot(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sumM(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(lakeLinks, lakeUpgrade, lakeAclEnforce, lakeSetTimes, lakeDelegation,
       lakeVacuum, lakeDrain, lakeRestore, lakeCheckpointCadence,
-      lakeJournalAudit)
+      lakeJournalAudit, lakeTrash)
 }

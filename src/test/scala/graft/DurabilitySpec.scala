@@ -413,4 +413,31 @@ class DurabilitySpec extends SparkSpec {
     val total = rows.map(_.getAs[Long]("n_docs")).sum
     assert(total == 2L * Tables.documents(spark, sfDir).count())
   }
+
+  test("balancer: every domain lands within threshold of the mean, content conserved") {
+    val out = Durability.lakeBalancer.fn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("n")).toMap
+    assert(out("balanced_before") == 0L && out("balanced_after") == 1L)
+    val docs = Tables.documents(spark, sfDir)
+    val totalDocs = docs.count()
+    assert(out("total_docs") == totalDocs)
+    // independently recompute the contract from the FINAL on-disk
+    // placement: per-domain doc counts within 10% of capacity of the
+    // mean, all 12 blocks present, no block split across domains
+    val base = graft.operators.Lake.scratch("balancer")
+    val placement = (0 to 3).map { i =>
+      i -> fs.listStatus(new Path(s"$base/dom$i")).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("b"))
+    }
+    assert(placement.flatMap(_._2).sorted == (0 to 11).map(b => s"b$b").sorted)
+    val mean = totalDocs.toDouble / 4
+    val tol = 0.10 * totalDocs
+    placement.foreach { case (i, bs) =>
+      val n = bs.map(b => spark.read.parquet(s"$base/dom$i/$b").count()).sum
+      assert(math.abs(n - mean) <= tol, s"dom$i used $n vs mean $mean tol $tol")
+      assert(bs.nonEmpty, s"dom$i ended empty — the 'new empty node' must receive blocks")
+    }
+    // the skewed source shed blocks; the empty joiner gained them
+    assert(placement.toMap.apply(0).size < 9)
+  }
 }

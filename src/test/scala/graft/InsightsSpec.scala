@@ -67,6 +67,30 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  test("sessionize: sessions partition the event stream and indices are contiguous") {
+    val rows = Insights.qSessionize.fn(spark, sfDir).collect()
+    // every event lands in exactly one session
+    val totalEvents = Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == totalEvents)
+    // per user: session_idx runs 1..K with no holes, durations non-negative
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val idx = rs.map(_.getAs[Long]("session_idx")).sorted.toSeq
+      assert(idx == (1L to idx.length.toLong), s"user $u session indices $idx")
+      rs.foreach(r => assert(r.getAs[Long]("duration_sec") >= 0L))
+    }
+    // consecutive sessions of one user are separated by more than the gap
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val byIdx = rs.sortBy(_.getAs[Long]("session_idx"))
+      byIdx.sliding(2).foreach {
+        case Array(a, b) =>
+          val endA = a.getAs[Long]("start_sec") + a.getAs[Long]("duration_sec")
+          assert(b.getAs[Long]("start_sec") - endA > Insights.SessionGapSec,
+            s"user $u sessions ${a.getAs[Long]("session_idx")} and next not gap-separated")
+        case _ => ()
+      }
+    }
+  }
+
   test("gaps/islands: island totals reconcile with distinct active days") {
     val rows = Insights.qGapsIslands.fn(spark, sfDir).collect()
     val activeDays = Tables.events(spark, sfDir)

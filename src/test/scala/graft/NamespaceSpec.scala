@@ -190,4 +190,27 @@ class NamespaceSpec extends SparkSpec {
     assert(touched.map(_.getLong(1)).sorted.toSeq.distinct.sorted ==
       untouched.distinct.sorted)
   }
+
+  test("trash: expunged checkpoint is unrecoverable, undeleted slice is byte-identical") {
+    val out = graft.operators.Namespace.lakeTrash.fn(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    // final content = slices 0,2,3 (slice1 expunged, slice2 undeleted)
+    assert(out.agg(sum(col("n"))).collect()(0).getLong(0) ==
+      o.filter(col("o_orderkey") % 4 =!= 1).count())
+    val dir = graft.operators.Lake.scratch("trash_orders")
+    // the aged checkpoint (and with it slice1's bytes) is gone; the
+    // live Current no longer holds the undeleted slice
+    assert(!fs.exists(new Path(s"$dir/_trash/ckpt-6000")))
+    assert(!fs.exists(new Path(s"$dir/_trash/Current/data/m2")))
+    // undelete restored slice2 byte-identically: content equals the
+    // source's mod-2 slice exactly (anti-join empty both ways)
+    val restored = spark.read.parquet(s"$dir/data/m2")
+    val slice2 = o.filter(col("o_orderkey") % 4 === 2)
+    assert(restored.count() == slice2.count())
+    assert(restored.exceptAll(slice2).isEmpty && slice2.exceptAll(restored).isEmpty)
+    // the journal records the full ceremony: 4 adds, 2 removes, 1 re-add
+    val commits = CommitLog.commits(fs, dir)
+    assert(commits.length == 7)
+    assert(commits.count(_.removes.nonEmpty) == 2)
+  }
 }
