@@ -70,7 +70,10 @@ object Explain {
     // round-9/10: safe mode + export manifest, the block-token gate,
     // the topology report, and the reworked mirror/pagerank
     "lake_safemode", "lake_export_manifest", "lake_block_tokens",
-    "lake_topology")
+    "lake_topology",
+    // round-10 additions: the balancer contract, the trash lifecycle,
+    // and batch sessionization
+    "lake_balancer", "lake_trash", "q_sessionize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
