@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{GraftQuery, Tables}
 import graft.functions.{GraftHash, Shingles}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for LLM-data pipelines (SURVEY.md §2).
@@ -55,9 +55,13 @@ object Dedup {
     * shingle-count ratio prefilter (implied by jaccard >= 0.8) prunes
     * further before the exact intersect. Integer-exact on both
     * engines: df counts and ceil(0.8n) = (4n+4)//5. */
-  val dNgramJaccard: GraftQuery = GraftQuery.sql(
-    "d_ngram_jaccard",
-    s"""WITH ${Shingles.shingleCteSql()},
+  /** Shared oracle fragment: CTE list ending in
+    * exj(doc_a, doc_b, jaccard) — the EXACT near-dup pairs at
+    * jaccard >= 0.8 via lossless AllPairs prefix filtering (leaves
+    * `sh` in scope). The ngram query reads it verbatim; the LSH
+    * recall audit uses it as ground truth. */
+  private[operators] def exactPairsCtes(): String =
+    s"""${Shingles.shingleCteSql()},
        |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
        |dfq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
        |rk AS (SELECT e.doc_id, e.s,
@@ -66,14 +70,25 @@ object Dedup {
        |ns AS (SELECT doc_id, len(sh) AS nsh FROM sh),
        |pr AS (SELECT r.doc_id, n.nsh, r.s AS psh FROM rk r JOIN ns n USING (doc_id)
        |       WHERE r.rn <= n.nsh - (4*n.nsh+4)//5 + 1),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |excand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM pr a JOIN pr b ON a.psh = b.psh AND a.doc_id < b.doc_id
-       |         WHERE LEAST(a.nsh, b.nsh) >= 0.8 * GREATEST(a.nsh, b.nsh))
-       |SELECT c.doc_a, c.doc_b, ${Shingles.jaccardSql("x.sh", "y.sh")} AS jaccard
-       |FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
-       |WHERE ${Shingles.jaccardSql("x.sh", "y.sh")} >= 0.8
+       |         WHERE LEAST(a.nsh, b.nsh) >= 0.8 * GREATEST(a.nsh, b.nsh)),
+       |exj AS (SELECT c.doc_a, c.doc_b, ${Shingles.jaccardSql("x.sh", "y.sh")} AS jaccard
+       |        FROM excand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+       |        WHERE ${Shingles.jaccardSql("x.sh", "y.sh")} >= 0.8)""".stripMargin
+
+  val dNgramJaccard: GraftQuery = GraftQuery.sql(
+    "d_ngram_jaccard",
+    s"""WITH ${exactPairsCtes()}
+       |SELECT doc_a, doc_b, jaccard FROM exj
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, d) =>
+    exactNearDupPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Spark twin of exactPairsCtes: exact pairs at jaccard >= 0.8 via
+    * DF-ordered AllPairs prefix filtering. */
+  private[operators] def exactNearDupPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     // Shared materialized shingle frame (one text pass for the whole
     // dedup family). DF is a map-side-combined groupBy on the exploded
@@ -106,7 +121,6 @@ object Dedup {
       .withColumn("jaccard", Shingles.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // MinHash parameters: k=32 components, 8 bands x 4 rows.
@@ -165,6 +179,84 @@ object Dedup {
     graft.api.Graft.dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.8, k = K, bands = Bands)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** LSH RECALL SCOREBOARD — the dedup-side twin of s_ann_recall /
+    * s_index_scoreboard ("measure, don't guess"): for each banding of
+    * the SAME k=32 signature (16x2, 8x4, 4x8 — the S-curve steepens
+    * as rows-per-band grow), count the banded candidate pairs and how
+    * many of the EXACT jaccard>=0.8 truth pairs (the lossless
+    * AllPairs path, shared with d_ngram_jaccard) they recall. The
+    * output is the tuning table an operator reads before fixing a
+    * production band config — measured, not derived from the
+    * 1-(1-j^r)^b formula (on this corpus the near-dups sit at j~1 so
+    * recall stays 1000 per-mille for every config and the column that
+    * separates them is candidate EFFICIENCY: 16x2 pays ~1.6x the
+    * candidates of 8x4 for identical recall). All counts are
+    * integer-exact; divisions are
+    * integer per-mille over GREATEST(x,1) so a degenerate corpus
+    * stays well-defined identically in both engines.
+    *
+    * Scale shape: truth is the corpus-proportional prefix-filter
+    * path; each config's candidates come from the SAME memoized
+    * banded equi-join family the dedup ops share — nothing here is
+    * pair-quadratic, and the audit's own cost is the point: it is
+    * exactly what a 100 TB operator pays to VALIDATE a band config on
+    * a sample before committing the full corpus to it. */
+  val dLshRecall: GraftQuery = GraftQuery.sql(
+    "d_lsh_recall", {
+      val comps = perms.zipWithIndex.map { case ((a, b), j) =>
+        s"  ${GraftHash.minhashComponentSql("sh", a, b)} AS c$j"
+      }.mkString(",\n")
+      val bandUnion = Seq(16, 8, 4).flatMap { b =>
+        val r = K / b
+        (0 until b).map { k =>
+          val cs = (0 until r).map(i => s"c${k * r + i}")
+          s"SELECT doc_id, $b AS bands, $k AS band_idx, ${GraftHash.bandKeySql(cs)} AS band_key FROM sig"
+        }
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${exactPairsCtes()},
+         |sig AS (SELECT doc_id,
+         |$comps
+         |FROM sh),
+         |bl AS ($bandUnion),
+         |cand AS (SELECT DISTINCT a.bands AS bands, a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bl a JOIN bl b ON a.bands = b.bands AND a.band_idx = b.band_idx
+         |           AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |nc AS (SELECT bands, COUNT(*) AS n_candidates FROM cand GROUP BY bands),
+         |rc AS (SELECT c.bands, COUNT(*) AS n_recalled
+         |       FROM cand c JOIN exj t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+         |       GROUP BY c.bands),
+         |nt AS (SELECT COUNT(*) AS n_truth FROM exj)
+         |SELECT CAST(nc.bands AS BIGINT) AS bands,
+         |  CAST($K // nc.bands AS BIGINT) AS rows_per_band,
+         |  nc.n_candidates, nt.n_truth,
+         |  COALESCE(rc.n_recalled, 0) AS n_recalled,
+         |  COALESCE(rc.n_recalled, 0) * 1000 // GREATEST(nt.n_truth, 1) AS recall_pm,
+         |  COALESCE(rc.n_recalled, 0) * 1000 // GREATEST(nc.n_candidates, 1) AS efficiency_pm
+         |FROM nc LEFT JOIN rc ON nc.bands = rc.bands CROSS JOIN nt
+         |ORDER BY bands""".stripMargin
+    }
+  ) { (s, d) =>
+    val sh = graft.api.Graft.dedup.shingleSets(Tables.documents(s, d), "doc_id", "text")
+    // truth feeds one semi-join per config — persist the small pair
+    // frame instead of re-running the prefix-filter path three times
+    val truth = graft.ScopedCache(
+      exactNearDupPairs(s, d).select(col("doc_a"), col("doc_b")))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    Seq(16, 8, 4).map { b =>
+      val cand = graft.api.Graft.dedup.candidateSetsFromShingles(sh, K, b)
+        .select(col("doc_a"), col("doc_b"))
+      val nc = cand.agg(count(lit(1)).as("n_candidates"))
+      val rc = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_recalled"))
+      // three 1-row frames crossed — the adjudicated scalar class
+      nc.crossJoin(rc).crossJoin(nt)
+        .select(lit(b.toLong).as("bands"), lit((K / b).toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_truth"), col("n_recalled"),
+          expr("n_recalled * 1000 div greatest(n_truth, 1)").as("recall_pm"),
+          expr("n_recalled * 1000 div greatest(n_candidates, 1)").as("efficiency_pm"))
+    }.reduce(_ unionByName _).orderBy(col("bands"))
   }
 
   // SimHash: 24-bit fingerprint over shingle hashes, 4 chunks x 6 bits.
@@ -623,7 +715,8 @@ object Dedup {
   }
 
   def all: Seq[GraftQuery] = Seq(
-    dExactDup, dNgramJaccard, dMinhashLsh, dSimhash, dCorpusSimilarity,
-    dDupClusters, dDedupFilter, dContainment, dCorpusCurate, stStreamNearDup,
-    dDecontaminate, dIncrementalDedup, dSubstringDup)
+    dExactDup, dNgramJaccard, dMinhashLsh, dLshRecall, dSimhash,
+    dCorpusSimilarity, dDupClusters, dDedupFilter, dContainment,
+    dCorpusCurate, stStreamNearDup, dDecontaminate, dIncrementalDedup,
+    dSubstringDup)
 }

@@ -72,8 +72,8 @@ object Explain {
     "lake_safemode", "lake_export_manifest", "lake_block_tokens",
     "lake_topology",
     // round-10 additions: the balancer contract, the trash lifecycle,
-    // and batch sessionization
-    "lake_balancer", "lake_trash", "q_sessionize")
+    // batch sessionization, and the LSH band-config scoreboard
+    "lake_balancer", "lake_trash", "q_sessionize", "d_lsh_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

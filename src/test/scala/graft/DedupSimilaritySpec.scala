@@ -576,4 +576,24 @@ class DedupSimilaritySpec extends SparkSpec {
       .map { case (k, v) => k -> v.size.toLong }
     assert(prof == expect, s"profile $prof vs driver $expect")
   }
+
+  test("LSH recall scoreboard: counts cohere and the 8x4 row matches the production config") {
+    val rows = graft.operators.Dedup.dLshRecall.fn(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("bands")).toSeq == Seq(4L, 8L, 16L))
+    rows.foreach { r =>
+      val (nc, nt, nr) = (r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("n_truth"), r.getAs[Long]("n_recalled"))
+      assert(nr <= nt, "cannot recall more than the truth set")
+      assert(nr <= nc, "recalled pairs are candidates")
+      assert(r.getAs[Long]("recall_pm") <= 1000L)
+      assert(r.getAs[Long]("bands") * r.getAs[Long]("rows_per_band") == 32L)
+      assert(nt > 0L, "degenerate corpus: no exact near-dup pairs to score against")
+    }
+    // the b=8 row's recalled count IS the production config's verified
+    // pair count (candidates ∩ truth = the d_minhash_lsh output)
+    val prod = graft.operators.Dedup.dMinhashLsh.fn(spark, sfDir).count()
+    val r8 = rows.find(_.getAs[Long]("bands") == 8L).get
+    assert(r8.getAs[Long]("n_recalled") == prod,
+      s"8x4 recalled ${r8.getAs[Long]("n_recalled")} but d_minhash_lsh verified $prod")
+  }
 }
