@@ -505,8 +505,81 @@ object Namespace {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** OFFLINE IMAGE REPORT — the offline-image-viewer tool (reference
+    * tools/offlineImageViewer/OfflineImageViewer.java:1): namespace
+    * analytics computed from the checkpoint IMAGE alone, offline —
+    * never from the live head (the tool's whole point: analyze a
+    * 100 TB namespace without touching the NameNode). The report here
+    * is FileDistributionVisitor.java:1's size-distribution histogram
+    * re-expressed over commit-log entries: the image is the journal-
+    * replay namespace snapshot at a PINNED version (FSImage = state
+    * as of a version; the active-entry listing is LsImageVisitor
+    * .java:1, pure metadata), each entry's row count is a parquet
+    * FOOTER read (no row scan), and buckets are scale-free sixteenths
+    * of the image total (integer div — exact in both engines at any
+    * SF). A post-image commit diverges the head; the ceremony proves
+    * the report excludes it — offline means the image, not the tail.
+    * (The edits-side twin, offlineEditsViewer, is
+    * lake_journal_audit.)
+    *
+    * Entries are geometric mod-15 residue ranges (1/2/4/8 fifteenths
+    * of orders), so the histogram has real spread and the oracle
+    * recomputes every bucket from the source table. */
+  val lakeImageReport: GraftQuery = GraftQuery.sql(
+    "lake_image_report",
+    """WITH c AS (SELECT CASE WHEN o_orderkey % 15 < 1 THEN 0
+      |                      WHEN o_orderkey % 15 < 3 THEN 1
+      |                      WHEN o_orderkey % 15 < 7 THEN 2 ELSE 3 END AS j,
+      |             COUNT(*) AS nr
+      |           FROM orders GROUP BY 1),
+      |t AS (SELECT SUM(nr) AS tot FROM c)
+      |SELECT CAST(nr * 16 // tot AS BIGINT) AS bucket_16th,
+      |  COUNT(*) AS n_entries, CAST(SUM(nr) AS BIGINT) AS total_rows
+      |FROM c CROSS JOIN t GROUP BY 1 ORDER BY bucket_16th""".stripMargin
+  ) { (s, d) =>
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val dir = Lake.scratch("image_report_orders")
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val o = Tables.orders(s, d)
+    val lo = Seq(0, 1, 3, 7); val hi = Seq(1, 3, 7, 15)
+    // one partitioned write lays down the four entries, commits are
+    // metadata renames (the ceremony job diet)
+    o.withColumn("j", when(col("o_orderkey") % 15 < 1, 0)
+        .when(col("o_orderkey") % 15 < 3, 1)
+        .when(col("o_orderkey") % 15 < 7, 2).otherwise(3))
+      .write.partitionBy("j").parquet(s"$dir/_stage")
+    (0 until 4).foreach { i =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/data"))
+      fs.rename(new org.apache.hadoop.fs.Path(s"$dir/_stage/j=$i"),
+        new org.apache.hadoop.fs.Path(s"$dir/data/e$i"))
+      CommitLog.commit(fs, dir, ts = 1000L * (i + 1),
+        adds = Seq(s"data/e$i"), removes = Nil)
+    }
+    val imageV = 3 // namespace state after the four entry commits
+    // the head diverges after the image version: an offline report
+    // must not see this commit
+    CommitLog.writeCommit(s, dir,
+      o.filter(col("o_orderkey") % 15 < 1), "data/extra", ts = 6000L)
+    val image = CommitLog.activeFiles(fs, dir, version = imageV)
+    val head = CommitLog.activeFiles(fs, dir)
+    require(head.contains("data/extra") && !image.contains("data/extra"),
+      "image listing must be the checkpoint, not the head")
+    // per-entry row counts: parquet footer metadata, one tiny read per
+    // image entry — the OIV cost model (namespace-proportional, zero
+    // data I/O)
+    val counts = image.sorted.map(rel =>
+      rel -> s.read.parquet(s"$dir/$rel").count())
+    val tot = counts.map(_._2).sum
+    import s.implicits._
+    counts.map { case (rel, nr) => (nr * 16 / tot, rel, nr) }
+      .groupBy(_._1).toSeq
+      .map { case (b, xs) => (b, xs.size.toLong, xs.map(_._3).sum) }
+      .toDF("bucket_16th", "n_entries", "total_rows")
+      .orderBy(col("bucket_16th"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(lakeLinks, lakeUpgrade, lakeAclEnforce, lakeSetTimes, lakeDelegation,
       lakeVacuum, lakeDrain, lakeRestore, lakeCheckpointCadence,
-      lakeJournalAudit, lakeTrash)
+      lakeJournalAudit, lakeTrash, lakeImageReport)
 }

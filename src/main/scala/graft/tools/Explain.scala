@@ -73,7 +73,8 @@ object Explain {
     "lake_topology",
     // round-10 additions: the balancer contract, the trash lifecycle,
     // batch sessionization, and the LSH band-config scoreboard
-    "lake_balancer", "lake_trash", "q_sessionize", "d_lsh_recall")
+    "lake_balancer", "lake_trash", "q_sessionize", "d_lsh_recall",
+    "lake_image_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

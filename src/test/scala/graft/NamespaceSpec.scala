@@ -213,4 +213,18 @@ class NamespaceSpec extends SparkSpec {
     assert(commits.length == 7)
     assert(commits.count(_.removes.nonEmpty) == 2)
   }
+
+  test("image report: buckets cover the image exactly; the diverged head entry is excluded") {
+    val rows = graft.operators.Namespace.lakeImageReport.fn(spark, sfDir).collect()
+    val o = Tables.orders(spark, sfDir)
+    // the histogram partitions the IMAGE total (= the full source
+    // table), not the diverged head's
+    assert(rows.map(_.getAs[Long]("total_rows")).sum == o.count())
+    assert(rows.map(_.getAs[Long]("n_entries")).sum == 4L)
+    val dir = graft.operators.Lake.scratch("image_report_orders")
+    val head = CommitLog.activeFiles(fs, dir)
+    assert(head.contains("data/extra"), "ceremony must diverge the head")
+    // buckets are the geometric 1/2/4/8 sixteenths at any SF
+    assert(rows.map(_.getAs[Long]("bucket_16th")).sorted.toSeq == Seq(1L, 2L, 4L, 8L))
+  }
 }
