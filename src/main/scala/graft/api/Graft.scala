@@ -176,14 +176,27 @@ object Graft {
       * sh). THE banding definition — the batch candidate join and the
       * streaming near-dup state both project through here, so the two
       * paths cannot silently diverge. */
+    /** (doc_id, sh, sig) — the k-component MinHash signature frame,
+      * memoized per (input, k): the signature is BANDING-INDEPENDENT,
+      * so every band config (the production 8x4, the d_lsh_recall
+      * sweep's 16x2/4x8, the streaming state) derives its keys from
+      * one materialized computation instead of re-hashing the corpus
+      * per config. */
+    private[graft] def signatures(sh: DataFrame, k: Int): DataFrame = {
+      def build: DataFrame = {
+        import org.apache.spark.sql.graft.Shims
+        sh.select(col("doc_id"), col("sh"),
+          Shims.column(graft.plans.MinHashSignatureExpr(
+            Shims.expression(col("sh")), GraftHash.perms(k))).as("sig"))
+      }
+      // a STREAMING input cannot be persisted — the memo is a batch
+      // optimization; the streaming state path computes per-batch
+      if (sh.isStreaming) build else memoized(planKey(sh, "sig", k), build)
+    }
+
     private[graft] def bandedKeys(sh: DataFrame, k: Int, bands: Int): DataFrame = {
-      import org.apache.spark.sql.graft.Shims
       val r = k / bands
-      val perms = GraftHash.perms(k)
-      val sig = sh.select(col("doc_id"), col("sh"),
-        Shims.column(graft.plans.MinHashSignatureExpr(
-          Shims.expression(col("sh")), perms)).as("sig"))
-      sig.withColumn("band_keys", array((0 until bands).map { b =>
+      signatures(sh, k).withColumn("band_keys", array((0 until bands).map { b =>
           GraftHash.bandKey((0 until r).map(i => element_at(col("sig"), b * r + i + 1)))
         }: _*))
         .select(posexplode(col("band_keys")).as(Seq("band_idx", "band_key")),
@@ -204,6 +217,46 @@ object Graft {
           .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id")).drop("doc_id")
           .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id")).drop("doc_id")
       })
+
+    /** EXACT near-dup pairs at jaccard >= threshold via AllPairs/
+      * PPJoin document-frequency-ordered prefix filtering (Bayardo
+      * WWW'07; Xiao WWW'08) — lossless for the given threshold, so
+      * the output is ground truth, not an approximation. Memoized per
+      * (input, threshold): the ngram query and the LSH recall audit
+      * read the same materialized pair frame. Threshold must be of
+      * the form n/5 (the ceil(t*n) arithmetic below is specialized to
+      * 0.8 — the only threshold the engine exposes today). */
+    def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double = 0.8): DataFrame = {
+      require(threshold == 0.8, "prefix arithmetic is specialized to t=0.8")
+      val sh = shingleSets(df, idCol, textCol)
+      memoized(planKey(sh, "exact", threshold), {
+        val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+        val dfq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+        val ranked = ex.join(dfq, Seq("s"))
+          .withColumn("rn", row_number().over(w))
+        val ns = sh.select(col("doc_id"), size(col("sh")).as("nsh"))
+        // scoped-cached: the frame feeds both sides of the candidate
+        // self-join — without it the exploded-shingle window rank
+        // (the dominant corpus-proportional sort) runs twice
+        val pref = graft.ScopedCache(ranked.join(ns, Seq("doc_id"))
+          .filter(col("rn") <= col("nsh") - floor((col("nsh") * 4 + 4) / 5) + 1)
+          .select(col("doc_id"), col("nsh"), col("s").as("psh")))
+        val cand = pref.as("a").join(pref.as("b"),
+            col("a.psh") === col("b.psh") && col("a.doc_id") < col("b.doc_id") &&
+              least(col("a.nsh"), col("b.nsh")) >= lit(threshold) * greatest(col("a.nsh"), col("b.nsh")))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id")).drop("doc_id")
+          .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id")).drop("doc_id")
+          .withColumn("jaccard", Shingles.jaccardSorted(col("sh_a"), col("sh_b")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      })
+    }
 
     /** MinHash+banded-LSH near-dup pairs with exact-Jaccard
       * verification. */

@@ -87,41 +87,13 @@ object Dedup {
   }
 
   /** Spark twin of exactPairsCtes: exact pairs at jaccard >= 0.8 via
-    * DF-ordered AllPairs prefix filtering. */
-  private[operators] def exactNearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    // Shared materialized shingle frame (one text pass for the whole
-    // dedup family). DF is a map-side-combined groupBy on the exploded
-    // shingle stream (linear); the per-doc (df, hash) rank is a window
-    // partitioned by doc_id — both shuffles are corpus-proportional,
-    // never pair-proportional.
-    val sh = graft.api.Graft.dedup.shingleSets(docs, "doc_id", "text")
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val dfq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    val ranked = ex.join(dfq, Seq("s"))
-      .withColumn("rn", row_number().over(w))
-    val ns = sh.select(col("doc_id"), size(col("sh")).as("nsh"))
-    // Materialized: the frame feeds both sides of the candidate
-    // self-join — without the persist the exploded-shingle window
-    // rank (the dominant corpus-proportional sort) runs twice.
-    val pref = ranked.join(ns, Seq("doc_id"))
-      .filter(col("rn") <= col("nsh") - floor((col("nsh") * 4 + 4) / 5) + 1)
-      .select(col("doc_id"), col("nsh"), col("s").as("psh"))
-      .transform(graft.ScopedCache.apply)
-    val cand = pref.as("a").join(pref.as("b"),
-        col("a.psh") === col("b.psh") && col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.nsh"), col("b.nsh")) >= lit(0.8) * greatest(col("a.nsh"), col("b.nsh")))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id")).drop("doc_id")
-      .withColumn("jaccard", Shingles.jaccardSorted(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
+    * DF-ordered AllPairs prefix filtering — the memoized API path
+    * (api/Graft.exactJaccardPairs), shared by d_ngram_jaccard and the
+    * d_lsh_recall truth arm so the family pays the prefix-filter
+    * computation once. */
+  private[operators] def exactNearDupPairs(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.dedup.exactJaccardPairs(
+      Tables.documents(s, d), "doc_id", "text", threshold = 0.8)
 
   // MinHash parameters: k=32 components, 8 bands x 4 rows.
   val K = 32; val Bands = 8; val R = 4
@@ -239,24 +211,39 @@ object Dedup {
     }
   ) { (s, d) =>
     val sh = graft.api.Graft.dedup.shingleSets(Tables.documents(s, d), "doc_id", "text")
-    // truth feeds one semi-join per config — persist the small pair
-    // frame instead of re-running the prefix-filter path three times
+    // truth feeds one semi-join — persist the small pair frame
+    // instead of re-running the prefix-filter path per config
     val truth = graft.ScopedCache(
       exactNearDupPairs(s, d).select(col("doc_a"), col("doc_b")))
     val nt = truth.agg(count(lit(1)).as("n_truth"))
-    Seq(16, 8, 4).map { b =>
-      val cand = graft.api.Graft.dedup.candidateSetsFromShingles(sh, K, b)
-        .select(col("doc_a"), col("doc_b"))
-      val nc = cand.agg(count(lit(1)).as("n_candidates"))
-      val rc = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
-        .agg(count(lit(1)).as("n_recalled"))
-      // three 1-row frames crossed — the adjudicated scalar class
-      nc.crossJoin(rc).crossJoin(nt)
-        .select(lit(b.toLong).as("bands"), lit((K / b).toLong).as("rows_per_band"),
-          col("n_candidates"), col("n_truth"), col("n_recalled"),
-          expr("n_recalled * 1000 div greatest(n_truth, 1)").as("recall_pm"),
-          expr("n_recalled * 1000 div greatest(n_candidates, 1)").as("efficiency_pm"))
-    }.reduce(_ unionByName _).orderBy(col("bands"))
+    // the production 8x4 candidates come from the family's memoized
+    // frame (shared with d_minhash_lsh etc. — free when warm); the
+    // sweep configs (16x2, 4x8) share ONE self-join over a unioned
+    // band-key frame with a config column — one shuffle for both,
+    // and the signature underneath is memoized once for all three
+    val cand8 = graft.api.Graft.dedup.candidateSetsFromShingles(sh, K, Bands)
+      .select(lit(Bands.toLong).as("bands"), col("doc_a"), col("doc_b"))
+    val blx = Seq(16, 4).map { b =>
+      graft.api.Graft.dedup.bandedKeys(sh, K, b)
+        .select(lit(b.toLong).as("bands"), col("doc_id"), col("band_idx"), col("band_key"))
+    }.reduce(_ unionByName _)
+    val candSweep = blx.as("a").join(blx.as("b"),
+        col("a.bands") === col("b.bands") && col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.bands").as("bands"), col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"))
+      .distinct()
+    val cand = graft.ScopedCache(cand8.unionByName(candSweep))
+    val nc = cand.groupBy(col("bands")).agg(count(lit(1)).as("n_candidates"))
+    val rc = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy(col("bands")).agg(count(lit(1)).as("n_recalled"))
+    nc.join(rc, Seq("bands"), "left").na.fill(0L, Seq("n_recalled"))
+      .crossJoin(nt) // 3-row frame x 1-row scalar — the adjudicated tiny class
+      .select(col("bands"), (lit(K.toLong) / col("bands")).cast("long").as("rows_per_band"),
+        col("n_candidates"), col("n_truth"), col("n_recalled"),
+        expr("n_recalled * 1000 div greatest(n_truth, 1)").as("recall_pm"),
+        expr("n_recalled * 1000 div greatest(n_candidates, 1)").as("efficiency_pm"))
+      .orderBy(col("bands"))
   }
 
   // SimHash: 24-bit fingerprint over shingle hashes, 4 chunks x 6 bits.
