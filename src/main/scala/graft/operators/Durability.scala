@@ -738,6 +738,74 @@ object Durability {
     * never a table scan. The oracle checks the contract: balance
     * achieved, content byte-identical (order-independent checksum
     * recomputed from the source table), blocks conserved. */
+  /** Pure balancer move planner (Balancer.java:1's iterate-until-
+    * threshold contract): given a placement and per-block weights
+    * over `nDoms` equal-capacity domains, return the (block, src,
+    * dst) moves that bring every domain within `tol` of the mean.
+    * Iteration structure mirrors the reference — per iteration each
+    * domain moves/receives at most `tol` (threshold x capacity), the
+    * most-over domain sheds its largest fitting block to the
+    * least-utilized receiver, and no move may overshoot either side
+    * past mean±tol. In production each iteration re-reads the
+    * datanode report; a single-balancer run over unchanging weights
+    * (enforced by the reference's single-instance lock,
+    * Balancer.java OutOfServiceException) makes the tracked state
+    * identical, so the plan is computable up front — property-tested
+    * in DurabilitySpec over random skews: conservation, no overshoot,
+    * per-iteration budgets, convergence for bounded block sizes. */
+  private[graft] def planBalancerMoves(
+      placement: Map[Int, Seq[Int]], weight: Map[Int, Long],
+      nDoms: Int, tol: Double, maxIter: Int): Seq[(Int, Int, Int)] = {
+    val total = placement.values.flatten.map(weight).sum
+    val mean = total.toDouble / nDoms
+    val pl = collection.mutable.Map(placement.view.mapValues(_.toVector).toSeq: _*)
+    val u = collection.mutable.Map(
+      (0 until nDoms).map(i => i -> pl.getOrElse(i, Vector.empty).map(weight).sum): _*)
+    def balanced: Boolean = u.values.forall(x => math.abs(x - mean) <= tol)
+    val plan = collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var iter = 0
+    var stuck = false
+    while (iter < maxIter && !balanced && !stuck) {
+      iter += 1
+      val budget = collection.mutable.Map((0 until nDoms).map(_ -> tol): _*)
+      var progressed = true
+      var movedThisIter = false
+      while (progressed) {
+        progressed = false
+        // source classes, per Balancer.java's pairing: over-threshold
+        // domains always shed; when none is over but a receiver is
+        // still UNDER-threshold, above-average domains serve it
+        // (over→under, over→belowAvg, aboveAvg→under)
+        val over = (0 until nDoms).filter(i => u(i) - mean > tol)
+        val srcs = (if (over.nonEmpty) over
+                    else if ((0 until nDoms).exists(i => mean - u(i) > tol))
+                      (0 until nDoms).filter(i => u(i) > mean)
+                    else Seq.empty)
+          .sortBy(i => (-u(i), i))
+        srcs.find(budget(_) > 0).foreach { src =>
+          val dst = (0 until nDoms).filter(_ != src).minBy(i => (u(i), i))
+          pl(src).sortBy(b => (-weight(b), b)).find { b =>
+            val w = weight(b)
+            w <= budget(src) && w <= budget(dst) &&
+              u(dst) + w <= mean + tol && u(src) - w >= mean - tol
+          }.foreach { b =>
+            val w = weight(b)
+            pl(src) = pl(src).filterNot(_ == b)
+            pl(dst) = pl.getOrElse(dst, Vector.empty) :+ b
+            u(src) -= w; u(dst) += w
+            budget(src) -= w; budget(dst) -= w
+            plan += ((b, src, dst)); progressed = true; movedThisIter = true
+          }
+        }
+      }
+      // a whole iteration with fresh budgets and no legal move means
+      // the residual imbalance is structural (a block larger than the
+      // slack) — stop instead of spinning to maxIter
+      if (!movedThisIter) stuck = true
+    }
+    plan.toSeq
+  }
+
   val lakeBalancer: GraftQuery = GraftQuery.sql(
     "lake_balancer",
     s"""WITH fp AS (SELECT ${GraftHash.charHashSql("text")} AS fp FROM documents)
@@ -784,48 +852,22 @@ object Durability {
       pl.map { case (i, bs) => i -> bs.map(weight).sum }
     def balanced(u: Map[Int, Long]): Boolean =
       u.values.forall(x => math.abs(x - mean) <= tol)
-    require(!balanced(used(placement)), "ceremony needs an unbalanced start")
-    var moves = 0
-    var iter = 0
-    val MaxIter = 10
-    while (iter < MaxIter && !balanced(used(placement))) {
-      iter += 1
-      // the iteration re-reads cluster state, then each domain may
-      // move/receive at most threshold*capacity within it
-      val u = collection.mutable.Map(used(placement).toSeq: _*)
-      val budget = collection.mutable.Map(doms.indices.map(_ -> tol): _*)
-      var progressed = true
-      while (progressed) {
-        progressed = false
-        val over = doms.indices.filter(i => u(i) - mean > tol)
-          .sortBy(i => (-u(i), i))
-        val srcOpt = over.find(budget(_) > 0)
-        srcOpt.foreach { src =>
-          // largest block that fits the budget and doesn't push the
-          // receiver past mean+tol; receiver = least-utilized domain
-          val dst = doms.indices.filter(_ != src).minBy(i => (u(i), i))
-          val blk = placement(src).sortBy(b => (-weight(b), b)).find { b =>
-            val w = weight(b)
-            w <= budget(src) && w <= budget(dst) &&
-              u(dst) + w <= mean + tol && u(src) - w >= mean - tol
-          }
-          blk.foreach { b =>
-            require(fs.rename(new Path(s"${domDir(src)}/b$b"),
-              new Path(s"${domDir(dst)}/b$b")), s"move b$b failed")
-            val w = weight(b)
-            u(src) -= w; u(dst) += w
-            budget(src) -= w; budget(dst) -= w
-            moves += 1; progressed = true
-          }
-        }
-      }
+    val startPl = placement
+    require(!balanced(used(startPl)), "ceremony needs an unbalanced start")
+    // plan driver-side (pure, property-tested), apply as renames —
+    // each planned move is a bounded-size block copy in production
+    val plan = planBalancerMoves(startPl, weight, doms.size, tol, maxIter = 10)
+    plan.foreach { case (b, src, dst) =>
+      require(fs.rename(new Path(s"${domDir(src)}/b$b"),
+        new Path(s"${domDir(dst)}/b$b")), s"move b$b failed")
     }
+    val moves = plan.size
     val finalPl = placement
     val finalUsed = used(finalPl)
     require(balanced(finalUsed),
-      s"not balanced after $iter iterations: $finalUsed vs mean $mean tol $tol")
+      s"not balanced after $moves moves: $finalUsed vs mean $mean tol $tol")
     require(finalPl.values.map(_.size).sum == NBlocks, "blocks must be conserved")
-    require(moves <= MaxIter * doms.size, s"runaway move count $moves")
+    require(moves <= 10 * doms.size, s"runaway move count $moves")
     // content audit: ONE read over the union of final block locations
     val paths = finalPl.toSeq.flatMap { case (i, bs) => bs.map(b => s"${domDir(i)}/b$b") }
     val audit = s.read.parquet(paths: _*)

@@ -440,4 +440,50 @@ class DurabilitySpec extends SparkSpec {
     // the skewed source shed blocks; the empty joiner gained them
     assert(placement.toMap.apply(0).size < 9)
   }
+
+  test("balancer planner: random skews converge without overshoot, blocks conserved") {
+    val rnd = new scala.util.Random(7)
+    (1 to 100).foreach { trial =>
+      val nDoms = 3 + rnd.nextInt(4)
+      val nBlocks = 12 + rnd.nextInt(19)
+      // near-equal weights keep every block under the tolerance —
+      // the family the ceremony uses; a block wider than the slack is
+      // structurally unmovable and the planner stops instead (covered
+      // by the stuck branch below)
+      val weight = (0 until nBlocks).map(b => b -> (100L + rnd.nextInt(41) - 20L)).toMap
+      // pile everything arbitrarily: random domain per block, skewed
+      // toward domain 0
+      val placement = (0 until nBlocks)
+        .groupBy(b => if (rnd.nextInt(3) > 0) 0 else rnd.nextInt(nDoms))
+        .view.mapValues(_.toSeq).toMap
+      val total = weight.values.sum
+      val mean = total.toDouble / nDoms
+      val tol = 0.10 * total
+      val plan = graft.operators.Durability.planBalancerMoves(
+        placement, weight, nDoms, tol, maxIter = 40)
+      // replay the plan, asserting the per-move contract
+      val pl = collection.mutable.Map(
+        (0 until nDoms).map(i => i -> placement.getOrElse(i, Seq.empty).toVector): _*)
+      val u = collection.mutable.Map(
+        (0 until nDoms).map(i => i -> pl(i).map(weight).sum): _*)
+      plan.foreach { case (b, src, dst) =>
+        assert(src != dst && pl(src).contains(b), s"trial $trial: illegal move ($b,$src,$dst)")
+        pl(src) = pl(src).filterNot(_ == b); pl(dst) = pl(dst) :+ b
+        u(src) -= weight(b); u(dst) += weight(b)
+        assert(u(dst) <= mean + tol + 1e-9, s"trial $trial: receiver overshot")
+        assert(u(src) >= mean - tol - 1e-9, s"trial $trial: source undershot")
+      }
+      assert(pl.values.map(_.size).sum == nBlocks, s"trial $trial: blocks not conserved")
+      // with every block within the tolerance the greedy must land
+      // balanced — the ceremony's convergence claim, property-tested
+      assert(u.values.forall(x => math.abs(x - mean) <= tol),
+        s"trial $trial: not balanced, used=$u mean=$mean tol=$tol")
+    }
+    // stuck branch: one block wider than the whole tolerance cannot
+    // move anywhere legal — the planner must stop, not spin
+    val stuckPlan = graft.operators.Durability.planBalancerMoves(
+      Map(0 -> Seq(0), 1 -> Seq.empty, 2 -> Seq.empty),
+      Map(0 -> 900L), nDoms = 3, tol = 90.0, maxIter = 40)
+    assert(stuckPlan.isEmpty)
+  }
 }
