@@ -658,9 +658,90 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** DATASET CARD — the per-source summary table a corpus ships with
+    * (the "dataset card" deliverable every curated pre-training set
+    * publishes): document and token mass, language spread with the
+    * dominant language, exact-duplicate rows, document length range,
+    * and the mean quality score. One corpus scan computes the per-doc
+    * frame; the card is two aggregations over it (per-source stats +
+    * a per-(source,lang) count ranked for the dominant language) —
+    * both map-side combined, output bounded by the source count.
+    * Quality is the t_quality_score formula quantized to per-mille
+    * BEFORE averaging (CAST of the same deterministic double in both
+    * engines), so the mean is an integer division — exact, no
+    * float-summation-order hazard at any parallelism. */
+  val tDatasetCard: GraftQuery = GraftQuery.sql(
+    "t_dataset_card",
+    s"""WITH f AS (
+       |  SELECT source, lang, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+       |    CAST(length(text) AS BIGINT) AS chars,
+       |    CAST(FLOOR(1000.0 * (
+       |      0.5 * LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 80.0)
+       |      + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+       |                     / CAST(length(text) AS DOUBLE))
+       |      + 0.2 * LEAST(1.0, 4.0 * CAST(len(list_filter(string_split(text, ' '),
+       |                     t -> t IN ${sqlList(StopWords)})) AS DOUBLE)
+       |                     / CAST(len(string_split(text, ' ')) AS DOUBLE))
+       |    )) AS BIGINT) AS q_pm
+       |  FROM documents),
+       |base AS (
+       |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS dup_rows,
+       |    MIN(chars) AS min_chars, MAX(chars) AS max_chars,
+       |    CAST(SUM(q_pm) // COUNT(*) AS BIGINT) AS quality_pm_avg
+       |  FROM f GROUP BY source),
+       |sl AS (SELECT source, lang, COUNT(*) AS cnt FROM f GROUP BY source, lang),
+       |top AS (SELECT source, lang AS top_lang FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY cnt DESC, lang) AS rn FROM sl) WHERE rn = 1)
+       |SELECT b.source, b.n_docs, b.ws_tokens, b.n_langs, t.top_lang,
+       |  b.dup_rows, b.min_chars, b.max_chars, b.quality_pm_avg
+       |FROM base b JOIN top t ON b.source = t.source
+       |ORDER BY b.source""".stripMargin
+  ) { (s, d) =>
+    val toks = col("t")
+    val f = Tables.documents(s, d)
+      .select(col("source"), col("lang"), col("text"),
+        split(col("text"), " ", -1).as("t"))
+      .select(col("source"), col("lang"), col("text"),
+        size(toks).cast("long").as("ws"),
+        length(col("text")).cast("long").as("chars"),
+        // explicit FLOOR on both engines: DuckDB's double->int CAST
+        // rounds, Spark's truncates — either alone would diverge
+        floor((lit(0.5) * least(lit(1.0), size(toks).cast("double") / 80.0)
+          + lit(0.3) * (lit(1.0) -
+            size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("double")
+              / length(col("text")).cast("double"))
+          + lit(0.2) * least(lit(1.0), lit(4.0) *
+            size(filter(toks, t => t.isInCollection(StopWords))).cast("double")
+              / size(toks).cast("double"))) * 1000.0)
+          .cast("long").as("q_pm"))
+      .transform(graft.ScopedCache.apply) // feeds both aggregations
+    val base = f.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("text"))).as("dup_rows"),
+        min(col("chars")).as("min_chars"), max(col("chars")).as("max_chars"),
+        expr("sum(q_pm) div count(1)").as("quality_pm_avg"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("cnt").desc, col("lang"))
+    val top = f.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("source").as("t_source"), col("lang").as("top_lang"))
+    base.join(top, col("source") === col("t_source"))
+      .select(col("source"), col("n_docs"), col("ws_tokens"), col("n_langs"),
+        col("top_lang"), col("dup_rows"), col("min_chars"), col("max_chars"),
+        col("quality_pm_avg"))
+      .orderBy(col("source"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tTokenCount, tQualityScore, tLangId, tFingerprint, tNgramFreq,
       tFluencyScore, tLangGini, tPiiScrub, tLangRebalance,
       tRepetitionFilter, tC4Filter, tStratifiedSample, tSeqPack,
-      tBpePairs, tShuffleShard)
+      tBpePairs, tShuffleShard, tDatasetCard)
 }

@@ -74,7 +74,7 @@ object Explain {
     // round-10 additions: the balancer contract, the trash lifecycle,
     // batch sessionization, and the LSH band-config scoreboard
     "lake_balancer", "lake_trash", "q_sessionize", "d_lsh_recall",
-    "lake_image_report")
+    "lake_image_report", "t_dataset_card")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

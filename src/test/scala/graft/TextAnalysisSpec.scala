@@ -154,4 +154,32 @@ class TextAnalysisSpec extends SparkSpec {
     val again = TextAnalysis.tShuffleShard.fn(spark, sfDir).collect()
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("dataset card: totals reconcile with the corpus and per-op ground truths") {
+    val rows = TextAnalysis.tDatasetCard.fn(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // token mass matches the t_token_count per-lang view, re-summed
+    val wsTotal = TextAnalysis.tTokenCount.fn(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("ws_tokens")).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("ws_tokens")).sum == wsTotal)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_chars") <= r.getAs[Long]("max_chars"))
+      assert(r.getAs[Long]("dup_rows") >= 0L &&
+        r.getAs[Long]("dup_rows") < r.getAs[Long]("n_docs"))
+      val q = r.getAs[Long]("quality_pm_avg")
+      assert(q >= 0L && q <= 1000L, s"quality per-mille out of range: $q")
+      assert(r.getAs[Long]("n_langs") >= 1L)
+    }
+    // dominant language agrees with a direct mode computation
+    val direct = docs.groupBy("source", "lang").count()
+      .collect().groupBy(_.getAs[String]("source"))
+      .map { case (s0, rs) =>
+        s0 -> rs.maxBy(r => (r.getAs[Long]("count"), r.getAs[String]("lang")))(
+          Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
+          .getAs[String]("lang")
+      }
+    rows.foreach(r => assert(r.getAs[String]("top_lang") ==
+      direct(r.getAs[String]("source"))))
+  }
 }
