@@ -691,6 +691,11 @@ object Durability {
     val langCounts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val groups = langCounts.keys.toSeq.sorted
+    // the oracle's m CTE only produces domains that HOST a group —
+    // with one group only two domains would appear and the DEAD row
+    // would diverge; the report needs every domain populated
+    require(groups.size >= 3,
+      s"topology ceremony needs >= 3 groups to cover all domains, got ${groups.size}")
     val assign = groups.zipWithIndex.map { case (g, i) => (g, i % 3, (i + 1) % 3) }
     def hosted(i: Int) = assign.collect { case (g, a, b) if a == i || b == i => g }
     // domain 2 is decommissioned: only the live domains materialize
@@ -773,16 +778,24 @@ object Durability {
       while (progressed) {
         progressed = false
         // source classes, per Balancer.java's pairing: over-threshold
-        // domains always shed; when none is over but a receiver is
-        // still UNDER-threshold, above-average domains serve it
-        // (over→under, over→belowAvg, aboveAvg→under)
+        // domains always shed (over→under, over→belowAvg); whenever a
+        // receiver is still UNDER-threshold, above-average domains
+        // also serve it (aboveAvg→under) — even while an over domain
+        // exists, so a wide block pinned on the over domain cannot
+        // starve an under-threshold receiver of reachable donors
         val over = (0 until nDoms).filter(i => u(i) - mean > tol)
-        val srcs = (if (over.nonEmpty) over
-                    else if ((0 until nDoms).exists(i => mean - u(i) > tol))
-                      (0 until nDoms).filter(i => u(i) > mean)
-                    else Seq.empty)
-          .sortBy(i => (-u(i), i))
-        srcs.find(budget(_) > 0).foreach { src =>
+        val aboveAvg =
+          if ((0 until nDoms).exists(i => mean - u(i) > tol))
+            (0 until nDoms).filter(i => u(i) > mean && !(u(i) - mean > tol))
+          else Seq.empty
+        val srcs = (over ++ aboveAvg).sortBy(i => (-u(i), i))
+        // try EVERY budgeted source until one yields a legal move —
+        // a first-source-only pass would declare the cluster stuck
+        // while a lower-ranked source still had legal work (a wide
+        // block pinned on the top source must not block the others)
+        val it = srcs.iterator.filter(budget(_) > 0)
+        while (!progressed && it.hasNext) {
+          val src = it.next()
           val dst = (0 until nDoms).filter(_ != src).minBy(i => (u(i), i))
           pl(src).sortBy(b => (-weight(b), b)).find { b =>
             val w = weight(b)
@@ -869,10 +882,10 @@ object Durability {
     require(finalPl.values.map(_.size).sum == NBlocks, "blocks must be conserved")
     require(moves <= 10 * doms.size, s"runaway move count $moves")
     // content audit: ONE read over the union of final block locations
+    // (groupChecksum with no group columns = global n_rows + checksum)
     val paths = finalPl.toSeq.flatMap { case (i, bs) => bs.map(b => s"${domDir(i)}/b$b") }
-    val audit = s.read.parquet(paths: _*)
-      .agg(count(lit(1)).as("n"),
-        (sum(GraftHash.charHash(col("text"))) % GraftHash.P).as("ck"))
+    val audit = graft.api.Graft.lake
+      .groupChecksum(s.read.parquet(paths: _*), "text")
       .collect().head
     require(audit.getLong(0) == totalDocs, "balancer lost rows")
     import s.implicits._

@@ -462,7 +462,8 @@ object Namespace {
       .write.partitionBy("m").parquet(s"$dir/_stage")
     (0 until 4).foreach { i =>
       fs.mkdirs(p(s"$dir/data"))
-      fs.rename(p(s"$dir/_stage/m=$i"), p(s"$dir/data/m$i"))
+      require(fs.rename(p(s"$dir/_stage/m=$i"), p(s"$dir/data/m$i")),
+        s"staging slice m=$i missing or rename failed")
       CommitLog.commit(fs, dir, ts = 1000L * (i + 1),
         adds = Seq(s"data/m$i"), removes = Nil)
     }
@@ -541,8 +542,8 @@ object Namespace {
     val dir = Lake.scratch("image_report_orders")
     fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     val o = Tables.orders(s, d)
-    val lo = Seq(0, 1, 3, 7); val hi = Seq(1, 3, 7, 15)
-    // one partitioned write lays down the four entries, commits are
+    // one partitioned write lays down the four entries (geometric
+    // mod-15 residue ranges [0,1) [1,3) [3,7) [7,15)), commits are
     // metadata renames (the ceremony job diet)
     o.withColumn("j", when(col("o_orderkey") % 15 < 1, 0)
         .when(col("o_orderkey") % 15 < 3, 1)
@@ -550,8 +551,9 @@ object Namespace {
       .write.partitionBy("j").parquet(s"$dir/_stage")
     (0 until 4).foreach { i =>
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/data"))
-      fs.rename(new org.apache.hadoop.fs.Path(s"$dir/_stage/j=$i"),
-        new org.apache.hadoop.fs.Path(s"$dir/data/e$i"))
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/_stage/j=$i"),
+        new org.apache.hadoop.fs.Path(s"$dir/data/e$i")),
+        s"staging slice j=$i missing or rename failed")
       CommitLog.commit(fs, dir, ts = 1000L * (i + 1),
         adds = Seq(s"data/e$i"), removes = Nil)
     }

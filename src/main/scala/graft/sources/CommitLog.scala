@@ -253,18 +253,24 @@ object CommitLog {
   def reportVerified(spark: SparkSession, tableDir: String,
                      relPaths: Seq[String]): (Int, Int, Boolean) = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    if (safeMode(fs, tableDir).isEmpty)
-      return (0, activeFiles(fs, tableDir).size, false)
+    val pre = safeMode(fs, tableDir).getOrElse(
+      return (0, activeFiles(fs, tableDir).size, false))
     val active = activeFiles(fs, tableDir)
     // the actual read — a corrupt footer throws here and the file
-    // simply never joins the verified set. Runs OUTSIDE the lock:
-    // it is the only cluster work in a report.
+    // simply never joins the verified set. Runs OUTSIDE the lock: it
+    // is the only cluster work in a report. Files the PRE-READ marker
+    // already records skip the read (a re-reported full active set
+    // must not re-pay O(files) verification I/O every cadence); the
+    // lock-protected fold below still merges against the CURRENT
+    // marker, so a concurrent reporter's progress is never lost.
     val ok = relPaths.filter(active.contains).filter { rel =>
-      // footer failures surface as different exception types per
-      // phase (schema inference vs scan) — any failure means
-      // unverified, never an op abort
-      try { spark.read.parquet(resolve(tableDir, rel)).count() >= 0L }
-      catch { case scala.util.control.NonFatal(_) => false }
+      pre.verified.contains(rel) || {
+        // footer failures surface as different exception types per
+        // phase (schema inference vs scan) — any failure means
+        // unverified, never an op abort
+        try { spark.read.parquet(resolve(tableDir, rel)).count() >= 0L }
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
     }
     val lock = safeModeLocks.computeIfAbsent(tableDir, _ => new Object)
     lock.synchronized {

@@ -485,5 +485,24 @@ class DurabilitySpec extends SparkSpec {
       Map(0 -> Seq(0), 1 -> Seq.empty, 2 -> Seq.empty),
       Map(0 -> 900L), nDoms = 3, tol = 90.0, maxIter = 40)
     assert(stuckPlan.isEmpty)
+    // a wide block PINNED on the top source must not block other
+    // sources' legal moves (review finding: a first-source-only pass
+    // declared this cluster stuck): dom0 holds one immovable 500,
+    // dom1 holds five movable 100s, dom2 is empty — dom1 -> dom2
+    // moves must still happen and land every movable-weight domain
+    // inside the tolerance
+    val pinned = graft.operators.Durability.planBalancerMoves(
+      Map(0 -> Seq(0), 1 -> (1 to 5), 2 -> Seq.empty),
+      Map(0 -> 500L) ++ (1 to 5).map(_ -> 100L).toMap,
+      nDoms = 3, tol = 100.0, maxIter = 40)
+    assert(pinned.nonEmpty, "other sources must keep moving around a pinned block")
+    assert(pinned.forall { case (b, src, dst) => src == 1 && dst == 2 && b >= 1 },
+      s"only dom1 -> dom2 moves are legal here, got $pinned")
+    // mean 333.3, tol 100: full balance is structurally impossible
+    // (the pinned 500 keeps dom0 at +166 forever) — the planner's
+    // maximal reachable state is two 100-moves: dom1 at 300 is then
+    // below average and, per the reference's classes, never a source.
+    // One move per iteration (the per-iteration threshold budget).
+    assert(pinned.size == 2, s"expected the two reachable moves, got $pinned")
   }
 }

@@ -88,6 +88,14 @@ def main():
                 continue  # historical floor measures a retired ceremony
             if q not in best or t < best[q]:
                 best[q], src[q] = t, tag
+    # a STALE_FLOORS query with NO fresh sample would silently vanish
+    # from the floors file (deflating totals and disabling its
+    # remeasure trigger) — surface that loudly instead
+    for q in STALE_FLOORS:
+        if q not in best:
+            print(f"WARNING: {q} is in STALE_FLOORS but no fresh run "
+                  f"provided a sample — it will be MISSING from "
+                  f"docs/bench_best.json (pass a fresh bench_full.json)")
     total = round(sum(best.values()), 3)
     out = {
         "metric": "best_of_runs_total", "value": total, "unit": "sec",
