@@ -630,8 +630,55 @@ object Analytics {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** MARKET-BASKET PAIR SUPPORT — the co-occurrence census behind
+    * frequent-itemset mining (Apriori's k=2 pass, recommendation
+    * co-views, "parts ordered together"): for every unordered pair of
+    * parts appearing in the same order, its support count, kept where
+    * support ≥ 2, top 100 by support.
+    *
+    * The scalable shape is NOT a self-join of line items on order key
+    * (that shuffles the fact table twice and re-partitions the
+    * whole corpus on a key it only needs locally): ONE hash aggregate
+    * groups the items of each order into an array, then pair
+    * expansion is a ROW-LOCAL double lateral explode with a < guard —
+    * per-order work is C(items,2), bounded by the basket size (≤7
+    * items in this schema, ≤21 pairs), so total pair volume is
+    * O(corpus · basket), never O(corpus²). The only corpus-wide
+    * shuffles are the order-key aggregate and the (a,b) support
+    * count — both map-side combinable. The final top-100 is a
+    * TakeOrdered over the (already heavily aggregated) pair frame,
+    * not a global sort of the corpus. Ties broken (support DESC,
+    * part_a, part_b) identically on both engines. */
+  val qItemsetPairs: GraftQuery = GraftQuery.sql(
+    "q_itemset_pairs",
+    """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
+      |            FROM lineitem),
+      |pr AS (SELECT a.pkey AS part_a, b.pkey AS part_b
+      |       FROM op a JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey)
+      |SELECT part_a, part_b, COUNT(*) AS support
+      |FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |ORDER BY support DESC, part_a, part_b LIMIT 100""".stripMargin
+  ) { (s, d) =>
+    val baskets = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+      .groupBy(col("okey"))
+      .agg(collect_set(col("pkey")).as("parts"))
+    // Row-local pair expansion: explode × explode with a < guard, no
+    // second shuffle of the corpus.
+    baskets
+      .select(explode(col("parts")).as("part_a"), col("parts"))
+      .select(col("part_a"), explode(col("parts")).as("part_b"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qBloomJoin, qMvIncremental, tsResample, dEditDistance,
     qParetoFrontier, stLatenessAudit, gPagerank, qWindowPercentile,
-    tsAnomaly, tsBaselineAnomaly, tsSeasonality, tsChangepoint)
+    tsAnomaly, tsBaselineAnomaly, tsSeasonality, tsChangepoint,
+    qItemsetPairs)
 }

@@ -322,7 +322,60 @@ object Insights {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** CUMULATIVE DISTINCT USERS — the daily "total users ever seen"
+    * growth curve (the audience-growth dashboard number, and the
+    * coverage curve a crawl/corpus acquisition pipeline tracks per
+    * ingestion day). A naive formulation — COUNT(DISTINCT user) over
+    * an expanding window — re-scans the full history per day and
+    * shuffles every (day, user) pair to one place; at 100 TB it is a
+    * quadratic non-starter, and Spark (correctly) refuses DISTINCT
+    * aggregates over running frames anyway. The scalable identity:
+    * a user joins the cumulative set exactly once, on MIN(day), so
+    *   cum_users(d) = Σ_{d' ≤ d} new_users(d')
+    * — one hash aggregate per user (map-side partial), one per-day
+    * rollup, and a running sum over the DAY axis only. The corpus
+    * shuffles once on user_id; the window runs over ~365 rows/year
+    * regardless of corpus size (bounded-class unpartitioned frame —
+    * day-count rows, adjudicated safe). Daily actives ride the same
+    * per-(day,user) pre-aggregate. All integer epoch-day arithmetic. */
+  val qCumulativeDistinct: GraftQuery = GraftQuery.sql(
+    "q_cumulative_distinct",
+    """WITH du AS (
+      |  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS dy, user_id
+      |  FROM events GROUP BY 1, 2),
+      |fu AS (SELECT user_id, MIN(dy) AS first_dy FROM du GROUP BY 1),
+      |nd AS (SELECT first_dy AS dy, COUNT(*) AS new_users FROM fu GROUP BY 1),
+      |ad AS (SELECT dy, COUNT(*) AS active_users FROM du GROUP BY 1)
+      |SELECT ad.dy AS dy, CAST(ad.active_users AS BIGINT) AS active_users,
+      |  CAST(COALESCE(nd.new_users, 0) AS BIGINT) AS new_users,
+      |  CAST(SUM(COALESCE(nd.new_users, 0)) OVER (ORDER BY ad.dy
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      |FROM ad LEFT JOIN nd ON ad.dy = nd.dy
+      |ORDER BY dy""".stripMargin
+  ) { (s, d) =>
+    // ONE corpus scan: dedup to (day, user), then a user-partitioned
+    // window marks each user's first-touch row in place — the naive
+    // two-branch form (separate first-touch and daily-active
+    // aggregates over the same distinct frame) re-scans the corpus
+    // once per branch; this plan pays the scan once and both counters
+    // fall out of a single day rollup.
+    val du = Tables.events(s, d)
+      .select(expr("cast(ts as long) div 86400").as("dy"), col("user_id"))
+      .distinct()
+    val perUser = Window.partitionBy(col("user_id"))
+    // Day-axis running sum: unpartitioned frame over day-count rows
+    // (bounded class — one row per calendar day, not per event).
+    val wDay = Window.orderBy(col("dy")).rowsBetween(Window.unboundedPreceding, 0)
+    du.withColumn("is_new",
+        when(col("dy") === min(col("dy")).over(perUser), 1L).otherwise(0L))
+      .groupBy(col("dy"))
+      .agg(count(lit(1)).as("active_users"), sum(col("is_new")).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(wDay))
+      .select(col("dy"), col("active_users"), col("new_users"), col("cum_users"))
+      .orderBy(col("dy"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     lakeSnapshotDiff, qFunnel, qRetentionCohorts, qEventTransitions,
-    tVocabCoverage, qScd2, qGapsIslands, qSessionize)
+    tVocabCoverage, qScd2, qGapsIslands, qSessionize, qCumulativeDistinct)
 }

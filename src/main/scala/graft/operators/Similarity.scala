@@ -1384,9 +1384,74 @@ object Similarity {
       .orderBy(col("hop"))
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT over the mutual k-NN graph — the
+    * per-node tightness score downstream curation ranks on (a node
+    * whose reciprocal neighbors are themselves reciprocal neighbors
+    * sits in a dense semantic knot — near-dup risk, low marginal
+    * value for training; a low-coefficient node is a bridge/outlier —
+    * diversity signal). Classic definition c(v) = 2·T(v) / (deg(v)·
+    * (deg(v)−1)), reported in integer PER-MILLE via floor division —
+    * both engines compute ⌊2000·T / (deg·(deg−1))⌋ on exact integers,
+    * no floating point. Triangle incidence reuses the SAME wedge-join
+    * census as g_knn_triangles (each triangle credits its 3 corners
+    * via a row-local array explode — no extra joins), degrees are one
+    * groupBy over the edge endpoints, and every edge is cell-local by
+    * construction, so per-node work is bounded by the ~constant cell
+    * population at any corpus size. Nodes with deg < 2 (coefficient
+    * undefined) are excluded on both engines. */
+  val gKnnClusteringCoeff: GraftQuery = GraftQuery.sql(
+    "g_knn_clustering_coeff",
+    s"""WITH $corpusSql,
+       |$knnCtesSql,
+       |me AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |       FROM knn GROUP BY 1, 2 HAVING COUNT(*) = 2),
+       |dg AS (SELECT node, COUNT(*) AS deg FROM (
+       |         SELECT a AS node FROM me UNION ALL SELECT b AS node FROM me)
+       |       GROUP BY 1),
+       |tr AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |       FROM me e1 JOIN me e2 ON e1.b = e2.a
+       |                  JOIN me e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |tn AS (SELECT node, COUNT(*) AS n_tri FROM (
+       |         SELECT x AS node FROM tr UNION ALL SELECT y FROM tr
+       |         UNION ALL SELECT z FROM tr)
+       |       GROUP BY 1)
+       |SELECT dg.node AS node, MAX(cl.cid) AS cid,
+       |  CAST(dg.deg AS BIGINT) AS deg,
+       |  CAST(COALESCE(MAX(tn.n_tri), 0) AS BIGINT) AS n_tri,
+       |  CAST((2000 * COALESCE(MAX(tn.n_tri), 0)) //
+       |       (dg.deg * (dg.deg - 1)) AS BIGINT) AS coeff_pm
+       |FROM dg JOIN cl ON dg.node = cl.vec_id
+       |        LEFT JOIN tn ON dg.node = tn.node
+       |WHERE dg.deg >= 2
+       |GROUP BY dg.node, dg.deg
+       |ORDER BY node""".stripMargin
+  ) { (s, d) =>
+    val me = knnMutual(s, d).filter(col("n_dir") === 2)
+      .select(col("a"), col("b"))
+    val dg = me.select(col("a").as("node"))
+      .union(me.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val e2 = me.select(col("a").as("wa"), col("b").as("wb"))
+    val e3 = me.select(col("a").as("ca"), col("b").as("cb"))
+    // Each triangle credits its three corners row-locally.
+    val tn = me.join(e2, col("b") === col("wa"))
+      .join(e3, col("a") === col("ca") && col("wb") === col("cb"))
+      .select(explode(array(col("a"), col("b"), col("wb"))).as("tnode"))
+      .groupBy(col("tnode")).agg(count(lit(1)).as("n_tri"))
+    val cid = knnDirected(s, d)._1.select(col("vec_id").as("cnode"), col("cid"))
+    dg.filter(col("deg") >= 2)
+      .join(tn, col("node") === col("tnode"), "left")
+      .join(cid, col("node") === col("cnode"))
+      .select(col("node"), col("cid"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coeff_pm", expr("(2000 * n_tri) div (deg * (deg - 1))"))
+      .orderBy(col("node"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnIvfPartitioned,
       sAnnPq, sAnnRerank, sHybridRrf, sAnnRecall, sAnnFiltered,
       sKmeans, sKmeansLoop, dSemdedup, sIndexScoreboard, sKnnGraph,
-      gKnnTriangles, gKnnComponents, gKnnHops, sAnnIvfSq8)
+      gKnnTriangles, gKnnComponents, gKnnHops, sAnnIvfSq8,
+      gKnnClusteringCoeff)
 }

@@ -105,6 +105,61 @@ object Streaming {
       .orderBy(col("user_id"))
   }
 
+  /** Per-key per-window admission cap for st_rate_limit. */
+  val RateLimitN = 5
+
+  /** PER-KEY RATE LIMIT — the admission-control primitive in front of
+    * any ingest pipeline (API quota enforcement, per-user event
+    * throttling, bot damping before corpus ingestion): within each
+    * (user, 1-hour window), the first RateLimitN events by
+    * (ts, event_id) arrival order are admitted, the rest dropped.
+    * This batch query is the replay truth the streaming form
+    * (StreamingOps.rateLimitStream, flatMapGroupsWithState keeping
+    * ONLY a counter + last-admitted id per live key) must converge
+    * to — the streaming state is O(active keys), never O(events).
+    *
+    * Batch shape: one shuffle on (user, window), then BOTH window
+    * functions (arrival rank, group size) share the single partition
+    * spec — one sort, no second shuffle; the aggregate that follows
+    * reuses the same partitioning. last_admitted is derived row-local
+    * (the event at rank LEAST(n, cap)) — no max_by/arg_max, whose
+    * null-handling differs across engines. */
+  val stRateLimit: GraftQuery = GraftQuery.sql(
+    "st_rate_limit",
+    s"""WITH e AS (
+       |  SELECT user_id, date_trunc('hour', ts) AS window_start, ts, event_id
+       |  FROM events),
+       |r AS (SELECT user_id, window_start, event_id,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, window_start
+       |                       ORDER BY ts, event_id) AS rk,
+       |    COUNT(*) OVER (PARTITION BY user_id, window_start) AS n
+       |  FROM e)
+       |SELECT user_id, window_start, COUNT(*) AS n_total,
+       |  CAST(LEAST(COUNT(*), $RateLimitN) AS BIGINT) AS n_kept,
+       |  CAST(COUNT(*) - LEAST(COUNT(*), $RateLimitN) AS BIGINT) AS n_dropped,
+       |  MAX(CASE WHEN rk = LEAST(n, $RateLimitN) THEN event_id END) AS last_admitted
+       |FROM r GROUP BY user_id, window_start
+       |ORDER BY user_id, window_start""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(col("user_id"), col("window_start"))
+    val w = part.orderBy(col("ts"), col("event_id"))
+    val cnt = part.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("window_start"),
+        col("ts"), col("event_id"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cnt))
+      .groupBy(col("user_id"), col("window_start"))
+      .agg(count(lit(1)).as("n_total"),
+        least(count(lit(1)), lit(RateLimitN.toLong)).as("n_kept"),
+        (count(lit(1)) - least(count(lit(1)), lit(RateLimitN.toLong))).as("n_dropped"),
+        max(when(col("rk") === least(col("n"), lit(RateLimitN.toLong)),
+          col("event_id"))).as("last_admitted"))
+      .orderBy(col("user_id"), col("window_start"))
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(stTumblingWindow, stSessionWindow, stHoppingWindow, stCdcUpsert)
+    Seq(stTumblingWindow, stSessionWindow, stHoppingWindow, stCdcUpsert,
+      stRateLimit)
 }

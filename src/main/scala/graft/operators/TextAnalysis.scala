@@ -739,9 +739,79 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** GOPHER QUALITY RULES (Rae et al. 2021 §A.1.1, the published
+    * ruleset MassiveText filtered with — the standard companion to
+    * the C4 rules t_c4_filter applies): per document,
+    *   1. word count within [50, 100000]
+    *   2. symbol-to-word ratio ("#" or "...") ≤ 1/10
+    *   3. ≥ 80% of words contain an alphabetic character
+    *   4. at least 2 distinct stop words present
+    * reported as per-source violation counts plus the kept count —
+    * the per-provider quality scoreboard a corpus acquisition
+    * pipeline reviews before admitting a source.
+    *
+    * Every ratio is CROSS-MULTIPLIED into integer arithmetic
+    * (10·n_sym > n_tok; 5·n_alpha < 4·n_tok) — no division, exact on
+    * both engines. One corpus scan, all rule counters are row-local
+    * higher-order-function folds over the one materialized token
+    * array (split once per row — HOFs re-evaluate lambda-captured
+    * expressions, so the array is projected first), then one
+    * source-keyed hash aggregate: map-side combinable, nothing but
+    * per-source partials shuffles, embarrassingly parallel at 100 TB. */
+  val tGopherFilter: GraftQuery = {
+    val stops = sqlList(StopWords)
+    GraftQuery.sql(
+      "t_gopher_filter",
+      s"""WITH f AS (
+         |  SELECT source,
+         |    len(t) AS n_tok,
+         |    len(list_filter(t, w -> w LIKE '%#%' OR w LIKE '%...%')) AS n_sym,
+         |    len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha,
+         |    len(list_distinct(list_filter(t, w -> w IN $stops))) AS n_stop
+         |  FROM (SELECT source, string_split(text, ' ') AS t FROM documents)),
+         |r AS (SELECT source,
+         |    CASE WHEN n_tok < 50 OR n_tok > 100000 THEN 1 ELSE 0 END AS f_wc,
+         |    CASE WHEN 10 * n_sym > n_tok THEN 1 ELSE 0 END AS f_sym,
+         |    CASE WHEN 5 * n_alpha < 4 * n_tok THEN 1 ELSE 0 END AS f_alpha,
+         |    CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS f_stop
+         |  FROM f)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(f_wc) AS BIGINT) AS n_bad_wordcount,
+         |  CAST(SUM(f_sym) AS BIGINT) AS n_bad_symbol,
+         |  CAST(SUM(f_alpha) AS BIGINT) AS n_bad_alpha,
+         |  CAST(SUM(f_stop) AS BIGINT) AS n_bad_stopword,
+         |  CAST(SUM(CASE WHEN f_wc + f_sym + f_alpha + f_stop = 0
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM r GROUP BY source ORDER BY source""".stripMargin
+    ) { (s, d) =>
+      val t = col("t")
+      val f = Tables.documents(s, d)
+        .select(col("source"), split(col("text"), " ", -1).as("t"))
+        .select(col("source"),
+          size(t).as("n_tok"),
+          size(filter(t, w => w.contains("#") || w.contains("..."))).as("n_sym"),
+          size(filter(t, w => w.rlike("[a-zA-Z]"))).as("n_alpha"),
+          size(array_distinct(filter(t, w => w.isin(StopWords: _*)))).as("n_stop"))
+      val r = f.select(col("source"),
+        when(col("n_tok") < 50 || col("n_tok") > 100000, 1).otherwise(0).as("f_wc"),
+        when(col("n_sym") * 10 > col("n_tok"), 1).otherwise(0).as("f_sym"),
+        when(col("n_alpha") * 5 < col("n_tok") * 4, 1).otherwise(0).as("f_alpha"),
+        when(col("n_stop") < 2, 1).otherwise(0).as("f_stop"))
+      r.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("f_wc")).as("n_bad_wordcount"),
+          sum(col("f_sym")).as("n_bad_symbol"),
+          sum(col("f_alpha")).as("n_bad_alpha"),
+          sum(col("f_stop")).as("n_bad_stopword"),
+          sum(when(col("f_wc") + col("f_sym") + col("f_alpha") + col("f_stop") === 0, 1)
+            .otherwise(0)).as("n_kept"))
+        .orderBy(col("source"))
+    }
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tTokenCount, tQualityScore, tLangId, tFingerprint, tNgramFreq,
       tFluencyScore, tLangGini, tPiiScrub, tLangRebalance,
       tRepetitionFilter, tC4Filter, tStratifiedSample, tSeqPack,
-      tBpePairs, tShuffleShard, tDatasetCard)
+      tBpePairs, tShuffleShard, tDatasetCard, tGopherFilter)
 }

@@ -156,6 +156,45 @@ object StreamingOps {
       .toDF()
   }
 
+  case class RateState(n: Long, lastAdmitted: Long)
+  case class RateOut(user_id: Long, window_start: java.sql.Timestamp,
+                     n_total: Long, n_kept: Long, n_dropped: Long,
+                     last_admitted: Long)
+
+  /** Streaming per-key rate limiter (streaming form of st_rate_limit):
+    * per (user, 1h window) the state is ONLY an arrival counter plus
+    * the last admitted event id — O(active keys), never O(events) —
+    * and each micro-batch emits the key's cumulative admission row
+    * (update mode; the final row per key is the batch truth, the
+    * latenessProfile spec discipline). Events within a micro-batch
+    * fold in (ts, event_id) order, so feeding time-ordered batches
+    * converges EXACTLY under any chunking. Production would add an
+    * event-time timeout to expire closed windows (state GC);
+    * NoTimeout here keeps replay deterministic for the spec. */
+  def rateLimitStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cap = graft.operators.Streaming.RateLimitN.toLong
+    val hourMicros = 3600L * 1000000
+    events.as[Ev]
+      .groupByKey(e => (e.user_id, tsToMicros(e.ts) / hourMicros))
+      .mapGroupsWithState[RateState, RateOut](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case ((uid, hr), evs, state) =>
+          val s0 = state.getOption.getOrElse(RateState(0L, -1L))
+          val ordered = evs.toSeq.sortBy(e => (tsToMicros(e.ts), e.event_id))
+          val s1 = ordered.foldLeft(s0) { (st, e) =>
+            val n = st.n + 1
+            RateState(n, if (n <= cap) e.event_id else st.lastAdmitted)
+          }
+          state.update(s1)
+          val kept = math.min(s1.n, cap)
+          RateOut(uid, microsToTs(hr * hourMicros), s1.n, kept,
+            s1.n - kept, s1.lastAdmitted)
+      }
+      .toDF()
+  }
+
   /** Streaming dedup: first event per (user_id, event_type), state
     * bounded by the watermark (st_stream_dedup's batch truth counts
     * all events; the streaming form keeps the first arrival per key). */

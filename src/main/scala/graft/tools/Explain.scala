@@ -74,7 +74,12 @@ object Explain {
     // round-10 additions: the balancer contract, the trash lifecycle,
     // batch sessionization, and the LSH band-config scoreboard
     "lake_balancer", "lake_trash", "q_sessionize", "d_lsh_recall",
-    "lake_image_report", "t_dataset_card")
+    "lake_image_report", "t_dataset_card",
+    // round-10 continued: basket pairs, audience growth, the Gopher
+    // rule gate, the clustering-coefficient graph signal, and the
+    // admission-control batch truth
+    "q_itemset_pairs", "q_cumulative_distinct", "t_gopher_filter",
+    "g_knn_clustering_coeff", "st_rate_limit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -596,4 +596,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r8.getAs[Long]("n_recalled") == prod,
       s"8x4 recalled ${r8.getAs[Long]("n_recalled")} but d_minhash_lsh verified $prod")
   }
+
+  test("knn clustering coefficient equals a driver-side recount of the edge set") {
+    val rows = Similarity.gKnnClusteringCoeff.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val edges = Similarity.sKnnGraph.fn(spark, sfDir).collect()
+      .filter(_.getAs[Long]("mutual") == 1L)
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val nbrs = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val want = nbrs.collect { case (v, ns) if ns.size >= 2 =>
+      val t = ns.toSeq.combinations(2).count { case Seq(x, y) =>
+        edges.contains((math.min(x, y), math.max(x, y)))
+      case _ => false
+      }
+      v -> (ns.size.toLong, t.toLong,
+        2000L * t / (ns.size.toLong * (ns.size.toLong - 1)))
+    }
+    val got = rows.map(r => r.getAs[Long]("node") ->
+      (r.getAs[Long]("deg"), r.getAs[Long]("n_tri"), r.getAs[Long]("coeff_pm"))).toMap
+    assert(got == want,
+      s"diff=${want.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(3)}")
+    rows.foreach(r => assert(r.getAs[Long]("coeff_pm") >= 0L &&
+      r.getAs[Long]("coeff_pm") <= 1000L))
+  }
 }

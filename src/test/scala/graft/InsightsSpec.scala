@@ -104,4 +104,24 @@ class InsightsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_islands") >= 1)
     }
   }
+
+  test("cumulative distinct: running total reconciles with distinct-user recounts") {
+    val rows = Insights.qCumulativeDistinct.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val cum = rows.map(_.getAs[Long]("cum_users"))
+    assert(cum.sliding(2).forall { case Array(x, y) => x <= y; case _ => true },
+      "cumulative count must be non-decreasing")
+    val totalUsers = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(cum.last == totalUsers, s"final cum ${cum.last} != distinct users $totalUsers")
+    assert(rows.map(_.getAs[Long]("new_users")).sum == totalUsers)
+    val actives = Tables.events(spark, sfDir)
+      .select(expr("cast(ts as long) div 86400").as("dy"), col("user_id")).distinct()
+      .groupBy("dy").count().collect()
+      .map(r => r.getAs[Long]("dy") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val dy = r.getAs[Long]("dy")
+      assert(r.getAs[Long]("active_users") == actives(dy))
+      assert(r.getAs[Long]("active_users") <= r.getAs[Long]("cum_users"))
+    }
+  }
 }

@@ -352,4 +352,26 @@ class LayoutAnalyticsSpec extends SparkSpec {
       assert(last.getAs[Long]("sign") == 0L && last.getAs[Long]("dev_pm") == 0L)
     }
   }
+
+  test("itemset pairs: canonical ordering holds and the top pair's support recounts") {
+    val rows = Analytics.qItemsetPairs.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val sup = rows.map(_.getAs[Long]("support"))
+    assert(sup.sliding(2).forall { case Array(x, y) => x >= y; case _ => true },
+      "support must be non-increasing")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("support") >= 2L)
+      assert(r.getAs[Long]("part_a") < r.getAs[Long]("part_b"),
+        "pairs must be canonical a<b")
+    }
+    // recount the top pair's support directly: orders containing both parts
+    val top = rows.head
+    val (pa, pb) = (top.getAs[Long]("part_a"), top.getAs[Long]("part_b"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val n = li.filter(col("l_partkey") === pa).select("l_orderkey")
+      .intersect(li.filter(col("l_partkey") === pb).select("l_orderkey"))
+      .count()
+    assert(n == top.getAs[Long]("support"), s"pair ($pa,$pb): recount $n")
+  }
 }

@@ -521,4 +521,39 @@ class StreamingSpec extends SparkSpec {
           s"diff=${want.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(3)}")
     }
   }
+
+  test("streaming rate limiter converges to the batch admission truth exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ordered = loadEvents().sortBy(e => (StreamingOps.tsToMicros(e.ts), e.event_id))
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.rateLimitStream(stream.toDF()).writeStream
+      .format("memory").queryName("ratelimit_sink").outputMode("update").start()
+    try {
+      ordered.grouped(1300).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // counters are cumulative per key: the max struct (led by the
+    // strictly-growing n_total) is the final row per key
+    val got = spark.table("ratelimit_sink")
+      .groupBy(col("user_id"), col("window_start"))
+      .agg(max(struct(col("n_total"), col("n_kept"), col("n_dropped"),
+        col("last_admitted"))).as("s"))
+      .collect().map { r =>
+        val s = r.getStruct(2)
+        (r.getLong(0), r.getTimestamp(1)) ->
+          (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
+      }.toMap
+    val want = Streaming.stRateLimit.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("window_start")) ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_dropped"), r.getAs[Long]("last_admitted"))).toMap
+    assert(got == want,
+      s"missing=${(want.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- want.keySet).take(3)} " +
+        s"diff=${want.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(3)}")
+  }
 }

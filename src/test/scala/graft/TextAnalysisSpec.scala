@@ -182,4 +182,29 @@ class TextAnalysisSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[String]("top_lang") ==
       direct(r.getAs[String]("source"))))
   }
+
+  test("gopher filter: totals conserve and two rules recount for one source") {
+    val rows = TextAnalysis.tGopherFilter.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      val viol = r.getAs[Long]("n_bad_wordcount") + r.getAs[Long]("n_bad_symbol") +
+        r.getAs[Long]("n_bad_alpha") + r.getAs[Long]("n_bad_stopword")
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      // inclusion-exclusion lower bound: kept >= docs - sum of violations
+      assert(r.getAs[Long]("n_kept") >= r.getAs[Long]("n_docs") - viol)
+    }
+    // driver recount of the word-count and stop-word rules on one source
+    val src = rows.head.getAs[String]("source")
+    val texts = Tables.documents(spark, sfDir).filter(col("source") === src)
+      .select("text").collect().map(_.getString(0))
+    val wc = texts.count { t =>
+      val n = t.split(" ", -1).length; n < 50 || n > 100000
+    }
+    assert(rows.head.getAs[Long]("n_bad_wordcount") == wc.toLong)
+    val stops = TextAnalysis.StopWords.toSet
+    val sw = texts.count(t => t.split(" ", -1).iterator.filter(stops).toSet.size < 2)
+    assert(rows.head.getAs[Long]("n_bad_stopword") == sw.toLong)
+  }
 }
