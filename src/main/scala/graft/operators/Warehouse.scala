@@ -235,7 +235,72 @@ object Warehouse {
       .orderBy(col("status"))
   }
 
+  /** RFM CUSTOMER SEGMENTATION — the classic warehouse marketing
+    * segmentation (recency / frequency / monetary quintiles +
+    * rule-based segment labels): per customer, days-since-epoch of
+    * the last order, order count, and exact-decimal lifetime spend,
+    * each scored 1–5 by NTILE over a deterministic total order
+    * (metric, custkey — both engines' NTILE splits n rows into k
+    * buckets with the first n mod k buckets one longer, so identical
+    * orders give identical buckets bit-for-bit).
+    *
+    * Scale shape: the corpus-sized work is ONE map-side-combinable
+    * aggregate over orders; the NTILE windows run over the CUSTOMER
+    * frame (dimension-sized, orders-of-magnitude smaller than the
+    * fact table). The three unpartitioned windows are
+    * customer-proportional global sorts — adjudicated: at 100 TB the
+    * exact quintile cut over a billion-customer frame would swap for
+    * approx_percentile boundaries + a broadcast bucket join; the
+    * segmentation semantics (and this query's contract) are
+    * unchanged. All arithmetic integer/decimal (Parity discipline). */
+  val qRfmSegmentation: GraftQuery = GraftQuery.sql(
+    "q_rfm_segmentation",
+    s"""WITH c AS (
+       |  SELECT o_custkey AS custkey,
+       |    MAX(CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400) AS last_day,
+       |    COUNT(*) AS frequency,
+       |    ${sumMSql("o_totalprice")} AS monetary
+       |  FROM orders GROUP BY 1),
+       |sc AS (
+       |  SELECT *,
+       |    CAST(NTILE(5) OVER (ORDER BY last_day, custkey) AS BIGINT) AS r_score,
+       |    CAST(NTILE(5) OVER (ORDER BY frequency, custkey) AS BIGINT) AS f_score,
+       |    CAST(NTILE(5) OVER (ORDER BY monetary, custkey) AS BIGINT) AS m_score
+       |  FROM c)
+       |SELECT custkey, last_day, frequency, monetary,
+       |  r_score, f_score, m_score,
+       |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+       |       WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+       |       WHEN r_score >= 4 AND f_score <= 2 THEN 'recent'
+       |       ELSE 'regular' END AS segment
+       |FROM sc ORDER BY custkey""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("custkey"))
+      // o_orderdate reads as TIMESTAMP_NTZ; session tz is pinned UTC,
+      // so the NTZ→timestamp cast is epoch-exact before the long cast.
+      .agg(max(expr("cast(cast(o_orderdate as timestamp) as long) div 86400"))
+          .as("last_day"),
+        count(lit(1)).as("frequency"),
+        sumM(col("o_totalprice")).as("monetary"))
+    val wr = Window.orderBy(col("last_day"), col("custkey"))
+    val wf = Window.orderBy(col("frequency"), col("custkey"))
+    val wm = Window.orderBy(col("monetary"), col("custkey"))
+    val r = col("r_score"); val f = col("f_score"); val mm = col("m_score")
+    cust
+      .withColumn("r_score", ntile(5).over(wr).cast("long"))
+      .withColumn("f_score", ntile(5).over(wf).cast("long"))
+      .withColumn("m_score", ntile(5).over(wm).cast("long"))
+      .withColumn("segment",
+        when(r >= 4 && f >= 4 && mm >= 4, "champion")
+          .when(r <= 2 && f >= 4, "at_risk")
+          .when(r >= 4 && f <= 2, "recent")
+          .otherwise("regular"))
+      .orderBy(col("custkey"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q4LateOrders, q7VolumeShipping, q8MarketShare, q9Profit,
-    lakeBucketedJoin, lakeMerge)
+    lakeBucketedJoin, lakeMerge, qRfmSegmentation)
 }

@@ -79,7 +79,7 @@ object Explain {
     // rule gate, the clustering-coefficient graph signal, and the
     // admission-control batch truth
     "q_itemset_pairs", "q_cumulative_distinct", "t_gopher_filter",
-    "g_knn_clustering_coeff", "st_rate_limit")
+    "g_knn_clustering_coeff", "st_rate_limit", "q_rfm_segmentation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

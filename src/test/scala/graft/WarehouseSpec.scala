@@ -151,4 +151,36 @@ class WarehouseSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
+
+  test("rfm segmentation: quintiles balanced, labels consistent, spend recounts") {
+    val rows = Warehouse.qRfmSegmentation.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    // NTILE(5) balance: bucket sizes differ by at most 1 on each axis
+    Seq("r_score", "f_score", "m_score").foreach { cN =>
+      val sizes = rows.groupBy(_.getAs[Long](cN)).view.mapValues(_.length.toLong).toMap
+      assert(sizes.keySet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)))
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$cN buckets $sizes not balanced over $n customers")
+    }
+    // labels follow the scoring rules exactly
+    rows.foreach { r =>
+      val (rs, fs, ms) = (r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+        r.getAs[Long]("m_score"))
+      val want =
+        if (rs >= 4 && fs >= 4 && ms >= 4) "champion"
+        else if (rs <= 2 && fs >= 4) "at_risk"
+        else if (rs >= 4 && fs <= 2) "recent"
+        else "regular"
+      assert(r.getAs[String]("segment") == want)
+    }
+    // one customer's frequency/monetary recounted directly from orders
+    val probe = rows.head
+    val ck = probe.getAs[Long]("custkey")
+    val o = Tables.orders(spark, sfDir).filter(col("o_custkey") === ck)
+    assert(o.count() == probe.getAs[Long]("frequency"))
+    val spend = o.agg(sum(col("o_totalprice").cast("decimal(15,2)")).cast("double"))
+      .collect()(0).getDouble(0)
+    assert(spend == probe.getAs[Double]("monetary"))
+  }
 }
