@@ -375,7 +375,65 @@ object Insights {
       .orderBy(col("dy"))
   }
 
+  /** TOP ONBOARDING PATHS — the path-analysis staple (which opening
+    * event sequences dominate: the "first session flows" report next
+    * to q_funnel's fixed-order conversion and q_event_transitions'
+    * one-step matrix): each user's first THREE event types in
+    * (ts, event_id) order become a '>'-joined path string, counted
+    * across users, top-20 paths under the (users desc, path asc)
+    * total order.
+    *
+    * Scale shape: one shuffle on user_id for the arrival-rank window
+    * (rows ranked > 3 are dropped BEFORE aggregation — the per-user
+    * carry is ≤3 rows however long the history), then the path build
+    * is three conditional MIN aggregates (map-side combinable; no
+    * collect_list, no per-user array state), one path-keyed count,
+    * and a TakeOrdered over the aggregated path frame. NULL slots
+    * (users with <3 events) fold into explicit CASE concatenation —
+    * concat_ws null-skipping differs subtly across engines, so
+    * neither engine relies on it. */
+  val qTopPaths: GraftQuery = GraftQuery.sql(
+    "q_top_paths",
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN rk = 1 THEN event_type END) AS t1,
+      |    MIN(CASE WHEN rk = 2 THEN event_type END) AS t2,
+      |    MIN(CASE WHEN rk = 3 THEN event_type END) AS t3
+      |  FROM r WHERE rk <= 3 GROUP BY user_id),
+      |pp AS (
+      |  SELECT t1 ||
+      |    (CASE WHEN t2 IS NULL THEN '' ELSE '>' || t2 END) ||
+      |    (CASE WHEN t3 IS NULL THEN '' ELSE '>' || t3 END) AS path
+      |  FROM p)
+      |SELECT path, COUNT(*) AS n_users
+      |FROM pp GROUP BY path
+      |ORDER BY n_users DESC, path LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("rk") === 1, col("event_type"))).as("t1"),
+        min(when(col("rk") === 2, col("event_type"))).as("t2"),
+        min(when(col("rk") === 3, col("event_type"))).as("t3"))
+      .select(concat(col("t1"),
+        when(col("t2").isNull, "").otherwise(concat(lit(">"), col("t2"))),
+        when(col("t3").isNull, "").otherwise(concat(lit(">"), col("t3"))))
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(20)
+  }
+
   def all: Seq[GraftQuery] = Seq(
     lakeSnapshotDiff, qFunnel, qRetentionCohorts, qEventTransitions,
-    tVocabCoverage, qScd2, qGapsIslands, qSessionize, qCumulativeDistinct)
+    tVocabCoverage, qScd2, qGapsIslands, qSessionize, qCumulativeDistinct,
+    qTopPaths)
 }

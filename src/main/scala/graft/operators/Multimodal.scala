@@ -454,7 +454,69 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** CAPTION–ASSET PAIR ALIGNMENT — the contrastive-training pair
+    * manifest (CLIP-style image–text corpora live or die on this
+    * join): captions (documents) FULL-OUTER-joined to vision-side
+    * features (embeddings) on the shared id, rolled up per language
+    * into paired / caption-only / asset-only counts plus the paired
+    * token and feature-dim mass — the completeness audit run before
+    * any multimodal training job, because silently dropped orphans
+    * skew the mixture and paired-row counts are the denominator of
+    * every downstream metric. Modality dropout is simulated with
+    * deterministic residue classes (doc_id mod 11 / vec_id mod 13 —
+    * the corpus ships fully aligned, so the orphan paths would
+    * otherwise be dead code; the lake_image_report discipline).
+    *
+    * Scale shape: the full outer join IS the pair-alignment shuffle —
+    * both modality tables hash-partition once on the shared id (at
+    * 100 TB this is unavoidable and optimal: alignment is a join),
+    * then one language-keyed rollup of per-partition partials.
+    * Asset-only rows carry no language and group under 'no_caption'. */
+  val mCaptionPairs: GraftQuery = GraftQuery.sql(
+    "m_caption_pairs",
+    """WITH cap AS (
+      |  SELECT doc_id AS cid, lang, len(string_split(text, ' ')) AS toks
+      |  FROM documents WHERE doc_id % 11 <> 0),
+      |ast AS (
+      |  SELECT vec_id AS aid, len(embedding) AS dims
+      |  FROM embeddings WHERE vec_id % 13 <> 0),
+      |j AS (SELECT * FROM cap FULL OUTER JOIN ast ON cap.cid = ast.aid)
+      |SELECT COALESCE(lang, 'no_caption') AS lang,
+      |  CAST(SUM(CASE WHEN cid IS NOT NULL AND aid IS NOT NULL
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(CASE WHEN aid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caption_only,
+      |  CAST(SUM(CASE WHEN cid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_asset_only,
+      |  CAST(SUM(CASE WHEN cid IS NOT NULL AND aid IS NOT NULL
+      |       THEN toks ELSE 0 END) AS BIGINT) AS pair_tokens,
+      |  CAST(SUM(CASE WHEN cid IS NOT NULL AND aid IS NOT NULL
+      |       THEN dims ELSE 0 END) AS BIGINT) AS pair_dims
+      |FROM j GROUP BY 1 ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    val cap = Tables.documents(s, d)
+      .filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id").as("cid"), col("lang"),
+        size(split(col("text"), " ", -1)).cast("long").as("toks"))
+    val ast = Tables.embeddings(s, d)
+      .filter(col("vec_id") % 13 =!= 0)
+      .select(col("vec_id").as("aid"), size(col("embedding")).cast("long").as("dims"))
+    val pair = col("cid").isNotNull && col("aid").isNotNull
+    cap.join(ast, col("cid") === col("aid"), "full_outer")
+      .select(coalesce(col("lang"), lit("no_caption")).as("lang"),
+        when(pair, 1L).otherwise(0L).as("is_pair"),
+        when(col("aid").isNull, 1L).otherwise(0L).as("cap_only"),
+        when(col("cid").isNull, 1L).otherwise(0L).as("ast_only"),
+        when(pair, col("toks")).otherwise(0L).as("ptoks"),
+        when(pair, col("dims")).otherwise(0L).as("pdims"))
+      .groupBy(col("lang"))
+      .agg(sum(col("is_pair")).as("n_pairs"),
+        sum(col("cap_only")).as("n_caption_only"),
+        sum(col("ast_only")).as("n_asset_only"),
+        sum(col("ptoks")).as("pair_tokens"),
+        sum(col("pdims")).as("pair_dims"))
+      .orderBy(col("lang"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(mMultimodalMeta, mMediaResize, mFeaturePairs, mChunkedFeatures, mSceneCuts,
-      mBinaryIngest, mFrameSample)
+      mBinaryIngest, mFrameSample, mCaptionPairs)
 }

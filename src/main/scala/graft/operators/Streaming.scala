@@ -159,7 +159,55 @@ object Streaming {
       .orderBy(col("user_id"), col("window_start"))
   }
 
+  /** Ranks reported per window by st_windowed_topk. */
+  val TopkK = 3
+
+  /** WINDOWED TOP-K — the trending-now primitive (top event types per
+    * 1-hour window, the leaderboard every ops dashboard and trending
+    * feed runs): per window, the TopkK types by (count desc, type
+    * asc), each with its share denominator (window total). The
+    * streaming form (StreamingOps.windowTopkStream) keeps ONE
+    * count-per-type map per live window — state O(windows ×
+    * type-cardinality), never O(events) — and re-emits the top-k as
+    * arrivals reorder it; this batch query is the replay truth.
+    *
+    * Batch shape: the corpus-sized work is one map-side-combined
+    * (window, type) count; both window functions (rank, window
+    * total) then share one partition spec over the WINDOWS×TYPES
+    * aggregate frame — one shuffle of per-group partials, one sort of
+    * the tiny frame, nothing corpus-sized moves twice. */
+  val stWindowedTopk: GraftQuery = GraftQuery.sql(
+    "st_windowed_topk",
+    s"""WITH c AS (
+       |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+       |    COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |r AS (SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY window_start
+       |                       ORDER BY n DESC, event_type) AS rank,
+       |    SUM(n) OVER (PARTITION BY window_start) AS win_total
+       |  FROM c)
+       |SELECT window_start, CAST(rank AS BIGINT) AS rank, event_type, n,
+       |  CAST(win_total AS BIGINT) AS win_total
+       |FROM r WHERE rank <= $TopkK
+       |ORDER BY window_start, rank""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(col("window_start"))
+    val wRank = part.orderBy(col("n").desc, col("event_type"))
+    val wTot = part.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("win_total", sum(col("n")).over(wTot))
+      .filter(col("rank") <= TopkK)
+      .select(col("window_start"), col("rank"), col("event_type"),
+        col("n"), col("win_total"))
+      .orderBy(col("window_start"), col("rank"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(stTumblingWindow, stSessionWindow, stHoppingWindow, stCdcUpsert,
-      stRateLimit)
+      stRateLimit, stWindowedTopk)
 }

@@ -809,9 +809,61 @@ object TextAnalysis {
     }
   }
 
+  /** ZIPF RANK-FREQUENCY AUDIT — the corpus-health sanity plot every
+    * NLP pipeline draws first (word frequency vs rank; natural text
+    * tracks freq(r) ≈ freq(1)/r, and a corpus that deviates hard —
+    * boilerplate floods, templated spam, truncated crawls — shows up
+    * as a bent curve long before model metrics do): the top-50 corpus
+    * words under the (count desc, word asc) total order, each with
+    * its rank and the Zipf product ratio ⌊1000·n·rank / n₁⌋ — ~1000
+    * per-mille means the law holds at that rank; integer floor
+    * division, no floats.
+    *
+    * One corpus scan + explode, one word-keyed count (map-side
+    * combinable — the classic word-count shuffle moves only per-word
+    * partials), a TakeOrdered cut at 50, and the rank-1 frequency
+    * broadcast back over the 50-row frame. Tokenization is
+    * lower + split on non-letter runs, identical regex dialect
+    * subset in Java and RE2 (the BpePattern discipline). */
+  val tZipfReport: GraftQuery = GraftQuery.sql(
+    "t_zipf_report",
+    """WITH w AS (
+      |  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+      |  FROM documents),
+      |c AS (SELECT word, COUNT(*) AS n FROM w WHERE word <> '' GROUP BY word),
+      |rk AS (SELECT word, n,
+      |         ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rank
+      |       FROM c),
+      |top AS (SELECT * FROM rk WHERE rank <= 50),
+      |n1 AS (SELECT n AS nf FROM top WHERE rank = 1)
+      |SELECT rank, word, n,
+      |  CAST((1000 * n * rank) // nf AS BIGINT) AS zipf_pm
+      |FROM top CROSS JOIN n1 ORDER BY rank""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), "[^a-z]+", -1)).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+    // Total order (n desc, word) makes the 50-cut deterministic; the
+    // unpartitioned rank window runs over the already-cut 50 rows,
+    // and the rank-1 frequency is a MAX window over the same tiny
+    // frame — a separate filter branch would re-scan (and re-count)
+    // the whole corpus for one number (plan-audited out).
+    val wRank = Window.orderBy(col("n").desc, col("word"))
+    val wAll = wRank.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts.orderBy(col("n").desc, col("word")).limit(50)
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("nf", max(col("n")).over(wAll))
+      .select(col("rank"), col("word"), col("n"),
+        expr("(1000 * n * rank) div nf").as("zipf_pm"))
+      .orderBy(col("rank"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tTokenCount, tQualityScore, tLangId, tFingerprint, tNgramFreq,
       tFluencyScore, tLangGini, tPiiScrub, tLangRebalance,
       tRepetitionFilter, tC4Filter, tStratifiedSample, tSeqPack,
-      tBpePairs, tShuffleShard, tDatasetCard, tGopherFilter)
+      tBpePairs, tShuffleShard, tDatasetCard, tGopherFilter, tZipfReport)
 }

@@ -195,6 +195,45 @@ object StreamingOps {
       .toDF()
   }
 
+  case class TopkState(counts: Map[String, Long])
+  case class TopkOut(window_start: java.sql.Timestamp, rank: Long,
+                     event_type: String, n: Long, win_total: Long)
+
+  /** Streaming windowed top-k (streaming form of st_windowed_topk):
+    * per live 1-hour window the state is ONE count-per-type map —
+    * O(windows × type-cardinality), never O(events) — re-emitting the
+    * current top-TopkK rows (with the window-total denominator) each
+    * time arrivals reorder the board. win_total grows monotonically
+    * per window, so the final board per window is the max-win_total
+    * row set (the spec discipline). Production adds an event-time
+    * timeout to retire closed windows; NoTimeout keeps replay
+    * deterministic for the spec. */
+  def windowTopkStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = graft.operators.Streaming.TopkK
+    val hourMicros = 3600L * 1000000
+    events.as[Ev]
+      .groupByKey(e => tsToMicros(e.ts) / hourMicros)
+      .flatMapGroupsWithState[TopkState, TopkOut](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (hr, evs, state) =>
+          val s0 = state.getOption.getOrElse(TopkState(Map.empty))
+          val counts = evs.foldLeft(s0.counts) { (m, e) =>
+            m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+          }
+          state.update(TopkState(counts))
+          val total = counts.valuesIterator.sum
+          val ws = microsToTs(hr * hourMicros)
+          counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
+            .zipWithIndex.map { case ((t, n), i) =>
+              TopkOut(ws, i + 1L, t, n, total)
+            }.iterator
+      }
+      .toDF()
+  }
+
   /** Streaming dedup: first event per (user_id, event_type), state
     * bounded by the watermark (st_stream_dedup's batch truth counts
     * all events; the streaming form keeps the first arrival per key). */

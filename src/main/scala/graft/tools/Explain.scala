@@ -79,7 +79,8 @@ object Explain {
     // rule gate, the clustering-coefficient graph signal, and the
     // admission-control batch truth
     "q_itemset_pairs", "q_cumulative_distinct", "t_gopher_filter",
-    "g_knn_clustering_coeff", "st_rate_limit", "q_rfm_segmentation")
+    "g_knn_clustering_coeff", "st_rate_limit", "q_rfm_segmentation",
+    "q_top_paths", "t_zipf_report", "st_windowed_topk", "m_caption_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -124,4 +124,28 @@ class InsightsSpec extends SparkSpec {
       assert(r.getAs[Long]("active_users") <= r.getAs[Long]("cum_users"))
     }
   }
+
+  test("top paths: ordering holds and the head path recounts from raw events") {
+    val rows = Insights.qTopPaths.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ns = rows.map(_.getAs[Long]("n_users"))
+    assert(ns.sliding(2).forall { case Array(x, y) => x >= y; case _ => true })
+    // driver recount: first three event types per user from raw events
+    val byUser = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (_, evs) =>
+        evs.sortBy(r => (graft.streaming.StreamingOps.tsToMicros(
+            r.getAs[java.sql.Timestamp]("ts")), r.getAs[Long]("event_id")))
+          .take(3).map(_.getAs[String]("event_type")).mkString(">")
+      }
+    val want = byUser.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      assert(want(r.getAs[String]("path")) == r.getAs[Long]("n_users"))
+    }
+    // top-20 really is the top of the full distribution
+    val cut = rows.map(_.getAs[Long]("n_users")).min
+    assert(want.values.count(_ > cut) <= rows.length)
+  }
 }

@@ -87,6 +87,26 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("caption pairs: modality accounting conserves both tables and recounts directly") {
+    val rows = Multimodal.mCaptionPairs.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions.col
+    val nCap = Tables.documents(spark, sfDir).filter(col("doc_id") % 11 =!= 0).count()
+    val nAst = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 13 =!= 0).count()
+    val pairs = rows.map(_.getAs[Long]("n_pairs")).sum
+    val capOnly = rows.map(_.getAs[Long]("n_caption_only")).sum
+    val astOnly = rows.map(_.getAs[Long]("n_asset_only")).sum
+    // every caption and every asset lands in exactly one bucket
+    assert(pairs + capOnly == nCap, s"caption side: $pairs+$capOnly != $nCap")
+    assert(pairs + astOnly == nAst, s"asset side: $pairs+$astOnly != $nAst")
+    // both orphan paths are actually exercised by the residue dropout
+    assert(capOnly > 0 && astOnly > 0)
+    // asset-only rows carry no language
+    val noCap = rows.filter(_.getAs[String]("lang") == "no_caption")
+    assert(noCap.length == 1 && noCap.head.getAs[Long]("n_asset_only") == astOnly)
+    assert(noCap.head.getAs[Long]("n_pairs") == 0L)
+  }
+
   test("binaryFile ingestion: source length metadata equals payload bytes, checksums match fingerprints") {
     val rows = Multimodal.mBinaryIngest.fn(spark, sfDir).collect()
     assert(rows.length == 20)

@@ -556,4 +556,37 @@ class StreamingSpec extends SparkSpec {
         s"extra=${(got.keySet -- want.keySet).take(3)} " +
         s"diff=${want.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(3)}")
   }
+
+  test("streaming windowed top-k converges to the batch leaderboard exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ordered = loadEvents().sortBy(e => (StreamingOps.tsToMicros(e.ts), e.event_id))
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.windowTopkStream(stream.toDF()).writeStream
+      .format("memory").queryName("topk_sink").outputMode("update").start()
+    try {
+      ordered.grouped(1900).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // win_total grows monotonically per window: the final board per
+    // window is the row set carrying that window's max win_total
+    val sink = spark.table("topk_sink")
+    val finals = sink.groupBy(col("window_start").as("ws"))
+      .agg(max(col("win_total")).as("wt"))
+    val got = sink.join(finals,
+        col("window_start") === col("ws") && col("win_total") === col("wt"))
+      .select(col("window_start"), col("rank"), col("event_type"), col("n"),
+        col("win_total")).distinct()
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    val want = Streaming.stWindowedTopk.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start"), r.getAs[Long]("rank")) ->
+        (r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Long]("win_total"))).toMap
+    assert(got == want,
+      s"missing=${(want.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- want.keySet).take(3)} " +
+        s"diff=${want.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(3)}")
+  }
 }

@@ -207,4 +207,25 @@ class TextAnalysisSpec extends SparkSpec {
     val sw = texts.count(t => t.split(" ", -1).iterator.filter(stops).toSet.size < 2)
     assert(rows.head.getAs[Long]("n_bad_stopword") == sw.toLong)
   }
+
+  test("zipf report: ranks contiguous, counts non-increasing, head word recounts") {
+    val rows = TextAnalysis.tZipfReport.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length.toLong))
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.sliding(2).forall { case Array(x, y) => x >= y; case _ => true })
+    // rank 1 is the Zipf anchor: ratio exactly 1000 per-mille
+    assert(rows.head.getAs[Long]("zipf_pm") == 1000L)
+    rows.foreach { r =>
+      val want = 1000L * r.getAs[Long]("n") * r.getAs[Long]("rank") / ns.head
+      assert(r.getAs[Long]("zipf_pm") == want)
+    }
+    // driver recount of the most frequent word
+    val freq = Tables.documents(spark, sfDir).select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split("[^a-z]+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (topWord, topN) = freq.toSeq.minBy { case (w, n) => (-n, w) }
+    assert(rows.head.getAs[String]("word") == topWord)
+    assert(rows.head.getAs[Long]("n") == topN)
+  }
 }
