@@ -126,13 +126,35 @@ object RelationalMore {
   ) { (s, d) =>
     import s.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-    graft.Tables.names.map { t =>
+    // FS metadata stays driver-side (2 stat calls per entry, the
+    // listStatus analogue); the row counts run as ONE two-stage Spark
+    // job — every table contributes a zero-data-column scan tagged
+    // with its name, and a single hash aggregate counts them all. The
+    // original one-count()-per-table loop paid 10 sequential job
+    // submissions of fixed scheduling latency (8x its floor in every
+    // r10 window — the listing is latency-bound, not I/O-bound), and
+    // a union of 10 separate aggregates pays 10 AQE stage waves plus
+    // a large one-off codegen unit; one shared aggregate pays
+    // neither.
+    val meta: Map[String, (Boolean, Boolean)] = graft.Tables.names.map { t =>
       val p = new org.apache.hadoop.fs.Path(s"$d/$t.parquet")
       val st = fs.getFileStatus(p)
-      (t, st.isDirectory || st.isFile, // entry present, either layout
-        fs.getContentSummary(p).getLength > 0, // du: real bytes on disk
-        graft.Tables.load(s, d, t).count())
-    }.toDF("table_name", "is_entry", "bytes_positive", "n_rows")
+      t -> (st.isDirectory || st.isFile, // entry present, either layout
+        fs.getContentSummary(p).getLength > 0) // du: real bytes on disk
+    }.toMap
+    // metadata booleans fold in as expressions keyed on the tag — a
+    // local-relation join would add two more AQE stage waves to a
+    // 10-row frame
+    def flag(f: ((Boolean, Boolean)) => Boolean): org.apache.spark.sql.Column =
+      graft.Tables.names.foldLeft(lit(false)) { (acc, t) =>
+        when(col("table_name") === t, lit(f(meta(t)))).otherwise(acc)
+      }
+    graft.Tables.names.map { t =>
+      graft.Tables.load(s, d, t).select(lit(t).as("table_name"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("table_name")).agg(count(lit(1)).as("n_rows"))
+      .select(col("table_name"), flag(_._1).as("is_entry"),
+        flag(_._2).as("bytes_positive"), col("n_rows"))
       .orderBy(col("table_name"))
   }
 

@@ -442,13 +442,19 @@ object Similarity {
     * bucket plus the `NPlanes` single-bit flips (the d_embed_neardup
     * probe set), and candidates come from a bucket equi-join against
     * the broadcast probe list — a pair matches exactly one probe row,
-    * so no dedup pass. The text arm retrieves from the dedup family's
-    * ONE memoized banded-MinHash candidate frame (zero extra
-    * candidate-generation cost — the same frame minhashPairs /
-    * containment / decontaminate read), oriented query-outward. The
-    * oracle mirrors both blockings exactly, so recall differences are
-    * part of the op's contract, not a divergence. At 100 TB each arm
-    * touches candidate buckets/bands, never the corpus per query. */
+    * so no dedup pass. The text arm probes the banded-MinHash index
+    * QUERY-OUTWARD: the query docs' band rows (a broadcast-sized
+    * frame) equi-join the full band index, so candidate generation
+    * and Jaccard scoring touch only pairs involving a query — never
+    * the corpus all-pairs frame the dedup family materializes for
+    * corpus-wide dedup (retrieval for Q queries is Q-scoped by
+    * construction; the r10 rework dropped the cold-path all-pairs
+    * build this arm previously shared). Signatures/bands still come
+    * from the family-memoized signature frame, so in-family the index
+    * build is shared. The oracle mirrors both blockings exactly, so
+    * recall differences are part of the op's contract, not a
+    * divergence. At 100 TB each arm touches candidate buckets/bands,
+    * never the corpus per query. */
   val sHybridRrf: GraftQuery = GraftQuery.sql(
     "s_hybrid_rrf", {
       val probeList = ("bucket" +: (0 until NPlanes).map(j => s"xor(bucket, ${1L << j})"))
@@ -464,13 +470,10 @@ object Similarity {
          |vr AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
          |         ORDER BY cosine DESC, neighbor_id) AS vrank FROM vsc),
          |vtop AS (SELECT * FROM vr WHERE vrank <= $FuseN),
-         |tcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |          FROM bl a JOIN bl b ON a.band_idx = b.band_idx
-         |            AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |tdir AS (SELECT doc_a AS query_id, doc_b AS neighbor_id FROM tcand
-         |         WHERE doc_a < $QueryCount
-         |         UNION ALL
-         |         SELECT doc_b, doc_a FROM tcand WHERE doc_b < $QueryCount),
+         |tdir AS (SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS neighbor_id
+         |         FROM bl q JOIN bl c ON q.band_idx = c.band_idx
+         |           AND q.band_key = c.band_key AND c.doc_id <> q.doc_id
+         |         WHERE q.doc_id < $QueryCount),
          |tsc AS (SELECT t.query_id, t.neighbor_id,
          |          ${graft.functions.Shingles.jaccardSql("x.sh", "y.sh")} AS jac
          |        FROM tdir t JOIN sh x ON t.query_id = x.doc_id
@@ -506,19 +509,30 @@ object Similarity {
       .withColumn("vrank", row_number().over(wV).cast("long"))
       .filter(col("vrank") <= FuseN)
       .select(col("query_id").as("vq"), col("neighbor_id").as("vn"), col("vrank"))
-    // Text arm: the dedup family's shared memoized banded candidate
-    // frame (sh_a/sh_b attached), oriented query-outward. Jaccard is
-    // scored once on the persisted candidates; the two directional
-    // legs are cheap filters over that cached frame.
+    // Text arm: query-outward probe of the banded-MinHash index. The
+    // query docs' band rows are broadcast against the full band
+    // index, so candidates and Jaccard scoring are Q-scoped — the
+    // corpus-wide all-pairs candidate frame (what corpus dedup needs)
+    // is never built on this path. Signatures are family-memoized.
     val sh = graft.api.Graft.dedup.shingleSets(Tables.documents(s, d), "doc_id", "text")
-    val cand = graft.api.Graft.dedup
-      .candidateSetsFromShingles(sh, Dedup.K, Dedup.Bands)
-      .withColumn("jac", graft.functions.Shingles.jaccardSorted(col("sh_a"), col("sh_b")))
+    val bl = graft.api.Graft.dedup.bandedKeys(sh, Dedup.K, Dedup.Bands)
+      .select(col("band_idx"), col("band_key"), col("doc_id"))
+    val qb = bl.filter(col("doc_id") < QueryCount)
+      .select(col("band_idx").as("qbi"), col("band_key").as("qbk"),
+        col("doc_id").as("tq"))
+    val candIds = bl.join(broadcast(qb),
+        col("band_idx") === col("qbi") && col("band_key") === col("qbk") &&
+          col("doc_id") =!= col("tq"))
+      .select(col("tq").as("query_id"), col("doc_id").as("neighbor_id"))
+      .distinct()
+    val cand = candIds
+      .join(sh.select(col("doc_id"), col("sh").as("sh_q")),
+        col("query_id") === col("doc_id")).drop("doc_id")
+      .join(sh.select(col("doc_id"), col("sh").as("sh_n")),
+        col("neighbor_id") === col("doc_id")).drop("doc_id")
+      .withColumn("jac", graft.functions.Shingles.jaccardSorted(col("sh_q"), col("sh_n")))
     val wT = Window.partitionBy(col("query_id")).orderBy(col("jac").desc, col("neighbor_id"))
-    val ttop = cand.filter(col("doc_a") < QueryCount)
-      .select(col("doc_a").as("query_id"), col("doc_b").as("neighbor_id"), col("jac"))
-      .unionByName(cand.filter(col("doc_b") < QueryCount)
-        .select(col("doc_b").as("query_id"), col("doc_a").as("neighbor_id"), col("jac")))
+    val ttop = cand
       .withColumn("trank", row_number().over(wT).cast("long"))
       .filter(col("trank") <= FuseN)
       .select(col("query_id").as("tq_"), col("neighbor_id").as("tn"), col("trank"))
