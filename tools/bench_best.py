@@ -33,6 +33,10 @@ SF = "/root/testdata/sf0.1"
 STALE_FLOORS = {
     "lake_mirror": "r9 failure-domain rework (3 domain writes + "
                    "pre/post/repaired audits + domain-loss repair)",
+    "lake_ls": "r10: 0.074s floor predates the per-table row-count "
+               "gate; current shape is one fused aggregate job over "
+               "all 10 tables (~0.46s steady state, job-latency "
+               "bound on this host)",
 }
 
 
