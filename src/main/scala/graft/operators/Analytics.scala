@@ -676,9 +676,70 @@ object Analytics {
       .limit(100)
   }
 
+  /** OUTAGE / SILENCE GAPS — per-stream dead-air detection (the ops
+    * question behind every ingestion SLA: "when did this feed stop,
+    * and for how long?"; ts_anomaly flags hours that LOOK wrong —
+    * this flags the hours that never arrived, which a groupBy can't
+    * see because absent rows produce no groups): per event type, the
+    * maximal runs of consecutive ZERO-event hours against a dense
+    * hour spine, each gap reported as (start, end, length), longest
+    * first.
+    *
+    * The corpus contributes ONE map-side-combined (type, hour) count;
+    * everything after runs on the types×hours spine, whose size is
+    * calendar-bounded (8.8k rows/type/year — metadata-sized at any
+    * corpus scale). The spine is generated (sequence over the global
+    * hour range — one 2-row bound aggregate, broadcast), silent hours
+    * survive an anti-join shape (left join + zero filter), and the
+    * runs fold by the gaps-islands constant: hr − ROW_NUMBER within
+    * type is constant exactly on consecutive silent hours. Bounds
+    * from one global MIN/MAX so every type audits the same window —
+    * a per-type range would hide a feed that died on day one. */
+  val tsOutageGaps: GraftQuery = GraftQuery.sql(
+    "ts_outage_gaps",
+    """WITH b AS (
+      |  SELECT event_type,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hr
+      |  FROM events),
+      |cnt AS (SELECT event_type, hr, COUNT(*) AS n FROM b GROUP BY event_type, hr),
+      |bounds AS (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM b),
+      |spine AS (
+      |  SELECT t.event_type, g.hr
+      |  FROM (SELECT DISTINCT event_type FROM b) t,
+      |       (SELECT unnest(generate_series(mn, mx)) AS hr FROM bounds) g),
+      |silent AS (
+      |  SELECT s.event_type, s.hr,
+      |    s.hr - ROW_NUMBER() OVER (PARTITION BY s.event_type ORDER BY s.hr) AS isl
+      |  FROM spine s LEFT JOIN cnt c
+      |    ON c.event_type = s.event_type AND c.hr = s.hr
+      |  WHERE c.n IS NULL)
+      |SELECT event_type, MIN(hr) AS gap_start_hr, MAX(hr) AS gap_end_hr,
+      |  COUNT(*) AS gap_hours
+      |FROM silent GROUP BY event_type, isl
+      |ORDER BY gap_hours DESC, event_type, gap_start_hr""".stripMargin
+  ) { (s, d) =>
+    val b = Tables.events(s, d)
+      .select(col("event_type"), expr("cast(ts as long) div 3600").as("hr"))
+    val cnt = b.groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n"))
+    val bounds = b.agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+    val spine = b.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("hr"))
+    val wIsl = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    spine.join(cnt, Seq("event_type", "hr"), "left")
+      .filter(col("n").isNull)
+      .withColumn("isl", col("hr") - row_number().over(wIsl))
+      .groupBy(col("event_type"), col("isl"))
+      .agg(min(col("hr")).as("gap_start_hr"), max(col("hr")).as("gap_end_hr"),
+        count(lit(1)).as("gap_hours"))
+      .drop("isl")
+      .orderBy(col("gap_hours").desc, col("event_type"), col("gap_start_hr"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qBloomJoin, qMvIncremental, tsResample, dEditDistance,
     qParetoFrontier, stLatenessAudit, gPagerank, qWindowPercentile,
     tsAnomaly, tsBaselineAnomaly, tsSeasonality, tsChangepoint,
-    qItemsetPairs)
+    qItemsetPairs, tsOutageGaps)
 }

@@ -432,8 +432,105 @@ object Insights {
       .limit(20)
   }
 
+  /** ACQUISITION-COHORT LTV MATRIX — the revenue companion to
+    * q_retention_cohorts (that one counts who comes back; this one
+    * sums what they SPEND): customers bucketed by the calendar
+    * quarter of their first order, each (cohort, quarters-since)
+    * cell carrying active-customer count, order count, and exact
+    * revenue. The matrix row read across IS the lifetime-value
+    * curve finance discounts against acquisition cost.
+    *
+    * Two shuffles over the orders frame at any scale: the per-
+    * customer MIN(quarter) aggregate (map-side combinable), then the
+    * cohort-map join back — on the SAME customer key the aggregate
+    * already hashed, so the big side's exchange is reused and only
+    * the cohort map (one row per customer) moves; AQE upgrades it to
+    * broadcast when it fits, and at billions of customers the
+    * co-partitioned sort-merge is the right plan, so the choice is
+    * left to the optimizer — then the cohort-cell rollup, whose
+    * output is quarters² rows regardless of corpus size. Quarter
+    * index is integer (year·4 + zero-based quarter); revenue goes
+    * through the Parity decimal discipline so the cell sums are
+    * bit-stable. */
+  val qCohortLtv: GraftQuery = GraftQuery.sql(
+    "q_cohort_ltv",
+    s"""WITH oq AS (
+       |  SELECT o_custkey, o_totalprice,
+       |    year(o_orderdate) * 4 + (month(o_orderdate) - 1) // 3 AS q
+       |  FROM orders),
+       |coh AS (SELECT o_custkey, MIN(q) AS cohort_q FROM oq GROUP BY o_custkey)
+       |SELECT c.cohort_q, oq.q - c.cohort_q AS offset_q,
+       |  COUNT(DISTINCT oq.o_custkey) AS n_customers,
+       |  COUNT(*) AS n_orders,
+       |  ${sumMSql("oq.o_totalprice")} AS revenue
+       |FROM oq JOIN coh c ON oq.o_custkey = c.o_custkey
+       |GROUP BY c.cohort_q, offset_q
+       |ORDER BY cohort_q, offset_q""".stripMargin
+  ) { (s, d) =>
+    val oq = Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice"),
+      (year(col("o_orderdate")) * 4 +
+        expr("(month(o_orderdate) - 1) div 3")).as("q"))
+    val coh = oq.groupBy(col("o_custkey")).agg(min(col("q")).as("cohort_q"))
+    oq.join(coh, "o_custkey")
+      .groupBy(col("cohort_q"), (col("q") - col("cohort_q")).as("offset_q"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        sumM(col("o_totalprice")).as("revenue"))
+      .orderBy(col("cohort_q"), col("offset_q"))
+  }
+
+  /** ROLLING ACTIVE USERS — the DAU / trailing-7-day-WAU /
+    * stickiness board (stickiness = DAU/WAU is THE engagement ratio:
+    * 1000‰ means every weekly user shows up daily, ~140‰ means
+    * once-a-week visitors). The naive form — COUNT(DISTINCT user)
+    * over a 7-day RANGE window — re-counts every user 7× inside a
+    * quadratic-ish windowed distinct that neither engine does
+    * map-side; instead each (user, active-day) row CONTRIBUTES
+    * membership to the 7 trailing boards that can see it (a row-local
+    * 7× explode of the deduped frame, not the corpus), and WAU falls
+    * out of a plain distinct + count — every stage map-side
+    * combinable, all integer epoch-day arithmetic.
+    *
+    * Scale: the corpus shuffles once into the (user, day) dedup; the
+    * 7× contribution expansion and both counts run on that distinct
+    * frame, already user-day bounded. Board days are clipped to the
+    * observed range so trailing phantom days never appear. */
+  val qRollingActive: GraftQuery = GraftQuery.sql(
+    "q_rolling_active_users",
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS dy
+      |  FROM events),
+      |dau AS (SELECT dy, COUNT(*) AS n_dau FROM uw GROUP BY dy),
+      |contrib AS (
+      |  SELECT DISTINCT user_id, cd
+      |  FROM uw, unnest(generate_series(uw.dy, uw.dy + 6)) AS t(cd)),
+      |wau AS (SELECT cd, COUNT(*) AS n_wau FROM contrib
+      |        WHERE cd <= (SELECT MAX(dy) FROM uw) GROUP BY cd)
+      |SELECT d.dy AS dy, d.n_dau, w.n_wau,
+      |  (1000 * d.n_dau) // w.n_wau AS stickiness_pm
+      |FROM dau d JOIN wau w ON d.dy = w.cd
+      |ORDER BY dy""".stripMargin
+  ) { (s, d) =>
+    val uw = Tables.events(s, d)
+      .select(col("user_id"), expr("cast(ts as long) div 86400").as("dy"))
+      .distinct()
+    val dau = uw.groupBy(col("dy")).agg(count(lit(1)).as("n_dau"))
+    val maxDy = uw.agg(max(col("dy")).as("mx"))
+    val wau = uw
+      .select(col("user_id"),
+        explode(sequence(col("dy"), col("dy") + 6)).as("cd"))
+      .distinct()
+      .join(broadcast(maxDy), col("cd") <= col("mx"))
+      .groupBy(col("cd")).agg(count(lit(1)).as("n_wau"))
+    dau.join(wau, dau("dy") === wau("cd"))
+      .select(col("dy"), col("n_dau"), col("n_wau"),
+        expr("(1000 * n_dau) div n_wau").as("stickiness_pm"))
+      .orderBy(col("dy"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     lakeSnapshotDiff, qFunnel, qRetentionCohorts, qEventTransitions,
     tVocabCoverage, qScd2, qGapsIslands, qSessionize, qCumulativeDistinct,
-    qTopPaths)
+    qTopPaths, qCohortLtv, qRollingActive)
 }

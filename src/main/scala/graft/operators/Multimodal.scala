@@ -516,7 +516,75 @@ object Multimodal {
       .orderBy(col("lang"))
   }
 
+  /** Per-asset output of the voice-activity stage. */
+  case class VadReport(doc_id: Long, n_samples: Long, n_voiced: Long,
+                       n_segments: Long, longest_seg: Long, voiced_pm: Long)
+
+  /** STUB VOICE-ACTIVITY DETECTOR — deterministic fake for the
+    * energy-threshold VAD every speech pipeline runs before ASR
+    * (transcribing silence is the audio version of embedding all
+    * video frames): the payload bytes are the sample stream, a
+    * sample is "voiced" when its amplitude sits in the [97, 122]
+    * band (on this ASCII corpus: lowercase letters — spaces and
+    * punctuation read as silence, which makes the stub's segment
+    * structure match natural word runs), and one forward pass folds
+    * the run-length state (current run, longest run, segment count)
+    * exactly like a real frame-energy VAD folds hangover state. */
+  def vadStub(a: MediaAsset): VadReport = {
+    val bytes = a.media
+    var voiced = 0L; var segs = 0L; var cur = 0L; var longest = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) >= 97 && bytes(i) <= 122
+      if (v) {
+        if (cur == 0L) segs += 1
+        cur += 1; voiced += 1
+        if (cur > longest) longest = cur
+      } else cur = 0L
+      i += 1
+    }
+    VadReport(a.doc_id, bytes.length.toLong, voiced, segs, longest,
+      if (bytes.length > 0) 1000L * voiced / bytes.length else 0L)
+  }
+
+  /** VOICE-ACTIVITY DETECTION over the binary payload — the
+    * decode-side gate between audio ingestion and transcription
+    * (m_frame_sample thins video frames; this is the audio twin that
+    * drops silence): per asset, total samples, voiced samples,
+    * voiced-segment count, longest segment and voiced per-mille.
+    * One narrow mapPartitions pass over the payload (the legitimate
+    * mapPartitions use: a byte-stream codec fold is not a Catalyst
+    * expression), NO shuffle at any corpus size — the oracle
+    * recomputes the identical run structure from the source text
+    * with regexp run extraction (ASCII corpus: bytes == chars). */
+  val mAudioVad: GraftQuery = GraftQuery.sql(
+    "m_audio_vad",
+    """WITH runs AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n_samples,
+      |    regexp_extract_all(text, '[a-z]+') AS rs
+      |  FROM documents)
+      |SELECT doc_id, CAST(n_samples AS BIGINT) AS n_samples,
+      |  CAST(COALESCE(list_sum(list_transform(rs, r -> length(r))), 0)
+      |       AS BIGINT) AS n_voiced,
+      |  CAST(len(rs) AS BIGINT) AS n_segments,
+      |  CAST(COALESCE(list_max(list_transform(rs, r -> length(r))), 0)
+      |       AS BIGINT) AS longest_seg,
+      |  CAST(CASE WHEN n_samples > 0 THEN
+      |    (1000 * COALESCE(list_sum(list_transform(rs, r -> length(r))), 0))
+      |      // n_samples ELSE 0 END AS BIGINT) AS voiced_pm
+      |FROM runs ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), lit("pcm8").as("codec"), lit(0L).as("n_frames"),
+        encode(col("text"), "UTF-8").as("media"))
+      .as[MediaAsset]
+      .mapPartitions(_.map(vadStub))   // batch-local decode, no shuffle
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(mMultimodalMeta, mMediaResize, mFeaturePairs, mChunkedFeatures, mSceneCuts,
-      mBinaryIngest, mFrameSample, mCaptionPairs)
+      mBinaryIngest, mFrameSample, mCaptionPairs, mAudioVad)
 }

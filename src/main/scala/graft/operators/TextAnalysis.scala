@@ -861,9 +861,77 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** PER-SOURCE KEYWORD LIFT — the "what makes this source
+    * different" board (tf-idf's census-count cousin: lift =
+    * P(word|source) / P(word|corpus), the first thing a curation
+    * review pulls up when deciding whether a source is code, legalese
+    * or chat; t_dataset_card says how big each source is, this says
+    * what it's MADE of): top-5 words per source by integer lift
+    * per-mille, support ≥ 5, ranked under the (lift desc, word) total
+    * order. Lift is cross-multiplied — ⌊1000·n·N / (ts·nw)⌋ with n =
+    * (source,word) count, ts = source tokens, nw = corpus word count,
+    * N = corpus tokens — so the whole board is division-free integer
+    * arithmetic (bound: n·N·1000 < 2⁶³ holds through ~10¹⁵ tokens;
+    * past that the same expression widens to decimal).
+    *
+    * One corpus scan + explode feeds a map-side-combined
+    * (source,word) count; every later stage runs on that vocab×
+    * sources-bounded frame: the three totals are window sums (two
+    * partition specs + one bounded whole-frame span — same specs in
+    * both engines), then the support cut and per-source rank. The
+    * corpus itself shuffles exactly once, as word-count partials. */
+  val tKeywordLift: GraftQuery = GraftQuery.sql(
+    "t_keyword_lift",
+    """WITH w AS (
+      |  SELECT source,
+      |    unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+      |  FROM documents),
+      |c AS (SELECT source, word, COUNT(*) AS n FROM w
+      |      WHERE word <> '' GROUP BY source, word),
+      |t AS (SELECT source, word, n,
+      |        SUM(n) OVER (PARTITION BY source) AS ts,
+      |        SUM(n) OVER (PARTITION BY word) AS nw,
+      |        SUM(n) OVER () AS nn
+      |      FROM c),
+      |r AS (SELECT source, word, n,
+      |        CAST((1000 * n * nn) // (ts * nw) AS BIGINT) AS lift_pm,
+      |        ROW_NUMBER() OVER (PARTITION BY source
+      |          ORDER BY (1000 * n * nn) // (ts * nw) DESC, word) AS rank
+      |      FROM t WHERE n >= 5)
+      |SELECT source, rank, word, n, lift_pm
+      |FROM r WHERE rank <= 5
+      |ORDER BY source, rank""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.documents(s, d)
+      .select(col("source"),
+        explode(split(lower(col("text")), "[^a-z]+", -1)).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("n"))
+    val wSrc = Window.partitionBy(col("source"))
+    val wWord = Window.partitionBy(col("word"))
+    // whole-frame span over the vocab×sources aggregate — bounded
+    // class, never corpus-sized
+    val wAll = Window.partitionBy()
+    val t = c
+      .withColumn("ts", sum(col("n")).over(wSrc))
+      .withColumn("nw", sum(col("n")).over(wWord))
+      .withColumn("nn", sum(col("n")).over(wAll))
+      .filter(col("n") >= 5)
+      .withColumn("lift_pm", expr("(1000 * n * nn) div (ts * nw)"))
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(col("lift_pm").desc, col("word"))
+    t.withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank"), col("word"), col("n"), col("lift_pm"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tTokenCount, tQualityScore, tLangId, tFingerprint, tNgramFreq,
       tFluencyScore, tLangGini, tPiiScrub, tLangRebalance,
       tRepetitionFilter, tC4Filter, tStratifiedSample, tSeqPack,
-      tBpePairs, tShuffleShard, tDatasetCard, tGopherFilter, tZipfReport)
+      tBpePairs, tShuffleShard, tDatasetCard, tGopherFilter, tZipfReport,
+      tKeywordLift)
 }

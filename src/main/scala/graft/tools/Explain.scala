@@ -80,7 +80,11 @@ object Explain {
     // admission-control batch truth
     "q_itemset_pairs", "q_cumulative_distinct", "t_gopher_filter",
     "g_knn_clustering_coeff", "st_rate_limit", "q_rfm_segmentation",
-    "q_top_paths", "t_zipf_report", "st_windowed_topk", "m_caption_pairs")
+    "q_top_paths", "t_zipf_report", "st_windowed_topk", "m_caption_pairs",
+    // round-10 continued: cohort revenue, the engagement board, the
+    // source-composition board, dead-air detection, and the VAD gate
+    "q_cohort_ltv", "q_rolling_active_users", "t_keyword_lift",
+    "ts_outage_gaps", "m_audio_vad")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -148,4 +148,44 @@ class InsightsSpec extends SparkSpec {
     val cut = rows.map(_.getAs[Long]("n_users")).min
     assert(want.values.count(_ > cut) <= rows.length)
   }
+
+  test("cohort LTV: matrix conserves orders, revenue and customers") {
+    val rows = Insights.qCohortLtv.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("offset_q") >= 0L))
+    val orders = Tables.orders(spark, sfDir)
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == orders.count())
+    // exact decimal revenue conservation across the whole matrix
+    val totRev = orders.agg(graft.functions.Parity.sumM(col("o_totalprice")))
+      .collect()(0).getDouble(0)
+    val cellRev = BigDecimal(rows.map(r =>
+      BigDecimal(r.getAs[Double]("revenue"))).sum.toString)
+    assert(cellRev == BigDecimal(totRev.toString), s"$cellRev != $totRev")
+    // every customer's first order lands in their cohort's offset-0 cell
+    val custs = orders.select("o_custkey").distinct().count()
+    assert(rows.filter(_.getAs[Long]("offset_q") == 0L)
+      .map(_.getAs[Long]("n_customers")).sum == custs)
+  }
+
+  test("rolling active users: DAU and trailing-7d WAU recount from raw events") {
+    val rows = Insights.qRollingActive.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("cast(ts as long) div 86400").as("dy"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("dy")))
+    val byDay = ud.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    rows.foreach { r =>
+      val dy = r.getAs[Long]("dy")
+      val dau = byDay(dy).size.toLong
+      val wau = (dy - 6 to dy).flatMap(d => byDay.getOrElse(d, Set.empty))
+        .toSet.size.toLong
+      assert(r.getAs[Long]("n_dau") == dau, s"day $dy dau")
+      assert(r.getAs[Long]("n_wau") == wau, s"day $dy wau")
+      assert(r.getAs[Long]("stickiness_pm") == 1000L * dau / wau)
+      assert(dau <= wau)
+    }
+    // a board row for every observed day, none for phantom days
+    assert(rows.map(_.getAs[Long]("dy")).toSet == byDay.keySet)
+  }
 }

@@ -229,4 +229,23 @@ class LakeSpec extends SparkSpec {
     // index forever)
     assert(Tables.load(spark, dir, "t").count() == 9)
   }
+
+  test("audio VAD: run structure recomputes from the source text per asset") {
+    val rows = Multimodal.mAudioVad.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      val runs = "[a-z]+".r.findAllIn(t).map(_.length.toLong).toSeq
+      assert(r.getAs[Long]("n_samples") == t.getBytes("UTF-8").length.toLong)
+      assert(r.getAs[Long]("n_voiced") == runs.sum)
+      assert(r.getAs[Long]("n_segments") == runs.size.toLong)
+      assert(r.getAs[Long]("longest_seg") == (if (runs.isEmpty) 0L else runs.max))
+      assert(r.getAs[Long]("voiced_pm") ==
+        (if (t.isEmpty) 0L else 1000L * runs.sum / t.getBytes("UTF-8").length))
+    }
+    // the stub's segment structure is non-trivial on this corpus
+    assert(rows.exists(_.getAs[Long]("n_segments") > 1L))
+  }
 }

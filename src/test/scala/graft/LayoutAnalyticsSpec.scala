@@ -374,4 +374,31 @@ class LayoutAnalyticsSpec extends SparkSpec {
       .count()
     assert(n == top.getAs[Long]("support"), s"pair ($pa,$pb): recount $n")
   }
+
+  test("outage gaps: every gap is a maximal silent run on the shared hour spine") {
+    val rows = Analytics.tsOutageGaps.fn(spark, sfDir).collect()
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("cast(ts as long) div 3600").as("hr"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("hr")))
+    val (mn, mx) = (ev.map(_._2).min, ev.map(_._2).max)
+    val types = ev.map(_._1).distinct
+    val active: Map[String, Set[Long]] =
+      ev.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // reconstruct silent runs per type on the same global spine
+    val want = types.flatMap { t =>
+      val silent = (mn to mx).filterNot(active(t))
+      silent.foldLeft(List.empty[(Long, Long)]) {
+        case ((s, e) :: rest, h) if h == e + 1 => (s, h) :: rest
+        case (acc, h) => (h, h) :: acc
+      }.map { case (s, e) => (t, s, e) }
+    }.toSet
+    assert(rows.map(r => (r.getAs[String]("event_type"),
+      r.getAs[Long]("gap_start_hr"), r.getAs[Long]("gap_end_hr"))).toSet == want)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("gap_hours") ==
+        r.getAs[Long]("gap_end_hr") - r.getAs[Long]("gap_start_hr") + 1)
+    }
+    val lens = rows.map(_.getAs[Long]("gap_hours"))
+    assert(lens.sliding(2).forall { case Array(x, y) => x >= y; case _ => true })
+  }
 }

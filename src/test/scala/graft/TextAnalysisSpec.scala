@@ -228,4 +228,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.head.getAs[String]("word") == topWord)
     assert(rows.head.getAs[Long]("n") == topN)
   }
+
+  test("keyword lift: every board row's lift recomputes from raw token counts") {
+    val rows = TextAnalysis.tKeywordLift.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // driver recount of the full (source, word) census
+    val toks = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .flatMap(r => r.getString(1).toLowerCase.split("[^a-z]+")
+        .filter(_.nonEmpty).map(w => (r.getString(0), w)))
+    val c = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ts = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nw = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nn = toks.length.toLong
+    rows.foreach { r =>
+      val (src, w) = (r.getAs[String]("source"), r.getAs[String]("word"))
+      val n = c((src, w))
+      assert(n >= 5L && r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("lift_pm") == 1000L * n * nn / (ts(src) * nw(w)),
+        s"lift for ($src,$w)")
+    }
+    // per source: ranks contiguous from 1, lift non-increasing
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length.toLong))
+      val ls = sorted.map(_.getAs[Long]("lift_pm"))
+      assert(ls.sliding(2).forall { case Array(x, y) => x >= y; case _ => true })
+    }
+  }
 }
