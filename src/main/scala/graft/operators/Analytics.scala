@@ -737,9 +737,62 @@ object Analytics {
       .orderBy(col("gap_hours").desc, col("event_type"), col("gap_start_hr"))
   }
 
+  /** BENFORD FIRST-DIGIT AUDIT — the classic forensic data-quality
+    * screen (naturally-grown multiplicative amounts follow
+    * log-uniform leading digits; fabricated, capped, or
+    * unit-converted data doesn't — auditors run exactly this table
+    * before anything else): observed first-significant-digit
+    * distribution of order totals vs the Benford expectation, with
+    * the per-digit deviation. The Benford per-mille constants
+    * (⌊1000·log₁₀(1+1/d)⌋) are hardcoded literals on BOTH engines —
+    * the one place a transcendental is involved, it's folded into 9
+    * published integers, keeping the no-libm parity discipline.
+    *
+    * First digit is pure integer arithmetic on exact cents (the
+    * Parity decimal cast — a raw double×100 truncation-vs-rounding
+    * cast diverges across engines): cents // 10^(digits-1), with the
+    * power exact in int64 range. One map-side-combined 9-group
+    * aggregate; the total is a window sum over the 9-row frame. */
+  val qBenfordAudit: GraftQuery = GraftQuery.sql(
+    "q_benford_audit",
+    """WITH c AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |f AS (SELECT cents // CAST(POWER(10, LENGTH(CAST(cents AS VARCHAR)) - 1)
+      |               AS BIGINT) AS digit FROM c),
+      |g AS (SELECT digit, COUNT(*) AS n FROM f GROUP BY digit),
+      |t AS (SELECT digit, n, SUM(n) OVER () AS total FROM g),
+      |e AS (SELECT digit, n, CAST((1000 * n) // total AS BIGINT) AS obs_pm,
+      |        CAST(CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125
+      |          WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58
+      |          WHEN 8 THEN 51 ELSE 46 END AS BIGINT) AS benford_pm
+      |      FROM t)
+      |SELECT digit, n, obs_pm, benford_pm,
+      |  ABS(obs_pm - benford_pm) AS dev_pm
+      |FROM e ORDER BY digit""".stripMargin
+  ) { (s, d) =>
+    val g = Tables.orders(s, d)
+      .select(expr("cast(cast(o_totalprice as decimal(15,2)) * 100 as bigint)")
+        .as("cents"))
+      .select(expr(
+        "cents div cast(power(10, length(cast(cents as string)) - 1) as bigint)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    // 9-row frame: the whole-span window is the adjudicated bounded class
+    g.withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("obs_pm", expr("(1000 * n) div total"))
+      .withColumn("benford_pm", expr(
+        """cast(case digit when 1 then 301 when 2 then 176 when 3 then 125
+          | when 4 then 97 when 5 then 79 when 6 then 67 when 7 then 58
+          | when 8 then 51 else 46 end as bigint)""".stripMargin))
+      .select(col("digit"), col("n"), col("obs_pm"), col("benford_pm"),
+        abs(col("obs_pm") - col("benford_pm")).as("dev_pm"))
+      .orderBy(col("digit"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qBloomJoin, qMvIncremental, tsResample, dEditDistance,
     qParetoFrontier, stLatenessAudit, gPagerank, qWindowPercentile,
     tsAnomaly, tsBaselineAnomaly, tsSeasonality, tsChangepoint,
-    qItemsetPairs, tsOutageGaps)
+    qItemsetPairs, tsOutageGaps, qBenfordAudit)
 }

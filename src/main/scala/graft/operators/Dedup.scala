@@ -701,9 +701,50 @@ object Dedup {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** CROSS-SOURCE DUPLICATION BOARD — where the near-dup mass LIVES
+    * (d_corpus_similarity says how much duplication each source has;
+    * this says which source PAIRS share it — the mixture question:
+    * within-source dups inflate one slice's weight, cross-source dups
+    * mean the same content enters the mixture through two doors and
+    * the per-source weights silently double-count it; also the
+    * provenance signal — a source that near-dups heavily against
+    * another is usually a scrape OF it): the exact jaccard ≥ 0.8
+    * truth pairs (the family's ONE memoized prefix-filtered frame —
+    * free when warm) keyed by canonical (least, greatest) source
+    * pair, counted, cross-flagged, heaviest first.
+    *
+    * Scale: the pair frame is the dedup family's already-blocked
+    * output (never all-pairs); the two doc→source joins hash the
+    * pair frame against the id→source projection (all narrow
+    * columns), and the rollup output is source²-bounded. */
+  val dCrossSourceDup: GraftQuery = GraftQuery.sql(
+    "d_cross_source_dup",
+    s"""WITH ${exactPairsCtes()},
+       |sp AS (SELECT LEAST(sa.source, sb.source) AS src_a,
+       |         GREATEST(sa.source, sb.source) AS src_b
+       |       FROM exj e JOIN documents sa ON e.doc_a = sa.doc_id
+       |                  JOIN documents sb ON e.doc_b = sb.doc_id)
+       |SELECT src_a, src_b, COUNT(*) AS n_pairs,
+       |  CAST(CASE WHEN src_a = src_b THEN 0 ELSE 1 END AS BIGINT) AS is_cross
+       |FROM sp GROUP BY src_a, src_b
+       |ORDER BY n_pairs DESC, src_a, src_b""".stripMargin
+  ) { (s, d) =>
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    exactNearDupPairs(s, d)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_cross",
+        when(col("src_a") === col("src_b"), 0L).otherwise(1L))
+      .orderBy(col("n_pairs").desc, col("src_a"), col("src_b"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     dExactDup, dNgramJaccard, dMinhashLsh, dLshRecall, dSimhash,
     dCorpusSimilarity, dDupClusters, dDedupFilter, dContainment,
     dCorpusCurate, stStreamNearDup, dDecontaminate, dIncrementalDedup,
-    dSubstringDup)
+    dSubstringDup, dCrossSourceDup)
 }

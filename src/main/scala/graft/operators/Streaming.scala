@@ -207,7 +207,49 @@ object Streaming {
       .orderBy(col("window_start"), col("rank"))
   }
 
+  /** FEED-SILENCE MONITOR — the streaming heartbeat check
+    * (ts_outage_gaps audits dead air offline against a dense
+    * calendar spine; this is the form a LIVE monitor can run: gaps
+    * derived purely from consecutive arrivals, no global bounds, so
+    * it reports INTERIOR silences — a feed's own first/last hours
+    * define its observation window). Per event type: every maximal
+    * run of zero-event hours strictly between two arrivals, as
+    * (start, end, length).
+    *
+    * Batch truth: ONE shuffle into the distinct (type, hour) frame,
+    * one lag window per type over that calendar-bounded frame, gap
+    * rows emitted where the hour jumps by >1. Streaming form:
+    * `StreamingOps.feedSilenceStream`, flatMapGroupsWithState with
+    * ONE long of state per feed (last hour seen) — O(feeds) state,
+    * never O(events); the spec asserts EXACT convergence to this
+    * batch truth under arbitrary chunking. */
+  val stFeedSilence: GraftQuery = GraftQuery.sql(
+    "st_feed_silence",
+    """WITH b AS (
+      |  SELECT DISTINCT event_type,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hr
+      |  FROM events),
+      |l AS (SELECT event_type, hr,
+      |        LAG(hr) OVER (PARTITION BY event_type ORDER BY hr) AS ph
+      |      FROM b)
+      |SELECT event_type, ph + 1 AS gap_start_hr, hr - 1 AS gap_end_hr,
+      |  hr - ph - 1 AS gap_hours
+      |FROM l WHERE ph IS NOT NULL AND hr > ph + 1
+      |ORDER BY event_type, gap_start_hr""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables.events(s, d)
+      .select(col("event_type"), expr("cast(ts as long) div 3600").as("hr"))
+      .distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    b.withColumn("ph", lag(col("hr"), 1).over(w))
+      .filter(col("ph").isNotNull && col("hr") > col("ph") + 1)
+      .select(col("event_type"), (col("ph") + 1).as("gap_start_hr"),
+        (col("hr") - 1).as("gap_end_hr"), (col("hr") - col("ph") - 1).as("gap_hours"))
+      .orderBy(col("event_type"), col("gap_start_hr"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(stTumblingWindow, stSessionWindow, stHoppingWindow, stCdcUpsert,
-      stRateLimit, stWindowedTopk)
+      stRateLimit, stWindowedTopk, stFeedSilence)
 }

@@ -928,10 +928,59 @@ object TextAnalysis {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** PER-DOC LEXICAL DIVERSITY — the word-level Gini/Simpson index
+    * (1 − Σp² over the doc's word distribution: templated spam and
+    * keyword-stuffed pages collapse toward 0, natural prose sits
+    * high; the per-document twin of t_lang_gini's corpus-level
+    * concentration, and the word-level complement of
+    * t_repetition_filter's n-gram rules): diversity per-mille =
+    * ⌊1000·(L² − Σn_w²)/L²⌋ in pure integer cross-multiplication,
+    * plus token and distinct-word counts.
+    *
+    * Entirely ROW-LOCAL: the token array materializes once per row
+    * and the Σn_w² fold runs as higher-order functions over it
+    * (O(distinct·L) per row, L is doc-bounded) — one scan, NO
+    * explode, NO shuffle at any corpus size; the per-mille floor
+    * keeps the no-float parity discipline. */
+  val tLexicalDiversity: GraftQuery = GraftQuery.sql(
+    "t_lexical_diversity",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+      |                w -> w <> '') AS arr
+      |  FROM documents),
+      |m AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens,
+      |        CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct,
+      |        CAST(COALESCE(list_sum(list_transform(list_distinct(arr),
+      |          w -> CAST(len(list_filter(arr, y -> y = w)) AS BIGINT)
+      |               * len(list_filter(arr, y -> y = w)))), 0) AS BIGINT) AS sq
+      |      FROM t)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |  CASE WHEN n_tokens > 0 THEN
+      |    (1000 * (n_tokens * n_tokens - sq)) // (n_tokens * n_tokens)
+      |  ELSE 0 END AS diversity_pm
+      |FROM m ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '[^a-z]+', -1), w -> w != '')").as("arr"))
+      .select(col("doc_id"),
+        expr("cast(size(arr) as bigint)").as("n_tokens"),
+        expr("cast(size(array_distinct(arr)) as bigint)").as("n_distinct"),
+        expr("""aggregate(array_distinct(arr), 0L, (acc, w) ->
+             acc + cast(size(filter(arr, y -> y = w)) as bigint)
+                   * cast(size(filter(arr, y -> y = w)) as bigint))""").as("sq"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        when(col("n_tokens") > 0,
+          expr("(1000 * (n_tokens * n_tokens - sq)) div (n_tokens * n_tokens)"))
+          .otherwise(0L).as("diversity_pm"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tTokenCount, tQualityScore, tLangId, tFingerprint, tNgramFreq,
       tFluencyScore, tLangGini, tPiiScrub, tLangRebalance,
       tRepetitionFilter, tC4Filter, tStratifiedSample, tSeqPack,
       tBpePairs, tShuffleShard, tDatasetCard, tGopherFilter, tZipfReport,
-      tKeywordLift)
+      tKeywordLift, tLexicalDiversity)
 }

@@ -234,6 +234,44 @@ object StreamingOps {
       .toDF()
   }
 
+  case class FeedState(lastHr: Long)
+  case class FeedGap(event_type: String, gap_start_hr: Long,
+                     gap_end_hr: Long, gap_hours: Long)
+
+  /** Streaming feed-silence monitor (streaming form of
+    * st_feed_silence): per event-type feed, state is ONE long — the
+    * last hour an event was seen — O(feeds) state, never O(events).
+    * An arrival whose hour jumps the state by more than 1 closes a
+    * silence gap and emits it; same-hour and next-hour arrivals just
+    * advance the state. Event time is monotone in the replayed
+    * stream, so chunking can never split a gap: whichever batch
+    * carries the first post-silence event closes it. Production
+    * would add an event-time timeout to ALSO alert on still-open
+    * silences; NoTimeout keeps replay deterministic for the spec. */
+  def feedSilenceStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourMicros = 3600L * 1000000
+    events.as[Ev]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[FeedState, FeedGap](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (tpe, evs, state) =>
+          val hrs = evs.map(e => tsToMicros(e.ts) / hourMicros).toSeq.sorted
+          val out = scala.collection.mutable.ArrayBuffer.empty[FeedGap]
+          var last = state.getOption.map(_.lastHr).getOrElse(Long.MinValue)
+          hrs.foreach { h =>
+            if (last != Long.MinValue && h > last + 1)
+              out += FeedGap(tpe, last + 1, h - 1, h - last - 1)
+            if (h > last) last = h
+          }
+          state.update(FeedState(last))
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Streaming dedup: first event per (user_id, event_type), state
     * bounded by the watermark (st_stream_dedup's batch truth counts
     * all events; the streaming form keeps the first arrival per key). */

@@ -84,7 +84,11 @@ object Explain {
     // round-10 continued: cohort revenue, the engagement board, the
     // source-composition board, dead-air detection, and the VAD gate
     "q_cohort_ltv", "q_rolling_active_users", "t_keyword_lift",
-    "ts_outage_gaps", "m_audio_vad")
+    "ts_outage_gaps", "m_audio_vad",
+    // round-10 continued: the contamination-by-source-pair board, the
+    // Benford screen, row-local diversity, and the heartbeat monitor
+    "d_cross_source_dup", "q_benford_audit", "t_lexical_diversity",
+    "st_feed_silence")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -620,4 +620,24 @@ class DedupSimilaritySpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("coeff_pm") >= 0L &&
       r.getAs[Long]("coeff_pm") <= 1000L))
   }
+
+  test("cross-source dup board: cells recount from the exact pair truth") {
+    val rows = Dedup.dCrossSourceDup.fn(spark, sfDir).collect()
+    val src = Tables.documents(spark, sfDir).select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val pairs = graft.api.Graft.dedup.exactJaccardPairs(
+      Tables.documents(spark, sfDir), "doc_id", "text", threshold = 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (src(r.getLong(0)), src(r.getLong(1))))
+      .map { case (a, b) => if (a <= b) (a, b) else (b, a) }
+    val want = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+      r.getAs[Long]("n_pairs")).toMap == want)
+    rows.foreach { r =>
+      val expectCross = if (r.getAs[String]("src_a") == r.getAs[String]("src_b")) 0L else 1L
+      assert(r.getAs[Long]("is_cross") == expectCross)
+    }
+    // board conserves the pair count
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == pairs.length.toLong)
+  }
 }

@@ -401,4 +401,25 @@ class LayoutAnalyticsSpec extends SparkSpec {
     val lens = rows.map(_.getAs[Long]("gap_hours"))
     assert(lens.sliding(2).forall { case Array(x, y) => x >= y; case _ => true })
   }
+
+  test("benford audit: digit census recounts and deviations use the published constants") {
+    val rows = Analytics.qBenfordAudit.fn(spark, sfDir).collect()
+    val benford = Map(1 -> 301L, 2 -> 176L, 3 -> 125L, 4 -> 97L, 5 -> 79L,
+      6 -> 67L, 7 -> 58L, 8 -> 51L, 9 -> 46L)
+    assert(rows.map(_.getAs[Long]("digit")).forall(d => d >= 1 && d <= 9))
+    // driver recount of first significant digits from exact cents
+    val cents = Tables.orders(spark, sfDir)
+      .select(expr("cast(cast(o_totalprice as decimal(15,2)) * 100 as bigint)"))
+      .collect().map(_.getLong(0))
+    val digits = cents.map { c => var n = c; while (n >= 10) n /= 10; n }
+    val want = digits.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => r.getAs[Long]("digit") -> r.getAs[Long]("n")).toMap == want)
+    val total = cents.length.toLong
+    rows.foreach { r =>
+      val obs = 1000L * r.getAs[Long]("n") / total
+      assert(r.getAs[Long]("obs_pm") == obs)
+      assert(r.getAs[Long]("benford_pm") == benford(r.getAs[Long]("digit").toInt))
+      assert(r.getAs[Long]("dev_pm") == math.abs(obs - benford(r.getAs[Long]("digit").toInt)))
+    }
+  }
 }

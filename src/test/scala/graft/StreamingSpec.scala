@@ -589,4 +589,29 @@ class StreamingSpec extends SparkSpec {
         s"extra=${(got.keySet -- want.keySet).take(3)} " +
         s"diff=${want.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(3)}")
   }
+
+  test("streaming feed-silence monitor converges to the batch gap truth exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ordered = loadEvents().sortBy(e => (StreamingOps.tsToMicros(e.ts), e.event_id))
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.feedSilenceStream(stream.toDF()).writeStream
+      .format("memory").queryName("feedsilence_sink").outputMode("append").start()
+    try {
+      // odd chunk size so hour boundaries land mid-batch
+      ordered.grouped(1700).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("feedsilence_sink").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("gap_start_hr"),
+        r.getAs[Long]("gap_end_hr"), r.getAs[Long]("gap_hours"))).toSet
+    val want = Streaming.stFeedSilence.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("gap_start_hr"),
+        r.getAs[Long]("gap_end_hr"), r.getAs[Long]("gap_hours"))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(got.nonEmpty, "corpus must exercise at least one silence gap")
+  }
 }

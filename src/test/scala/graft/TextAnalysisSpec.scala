@@ -255,4 +255,25 @@ class TextAnalysisSpec extends SparkSpec {
       assert(ls.sliding(2).forall { case Array(x, y) => x >= y; case _ => true })
     }
   }
+
+  test("lexical diversity: per-doc Gini recomputes from raw tokens") {
+    val rows = TextAnalysis.tLexicalDiversity.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id")).toLowerCase
+        .split("[^a-z]+").filter(_.nonEmpty)
+      val l = toks.length.toLong
+      val sq = toks.groupBy(identity).values.map(g => g.size.toLong * g.size).sum
+      assert(r.getAs[Long]("n_tokens") == l)
+      assert(r.getAs[Long]("n_distinct") == toks.distinct.length.toLong)
+      val want = if (l > 0) 1000L * (l * l - sq) / (l * l) else 0L
+      assert(r.getAs[Long]("diversity_pm") == want)
+      assert(r.getAs[Long]("diversity_pm") >= 0L && r.getAs[Long]("diversity_pm") < 1000L)
+    }
+    // natural prose vs templated text must actually separate scores
+    val ds = rows.map(_.getAs[Long]("diversity_pm"))
+    assert(ds.max > ds.min)
+  }
 }
