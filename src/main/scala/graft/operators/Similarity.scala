@@ -1462,10 +1462,134 @@ object Similarity {
       .orderBy(col("node"))
   }
 
+  // MMR: select MmrK of MmrCand candidates, relevance weight 0.7.
+  val MmrCand = 20; val MmrK = 5
+
+  /** MMR DIVERSIFIED RERANK — maximal marginal relevance (Carbonell &
+    * Goldstein 1998), the standard post-retrieval diversification
+    * every RAG stack runs: a plain top-k returns five near-copies of
+    * the same best hit; MMR greedily picks argmax of
+    * 0.7·relevance − 0.3·max-similarity-to-already-picked, so each
+    * pick buys new information. First pick is pure relevance; four
+    * further unrolled greedy stages (bounded k ⇒ bounded plan).
+    *
+    * Scale shape: retrieval cost is the candidate fetch (here the
+    * brute-force truth arm for determinism; any index arm drops in).
+    * Everything after is per-query bounded: the candidate×candidate
+    * similarity frame is Q·C² rows with C=20 fixed, and the greedy
+    * selection itself runs as ONE typed mapGroups fold per query
+    * over that bounded frame — selection is inherently sequential
+    * in k but local per query, so the distributed axis is queries,
+    * not greedy stages (an unrolled join-per-stage plan computes the
+    * same thing in ~3k·Q-row joins and pays a stage wave per stage —
+    * plan-audited out; the oracle keeps the unrolled form, which IS
+    * the relational semantics being matched). The corpus is never
+    * touched after candidate fetch. Floats stay parity-safe: cosines
+    * are the family's left-fold dot (bit-identical to the oracle's
+    * list_reduce), and 0.7·x − 0.3·y on identical doubles is
+    * identical IEEE arithmetic in JVM and DuckDB. */
+  val sMmrRerank: GraftQuery = GraftQuery.sql(
+    "s_mmr_rerank", {
+      val stages = (2 to MmrK).map { i =>
+        s"""rem$i AS (SELECT c.* FROM cand c LEFT JOIN sel${i - 1} s
+           |  ON c.query_id = s.query_id AND c.neighbor_id = s.neighbor_id
+           |  WHERE s.neighbor_id IS NULL),
+           |ms$i AS (SELECT r.query_id, r.neighbor_id, r.rel, MAX(p.sim) AS m
+           |  FROM rem$i r JOIN ps p ON p.query_id = r.query_id AND p.ca = r.neighbor_id
+           |  JOIN sel${i - 1} s ON s.query_id = p.query_id AND s.neighbor_id = p.cb
+           |  GROUP BY r.query_id, r.neighbor_id, r.rel),
+           |pick$i AS (SELECT query_id, neighbor_id, rel FROM (
+           |  SELECT query_id, neighbor_id, rel,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY 0.7 * rel - 0.3 * m DESC, neighbor_id) AS rk
+           |  FROM ms$i) t WHERE rk = 1),
+           |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL
+           |  SELECT query_id, neighbor_id, rel, $i AS rank FROM pick$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $corpusSql,
+         |q AS (SELECT * FROM n WHERE vec_id < $QueryCount),
+         |cand AS (SELECT query_id, neighbor_id, cosine AS rel FROM (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    ${Vectors.dotSql("q.v", "n.v")} / (q.nrm * n.nrm) AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${Vectors.dotSql("q.v", "n.v")} / (q.nrm * n.nrm) DESC,
+         |        n.vec_id) AS rk
+         |  FROM q JOIN n ON q.vec_id <> n.vec_id) t WHERE rk <= $MmrCand),
+         |ps AS (SELECT a.query_id, a.neighbor_id AS ca, b.neighbor_id AS cb,
+         |    ${Vectors.dotSql("x.v", "y.v")} / (x.nrm * y.nrm) AS sim
+         |  FROM cand a JOIN cand b
+         |    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+         |  JOIN n x ON a.neighbor_id = x.vec_id
+         |  JOIN n y ON b.neighbor_id = y.vec_id),
+         |sel1 AS (SELECT query_id, neighbor_id, rel, 1 AS rank FROM (
+         |  SELECT query_id, neighbor_id, rel,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, neighbor_id) AS rk FROM cand) t WHERE rk = 1),
+         |$stages
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+         |  rel AS cosine
+         |FROM sel$MmrK ORDER BY query_id, rank""".stripMargin
+    }
+  ) { (s, d) =>
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val cand =
+      graft.api.Graft.ann.cosineTopK(e, e.filter(col("vec_id") < QueryCount),
+          "vec_id", "embedding", MmrCand)
+        .select(col("query_id"), col("neighbor_id"), col("cosine").as("rel"))
+    val n = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    // every candidate PAIR with both its row's relevance and the
+    // pairwise sim — C·(C−1) rows per query, the bounded frame the
+    // local greedy fold consumes
+    val pairs = cand.as("a")
+      .join(cand.select(col("query_id"), col("neighbor_id").as("cb")).as("b"),
+        col("a.query_id") === col("b.query_id") && col("neighbor_id") =!= col("cb"))
+      .select(col("a.query_id").as("query_id"), col("neighbor_id").as("ca"),
+        col("rel"), col("cb"))
+      .join(n.select(col("vec_id"), col("v").as("xv"), col("nrm").as("xn")),
+        col("ca") === col("vec_id")).drop("vec_id")
+      .join(n.select(col("vec_id"), col("v").as("yv"), col("nrm").as("yn")),
+        col("cb") === col("vec_id")).drop("vec_id")
+      .select(col("query_id"), col("ca"), col("rel"), col("cb"),
+        (Vectors.dot(col("xv"), col("yv")) / (col("xn") * col("yn"))).as("sim"))
+      .as[(Long, Long, Double, Long, Double)]
+    pairs.groupByKey(_._1)
+      .mapGroups { (q, it) =>
+        val rows = it.toArray
+        val rel = new scala.collection.mutable.HashMap[Long, Double]
+        val sim = new scala.collection.mutable.HashMap[(Long, Long), Double]
+        rows.foreach { case (_, ca, r, cb, sm) =>
+          rel(ca) = r; sim((ca, cb)) = sm
+        }
+        // greedy: pure-relevance first pick, then argmax of the MMR
+        // affine score with (score desc, id asc) tie order — the
+        // identical comparisons the oracle's unrolled stages make
+        val first = rel.toSeq.minBy { case (id, r) => (-r, id) }._1
+        val selected = scala.collection.mutable.ArrayBuffer(first)
+        while (selected.size < MmrK && rel.size > selected.size) {
+          val next = rel.iterator
+            .filterNot { case (id, _) => selected.contains(id) }
+            .map { case (id, r) =>
+              val m = selected.iterator.map(sl => sim((id, sl))).max
+              (id, 0.7 * r - 0.3 * m)
+            }.minBy { case (id, sc) => (-sc, id) }._1
+          selected += next
+        }
+        (q, selected.toSeq.zipWithIndex.map { case (id, i) =>
+          (i + 1L, id, rel(id))
+        })
+      }
+      .flatMap { case (q, picks) => picks.map(p => (q, p._1, p._2, p._3)) }
+      .toDF("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnIvfPartitioned,
       sAnnPq, sAnnRerank, sHybridRrf, sAnnRecall, sAnnFiltered,
       sKmeans, sKmeansLoop, dSemdedup, sIndexScoreboard, sKnnGraph,
       gKnnTriangles, gKnnComponents, gKnnHops, sAnnIvfSq8,
-      gKnnClusteringCoeff)
+      gKnnClusteringCoeff, sMmrRerank)
 }

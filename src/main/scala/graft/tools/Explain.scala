@@ -88,7 +88,7 @@ object Explain {
     // round-10 continued: the contamination-by-source-pair board, the
     // Benford screen, row-local diversity, and the heartbeat monitor
     "d_cross_source_dup", "q_benford_audit", "t_lexical_diversity",
-    "st_feed_silence")
+    "st_feed_silence", "s_mmr_rerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -640,4 +640,46 @@ class DedupSimilaritySpec extends SparkSpec {
     // board conserves the pair count
     assert(rows.map(_.getAs[Long]("n_pairs")).sum == pairs.length.toLong)
   }
+
+  test("MMR rerank: greedy selection recomputes and actually diversifies") {
+    val rows = Similarity.sMmrRerank.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val e = Tables.embeddings(spark, sfDir)
+    val vecs = e.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("rank")).toSeq ==
+        (1L to rs.length.toLong))
+      // driver greedy replay over the same top-20 candidate set
+      val qv = vecs(q)
+      val cand = vecs.keys.filter(_ != q).map(id => id -> cos(qv, vecs(id))).toSeq
+        .sortBy { case (id, c) => (-c, id) }.take(Similarity.MmrCand)
+      var selected = List(cand.head._1)
+      while (selected.size < Similarity.MmrK) {
+        val next = cand.filterNot(c => selected.contains(c._1))
+          .map { case (id, rel) =>
+            val m = selected.map(s => cos(vecs(id), vecs(s))).max
+            (id, 0.7 * rel - 0.3 * m)
+          }.minBy { case (id, s) => (-s, id) }._1
+        selected = selected :+ next
+      }
+      assert(rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq
+        == selected, s"query $q greedy mismatch")
+    }
+    // diversification must differ from the plain top-k for >=1 query
+    val plain = graft.api.Graft.ann.cosineTopK(e,
+        e.filter(org.apache.spark.sql.functions.col("vec_id") < 16),
+        "vec_id", "embedding", Similarity.MmrK)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq)
+    assert(byQ.exists { case (q, rs) =>
+      rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq != plain(q)
+    }, "MMR never deviated from plain top-k — diversification is dead code")
+  }
 }
