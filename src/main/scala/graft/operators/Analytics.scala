@@ -676,6 +676,64 @@ object Analytics {
       .limit(100)
   }
 
+  /** ASSOCIATION LIFT — the metric layer over q_itemset_pairs' raw
+    * support census (support says a pair co-occurs; LIFT says whether
+    * MORE than two independently-popular items would by chance —
+    * lift ≈ 1000‰ is noise, ≫1000‰ is a real affinity; confidence is
+    * the directional rule strength recommenders rank by): top-50
+    * pairs by integer lift per-mille ⌊1000·support·N/(cnt_a·cnt_b)⌋
+    * with both directional confidences, support ≥ 2.
+    *
+    * Same row-local basket expansion as the support census (per-order
+    * work C(basket,2), never a corpus self-join); the item counts are
+    * one map-side-combined aggregate joined onto the support-cut pair
+    * frame (aggregated, item²-bounded at worst), the basket total is
+    * the adjudicated 1-row scalar cross. Int64-safe while
+    * support·N < 9.2e18 — beyond ~10⁹ baskets the expression widens
+    * to decimal. */
+  val qItemsetLift: GraftQuery = GraftQuery.sql(
+    "q_itemset_lift",
+    """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
+      |            FROM lineitem),
+      |no AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM op),
+      |ic AS (SELECT pkey, COUNT(*) AS cnt FROM op GROUP BY pkey),
+      |pr AS (SELECT a.pkey AS part_a, b.pkey AS part_b
+      |       FROM op a JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey),
+      |sp AS (SELECT part_a, part_b, COUNT(*) AS support
+      |       FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT part_a, part_b, support,
+      |  CAST((1000 * support * n_orders) // (ca.cnt * cb.cnt) AS BIGINT) AS lift_pm,
+      |  CAST((1000 * support) // ca.cnt AS BIGINT) AS conf_a2b_pm,
+      |  CAST((1000 * support) // cb.cnt AS BIGINT) AS conf_b2a_pm
+      |FROM sp JOIN ic ca ON sp.part_a = ca.pkey
+      |        JOIN ic cb ON sp.part_b = cb.pkey CROSS JOIN no
+      |ORDER BY lift_pm DESC, part_a, part_b LIMIT 50""".stripMargin
+  ) { (s, d) =>
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+      .distinct()
+    val no = op.agg(countDistinct(col("okey")).as("n_orders"))
+    val ic = op.groupBy(col("pkey")).agg(count(lit(1)).as("cnt"))
+    val sp = op.groupBy(col("okey")).agg(collect_set(col("pkey")).as("parts"))
+      .select(explode(col("parts")).as("part_a"), col("parts"))
+      .select(col("part_a"), explode(col("parts")).as("part_b"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+    sp.join(ic.select(col("pkey"), col("cnt").as("ca_cnt")), col("part_a") === col("pkey"))
+      .drop("pkey")
+      .join(ic.select(col("pkey"), col("cnt").as("cb_cnt")), col("part_b") === col("pkey"))
+      .drop("pkey")
+      .crossJoin(broadcast(no)) // 1-row scalar — the adjudicated tiny class
+      .select(col("part_a"), col("part_b"), col("support"),
+        expr("(1000 * support * n_orders) div (ca_cnt * cb_cnt)").as("lift_pm"),
+        expr("(1000 * support) div ca_cnt").as("conf_a2b_pm"),
+        expr("(1000 * support) div cb_cnt").as("conf_b2a_pm"))
+      .orderBy(col("lift_pm").desc, col("part_a"), col("part_b"))
+      .limit(50)
+  }
+
   /** OUTAGE / SILENCE GAPS — per-stream dead-air detection (the ops
     * question behind every ingestion SLA: "when did this feed stop,
     * and for how long?"; ts_anomaly flags hours that LOOK wrong —
@@ -794,5 +852,5 @@ object Analytics {
     qBloomJoin, qMvIncremental, tsResample, dEditDistance,
     qParetoFrontier, stLatenessAudit, gPagerank, qWindowPercentile,
     tsAnomaly, tsBaselineAnomaly, tsSeasonality, tsChangepoint,
-    qItemsetPairs, tsOutageGaps, qBenfordAudit)
+    qItemsetPairs, tsOutageGaps, qBenfordAudit, qItemsetLift)
 }

@@ -529,8 +529,76 @@ object Insights {
       .orderBy(col("dy"))
   }
 
+  /** DECILE MIGRATION MATRIX — how customers MOVE between spend
+    * deciles across two periods (q_rfm_segmentation scores where a
+    * customer IS; this is the churn/upsell board finance reads:
+    * diagonal = stable, below = churn risk, decile 0 = entered/left
+    * the base entirely). Per market segment: early-period (≤1997) vs
+    * late-period (≥1998) spend deciles, transition cell counts.
+    *
+    * ONE orders scan folds both period spends as conditional decimal
+    * sums (map-side combinable, Parity-exact so the decile sort key
+    * is bit-identical across engines); the segment join and both
+    * NTILE windows run on the per-customer aggregate (one row per
+    * customer), each window PARTITIONED by segment with a (spend,
+    * custkey) total order — the 100 TB global-decile variant swaps
+    * NTILE for broadcast quantile cut points + map-side bucketing;
+    * partitioned-by-segment keeps the exact form scale-safe here.
+    * Customers inactive in a period land in decile 0 via the left
+    * joins. Output is segment×11² bounded. */
+  val qDecileMigration: GraftQuery = GraftQuery.sql(
+    "q_decile_migration",
+    """WITH cs AS (
+      |  SELECT o_custkey,
+      |    SUM(CASE WHEN year(o_orderdate) <= 1997
+      |        THEN CAST(o_totalprice AS DECIMAL(15,2))
+      |        ELSE CAST(0 AS DECIMAL(15,2)) END) AS s1,
+      |    SUM(CASE WHEN year(o_orderdate) >= 1998
+      |        THEN CAST(o_totalprice AS DECIMAL(15,2))
+      |        ELSE CAST(0 AS DECIMAL(15,2)) END) AS s2
+      |  FROM orders GROUP BY o_custkey),
+      |j AS (SELECT c.c_mktsegment AS segment, cs.o_custkey AS ck, s1, s2
+      |      FROM cs JOIN customer c ON cs.o_custkey = c.c_custkey),
+      |d1 AS (SELECT ck, NTILE(10) OVER (PARTITION BY segment
+      |         ORDER BY s1, ck) AS d FROM j WHERE s1 > 0),
+      |d2 AS (SELECT ck, NTILE(10) OVER (PARTITION BY segment
+      |         ORDER BY s2, ck) AS d FROM j WHERE s2 > 0)
+      |SELECT j.segment, CAST(COALESCE(d1.d, 0) AS BIGINT) AS decile_from,
+      |  CAST(COALESCE(d2.d, 0) AS BIGINT) AS decile_to,
+      |  COUNT(*) AS n_customers
+      |FROM j LEFT JOIN d1 ON j.ck = d1.ck LEFT JOIN d2 ON j.ck = d2.ck
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  ) { (s, d) =>
+    val zero = expr("cast(0 as decimal(15,2))")
+    val cs = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(year(col("o_orderdate")) <= 1997,
+          graft.functions.Parity.m(col("o_totalprice"))).otherwise(zero)).as("s1"),
+        sum(when(year(col("o_orderdate")) >= 1998,
+          graft.functions.Parity.m(col("o_totalprice"))).otherwise(zero)).as("s2"))
+    val j = cs.join(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("segment"), col("o_custkey").as("ck"), col("s1"), col("s2"))
+    def deciles(spend: String) = {
+      val w = Window.partitionBy(col("segment")).orderBy(col(spend), col("ck"))
+      j.filter(col(spend) > 0)
+        .select(col("ck"), ntile(10).over(w).as("d"))
+    }
+    j.join(deciles("s1").select(col("ck").as("ck1"), col("d").as("df")),
+        col("ck") === col("ck1"), "left")
+      .join(deciles("s2").select(col("ck").as("ck2"), col("d").as("dt")),
+        col("ck") === col("ck2"), "left")
+      .groupBy(col("segment"),
+        coalesce(col("df"), lit(0)).cast("long").as("decile_from"),
+        coalesce(col("dt"), lit(0)).cast("long").as("decile_to"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("segment"), col("decile_from"), col("decile_to"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     lakeSnapshotDiff, qFunnel, qRetentionCohorts, qEventTransitions,
     tVocabCoverage, qScd2, qGapsIslands, qSessionize, qCumulativeDistinct,
-    qTopPaths, qCohortLtv, qRollingActive)
+    qTopPaths, qCohortLtv, qRollingActive, qDecileMigration)
 }

