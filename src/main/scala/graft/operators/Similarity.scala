@@ -1586,10 +1586,97 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** SEMI-SUPERVISED LABEL PROPAGATION over the mutual k-NN graph —
+    * the cheap-label amplifier (you can afford to hand-label or
+    * trust-metadata-label 20% of a corpus; propagation pushes those
+    * labels along semantic edges to the rest — the standard
+    * weak-supervision step before training a classifier, and on this
+    * graph the "label the near-dups of what you labeled" discipline):
+    * seed nodes (every 5th id) carry their document's language; two
+    * synchronous MONOTONE rounds — an unlabeled node takes the
+    * MAJORITY label of its already-labeled neighbors under the
+    * (count desc, label asc) total order, and once labeled is pinned
+    * (the incremental-LPA variant: monotone, so deterministic and
+    * expressible as two unrolled rounds on both engines, no
+    * oscillation). Output: per label, nodes labeled at each hop.
+    *
+    * Scale: edges are the family's memoized mutual-kNN frame
+    * (cell-local by construction); each round is one edge⋈labels
+    * join + a majority rank over the vote aggregate (edge-
+    * proportional, map-side combinable) — the g_pagerank/BFS
+    * iterate family's cost model with a fixed 2-round unroll. */
+  val gKnnLabelProp: GraftQuery = GraftQuery.sql(
+    "g_knn_label_prop",
+    s"""WITH $corpusSql,
+       |$knnCtesSql,
+       |me AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |       FROM knn GROUP BY 1, 2 HAVING COUNT(*) = 2),
+       |ed AS (SELECT a AS src, b AS dst FROM me
+       |       UNION ALL SELECT b AS src, a AS dst FROM me),
+       |seeds AS (SELECT e2.vec_id AS node, d.lang
+       |          FROM embeddings e2 JOIN documents d ON e2.vec_id = d.doc_id
+       |          WHERE e2.vec_id % 5 = 0),
+       |v1 AS (SELECT e.dst AS node, s.lang, COUNT(*) AS c
+       |       FROM ed e JOIN seeds s ON e.src = s.node
+       |       WHERE e.dst NOT IN (SELECT node FROM seeds)
+       |       GROUP BY e.dst, s.lang),
+       |p1 AS (SELECT node, lang FROM (
+       |       SELECT node, lang, ROW_NUMBER() OVER (PARTITION BY node
+       |         ORDER BY c DESC, lang) AS rk FROM v1) t WHERE rk = 1),
+       |l1 AS (SELECT node, lang, 0 AS round FROM seeds
+       |       UNION ALL SELECT node, lang, 1 FROM p1),
+       |v2 AS (SELECT e.dst AS node, l.lang, COUNT(*) AS c
+       |       FROM ed e JOIN l1 l ON e.src = l.node
+       |       WHERE e.dst NOT IN (SELECT node FROM l1)
+       |       GROUP BY e.dst, l.lang),
+       |p2 AS (SELECT node, lang FROM (
+       |       SELECT node, lang, ROW_NUMBER() OVER (PARTITION BY node
+       |         ORDER BY c DESC, lang) AS rk FROM v2) t WHERE rk = 1),
+       |l2 AS (SELECT * FROM l1 UNION ALL SELECT node, lang, 2 FROM p2)
+       |SELECT lang,
+       |  CAST(SUM(CASE WHEN round = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seeds,
+       |  CAST(SUM(CASE WHEN round = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop1,
+       |  CAST(SUM(CASE WHEN round = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop2,
+       |  COUNT(*) AS n_labeled
+       |FROM l2 GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    val me = knnMutual(s, d).filter(col("n_dir") === 2)
+    val ed = me.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(me.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = Tables.embeddings(s, d).select(col("vec_id").as("node"))
+      .filter(col("node") % 5 === 0)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        col("node") === col("doc_id"))
+      .select(col("node"), col("lang"))
+    def round(labeled: DataFrame): DataFrame = {
+      val votes = ed
+        .join(labeled.select(col("node").as("sn"), col("lang")),
+          col("src") === col("sn"))
+        .join(labeled.select(col("node").as("xn")),
+          col("dst") === col("xn"), "left_anti")
+        .groupBy(col("dst").as("node"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+      val wMaj = Window.partitionBy(col("node")).orderBy(col("c").desc, col("lang"))
+      votes.withColumn("rk", row_number().over(wMaj)).filter(col("rk") === 1)
+        .select(col("node"), col("lang"))
+    }
+    val l0 = graft.ScopedCache(seeds.withColumn("round", lit(0)))
+    val p1 = graft.ScopedCache(round(l0).withColumn("round", lit(1)))
+    val l1 = graft.ScopedCache(l0.unionByName(p1))
+    val p2 = round(l1).withColumn("round", lit(2))
+    l1.unionByName(p2)
+      .groupBy(col("lang"))
+      .agg(sum(when(col("round") === 0, 1L).otherwise(0L)).as("n_seeds"),
+        sum(when(col("round") === 1, 1L).otherwise(0L)).as("n_hop1"),
+        sum(when(col("round") === 2, 1L).otherwise(0L)).as("n_hop2"),
+        count(lit(1)).as("n_labeled"))
+      .orderBy(col("lang"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnIvfPartitioned,
       sAnnPq, sAnnRerank, sHybridRrf, sAnnRecall, sAnnFiltered,
       sKmeans, sKmeansLoop, dSemdedup, sIndexScoreboard, sKnnGraph,
       gKnnTriangles, gKnnComponents, gKnnHops, sAnnIvfSq8,
-      gKnnClusteringCoeff, sMmrRerank)
+      gKnnClusteringCoeff, sMmrRerank, gKnnLabelProp)
 }

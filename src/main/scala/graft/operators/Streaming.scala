@@ -249,7 +249,66 @@ object Streaming {
       .orderBy(col("event_type"), col("gap_start_hr"))
   }
 
+  /** Warm-up before the online anomaly gate scores arrivals. */
+  val AnomWarmup = 30
+
+  /** ONLINE ANOMALY GATE — streaming z-score against the PRIOR
+    * stream (ts_anomaly scores a day against its whole series
+    * offline; a live gate can only use what has already arrived —
+    * this is the prequential form every ingestion monitor actually
+    * runs): per event type, an arrival is flagged when its value
+    * sits more than 3σ from the mean of all EARLIER arrivals, after
+    * a 30-event warm-up. The 3σ test is cross-multiplied into exact
+    * integer cents — (n·v − S)² > 9·(n·Q − S²) with S/Q the prior
+    * sum and sum-of-squares — no sqrt, no float variance. The
+    * comparison runs in exact WIDE integers on both engines (DuckDB
+    * computes window sums in HUGEINT natively; Spark casts through
+    * decimal(38,0) — int64 alone overflows n·Q at ~10⁵ cent-scale
+    * events/key, which the 10× scale step caught); the remaining
+    * bound is the Q accumulator itself (< 2⁶³ ⇒ ~10⁹ events/key,
+    * then the state widens to decimal too).
+    *
+    * Batch truth: ONE shuffle on event_type; both prefix sums and
+    * the count share a single (ts, event_id)-ordered window spec
+    * (one sort). Streaming form: `StreamingOps.streamAnomaly`,
+    * flatMapGroupsWithState with THREE longs of state per key
+    * (n, S, Q) — O(keys), never O(events); the spec asserts EXACT
+    * convergence under arbitrary chunking. */
+  val stStreamAnomaly: GraftQuery = GraftQuery.sql(
+    "st_stream_anomaly",
+    s"""WITH v AS (SELECT event_type, event_id, ts,
+       |    CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS c
+       |  FROM events),
+       |w AS (SELECT event_type, event_id, c,
+       |    COUNT(*) OVER pw AS n, SUM(c) OVER pw AS sm, SUM(c*c) OVER pw AS qm
+       |  FROM v
+       |  WINDOW pw AS (PARTITION BY event_type ORDER BY ts, event_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       |SELECT event_type, event_id, c AS v_cents, n AS n_prior
+       |FROM w WHERE n >= $AnomWarmup
+       |  AND (n*c - sm) * (n*c - sm) > 9 * (n*qm - sm*sm)
+       |ORDER BY event_type, event_id""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("ts"),
+        expr("cast(cast(value as decimal(15,2)) * 100 as bigint)").as("c"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sm", sum(col("c")).over(w))
+      .withColumn("qm", sum(col("c") * col("c")).over(w))
+      .filter(col("n") >= AnomWarmup && expr(
+        """(cast(n as decimal(38,0))*c - sm) * (cast(n as decimal(38,0))*c - sm)
+          | > 9 * (cast(n as decimal(38,0))*qm
+          |        - cast(sm as decimal(38,0))*sm)""".stripMargin))
+      .select(col("event_type"), col("event_id"), col("c").as("v_cents"),
+        col("n").as("n_prior"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(stTumblingWindow, stSessionWindow, stHoppingWindow, stCdcUpsert,
-      stRateLimit, stWindowedTopk, stFeedSilence)
+      stRateLimit, stWindowedTopk, stFeedSilence, stStreamAnomaly)
 }

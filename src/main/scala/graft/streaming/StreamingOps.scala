@@ -272,6 +272,47 @@ object StreamingOps {
       .toDF()
   }
 
+  case class AnomState(n: Long, sm: Long, qm: Long)
+  case class AnomOut(event_type: String, event_id: Long,
+                     v_cents: Long, n_prior: Long)
+
+  /** Streaming online anomaly gate (streaming form of
+    * st_stream_anomaly): per event-type key the state is THREE longs
+    * — prior count, sum and sum-of-squares in exact integer cents —
+    * O(keys), never O(events). Each batch's arrivals are folded in
+    * (ts, event_id) order; an arrival is scored against the state
+    * BEFORE it is absorbed, so replay order equals the batch truth's
+    * prefix-window semantics exactly, and the 3σ test is the same
+    * cross-multiplied integer comparison. */
+  def streamAnomaly(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val warmup = graft.operators.Streaming.AnomWarmup.toLong
+    events.as[Ev]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomState, AnomOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (tpe, evs, state) =>
+          var st = state.getOption.getOrElse(AnomState(0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomOut]
+          evs.toSeq.sortBy(e => (tsToMicros(e.ts), e.event_id)).foreach { e =>
+            val c = BigDecimal(e.value).setScale(2,
+              BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact
+            val (n, sm, qm) = (st.n, st.sm, st.qm)
+            // BigInt: the same exact wide-integer comparison the batch
+            // truth makes in decimal(38,0) — int64 overflows n*qm
+            val d1 = BigInt(n) * c - sm
+            if (n >= warmup && d1 * d1 > 9 * (BigInt(n) * qm - BigInt(sm) * sm))
+              out += AnomOut(tpe, e.event_id, c, n)
+            st = AnomState(n + 1, sm + c, qm + c * c)
+          }
+          state.update(st)
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Streaming dedup: first event per (user_id, event_type), state
     * bounded by the watermark (st_stream_dedup's batch truth counts
     * all events; the streaming form keeps the first arrival per key). */

@@ -91,7 +91,10 @@ object Explain {
     "st_feed_silence", "s_mmr_rerank",
     // round-10 continued: the association-lift layer, the boilerplate
     // content report, and the decile transition matrix
-    "q_itemset_lift", "t_boilerplate_ngrams", "q_decile_migration")
+    "q_itemset_lift", "t_boilerplate_ngrams", "q_decile_migration",
+    // round-10 continued: the online anomaly gate and the
+    // weak-supervision label amplifier
+    "st_stream_anomaly", "g_knn_label_prop")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

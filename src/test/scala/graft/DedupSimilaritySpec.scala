@@ -682,4 +682,29 @@ class DedupSimilaritySpec extends SparkSpec {
       rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq != plain(q)
     }, "MMR never deviated from plain top-k — diversification is dead code")
   }
+
+  test("label propagation: board conserves seeds and hops actually propagate") {
+    val rows = Similarity.gKnnLabelProp.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions.col
+    // seed census recounts directly
+    val seeds = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 5 === 0).select(col("vec_id"))
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
+        col("vec_id") === col("doc_id"))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_seeds") == seeds(r.getAs[String]("lang")))
+      assert(r.getAs[Long]("n_labeled") == r.getAs[Long]("n_seeds") +
+        r.getAs[Long]("n_hop1") + r.getAs[Long]("n_hop2"))
+    }
+    // propagation is not dead code: both hops label someone somewhere
+    assert(rows.map(_.getAs[Long]("n_hop1")).sum > 0)
+    assert(rows.map(_.getAs[Long]("n_hop2")).sum > 0)
+    // no node is ever labeled twice: total labeled <= graph nodes + seeds
+    val total = rows.map(_.getAs[Long]("n_labeled")).sum
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    assert(total <= nVecs)
+  }
 }

@@ -614,4 +614,28 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
     assert(got.nonEmpty, "corpus must exercise at least one silence gap")
   }
+
+  test("streaming anomaly gate converges to the batch prefix-window truth exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ordered = loadEvents().sortBy(e => (StreamingOps.tsToMicros(e.ts), e.event_id))
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.streamAnomaly(stream.toDF()).writeStream
+      .format("memory").queryName("anomaly_sink").outputMode("append").start()
+    try {
+      ordered.grouped(1100).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("anomaly_sink").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("v_cents"), r.getAs[Long]("n_prior"))).toSet
+    val want = Streaming.stStreamAnomaly.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("v_cents"), r.getAs[Long]("n_prior"))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(got.nonEmpty, "corpus must exercise at least one flagged arrival")
+  }
 }
