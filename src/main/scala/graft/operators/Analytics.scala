@@ -848,9 +848,102 @@ object Analytics {
       .orderBy(col("digit"))
   }
 
+  /** K-ANONYMITY AUDIT — the re-identification screen privacy review
+    * runs before any table leaves the fence (t_pii_scrub removes
+    * direct identifiers; this measures QUASI-identifiers — a row is
+    * re-identifiable when its QI combination is shared by fewer than
+    * k people, famously 87% of the US by (ZIP, birthdate, sex)):
+    * group-size histogram over the (nation, segment, balance-band)
+    * QI tuple — for each group size k, how many groups and rows sit
+    * there, flagged below the k=5 threshold — plus the census the
+    * generalization decision reads (suppress, or widen the band?).
+    *
+    * One map-side-combined QI aggregate (the corpus's only shuffle),
+    * then a size histogram over the group frame (QI-cardinality
+    * bounded). The balance band is integer floor division — the
+    * generalization knob itself, stated in the output. */
+  val qKAnonymity: GraftQuery = GraftQuery.sql(
+    "q_k_anonymity",
+    """WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(CAST(c_acctbal AS DECIMAL(15,2)) AS BIGINT) // 1000 AS bal_band,
+      |    COUNT(*) AS k
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT k AS group_size, COUNT(*) AS n_groups,
+      |  CAST(k * COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(CASE WHEN k < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+      |FROM g GROUP BY k ORDER BY k""".stripMargin
+  ) { (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        expr("cast(cast(c_acctbal as decimal(15,2)) as bigint) div 1000")
+          .as("bal_band"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("k").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .select(col("group_size"), col("n_groups"),
+        (col("group_size") * col("n_groups")).as("n_rows"),
+        when(col("group_size") < 5, 1L).otherwise(0L).as("at_risk"))
+      .orderBy(col("group_size"))
+  }
+
+  /** SEQUENTIAL PATTERN SUPPORT — "A happens before B" user counts
+    * for every ordered event-type pair (q_event_transitions counts
+    * ADJACENT steps; funnels fix one order in advance — this
+    * discovers the order: the exploratory census run before anyone
+    * writes a funnel, where a strong A→B with a weak B→A is the
+    * directionality signal): a user supports (A then B) when some A
+    * occurrence precedes some B occurrence, i.e. min_ts(A) <
+    * max_ts(B) — per-user span aggregates, no sequence scan.
+    *
+    * ONE corpus shuffle into the (user, type, min, max) frame (≤
+    * types rows per user, map-side combinable); the before-relation
+    * is a user-keyed self-join of that bounded frame (≤ types² rows
+    * per user, co-partitioned — no exchange between aggregate and
+    * join); the user total is the adjudicated 1-row scalar cross. */
+  val qSeqPatterns: GraftQuery = GraftQuery.sql(
+    "q_seq_patterns",
+    """WITH ut AS (
+      |  SELECT user_id, event_type,
+      |    MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS mn,
+      |    MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS mx
+      |  FROM events GROUP BY user_id, event_type),
+      |pr AS (SELECT a.event_type AS type_first, b.event_type AS type_then,
+      |         COUNT(*) AS n_users
+      |       FROM ut a JOIN ut b ON a.user_id = b.user_id
+      |         AND a.event_type <> b.event_type
+      |       WHERE a.mn < b.mx
+      |       GROUP BY 1, 2),
+      |tot AS (SELECT COUNT(DISTINCT user_id) AS nu FROM events)
+      |SELECT type_first, type_then, n_users,
+      |  (1000 * n_users) // nu AS support_pm
+      |FROM pr CROSS JOIN tot
+      |ORDER BY n_users DESC, type_first, type_then""".stripMargin
+  ) { (s, d) =>
+    val ut = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr("cast(ts as long)").as("es"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("es")).as("mn"), max(col("es")).as("mx"))
+    val tot = Tables.events(s, d)
+      .agg(countDistinct(col("user_id")).as("nu"))
+    ut.as("a")
+      .join(ut.select(col("user_id").as("ub"), col("event_type").as("tb"),
+        col("mx").as("bmx")).as("b"),
+        col("user_id") === col("ub") && col("event_type") =!= col("tb") &&
+          col("mn") < col("bmx"))
+      .groupBy(col("event_type").as("type_first"), col("tb").as("type_then"))
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(tot)) // 1-row scalar — the adjudicated tiny class
+      .select(col("type_first"), col("type_then"), col("n_users"),
+        expr("(1000 * n_users) div nu").as("support_pm"))
+      .orderBy(col("n_users").desc, col("type_first"), col("type_then"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qBloomJoin, qMvIncremental, tsResample, dEditDistance,
     qParetoFrontier, stLatenessAudit, gPagerank, qWindowPercentile,
     tsAnomaly, tsBaselineAnomaly, tsSeasonality, tsChangepoint,
-    qItemsetPairs, tsOutageGaps, qBenfordAudit, qItemsetLift)
+    qItemsetPairs, tsOutageGaps, qBenfordAudit, qItemsetLift,
+    qKAnonymity, qSeqPatterns)
 }

@@ -94,7 +94,10 @@ object Explain {
     "q_itemset_lift", "t_boilerplate_ngrams", "q_decile_migration",
     // round-10 continued: the online anomaly gate and the
     // weak-supervision label amplifier
-    "st_stream_anomaly", "g_knn_label_prop")
+    "st_stream_anomaly", "g_knn_label_prop",
+    // round-10 continued: the privacy screen and the order-discovery
+    // census
+    "q_k_anonymity", "q_seq_patterns")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

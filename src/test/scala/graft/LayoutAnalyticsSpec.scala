@@ -426,6 +426,49 @@ class LayoutAnalyticsSpec extends SparkSpec {
     assert(ls.sliding(2).forall { case Array(x, y) => x >= y; case _ => true })
   }
 
+  test("k-anonymity: histogram conserves all rows and risk flags match the threshold") {
+    val rows = Analytics.qKAnonymity.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.customer(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") ==
+        r.getAs[Long]("group_size") * r.getAs[Long]("n_groups"))
+      assert(r.getAs[Long]("at_risk") ==
+        (if (r.getAs[Long]("group_size") < 5) 1L else 0L))
+    }
+    // driver recount of the QI census
+    val want = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        expr("cast(cast(c_acctbal as decimal(15,2)) as bigint) div 1000"))
+      .collect().groupBy(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .values.map(_.size.toLong).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(r => r.getAs[Long]("group_size") -> r.getAs[Long]("n_groups")).toMap == want)
+  }
+
+  test("seq patterns: before-relation recounts from per-user type spans") {
+    val rows = Analytics.qSeqPatterns.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), expr("cast(ts as long)"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val spans = evs.groupBy(r => (r._1, r._2)).view
+      .mapValues(g => (g.map(_._3).min, g.map(_._3).max)).toMap
+    val users = evs.map(_._1).distinct
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_first"), r.getAs[String]("type_then"))
+      val n = users.count { u =>
+        (spans.get((u, a)), spans.get((u, b))) match {
+          case (Some((mna, _)), Some((_, mxb))) => mna < mxb
+          case _ => false
+        }
+      }.toLong
+      assert(r.getAs[Long]("n_users") == n, s"pair ($a,$b)")
+      assert(r.getAs[Long]("support_pm") == 1000L * n / users.length)
+      assert(a != b)
+    }
+  }
+
   test("benford audit: digit census recounts and deviations use the published constants") {
     val rows = Analytics.qBenfordAudit.fn(spark, sfDir).collect()
     val benford = Map(1 -> 301L, 2 -> 176L, 3 -> 125L, 4 -> 97L, 5 -> 79L,
