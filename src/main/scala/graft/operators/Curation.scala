@@ -244,5 +244,45 @@ object Curation {
       .orderBy(col("split"), col("lang"))
   }
 
-  def all: Seq[GraftQuery] = Seq(tBpeEncode, tDatasetMix, tDocChunk, tTrainSplit)
+  /** TOKENIZER FERTILITY — BPE tokens per whitespace word, by
+    * language (THE vocab-fairness number: a tokenizer with fertility
+    * 1100‰ on English and 2800‰ on Chinese makes Chinese text ~2.5×
+    * more expensive per word in context budget and compute — the
+    * metric that decides vocab allocation before any multilingual
+    * training run; t_bpe_encode's chars_per_ktok measures
+    * compression, this measures per-WORD cost): per lang, word and
+    * BPE-token mass with fertility per-mille ⌊1000·tokens/words⌋.
+    *
+    * One scan: the encode fold and the word count are both row-local
+    * string expressions (codegen'd), then one map-side-combined lang
+    * rollup — the corpus never shuffles, only per-lang partials. */
+  val tTokenizerFertility: GraftQuery = GraftQuery.sql(
+    "t_tokenizer_fertility", {
+      val e = bpeEncodeSql("text")
+      s"""WITH enc AS (SELECT lang, $e AS e,
+         |    len(list_filter(string_split(text, ' '), w -> w <> '')) AS nw
+         |  FROM documents)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(nw) AS BIGINT) AS n_words,
+         |  CAST(SUM(length(e) - length(replace(e, '|', ''))) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(length(e) - length(replace(e, '|', ''))) * 1000
+         |    // SUM(nw) AS BIGINT) AS fertility_pm
+         |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
+    }
+  ) { (s, d) =>
+    bpeEncode(Tables.documents(s, d), "text")
+      .withColumn("nw",
+        expr("cast(size(filter(split(text, ' ', -1), w -> w != '')) as bigint)"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("fertility_pm", expr("n_tokens * 1000 div n_words"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        col("fertility_pm"))
+      .orderBy(col("lang"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(tBpeEncode, tDatasetMix, tDocChunk, tTrainSplit,
+    tTokenizerFertility)
 }

@@ -597,8 +597,75 @@ object Insights {
       .orderBy(col("segment"), col("decile_from"), col("decile_to"))
   }
 
+  /** TIME-TO-CONVERT PERCENTILES — how long the funnel takes, not
+    * just whether it converts (q_funnel counts who reaches purchase;
+    * the latency DISTRIBUTION is what the growth team actually
+    * tunes, and the p90 is the number that breaks when checkout
+    * breaks): per market segment, exact p50/p90 of first-view →
+    * first-subsequent-purchase latency in integer seconds, over
+    * converting users.
+    *
+    * Two conditional aggregates fold the corpus in ONE scan group
+    * (first view, then first purchase AFTER it — the second min is
+    * conditional on the first, computed per user from the same
+    * grouped pass via min-over-filtered pairs); the exact-rank
+    * percentile pick is the q_percentiles window discipline over the
+    * converting-user frame (one row per user), partitioned by
+    * segment with a (latency, user) total order. */
+  val qTimeToConvert: GraftQuery = GraftQuery.sql(
+    "q_time_to_convert",
+    """WITH fv AS (
+      |  SELECT user_id, MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS v
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |fp AS (
+      |  SELECT e.user_id, MIN(CAST(FLOOR(epoch(e.ts)) AS BIGINT)) AS p
+      |  FROM events e JOIN fv ON e.user_id = fv.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND CAST(FLOOR(epoch(e.ts)) AS BIGINT) > fv.v
+      |  GROUP BY e.user_id),
+      |conv AS (SELECT fv.user_id, fp.p - fv.v AS lat
+      |         FROM fv JOIN fp ON fv.user_id = fp.user_id),
+      |j AS (SELECT c.c_mktsegment AS segment, conv.user_id AS uid, lat
+      |      FROM conv JOIN customer c ON conv.user_id = c.c_custkey),
+      |r AS (SELECT segment, lat,
+      |        ROW_NUMBER() OVER (PARTITION BY segment ORDER BY lat, uid) AS rn,
+      |        COUNT(*) OVER (PARTITION BY segment) AS n
+      |      FROM j)
+      |SELECT segment, CAST(MAX(n) AS BIGINT) AS n_converted,
+      |  CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+      |    THEN lat END) AS BIGINT) AS p50_secs,
+      |  CAST(MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+      |    THEN lat END) AS BIGINT) AS p90_secs
+      |FROM r GROUP BY segment ORDER BY segment""".stripMargin
+  ) { (s, d) =>
+    val es = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), expr("cast(ts as long)").as("es"))
+    val fv = es.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("es")).as("v"))
+    val fp = es.filter(col("event_type") === "purchase")
+      .join(fv, Seq("user_id"))
+      .filter(col("es") > col("v"))
+      .groupBy(col("user_id")).agg(min(col("es")).as("p"), min(col("v")).as("v0"))
+    val conv = fp.select(col("user_id"), (col("p") - col("v0")).as("lat"))
+    val j = conv.join(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+        col("user_id") === col("c_custkey"))
+      .select(col("segment"), col("user_id").as("uid"), col("lat"))
+    val w = Window.partitionBy(col("segment"))
+    val r = j.select(col("segment"), col("lat"),
+      row_number().over(w.orderBy(col("lat"), col("uid"))).as("rn"),
+      count(lit(1)).over(w).as("n"))
+    r.groupBy(col("segment"))
+      .agg(max(col("n")).as("n_converted"),
+        max(when(col("rn") === ceil(lit(0.5) * col("n")).cast("long"),
+          col("lat"))).as("p50_secs"),
+        max(when(col("rn") === ceil(lit(0.9) * col("n")).cast("long"),
+          col("lat"))).as("p90_secs"))
+      .orderBy(col("segment"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     lakeSnapshotDiff, qFunnel, qRetentionCohorts, qEventTransitions,
     tVocabCoverage, qScd2, qGapsIslands, qSessionize, qCumulativeDistinct,
-    qTopPaths, qCohortLtv, qRollingActive, qDecileMigration)
+    qTopPaths, qCohortLtv, qRollingActive, qDecileMigration, qTimeToConvert)
 }

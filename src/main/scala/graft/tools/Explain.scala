@@ -97,7 +97,10 @@ object Explain {
     "st_stream_anomaly", "g_knn_label_prop",
     // round-10 continued: the privacy screen and the order-discovery
     // census
-    "q_k_anonymity", "q_seq_patterns")
+    "q_k_anonymity", "q_seq_patterns",
+    // round-10 final: the vocab-fairness metric and the funnel-latency
+    // distribution
+    "t_tokenizer_fertility", "q_time_to_convert")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -120,4 +120,24 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_.getLong(3)).sum == leaks)
     assert(leaks > 0, "synthetic corpus has exact dups — the audit must see some")
   }
+
+  test("tokenizer fertility: word and token masses recount per language") {
+    val rows = Curation.tTokenizerFertility.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sfDir).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val ts = docs.filter(_._1 == lang).map(_._2)
+      val words = ts.map(_.split(" ", -1).count(_.nonEmpty).toLong).sum
+      assert(r.getAs[Long]("n_docs") == ts.length.toLong)
+      assert(r.getAs[Long]("n_words") == words)
+      // BPE tokens >= merged floor: at least one token per word piece,
+      // and the per-mille identity must hold exactly
+      assert(r.getAs[Long]("fertility_pm") ==
+        r.getAs[Long]("n_tokens") * 1000 / words)
+      assert(r.getAs[Long]("n_tokens") >= words,
+        "each word yields at least one BPE token")
+    }
+  }
 }

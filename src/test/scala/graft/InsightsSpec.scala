@@ -219,4 +219,35 @@ class InsightsSpec extends SparkSpec {
     val total = fromCells.map(_.getAs[Long]("n_customers")).sum
     assert(total == n.toLong, s"segment $seg0 early-active customers")
   }
+
+  test("time to convert: percentiles replay from driver-computed latencies") {
+    val rows = Insights.qTimeToConvert.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), expr("cast(ts as long)"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val segs = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val lats = evs.groupBy(_._1).flatMap { case (u, es) =>
+      val vs = es.filter(_._2 == "view").map(_._3)
+      if (vs.isEmpty) None
+      else {
+        val v = vs.min
+        val ps = es.filter(e => e._2 == "purchase" && e._3 > v).map(_._3)
+        if (ps.isEmpty) None else Some((u, segs(u), ps.min - v))
+      }
+    }.toSeq
+    rows.foreach { r =>
+      val seg = r.getAs[String]("segment")
+      val inSeg = lats.filter(_._2 == seg)
+        .sortBy { case (u, _, l) => (l, u) }.map(_._3)
+      assert(r.getAs[Long]("n_converted") == inSeg.length.toLong)
+      assert(r.getAs[Long]("p50_secs") ==
+        inSeg(math.ceil(0.5 * inSeg.length).toInt - 1))
+      assert(r.getAs[Long]("p90_secs") ==
+        inSeg(math.ceil(0.9 * inSeg.length).toInt - 1))
+      assert(r.getAs[Long]("p50_secs") <= r.getAs[Long]("p90_secs"))
+    }
+  }
 }
