@@ -649,29 +649,41 @@ object Analytics {
     * TakeOrdered over the (already heavily aggregated) pair frame,
     * not a global sort of the corpus. Ties broken (support DESC,
     * part_a, part_b) identically on both engines. */
-  val qItemsetPairs: GraftQuery = GraftQuery.sql(
-    "q_itemset_pairs",
-    """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
-      |            FROM lineitem),
-      |pr AS (SELECT a.pkey AS part_a, b.pkey AS part_b
-      |       FROM op a JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey)
-      |SELECT part_a, part_b, COUNT(*) AS support
-      |FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 2
-      |ORDER BY support DESC, part_a, part_b LIMIT 100""".stripMargin
-  ) { (s, d) =>
-    val baskets = Tables.lineitem(s, d)
+  /** Shared basket-pair support census (ONE definition for
+    * q_itemset_pairs and q_itemset_lift — a threshold or expansion
+    * edit cannot drift between the two boards): per-order item sets
+    * by one hash aggregate, row-local explode×explode pair expansion
+    * with the a<b guard, map-side-combined support count, support≥2
+    * cut. SQL twin: `itemsetSupportCtes`. */
+  private def itemsetSupport(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
       .groupBy(col("okey"))
       .agg(collect_set(col("pkey")).as("parts"))
-    // Row-local pair expansion: explode × explode with a < guard, no
-    // second shuffle of the corpus.
-    baskets
       .select(explode(col("parts")).as("part_a"), col("parts"))
       .select(col("part_a"), explode(col("parts")).as("part_b"))
       .filter(col("part_a") < col("part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
+
+  /** Oracle CTE fragment ending in sp(part_a, part_b, support) —
+    * the exact SQL twin of `itemsetSupport` (leaves `op` in scope). */
+  private val itemsetSupportCtes: String =
+    """op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
+      |            FROM lineitem),
+      |pr AS (SELECT a.pkey AS part_a, b.pkey AS part_b
+      |       FROM op a JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey),
+      |sp AS (SELECT part_a, part_b, COUNT(*) AS support
+      |       FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
+
+  val qItemsetPairs: GraftQuery = GraftQuery.sql(
+    "q_itemset_pairs",
+    s"""WITH $itemsetSupportCtes
+       |SELECT part_a, part_b, support FROM sp
+       |ORDER BY support DESC, part_a, part_b LIMIT 100""".stripMargin
+  ) { (s, d) =>
+    itemsetSupport(s, d)
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
       .limit(100)
   }
@@ -684,23 +696,24 @@ object Analytics {
     * pairs by integer lift per-mille ⌊1000·support·N/(cnt_a·cnt_b)⌋
     * with both directional confidences, support ≥ 2.
     *
-    * Same row-local basket expansion as the support census (per-order
-    * work C(basket,2), never a corpus self-join); the item counts are
-    * one map-side-combined aggregate joined onto the support-cut pair
+    * Shares the basket-pair support census with q_itemset_pairs via
+    * `itemsetSupport` (one definition — a threshold edit cannot
+    * drift between the two boards); per-order work C(basket,2),
+    * never a corpus self-join. The item counts are one
+    * map-side-combined aggregate joined onto the support-cut pair
     * frame (aggregated, item²-bounded at worst), the basket total is
-    * the adjudicated 1-row scalar cross. Int64-safe while
-    * support·N < 9.2e18 — beyond ~10⁹ baskets the expression widens
-    * to decimal. */
+    * the adjudicated 1-row scalar cross. Int64 bound:
+    * 1000·support·N < 2⁶³ ⇔ support·N < 9.2×10¹⁵ — for a pair
+    * whose support tracks the basket count that is ~10⁸ baskets,
+    * and past it the engines fail DIFFERENTLY (DuckDB raises a
+    * BIGINT-overflow error, Spark wraps silently): the widening to
+    * decimal must be applied to BOTH sides together, and the
+    * hash-gate enforces that. */
   val qItemsetLift: GraftQuery = GraftQuery.sql(
     "q_itemset_lift",
-    """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
-      |            FROM lineitem),
+    s"""WITH $itemsetSupportCtes,
       |no AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM op),
-      |ic AS (SELECT pkey, COUNT(*) AS cnt FROM op GROUP BY pkey),
-      |pr AS (SELECT a.pkey AS part_a, b.pkey AS part_b
-      |       FROM op a JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey),
-      |sp AS (SELECT part_a, part_b, COUNT(*) AS support
-      |       FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |ic AS (SELECT pkey, COUNT(*) AS cnt FROM op GROUP BY pkey)
       |SELECT part_a, part_b, support,
       |  CAST((1000 * support * n_orders) // (ca.cnt * cb.cnt) AS BIGINT) AS lift_pm,
       |  CAST((1000 * support) // ca.cnt AS BIGINT) AS conf_a2b_pm,
@@ -714,13 +727,7 @@ object Analytics {
       .distinct()
     val no = op.agg(countDistinct(col("okey")).as("n_orders"))
     val ic = op.groupBy(col("pkey")).agg(count(lit(1)).as("cnt"))
-    val sp = op.groupBy(col("okey")).agg(collect_set(col("pkey")).as("parts"))
-      .select(explode(col("parts")).as("part_a"), col("parts"))
-      .select(col("part_a"), explode(col("parts")).as("part_b"))
-      .filter(col("part_a") < col("part_b"))
-      .groupBy(col("part_a"), col("part_b"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 2)
+    val sp = itemsetSupport(s, d)
     sp.join(ic.select(col("pkey"), col("cnt").as("ca_cnt")), col("part_a") === col("pkey"))
       .drop("pkey")
       .join(ic.select(col("pkey"), col("cnt").as("cb_cnt")), col("part_b") === col("pkey"))
@@ -860,13 +867,18 @@ object Analytics {
     *
     * One map-side-combined QI aggregate (the corpus's only shuffle),
     * then a size histogram over the group frame (QI-cardinality
-    * bounded). The balance band is integer floor division — the
-    * generalization knob itself, stated in the output. */
+    * bounded). The balance band goes through EXACT CENTS before the
+    * integer division — a direct decimal→BIGINT cast rounds
+    * half-away-from-zero in DuckDB but truncates in Spark, so values
+    * like 999.50 land in different bands (11 divergent customers at
+    * sf0.1; the sf0.01 gate had none — caught by review, not the
+    * gate). Cents are exact for 2-dec money, and integer division
+    * truncates toward zero identically in both engines. */
   val qKAnonymity: GraftQuery = GraftQuery.sql(
     "q_k_anonymity",
     """WITH g AS (
       |  SELECT c_nationkey, c_mktsegment,
-      |    CAST(CAST(c_acctbal AS DECIMAL(15,2)) AS BIGINT) // 1000 AS bal_band,
+      |    CAST(CAST(c_acctbal AS DECIMAL(15,2)) * 100 AS BIGINT) // 100000 AS bal_band,
       |    COUNT(*) AS k
       |  FROM customer GROUP BY 1, 2, 3)
       |SELECT k AS group_size, COUNT(*) AS n_groups,
@@ -876,7 +888,7 @@ object Analytics {
   ) { (s, d) =>
     Tables.customer(s, d)
       .groupBy(col("c_nationkey"), col("c_mktsegment"),
-        expr("cast(cast(c_acctbal as decimal(15,2)) as bigint) div 1000")
+        expr("cast(cast(c_acctbal as decimal(15,2)) * 100 as bigint) div 100000")
           .as("bal_band"))
       .agg(count(lit(1)).as("k"))
       .groupBy(col("k").as("group_size"))

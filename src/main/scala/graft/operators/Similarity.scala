@@ -1542,26 +1542,30 @@ object Similarity {
       .withColumn("nrm", Vectors.norm(col("v")))
     // every candidate PAIR with both its row's relevance and the
     // pairwise sim — C·(C−1) rows per query, the bounded frame the
-    // local greedy fold consumes
+    // local greedy fold consumes. LEFT join: a query with a single
+    // candidate has no pairs but must still form a group (the oracle
+    // emits its rank-1 relevance pick), so the lone candidate rides
+    // through with null partner columns.
     val pairs = cand.as("a")
-      .join(cand.select(col("query_id"), col("neighbor_id").as("cb")).as("b"),
-        col("a.query_id") === col("b.query_id") && col("neighbor_id") =!= col("cb"))
-      .select(col("a.query_id").as("query_id"), col("neighbor_id").as("ca"),
-        col("rel"), col("cb"))
+      .join(cand.select(col("query_id").as("qb"), col("neighbor_id").as("cb")),
+        col("query_id") === col("qb") && col("neighbor_id") =!= col("cb"), "left")
+      .select(col("query_id"), col("neighbor_id").as("ca"), col("rel"), col("cb"))
       .join(n.select(col("vec_id"), col("v").as("xv"), col("nrm").as("xn")),
         col("ca") === col("vec_id")).drop("vec_id")
       .join(n.select(col("vec_id"), col("v").as("yv"), col("nrm").as("yn")),
-        col("cb") === col("vec_id")).drop("vec_id")
+        col("cb") === col("vec_id"), "left").drop("vec_id")
       .select(col("query_id"), col("ca"), col("rel"), col("cb"),
-        (Vectors.dot(col("xv"), col("yv")) / (col("xn") * col("yn"))).as("sim"))
-      .as[(Long, Long, Double, Long, Double)]
+        when(col("cb").isNotNull,
+          Vectors.dot(col("xv"), col("yv")) / (col("xn") * col("yn"))).as("sim"))
+      .as[(Long, Long, Double, Option[Long], Option[Double])]
     pairs.groupByKey(_._1)
       .mapGroups { (q, it) =>
         val rows = it.toArray
         val rel = new scala.collection.mutable.HashMap[Long, Double]
         val sim = new scala.collection.mutable.HashMap[(Long, Long), Double]
         rows.foreach { case (_, ca, r, cb, sm) =>
-          rel(ca) = r; sim((ca, cb)) = sm
+          rel(ca) = r
+          for (b <- cb; v <- sm) sim((ca, b)) = v
         }
         // greedy: pure-relevance first pick, then argmax of the MMR
         // affine score with (score desc, id asc) tie order — the

@@ -871,8 +871,13 @@ object TextAnalysis {
     * order. Lift is cross-multiplied — ⌊1000·n·N / (ts·nw)⌋ with n =
     * (source,word) count, ts = source tokens, nw = corpus word count,
     * N = corpus tokens — so the whole board is division-free integer
-    * arithmetic (bound: n·N·1000 < 2⁶³ holds through ~10¹⁵ tokens;
-    * past that the same expression widens to decimal).
+    * arithmetic. Int64 bound: 1000·n·N < 2⁶³ ⇔ n·N < 9.2×10¹⁵ (a
+    * 10⁸-token corpus with a 9×10⁷-count stopword is the edge).
+    * Past it the two engines fail DIFFERENTLY — DuckDB's window sums
+    * are HUGEINT-exact while Spark's longs wrap — so the widening to
+    * decimal(38,0) must be applied to the Spark side explicitly (the
+    * st_stream_anomaly pattern); it is not automatic, and the
+    * hash-gate is what makes a one-sided change impossible to ship.
     *
     * One corpus scan + explode feeds a map-side-combined
     * (source,word) count; every later stage runs on that vocab×

@@ -440,7 +440,7 @@ class LayoutAnalyticsSpec extends SparkSpec {
     // driver recount of the QI census
     val want = Tables.customer(spark, sfDir)
       .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
-        expr("cast(cast(c_acctbal as decimal(15,2)) as bigint) div 1000"))
+        expr("cast(cast(c_acctbal as decimal(15,2)) * 100 as bigint) div 100000"))
       .collect().groupBy(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .values.map(_.size.toLong).groupBy(identity).view.mapValues(_.size.toLong).toMap
     assert(rows.map(r => r.getAs[Long]("group_size") -> r.getAs[Long]("n_groups")).toMap == want)
