@@ -952,10 +952,63 @@ object Analytics {
       .orderBy(col("n_users").desc, col("type_first"), col("type_then"))
   }
 
+  /** NAIVE-FORECAST BACKTEST — the baseline every forecasting system
+    * is judged against (a model that can't beat "same as yesterday"
+    * or "same as last <period>" is net negative; publishing these
+    * two MAEs per series is the first deliverable of any forecast
+    * project): per event type, backtest naive-yesterday (d−1) and
+    * seasonal-naive (d−7) over the daily revenue series, integer
+    * MAE in exact cents, and which baseline wins.
+    *
+    * The corpus pays ONE map-side-combined (type, day) aggregate;
+    * the two lag references are calendar-day SELF-JOINS on that
+    * days×types-bounded frame (dy−1, dy−7 — honest on gappy series
+    * where a rows-offset LAG would silently compare across holes),
+    * and the scoreboard is one rollup. All exact-cents integer
+    * arithmetic; MAE is floor division, stated in the name. */
+  val tsForecastNaive: GraftQuery = GraftQuery.sql(
+    "ts_forecast_naive",
+    """WITH v AS (SELECT event_type,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS dy,
+      |    CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |s AS (SELECT event_type, dy, SUM(c) AS tot FROM v GROUP BY 1, 2),
+      |b AS (SELECT s.event_type, s.dy, s.tot, p1.tot AS p1, p7.tot AS p7
+      |      FROM s JOIN s p1 ON p1.event_type = s.event_type AND p1.dy = s.dy - 1
+      |             JOIN s p7 ON p7.event_type = s.event_type AND p7.dy = s.dy - 7)
+      |SELECT event_type, COUNT(*) AS n_days,
+      |  CAST(SUM(ABS(tot - p1)) // COUNT(*) AS BIGINT) AS mae_naive_cents,
+      |  CAST(SUM(ABS(tot - p7)) // COUNT(*) AS BIGINT) AS mae_seasonal_cents,
+      |  CASE WHEN SUM(ABS(tot - p7)) <= SUM(ABS(tot - p1))
+      |    THEN 'seasonal' ELSE 'naive' END AS winner
+      |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), expr("cast(ts as long) div 86400").as("dy"),
+        expr("cast(cast(value as decimal(15,2)) * 100 as bigint)").as("c"))
+      .groupBy(col("event_type"), col("dy")).agg(sum(col("c")).as("tot"))
+    val p1 = daily.select(col("event_type").as("t1"), col("dy").as("d1"),
+      col("tot").as("p1"))
+    val p7 = daily.select(col("event_type").as("t7"), col("dy").as("d7"),
+      col("tot").as("p7"))
+    daily
+      .join(p1, col("event_type") === col("t1") && col("d1") === col("dy") - 1)
+      .join(p7, col("event_type") === col("t7") && col("d7") === col("dy") - 7)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("tot") - col("p1"))).as("e1"),
+        sum(abs(col("tot") - col("p7"))).as("e7"))
+      .select(col("event_type"), col("n_days"),
+        expr("e1 div n_days").as("mae_naive_cents"),
+        expr("e7 div n_days").as("mae_seasonal_cents"),
+        when(col("e7") <= col("e1"), "seasonal").otherwise("naive").as("winner"))
+      .orderBy(col("event_type"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qBloomJoin, qMvIncremental, tsResample, dEditDistance,
     qParetoFrontier, stLatenessAudit, gPagerank, qWindowPercentile,
     tsAnomaly, tsBaselineAnomaly, tsSeasonality, tsChangepoint,
     qItemsetPairs, tsOutageGaps, qBenfordAudit, qItemsetLift,
-    qKAnonymity, qSeqPatterns)
+    qKAnonymity, qSeqPatterns, tsForecastNaive)
 }

@@ -742,9 +742,60 @@ object Dedup {
       .orderBy(col("n_pairs").desc, col("src_a"), col("src_b"))
   }
 
+  /** DEDUP IMPACT REPORT — the curation-ROI statement (d_dedup_filter
+    * says how many DOCS each source keeps; budgets are written in
+    * TOKEN mass, so the number a data lead actually signs off on is
+    * "dedup removes X‰ of source Y's characters" — also the mixture
+    * correction: post-dedup source weights must be recomputed from
+    * KEPT mass, not raw mass): per source, doc and char mass before
+    * and after the minhash-cluster dedup, with removed per-mille.
+    *
+    * Same cluster machinery as d_dedup_filter (the family's memoized
+    * banded pipeline + cluster labels — free when warm); the report
+    * is one source rollup carrying the n_chars column, all integer. */
+  val dDedupImpact: GraftQuery = GraftQuery.sql(
+    "d_dedup_impact",
+    s"""WITH RECURSIVE ${minhashPairsCtes()},
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL
+       |          SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach AS (SELECT src AS node, src AS lbl FROM edges
+       |          UNION
+       |          SELECT e.dst AS node, r.lbl AS lbl
+       |          FROM reach r JOIN edges e ON r.node = e.src),
+       |comp AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node),
+       |dropped AS (SELECT node FROM comp WHERE node <> cluster)
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN dr.node IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+       |  CAST(SUM(CASE WHEN dr.node IS NULL THEN d.n_chars ELSE 0 END)
+       |       AS BIGINT) AS kept_chars,
+       |  CAST((1000 * SUM(CASE WHEN dr.node IS NOT NULL THEN d.n_chars ELSE 0 END))
+       |       // SUM(d.n_chars) AS BIGINT) AS removed_pm
+       |FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.node
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val kept = graft.api.Graft.dedup.dedupCorpus(docs, "doc_id", "text",
+        threshold = 0.8, k = K, bands = Bands)
+      .select(col("doc_id").as("kept_id"))
+    docs.join(kept, col("doc_id") === col("kept_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept_id").isNotNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(col("kept_id").isNotNull, col("n_chars")).otherwise(0L))
+          .as("kept_chars"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("total_chars"), col("kept_chars"),
+        expr("(1000 * (total_chars - kept_chars)) div total_chars")
+          .as("removed_pm"))
+      .orderBy(col("source"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     dExactDup, dNgramJaccard, dMinhashLsh, dLshRecall, dSimhash,
     dCorpusSimilarity, dDupClusters, dDedupFilter, dContainment,
     dCorpusCurate, stStreamNearDup, dDecontaminate, dIncrementalDedup,
-    dSubstringDup, dCrossSourceDup)
+    dSubstringDup, dCrossSourceDup, dDedupImpact)
 }

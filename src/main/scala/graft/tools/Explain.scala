@@ -100,7 +100,10 @@ object Explain {
     "q_k_anonymity", "q_seq_patterns",
     // round-10 final: the vocab-fairness metric and the funnel-latency
     // distribution
-    "t_tokenizer_fertility", "q_time_to_convert")
+    "t_tokenizer_fertility", "q_time_to_convert",
+    // round-10 final: the forecast baseline scoreboard and the
+    // curation-ROI statement
+    "ts_forecast_naive", "d_dedup_impact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -641,6 +641,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_pairs")).sum == pairs.length.toLong)
   }
 
+  test("dedup impact: char masses reconcile with the kept-doc set and d_dedup_filter") {
+    val rows = Dedup.dDedupImpact.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions.col
+    // doc counts must agree exactly with d_dedup_filter's board
+    val filt = Dedup.dDedupFilter.fn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))).toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert((r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept")) == filt(src))
+      assert(r.getAs[Long]("kept_chars") <= r.getAs[Long]("total_chars"))
+      val rem = r.getAs[Long]("total_chars") - r.getAs[Long]("kept_chars")
+      assert(r.getAs[Long]("removed_pm") == 1000L * rem / r.getAs[Long]("total_chars"))
+    }
+    // char conservation across the whole corpus
+    val totChars = Tables.documents(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum(col("n_chars"))).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("total_chars")).sum == totChars)
+    // the corpus has dups, so some source actually loses mass
+    assert(rows.exists(_.getAs[Long]("removed_pm") > 0L))
+  }
+
   test("MMR rerank: greedy selection recomputes and actually diversifies") {
     val rows = Similarity.sMmrRerank.fn(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -469,6 +469,27 @@ class LayoutAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("naive forecast backtest: MAEs recount from driver-computed daily series") {
+    val rows = Analytics.tsForecastNaive.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("cast(ts as long) div 86400"),
+        expr("cast(cast(value as decimal(15,2)) * 100 as bigint)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toMap
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val scored = daily.keys.filter(_._1 == t).map(_._2).toSeq.sorted
+        .filter(d => daily.contains((t, d - 1)) && daily.contains((t, d - 7)))
+      val e1 = scored.map(d => math.abs(daily((t, d)) - daily((t, d - 1)))).sum
+      val e7 = scored.map(d => math.abs(daily((t, d)) - daily((t, d - 7)))).sum
+      assert(r.getAs[Long]("n_days") == scored.length.toLong)
+      assert(r.getAs[Long]("mae_naive_cents") == e1 / scored.length)
+      assert(r.getAs[Long]("mae_seasonal_cents") == e7 / scored.length)
+      assert(r.getAs[String]("winner") == (if (e7 <= e1) "seasonal" else "naive"))
+    }
+  }
+
   test("benford audit: digit census recounts and deviations use the published constants") {
     val rows = Analytics.qBenfordAudit.fn(spark, sfDir).collect()
     val benford = Map(1 -> 301L, 2 -> 176L, 3 -> 125L, 4 -> 97L, 5 -> 79L,
