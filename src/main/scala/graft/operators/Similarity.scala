@@ -1677,10 +1677,114 @@ object Similarity {
       .orderBy(col("lang"))
   }
 
+  // Graph-walk search depth (greedy hops after the coarse entry).
+  val GraphHops = 3
+
+  /** GRAPH-WALK ANN — greedy best-first search over the mutual k-NN
+    * graph (the HNSW/NSG family's base-layer search, the one index
+    * shape the arm set lacked: LSH hashes, IVF partitions, PQ
+    * compresses — graph methods NAVIGATE, following edges toward the
+    * query and probing a tiny fraction of the corpus): entry = best
+    * coarse centroid per query, then GraphHops greedy steps — each
+    * hop evaluates the current node's mutual neighbors against the
+    * query and moves to the best of (neighbors ∪ current) — and the
+    * answer is the top-5 of every node EVALUATED along the walk.
+    * Deterministic: exact left-fold cosines, (cosine desc, id) tie
+    * order, a hop with no edges stays put; the oracle unrolls the
+    * identical walk.
+    *
+    * Scale shape: per hop the Q-sized current frame equi-joins the
+    * edge table — the frontier join IS distributed graph-ANN search
+    * (edges would be bucketed by src at 100 TB); work per hop is
+    * Q·degree, never corpus-proportional, and the walk shares the
+    * family's memoized mutual-edge frame. */
+  val sAnnGraph: GraftQuery = GraftQuery.sql(
+    "s_ann_graph", {
+      def cosQ(v: String, nrm: String) =
+        s"${Vectors.dotSql("q.qv", v)} / (q.qn * $nrm)"
+      val hops = (1 to GraphHops).map { i =>
+        val prev = if (i == 1) "e0" else s"c${i - 1}"
+        s"""s$i AS (SELECT e.qid, ed.dst AS cand,
+           |    ${cosQ("x.v", "x.nrm")} AS cos
+           |  FROM $prev e JOIN ed ON ed.src = e.cur
+           |  JOIN n x ON ed.dst = x.vec_id JOIN qq q ON q.qid = e.qid),
+           |c$i AS (SELECT qid, cur, curcos FROM (
+           |  SELECT qid, id AS cur, cos AS curcos,
+           |    ROW_NUMBER() OVER (PARTITION BY qid
+           |      ORDER BY cos DESC, id) AS rk
+           |  FROM (SELECT qid, cand AS id, cos FROM s$i
+           |        UNION SELECT qid, cur AS id, curcos AS cos FROM $prev) u
+           |  ) t WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      val visited = ("SELECT qid, cur AS id, curcos AS cos FROM e0" +:
+        (1 to GraphHops).map(i => s"SELECT qid, cand, cos FROM s$i"))
+        .mkString("\n        UNION ")
+      s"""WITH $corpusSql,
+         |$knnCtesSql,
+         |me AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |       FROM knn GROUP BY 1, 2 HAVING COUNT(*) = 2),
+         |ed AS (SELECT a AS src, b AS dst FROM me
+         |       UNION ALL SELECT b AS src, a AS dst FROM me),
+         |qq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+         |       WHERE vec_id < $QueryCount),
+         |e0 AS (SELECT qid, cur, curcos FROM (
+         |  SELECT q.qid, c.vec_id AS cur, ${cosQ("c.v", "c.nrm")} AS curcos,
+         |    ROW_NUMBER() OVER (PARTITION BY q.qid
+         |      ORDER BY ${cosQ("c.v", "c.nrm")} DESC, c.vec_id) AS rk
+         |  FROM qq q CROSS JOIN (SELECT * FROM n WHERE vec_id < $NCells) c
+         |  ) t WHERE rk = 1),
+         |$hops,
+         |vis AS ($visited)
+         |SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank,
+         |  id AS neighbor_id, cos AS cosine
+         |FROM (SELECT qid, id, cos, ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY cos DESC, id) AS rn
+         |      FROM vis WHERE id <> qid) f
+         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+    }
+  ) { (s, d) =>
+    val me = knnMutual(s, d).filter(col("n_dir") === 2)
+    val ed = me.select(col("a").as("esrc"), col("b").as("edst"))
+      .unionByName(me.select(col("b").as("esrc"), col("a").as("edst")))
+    val n = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val qq = n.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val cents = n.filter(col("vec_id") < NCells)
+    val wBest = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
+    def best(cands: DataFrame): DataFrame =
+      cands.withColumn("rk", row_number().over(wBest)).filter(col("rk") === 1)
+        .select(col("qid"), col("qv"), col("qn"),
+          col("id").as("cur"), col("cos").as("curcos"))
+    var cur = best(qq.crossJoin(broadcast(cents))
+      .select(col("qid"), col("qv"), col("qn"), col("vec_id").as("id"),
+        (Vectors.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos")))
+    var vis = cur.select(col("qid"), col("cur").as("id"), col("curcos").as("cos"))
+    for (_ <- 1 to GraphHops) {
+      val si = cur.join(ed, col("cur") === col("esrc"))
+        .join(n.select(col("vec_id"), col("v").as("xv"), col("nrm").as("xn")),
+          col("edst") === col("vec_id"))
+        .select(col("qid"), col("qv"), col("qn"), col("edst").as("id"),
+          (Vectors.dot(col("qv"), col("xv")) / (col("qn") * col("xn"))).as("cos"))
+      vis = vis.unionByName(si.select(col("qid"), col("id"), col("cos")))
+      cur = best(si.unionByName(cur.select(col("qid"), col("qv"), col("qn"),
+        col("cur").as("id"), col("curcos").as("cos"))))
+    }
+    val wOut = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
+    vis.distinct()
+      .filter(col("id") =!= col("qid"))
+      .withColumn("rn", row_number().over(wOut))
+      .filter(col("rn") <= 5)
+      .select(col("qid").as("query_id"), col("rn").cast("long").as("rank"),
+        col("id").as("neighbor_id"), col("cos").as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnIvfPartitioned,
       sAnnPq, sAnnRerank, sHybridRrf, sAnnRecall, sAnnFiltered,
       sKmeans, sKmeansLoop, dSemdedup, sIndexScoreboard, sKnnGraph,
       gKnnTriangles, gKnnComponents, gKnnHops, sAnnIvfSq8,
-      gKnnClusteringCoeff, sMmrRerank, gKnnLabelProp)
+      gKnnClusteringCoeff, sMmrRerank, gKnnLabelProp, sAnnGraph)
 }

@@ -103,7 +103,9 @@ object Explain {
     "t_tokenizer_fertility", "q_time_to_convert",
     // round-10 final: the forecast baseline scoreboard and the
     // curation-ROI statement
-    "ts_forecast_naive", "d_dedup_impact")
+    "ts_forecast_naive", "d_dedup_impact",
+    // round-10 final: the graph-navigation index arm
+    "s_ann_graph")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -706,6 +706,42 @@ class DedupSimilaritySpec extends SparkSpec {
     }, "MMR never deviated from plain top-k — diversification is dead code")
   }
 
+  test("graph-walk ANN: walk improves on its entry point and rediscovers true neighbors") {
+    val rows = Similarity.sAnnGraph.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sfDir)
+    val vecs = e.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    var overlap = 0
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to rs.length.toLong))
+      // cosines in the output are the true cosines of the visited nodes
+      sorted.foreach { r =>
+        val want = cos(vecs(q), vecs(r.getAs[Long]("neighbor_id")))
+        assert(math.abs(r.getAs[Double]("cosine") - want) < 1e-9)
+      }
+      // the walk must at least match its coarse entry point (greedy
+      // never moves to a worse node, and the entry is in the visited set)
+      val entry = (0L until 8L).filter(_ != q)
+        .map(c => cos(vecs(q), vecs(c))).max
+      assert(sorted.head.getAs[Double]("cosine") >= entry - 1e-12)
+      // recall accounting vs brute-force top-5
+      val truth = vecs.keys.filter(_ != q).toSeq
+        .sortBy(id => (-cos(vecs(q), vecs(id)), id)).take(5).toSet
+      overlap += sorted.map(_.getAs[Long]("neighbor_id")).count(truth)
+    }
+    // a navigating walk must beat zero recall across the query set
+    assert(overlap > 0, "graph walk found no true top-5 neighbor for any query")
+  }
+
   test("label propagation: board conserves seeds and hops actually propagate") {
     val rows = Similarity.gKnnLabelProp.fn(spark, sfDir).collect()
     assert(rows.nonEmpty)
