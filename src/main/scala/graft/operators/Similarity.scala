@@ -927,14 +927,18 @@ object Similarity {
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, acos
        |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
-  val sIndexScoreboard: GraftQuery = GraftQuery.sql(
+  // lazy: the graph arm (declared later in the file, next to the kNN
+  // machinery it navigates) is referenced here; a strict val would
+  // read its oracle before that val initializes
+  lazy val sIndexScoreboard: GraftQuery = GraftQuery.sql(
     "s_index_scoreboard",
     s"""WITH b AS (SELECT query_id, neighbor_id FROM (${sAnnBruteforce.oracle.get}) bx),
        |l AS (SELECT query_id, neighbor_id FROM (${sAnnLsh.oracle.get}) lx),
        |i AS (SELECT query_id, neighbor_id FROM (${sAnnIvf.oracle.get}) ix),
        |p AS (SELECT query_id, neighbor_id FROM (${sAnnPq.oracle.get}) px),
        |rr AS (SELECT query_id, neighbor_id FROM (${sAnnRerank.oracle.get}) rx),
-       |sq AS (SELECT query_id, neighbor_id FROM ($sq8OracleSql) sx)
+       |sq AS (SELECT query_id, neighbor_id FROM ($sq8OracleSql) sx),
+       |gw AS (SELECT query_id, neighbor_id FROM (${sAnnGraph.oracle.get}) gx)
        |SELECT * FROM (
        |  SELECT 'ivf' AS method, CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
        |    CAST(COUNT(*) AS BIGINT) AS n_possible,
@@ -956,6 +960,10 @@ object Similarity {
        |  SELECT 'ivf_sq8', CAST(COUNT(sq.neighbor_id) AS BIGINT), CAST(COUNT(*) AS BIGINT),
        |    CAST(COUNT(sq.neighbor_id) AS DOUBLE) / COUNT(*)
        |  FROM b LEFT JOIN sq ON b.query_id = sq.query_id AND b.neighbor_id = sq.neighbor_id
+       |  UNION ALL
+       |  SELECT 'graph', CAST(COUNT(gw.neighbor_id) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(gw.neighbor_id) AS DOUBLE) / COUNT(*)
+       |  FROM b LEFT JOIN gw ON b.query_id = gw.query_id AND b.neighbor_id = gw.neighbor_id
        |) ORDER BY method""".stripMargin
   ) { (s, d) =>
     val btop = sAnnBruteforce.fn(s, d).select(col("query_id"), col("neighbor_id"))
@@ -972,6 +980,7 @@ object Similarity {
       .union(arm("pq", sAnnPq.fn(s, d)))
       .union(arm("rerank", sAnnRerank.fn(s, d)))
       .union(arm("ivf_sq8", sAnnIvfSq8.fn(s, d)))
+      .union(arm("graph", sAnnGraph.fn(s, d)))
       .orderBy(col("method"))
   }
 

@@ -364,7 +364,7 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(r => r.getAs[String]("method") ->
         (r.getAs[Long]("n_hits"), r.getAs[Long]("n_possible"), r.getAs[Double]("recall")))
       .toMap
-    assert(rows.keySet == Set("ivf", "lsh", "pq", "rerank", "ivf_sq8"))
+    assert(rows.keySet == Set("ivf", "lsh", "pq", "rerank", "ivf_sq8", "graph"))
     // quantization can only lose hits vs the same blocking at full
     // precision — SQ8 recall is bounded by raw IVF's
     assert(rows("ivf_sq8")._1 <= rows("ivf")._1,
