@@ -793,9 +793,69 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** CHUNK-LEVEL DEDUP — duplication at the retrieval-store
+    * granularity (RAG indexes store CHUNKS, not docs: two docs that
+    * are 20% similar can still ship the identical boilerplate chunk,
+    * and a vector store that indexes it twice returns the same
+    * passage twice and wastes embedding spend; doc-level d_exact_dup
+    * can't see it, window-level d_substring_dup counts 8-token
+    * repeats — this audits exactly the units t_doc_chunk would
+    * embed): every t_doc_chunk window (32 tokens, stride 24)
+    * fingerprinted, a chunk duplicated iff its fingerprint appears
+    * ≥2 times corpus-wide, rolled up per source with the dup rate
+    * and the distinct duplicated-fingerprint count.
+    *
+    * Chunking is row-local (the t_doc_chunk generator, same params);
+    * the ONLY corpus-sized shuffle is the count-over-fingerprint (the
+    * d_substring_dup shape at chunk granularity), then one source
+    * rollup. No joins, no pairwise work at any corpus size. */
+  val dChunkDedup: GraftQuery = GraftQuery.sql(
+    "d_chunk_dedup", {
+      import graft.operators.Curation.{ChunkW, ChunkS}
+      val fp = GraftHash.charHashSql(
+        s"array_to_string(list_slice(t, chunk * $ChunkS + 1, chunk * $ChunkS + $ChunkW), ' ')")
+      s"""WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t,
+         |    len(string_split(text, ' ')) AS n FROM documents),
+         |ch AS (SELECT doc_id, source, t, n,
+         |    unnest(range(CASE WHEN n <= $ChunkW THEN 1
+         |      ELSE (n - $ChunkW + ${ChunkS - 1}) // $ChunkS + 1 END)) AS chunk
+         |  FROM tk),
+         |fps AS (SELECT doc_id, source, $fp AS fp FROM ch),
+         |cc AS (SELECT doc_id, source, fp,
+         |         COUNT(*) OVER (PARTITION BY fp) AS c FROM fps)
+         |SELECT source, COUNT(*) AS n_chunks,
+         |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(COUNT(DISTINCT CASE WHEN c > 1 THEN fp END) AS BIGINT)
+         |    AS n_dup_fps,
+         |  CAST((1000 * SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END)) // COUNT(*)
+         |    AS BIGINT) AS dup_pm
+         |FROM cc GROUP BY source ORDER BY source""".stripMargin
+    }
+  ) { (s, d) =>
+    import graft.operators.Curation.{ChunkW, ChunkS}
+    val fps = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ", -1).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .withColumn("chunk", explode(expr(
+        s"sequence(0L, CASE WHEN n <= $ChunkW THEN 0L ELSE (n - $ChunkW + ${ChunkS - 1}) div $ChunkS END)")))
+      .select(col("doc_id"), col("source"),
+        GraftHash.charHash(array_join(
+          slice(col("t"), (col("chunk") * ChunkS + 1).cast("int"), lit(ChunkW)),
+          " ")).as("fp"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    fps.withColumn("c", count(lit(1)).over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup"),
+        countDistinct(when(col("c") > 1, col("fp"))).as("n_dup_fps"))
+      .select(col("source"), col("n_chunks"), col("n_dup"), col("n_dup_fps"),
+        expr("(1000 * n_dup) div n_chunks").as("dup_pm"))
+      .orderBy(col("source"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     dExactDup, dNgramJaccard, dMinhashLsh, dLshRecall, dSimhash,
     dCorpusSimilarity, dDupClusters, dDedupFilter, dContainment,
     dCorpusCurate, stStreamNearDup, dDecontaminate, dIncrementalDedup,
-    dSubstringDup, dCrossSourceDup, dDedupImpact)
+    dSubstringDup, dCrossSourceDup, dDedupImpact, dChunkDedup)
 }

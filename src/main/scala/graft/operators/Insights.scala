@@ -664,8 +664,64 @@ object Insights {
       .orderBy(col("segment"))
   }
 
+  /** REVENUE CONCENTRATION — the Lorenz/Pareto decile table (the
+    * "does 20% of the base carry 80% of revenue" question every
+    * account team starts with; q_heavy_hitters finds frequent KEYS,
+    * this measures how unequally the MONEY is distributed): customers
+    * ranked into spend deciles, each with customer count, exact
+    * decimal revenue, share per-mille, and the cumulative share curve
+    * read bottom-up (the Lorenz curve itself; a flat curve = healthy
+    * diversification, a hockey stick = whale risk).
+    *
+    * One orders scan → per-customer decimal sums; NTILE over the
+    * per-customer aggregate with a (spend, custkey) total order (the
+    * q_decile_migration scale note applies: the 100 TB variant swaps
+    * NTILE for broadcast quantile cut points); shares and the running
+    * cumulative are integer cross-multiplications over the 10-row
+    * decile frame (bounded-class whole-frame window). */
+  val qRevenueConcentration: GraftQuery = GraftQuery.sql(
+    "q_revenue_concentration",
+    """WITH cs AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT) AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |dec AS (SELECT o_custkey, cents,
+      |          NTILE(10) OVER (ORDER BY cents, o_custkey) AS decile
+      |        FROM cs),
+      |g AS (SELECT decile, COUNT(*) AS n_customers, SUM(cents) AS rev
+      |      FROM dec GROUP BY decile),
+      |t AS (SELECT decile, n_customers, rev,
+      |        SUM(rev) OVER () AS total,
+      |        SUM(rev) OVER (ORDER BY decile) AS cum
+      |      FROM g)
+      |SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+      |  CAST(rev AS BIGINT) AS revenue_cents,
+      |  CAST((1000 * rev) // total AS BIGINT) AS share_pm,
+      |  CAST((1000 * cum) // total AS BIGINT) AS cum_share_pm
+      |FROM t ORDER BY decile""".stripMargin
+  ) { (s, d) =>
+    val cs = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(expr("cast(sum(cast(o_totalprice as decimal(15,2)) * 100) as bigint)")
+        .as("cents"))
+    val wDec = Window.orderBy(col("cents"), col("o_custkey"))
+    val g = cs.withColumn("decile", ntile(10).over(wDec))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("rev"))
+    // 10-row frame: whole-span + running windows are the adjudicated
+    // bounded class
+    g.withColumn("total", sum(col("rev")).over(Window.partitionBy()))
+      .withColumn("cum", sum(col("rev")).over(Window.orderBy(col("decile"))))
+      .select(col("decile").cast("long").as("decile"), col("n_customers"),
+        col("rev").as("revenue_cents"),
+        expr("(1000 * rev) div total").as("share_pm"),
+        expr("(1000 * cum) div total").as("cum_share_pm"))
+      .orderBy(col("decile"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     lakeSnapshotDiff, qFunnel, qRetentionCohorts, qEventTransitions,
     tVocabCoverage, qScd2, qGapsIslands, qSessionize, qCumulativeDistinct,
-    qTopPaths, qCohortLtv, qRollingActive, qDecileMigration, qTimeToConvert)
+    qTopPaths, qCohortLtv, qRollingActive, qDecileMigration, qTimeToConvert,
+    qRevenueConcentration)
 }

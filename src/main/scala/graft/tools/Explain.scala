@@ -104,8 +104,9 @@ object Explain {
     // round-10 final: the forecast baseline scoreboard and the
     // curation-ROI statement
     "ts_forecast_naive", "d_dedup_impact",
-    // round-10 final: the graph-navigation index arm
-    "s_ann_graph")
+    // round-10 final: the graph-navigation index arm, chunk-store
+    // dedup, and the Lorenz table
+    "s_ann_graph", "d_chunk_dedup", "q_revenue_concentration")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

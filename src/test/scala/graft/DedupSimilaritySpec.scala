@@ -664,6 +664,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("removed_pm") > 0L))
   }
 
+  test("chunk dedup: rates recount from driver-rebuilt chunk fingerprints") {
+    val rows = Dedup.dChunkDedup.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val (cw, cs) = (graft.operators.Curation.ChunkW, graft.operators.Curation.ChunkS)
+    val chunks = Tables.documents(spark, sfDir)
+      .select("source", "text").collect().flatMap { r =>
+        val t = r.getString(1).split(" ", -1)
+        val nCh = if (t.length <= cw) 1 else (t.length - cw + cs - 1) / cs + 1
+        (0 until nCh).map(i =>
+          (r.getString(0), t.slice(i * cs, i * cs + cw).mkString(" ")))
+      }
+    val freq = chunks.groupBy(_._2).view.mapValues(_.length).toMap
+    val bySrc = chunks.groupBy(_._1)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val cs0 = bySrc(src)
+      val dup = cs0.count(c => freq(c._2) > 1).toLong
+      assert(r.getAs[Long]("n_chunks") == cs0.length.toLong)
+      assert(r.getAs[Long]("n_dup") == dup)
+      assert(r.getAs[Long]("n_dup_fps") ==
+        cs0.filter(c => freq(c._2) > 1).map(_._2).distinct.length.toLong)
+      assert(r.getAs[Long]("dup_pm") == 1000L * dup / cs0.length)
+    }
+    // the synthetic corpus ships duplicate docs, so duplicate chunks exist
+    assert(rows.map(_.getAs[Long]("n_dup")).sum > 0)
+  }
+
   test("MMR rerank: greedy selection recomputes and actually diversifies") {
     val rows = Similarity.sMmrRerank.fn(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -220,6 +220,27 @@ class InsightsSpec extends SparkSpec {
     assert(total == n.toLong, s"segment $seg0 early-active customers")
   }
 
+  test("revenue concentration: Lorenz table conserves revenue and the curve is convex") {
+    val rows = Insights.qRevenueConcentration.fn(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val totalRev = Tables.orders(spark, sfDir)
+      .agg(expr("cast(sum(cast(o_totalprice as decimal(15,2)) * 100) as bigint)"))
+      .collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("revenue_cents")).sum == totalRev)
+    val custs = Tables.orders(spark, sfDir).select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == custs)
+    // sorted-ascending deciles: per-decile revenue non-decreasing
+    val revs = rows.sortBy(_.getAs[Long]("decile")).map(_.getAs[Long]("revenue_cents"))
+    assert(revs.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+    // cumulative curve ends at ~1000 permille and is monotone
+    val cum = rows.sortBy(_.getAs[Long]("decile")).map(_.getAs[Long]("cum_share_pm"))
+    assert(cum.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+    assert(cum.last >= 999L && cum.last <= 1000L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("share_pm") == 1000L * r.getAs[Long]("revenue_cents") / totalRev)
+    }
+  }
+
   test("time to convert: percentiles replay from driver-computed latencies") {
     val rows = Insights.qTimeToConvert.fn(spark, sfDir).collect()
     assert(rows.nonEmpty)
