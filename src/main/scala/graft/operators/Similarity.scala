@@ -1618,11 +1618,13 @@ object Similarity {
     * join + a majority rank over the vote aggregate (edge-
     * proportional, map-side combinable) — the g_pagerank/BFS
     * iterate family's cost model with a fixed 2-round unroll. */
-  val gKnnLabelProp: GraftQuery = GraftQuery.sql(
-    "g_knn_label_prop",
-    s"""WITH $corpusSql,
-       |$knnCtesSql,
-       |me AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  /** Shared oracle CTE chain for the label-propagation family:
+    * mutual edges (me/ed), seeds, two monotone majority rounds,
+    * ending in l2(node, lang, round). Both g_knn_label_prop and
+    * g_knn_modularity read it verbatim — one definition of the
+    * labeling on the SQL side. */
+  private val labelPropCtes: String =
+    s"""me AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
        |       FROM knn GROUP BY 1, 2 HAVING COUNT(*) = 2),
        |ed AS (SELECT a AS src, b AS dst FROM me
        |       UNION ALL SELECT b AS src, a AS dst FROM me),
@@ -1645,14 +1647,12 @@ object Similarity {
        |p2 AS (SELECT node, lang FROM (
        |       SELECT node, lang, ROW_NUMBER() OVER (PARTITION BY node
        |         ORDER BY c DESC, lang) AS rk FROM v2) t WHERE rk = 1),
-       |l2 AS (SELECT * FROM l1 UNION ALL SELECT node, lang, 2 FROM p2)
-       |SELECT lang,
-       |  CAST(SUM(CASE WHEN round = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seeds,
-       |  CAST(SUM(CASE WHEN round = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop1,
-       |  CAST(SUM(CASE WHEN round = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop2,
-       |  COUNT(*) AS n_labeled
-       |FROM l2 GROUP BY lang ORDER BY lang""".stripMargin
-  ) { (s, d) =>
+       |l2 AS (SELECT * FROM l1 UNION ALL SELECT node, lang, 2 FROM p2)""".stripMargin
+
+  /** Spark twin of labelPropCtes: (node, lang, round) assignments.
+    * ScopedCache'd internally so round 2 never recomputes round 1;
+    * callers persist further if they read it twice. */
+  private def labelPropAssignments(s: SparkSession, d: String): DataFrame = {
     val me = knnMutual(s, d).filter(col("n_dir") === 2)
     val ed = me.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(me.select(col("b").as("src"), col("a").as("dst")))
@@ -1678,6 +1678,21 @@ object Similarity {
     val l1 = graft.ScopedCache(l0.unionByName(p1))
     val p2 = round(l1).withColumn("round", lit(2))
     l1.unionByName(p2)
+  }
+
+  val gKnnLabelProp: GraftQuery = GraftQuery.sql(
+    "g_knn_label_prop",
+    s"""WITH $corpusSql,
+       |$knnCtesSql,
+       |$labelPropCtes
+       |SELECT lang,
+       |  CAST(SUM(CASE WHEN round = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seeds,
+       |  CAST(SUM(CASE WHEN round = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop1,
+       |  CAST(SUM(CASE WHEN round = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop2,
+       |  COUNT(*) AS n_labeled
+       |FROM l2 GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    labelPropAssignments(s, d)
       .groupBy(col("lang"))
       .agg(sum(when(col("round") === 0, 1L).otherwise(0L)).as("n_seeds"),
         sum(when(col("round") === 1, 1L).otherwise(0L)).as("n_hop1"),
@@ -1790,10 +1805,75 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** COMMUNITY MODULARITY of the propagated labeling — the quality
+    * score that says whether g_knn_label_prop's communities are REAL
+    * graph structure (Newman modularity: intra-community edge mass
+    * minus what a degree-preserving random graph would put there;
+    * ≈0‰ means the labels ignore the topology, strongly positive
+    * means semantic labels align with semantic edges — the check a
+    * weak-supervision pipeline runs before trusting propagated
+    * labels as training data): per label over the both-endpoints-
+    * labeled subgraph, intra-edge count, degree mass, and the
+    * modularity contribution ⌊1000·(4m·e_c − d_c²)/(4m²)⌋ — the
+    * textbook e_c/m − (d_c/2m)² cross-multiplied into pure integer
+    * arithmetic (Int64-safe while 4m² < 2⁶³, i.e. m < 1.5×10⁹
+    * labeled edges; beyond, decimal — and both engines widen
+    * together or the gate fails).
+    *
+    * Scale: the labeled-edge frame is two hash joins of the memoized
+    * mutual edges against the assignment frame; everything after is
+    * label-cardinality bounded. */
+  val gKnnModularity: GraftQuery = GraftQuery.sql(
+    "g_knn_modularity",
+    s"""WITH $corpusSql,
+       |$knnCtesSql,
+       |$labelPropCtes,
+       |lbl AS (SELECT node, lang FROM l2),
+       |le AS (SELECT la.lang AS sl, lb.lang AS dl FROM me
+       |       JOIN lbl la ON me.a = la.node JOIN lbl lb ON me.b = lb.node),
+       |mm AS (SELECT COUNT(*) AS m FROM le),
+       |ec AS (SELECT sl AS lang, COUNT(*) AS e_c FROM le
+       |       WHERE sl = dl GROUP BY sl),
+       |dc AS (SELECT lang, COUNT(*) AS d_c FROM (
+       |       SELECT sl AS lang FROM le UNION ALL SELECT dl FROM le) u
+       |       GROUP BY lang)
+       |SELECT dc.lang, CAST(COALESCE(ec.e_c, 0) AS BIGINT) AS intra_edges,
+       |  CAST(dc.d_c AS BIGINT) AS degree_mass,
+       |  CAST((1000 * (4 * m * COALESCE(ec.e_c, 0) - dc.d_c * dc.d_c))
+       |    // (4 * m * m) AS BIGINT) AS contribution_pm
+       |FROM dc LEFT JOIN ec ON dc.lang = ec.lang CROSS JOIN mm
+       |ORDER BY dc.lang""".stripMargin
+  ) { (s, d) =>
+    val lbl = graft.ScopedCache(
+      labelPropAssignments(s, d).select(col("node"), col("lang")))
+    val le = graft.ScopedCache(
+      knnMutual(s, d).filter(col("n_dir") === 2)
+        .join(lbl.select(col("node").as("na"), col("lang").as("sl")),
+          col("a") === col("na"))
+        .join(lbl.select(col("node").as("nb"), col("lang").as("dl")),
+          col("b") === col("nb"))
+        .select(col("sl"), col("dl")))
+    val mm = le.agg(count(lit(1)).as("m"))
+    val ec = le.filter(col("sl") === col("dl"))
+      .groupBy(col("sl").as("eclang")).agg(count(lit(1)).as("e_c"))
+    val dc = le.select(col("sl").as("lang"))
+      .unionByName(le.select(col("dl").as("lang")))
+      .groupBy(col("lang")).agg(count(lit(1)).as("d_c"))
+    dc.join(ec, col("lang") === col("eclang"), "left")
+      .na.fill(0L, Seq("e_c"))
+      .crossJoin(broadcast(mm)) // 1-row scalar — the adjudicated tiny class
+      .select(col("lang"), col("e_c").as("intra_edges"),
+        col("d_c").as("degree_mass"),
+        expr("(1000 * (4 * m * e_c - d_c * d_c)) div (4 * m * m)")
+          .as("contribution_pm"))
+      .orderBy(col("lang"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnIvfPartitioned,
       sAnnPq, sAnnRerank, sHybridRrf, sAnnRecall, sAnnFiltered,
       sKmeans, sKmeansLoop, dSemdedup, sIndexScoreboard, sKnnGraph,
       gKnnTriangles, gKnnComponents, gKnnHops, sAnnIvfSq8,
-      gKnnClusteringCoeff, sMmrRerank, gKnnLabelProp, sAnnGraph)
+      gKnnClusteringCoeff, sMmrRerank, gKnnLabelProp, sAnnGraph,
+      gKnnModularity)
 }

@@ -106,7 +106,8 @@ object Explain {
     "ts_forecast_naive", "d_dedup_impact",
     // round-10 final: the graph-navigation index arm, chunk-store
     // dedup, and the Lorenz table
-    "s_ann_graph", "d_chunk_dedup", "q_revenue_concentration")
+    "s_ann_graph", "d_chunk_dedup", "q_revenue_concentration",
+    "g_knn_modularity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

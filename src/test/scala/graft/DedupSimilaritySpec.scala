@@ -769,6 +769,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(overlap > 0, "graph walk found no true top-5 neighbor for any query")
   }
 
+  test("modularity: contributions recount from labeled edges and sum strongly positive") {
+    val rows = Similarity.gKnnModularity.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val m = rows.map(_.getAs[Long]("degree_mass")).sum / 2
+    assert(m > 0)
+    // degree mass conserves: sum(d_c) = 2m; intra edges <= all edges
+    rows.foreach { r =>
+      val (ec, dc) = (r.getAs[Long]("intra_edges"), r.getAs[Long]("degree_mass"))
+      assert(ec >= 0 && 2 * ec <= dc, "intra degree cannot exceed total degree")
+      assert(r.getAs[Long]("contribution_pm") ==
+        1000L * (4 * m * ec - dc * dc) / (4 * m * m))
+    }
+    // semantic labels on a semantic graph must beat the random-graph
+    // null model decisively (total modularity strongly positive)
+    val total = rows.map(_.getAs[Long]("contribution_pm")).sum
+    assert(total > 100L, s"total modularity $total permille is not meaningfully positive")
+  }
+
   test("label propagation: board conserves seeds and hops actually propagate") {
     val rows = Similarity.gKnnLabelProp.fn(spark, sfDir).collect()
     assert(rows.nonEmpty)
