@@ -283,6 +283,74 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** EFFECTIVE MIXTURE after dedup — the correction d_dedup_impact's
+    * report exists to feed (a mixture recipe weighted on RAW source
+    * mass over-trains on duplicate-heavy sources: the epochs multiply
+    * content that dedup will remove, so the REALIZED mixture differs
+    * from the designed one; every production recipe recomputes its
+    * weights from kept mass): per source, the t_dataset_mix epoch
+    * factor applied to the dedup-KEPT character mass — effective
+    * chars, the waste the raw-mass plan would have paid (per-mille),
+    * and each source's realized share of the post-dedup mixture.
+    *
+    * The kept set is the same memoized minhash-cluster dedup the
+    * d_* family shares (free when warm); the mixture arithmetic runs
+    * on the source-bounded rollup, with the share denominator a
+    * whole-frame window over that ~20-row frame (bounded class). */
+  val tEffectiveMix: GraftQuery = GraftQuery.sql(
+    "t_effective_mix",
+    s"""WITH RECURSIVE ${graft.operators.Dedup.minhashPairsCtes()},
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL
+       |          SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach AS (SELECT src AS node, src AS lbl FROM edges
+       |          UNION
+       |          SELECT e.dst AS node, r.lbl AS lbl
+       |          FROM reach r JOIN edges e ON r.node = e.src),
+       |comp AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node),
+       |dropped AS (SELECT node FROM comp WHERE node <> cluster),
+       |sm AS (SELECT d.source,
+       |    CAST(substring(d.source, 4) AS INT) % 4 + 1 AS epochs,
+       |    SUM(d.n_chars) AS total_chars,
+       |    SUM(CASE WHEN dr.node IS NULL THEN d.n_chars ELSE 0 END) AS kept_chars
+       |  FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.node
+       |  GROUP BY d.source),
+       |ef AS (SELECT source, CAST(epochs AS BIGINT) AS epochs,
+       |    CAST(kept_chars AS BIGINT) AS kept_chars,
+       |    CAST(epochs * kept_chars AS BIGINT) AS effective_chars,
+       |    CAST((1000 * epochs * (total_chars - kept_chars))
+       |      // (epochs * total_chars) AS BIGINT) AS waste_pm
+       |  FROM sm)
+       |SELECT source, epochs, kept_chars, effective_chars, waste_pm,
+       |  CAST((1000 * effective_chars) // SUM(effective_chars) OVER ()
+       |    AS BIGINT) AS share_pm
+       |FROM ef ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val kept = graft.api.Graft.dedup.dedupCorpus(docs, "doc_id", "text",
+        threshold = 0.8, k = graft.operators.Dedup.K,
+        bands = graft.operators.Dedup.Bands)
+      .select(col("doc_id").as("kept_id"))
+    val sm = docs.join(kept, col("doc_id") === col("kept_id"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("total_chars"),
+        sum(when(col("kept_id").isNotNull, col("n_chars")).otherwise(0L))
+          .as("kept_chars"))
+      .withColumn("epochs",
+        expr("cast(cast(substring(source, 4) as int) % 4 + 1 as bigint)"))
+    sm.select(col("source"), col("epochs"), col("kept_chars"),
+        (col("epochs") * col("kept_chars")).as("effective_chars"),
+        expr("""(1000 * epochs * (total_chars - kept_chars))
+               | div (epochs * total_chars)""".stripMargin).as("waste_pm"))
+      // whole-frame span over the ~20-row source frame — bounded class
+      .withColumn("total_eff",
+        sum(col("effective_chars")).over(Window.partitionBy()))
+      .withColumn("share_pm", expr("(1000 * effective_chars) div total_eff"))
+      .drop("total_eff")
+      .orderBy(col("source"))
+  }
+
   def all: Seq[GraftQuery] = Seq(tBpeEncode, tDatasetMix, tDocChunk, tTrainSplit,
-    tTokenizerFertility)
+    tTokenizerFertility, tEffectiveMix)
 }

@@ -107,7 +107,7 @@ object Explain {
     // round-10 final: the graph-navigation index arm, chunk-store
     // dedup, and the Lorenz table
     "s_ann_graph", "d_chunk_dedup", "q_revenue_concentration",
-    "g_knn_modularity")
+    "g_knn_modularity", "t_effective_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

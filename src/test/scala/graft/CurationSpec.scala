@@ -140,4 +140,26 @@ class CurationSpec extends SparkSpec {
         "each word yields at least one BPE token")
     }
   }
+
+  test("effective mix: arithmetic reconciles with the dedup impact report") {
+    val rows = Curation.tEffectiveMix.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val impact = graft.operators.Dedup.dDedupImpact.fn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("kept_chars"), r.getAs[Long]("total_chars"))).toMap
+    val totalEff = rows.map(_.getAs[Long]("effective_chars")).sum
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (kc, tc) = impact(src)
+      val ep = src.drop(3).toInt % 4 + 1
+      assert(r.getAs[Long]("epochs") == ep.toLong)
+      assert(r.getAs[Long]("kept_chars") == kc)
+      assert(r.getAs[Long]("effective_chars") == ep * kc)
+      assert(r.getAs[Long]("waste_pm") == 1000L * ep * (tc - kc) / (ep * tc))
+      assert(r.getAs[Long]("share_pm") == 1000L * ep * kc / totalEff)
+    }
+    // shares form a (floor-divided) distribution
+    val shares = rows.map(_.getAs[Long]("share_pm")).sum
+    assert(shares > 900L && shares <= 1000L)
+  }
 }
