@@ -1650,9 +1650,19 @@ object Similarity {
        |l2 AS (SELECT * FROM l1 UNION ALL SELECT node, lang, 2 FROM p2)""".stripMargin
 
   /** Spark twin of labelPropCtes: (node, lang, round) assignments.
-    * ScopedCache'd internally so round 2 never recomputes round 1;
-    * callers persist further if they read it twice. */
-  private def labelPropAssignments(s: SparkSession, d: String): DataFrame = {
+    * FAMILY-memoized (keyed on the embeddings content signature, plus
+    * the documents signature the seeds read) so the label board and
+    * the modularity score share ONE materialized labeling in-suite —
+    * without it the second consumer re-ran both majority rounds
+    * (+3 s measured); inner rounds still ScopedCache so round 2
+    * never recomputes round 1 on a cold build. */
+  private def labelPropAssignments(s: SparkSession, d: String): DataFrame =
+    famMemoized(s, d, "label_prop", embSig(s, d) + "|" + {
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      Lake.sourceSig(fs, new org.apache.hadoop.fs.Path(s"$d/documents.parquet"))
+    })(labelPropBuild(s, d))
+
+  private def labelPropBuild(s: SparkSession, d: String): DataFrame = {
     val me = knnMutual(s, d).filter(col("n_dir") === 2)
     val ed = me.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(me.select(col("b").as("src"), col("a").as("dst")))
