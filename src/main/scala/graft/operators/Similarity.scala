@@ -1879,11 +1879,197 @@ object Similarity {
       .orderBy(col("lang"))
   }
 
+  /** SNN EDGE WEIGHTS over the mutual k-NN graph — per-edge
+    * shared-nearest-neighbor Jaccard (Ertöz–Steinbach–Kumar SNN
+    * similarity; the edge re-weighting step density-based semantic
+    * clustering runs before cutting: a reciprocal edge whose
+    * endpoints ALSO share most of their other reciprocal neighbors
+    * is intra-cluster wiring, one with no shared neighbors is a
+    * spurious pairing or an inter-cluster bridge — exactly the edges
+    * SNN clustering deletes first). For edge (a,b): common = number
+    * of shared mutual-neighbors = triangles THROUGH the edge, union =
+    * (deg(a)−1) + (deg(b)−1) − common, reported as integer per-mille
+    * floor division (0 when the union is empty) — exact on both
+    * engines, no floating point. Common-neighbor counting reuses the
+    * g_knn_triangles wedge-join census with each triangle crediting
+    * its THREE edges via a row-local array explode (all three are
+    * already canonical a<b, so the credit lands by plain equi-key —
+    * no re-canonicalization); degrees are one groupBy over edge
+    * endpoints. Every edge is cell-local by construction, so the
+    * wedge joins inherit the adaptive cell blocking and per-edge work
+    * is bounded by the ~constant cell population at any corpus size;
+    * output is edge-proportional (≤ K·N/2 rows), the s_knn_graph
+    * artifact contract. */
+  val gKnnJaccardEdges: GraftQuery = GraftQuery.sql(
+    "g_knn_jaccard_edges",
+    s"""WITH $corpusSql,
+       |$knnCtesSql,
+       |me AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, MAX(cid) AS cid
+       |       FROM knn GROUP BY 1, 2 HAVING COUNT(*) = 2),
+       |dg AS (SELECT node, COUNT(*) AS deg FROM (
+       |         SELECT a AS node FROM me UNION ALL SELECT b AS node FROM me)
+       |       GROUP BY 1),
+       |tr AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |       FROM me e1 JOIN me e2 ON e1.b = e2.a
+       |                  JOIN me e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |ce AS (SELECT ea, eb, COUNT(*) AS com FROM (
+       |         SELECT x AS ea, y AS eb FROM tr
+       |         UNION ALL SELECT y, z FROM tr
+       |         UNION ALL SELECT x, z FROM tr)
+       |       GROUP BY 1, 2)
+       |SELECT m.a, m.b, m.cid,
+       |  CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
+       |  CAST(COALESCE(ce.com, 0) AS BIGINT) AS common,
+       |  CAST(CASE WHEN da.deg + db.deg - 2 - COALESCE(ce.com, 0) = 0 THEN 0
+       |       ELSE (1000 * COALESCE(ce.com, 0)) //
+       |            (da.deg + db.deg - 2 - COALESCE(ce.com, 0)) END AS BIGINT)
+       |    AS jac_pm
+       |FROM me m JOIN dg da ON m.a = da.node JOIN dg db ON m.b = db.node
+       |LEFT JOIN ce ON m.a = ce.ea AND m.b = ce.eb
+       |ORDER BY m.a, m.b""".stripMargin
+  ) { (s, d) =>
+    val me = knnMutual(s, d).filter(col("n_dir") === 2)
+      .select(col("a"), col("b"), col("cid"))
+    val dg = me.select(col("a").as("node"))
+      .union(me.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val e2 = me.select(col("a").as("wa"), col("b").as("wb"))
+    val e3 = me.select(col("a").as("ca"), col("b").as("cb"))
+    // Each triangle credits its three (already-canonical) edges.
+    val ce = me.join(e2, col("b") === col("wa"))
+      .join(e3, col("a") === col("ca") && col("wb") === col("cb"))
+      .select(explode(array(
+        struct(col("a").as("ea"), col("b").as("eb")),
+        struct(col("b").as("ea"), col("wb").as("eb")),
+        struct(col("a").as("ea"), col("wb").as("eb")))).as("e"))
+      .select(col("e.ea").as("ea"), col("e.eb").as("eb"))
+      .groupBy(col("ea"), col("eb")).agg(count(lit(1)).as("com"))
+    me.join(dg.select(col("node").as("na"), col("deg").as("deg_a")), col("a") === col("na"))
+      .join(dg.select(col("node").as("nb"), col("deg").as("deg_b")), col("b") === col("nb"))
+      .join(ce, col("a") === col("ea") && col("b") === col("eb"), "left")
+      .select(col("a"), col("b"), col("cid"), col("deg_a"), col("deg_b"),
+        coalesce(col("com"), lit(0L)).as("common"))
+      .withColumn("jac_pm", expr(
+        """CASE WHEN deg_a + deg_b - 2 - common = 0 THEN 0L
+          |ELSE (1000 * common) div (deg_a + deg_b - 2 - common) END""".stripMargin))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Peel-round bound for g_knn_kcore — the SEMANTICS on both
+    * engines is "R synchronous peel rounds", so the bound is part of
+    * the operator definition (not a convergence hope): cell-local
+    * components make real peel depths tiny, and an unconverged
+    * pathological chain peels identically on both sides. */
+  val KcoreRounds = 6
+
+  /** 2-CORE of the mutual k-NN graph via BOUNDED synchronous peeling
+    * (Matula–Beck degeneracy peel, the k=2 slice): iteratively delete
+    * degree-<2 nodes and their edges — what survives is the part of
+    * the near-dup graph held up by REDUNDANT evidence (every core
+    * member keeps ≥2 reciprocal neighbors after all pendant chains
+    * unravel), versus the tree-like fringe where one spurious
+    * reciprocal pairing is the only thing attaching a document to a
+    * cluster. Curation reads the split directly: core = high-
+    * confidence near-dup mass (safe to dedup aggressively), fringe =
+    * single-evidence attachments (the members a conservative pass
+    * re-examines — the g_knn_hops chain audit's set-level summary).
+    * Exactly KcoreRounds synchronous rounds on BOTH engines (each:
+    * degree census, drop deg<2 nodes, keep edges with both endpoints
+    * alive — the oracle unrolls the same rounds as generated CTEs),
+    * each round edge-proportional with map-side-combinable degree
+    * counts and every edge cell-local, so peel work per round is
+    * bounded by cell population at any corpus size; the Spark loop
+    * materializes each round's edge frame (the g_pagerank iterate
+    * discipline) so the plan stays R shallow stages, not one 2^R
+    * lineage. Output per cell: population, mutual edges, core
+    * nodes/edges — exact integers. */
+  val gKnnKcore: GraftQuery = GraftQuery.sql(
+    "g_knn_kcore", {
+      // MATERIALIZED (DuckDB CTE hint — the oracle never runs in
+      // Spark): each round references the previous k-frame 3x, so
+      // letting the optimizer inline would multiply the knn pipeline
+      // scan ~3^R times (observed as an EMFILE storm of parquet
+      // opens at round 6) — the oracle-side twin of the Spark loop's
+      // per-round checkpoint.
+      val rounds = (1 to KcoreRounds).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
+           |  SELECT a AS node FROM k${i - 1} UNION ALL SELECT b AS node FROM k${i - 1})
+           |  GROUP BY 1),
+           |s$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= 2),
+           |k$i AS MATERIALIZED (SELECT e.a, e.b, e.cid FROM k${i - 1} e
+           |  JOIN s$i x ON e.a = x.node JOIN s$i y ON e.b = y.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $corpusSql,
+         |$knnCtesSql,
+         |me AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, MAX(cid) AS cid
+         |       FROM knn GROUP BY 1, 2 HAVING COUNT(*) = 2),
+         |k0 AS MATERIALIZED (SELECT a, b, cid FROM me),
+         |$rounds,
+         |cn AS (SELECT cid, COUNT(*) AS n_nodes FROM cl GROUP BY 1),
+         |e0 AS (SELECT cid, COUNT(*) AS n_edges FROM k0 GROUP BY 1),
+         |cv AS (SELECT cid, COUNT(*) AS core_nodes FROM (
+         |         SELECT DISTINCT node, cid FROM (
+         |           SELECT a AS node, cid FROM k$KcoreRounds
+         |           UNION ALL SELECT b AS node, cid FROM k$KcoreRounds))
+         |       GROUP BY 1),
+         |ke AS (SELECT cid, COUNT(*) AS core_edges FROM k$KcoreRounds GROUP BY 1)
+         |SELECT cn.cid, CAST(cn.n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(COALESCE(e0.n_edges, 0) AS BIGINT) AS n_mutual_edges,
+         |  CAST(COALESCE(cv.core_nodes, 0) AS BIGINT) AS core_nodes,
+         |  CAST(COALESCE(ke.core_edges, 0) AS BIGINT) AS core_edges
+         |FROM cn LEFT JOIN e0 ON cn.cid = e0.cid
+         |        LEFT JOIN cv ON cn.cid = cv.cid
+         |        LEFT JOIN ke ON cn.cid = ke.cid
+         |ORDER BY cn.cid""".stripMargin
+    }
+  ) { (s, d) =>
+    val cl = knnDirected(s, d)._1
+    val me = knnMutual(s, d).filter(col("n_dir") === 2)
+      .select(col("a"), col("b"), col("cid"))
+    // Lineage control each round (the bfsHops ckpt discipline, NOT
+    // persist): each round references the previous frame ~5x (once
+    // directly, twice via each alive side), and a persisted frame
+    // still PRINTS its InMemoryRelation inner plan at every
+    // reference — the AQE plan-update string grows ~5^R and the
+    // driver OOMs building it. Checkpointing truncates the logical
+    // plan itself: reliable checkpoint when the session has a
+    // checkpoint dir (fault-tolerant on a real cluster), else
+    // localCheckpoint (single-JVM bench/test runs).
+    val reliable = s.sparkContext.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    var edges = me
+    for (_ <- 1 to KcoreRounds) {
+      val alive = edges.select(col("a").as("node"))
+        .union(edges.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2).select(col("node"))
+      edges = ckpt(
+        edges.join(alive.select(col("node").as("na")), col("a") === col("na"))
+          .join(alive.select(col("node").as("nb")), col("b") === col("nb"))
+          .select(col("a"), col("b"), col("cid")))
+    }
+    val cn = cl.groupBy(col("cid")).agg(count(lit(1)).as("n_nodes"))
+    val e0 = me.groupBy(col("cid").as("ecid")).agg(count(lit(1)).as("n_edges"))
+    val cv = edges.select(col("a").as("node"), col("cid"))
+      .union(edges.select(col("b").as("node"), col("cid"))).distinct()
+      .groupBy(col("cid").as("vcid")).agg(count(lit(1)).as("core_nodes"))
+    val ke = edges.groupBy(col("cid").as("kcid")).agg(count(lit(1)).as("core_edges"))
+    cn.join(e0, col("cid") === col("ecid"), "left")
+      .join(cv, col("cid") === col("vcid"), "left")
+      .join(ke, col("cid") === col("kcid"), "left")
+      .select(col("cid"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_mutual_edges"),
+        coalesce(col("core_nodes"), lit(0L)).as("core_nodes"),
+        coalesce(col("core_edges"), lit(0L)).as("core_edges"))
+      .orderBy(col("cid"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnIvfPartitioned,
       sAnnPq, sAnnRerank, sHybridRrf, sAnnRecall, sAnnFiltered,
       sKmeans, sKmeansLoop, dSemdedup, sIndexScoreboard, sKnnGraph,
       gKnnTriangles, gKnnComponents, gKnnHops, sAnnIvfSq8,
       gKnnClusteringCoeff, sMmrRerank, gKnnLabelProp, sAnnGraph,
-      gKnnModularity)
+      gKnnModularity, gKnnJaccardEdges, gKnnKcore)
 }

@@ -107,7 +107,10 @@ object Explain {
     // round-10 final: the graph-navigation index arm, chunk-store
     // dedup, and the Lorenz table
     "s_ann_graph", "d_chunk_dedup", "q_revenue_concentration",
-    "g_knn_modularity", "t_effective_mix")
+    "g_knn_modularity", "t_effective_mix",
+    // round-10 final: the SNN edge-weight layer and the bounded
+    // 2-core peel
+    "g_knn_jaccard_edges", "g_knn_kcore")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -811,4 +811,49 @@ class DedupSimilaritySpec extends SparkSpec {
     val nVecs = Tables.embeddings(spark, sfDir).count()
     assert(total <= nVecs)
   }
+
+  test("knn jaccard edges: per-edge SNN weight recomputes from a driver adjacency") {
+    val rows = Similarity.gKnnJaccardEdges.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val edges = Similarity.sKnnGraph.fn(spark, sfDir).collect()
+      .filter(_.getAs[Long]("mutual") == 1L)
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(rows.length == edges.size, "one output row per mutual edge")
+    val nbrs = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      val (na, nb) = (nbrs(a), nbrs(b))
+      val common = (na & nb).size.toLong
+      val union = (na.size - 1) + (nb.size - 1) - common
+      assert(r.getAs[Long]("deg_a") == na.size.toLong)
+      assert(r.getAs[Long]("deg_b") == nb.size.toLong)
+      assert(r.getAs[Long]("common") == common, s"edge ($a,$b)")
+      val jac = if (union == 0) 0L else 1000L * common / union
+      assert(r.getAs[Long]("jac_pm") == jac, s"edge ($a,$b)")
+    }
+  }
+
+  test("knn kcore: bounded peel matches a driver-side peel of the same edges") {
+    val rows = Similarity.gKnnKcore.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var edges = Similarity.sKnnGraph.fn(spark, sfDir).collect()
+      .filter(_.getAs[Long]("mutual") == 1L)
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val allEdges = edges.size.toLong
+    for (_ <- 1 to Similarity.KcoreRounds) {
+      val deg = edges.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (k, vs) => k -> vs.size }
+      val alive = deg.filter(_._2 >= 2).keySet
+      edges = edges.filter { case (a, b) => alive(a) && alive(b) }
+    }
+    val coreNodes = edges.flatMap { case (a, b) => Seq(a, b) }.size.toLong
+    assert(rows.map(_.getAs[Long]("core_edges")).sum == edges.size.toLong)
+    assert(rows.map(_.getAs[Long]("core_nodes")).sum == coreNodes)
+    assert(rows.map(_.getAs[Long]("n_mutual_edges")).sum == allEdges)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("core_nodes") <= r.getAs[Long]("n_nodes"))
+      assert(r.getAs[Long]("core_edges") <= r.getAs[Long]("n_mutual_edges"))
+    }
+  }
 }

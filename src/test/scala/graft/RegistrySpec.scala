@@ -43,7 +43,7 @@ class RegistrySpec extends AnyFunSuite {
   test("oracle SQL only references tables that exist") {
     val known = Tables.names.toSet
     val fromRe = """(?i)(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)""".r
-    val cteRe = """(?i)([a-z_][a-z0-9_]*)\s+AS\s*\(""".r
+    val cteRe = """(?i)([a-z_][a-z0-9_]*)\s+AS\s*(?:NOT\s+)?(?:MATERIALIZED\s+)?\(""".r
     SparkEntry.oracleSql.foreach { case (name, raw) =>
       // EXTRACT(unit FROM col) is not a table reference
       val sql = raw.replaceAll("(?i)EXTRACT\\s*\\(\\s*\\w+\\s+FROM", "EXTRACT(")
