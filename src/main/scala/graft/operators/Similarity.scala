@@ -2065,11 +2065,79 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** ONE NN-DESCENT ROUND over the directed k-NN graph — the
+    * standard distributed graph-ANN index BUILD step (Dong et al.'s
+    * NN-Descent: "a neighbor of a neighbor is likely a neighbor"),
+    * the counterpart to s_ann_graph's SEARCH walk. The cell-blocked
+    * build (s_knn_graph) can only see cell-mates; NN-descent's local
+    * join is exactly how the index ESCAPES its blocking artifacts:
+    * candidates(q) = q's undirected neighbors plus their undirected
+    * neighbors — pairs that may cross cells — evaluated by exact
+    * cosine, and the new per-node top-KnnK is ranked over candidates
+    * under the same (cosine DESC, id) total order as the base build.
+    * was_knn flags entries that were already in q's DIRECTED top-k,
+    * so the output self-reports the refinement yield (was_knn=0 rows
+    * are graph edges the cell blocking missed). Deterministic: exact
+    * left-fold cosines, total-order ties, one synchronous round (the
+    * production loop iterates until yield decays; one round IS the
+    * operator so the oracle stays a finite unroll). Work is
+    * edge-proportional — candidate pairs ≤ N·K² (K=KnnK, never
+    * corpus-quadratic), cosines via two hash joins against the
+    * memoized cell layout, the new top-k one window over candidates.
+    * The directed edge list is ScopedCache'd: four plan legs (two
+    * und arms, the was_knn join, the base) read ONE materialization
+    * of the top-k window; the oracle mirrors with kd AS MATERIALIZED
+    * (the DuckDB CTE-inlining hazard the kcore oracle documented). */
+  val sAnnNnDescent: GraftQuery = GraftQuery.sql(
+    "s_ann_nn_descent",
+    s"""WITH $corpusSql,
+       |$knnCtesSql,
+       |kd AS MATERIALIZED (SELECT src, dst FROM knn),
+       |und AS MATERIALIZED (
+       |  SELECT src, dst FROM kd UNION SELECT dst AS src, src AS dst FROM kd),
+       |cand AS (SELECT a.src AS q, b.dst AS c
+       |         FROM und a JOIN und b ON a.dst = b.src WHERE b.dst <> a.src
+       |         UNION SELECT src AS q, dst AS c FROM und),
+       |nsc AS (SELECT cand.q, cand.c,
+       |         ${Vectors.dotSql("x.v", "y.v")} / (x.nrm * y.nrm) AS cosine
+       |       FROM cand JOIN n x ON cand.q = x.vec_id
+       |                 JOIN n y ON cand.c = y.vec_id),
+       |nr AS (SELECT q, c, cosine, ROW_NUMBER() OVER (PARTITION BY q
+       |        ORDER BY cosine DESC, c) AS rk FROM nsc)
+       |SELECT nr.q AS src, CAST(nr.rk AS BIGINT) AS rk, nr.c AS dst, nr.cosine,
+       |  CAST(CASE WHEN kd.dst IS NULL THEN 0 ELSE 1 END AS BIGINT) AS was_knn
+       |FROM nr LEFT JOIN kd ON nr.q = kd.src AND nr.c = kd.dst
+       |WHERE nr.rk <= $KnnK ORDER BY src, rk""".stripMargin
+  ) { (s, d) =>
+    val (cl, knn0) = knnDirected(s, d)
+    val kd = graft.ScopedCache(knn0.select(col("src"), col("dst")))
+    val und = kd.union(kd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val cand = und.select(col("src").as("q"), col("dst").as("m"))
+      .join(und.select(col("src").as("m"), col("dst").as("c")), "m")
+      .filter(col("c") =!= col("q")).select(col("q"), col("c"))
+      .union(und.select(col("src").as("q"), col("dst").as("c")))
+      .distinct()
+    val sc = cand
+      .join(cl.select(col("vec_id").as("q"), col("v").as("qv"), col("nrm").as("qn")), "q")
+      .join(cl.select(col("vec_id").as("c"), col("v").as("cv"), col("nrm").as("cn")), "c")
+      .select(col("q"), col("c"),
+        (Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+    val w = Window.partitionBy(col("q")).orderBy(col("cosine").desc, col("c"))
+    sc.withColumn("rk", row_number().over(w)).filter(col("rk") <= KnnK)
+      .join(kd.select(col("src").as("kq"), col("dst").as("kdst")),
+        col("q") === col("kq") && col("c") === col("kdst"), "left")
+      .select(col("q").as("src"), col("rk").cast("long").as("rk"),
+        col("c").as("dst"), col("cosine"),
+        when(col("kdst").isNull, 0L).otherwise(1L).as("was_knn"))
+      .orderBy(col("src"), col("rk"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnIvfPartitioned,
       sAnnPq, sAnnRerank, sHybridRrf, sAnnRecall, sAnnFiltered,
       sKmeans, sKmeansLoop, dSemdedup, sIndexScoreboard, sKnnGraph,
       gKnnTriangles, gKnnComponents, gKnnHops, sAnnIvfSq8,
       gKnnClusteringCoeff, sMmrRerank, gKnnLabelProp, sAnnGraph,
-      gKnnModularity, gKnnJaccardEdges, gKnnKcore)
+      gKnnModularity, gKnnJaccardEdges, gKnnKcore, sAnnNnDescent)
 }

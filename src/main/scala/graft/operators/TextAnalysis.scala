@@ -1025,10 +1025,70 @@ object TextAnalysis {
       .limit(30)
   }
 
+  /** PER-DOCUMENT BIGRAM NOVELTY — the share (per-mille) of a
+    * document's DISTINCT word-bigrams that appear in no other
+    * document. The doc-level complement of t_boilerplate_ngrams
+    * (which ranks the repeated CONTENT): this scores each document's
+    * own phrasing freshness — near-1000 = original text, near-0 =
+    * template/boilerplate mass whose every phrase also lives
+    * elsewhere (the near-dup shadow exact dedup misses), and the
+    * cheap corpus-internal memorization proxy a curation pass reads
+    * before weighting documents for training. Exact integers end to
+    * end: distinct (doc, bigram) pairs, corpus document-frequency
+    * per bigram, n_unique = the doc's df==1 bigrams, novelty_pm by
+    * integer floor division (docs with <2 tokens keep 0s via the
+    * LEFT join — they have no bigrams, not missing rows). Cost is
+    * token-proportional: one explode + distinct, one map-side-
+    * combinable df count, one join back on the bigram key. At 100 TB
+    * the join key would be a 64-bit bigram hash (collision-tolerant
+    * for a screen, same plan, narrower shuffle) — the
+    * t_boilerplate_ngrams discipline; here the literal string keeps
+    * the gate exact. */
+  val tBigramNovelty: GraftQuery = GraftQuery.sql(
+    "t_bigram_novelty",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT DISTINCT doc_id, bigram FROM (
+      |         SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1])) AS bigram FROM toks)),
+      |df AS (SELECT bigram, COUNT(*) AS df FROM bg GROUP BY 1),
+      |pd AS (SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      |         SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_unique
+      |       FROM bg b JOIN df ON b.bigram = df.bigram GROUP BY 1)
+      |SELECT d.doc_id, d.lang, d.source,
+      |  CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(COALESCE(pd.n_unique, 0) AS BIGINT) AS n_unique,
+      |  CAST(CASE WHEN COALESCE(pd.n_bigrams, 0) = 0 THEN 0
+      |       ELSE (1000 * pd.n_unique) // pd.n_bigrams END AS BIGINT) AS novelty_pm
+      |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+  ) { (s, d) =>
+    val t = col("t")
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
+      .select(col("doc_id"),
+        explode(zip_with(t, slice(t, lit(2), size(t) - 1),
+          (x, y) => concat(x, lit(" "), y))).as("bigram"))
+      .filter(col("bigram").isNotNull)
+      .distinct()
+    val dfreq = bg.groupBy(col("bigram")).agg(count(lit(1)).as("df"))
+    val pd = bg.join(dfreq, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"))
+      .join(pd, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+      .withColumn("novelty_pm", expr(
+        "CASE WHEN n_bigrams = 0 THEN 0L ELSE (1000 * n_unique) div n_bigrams END"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tTokenCount, tQualityScore, tLangId, tFingerprint, tNgramFreq,
       tFluencyScore, tLangGini, tPiiScrub, tLangRebalance,
       tRepetitionFilter, tC4Filter, tStratifiedSample, tSeqPack,
       tBpePairs, tShuffleShard, tDatasetCard, tGopherFilter, tZipfReport,
-      tKeywordLift, tLexicalDiversity, tBoilerplateNgrams)
+      tKeywordLift, tLexicalDiversity, tBoilerplateNgrams, tBigramNovelty)
 }

@@ -110,7 +110,10 @@ object Explain {
     "g_knn_modularity", "t_effective_mix",
     // round-10 final: the SNN edge-weight layer and the bounded
     // 2-core peel
-    "g_knn_jaccard_edges", "g_knn_kcore")
+    "g_knn_jaccard_edges", "g_knn_kcore",
+    // round-10 final: the NN-descent refinement round and the
+    // per-doc bigram novelty screen
+    "s_ann_nn_descent", "t_bigram_novelty")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

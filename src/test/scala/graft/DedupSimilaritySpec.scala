@@ -834,6 +834,41 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("nn-descent: new top-k matches a driver recompute over neighbor-of-neighbor candidates") {
+    val rows = Similarity.sAnnNnDescent.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // undirected adjacency from the symmetric graph artifact
+    val sym = Similarity.sKnnGraph.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val nbrs = sym.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val vecs = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .toMap
+    def dot(x: Array[Double], y: Array[Double]): Double =
+      x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i)) // left fold = engine order
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (vecs(a), vecs(b))
+      dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y)))
+    }
+    val bySrc = rows.groupBy(_.getAs[Long]("src"))
+    assert(bySrc.keySet == nbrs.keySet, "one ranked list per graph node")
+    bySrc.foreach { case (q, rs) =>
+      val cand = (nbrs(q) ++ nbrs(q).flatMap(m => nbrs(m))) - q
+      val expect = cand.toSeq
+        .map(c => (c, cos(q, c)))
+        .sortBy { case (c, s) => (-s, c) }
+        .take(Similarity.KnnK)
+      val got = rs.sortBy(_.getAs[Long]("rk"))
+        .map(r => (r.getAs[Long]("dst"), r.getAs[Double]("cosine"))).toSeq
+      assert(got.map(_._1) == expect.map(_._1), s"node $q top-k mismatch")
+      got.zip(expect).foreach { case ((_, g), (_, e)) => assert(g == e) }
+      assert(rs.forall(r => Set(0L, 1L)(r.getAs[Long]("was_knn"))))
+      assert(rs.count(_.getAs[Long]("was_knn") == 1L) <= Similarity.KnnK)
+    }
+  }
+
   test("knn kcore: bounded peel matches a driver-side peel of the same edges") {
     val rows = Similarity.gKnnKcore.fn(spark, sfDir).collect()
     assert(rows.nonEmpty)

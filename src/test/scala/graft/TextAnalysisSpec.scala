@@ -298,4 +298,27 @@ class TextAnalysisSpec extends SparkSpec {
     val cut = rows.map(_.getAs[Long]("n_occurrences")).min
     assert(occ.values.count(_ > cut) <= rows.length)
   }
+
+  test("bigram novelty: per-doc unique-share recomputes from raw bigram sets") {
+    val rows = TextAnalysis.tBigramNovelty.fn(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> {
+        val t = r.getString(1).split(" ", -1)
+        t.indices.dropRight(1).map(i => t(i) + " " + t(i + 1)).toSet
+      }).toMap
+    assert(rows.length == docs.size, "one row per document")
+    val df = docs.values.toSeq.flatMap(_.toSeq)
+      .groupBy(identity).map { case (k, vs) => k -> vs.size }
+    var anyUnique = false
+    rows.foreach { r =>
+      val bgs = docs(r.getAs[Long]("doc_id"))
+      val uniq = bgs.count(df(_) == 1).toLong
+      assert(r.getAs[Long]("n_bigrams") == bgs.size.toLong)
+      assert(r.getAs[Long]("n_unique") == uniq)
+      val pm = if (bgs.isEmpty) 0L else 1000L * uniq / bgs.size
+      assert(r.getAs[Long]("novelty_pm") == pm)
+      anyUnique ||= uniq > 0
+    }
+    assert(anyUnique, "corpus should contain some doc-unique bigrams")
+  }
 }
