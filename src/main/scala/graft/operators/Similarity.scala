@@ -1122,6 +1122,17 @@ object Similarity {
     (cl, knn)
   }
 
+  /** The DIRECTED per-src top-k frame, family-memoized: every graph
+    * consumer (the symmetric artifact, NN-descent's base list, the
+    * MST's weighted edges, the mutual-edge build below) was re-paying
+    * the in-cell window per query — one persisted N·K-row copy per
+    * (session, dir, source content) retires that, and — as important
+    * on the driver — consumers' logical plans now reference a frame
+    * whose own subtree is the layout read + one window, not a fresh
+    * copy of the whole assignment pipeline. */
+  private def knnDirectedMemo(s: SparkSession, d: String): DataFrame =
+    famMemoized(s, d, "knn_dir", embSig(s, d))(knnDirected(s, d)._2)
+
   /** Mutual (reciprocal) edge set of the k-NN graph — shared by the
     * triangle/component/hops family: ONE persisted copy per (session,
     * dir, source content) instead of each query re-paying the
@@ -1131,7 +1142,7 @@ object Similarity {
     * mutuality themselves. */
   private def knnMutual(s: SparkSession, d: String): DataFrame =
     famMemoized(s, d, "knn_mutual", embSig(s, d)) {
-      val (_, knn) = knnDirected(s, d)
+      val knn = knnDirectedMemo(s, d)
       knn.groupBy(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .agg(max(col("cid")).as("cid"), count(lit(1)).as("n_dir"))
@@ -1171,7 +1182,7 @@ object Similarity {
        |  CAST(CASE WHEN n_dir = 2 THEN 1 ELSE 0 END AS BIGINT) AS mutual
        |FROM sym ORDER BY a, b""".stripMargin
   ) { (s, d) =>
-    val (_, knn) = knnDirected(s, d)
+    val knn = knnDirectedMemo(s, d)
     knn.groupBy(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .agg(max(col("cosine")).as("cosine"), count(lit(1)).as("n_dir"))
@@ -1854,15 +1865,21 @@ object Similarity {
        |FROM dc LEFT JOIN ec ON dc.lang = ec.lang CROSS JOIN mm
        |ORDER BY dc.lang""".stripMargin
   ) { (s, d) =>
-    val lbl = graft.ScopedCache(
-      labelPropAssignments(s, d).select(col("node"), col("lang")))
-    val le = graft.ScopedCache(
-      knnMutual(s, d).filter(col("n_dir") === 2)
-        .join(lbl.select(col("node").as("na"), col("lang").as("sl")),
-          col("a") === col("na"))
-        .join(lbl.select(col("node").as("nb"), col("lang").as("dl")),
-          col("b") === col("nb"))
-        .select(col("sl"), col("dl")))
+    val lbl = labelPropAssignments(s, d).select(col("node"), col("lang"))
+    // Eager lineage cut (localCheckpoint, not persist): the labeled-
+    // edge frame is referenced by THREE aggregate legs (m, e_c, d_c),
+    // each carrying two copies of the label tree which itself embeds
+    // the knn pipeline — ~9 copies of the heaviest logical plan in
+    // the family, and the probe measured ~6 s of pure Catalyst
+    // planning per run even with every data memo warm. Truncating at
+    // the 2-column edge frame makes every leg plan against a leaf.
+    val le = knnMutual(s, d).filter(col("n_dir") === 2)
+      .join(lbl.select(col("node").as("na"), col("lang").as("sl")),
+        col("a") === col("na"))
+      .join(lbl.select(col("node").as("nb"), col("lang").as("dl")),
+        col("b") === col("nb"))
+      .select(col("sl"), col("dl"))
+      .localCheckpoint()
     val mm = le.agg(count(lit(1)).as("m"))
     val ec = le.filter(col("sl") === col("dl"))
       .groupBy(col("sl").as("eclang")).agg(count(lit(1)).as("e_c"))
@@ -2109,8 +2126,8 @@ object Similarity {
        |FROM nr LEFT JOIN kd ON nr.q = kd.src AND nr.c = kd.dst
        |WHERE nr.rk <= $KnnK ORDER BY src, rk""".stripMargin
   ) { (s, d) =>
-    val (cl, knn0) = knnDirected(s, d)
-    val kd = graft.ScopedCache(knn0.select(col("src"), col("dst")))
+    val cl = knnDirected(s, d)._1
+    val kd = graft.ScopedCache(knnDirectedMemo(s, d).select(col("src"), col("dst")))
     val und = kd.union(kd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
     val cand = und.select(col("src").as("q"), col("dst").as("m"))
@@ -2133,11 +2150,153 @@ object Similarity {
       .orderBy(col("src"), col("rk"))
   }
 
+  /** Borůvka round/jump bounds for g_knn_mst — like KcoreRounds, the
+    * bounds ARE the semantics (both engines run exactly this
+    * schedule): 3 rounds, each hook → 2-cycle break → 2 pointer
+    * jumps (labels flatten through parent^4 per round). Cell-local
+    * components are small, so this typically contracts fully; a
+    * pathological chain leaves some cross-label edges unchosen —
+    * identically on both engines, and every edge that IS chosen is a
+    * true MSF edge regardless (cut property: each label group is a
+    * node set, its minimum outgoing edge under a total order crosses
+    * that cut). */
+  val MstRounds = 3
+  val MstJumps = 2
+
+  /** MINIMUM SPANNING FOREST of the mutual k-NN graph — bounded
+    * synchronous Borůvka over integer edge weights, the
+    * single-linkage-clustering backbone (cutting the MSF at a
+    * distance threshold IS single-linkage HAC: the dendrogram a
+    * curation pass thresholds per-cluster instead of re-running
+    * dedup at every radius, and the classic HDBSCAN/OPTICS
+    * substrate). Weights: w = ⌊(1 − cosine)·10¹²⌋ as BIGINT —
+    * cosines are the bit-identical left-fold doubles, so the floor
+    * is exact on both engines; ties broken by the (w, a, b) total
+    * order, making weights effectively distinct (Borůvka's
+    * chosen-edge union is then provably acyclic). Each round: label
+    * lookup (two hash joins), per-label minimum incident edge (one
+    * window over the 2-direction incidence view), hook to the
+    * chosen edge's other label, deterministic 2-cycle break (the
+    * smaller label becomes root), then MstJumps pointer-jump
+    * self-joins; node labels re-map through the contracted parent
+    * table. All edges are cell-local (the s_knn_graph artifact), so
+    * every join inherits the cell blocking and per-round work is
+    * edge-proportional; the label frame is CHECKPOINTED per round
+    * (the g_knn_kcore lineage lesson — persist alone lets the AQE
+    * explain string grow multiplicatively). Output: the forest
+    * edges (a, b, cid, w, round chosen) — ≤ nodes−1 rows per
+    * component. */
+  val gKnnMst: GraftQuery = GraftQuery.sql(
+    "g_knn_mst", {
+      val rounds = (1 to MstRounds).map { r =>
+        val jumps = (1 to MstJumps).map { j =>
+          val prev = if (j == 1) s"p1_$r" else s"j${j - 1}_$r"
+          s"""j${j}_$r AS MATERIALIZED (
+             |  SELECT x.comp, y.p FROM $prev x JOIN $prev y ON x.p = y.comp)""".stripMargin
+        }.mkString(",\n")
+        s"""el_$r AS MATERIALIZED (
+           |  SELECT e.a, e.b, e.w, e.cid, la.lbl AS ca, lb.lbl AS cb
+           |  FROM we e JOIN lab${r - 1} la ON e.a = la.node
+           |            JOIN lab${r - 1} lb ON e.b = lb.node
+           |  WHERE la.lbl <> lb.lbl),
+           |inc_$r AS (SELECT ca AS comp, w, a, b, cid, cb AS oc FROM el_$r
+           |           UNION ALL SELECT cb, w, a, b, cid, ca FROM el_$r),
+           |ch_$r AS MATERIALIZED (
+           |  SELECT comp, w, a, b, cid, oc FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY comp
+           |      ORDER BY w, a, b) AS rk FROM inc_$r) WHERE rk = 1),
+           |cp_$r AS (SELECT DISTINCT lbl AS comp FROM lab${r - 1}),
+           |p0_$r AS MATERIALIZED (
+           |  SELECT c.comp, COALESCE(ch.oc, c.comp) AS p
+           |  FROM cp_$r c LEFT JOIN ch_$r ch ON c.comp = ch.comp),
+           |p1_$r AS MATERIALIZED (
+           |  SELECT x.comp, CASE WHEN y.p = x.comp AND x.comp < x.p
+           |    THEN x.comp ELSE x.p END AS p
+           |  FROM p0_$r x JOIN p0_$r y ON x.p = y.comp),
+           |$jumps,
+           |lab$r AS MATERIALIZED (
+           |  SELECT l.node, j.p AS lbl
+           |  FROM lab${r - 1} l JOIN j${MstJumps}_$r j ON l.lbl = j.comp)""".stripMargin
+      }.mkString(",\n")
+      val forest = (1 to MstRounds).map { r =>
+        s"SELECT DISTINCT a, b, cid, w, $r AS round FROM ch_$r"
+      }.mkString("\nUNION ALL ")
+      s"""WITH $corpusSql,
+         |$knnCtesSql,
+         |we AS MATERIALIZED (
+         |  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, MAX(cid) AS cid,
+         |    CAST(FLOOR((1 - MAX(cosine)) * 1000000000000) AS BIGINT) AS w
+         |  FROM knn GROUP BY 1, 2 HAVING COUNT(*) = 2),
+         |lab0 AS MATERIALIZED (SELECT vec_id AS node, vec_id AS lbl FROM cl),
+         |$rounds
+         |SELECT a, b, cid, w, CAST(round AS BIGINT) AS round FROM ($forest)
+         |ORDER BY a, b""".stripMargin
+    }
+  ) { (s, d) =>
+    val cl = knnDirected(s, d)._1
+    val knn = knnDirectedMemo(s, d)
+    val we = graft.ScopedCache(
+      knn.groupBy(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .agg(max(col("cid")).as("cid"), max(col("cosine")).as("mc"),
+          count(lit(1)).as("n_dir"))
+        .filter(col("n_dir") === 2)
+        .select(col("a"), col("b"), col("cid"),
+          floor((lit(1.0) - col("mc")) * lit(1.0e12)).cast("long").as("w")))
+    val reliable = s.sparkContext.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    var lab = ckpt(cl.select(col("vec_id").as("node"), col("vec_id").as("lbl")))
+    val forests = (1 to MstRounds).map { r =>
+      val el = we
+        .join(lab.select(col("node").as("na"), col("lbl").as("ca")), col("a") === col("na"))
+        .join(lab.select(col("node").as("nb"), col("lbl").as("cb")), col("b") === col("nb"))
+        .filter(col("ca") =!= col("cb"))
+        .select(col("a"), col("b"), col("w"), col("cid"), col("ca"), col("cb"))
+      val inc = el.select(col("ca").as("comp"), col("w"), col("a"), col("b"),
+          col("cid"), col("cb").as("oc"))
+        .union(el.select(col("cb").as("comp"), col("w"), col("a"), col("b"),
+          col("cid"), col("ca").as("oc")))
+      val wMin = Window.partitionBy(col("comp")).orderBy(col("w"), col("a"), col("b"))
+      val ch = graft.ScopedCache(
+        inc.withColumn("rk", row_number().over(wMin)).filter(col("rk") === 1)
+          .select(col("comp"), col("w"), col("a"), col("b"), col("cid"), col("oc")))
+      // Eager lineage cut per round: the 2-cycle break references p0
+      // twice and each pointer jump doubles again — j2 carries 8
+      // copies of p0's tree, which without the cut embeds ch → el →
+      // the whole edge pipeline (the g_knn_modularity planning-cost
+      // lesson). Checkpointing the one-row-per-component parent frame
+      // makes every self-join a join of leaves; computing it also
+      // materializes ch for the forest output.
+      val p0 = ckpt(lab.select(col("lbl").as("comp")).distinct()
+        .join(ch.select(col("comp").as("chc"), col("oc")), col("comp") === col("chc"), "left")
+        .select(col("comp"), coalesce(col("oc"), col("comp")).as("p")))
+      val p1 = p0.as("x")
+        .join(p0.select(col("comp").as("yc"), col("p").as("yp")), col("x.p") === col("yc"))
+        .select(col("x.comp").as("comp"),
+          when(col("yp") === col("x.comp") && col("x.comp") < col("x.p"), col("x.comp"))
+            .otherwise(col("x.p")).as("p"))
+      val jumped = (1 to MstJumps).foldLeft(p1) { (pj, _) =>
+        pj.as("x")
+          .join(pj.select(col("comp").as("yc"), col("p").as("yp")), col("x.p") === col("yc"))
+          .select(col("x.comp").as("comp"), col("yp").as("p"))
+      }
+      lab = ckpt(lab.join(jumped.select(col("comp").as("jl"), col("p")),
+          col("lbl") === col("jl"))
+        .select(col("node"), col("p").as("lbl")))
+      ch.select(col("a"), col("b"), col("cid"), col("w")).distinct()
+        .withColumn("round", lit(r.toLong))
+    }
+    forests.reduce(_.union(_))
+      .select(col("a"), col("b"), col("cid"), col("w"), col("round"))
+      .orderBy(col("a"), col("b"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnIvfPartitioned,
       sAnnPq, sAnnRerank, sHybridRrf, sAnnRecall, sAnnFiltered,
       sKmeans, sKmeansLoop, dSemdedup, sIndexScoreboard, sKnnGraph,
       gKnnTriangles, gKnnComponents, gKnnHops, sAnnIvfSq8,
       gKnnClusteringCoeff, sMmrRerank, gKnnLabelProp, sAnnGraph,
-      gKnnModularity, gKnnJaccardEdges, gKnnKcore, sAnnNnDescent)
+      gKnnModularity, gKnnJaccardEdges, gKnnKcore, sAnnNnDescent, gKnnMst)
 }

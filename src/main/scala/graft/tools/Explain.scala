@@ -113,7 +113,9 @@ object Explain {
     "g_knn_jaccard_edges", "g_knn_kcore",
     // round-10 final: the NN-descent refinement round and the
     // per-doc bigram novelty screen
-    "s_ann_nn_descent", "t_bigram_novelty")
+    "s_ann_nn_descent", "t_bigram_novelty",
+    // round-10 final: the bounded-Boruvka spanning forest
+    "g_knn_mst")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

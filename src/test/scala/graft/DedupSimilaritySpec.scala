@@ -869,6 +869,49 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knn mst: bounded Boruvka matches a driver simulation and stays within the Kruskal forest") {
+    val rows = Similarity.gKnnMst.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // weighted mutual edges from the symmetric graph artifact (cosine
+    // doubles are the engine's own, so the floor is bit-identical)
+    val we = Similarity.sKnnGraph.fn(spark, sfDir).collect()
+      .filter(_.getAs[Long]("mutual") == 1L)
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        math.floor((1.0 - r.getAs[Double]("cosine")) * 1.0e12).toLong))
+    val nodes = we.flatMap(e => Seq(e._1, e._2)).distinct
+    // driver Boruvka: same bounded schedule
+    var lab = nodes.map(n => n -> n).toMap
+    val got = rows.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+      r.getAs[Long]("w"), r.getAs[Long]("round")))
+    val chosenByRound = (1 to Similarity.MstRounds).map { r =>
+      val el = we.filter(e => lab(e._1) != lab(e._2))
+      val inc = el.flatMap { case (a, b, w) =>
+        Seq((lab(a), w, a, b, lab(b)), (lab(b), w, a, b, lab(a))) }
+      val ch = inc.groupBy(_._1).map { case (_, es) => es.minBy(e => (e._2, e._3, e._4)) }
+      val p0 = lab.values.toSet.map((c: Long) =>
+        c -> ch.find(_._1 == c).map(_._5).getOrElse(c)).toMap
+      val p1 = p0.map { case (c, p) =>
+        c -> (if (p0(p) == c && c < p) c else p) }
+      val jumped = (1 to Similarity.MstJumps).foldLeft(p1)((pj, _) =>
+        pj.map { case (c, p) => c -> pj(p) })
+      lab = lab.map { case (n, l) => n -> jumped(l) }
+      ch.map(e => (e._3, e._4, e._2)).toSet
+    }
+    chosenByRound.zipWithIndex.foreach { case (exp, i) =>
+      val g = got.filter(_._4 == i + 1).map(e => (e._1, e._2, e._3)).toSet
+      assert(g == exp, s"round ${i + 1} chosen-edge mismatch")
+    }
+    // every output edge is a true MSF edge: Kruskal under (w, a, b)
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    val mst = scala.collection.mutable.Set[(Long, Long, Long)]()
+    we.sortBy(e => (e._3, e._1, e._2)).foreach { case (a, b, w) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(ra) = rb; mst += ((a, b, w)) }
+    }
+    got.foreach { case (a, b, w, _) => assert(mst((a, b, w)), s"($a,$b) not in Kruskal MSF") }
+  }
+
   test("knn kcore: bounded peel matches a driver-side peel of the same edges") {
     val rows = Similarity.gKnnKcore.fn(spark, sfDir).collect()
     assert(rows.nonEmpty)
