@@ -2292,11 +2292,96 @@ object Similarity {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Cosine thresholds (per-mille) for the single-linkage cut ladder
+    * — chosen to span the mutual-edge cosine distribution (p10≈0.25,
+    * p90≈0.37 on this corpus) so the sweep shows real dendrogram
+    * structure: tight knots at 400‰, the mid mass at 300‰, near-full
+    * connectivity at 250‰. */
+  val CutThresholdsPm: Seq[Long] = Seq(400L, 300L, 250L)
+
+  /** SINGLE-LINKAGE CLUSTER-CUT LADDER over the mutual k-NN graph —
+    * the dendrogram view g_knn_mst is the substrate for, delivered
+    * as the summary a curation pass actually reads: for each cosine
+    * threshold, the connected components of the edges at least that
+    * similar (single-linkage property: thresholding the FULL edge
+    * set gives exactly the same components as thresholding the MSF,
+    * so the cut is computed straight off the mutual edges and the
+    * MST stays the edge-level artifact). Per threshold: kept edges,
+    * touched nodes, cluster count, largest cluster — the
+    * multi-resolution profile that answers "how aggressive can the
+    * dedup radius get before clusters chain together" without
+    * re-running dedup per radius. Weights are the MST's integer
+    * w = ⌊(1−cosine)·10¹²⌋ (bit-identical fold cosines), the closure
+    * is the g_knn_components machinery (pointer-jumped min-label /
+    * union-find below the adjudicated pair bound) per rung, and the
+    * oracle recomputes each rung as a bounded-free recursive CTE —
+    * two independent transitive-closure formulations per threshold.
+    * All edges cell-local; per-rung work is edge-proportional. */
+  val gKnnClusterCut: GraftQuery = GraftQuery.sql(
+    "g_knn_cluster_cut", {
+      val rungs = CutThresholdsPm.map { t =>
+        val wMax = (1000L - t) * 1000000000L
+        s"""ed_$t AS (SELECT a AS src, b AS dst FROM we WHERE w <= $wMax
+           |          UNION ALL SELECT b, a FROM we WHERE w <= $wMax),
+           |reach_$t AS (SELECT src AS node, src AS lbl FROM ed_$t
+           |             UNION
+           |             SELECT e.dst AS node, r.lbl AS lbl
+           |             FROM reach_$t r JOIN ed_$t e ON r.node = e.src),
+           |comp_$t AS (SELECT node, MIN(lbl) AS lbl FROM reach_$t GROUP BY node),
+           |sz_$t AS (SELECT lbl, COUNT(*) AS n FROM comp_$t GROUP BY lbl)""".stripMargin
+      }.mkString(",\n")
+      val rows = CutThresholdsPm.map { t =>
+        val wMax = (1000L - t) * 1000000000L
+        s"""SELECT $t AS thr_pm,
+           |  (SELECT COUNT(*) FROM we WHERE w <= $wMax) AS n_edges,
+           |  (SELECT COALESCE(SUM(n), 0) FROM sz_$t) AS n_nodes,
+           |  (SELECT COUNT(*) FROM sz_$t) AS n_clusters,
+           |  (SELECT COALESCE(MAX(n), 0) FROM sz_$t) AS max_size""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE $corpusSql,
+         |$knnCtesSql,
+         |we AS MATERIALIZED (
+         |  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+         |    CAST(FLOOR((1 - MAX(cosine)) * 1000000000000) AS BIGINT) AS w
+         |  FROM knn GROUP BY 1, 2 HAVING COUNT(*) = 2),
+         |$rungs
+         |SELECT CAST(thr_pm AS BIGINT) AS thr_pm, CAST(n_edges AS BIGINT) AS n_edges,
+         |  CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_clusters AS BIGINT) AS n_clusters,
+         |  CAST(max_size AS BIGINT) AS max_size
+         |FROM ($rows) ORDER BY thr_pm DESC""".stripMargin
+    }
+  ) { (s, d) =>
+    val knn = knnDirectedMemo(s, d)
+    val we = graft.ScopedCache(
+      knn.groupBy(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .agg(max(col("cosine")).as("mc"), count(lit(1)).as("n_dir"))
+        .filter(col("n_dir") === 2)
+        .select(col("a"), col("b"),
+          floor((lit(1.0) - col("mc")) * lit(1.0e12)).cast("long").as("w")))
+    val rows = CutThresholdsPm.map { t =>
+      val wMax = (1000L - t) * 1000000000L
+      val kept = we.filter(col("w") <= wMax)
+      val labels = graft.api.Graft.dedup.dupClusters(kept, "a", "b")
+      val sz = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n"))
+      val agg = sz.agg(coalesce(sum(col("n")), lit(0L)).as("n_nodes"),
+        count(lit(1)).as("n_clusters"),
+        coalesce(max(col("n")), lit(0L)).as("max_size"))
+      val ne = kept.agg(count(lit(1)).as("n_edges"))
+      // two 1-row scalars — the adjudicated tiny broadcast class
+      broadcast(ne).crossJoin(broadcast(agg))
+        .select(lit(t).as("thr_pm"), col("n_edges"),
+          col("n_nodes"), col("n_clusters"), col("max_size"))
+    }
+    rows.reduce(_.union(_)).orderBy(col("thr_pm").desc)
+  }
+
   def all: Seq[GraftQuery] =
     Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnIvfPartitioned,
       sAnnPq, sAnnRerank, sHybridRrf, sAnnRecall, sAnnFiltered,
       sKmeans, sKmeansLoop, dSemdedup, sIndexScoreboard, sKnnGraph,
       gKnnTriangles, gKnnComponents, gKnnHops, sAnnIvfSq8,
       gKnnClusteringCoeff, sMmrRerank, gKnnLabelProp, sAnnGraph,
-      gKnnModularity, gKnnJaccardEdges, gKnnKcore, sAnnNnDescent, gKnnMst)
+      gKnnModularity, gKnnJaccardEdges, gKnnKcore, sAnnNnDescent, gKnnMst,
+      gKnnClusterCut)
 }

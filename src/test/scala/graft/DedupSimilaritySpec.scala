@@ -912,6 +912,35 @@ class DedupSimilaritySpec extends SparkSpec {
     got.foreach { case (a, b, w, _) => assert(mst((a, b, w)), s"($a,$b) not in Kruskal MSF") }
   }
 
+  test("cluster cut: each rung matches a driver union-find at the same threshold") {
+    val rows = Similarity.gKnnClusterCut.fn(spark, sfDir).collect()
+    assert(rows.length == Similarity.CutThresholdsPm.length)
+    val we = Similarity.sKnnGraph.fn(spark, sfDir).collect()
+      .filter(_.getAs[Long]("mutual") == 1L)
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        math.floor((1.0 - r.getAs[Double]("cosine")) * 1.0e12).toLong))
+    rows.foreach { r =>
+      val t = r.getAs[Long]("thr_pm")
+      val wMax = (1000L - t) * 1000000000L
+      val kept = we.filter(_._3 <= wMax)
+      val nodes = kept.flatMap(e => Seq(e._1, e._2)).distinct
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      kept.foreach { case (a, b, _) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+      val sizes = nodes.groupBy(find).map(_._2.length)
+      assert(r.getAs[Long]("n_edges") == kept.length.toLong, s"thr $t edges")
+      assert(r.getAs[Long]("n_nodes") == nodes.length.toLong, s"thr $t nodes")
+      assert(r.getAs[Long]("n_clusters") == sizes.size.toLong, s"thr $t clusters")
+      assert(r.getAs[Long]("max_size") == (if (sizes.isEmpty) 0L else sizes.max.toLong), s"thr $t max")
+    }
+    // the ladder is monotone: lower threshold keeps more edges, merges clusters
+    val byThr = rows.sortBy(-_.getAs[Long]("thr_pm"))
+    byThr.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi.getAs[Long]("n_edges") <= lo.getAs[Long]("n_edges"))
+      assert(hi.getAs[Long]("max_size") <= lo.getAs[Long]("max_size"))
+    }
+  }
+
   test("knn kcore: bounded peel matches a driver-side peel of the same edges") {
     val rows = Similarity.gKnnKcore.fn(spark, sfDir).collect()
     assert(rows.nonEmpty)
