@@ -1139,15 +1139,33 @@ object Similarity {
     * directed top-k window plus the edge-key groupBy (the famMemoized
     * discipline; the r8 bench showed the three graph-derived queries
     * each rebuilding this frame). Carries n_dir so callers filter
-    * mutuality themselves. */
+    * mutuality themselves, and mcos (max of the two directions' fold
+    * cosines — exact: per-component products commute) so the
+    * weighted consumers (symmetric artifact, MST, cluster cut) read
+    * the ONE persisted copy instead of re-running the edge-key
+    * shuffle with their own cosine aggregate. */
   private def knnMutual(s: SparkSession, d: String): DataFrame =
     famMemoized(s, d, "knn_mutual", embSig(s, d)) {
       val knn = knnDirectedMemo(s, d)
       knn.groupBy(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
-        .agg(max(col("cid")).as("cid"), count(lit(1)).as("n_dir"))
-        .select(col("a"), col("b"), col("cid"), col("n_dir"))
+        .agg(max(col("cid")).as("cid"), count(lit(1)).as("n_dir"),
+          max(col("cosine")).as("mcos"))
+        .select(col("a"), col("b"), col("cid"), col("n_dir"), col("mcos"))
     }
+
+  /** Shared per-round lineage cut for the iterating graph ops
+    * (kcore peel, Boruvka rounds, the modularity edge frame):
+    * reliable checkpoint when the session has a checkpoint dir
+    * (fault-tolerant on a real cluster — an executor/driver restart
+    * replays from the checkpoint files), else localCheckpoint
+    * (single-JVM bench/test runs). Either way the LOGICAL plan
+    * truncates — persist alone still prints the InMemoryRelation
+    * inner plan at every reference, and a loop that references the
+    * previous frame k times grows the AQE plan-update string ~k^R. */
+  private def ckptLineage(s: SparkSession, df: DataFrame): DataFrame =
+    if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
 
   /** SYMMETRIC k-NN GRAPH — the graph artifact downstream semantic
     * pipelines consume (graph-based near-dup clustering, label
@@ -1182,11 +1200,8 @@ object Similarity {
        |  CAST(CASE WHEN n_dir = 2 THEN 1 ELSE 0 END AS BIGINT) AS mutual
        |FROM sym ORDER BY a, b""".stripMargin
   ) { (s, d) =>
-    val knn = knnDirectedMemo(s, d)
-    knn.groupBy(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .agg(max(col("cosine")).as("cosine"), count(lit(1)).as("n_dir"))
-      .select(col("a"), col("b"), col("cosine"), col("n_dir"),
+    knnMutual(s, d)
+      .select(col("a"), col("b"), col("mcos").as("cosine"), col("n_dir"),
         when(col("n_dir") === 2, 1L).otherwise(0L).as("mutual"))
       .orderBy(col("a"), col("b"))
   }
@@ -1873,13 +1888,13 @@ object Similarity {
     // the family, and the probe measured ~6 s of pure Catalyst
     // planning per run even with every data memo warm. Truncating at
     // the 2-column edge frame makes every leg plan against a leaf.
-    val le = knnMutual(s, d).filter(col("n_dir") === 2)
-      .join(lbl.select(col("node").as("na"), col("lang").as("sl")),
-        col("a") === col("na"))
-      .join(lbl.select(col("node").as("nb"), col("lang").as("dl")),
-        col("b") === col("nb"))
-      .select(col("sl"), col("dl"))
-      .localCheckpoint()
+    val le = ckptLineage(s,
+      knnMutual(s, d).filter(col("n_dir") === 2)
+        .join(lbl.select(col("node").as("na"), col("lang").as("sl")),
+          col("a") === col("na"))
+        .join(lbl.select(col("node").as("nb"), col("lang").as("dl")),
+          col("b") === col("nb"))
+        .select(col("sl"), col("dl")))
     val mm = le.agg(count(lit(1)).as("m"))
     val ec = le.filter(col("sl") === col("dl"))
       .groupBy(col("sl").as("eclang")).agg(count(lit(1)).as("e_c"))
@@ -1996,10 +2011,10 @@ object Similarity {
     * each round edge-proportional with map-side-combinable degree
     * counts and every edge cell-local, so peel work per round is
     * bounded by cell population at any corpus size; the Spark loop
-    * materializes each round's edge frame (the g_pagerank iterate
-    * discipline) so the plan stays R shallow stages, not one 2^R
-    * lineage. Output per cell: population, mutual edges, core
-    * nodes/edges — exact integers. */
+    * CHECKPOINTS each round's edge frame (see the ckpt note in the
+    * body) so the plan stays R shallow stages, not one ~5^R lineage.
+    * Output per cell: population, mutual edges, core nodes/edges —
+    * exact integers. */
   val gKnnKcore: GraftQuery = GraftQuery.sql(
     "g_knn_kcore", {
       // MATERIALIZED (DuckDB CTE hint — the oracle never runs in
@@ -2052,9 +2067,7 @@ object Similarity {
     // plan itself: reliable checkpoint when the session has a
     // checkpoint dir (fault-tolerant on a real cluster), else
     // localCheckpoint (single-JVM bench/test runs).
-    val reliable = s.sparkContext.getCheckpointDir.isDefined
-    def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+    def ckpt(df: DataFrame): DataFrame = ckptLineage(s, df)
     var edges = me
     for (_ <- 1 to KcoreRounds) {
       val alive = edges.select(col("a").as("node"))
@@ -2229,23 +2242,16 @@ object Similarity {
          |  FROM knn GROUP BY 1, 2 HAVING COUNT(*) = 2),
          |lab0 AS MATERIALIZED (SELECT vec_id AS node, vec_id AS lbl FROM cl),
          |$rounds
-         |SELECT a, b, cid, w, CAST(round AS BIGINT) AS round FROM ($forest)
+         |SELECT a, b, cid, w, CAST(MIN(round) AS BIGINT) AS round FROM ($forest)
+         |GROUP BY a, b, cid, w
          |ORDER BY a, b""".stripMargin
     }
   ) { (s, d) =>
     val cl = knnDirected(s, d)._1
-    val knn = knnDirectedMemo(s, d)
-    val we = graft.ScopedCache(
-      knn.groupBy(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .agg(max(col("cid")).as("cid"), max(col("cosine")).as("mc"),
-          count(lit(1)).as("n_dir"))
-        .filter(col("n_dir") === 2)
-        .select(col("a"), col("b"), col("cid"),
-          floor((lit(1.0) - col("mc")) * lit(1.0e12)).cast("long").as("w")))
-    val reliable = s.sparkContext.getCheckpointDir.isDefined
-    def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val we = knnMutual(s, d).filter(col("n_dir") === 2)
+      .select(col("a"), col("b"), col("cid"),
+        floor((lit(1.0) - col("mcos")) * lit(1.0e12)).cast("long").as("w"))
+    def ckpt(df: DataFrame): DataFrame = ckptLineage(s, df)
     var lab = ckpt(cl.select(col("vec_id").as("node"), col("vec_id").as("lbl")))
     val forests = (1 to MstRounds).map { r =>
       val el = we
@@ -2287,7 +2293,14 @@ object Similarity {
       ch.select(col("a"), col("b"), col("cid"), col("w")).distinct()
         .withColumn("round", lit(r.toLong))
     }
+    // An edge can be re-chosen in a later round when MstJumps-bounded
+    // flattening left its endpoints under different labels (deep hook
+    // chains) — collapse to the FIRST round chosen so the output is
+    // one row per forest edge and the documented <= nodes-1 bound
+    // holds (review finding; the oracle aggregates identically).
     forests.reduce(_.union(_))
+      .groupBy(col("a"), col("b"), col("cid"), col("w"))
+      .agg(min(col("round")).as("round"))
       .select(col("a"), col("b"), col("cid"), col("w"), col("round"))
       .orderBy(col("a"), col("b"))
   }
@@ -2351,14 +2364,9 @@ object Similarity {
          |FROM ($rows) ORDER BY thr_pm DESC""".stripMargin
     }
   ) { (s, d) =>
-    val knn = knnDirectedMemo(s, d)
-    val we = graft.ScopedCache(
-      knn.groupBy(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .agg(max(col("cosine")).as("mc"), count(lit(1)).as("n_dir"))
-        .filter(col("n_dir") === 2)
-        .select(col("a"), col("b"),
-          floor((lit(1.0) - col("mc")) * lit(1.0e12)).cast("long").as("w")))
+    val we = knnMutual(s, d).filter(col("n_dir") === 2)
+      .select(col("a"), col("b"),
+        floor((lit(1.0) - col("mcos")) * lit(1.0e12)).cast("long").as("w"))
     val rows = CutThresholdsPm.map { t =>
       val wMax = (1000L - t) * 1000000000L
       val kept = we.filter(col("w") <= wMax)

@@ -10,6 +10,11 @@ import org.apache.spark.sql.SparkSession
   * build again. Repeats each op `SPARK_GRAFT_PROBE_REPS` times
   * (default 2) to split first-touch cost from steady state.
   *
+  * Caveat (matches Bench's own methodology): timing via count() lets
+  * Catalyst drop the final global ORDER BY, so probe numbers exclude
+  * the output sort — fine for attributing memo misses and planning
+  * cost, skewed for ops whose cost concentrates in that sort.
+  *
   * Usage: runMain graft.tools.Probe <sfDir> <op> [op...]
   */
 object Probe {
