@@ -308,7 +308,53 @@ object Streaming {
       .orderBy(col("event_type"), col("event_id"))
   }
 
+  /** Per-source ingestion budget (chars) for the streaming quota
+    * gate — sized so every test SF flags a real over-budget tail
+    * (per-source corpus mass is ≥6.2k chars at sf0.001). */
+  val QuotaBudgetChars = 5000L
+
+  /** STREAMING QUOTA GATE — the lake_quota surface in prequential
+    * form (HDFS enforces namespace/diskspace quotas at write time —
+    * ClientProtocol setQuota + the NameNode's QuotaExceededException
+    * path; a streaming ingestion pipeline needs the same decision
+    * made per ARRIVAL, from running state, not from a nightly du):
+    * per source, every document that lands after the source's
+    * cumulative ingested chars exceed the budget is flagged with its
+    * running total — the over-budget tail an admission controller
+    * would reject or divert to a quarantine tier. Exact integers:
+    * cum is a per-source prefix sum over the (doc_id) arrival order,
+    * inclusive of the arriving doc.
+    *
+    * Batch truth: ONE shuffle on source, one ordered window. 100 TB:
+    * the window is per-source sequential by construction — the same
+    * partitioning the ingest itself has. Streaming form:
+    * `StreamingOps.quotaGate`, flatMapGroupsWithState with ONE long
+    * of state per source — O(sources), never O(docs); the spec
+    * asserts EXACT convergence under arbitrary chunking. */
+  val stQuotaGate: GraftQuery = GraftQuery.sql(
+    "st_quota_gate",
+    s"""WITH w AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       |    SUM(CAST(n_chars AS BIGINT)) OVER (PARTITION BY source
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM documents)
+       |SELECT doc_id, source, n_chars, CAST(cum AS BIGINT) AS cum FROM w
+       |WHERE cum > $QuotaBudgetChars
+       |ORDER BY source, doc_id""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .filter(col("cum") > QuotaBudgetChars)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("cum"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(stTumblingWindow, stSessionWindow, stHoppingWindow, stCdcUpsert,
-      stRateLimit, stWindowedTopk, stFeedSilence, stStreamAnomaly)
+      stRateLimit, stWindowedTopk, stFeedSilence, stStreamAnomaly,
+      stQuotaGate)
 }

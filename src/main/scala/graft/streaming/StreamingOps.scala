@@ -313,6 +313,38 @@ object StreamingOps {
       .toDF()
   }
 
+  case class Doc(doc_id: Long, source: String, n_chars: Long)
+  case class QuotaState(cum: Long)
+  case class QuotaOut(doc_id: Long, source: String, n_chars: Long, cum: Long)
+
+  /** Streaming twin of st_quota_gate: per-source running ingested
+    * chars, ONE long of state per source (O(sources) state); an
+    * arrival whose inclusive running total exceeds the budget is
+    * emitted with that total. Within a batch, arrivals process in
+    * doc_id order (the batch truth's window order), so convergence
+    * under chunking is exact. */
+  def quotaGate(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val budget = graft.operators.Streaming.QuotaBudgetChars
+    docs.as[Doc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[QuotaState, QuotaOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (src, ds, state) =>
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[QuotaOut]
+          ds.toSeq.sortBy(_.doc_id).foreach { dd =>
+            cum += dd.n_chars
+            if (cum > budget) out += QuotaOut(dd.doc_id, src, dd.n_chars, cum)
+          }
+          state.update(QuotaState(cum))
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Streaming dedup: first event per (user_id, event_type), state
     * bounded by the watermark (st_stream_dedup's batch truth counts
     * all events; the streaming form keeps the first arrival per key). */

@@ -114,9 +114,10 @@ object Explain {
     // round-10 final: the NN-descent refinement round and the
     // per-doc bigram novelty screen
     "s_ann_nn_descent", "t_bigram_novelty",
-    // round-10 final: the bounded-Boruvka spanning forest and the
-    // single-linkage cut ladder
-    "g_knn_mst", "g_knn_cluster_cut")
+    // round-10 final: the bounded-Boruvka spanning forest, the
+    // single-linkage cut ladder, and the streaming quota gate's
+    // batch truth
+    "g_knn_mst", "g_knn_cluster_cut", "st_quota_gate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -638,4 +638,34 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
     assert(got.nonEmpty, "corpus must exercise at least one flagged arrival")
   }
+
+  test("streaming quota gate converges to the batch prefix-sum truth exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOps.Doc
+    val ordered = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long"))
+      .collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_.doc_id)
+    val stream = MemoryStream[Doc]
+    val q = StreamingOps.quotaGate(stream.toDF()).writeStream
+      .format("memory").queryName("quota_sink").outputMode("append").start()
+    try {
+      // odd chunk size so source budgets cross mid-batch
+      ordered.grouped(37).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("quota_sink").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("cum"))).toSet
+    val want = Streaming.stQuotaGate.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("cum"))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(got.nonEmpty, "corpus must exercise an over-budget tail")
+  }
 }
