@@ -2384,6 +2384,68 @@ object Similarity {
     rows.reduce(_.union(_)).orderBy(col("thr_pm").desc)
   }
 
+  /** DEGREE ASSORTATIVITY of the mutual k-NN graph — Newman's r, the
+    * hub-structure diagnostic an ANN deployment reads off its graph
+    * index (negative r = high-degree hubs attach to low-degree
+    * leaves, the hub pathology that degrades graph-ANN recall and
+    * that K-mutualization is supposed to suppress; r near 0 =
+    * degree-neutral wiring, the healthy reciprocal-graph shape).
+    * Over the 2E symmetric directed endpoint-degree pairs the two
+    * marginals are IDENTICAL, so Pearson r needs NO square root:
+    * r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²), reported as per-mille
+    * integer floor division — exact end to end. The moment products
+    * run in exact WIDE integers on both engines (DuckDB HUGEINT
+    * natively, Spark through decimal(38,0) — n·Σxy reaches 9n² which
+    * crosses int64 at n≈10⁹ directed pairs, the st_stream_anomaly
+    * widening discipline); degree-equal graphs (zero variance)
+    * report 0 by convention on both engines. One degree census + two
+    * hash joins against the memoized mutual edges, then a single
+    * 5-field aggregate — edge-proportional, map-side combinable. */
+  val gKnnAssortativity: GraftQuery = GraftQuery.sql(
+    "g_knn_assortativity",
+    s"""WITH $corpusSql,
+       |$knnCtesSql,
+       |me AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |       FROM knn GROUP BY 1, 2 HAVING COUNT(*) = 2),
+       |dg AS (SELECT node, COUNT(*) AS deg FROM (
+       |         SELECT a AS node FROM me UNION ALL SELECT b AS node FROM me)
+       |       GROUP BY 1),
+       |de AS (SELECT da.deg AS x, db.deg AS y
+       |       FROM me JOIN dg da ON me.a = da.node JOIN dg db ON me.b = db.node),
+       |dp AS (SELECT x, y FROM de UNION ALL SELECT y AS x, x AS y FROM de),
+       |ag AS (SELECT COUNT(*) AS n, SUM(x) AS sx,
+       |         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+       |         SUM(CAST(x AS HUGEINT) * y) AS sxy FROM dp)
+       |SELECT CAST(n AS BIGINT) AS n_pairs, CAST(sx AS BIGINT) AS sum_deg,
+       |  CAST(sxy AS BIGINT) AS sum_xy, CAST(sxx AS BIGINT) AS sum_x2,
+       |  CAST(CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN 0
+       |       ELSE (1000 * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx)) //
+       |            (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) END AS BIGINT)
+       |    AS r_pm
+       |FROM ag""".stripMargin
+  ) { (s, d) =>
+    val me = knnMutual(s, d).filter(col("n_dir") === 2)
+      .select(col("a"), col("b"))
+    val dg = me.select(col("a").as("node"))
+      .union(me.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val de = me
+      .join(dg.select(col("node").as("na"), col("deg").as("x")), col("a") === col("na"))
+      .join(dg.select(col("node").as("nb"), col("deg").as("y")), col("b") === col("nb"))
+      .select(col("x"), col("y"))
+    val dp = de.union(de.select(col("y").as("x"), col("x").as("y")))
+    dp.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+      .select(col("n").as("n_pairs"), col("sx").as("sum_deg"),
+        col("sxy").cast("long").as("sum_xy"), col("sxx").cast("long").as("sum_x2"),
+        expr(
+          """CAST(CASE WHEN cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx = 0 THEN 0
+            |ELSE (1000 * (cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sx)) div
+            |     (cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx) END AS BIGINT)
+            |""".stripMargin).as("r_pm"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnIvfPartitioned,
       sAnnPq, sAnnRerank, sHybridRrf, sAnnRecall, sAnnFiltered,
@@ -2391,5 +2453,5 @@ object Similarity {
       gKnnTriangles, gKnnComponents, gKnnHops, sAnnIvfSq8,
       gKnnClusteringCoeff, sMmrRerank, gKnnLabelProp, sAnnGraph,
       gKnnModularity, gKnnJaccardEdges, gKnnKcore, sAnnNnDescent, gKnnMst,
-      gKnnClusterCut)
+      gKnnClusterCut, gKnnAssortativity)
 }

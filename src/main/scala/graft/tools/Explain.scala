@@ -117,7 +117,8 @@ object Explain {
     // round-10 final: the bounded-Boruvka spanning forest, the
     // single-linkage cut ladder, and the streaming quota gate's
     // batch truth
-    "g_knn_mst", "g_knn_cluster_cut", "st_quota_gate")
+    "g_knn_mst", "g_knn_cluster_cut", "st_quota_gate",
+    "g_knn_assortativity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

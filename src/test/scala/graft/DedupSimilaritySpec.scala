@@ -946,6 +946,27 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("assortativity: exact moment sums and rational r recompute from the adjacency") {
+    val row = Similarity.gKnnAssortativity.fn(spark, sfDir).collect().head
+    val edges = Similarity.sKnnGraph.fn(spark, sfDir).collect()
+      .filter(_.getAs[Long]("mutual") == 1L)
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val deg = edges.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (k, vs) => k -> vs.length.toLong }
+    val dp = edges.flatMap { case (a, b) => Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val n = BigInt(dp.length)
+    val sx = dp.map(p => BigInt(p._1)).sum
+    val sxx = dp.map(p => BigInt(p._1) * p._1).sum
+    val sxy = dp.map(p => BigInt(p._1) * p._2).sum
+    assert(row.getAs[Long]("n_pairs") == n.toLong)
+    assert(row.getAs[Long]("sum_deg") == sx.toLong)
+    assert(row.getAs[Long]("sum_xy") == sxy.toLong)
+    assert(row.getAs[Long]("sum_x2") == sxx.toLong)
+    val den = n * sxx - sx * sx
+    val expect = if (den == 0) BigInt(0) else (1000 * (n * sxy - sx * sx)) / den
+    assert(row.getAs[Long]("r_pm") == expect.toLong)
+  }
+
   test("knn kcore: bounded peel matches a driver-side peel of the same edges") {
     val rows = Similarity.gKnnKcore.fn(spark, sfDir).collect()
     assert(rows.nonEmpty)
