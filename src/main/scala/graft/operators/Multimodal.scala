@@ -584,7 +584,113 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual-hash geometry: 60 mean-compared blocks (bits 0-59 —
+    * bit 63 would flip the BIGINT sign and complicate band math),
+    * 4 bands x 15 bits for the LSH bucketing, hamming <= 6 (10% of
+    * the bits) to confirm a near-dup. */
+  val PhashBlocks = 60
+  val PhashBands = 4
+  val PhashBandBits = 15
+  val PhashMaxHamming = 6L
+
+  /** Per-asset perceptual hash (the block-mean aHash every image
+    * dedup pipeline computes after decode): bit b is set when block
+    * b's mean byte exceeds the whole-payload mean — compared
+    * cross-multiplied in exact integers (sum_b * L > total * len_b),
+    * no division. Decode is the stubbed identity (payload bytes ARE
+    * the pixel stream on this corpus); the block layout, integer
+    * mean test, and band split are the production shape. */
+  def phashStub(a: MediaAsset): (Long, Long) = {
+    val bytes = a.media
+    val L = bytes.length
+    var total = 0L
+    var i = 0
+    while (i < L) { total += bytes(i); i += 1 }
+    var hash = 0L
+    var b = 0
+    while (b < PhashBlocks) {
+      val lo = b * L / PhashBlocks
+      val hi = (b + 1) * L / PhashBlocks
+      var s = 0L
+      var j = lo
+      while (j < hi) { s += bytes(j); j += 1 }
+      if (s * L > total * (hi - lo)) hash |= 1L << b
+      b += 1
+    }
+    (a.doc_id, hash)
+  }
+
+  /** PERCEPTUAL-HASH NEAR-DUP over the binary payload — the image
+    * arm of the dedup family (d_* dedups text by shingles, d_embed_*
+    * by embeddings; image corpora dedup on a perceptual hash — the
+    * block-mean aHash here, same family as pHash/dHash): per asset a
+    * 60-bit hash from exact integer block-mean comparisons, then
+    * classic LSH banding — 4 bands x 15 bits, candidates = pairs
+    * sharing ANY band (an equi-join on the band value, NEVER
+    * all-pairs: at 100 TB each band key fans into its own bucket and
+    * the join co-locates, the d_minhash_lsh discipline) — and
+    * verification by hamming distance bit_count(xor) on candidates
+    * only — every banded candidate is REPORTED with its distance and
+    * a confirmed flag (hamming ≤ 6), so the output doubles as the
+    * banding-quality audit (candidate volume vs confirmed volume,
+    * the d_lsh_recall discipline: on this corpus the tight pairs
+    * only appear at sf0.1, and the report SAYS so instead of
+    * silently emitting nothing). Exact integers end to end; the
+    * oracle recomputes the identical hash from the source text's
+    * char codes (ASCII corpus: bytes == chars, the m_audio_vad
+    * equivalence). Identical payloads hash identically (hamming 0),
+    * so the exact-dup mass is the confirmed floor. */
+  val mPhashDedup: GraftQuery = GraftQuery.sql(
+    "m_phash_dedup", {
+      val nb = PhashBlocks
+      s"""WITH c AS (SELECT doc_id, length(text) AS L,
+         |    list_transform(range(1, length(text) + 1), i -> ascii(text[i])) AS cod
+         |  FROM documents),
+         |t AS (SELECT doc_id, L, cod, COALESCE(list_sum(cod), 0) AS total FROM c),
+         |h AS (SELECT doc_id, CAST(COALESCE(list_sum(list_transform(range(0, $nb), b ->
+         |    CASE WHEN COALESCE(list_sum(cod[(b * L) // $nb + 1 : ((b + 1) * L) // $nb]), 0) * L
+         |           > total * (((b + 1) * L) // $nb - (b * L) // $nb)
+         |         THEN CAST(1 AS BIGINT) << b ELSE 0 END)), 0) AS BIGINT) AS ph
+         |  FROM t),
+         |bands AS (SELECT doc_id, ph, bi,
+         |    (ph >> (bi * $PhashBandBits)) & ${(1 << PhashBandBits) - 1} AS bv
+         |  FROM h, unnest(range(0, $PhashBands)) AS u(bi)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.bi = y.bi AND x.bv = y.bv
+         |  WHERE x.doc_id < y.doc_id)
+         |SELECT cand.a, cand.b,
+         |  CAST(bit_count(xor(ha.ph, hb.ph)) AS BIGINT) AS hamming,
+         |  CAST(CASE WHEN bit_count(xor(ha.ph, hb.ph)) <= $PhashMaxHamming
+         |       THEN 1 ELSE 0 END AS BIGINT) AS confirmed
+         |FROM cand JOIN h ha ON cand.a = ha.doc_id JOIN h hb ON cand.b = hb.doc_id
+         |ORDER BY cand.a, cand.b""".stripMargin
+    }
+  ) { (s, d) =>
+    import s.implicits._
+    val h = graft.ScopedCache(Tables.documents(s, d)
+      .select(col("doc_id"), lit("img8").as("codec"), lit(0L).as("n_frames"),
+        encode(col("text"), "UTF-8").as("media"))
+      .as[MediaAsset]
+      .mapPartitions(_.map(phashStub))   // batch-local decode, no shuffle
+      .toDF("doc_id", "ph"))
+    val bands = h.select(col("doc_id"), col("ph"),
+        explode(expr(s"sequence(0, ${PhashBands - 1})")).as("bi"))
+      .withColumn("bv",
+        expr(s"shiftright(ph, bi * $PhashBandBits)") bitwiseAND lit((1 << PhashBandBits) - 1))
+    val cand = bands.select(col("bi"), col("bv"), col("doc_id").as("a"))
+      .join(bands.select(col("bi"), col("bv"), col("doc_id").as("b")), Seq("bi", "bv"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(h.select(col("doc_id").as("ha"), col("ph").as("ph_a")), col("a") === col("ha"))
+      .join(h.select(col("doc_id").as("hb"), col("ph").as("ph_b")), col("b") === col("hb"))
+      .withColumn("hamming", expr("bit_count(ph_a ^ ph_b)").cast("long"))
+      .select(col("a"), col("b"), col("hamming"),
+        when(col("hamming") <= PhashMaxHamming, 1L).otherwise(0L).as("confirmed"))
+      .orderBy(col("a"), col("b"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(mMultimodalMeta, mMediaResize, mFeaturePairs, mChunkedFeatures, mSceneCuts,
-      mBinaryIngest, mFrameSample, mCaptionPairs, mAudioVad)
+      mBinaryIngest, mFrameSample, mCaptionPairs, mAudioVad, mPhashDedup)
 }

@@ -118,7 +118,7 @@ object Explain {
     // single-linkage cut ladder, and the streaming quota gate's
     // batch truth
     "g_knn_mst", "g_knn_cluster_cut", "st_quota_gate",
-    "g_knn_assortativity")
+    "g_knn_assortativity", "m_phash_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

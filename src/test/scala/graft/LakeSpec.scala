@@ -248,4 +248,39 @@ class LakeSpec extends SparkSpec {
     // the stub's segment structure is non-trivial on this corpus
     assert(rows.exists(_.getAs[Long]("n_segments") > 1L))
   }
+
+  test("phash dedup: candidates and hamming recompute from a driver aHash") {
+    val rows = Multimodal.mPhashDedup.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty, "banding must produce candidates at sf0.001")
+    val hashes = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map { r =>
+        val bytes = r.getString(1).getBytes("UTF-8")
+        val L = bytes.length
+        val total = bytes.map(_.toLong).sum
+        var h = 0L
+        for (b <- 0 until Multimodal.PhashBlocks) {
+          val lo = b * L / Multimodal.PhashBlocks
+          val hi = (b + 1) * L / Multimodal.PhashBlocks
+          val s = (lo until hi).map(bytes(_).toLong).sum
+          if (s * L > total * (hi - lo)) h |= 1L << b
+        }
+        r.getAs[Long]("doc_id") -> h
+      }.toMap
+    def bands(h: Long): Seq[Long] =
+      (0 until Multimodal.PhashBands).map(k =>
+        (h >> (k * Multimodal.PhashBandBits)) & ((1L << Multimodal.PhashBandBits) - 1))
+    val ids = hashes.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      if bands(hashes(a)).zip(bands(hashes(b))).exists { case (x, y) => x == y }
+    } yield {
+      val ham = java.lang.Long.bitCount(hashes(a) ^ hashes(b)).toLong
+      (a, b, ham, if (ham <= Multimodal.PhashMaxHamming) 1L else 0L)
+    }).toSet
+    val got = rows.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+      r.getAs[Long]("hamming"), r.getAs[Long]("confirmed"))).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+  }
 }
