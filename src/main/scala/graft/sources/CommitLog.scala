@@ -90,6 +90,38 @@ object CommitLog {
       .map(_.stripSuffix(".log").toInt).maxOption
   }
 
+  /** Journal read STABLE against in-flight writers. tryCommit's
+    * create-then-write leaves a sub-millisecond window where a
+    * version FILE exists but its body is not yet terminated;
+    * `commits()` correctly skips it (the burned-version rule for
+    * crashed writers), but a diff-then-CAS ceremony reading the
+    * journal inside that window would claim `next` ABOVE the
+    * in-flight version while computing its set difference WITHOUT it
+    * — the CAS succeeds and the in-flight commit's adds silently
+    * reappear (caught by the restore/append race spec: a restore
+    * that never saw the racing append's v2 landed at v3 and left the
+    * appended file active). The fix waits only on versions whose
+    * file is PRESENT but unparseable: a live writer terminates in
+    * milliseconds; a crashed writer never does and, past the grace
+    * bound, stays a burned version exactly as before. Vacuumed
+    * history (no file at all) never waits. */
+  private def stableCommits(fs: FileSystem, tableDir: String): Seq[Commit] = {
+    def onDisk: Set[Int] = {
+      val dir = logDir(tableDir)
+      if (!fs.exists(dir)) Set.empty
+      else fs.listStatus(dir).toSeq
+        .map(_.getPath.getName).filter(_.endsWith(".log"))
+        .map(_.stripSuffix(".log").toInt).toSet
+    }
+    var cs = commits(fs, tableDir)
+    var waitedMs = 0L
+    while (waitedMs < 2000L && (onDisk -- cs.map(_.version)).nonEmpty) {
+      Thread.sleep(20L); waitedMs += 20L
+      cs = commits(fs, tableDir)
+    }
+    cs
+  }
+
   /** Attempt to commit exactly version `v` (create-exclusive). Returns
     * false ONLY when another writer won the race for `v`; any other IO
     * failure (permissions, disk full, torn write) propagates — it is
@@ -440,7 +472,7 @@ object CommitLog {
     // occupies >= next, so tryCommit loses the create-exclusive race
     // and the ceremony aborts instead of acting on a stale snapshot.
     val next = maxVersionOnDisk(fs, tableDir).map(_ + 1).getOrElse(0)
-    val base = commits(fs, tableDir)
+    val base = stableCommits(fs, tableDir)
     val active = activeSet(base)
     require(active.nonEmpty, s"nothing to checkpoint in $tableDir")
     val image = s"data/ckpt-$next"
@@ -603,7 +635,7 @@ object CommitLog {
     // occupies >= next, so tryCommit loses and the ceremony aborts
     // (it can never act on a stale active set).
     val next = maxVersionOnDisk(fs, tableDir).map(_ + 1).getOrElse(0)
-    val cs = commits(fs, tableDir)
+    val cs = stableCommits(fs, tableDir)
     if (pendingUpgradeIn(cs).isDefined)
       throw new IllegalStateException(
         s"$tableDir has a pending upgrade: rollback or finalize it first")
@@ -625,7 +657,7 @@ object CommitLog {
     * size. CAS-pinned against the ceremony state it inspected. */
   def rollbackUpgrade(fs: FileSystem, tableDir: String, ts: Long): Int = {
     val next = maxVersionOnDisk(fs, tableDir).map(_ + 1).getOrElse(0)
-    val up = pendingUpgradeIn(commits(fs, tableDir)).getOrElse(
+    val up = pendingUpgradeIn(stableCommits(fs, tableDir)).getOrElse(
       throw new IllegalStateException(s"$tableDir: no pending upgrade to roll back"))
     if (!tryCommit(fs, tableDir, next, ts, adds = up.removes, removes = up.adds,
         tags = Seq("rollback")))
@@ -639,7 +671,7 @@ object CommitLog {
     * pre-upgrade layout becomes retention-reclaimable. */
   def finalizeUpgrade(fs: FileSystem, tableDir: String, ts: Long): Int = {
     val next = maxVersionOnDisk(fs, tableDir).map(_ + 1).getOrElse(0)
-    pendingUpgradeIn(commits(fs, tableDir)).getOrElse(
+    pendingUpgradeIn(stableCommits(fs, tableDir)).getOrElse(
       throw new IllegalStateException(s"$tableDir: no pending upgrade to finalize"))
     if (!tryCommit(fs, tableDir, next, ts, adds = Nil, removes = Nil,
         tags = Seq("finalize")))
@@ -770,7 +802,7 @@ object CommitLog {
     * other ceremonies. Returns the restore commit's version. */
   def restore(fs: FileSystem, tableDir: String, v: Int, ts: Long): Int = {
     val next = maxVersionOnDisk(fs, tableDir).map(_ + 1).getOrElse(0)
-    val cs = commits(fs, tableDir)
+    val cs = stableCommits(fs, tableDir)
     val target = activeSet(cs.filter(_.version <= v))
     require(target.nonEmpty, s"nothing to restore: version $v has no active files in $tableDir")
     val current = activeSet(cs)
@@ -797,7 +829,7 @@ object CommitLog {
             destRelPath: String, ts: Long): (Int, Seq[String]) = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val next = maxVersionOnDisk(fs, tableDir).map(_ + 1).getOrElse(0)
-    val active = activeSet(commits(fs, tableDir))
+    val active = activeSet(stableCommits(fs, tableDir))
     val doomed = active.filter(p => p == prefix || p.startsWith(prefix + "/"))
     require(doomed.nonEmpty, s"nothing to drain: no active files under $prefix in $tableDir")
     // The overwrite-write below (and the delete on CAS failure) would
