@@ -46,18 +46,27 @@ object Tables {
         size() > MaxSessions
     }
 
-  /** One stat call on the table file — the staleness key. The cache
-    * keys on PATH; without this, a regenerated table at the same path
-    * (the r7 testdata-refresh gotcha) would serve the old file index
-    * forever. One FileStatus round-trip per lookup is the price of a
-    * real catalog's version check, ~1000x cheaper than the recursive
+  /** Staleness key: direct-child names + lengths + mtimes (one
+    * listStatus round-trip), same discipline as `Lake.sourceSig`. The
+    * cache keys on PATH; without this, a regenerated table at the same
+    * path (the r7 testdata-refresh gotcha) would serve the old file
+    * index forever. A directory's OWN status is not enough (ADVICE
+    * r11): dir length is 0 and dir mtime only moves when a direct
+    * child is created/removed, so an in-place rewrite of a part file
+    * (same name set) would serve the stale index — the child mtimes
+    * catch that. One shallow listing per lookup is the price of a real
+    * catalog's version check, still ~1000x cheaper than the recursive
     * listing + footer schema read the cache avoids. */
   private def sig(spark: SparkSession, path: String): String =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
-      val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .getFileStatus(p)
-      s"${st.getLen}:${st.getModificationTime}"
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).map(c =>
+            s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}")
+          .sorted.mkString("|")
+      else s"${st.getLen}:${st.getModificationTime}"
     } catch { case scala.util.control.NonFatal(_) => "absent" }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -221,7 +221,11 @@ object Analytics {
         .drop("pm")
     }
     val local = sweep(pts.withColumn("pid", spark_partition_id()), Seq(col("pid"))).drop("pid")
-    sweep(local, Seq.empty).orderBy(col("price"))
+    // phase 2 runs over the LOCALLY-PRUNED residual (per-partition
+    // frontiers only, frontier-sized not corpus-sized) — the constant
+    // partition key declares that single-partition residual sweep
+    sweep(local, Seq(graft.functions.Ranks.onePart(col("price"))))
+      .orderBy(col("price"))
   }
 
   /** WATERMARK LATENESS AUDIT: per source partition (event_type), the
@@ -843,8 +847,10 @@ object Analytics {
         "cents div cast(power(10, length(cast(cents as string)) - 1) as bigint)")
         .as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
-    // 9-row frame: the whole-span window is the adjudicated bounded class
-    g.withColumn("total", sum(col("n")).over(Window.partitionBy()))
+    // 9-row frame: the whole-span window is the adjudicated bounded
+    // class (constant partition key declares it)
+    g.withColumn("total", sum(col("n"))
+      .over(Window.partitionBy(graft.functions.Ranks.onePart(col("digit")))))
       .withColumn("obs_pm", expr("(1000 * n) div total"))
       .withColumn("benford_pm", expr(
         """cast(case digit when 1 then 301 when 2 then 176 when 3 then 125

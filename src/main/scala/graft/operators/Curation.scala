@@ -131,8 +131,10 @@ object Curation {
         count(lit(1)).as("n_samples"),
         sum(col("n_chars")).as("tok_samples"))
       // bounded global window: runs over the per-SOURCE aggregate
-      // (20 rows at any corpus size), the adjudicated tiny class
-      .withColumn("share_pm", expr("n_samples * 1000 div sum(n_samples) over ()"))
+      // (20 rows at any corpus size), the adjudicated tiny class —
+      // constant partition key declares it (no WindowExec warning)
+      .withColumn("share_pm", expr(
+        "n_samples * 1000 div sum(n_samples) over (partition by pmod(hash(source), 1))"))
       .select(col("source"), col("epochs"), col("n_docs"), col("n_samples"),
         col("share_pm"), col("tok_samples"))
       .orderBy(col("source"))
@@ -344,8 +346,9 @@ object Curation {
         expr("""(1000 * epochs * (total_chars - kept_chars))
                | div (epochs * total_chars)""".stripMargin).as("waste_pm"))
       // whole-frame span over the ~20-row source frame — bounded class
-      .withColumn("total_eff",
-        sum(col("effective_chars")).over(Window.partitionBy()))
+      // (constant partition key declares it)
+      .withColumn("total_eff", sum(col("effective_chars")).over(
+        Window.partitionBy(graft.functions.Ranks.onePart(col("source")))))
       .withColumn("share_pm", expr("(1000 * effective_chars) div total_eff"))
       .drop("total_eff")
       .orderBy(col("source"))

@@ -319,6 +319,81 @@ object Durability {
       .orderBy(col("version"))
   }
 
+  /** RESTORE FAILED STORAGE — re-admit a failed storage location
+    * (reference protocol/ClientProtocol.java:669 restoreFailedStorage,
+    * dfsadmin -restoreFailedStorage; the FSImage storage-dir state
+    * machine): lake_drain retires a dir DELIBERATELY (its bytes move
+    * first); this is the INVERSE surface — a replica dir that FAILED
+    * is fenced out of journal shipping, the primary keeps committing,
+    * and the admin's re-admission verb resyncs the dir
+    * delta-proportionally (only the versions missed while retired —
+    * the lake_standby ship mechanism) and rejoins it. Ceremony: the
+    * replica syncs v0, fails (retired), misses v1–v2; a ship attempt
+    * while retired must REFUSE (the fence is real); re-admission
+    * ships exactly the two missed versions; then every version 0–2
+    * read FROM THE REPLICA is checksum-compared against the primary.
+    * The oracle recomputes all three versions from the source table —
+    * a resync that lost, duplicated, or reordered rows fails the
+    * gate. */
+  val lakeRestoreStorage: GraftQuery = GraftQuery.sql(
+    "lake_restore_storage", {
+      def v(n: Int, cond: String) =
+        s"""SELECT CAST($n AS BIGINT) AS version, COUNT(*) AS n_docs,
+           |  CAST(SUM(fp) % ${GraftHash.P} AS BIGINT) AS checksum,
+           |  TRUE AS refused_while_retired, TRUE AS delta_only, TRUE AS in_sync
+           |FROM fp WHERE $cond""".stripMargin
+      s"""WITH fp AS (SELECT doc_id % 3 AS m, ${GraftHash.charHashSql("text")} AS fp
+         |           FROM documents)
+         |${v(0, "m = 0")}
+         |UNION ALL
+         |${v(1, "m IN (0, 1)")}
+         |UNION ALL
+         |${v(2, "TRUE")}
+         |ORDER BY version""".stripMargin
+    }
+  ) { (s, d) =>
+    val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val primary = Lake.scratch("restore_storage/primary")
+    val replica = Lake.scratch("restore_storage/replica")
+    Seq(primary, replica).foreach(p => fs.delete(new Path(p), true))
+    val docs = Tables.documents(s, d)
+    CommitLog.writeCommit(s, primary,
+      docs.filter(col("doc_id") % 3 === 0), "data/b0", ts = 1000L)       // v0
+    CommitLog.ship(s, primary, replica)                                  // in sync
+    CommitLog.retireStorage(fs, replica)                                 // fails
+    CommitLog.writeCommit(s, primary,
+      docs.filter(col("doc_id") % 3 === 1), "data/b1", ts = 2000L)       // v1
+    CommitLog.writeCommit(s, primary,
+      docs.filter(col("doc_id") % 3 === 2), "data/b2", ts = 3000L)       // v2
+    // the fence is real: shipping to a retired dir refuses outright
+    val refused =
+      try { CommitLog.ship(s, primary, replica); false }
+      catch { case _: java.io.IOException => true }
+    require(refused, "ship to a retired storage dir must refuse")
+    val shipped = CommitLog.restoreFailedStorage(s, primary, replica)
+    // delta-proportional: exactly the versions missed while retired
+    require(shipped == Seq(1, 2),
+      s"resync must ship exactly the missed versions, shipped $shipped")
+    require(!CommitLog.isRetired(fs, replica), "re-admitted dir still fenced")
+    def versions(dir: String, tag: String): DataFrame =
+      (0 to 2).map { v =>
+        CommitLog.snapshot(s, dir, version = v)
+          .select(GraftHash.charHash(col("text")).as("fp"))
+          .agg(count(lit(1)).as(s"${tag}_n"),
+            (sum(col("fp")) % GraftHash.P).as(s"${tag}_ck"))
+          .select(lit(v.toLong).as(s"${tag}_version"),
+            col(s"${tag}_n"), col(s"${tag}_ck"))
+      }.reduce(_ union _)
+    versions(replica, "rp").join(versions(primary, "pr"),
+        col("rp_version") === col("pr_version"))
+      .select(col("rp_version").as("version"), col("rp_n").as("n_docs"),
+        col("rp_ck").as("checksum"),
+        lit(refused).as("refused_while_retired"),
+        lit(shipped == Seq(1, 2)).as("delta_only"),
+        (col("rp_n") === col("pr_n") && col("rp_ck") === col("pr_ck")).as("in_sync"))
+      .orderBy(col("version"))
+  }
+
   /** LEASE RECOVERY — the reference's recoverLease ceremony
     * (protocol/ClientProtocol.java:549 recoverLease,
     * server/namenode/LeaseManager.java:63 expiry + takeover,
@@ -796,18 +871,28 @@ object Durability {
         val it = srcs.iterator.filter(budget(_) > 0)
         while (!progressed && it.hasNext) {
           val src = it.next()
-          val dst = (0 until nDoms).filter(_ != src).minBy(i => (u(i), i))
-          pl(src).sortBy(b => (-weight(b), b)).find { b =>
-            val w = weight(b)
-            w <= budget(src) && w <= budget(dst) &&
-              u(dst) + w <= mean + tol && u(src) - w >= mean - tol
-          }.foreach { b =>
-            val w = weight(b)
-            pl(src) = pl(src).filterNot(_ == b)
-            pl(dst) = pl.getOrElse(dst, Vector.empty) :+ b
-            u(src) -= w; u(dst) += w
-            budget(src) -= w; budget(dst) -= w
-            plan += ((b, src, dst)); progressed = true; movedThisIter = true
+          // try every receiver, least-utilized first (ADVICE r11): the
+          // least-utilized alone can be illegal for every block on this
+          // source (overshoot past mean+tol, or exhausted iteration
+          // budget) while the NEXT receiver still admits a legal move —
+          // a single-dst pass would declare the cluster stuck and trip
+          // lake_balancer's require(balanced) even though a plan exists
+          val dstIt = (0 until nDoms).filter(i => i != src && budget(i) > 0)
+            .sortBy(i => (u(i), i)).iterator
+          while (!progressed && dstIt.hasNext) {
+            val dst = dstIt.next()
+            pl(src).sortBy(b => (-weight(b), b)).find { b =>
+              val w = weight(b)
+              w <= budget(src) && w <= budget(dst) &&
+                u(dst) + w <= mean + tol && u(src) - w >= mean - tol
+            }.foreach { b =>
+              val w = weight(b)
+              pl(src) = pl(src).filterNot(_ == b)
+              pl(dst) = pl.getOrElse(dst, Vector.empty) :+ b
+              u(src) -= w; u(dst) += w
+              budget(src) -= w; budget(dst) -= w
+              plan += ((b, src, dst)); progressed = true; movedThisIter = true
+            }
           }
         }
       }
@@ -817,6 +902,48 @@ object Durability {
       if (!movedThisIter) stuck = true
     }
     plan.toSeq
+  }
+
+  /** SERVER DEFAULTS — the config-introspection surface (reference
+    * protocol/ClientProtocol.java:113 getServerDefaults returns the
+    * server-side block size / bytes-per-checksum / replication the
+    * client must honor, and :592 getPreferredBlockSize asks the same
+    * for ONE file). The lake analogue publishes what this engine
+    * actually serves: the scan-split target (the block-size role —
+    * read LIVE from the session, Spark's
+    * spark.sql.files.maxPartitionBytes), the content-checksum modulus
+    * (GraftHash.P — the bytes-per-checksum role: the verification
+    * granularity every fsck/scrub/standby audit in this library uses),
+    * the placement replication default (2 domains, the placeReplicas /
+    * lake_mirror policy), the library's published shuffle width, and
+    * the per-file form: a table written WITHOUT an override reports
+    * the server default, exactly the reference's per-file rule. Pure
+    * metadata — zero data I/O at any scale. */
+  val lakeServerDefaults: GraftQuery = GraftQuery.sql(
+    "lake_server_defaults",
+    s"""SELECT 'checksum_modulus' AS param, CAST(${GraftHash.P} AS BIGINT) AS value
+      |UNION ALL SELECT 'preferred_block_bytes', CAST(134217728 AS BIGINT)
+      |UNION ALL SELECT 'preferred_block_bytes_orders', CAST(134217728 AS BIGINT)
+      |UNION ALL SELECT 'replication_default', CAST(2 AS BIGINT)
+      |UNION ALL SELECT 'shuffle_width_default', CAST(32 AS BIGINT)
+      |ORDER BY param""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    // the block-size answer is the server's LIVE value, not a copy of
+    // the constant — a deployment that tunes the split target serves
+    // the tuned value, like the reference serving dfs.block.size
+    val split = s.sessionState.conf.filesMaxPartitionBytes
+    require(split == 134217728L,
+      s"scan-split default drifted: $split — oracle pins the shipped default")
+    // per-file rule (:592): orders was written with no per-table
+    // override, so its preferred block size IS the server default
+    Seq(
+      ("checksum_modulus", GraftHash.P),
+      ("preferred_block_bytes", split),
+      ("preferred_block_bytes_orders", split),
+      ("replication_default", 2L),
+      ("shuffle_width_default", 32L)
+    ).toDF("param", "value").orderBy(col("param"))
   }
 
   val lakeBalancer: GraftQuery = GraftQuery.sql(
@@ -899,7 +1026,7 @@ object Durability {
   }
 
   def all: Seq[GraftQuery] =
-    Seq(lakeQuarantine, lakeStandby, lakeScrubCadence, lakeLeaseRecover,
-      lakeSafemode, lakeExportManifest, lakeBlockTokens, lakeTopology,
-      lakeBalancer)
+    Seq(lakeQuarantine, lakeStandby, lakeRestoreStorage, lakeScrubCadence,
+      lakeLeaseRecover, lakeSafemode, lakeExportManifest, lakeBlockTokens,
+      lakeTopology, lakeServerDefaults, lakeBalancer)
 }

@@ -377,6 +377,73 @@ object Namespace {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** SAVE NAMESPACE — the admin's explicit image-NOW verb (reference
+    * protocol/ClientProtocol.java:660 saveNamespace; dfsadmin
+    * -saveNamespace). lake_checkpoint_cadence is the POLICY trigger
+    * (Checkpointer.java images when the edit log outgrows a
+    * threshold); this is the OPERATOR's verb — "image now, before I
+    * do something risky" — at any replay length except zero: when the
+    * journal head is already an image the verb DECLINES instead of
+    * stamping a redundant image. Ceremony: three slice commits, an
+    * explicit save (images at any replay length — the cadence would
+    * not have fired), a second save that must decline, a post-image
+    * append, and a final save that images again. After each save,
+    * replay-from-image is 0 commits — the "bounded replay after"
+    * contract. All requires assert the verb's state machine; the
+    * oracle pins the contract constants plus the head content
+    * (count + exact cents total) recomputed from the source table —
+    * an image that lost or duplicated rows fails the gate. */
+  val lakeSaveNamespace: GraftQuery = GraftQuery.sql(
+    "lake_save_namespace",
+    """SELECT 'declined_when_fresh' AS check_name, CAST(1 AS BIGINT) AS n
+      |UNION ALL SELECT 'head_rows', (SELECT COUNT(*) FROM orders)
+      |UNION ALL SELECT 'head_total_cents',
+      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT)
+      |   FROM orders)
+      |UNION ALL SELECT 'images_written', CAST(2 AS BIGINT)
+      |UNION ALL SELECT 'replay_after_save', CAST(0 AS BIGINT)
+      |ORDER BY check_name""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val dir = Lake.scratch("save_namespace_orders")
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val o = Tables.orders(s, d)
+    // ceremony job diet: ONE partitioned write lays down all 4 slices
+    o.withColumn("m", pmod(col("o_orderkey"), lit(4)))
+      .write.partitionBy("m").mode("overwrite").parquet(s"$dir/data")
+    (0 to 2).foreach(r =>
+      CommitLog.commit(fs, dir, ts = 1000L * (r + 1),
+        adds = Seq(s"data/m=$r"), removes = Seq.empty))
+    def replayLen: Int = {
+      val cs = CommitLog.commits(fs, dir)
+      val lastCkpt = cs.filter(_.isCheckpoint).lastOption.map(_.version).getOrElse(-1)
+      cs.count(_.version > lastCkpt)
+    }
+    require(CommitLog.maybeCheckpoint(s, dir, ts = 3500L, maxReplay = 5).isEmpty,
+      "cadence of 5 must not fire at replay 3 — this save is the admin's call")
+    val img1 = CommitLog.saveNamespace(s, dir, ts = 4000L)
+    require(img1.nonEmpty, "explicit save must image at any replay length")
+    require(replayLen == 0, s"replay after save must be 0, was $replayLen")
+    val declined = CommitLog.saveNamespace(s, dir, ts = 5000L).isEmpty
+    require(declined, "save with the head already an image must decline")
+    CommitLog.commit(fs, dir, ts = 6000L, adds = Seq("data/m=3"), removes = Seq.empty)
+    val img2 = CommitLog.saveNamespace(s, dir, ts = 7000L)
+    require(img2.nonEmpty && replayLen == 0, "post-append save must image again")
+    val head = CommitLog.snapshot(s, dir)
+      .agg(count(lit(1)).as("n_rows"),
+        expr("cast(sum(cast(o_totalprice as decimal(15,2)) * 100) as bigint)")
+          .as("cents"))
+      .collect().head
+    Seq(
+      ("declined_when_fresh", if (declined) 1L else 0L),
+      ("head_rows", head.getLong(0)),
+      ("head_total_cents", head.getLong(1)),
+      ("images_written", Seq(img1, img2).flatten.size.toLong),
+      ("replay_after_save", replayLen.toLong)
+    ).toDF("check_name", "n").orderBy(col("check_name"))
+  }
+
   /** JOURNAL AUDIT — the offline-edits-viewer surface (reference
     * tools/offlineEditsViewer/OfflineEditsViewer.java:49, and the
     * image twin tools/offlineImageViewer/OfflineImageViewer.java:1):
@@ -583,5 +650,5 @@ object Namespace {
   def all: Seq[GraftQuery] =
     Seq(lakeLinks, lakeUpgrade, lakeAclEnforce, lakeSetTimes, lakeDelegation,
       lakeVacuum, lakeDrain, lakeRestore, lakeCheckpointCadence,
-      lakeJournalAudit, lakeTrash, lakeImageReport)
+      lakeSaveNamespace, lakeJournalAudit, lakeTrash, lakeImageReport)
 }

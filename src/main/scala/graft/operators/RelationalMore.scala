@@ -149,10 +149,18 @@ object RelationalMore {
       graft.Tables.names.foldLeft(lit(false)) { (acc, t) =>
         when(col("table_name") === t, lit(f(meta(t)))).otherwise(acc)
       }
+    // Every table also contributes one weight-0 seed row (a 10-row
+    // local relation in the same union — no extra join), so an EMPTY
+    // table still emits its group with n_rows=0 exactly like the
+    // oracle's scalar COUNT(*) does (ADVICE r11: a zero-row table
+    // must not vanish from the listing).
+    val seeds = graft.Tables.names.toDF("table_name")
+      .select(col("table_name"), lit(0L).as("w"))
     graft.Tables.names.map { t =>
-      graft.Tables.load(s, d, t).select(lit(t).as("table_name"))
-    }.reduce(_ unionByName _)
-      .groupBy(col("table_name")).agg(count(lit(1)).as("n_rows"))
+      graft.Tables.load(s, d, t)
+        .select(lit(t).as("table_name"), lit(1L).as("w"))
+    }.reduce(_ unionByName _).unionByName(seeds)
+      .groupBy(col("table_name")).agg(sum(col("w")).as("n_rows"))
       .select(col("table_name"), flag(_._1).as("is_entry"),
         flag(_._2).as("bytes_positive"), col("n_rows"))
       .orderBy(col("table_name"))

@@ -851,7 +851,8 @@ object TextAnalysis {
     // and the rank-1 frequency is a MAX window over the same tiny
     // frame — a separate filter branch would re-scan (and re-count)
     // the whole corpus for one number (plan-audited out).
-    val wRank = Window.orderBy(col("n").desc, col("word"))
+    val wRank = Window.partitionBy(graft.functions.Ranks.onePart(col("word")))
+      .orderBy(col("n").desc, col("word"))
     val wAll = wRank.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     counts.orderBy(col("n").desc, col("word")).limit(50)
       .withColumn("rank", row_number().over(wRank).cast("long"))
@@ -917,8 +918,8 @@ object TextAnalysis {
     val wSrc = Window.partitionBy(col("source"))
     val wWord = Window.partitionBy(col("word"))
     // whole-frame span over the vocab×sources aggregate — bounded
-    // class, never corpus-sized
-    val wAll = Window.partitionBy()
+    // class, never corpus-sized (constant partition key declares it)
+    val wAll = Window.partitionBy(graft.functions.Ranks.onePart(col("word")))
     val t = c
       .withColumn("ts", sum(col("n")).over(wSrc))
       .withColumn("nw", sum(col("n")).over(wWord))

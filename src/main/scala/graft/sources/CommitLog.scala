@@ -104,20 +104,45 @@ object CommitLog {
     * file is PRESENT but unparseable: a live writer terminates in
     * milliseconds; a crashed writer never does and, past the grace
     * bound, stays a burned version exactly as before. Vacuumed
-    * history (no file at all) never waits. */
+    * history (no file at all) never waits.
+    *
+    * Versions once diagnosed burned are remembered (ADVICE r11: a
+    * permanently burned file otherwise re-pays the full grace wait on
+    * EVERY journal read forever — each checkpoint/restore/drain on
+    * that table stalling 2s). The diagnosis is keyed on the file's
+    * (length, mtime) identity: a crashed writer's file never changes,
+    * so the cache holds; a NEW in-flight file reusing the version
+    * number after a dir wipe presents a different identity and gets
+    * the full grace wait again — the race guarantee is preserved. */
+  private val burnedDiagnosed =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
   private def stableCommits(fs: FileSystem, tableDir: String): Seq[Commit] = {
-    def onDisk: Set[Int] = {
+    def unknownOnDisk(known: Set[Int]): Seq[(Int, Long, Long)] = {
       val dir = logDir(tableDir)
-      if (!fs.exists(dir)) Set.empty
+      if (!fs.exists(dir)) Seq.empty
       else fs.listStatus(dir).toSeq
-        .map(_.getPath.getName).filter(_.endsWith(".log"))
-        .map(_.stripSuffix(".log").toInt).toSet
+        .filter(_.getPath.getName.endsWith(".log"))
+        .map(st => (st.getPath.getName.stripSuffix(".log").toInt,
+          st.getLen, st.getModificationTime))
+        .filter { case (v, _, _) => !known.contains(v) }
     }
+    def waitable(xs: Seq[(Int, Long, Long)]): Seq[(Int, Long, Long)] =
+      xs.filter { case (v, len, mt) =>
+        burnedDiagnosed.get(s"$tableDir#$v") != ((len, mt))
+      }
     var cs = commits(fs, tableDir)
+    var pending = waitable(unknownOnDisk(cs.map(_.version).toSet))
     var waitedMs = 0L
-    while (waitedMs < 2000L && (onDisk -- cs.map(_.version)).nonEmpty) {
+    while (waitedMs < 2000L && pending.nonEmpty) {
       Thread.sleep(20L); waitedMs += 20L
       cs = commits(fs, tableDir)
+      pending = waitable(unknownOnDisk(cs.map(_.version).toSet))
+    }
+    // grace expired with versions still unparseable: burned — record
+    // each at its observed identity so the wait is paid at most once
+    pending.foreach { case (v, len, mt) =>
+      burnedDiagnosed.put(s"$tableDir#$v", (len, mt))
     }
     cs
   }
@@ -510,6 +535,57 @@ object CommitLog {
     if (replay > maxReplay) Some(checkpoint(spark, tableDir, ts)) else None
   }
 
+  /** SAVE NAMESPACE — the admin's explicit image-NOW verb (reference
+    * protocol/ClientProtocol.java:660 saveNamespace: "Save namespace
+    * image" on demand, vs Checkpointer.java's threshold cadence).
+    * maybeCheckpoint asks "is replay expensive yet?"; saveNamespace is
+    * the operator saying "image now, before I do something risky" at
+    * any replay length — EXCEPT zero: when the journal head is already
+    * an image the namespace on disk IS the namespace in memory, and
+    * the verb declines rather than stamping a redundant image (the
+    * reference's no-op when nothing changed since the last
+    * checkpoint). Returns the image version, None when declined.
+    * After a successful save, replay-from-image is 0 commits. */
+  def saveNamespace(spark: SparkSession, tableDir: String, ts: Long): Option[Int] = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (commits(fs, tableDir).lastOption.exists(_.isCheckpoint)) None
+    else Some(checkpoint(spark, tableDir, ts))
+  }
+
+  // ------------------------------------------------------------------
+  // Storage-directory admission (reference ClientProtocol.java:669
+  // restoreFailedStorage, FSImage storage-dir state machine): a
+  // replica/standby storage location that failed is marked RETIRED —
+  // the journal stops shipping to it — until the admin explicitly
+  // re-admits it, at which point it resyncs from the journal,
+  // delta-proportionally, and rejoins.
+  // ------------------------------------------------------------------
+
+  private def retiredMarker(dir: String) = new Path(dir, "_retired")
+
+  /** Mark a standby/replica storage dir RETIRED (failed): ship refuses
+    * it until re-admitted. Idempotent. */
+  def retireStorage(fs: FileSystem, dir: String): Unit = {
+    fs.mkdirs(new Path(dir))
+    val out = fs.create(retiredMarker(dir), true)
+    out.write("retired\n".getBytes("UTF-8")); out.close()
+  }
+
+  def isRetired(fs: FileSystem, dir: String): Boolean =
+    fs.exists(retiredMarker(dir))
+
+  /** RESTORE FAILED STORAGE (ClientProtocol.java:669): re-admit a
+    * retired storage dir and resync it from the primary's journal.
+    * The resync is `ship` — cost proportional to the versions MISSED
+    * while retired (their log files + newly-added data dirs), never
+    * the table. Returns the versions shipped to catch up. */
+  def restoreFailedStorage(spark: SparkSession, primaryDir: String,
+                           dir: String): Seq[Int] = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(retiredMarker(dir), false)
+    ship(spark, primaryDir, dir)
+  }
+
   /** Retention: make history before `v` unreadable and reclaimable.
     * Replay must still reconstruct every retained version from the
     * truncated log, so the cut lands on the latest CHECKPOINT commit
@@ -571,6 +647,10 @@ object CommitLog {
     *   burning that version on the standby forever. */
   def ship(spark: SparkSession, primaryDir: String, standbyDir: String): Seq[Int] = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (isRetired(fs, standbyDir))
+      throw new java.io.IOException(
+        s"$standbyDir is retired (failed storage): re-admit it via " +
+          "restoreFailedStorage before shipping")
     if (!fs.exists(logDir(primaryDir))) return Seq.empty // nothing committed yet
     val have = commits(fs, standbyDir).map(c => logFile(standbyDir, c.version).getName).toSet
     val conf = spark.sparkContext.hadoopConfiguration

@@ -118,7 +118,10 @@ object Explain {
     // single-linkage cut ladder, and the streaming quota gate's
     // batch truth
     "g_knn_mst", "g_knn_cluster_cut", "st_quota_gate",
-    "g_knn_assortativity", "m_phash_dedup")
+    "g_knn_assortativity", "m_phash_dedup",
+    // round-11: the image-now verb, failed-storage re-admission,
+    // config introspection, and the distributed exact-NTILE rework
+    "lake_save_namespace", "lake_restore_storage", "lake_server_defaults")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -428,4 +428,66 @@ class CommitLogSpec extends SparkSpec {
       "dead clone must not pin source files")
     assert(CommitLog.registeredClones(fs, src).isEmpty)
   }
+
+  test("saveNamespace images now, declines on a fresh image, re-arms on append") {
+    val dir = freshTable("save_ns")
+    val r = Tables.region(spark, sfDir)
+    CommitLog.writeCommit(spark, dir, r.filter(col("r_regionkey") < 2), "data/a", ts = 100L)
+    CommitLog.writeCommit(spark, dir, r.filter(col("r_regionkey") >= 2), "data/b", ts = 200L)
+    // explicit verb fires below any cadence threshold
+    assert(CommitLog.maybeCheckpoint(spark, dir, 250L, maxReplay = 10).isEmpty)
+    val v = CommitLog.saveNamespace(spark, dir, ts = 300L)
+    assert(v.contains(2), s"image-now must checkpoint at the head, got $v")
+    // head already an image: decline, don't stamp a redundant image
+    assert(CommitLog.saveNamespace(spark, dir, ts = 400L).isEmpty)
+    assert(CommitLog.commits(fs, dir).count(_.isCheckpoint) == 1)
+    CommitLog.writeCommit(spark, dir, r.filter(col("r_regionkey") === 0),
+      "data/c", ts = 500L)
+    assert(CommitLog.saveNamespace(spark, dir, ts = 600L).nonEmpty)
+    // content preserved through both images
+    assert(CommitLog.snapshot(spark, dir).count() ==
+      r.count() + r.filter(col("r_regionkey") === 0).count())
+  }
+
+  test("retired storage is fenced from ship until restoreFailedStorage re-admits") {
+    val primary = freshTable("rfs_primary")
+    val replica = freshTable("rfs_replica")
+    val r = Tables.region(spark, sfDir)
+    CommitLog.writeCommit(spark, primary, r.filter(col("r_regionkey") < 2), "data/a", ts = 100L)
+    assert(CommitLog.ship(spark, primary, replica) == Seq(0))
+    CommitLog.retireStorage(fs, replica)
+    CommitLog.writeCommit(spark, primary, r.filter(col("r_regionkey") >= 2), "data/b", ts = 200L)
+    intercept[java.io.IOException] { CommitLog.ship(spark, primary, replica) }
+    // re-admission resyncs exactly the missed delta and drops the fence
+    assert(CommitLog.restoreFailedStorage(spark, primary, replica) == Seq(1))
+    assert(!CommitLog.isRetired(fs, replica))
+    assert(CommitLog.snapshot(spark, replica).count() == r.count())
+    // idempotent on an in-sync dir
+    assert(CommitLog.restoreFailedStorage(spark, primary, replica).isEmpty)
+  }
+
+  test("burned version pays the grace wait at most once (ADVICE r11)") {
+    val dir = freshTable("burned_once")
+    val r = Tables.region(spark, sfDir)
+    CommitLog.writeCommit(spark, dir, r, "data/a", ts = 100L)
+    CommitLog.commit(fs, dir, ts = 200L, adds = Seq("data/a2"), removes = Nil)
+    // a crashed writer: version file present, body never terminated
+    val burned = new Path(s"$dir/_log/5.log")
+    val out = fs.create(burned, false)
+    out.write("ts 300\nadd data/ghost\n".getBytes("UTF-8")); out.close()
+    def timedRestore(v: Int): Long = {
+      val t0 = System.nanoTime()
+      CommitLog.restore(fs, dir, v, ts = 400L + v)
+      (System.nanoTime() - t0) / 1000000L
+    }
+    // first stable read diagnoses the burned file: pays the full grace
+    val first = timedRestore(0)
+    assert(first >= 1500L, s"first read should pay the ~2s grace, took ${first}ms")
+    // diagnosis cached: subsequent ceremonies on this table are fast
+    val second = timedRestore(0)
+    assert(second < 1500L, s"burned diagnosis must be cached, took ${second}ms")
+    // the burned version stayed burned: ghost never entered the lineage
+    assert(!CommitLog.commits(fs, dir).exists(_.adds.contains("data/ghost")))
+    assert(CommitLog.snapshot(spark, dir).count() == r.count())
+  }
 }

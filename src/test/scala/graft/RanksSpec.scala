@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Ranks
+
+/** Ranks.ntileExact must be bit-equal to SQL NTILE for every (n, k)
+  * shape — including n < k, heavy ties on the metric (broken by the
+  * unique tiebreak), grouped form, and empty input — while never
+  * planning a single-partition (unpartitioned) Window. */
+class RanksSpec extends SparkSpec {
+
+  private def data(n: Int): DataFrame = {
+    import spark.implicits._
+    // deterministic metric with many ties (mod 13) so bucket edges
+    // land inside tie runs — the case value-based cuts get wrong
+    (0 until n).map(i => ((i * 2654435761L) % 13, i.toLong, s"g${i % 3}"))
+      .toDF("metric", "id", "grp")
+  }
+
+  private def viaWindow(df: DataFrame, k: Int, grouped: Boolean): Seq[(Long, Int)] = {
+    val w = if (grouped) Window.partitionBy(col("grp")).orderBy(col("metric"), col("id"))
+            else Window.orderBy(col("metric"), col("id"))
+    df.select(col("id"), ntile(k).over(w).as("b"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+  }
+
+  private def viaExact(df: DataFrame, k: Int, grouped: Boolean): Seq[(Long, Int)] = {
+    val parts = if (grouped) Seq("grp") else Nil
+    val out = Ranks.ntileExact(df, k, Seq("metric", "id"), parts, "b")
+    try out.select(col("id"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    finally ScopedCache.releaseAll()
+  }
+
+  for (n <- Seq(7, 100, 500); k <- Seq(1, 3, 5, 10)) {
+    test(s"ntileExact == NTILE (n=$n k=$k ungrouped)") {
+      val df = data(n)
+      assert(viaExact(df, k, grouped = false) === viaWindow(df, k, grouped = false))
+    }
+    test(s"ntileExact == NTILE (n=$n k=$k grouped)") {
+      val df = data(n)
+      assert(viaExact(df, k, grouped = true) === viaWindow(df, k, grouped = true))
+    }
+  }
+
+  test("ntileExact on empty input returns empty with the bucket column") {
+    val out = Ranks.ntileExact(data(0), 5, Seq("metric", "id"), Nil, "b")
+    try {
+      assert(out.columns.contains("b"))
+      assert(out.count() === 0L)
+    } finally ScopedCache.releaseAll()
+  }
+
+  test("ntileExact plans no unpartitioned Window (the r10 scale-killer)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val out = Ranks.ntileExact(data(200), 5, Seq("metric", "id"), Nil, "b")
+    try {
+      val bare = out.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bare.isEmpty, "found Window with empty partitionSpec")
+      // and the scale mechanism is the range shuffle, visible in the plan
+      assert(out.queryExecution.executedPlan.toString
+        .toLowerCase.contains("rangepartitioning"))
+    } finally ScopedCache.releaseAll()
+  }
+}
