@@ -226,11 +226,15 @@ object Graft {
       * read the same materialized pair frame. Threshold must be of
       * the form n/5 (the ceil(t*n) arithmetic below is specialized to
       * 0.8 — the only threshold the engine exposes today). */
-    def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                          threshold: Double = 0.8): DataFrame = {
-      require(threshold == 0.8, "prefix arithmetic is specialized to t=0.8")
-      val sh = shingleSets(df, idCol, textCol)
-      memoized(planKey(sh, "exact", threshold), {
+    /** The prefix-filtered CANDIDATE pairs behind exactJaccardPairs —
+      * exposed separately (memoized with its own key) so scale probes
+      * can split candidate VOLUME from per-candidate verify cost: when
+      * a scale step grows superlinearly, comparing this frame's count
+      * ratio against the wall-clock ratio tells density growth apart
+      * from a plan regression (VERDICT r10 #5). */
+    private[graft] def exactJaccardCandidates(sh: DataFrame,
+                                              threshold: Double): DataFrame =
+      memoized(planKey(sh, "exactCand", threshold), {
         val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
         val dfq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
         val w = org.apache.spark.sql.expressions.Window
@@ -244,12 +248,19 @@ object Graft {
         val pref = graft.ScopedCache(ranked.join(ns, Seq("doc_id"))
           .filter(col("rn") <= col("nsh") - floor((col("nsh") * 4 + 4) / 5) + 1)
           .select(col("doc_id"), col("nsh"), col("s").as("psh")))
-        val cand = pref.as("a").join(pref.as("b"),
+        pref.as("a").join(pref.as("b"),
             col("a.psh") === col("b.psh") && col("a.doc_id") < col("b.doc_id") &&
               least(col("a.nsh"), col("b.nsh")) >= lit(threshold) * greatest(col("a.nsh"), col("b.nsh")))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
-        cand
+      })
+
+    def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double = 0.8): DataFrame = {
+      require(threshold == 0.8, "prefix arithmetic is specialized to t=0.8")
+      val sh = shingleSets(df, idCol, textCol)
+      memoized(planKey(sh, "exact", threshold), {
+        exactJaccardCandidates(sh, threshold)
           .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id")).drop("doc_id")
           .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id")).drop("doc_id")
           .withColumn("jaccard", Shingles.jaccardSorted(col("sh_a"), col("sh_b")))

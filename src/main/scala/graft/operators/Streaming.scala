@@ -353,8 +353,87 @@ object Streaming {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** CUSUM warm-up: closed days fixing the reference daily mass. */
+  val CusumWarmup = 10
+
+  /** CUSUM CHANGE MONITOR — the deployable form of change detection
+    * (ts_changepoint is the offline retrospective: its deviation test
+    * needs the series TOTAL, which no live monitor has; the
+    * page-the-operator shape is CUSUM against a fixed reference —
+    * Page 1954, the classic SPC chart): per event type, the first 10
+    * days fix a reference daily mass S_w; each later day's deviation
+    * (x10-scaled, exact cents) feeds two one-sided CUSUM statistics
+    * with a 10%-of-reference allowance, flagging when either
+    * accumulates a quarter reference-day of drift (the sensitivity
+    * that separates this corpus's drifting series from its flat
+    * ones). The clamped CUSUM
+    * recursion max(0, g+a) is deliberately expressed in its
+    * prefix-sum form g_t = S_t - LEAST(0, min_{i<=t} S_i) — a running
+    * sum plus a running min, both per-type partitioned windows over
+    * the (type, day) aggregate (bounded class), identical in both
+    * engines, no non-associative scan.
+    *
+    * Batch truth: one shuffle to the (type, day) frame, one shared
+    * window sort per type. Streaming form: `StreamingOps.cusumStream`,
+    * flatMapGroupsWithState with EIGHT longs of state per key —
+    * O(keys); the spec asserts EXACT convergence under arbitrary
+    * chunking. */
+  val stCusumDrift: GraftQuery = GraftQuery.sql(
+    "st_cusum_drift",
+    s"""WITH dd AS (SELECT event_type, date_trunc('day', ts) AS day,
+       |    CAST(SUM(CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t
+       |      FROM dd),
+       |w AS (SELECT event_type, CAST(SUM(cents) AS BIGINT) AS sw FROM r
+       |      WHERE t <= $CusumWarmup GROUP BY 1 HAVING COUNT(*) = $CusumWarmup),
+       |sc AS (SELECT r.event_type, r.day, r.cents,
+       |         $CusumWarmup * r.cents - w.sw AS d, w.sw AS sw
+       |       FROM r JOIN w USING (event_type) WHERE r.t > $CusumWarmup),
+       |cs AS (SELECT *,
+       |        SUM(d - sw // $CusumWarmup) OVER pw AS sp,
+       |        SUM(-d - sw // $CusumWarmup) OVER pw AS sn
+       |       FROM sc
+       |       WINDOW pw AS (PARTITION BY event_type ORDER BY day
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |g AS (SELECT *,
+       |        sp - LEAST(0, MIN(sp) OVER pw) AS gpos,
+       |        sn - LEAST(0, MIN(sn) OVER pw) AS gneg
+       |      FROM cs
+       |      WINDOW pw AS (PARTITION BY event_type ORDER BY day
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT event_type, day, cents,
+       |  CAST(gpos AS BIGINT) AS gpos, CAST(gneg AS BIGINT) AS gneg,
+       |  CAST(CASE WHEN gpos > sw // 4 OR gneg > sw // 4 THEN 1 ELSE 0 END AS BIGINT) AS flag
+       |FROM g ORDER BY event_type, day""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val pw = wT.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(expr("cast(cast(value as decimal(15,2)) * 100 as bigint)"))
+        .as("cents"))
+      .withColumn("t", row_number().over(wT))
+    val w = r.filter(col("t") <= CusumWarmup)
+      .groupBy(col("event_type"))
+      .agg(sum(col("cents")).as("sw"), count(lit(1)).as("nw"))
+      .filter(col("nw") === CusumWarmup).drop("nw")
+    r.join(broadcast(w), Seq("event_type")).filter(col("t") > CusumWarmup)
+      .withColumn("d", lit(CusumWarmup) * col("cents") - col("sw"))
+      .withColumn("sp", sum(col("d") - expr(s"sw div $CusumWarmup")).over(pw))
+      .withColumn("sn", sum(-col("d") - expr(s"sw div $CusumWarmup")).over(pw))
+      .withColumn("gpos", col("sp") - least(lit(0L), min(col("sp")).over(pw)))
+      .withColumn("gneg", col("sn") - least(lit(0L), min(col("sn")).over(pw)))
+      .select(col("event_type"), col("day"), col("cents"),
+        col("gpos"), col("gneg"),
+        when(col("gpos") > expr("sw div 4") || col("gneg") > expr("sw div 4"), 1L)
+          .otherwise(0L).as("flag"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(stTumblingWindow, stSessionWindow, stHoppingWindow, stCdcUpsert,
       stRateLimit, stWindowedTopk, stFeedSilence, stStreamAnomaly,
-      stQuotaGate)
+      stQuotaGate, stCusumDrift)
 }

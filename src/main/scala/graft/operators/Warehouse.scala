@@ -283,13 +283,26 @@ object Warehouse {
         count(lit(1)).as("frequency"),
         sumM(col("o_totalprice")).as("monetary"))
     val r = col("r_score"); val f = col("f_score"); val mm = col("m_score")
-    val scored = Seq(("last_day", "r_score"), ("frequency", "f_score"),
-        ("monetary", "m_score"))
-      .foldLeft(cust) { case (acc, (metric, score)) =>
-        graft.functions.Ranks.ntileExact(acc, 5,
-          Seq(metric, "custkey"), out = score)
-          .withColumn(score, col(score).cast("long"))
-      }
+    // ONE grouped ntileExact over the melted (metric, value) form
+    // instead of three chained calls: the metric name becomes the
+    // group key, so all three scorings ride a single range shuffle +
+    // one re-widening hash aggregate (decimal cast is order-exact for
+    // all three metric types, and ties are broken by custkey anyway)
+    val melted = cust.select(col("custkey"), col("last_day"),
+      col("frequency"), col("monetary"),
+      expr("""stack(3,
+             |  'r', cast(last_day as decimal(21,2)),
+             |  'f', cast(frequency as decimal(21,2)),
+             |  'm', cast(monetary as decimal(21,2))) as (sn, v)""".stripMargin))
+    val scored = graft.functions.Ranks
+      .ntileExact(melted, 5, Seq("v", "custkey"), partCols = Seq("sn"), out = "b")
+      .groupBy(col("custkey"))
+      .agg(max(col("last_day")).as("last_day"),
+        max(col("frequency")).as("frequency"),
+        max(col("monetary")).as("monetary"),
+        max(when(col("sn") === "r", col("b"))).cast("long").as("r_score"),
+        max(when(col("sn") === "f", col("b"))).cast("long").as("f_score"),
+        max(when(col("sn") === "m", col("b"))).cast("long").as("m_score"))
     scored
       .withColumn("segment",
         when(r >= 4 && f >= 4 && mm >= 4, "champion")

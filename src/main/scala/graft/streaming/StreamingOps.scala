@@ -738,6 +738,91 @@ object StreamingOps {
       }.toDF()
   }
 
+  /** CUSUM drift-monitor state: the open day's accumulator, the
+    * warm-up fold (first CusumWarmupDays closed days fix the
+    * reference mean), and the two one-sided CUSUM prefix pairs in
+    * their sum/running-min form — max(0, g + a) over a sequence is
+    * S_t - min(0, min_i S_i), so the clamped recursion carries as two
+    * longs per side and the streaming state stays 8 longs per key. */
+  case class CusumState(day: Long, cents: Long, warmN: Long, warmSum: Long,
+                        sp: Long, minSp: Long, sn: Long, minSn: Long)
+  case class CusumOut(event_type: String, day: java.sql.Timestamp,
+                      cents: Long, gpos: Long, gneg: Long, flag: Long)
+
+  val CusumWarmupDays = 10
+
+  /** STREAMING CUSUM CHANGE MONITOR (streaming form of
+    * st_cusum_drift; ts_changepoint is the OFFLINE retrospective —
+    * it needs the series total, which a live monitor never has): per
+    * event type, the first 10 closed days fix a reference daily mass;
+    * every later day updates two one-sided CUSUM statistics with a
+    * 10%-of-reference allowance and flags when either exceeds a
+    * quarter reference-day of accumulated drift — the page-the-operator form
+    * of change detection, O(1) exact-integer state per key. A day
+    * closes when its series' first later-day event arrives; the open
+    * day is emitted provisionally (Update mode) so the LAST row per
+    * (event_type, day) equals the batch truth exactly under any
+    * event-time-ordered chunking (StreamingSpec asserts it at two
+    * chunk sizes). Requires time-ordered feeding, like
+    * transitionStream / anomalyStream. */
+  def cusumStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val zoneId = spark.conf.get("spark.sql.session.timeZone",
+      java.time.ZoneId.systemDefault().getId)
+    events.as[Ev]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key, evs, state) =>
+          val zone = java.time.ZoneId.of(zoneId)
+          def dayStartMicros(ts: java.sql.Timestamp): Long =
+            ts.toInstant.atZone(zone).toLocalDate.atStartOfDay(zone)
+              .toInstant.toEpochMilli * 1000L
+          def cents(v: Double): Long =
+            java.math.BigDecimal.valueOf(v)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
+          // fold ONE closed day into the CUSUM pair; emits the scored
+          // row once the warm-up is complete
+          def fold(s: CusumState, day: Long, dCents: Long): (CusumState, Option[CusumOut]) =
+            if (s.warmN < CusumWarmupDays)
+              (s.copy(warmN = s.warmN + 1, warmSum = s.warmSum + dCents), None)
+            else {
+              val k = s.warmSum / CusumWarmupDays // allowance: 10% of ref, x10 scale
+              val d = CusumWarmupDays * dCents - s.warmSum
+              val sp = s.sp + (d - k)
+              val sn = s.sn + (-d - k)
+              val minSp = math.min(s.minSp, sp)
+              val minSn = math.min(s.minSn, sn)
+              val gpos = sp - math.min(0L, minSp)
+              val gneg = sn - math.min(0L, minSn)
+              val flag =
+                if (gpos > s.warmSum / 4 || gneg > s.warmSum / 4) 1L else 0L
+              (s.copy(sp = sp, minSp = minSp, sn = sn, minSn = minSn),
+                Some(CusumOut(key, microsToTs(day), dCents, gpos, gneg, flag)))
+            }
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumOut]
+          var s = state.getOption.getOrElse(
+            CusumState(Long.MinValue, 0, 0, 0, 0, Long.MaxValue, 0, Long.MaxValue))
+          evs.toSeq.sortBy(e => (tsToMicros(e.ts), e.event_id)).foreach { e =>
+            val d = dayStartMicros(e.ts)
+            if (s.day == Long.MinValue) s = s.copy(day = d)
+            else if (d > s.day) {
+              val (s2, row) = fold(s, s.day, s.cents)
+              row.foreach(out += _)
+              s = s2.copy(day = d, cents = 0)
+            }
+            s = s.copy(cents = s.cents + cents(e.value))
+          }
+          state.update(s)
+          // provisional row for the open day (its cents are complete
+          // when the stream ends — the convergence point)
+          if (s.day != Long.MinValue) fold(s, s.day, s.cents)._2.foreach(out += _)
+          out.iterator
+      }.toDF()
+  }
+
   /** Merge-adjacent coalesce over session spans: sort by start, merge
     * any neighbor starting within the gap of the running span — the
     * batch session_window closure, applied incrementally. */

@@ -121,7 +121,8 @@ object Explain {
     "g_knn_assortativity", "m_phash_dedup",
     // round-11: the image-now verb, failed-storage re-admission,
     // config introspection, and the distributed exact-NTILE rework
-    "lake_save_namespace", "lake_restore_storage", "lake_server_defaults")
+    "lake_save_namespace", "lake_restore_storage", "lake_server_defaults",
+    "st_cusum_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -150,8 +150,8 @@ object ScaleStress {
     * sizes+mtimes); rebuilt when absent or when the BASE DATA itself
     * changed — a regenerated base at the same path must not be
     * compared against stale scaled parquet. */
-  private def materialize(spark: SparkSession, base: String,
-                          out: String, factor: Int): Unit = {
+  private[tools] def materialize(spark: SparkSession, base: String,
+                                 out: String, factor: Int): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(out, "_scale_ok")
     val baseSig = fs.listStatus(new org.apache.hadoop.fs.Path(base))

@@ -522,6 +522,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CUSUM drift monitor converges to the batch truth exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ordered = loadEvents().sortBy(e => (StreamingOps.tsToMicros(e.ts), e.event_id))
+    val want = graft.operators.Streaming.stCusumDrift.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("day")) ->
+        (r.getAs[Long]("cents"), r.getAs[Long]("gpos"), r.getAs[Long]("gneg"),
+          r.getAs[Long]("flag"))).toMap
+    assert(want.nonEmpty, "degenerate batch truth")
+    // two different chunkings must both converge to the same batch truth
+    Seq(ordered.size, 1300).zipWithIndex.foreach { case (chunkSize, qi) =>
+      val stream = MemoryStream[Ev]
+      val q = StreamingOps.cusumStream(stream.toDF()).writeStream
+        .format("memory").queryName(s"cusum_sink_$qi").outputMode("update").start()
+      try {
+        ordered.grouped(chunkSize).foreach { chunk =>
+          stream.addData(chunk)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // a day's cents grow monotonically across provisional emissions,
+      // so the max struct per (type, day) is its FINAL row
+      val got = spark.table(s"cusum_sink_$qi")
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(struct(col("cents"), col("gpos"), col("gneg"), col("flag"))).as("s"))
+        .collect().map(r => (r.getString(0), r.getTimestamp(1)) -> {
+          val s = r.getStruct(2); (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
+        }).toMap
+      assert(got == want,
+        s"chunk=$chunkSize missing=${(want.keySet -- got.keySet).take(3)} " +
+          s"extra=${(got.keySet -- want.keySet).take(3)} " +
+          s"diff=${want.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(3)}")
+    }
+  }
+
   test("streaming rate limiter converges to the batch admission truth exactly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

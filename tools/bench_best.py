@@ -37,6 +37,17 @@ STALE_FLOORS = {
                "gate; current shape is one fused aggregate job over "
                "all 10 tables (~0.46s steady state, job-latency "
                "bound on this host)",
+    "q_rfm_segmentation": "r11 scale rework: old floor measured three "
+                          "single-partition NTILE sorts; current shape "
+                          "is one grouped Ranks.ntileExact (range "
+                          "shuffle + offsets join + re-widen agg)",
+    "q_revenue_concentration": "r11 scale rework: old floor measured "
+                               "an unpartitioned NTILE sort; current "
+                               "shape is Ranks.ntileExact",
+    "q_decile_migration": "r11 scale rework: old floor measured "
+                          "segment-partitioned NTILE sorts; current "
+                          "shape is two grouped Ranks.ntileExact "
+                          "passes",
 }
 
 
