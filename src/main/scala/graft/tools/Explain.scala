@@ -126,7 +126,11 @@ object Explain {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.drop(1).toSeq else AuditSet
+    // "ALL" = full-registry census (CartesianProduct / BNLJ counting)
+    val names =
+      if (args.length > 1 && args(1) == "ALL") SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 1) args.drop(1).toSeq
+      else AuditSet
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
   *   shape of growing a warehouse under a stable dimension universe).
   * - orders+lineitem share ONE orderkey offset per copy, so the
   *   order-lineitem join matches strictly within a copy.
-  * - documents get per-copy distinct text (a copy token injected
-  *   between words rewrites every shingle) — a naive identical copy
+  * - documents get per-copy distinct text (every 3rd word salted with
+  *   the copy id — each shingle holds exactly one salted position, so
+  *   copies are shingle-disjoint AND the per-copy shingle-DF
+  *   distribution equals the base corpus's, making candidate density
+  *   scale linearly like organic growth) — a naive identical copy
   *   would make every doc a 10-way near-dup and quadratically inflate
-  *   banded candidate groups, which is NOT what 10x organic growth
-  *   looks like; n_chars is recomputed to stay consistent.
+  *   banded candidate groups; n_chars is recomputed to stay
+  *   consistent.
   * - embeddings get a small per-copy component shift for the same
   *   reason (identical vectors pile into identical LSH/IVF buckets).
   * - events keep their timestamps (10x density per day) with offset
@@ -158,7 +161,7 @@ object ScaleStress {
       .sortBy(_.getPath.getName)
       .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
       .mkString(";")
-    val sig = s"$base factor=$factor $baseSig"
+    val sig = s"$base factor=$factor saltv2 $baseSig"
     if (fs.exists(marker)) {
       val in = fs.open(marker)
       val txt = try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
@@ -199,14 +202,27 @@ object ScaleStress {
     write(copies(events)((d, i) =>
       d.withColumn("event_id", col("event_id") + lit(i * offE))), "events")
 
-    // documents: per-copy DISTINCT text (copy token between words
-    // rewrites every shingle) — organic growth, not 10-way near-dups
+    // documents: per-copy DISTINCT text via SALTING EVERY 3RD WORD
+    // with the copy id. Every word-3-gram contains exactly one salted
+    // position, so (a) cross-copy shingle sets are DISJOINT (no 10-way
+    // near-dup quadratics), and (b) within a copy the shingle
+    // DOCUMENT-FREQUENCY distribution is exactly the base corpus's
+    // (trigram (a, b·i, c) has the DF of (a,b,c)) — so candidate-pair
+    // density scales LINEARLY, the organic-growth shape. The r7–r10
+    // scheme (a copy token between EVERY word) collapsed shingles to
+    // unigram-like (cᵢ, w, cᵢ) patterns shared by every same-vocab doc
+    // pair — the DEDUP_DENSITY_r11 probe measured 465x prefix / 1273x
+    // banded candidate growth at 10x data from that artifact, which is
+    // what made the dedup trio look superlinear in SCALE_r10.
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val offD = keyOffset(docs, "doc_id")
     write(copies(docs)((d, i) =>
       if (i == 0) d
       else d.withColumn("doc_id", col("doc_id") + lit(i * offD))
-        .withColumn("text", regexp_replace(col("text"), " ", s" c$i "))
+        .withColumn("text", expr(
+          s"""array_join(transform(split(text, ' '),
+             |  (w, p) -> CASE WHEN p % 3 = 0 THEN concat(w, '·$i')
+             |            ELSE w END), ' ')""".stripMargin))
         .withColumn("n_chars", length(col("text")))), "documents")
 
     // embeddings: small per-copy component shift keeps copies out of
