@@ -723,9 +723,83 @@ object Insights {
       .orderBy(col("decile"))
   }
 
+  /** A/B TEST READOUT — the experiment-analysis table (deterministic
+    * hash split: variant = user_id % 2 — the id-hash bucketing an
+    * experimentation system assigns at exposure; every user is in
+    * exactly one arm): per event_type, both arms' exposed-user and
+    * converted-user counts (a conversion = ≥1 event of the type),
+    * per-arm rates in integer per-mille, and a SIGNIFICANT flag —
+    * the two-proportion pooled z-test at α=0.05 with the entire
+    * z² ≥ 3.8416 comparison cross-multiplied into exact DECIMAL(38,0)
+    * integer arithmetic:
+    *   (x₁n₂ − x₂n₁)²·N·10⁴  >  38416·n₁n₂·X·(N−X)
+    * (X = x₁+x₂, N = n₁+n₂) — no floating point anywhere, so both
+    * engines flag identically; degenerate margins (X=0 or X=N) make
+    * both sides 0 and the flag stays down.
+    *
+    * Scale: two distinct-aggregates over events (user grain, then
+    * (type, user) grain — both map-side-combined shuffles on the
+    * natural keys), then everything is a 5-row × 1-row broadcast.
+    * The cross-multiplication is DECIMAL(38,0)-safe to ~10⁸ users
+    * per arm; both engines widen together beyond. */
+  val qAbTest: GraftQuery = GraftQuery.sql(
+    "q_ab_test",
+    """WITH u AS (SELECT DISTINCT user_id, user_id % 2 AS variant FROM events),
+      |n AS (SELECT
+      |        SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS na,
+      |        SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS nb
+      |      FROM u),
+      |x AS (SELECT event_type, user_id % 2 AS variant,
+      |        COUNT(DISTINCT user_id) AS n_conv
+      |      FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type,
+      |        SUM(CASE WHEN variant = 0 THEN n_conv ELSE 0 END) AS xa,
+      |        SUM(CASE WHEN variant = 1 THEN n_conv ELSE 0 END) AS xb
+      |      FROM x GROUP BY 1)
+      |SELECT event_type,
+      |  CAST(na AS BIGINT) AS n_ctrl, CAST(xa AS BIGINT) AS conv_ctrl,
+      |  CAST(nb AS BIGINT) AS n_treat, CAST(xb AS BIGINT) AS conv_treat,
+      |  CAST((1000 * xa) // na AS BIGINT) AS rate_ctrl_pm,
+      |  CAST((1000 * xb) // nb AS BIGINT) AS rate_treat_pm,
+      |  CAST(CASE WHEN
+      |      CAST(xa * nb - xb * na AS DECIMAL(38,0))
+      |        * CAST(xa * nb - xb * na AS DECIMAL(38,0))
+      |        * (na + nb) * 10000
+      |      > CAST(38416 AS DECIMAL(38,0)) * na * nb
+      |        * (xa + xb) * (na + nb - xa - xb)
+      |    THEN 1 ELSE 0 END AS BIGINT) AS significant
+      |FROM m CROSS JOIN n ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val u = ev.select(col("user_id"), (col("user_id") % 2).as("variant")).distinct()
+    val n = u.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("nb"))
+    val x = ev.groupBy(col("event_type"), (col("user_id") % 2).as("variant"))
+      .agg(countDistinct(col("user_id")).as("n_conv"))
+    val m = x.groupBy(col("event_type"))
+      .agg(sum(when(col("variant") === 0, col("n_conv")).otherwise(0L)).as("xa"),
+        sum(when(col("variant") === 1, col("n_conv")).otherwise(0L)).as("xb"))
+    m.crossJoin(broadcast(n)) // 1-row scalar — the adjudicated tiny class
+      .select(col("event_type"),
+        col("na").as("n_ctrl"), col("xa").as("conv_ctrl"),
+        col("nb").as("n_treat"), col("xb").as("conv_treat"),
+        expr("(1000 * xa) div na").as("rate_ctrl_pm"),
+        expr("(1000 * xb) div nb").as("rate_treat_pm"),
+        when(
+          expr("cast(xa * nb - xb * na as decimal(38,0))") *
+            expr("cast(xa * nb - xb * na as decimal(38,0))") *
+            (col("na") + col("nb")) * lit(10000)
+            > expr("cast(38416 as decimal(38,0))") * col("na") * col("nb") *
+              (col("xa") + col("xb")) *
+              (col("na") + col("nb") - col("xa") - col("xb")),
+          1L).otherwise(0L).as("significant"))
+      .orderBy(col("event_type"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     lakeSnapshotDiff, qFunnel, qRetentionCohorts, qEventTransitions,
     tVocabCoverage, qScd2, qGapsIslands, qSessionize, qCumulativeDistinct,
     qTopPaths, qCohortLtv, qRollingActive, qDecileMigration, qTimeToConvert,
-    qRevenueConcentration)
+    qRevenueConcentration, qAbTest)
 }

@@ -1841,6 +1841,27 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The both-endpoints-labeled mutual-edge frame (sl, dl) — shared
+    * by the community-quality pair (modularity, conductance), family-
+    * memoized AND lineage-cut: the frame is referenced by multiple
+    * aggregate legs per consumer, each of which would otherwise carry
+    * two copies of the label tree (which itself embeds the knn
+    * pipeline — the probe measured ~6 s of pure Catalyst planning per
+    * run with every data memo warm). Checkpoint-truncating at the
+    * 2-column edge frame makes every leg plan against a leaf, and the
+    * memo means the second consumer pays nothing at all. */
+  private def labeledEdges(s: SparkSession, d: String): DataFrame =
+    famMemoized(s, d, "lbl_edges", embSig(s, d)) {
+      val lbl = labelPropAssignments(s, d).select(col("node"), col("lang"))
+      ckptLineage(s,
+        knnMutual(s, d).filter(col("n_dir") === 2)
+          .join(lbl.select(col("node").as("na"), col("lang").as("sl")),
+            col("a") === col("na"))
+          .join(lbl.select(col("node").as("nb"), col("lang").as("dl")),
+            col("b") === col("nb"))
+          .select(col("sl"), col("dl")))
+    }
+
   /** COMMUNITY MODULARITY of the propagated labeling — the quality
     * score that says whether g_knn_label_prop's communities are REAL
     * graph structure (Newman modularity: intra-community edge mass
@@ -1880,21 +1901,7 @@ object Similarity {
        |FROM dc LEFT JOIN ec ON dc.lang = ec.lang CROSS JOIN mm
        |ORDER BY dc.lang""".stripMargin
   ) { (s, d) =>
-    val lbl = labelPropAssignments(s, d).select(col("node"), col("lang"))
-    // Eager lineage cut (localCheckpoint, not persist): the labeled-
-    // edge frame is referenced by THREE aggregate legs (m, e_c, d_c),
-    // each carrying two copies of the label tree which itself embeds
-    // the knn pipeline — ~9 copies of the heaviest logical plan in
-    // the family, and the probe measured ~6 s of pure Catalyst
-    // planning per run even with every data memo warm. Truncating at
-    // the 2-column edge frame makes every leg plan against a leaf.
-    val le = ckptLineage(s,
-      knnMutual(s, d).filter(col("n_dir") === 2)
-        .join(lbl.select(col("node").as("na"), col("lang").as("sl")),
-          col("a") === col("na"))
-        .join(lbl.select(col("node").as("nb"), col("lang").as("dl")),
-          col("b") === col("nb"))
-        .select(col("sl"), col("dl")))
+    val le = labeledEdges(s, d)
     val mm = le.agg(count(lit(1)).as("m"))
     val ec = le.filter(col("sl") === col("dl"))
       .groupBy(col("sl").as("eclang")).agg(count(lit(1)).as("e_c"))
@@ -1908,6 +1915,67 @@ object Similarity {
         col("d_c").as("degree_mass"),
         expr("(1000 * (4 * m * e_c - d_c * d_c)) div (4 * m * m)")
           .as("contribution_pm"))
+      .orderBy(col("lang"))
+  }
+
+  /** COMMUNITY CONDUCTANCE of the propagated labeling — the
+    * complementary cut-quality score to g_knn_modularity (modularity
+    * asks "is there MORE intra-community mass than chance"; the
+    * conductance φ(S) = cut(S) / min(vol(S), vol(V∖S)) asks "how
+    * LEAKY is each community's boundary" — the score spectral/
+    * Cheeger-style partition evaluation cuts on, and the per-
+    * community diagnostic that flags WHICH label bleeds across the
+    * graph even when aggregate modularity looks healthy): per label
+    * over the both-endpoints-labeled subgraph, boundary edge count
+    * (edges with exactly one endpoint in the label — each such edge
+    * is in BOTH endpoints' cuts), degree mass, and
+    * ⌊1000·cut/min(vol, 2m−vol)⌋ — pure integer arithmetic, exact in
+    * both engines; a community spanning the whole graph (min = 0)
+    * reports 0 by convention.
+    *
+    * Scale: one pass over the family-memoized labeled-edge frame
+    * (shared with modularity — the memo means whichever of the pair
+    * runs second pays only label-cardinality-bounded aggregates). */
+  val gKnnConductance: GraftQuery = GraftQuery.sql(
+    "g_knn_conductance",
+    s"""WITH $corpusSql,
+       |$knnCtesSql,
+       |$labelPropCtes,
+       |lbl AS (SELECT node, lang FROM l2),
+       |le AS MATERIALIZED (SELECT la.lang AS sl, lb.lang AS dl FROM me
+       |       JOIN lbl la ON me.a = la.node JOIN lbl lb ON me.b = lb.node),
+       |mm AS (SELECT COUNT(*) AS m FROM le),
+       |cut AS (SELECT lang, COUNT(*) AS cut_c FROM (
+       |        SELECT sl AS lang FROM le WHERE sl <> dl
+       |        UNION ALL SELECT dl FROM le WHERE sl <> dl) u GROUP BY lang),
+       |dc AS (SELECT lang, COUNT(*) AS d_c FROM (
+       |       SELECT sl AS lang FROM le UNION ALL SELECT dl FROM le) u
+       |       GROUP BY lang)
+       |SELECT dc.lang, CAST(COALESCE(cut.cut_c, 0) AS BIGINT) AS cut_edges,
+       |  CAST(dc.d_c AS BIGINT) AS degree_mass,
+       |  CAST(CASE WHEN LEAST(dc.d_c, 2 * m - dc.d_c) > 0
+       |    THEN (1000 * COALESCE(cut.cut_c, 0)) // LEAST(dc.d_c, 2 * m - dc.d_c)
+       |    ELSE 0 END AS BIGINT) AS conductance_pm
+       |FROM dc LEFT JOIN cut ON dc.lang = cut.lang CROSS JOIN mm
+       |ORDER BY dc.lang""".stripMargin
+  ) { (s, d) =>
+    val le = labeledEdges(s, d)
+    val mm = le.agg(count(lit(1)).as("m"))
+    val cut = le.filter(col("sl") =!= col("dl"))
+    val cutC = cut.select(col("sl").as("clang"))
+      .unionByName(cut.select(col("dl").as("clang")))
+      .groupBy(col("clang")).agg(count(lit(1)).as("cut_c"))
+    val dc = le.select(col("sl").as("lang"))
+      .unionByName(le.select(col("dl").as("lang")))
+      .groupBy(col("lang")).agg(count(lit(1)).as("d_c"))
+    dc.join(cutC, col("lang") === col("clang"), "left")
+      .na.fill(0L, Seq("cut_c"))
+      .crossJoin(broadcast(mm)) // 1-row scalar — the adjudicated tiny class
+      .select(col("lang"), col("cut_c").as("cut_edges"),
+        col("d_c").as("degree_mass"),
+        when(least(col("d_c"), lit(2) * col("m") - col("d_c")) > 0,
+          expr("(1000 * cut_c) div least(d_c, 2 * m - d_c)"))
+          .otherwise(0L).as("conductance_pm"))
       .orderBy(col("lang"))
   }
 
@@ -2446,12 +2514,76 @@ object Similarity {
             |""".stripMargin).as("r_pm"))
   }
 
+  /** LABEL CENTROID SEPARATION — the class-separability audit over
+    * the embedding space (the diagnostic a curation pipeline runs
+    * before trusting `label` for stratified sampling, semdedup
+    * blocking, or classifier-filtered mixtures: labels whose
+    * centroids sit at near-1 cosine are not distinguishable classes,
+    * and downstream per-label quotas silently mix them): per ordered
+    * label pair (a < b), both class sizes and the cosine between the
+    * EXACT class centroids. Centroid parity is the s_kmeans
+    * discipline — per-dimension integer micro-unit sums (1e10) over
+    * a partial-aggregated (label, pos) frame, so the trained means
+    * are bit-identical cross-engine before the final double fold.
+    *
+    * Scale: one map-side-combined aggregate over the exploded corpus
+    * (rows = labels × dims after partials), then an all-pairs join of
+    * the LABEL-cardinality centroid table — 10 rows here, broadcast;
+    * pair work is O(L²·dim) with L the label count, never corpus-
+    * proportional. */
+  val sCentroidSeparation: GraftQuery = GraftQuery.sql(
+    "s_centroid_separation",
+    s"""WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+       |       CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |comp AS (SELECT label, i AS pos, v[i] AS x
+       |         FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+       |cent AS (SELECT label, pos,
+       |           CAST(SUM(CAST(round(x * 1e10) AS BIGINT)) AS DOUBLE)
+       |             / (COUNT(*) * 1e10) AS mu
+       |         FROM comp GROUP BY label, pos),
+       |sz AS (SELECT label, COUNT(*) AS n FROM e GROUP BY label),
+       |cv AS (SELECT label, list(mu ORDER BY pos) AS c FROM cent GROUP BY label),
+       |cn AS (SELECT label, c, ${Vectors.normSql("c")} AS nrm FROM cv)
+       |SELECT a.label AS label_a, b.label AS label_b,
+       |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       |  ${Vectors.dotSql("a.c", "b.c")} / (a.nrm * b.nrm) AS centroid_cos
+       |FROM cn a JOIN cn b ON a.label < b.label
+       |JOIN sz sa ON sa.label = a.label JOIN sz sb ON sb.label = b.label
+       |ORDER BY label_a, label_b""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val comp = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+    val cent = comp.groupBy(col("label"), col("pos"))
+      .agg((sum(round(col("x") * 1e10).cast("long")).cast("double")
+        / (count(lit(1)).cast("double") * 1e10)).as("mu"))
+    val cv = cent.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+        p => p.getField("mu")).as("c"))
+      .withColumn("nrm", Vectors.norm(col("c")))
+    val sz = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val a = cv.join(sz, "label")
+      .select(col("label").as("label_a"), col("c").as("ca"),
+        col("nrm").as("nrma"), col("n").as("n_a"))
+    val b = cv.join(sz, "label")
+      .select(col("label").as("label_b"), col("c").as("cb"),
+        col("nrm").as("nrmb"), col("n").as("n_b"))
+    // label-cardinality frame (10 rows) — the adjudicated tiny class
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        (Vectors.dot(col("ca"), col("cb")) / (col("nrma") * col("nrmb")))
+          .as("centroid_cos"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnIvfPartitioned,
       sAnnPq, sAnnRerank, sHybridRrf, sAnnRecall, sAnnFiltered,
       sKmeans, sKmeansLoop, dSemdedup, sIndexScoreboard, sKnnGraph,
       gKnnTriangles, gKnnComponents, gKnnHops, sAnnIvfSq8,
       gKnnClusteringCoeff, sMmrRerank, gKnnLabelProp, sAnnGraph,
-      gKnnModularity, gKnnJaccardEdges, gKnnKcore, sAnnNnDescent, gKnnMst,
-      gKnnClusterCut, gKnnAssortativity)
+      gKnnModularity, gKnnConductance, gKnnJaccardEdges, gKnnKcore,
+      sAnnNnDescent, gKnnMst, gKnnClusterCut, gKnnAssortativity,
+      sCentroidSeparation)
 }

@@ -432,8 +432,65 @@ object Streaming {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** FUNNEL STAGE LOG — q_funnel's per-user event-level form, and
+    * the shape a live product runs as a STREAM (q_funnel reports the
+    * three aggregate stage counts; the operational need is the
+    * per-user stage-advance log the moment it happens — the feed a
+    * realtime conversion dashboard, an abandoned-cart trigger, or an
+    * attribution join consumes): one row per user per reached stage
+    * (view → first qualifying click within 24h → first qualifying
+    * purchase within 24h of the click), carrying the stage timestamp.
+    * The chain recursion is prefix-foldable in event-time order —
+    * each stage's time depends only on earlier state — which is
+    * exactly what makes the streaming twin exact.
+    *
+    * Batch truth: the q_funnel join chain, emitted per-user instead
+    * of aggregated (joins on user_id, each stage frame shrinks —
+    * broadcast-able when the funnel entry is selective). Streaming
+    * form: `StreamingOps.funnelSteps`, flatMapGroupsWithState with
+    * THREE longs of state per user — O(users); each stage row is
+    * emitted exactly once (append mode), and the spec asserts EXACT
+    * set convergence under arbitrary chunking. */
+  val stFunnelSteps: GraftQuery = GraftQuery.sql(
+    "st_funnel_steps",
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec
+      |  FROM events),
+      |v AS (SELECT user_id, MIN(ts_sec) AS t_stage FROM ev
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT ev.user_id, MIN(ts_sec) AS t_stage
+      |      FROM ev JOIN v ON ev.user_id = v.user_id
+      |      WHERE event_type = 'click' AND ts_sec > v.t_stage
+      |        AND ts_sec <= v.t_stage + 86400 GROUP BY ev.user_id),
+      |p AS (SELECT ev.user_id, MIN(ts_sec) AS t_stage
+      |      FROM ev JOIN c ON ev.user_id = c.user_id
+      |      WHERE event_type = 'purchase' AND ts_sec > c.t_stage
+      |        AND ts_sec <= c.t_stage + 86400 GROUP BY ev.user_id)
+      |SELECT user_id, '1_view' AS stage, t_stage FROM v
+      |UNION ALL SELECT user_id, '2_click', t_stage FROM c
+      |UNION ALL SELECT user_id, '3_purchase', t_stage FROM p
+      |ORDER BY user_id, stage""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("ts_sec"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_sec")).as("t_stage"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v.withColumnRenamed("t_stage", "t_view"), "user_id")
+      .filter(col("ts_sec") > col("t_view") && col("ts_sec") <= col("t_view") + 86400)
+      .groupBy(col("user_id")).agg(min(col("ts_sec")).as("t_stage"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c.withColumnRenamed("t_stage", "t_click"), "user_id")
+      .filter(col("ts_sec") > col("t_click") && col("ts_sec") <= col("t_click") + 86400)
+      .groupBy(col("user_id")).agg(min(col("ts_sec")).as("t_stage"))
+    v.select(col("user_id"), lit("1_view").as("stage"), col("t_stage"))
+      .unionByName(c.select(col("user_id"), lit("2_click").as("stage"), col("t_stage")))
+      .unionByName(p.select(col("user_id"), lit("3_purchase").as("stage"), col("t_stage")))
+      .orderBy(col("user_id"), col("stage"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(stTumblingWindow, stSessionWindow, stHoppingWindow, stCdcUpsert,
       stRateLimit, stWindowedTopk, stFeedSilence, stStreamAnomaly,
-      stQuotaGate, stCusumDrift)
+      stQuotaGate, stCusumDrift, stFunnelSteps)
 }

@@ -823,6 +823,54 @@ object StreamingOps {
       }.toDF()
   }
 
+  case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
+  case class FunnelOut(user_id: Long, stage: String, t_stage: Long)
+
+  /** STREAMING FUNNEL STAGE LOG (streaming form of st_funnel_steps):
+    * per user, three longs of state — the reached stages' epoch
+    * seconds (-1 = unreached). The batch chain (min view; first
+    * click strictly after it within 24h; first purchase strictly
+    * after that within 24h) is prefix-foldable in event-time order:
+    * each stage time depends only on already-fixed earlier state, so
+    * folding the time-ordered stream reproduces it EXACTLY — the
+    * first qualifying event in time order IS the MIN the batch join
+    * computes, and an event in the same second as its gate fails the
+    * strict > in both forms. Each stage row is emitted exactly once
+    * (Append mode), the moment the stage is reached. Requires
+    * time-ordered feeding, like transitionStream / cusumStream;
+    * state is O(users) and never grows with events. */
+  def funnelSteps(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, evs, state) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+          evs.toSeq.sortBy(e => (tsToMicros(e.ts), e.event_id)).foreach { e =>
+            val sec = Math.floorDiv(tsToMicros(e.ts), 1000000L)
+            e.event_type match {
+              case "view" if s.tView < 0 =>
+                s = s.copy(tView = sec)
+                out += FunnelOut(uid, "1_view", sec)
+              case "click" if s.tView >= 0 && s.tClick < 0 &&
+                  sec > s.tView && sec <= s.tView + 86400 =>
+                s = s.copy(tClick = sec)
+                out += FunnelOut(uid, "2_click", sec)
+              case "purchase" if s.tClick >= 0 && s.tPurchase < 0 &&
+                  sec > s.tClick && sec <= s.tClick + 86400 =>
+                s = s.copy(tPurchase = sec)
+                out += FunnelOut(uid, "3_purchase", sec)
+              case _ => ()
+            }
+          }
+          state.update(s)
+          out.iterator
+      }.toDF()
+  }
+
   /** Merge-adjacent coalesce over session spans: sort by start, merge
     * any neighbor starting within the gap of the running span — the
     * batch session_window closure, applied incrementally. */

@@ -122,7 +122,11 @@ object Explain {
     // round-11: the image-now verb, failed-storage re-admission,
     // config introspection, and the distributed exact-NTILE rework
     "lake_save_namespace", "lake_restore_storage", "lake_server_defaults",
-    "st_cusum_drift")
+    "st_cusum_drift",
+    // round-11: the experiment readout, the boundary-leak score, the
+    // class-separability audit, and the funnel twin's batch truth
+    "q_ab_test", "g_knn_conductance", "s_centroid_separation",
+    "st_funnel_steps")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -787,6 +787,65 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(total > 100L, s"total modularity $total permille is not meaningfully positive")
   }
 
+  test("conductance: cut mass reconciles exactly with the modularity census") {
+    val rows = Similarity.gKnnConductance.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val mod = Similarity.gKnnModularity.fn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("intra_edges"), r.getAs[Long]("degree_mass"))).toMap
+    val m = rows.map(_.getAs[Long]("degree_mass")).sum / 2
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val (cut, dc) = (r.getAs[Long]("cut_edges"), r.getAs[Long]("degree_mass"))
+      // cut(S) = vol(S) - 2*intra(S): the same labeled-edge frame seen
+      // through both lenses must agree exactly
+      val (ec, dcMod) = mod(lang)
+      assert(dc == dcMod, s"$lang: degree mass disagrees with modularity")
+      assert(cut == dc - 2 * ec, s"$lang: cut != degree_mass - 2*intra")
+      val denom = math.min(dc, 2 * m - dc)
+      val expected = if (denom > 0) 1000L * cut / denom else 0L
+      assert(r.getAs[Long]("conductance_pm") == expected)
+      assert(cut >= 0 && r.getAs[Long]("conductance_pm") <= 1000L)
+    }
+    // a semantically clustered graph has at least one tight community
+    assert(rows.map(_.getAs[Long]("conductance_pm")).min < 500L,
+      "every community leaks more than half its volume")
+  }
+
+  test("centroid separation: a pair recomputes from driver micro-unit centroids") {
+    val rows = Similarity.sCentroidSeparation.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("label")).distinct().count()
+    assert(rows.length == labels * (labels - 1) / 2, "one row per ordered pair")
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("centroid_cos")) <= 1.0))
+    // driver recompute of the (0, 1) pair with the same 1e10 micro-unit
+    // discipline and the same left-fold dot
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("label", "embedding").collect()
+      .map(r => r.getAs[Int]("label").toLong ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+    def centroid(lbl: Long): Array[Double] = {
+      val vs = vecs.filter(_._1 == lbl).map(_._2)
+      val dim = vs.head.length
+      Array.tabulate(dim) { i =>
+        val micro = vs.map(v => java.math.BigDecimal.valueOf(v(i) * 1e10)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact).sum
+        micro.toDouble / (vs.length.toDouble * 1e10)
+      }
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val (c0, c1) = (centroid(0L), centroid(1L))
+    val want = dot(c0, c1) / (math.sqrt(dot(c0, c0)) * math.sqrt(dot(c1, c1)))
+    val got = rows.find(r => r.getAs[Long]("label_a") == 0L &&
+      r.getAs[Long]("label_b") == 1L).get.getAs[Double]("centroid_cos")
+    assert(got == want, s"pair (0,1): $got != driver $want")
+    val n0 = vecs.count(_._1 == 0L)
+    assert(rows.find(r => r.getAs[Long]("label_a") == 0L).get
+      .getAs[Long]("n_a") == n0)
+  }
+
   test("label propagation: board conserves seeds and hops actually propagate") {
     val rows = Similarity.gKnnLabelProp.fn(spark, sfDir).collect()
     assert(rows.nonEmpty)

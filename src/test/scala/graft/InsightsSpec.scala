@@ -31,6 +31,32 @@ class InsightsSpec extends SparkSpec {
     assert(rows("1_view") == viewers)
   }
 
+  test("ab test: arm sizes, conversions and the z2 flag recompute from events") {
+    val rows = Insights.qAbTest.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+    val na = ev.filter(col("user_id") % 2 === 0).select("user_id").distinct().count()
+    val nb = ev.filter(col("user_id") % 2 === 1).select("user_id").distinct().count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_ctrl") == na && r.getAs[Long]("n_treat") == nb,
+        "arm sizes are the global user split for every metric")
+      val (xa, xb) = (r.getAs[Long]("conv_ctrl"), r.getAs[Long]("conv_treat"))
+      assert(xa <= na && xb <= nb)
+      assert(r.getAs[Long]("rate_ctrl_pm") == 1000L * xa / na)
+      // the exact cross-multiplied pooled z-squared test, in BigInt
+      val (bna, bnb, bxa, bxb) = (BigInt(na), BigInt(nb), BigInt(xa), BigInt(xb))
+      val diff = bxa * bnb - bxb * bna
+      val lhs = diff * diff * (bna + bnb) * 10000
+      val rhs = BigInt(38416) * bna * bnb * (bxa + bxb) * (bna + bnb - bxa - bxb)
+      assert(r.getAs[Long]("significant") == (if (lhs > rhs) 1L else 0L))
+    }
+    // one conversion census recounts directly
+    val clicks = ev.filter(col("event_type") === "click" && col("user_id") % 2 === 0)
+      .select("user_id").distinct().count()
+    assert(rows.find(_.getAs[String]("event_type") == "click").get
+      .getAs[Long]("conv_ctrl") == clicks)
+  }
+
   test("cohort cells never exceed the cohort's size and offset 0 equals it") {
     val rows = Insights.qRetentionCohorts.fn(spark, sfDir).collect()
     val size = rows.filter(_.getAs[Long]("offset_day") == 0L)

@@ -557,6 +557,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming funnel stage log converges to the batch truth exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ordered = loadEvents().sortBy(e => (StreamingOps.tsToMicros(e.ts), e.event_id))
+    val want = graft.operators.Streaming.stFunnelSteps.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("stage"),
+        r.getAs[Long]("t_stage"))).toSet
+    assert(want.nonEmpty, "degenerate batch truth")
+    assert(want.exists(_._2 == "3_purchase"), "no user completes the funnel")
+    Seq(ordered.size, 900).zipWithIndex.foreach { case (chunkSize, qi) =>
+      val stream = MemoryStream[Ev]
+      val q = StreamingOps.funnelSteps(stream.toDF()).writeStream
+        .format("memory").queryName(s"funnel_sink_$qi").outputMode("append").start()
+      try {
+        ordered.grouped(chunkSize).foreach { chunk =>
+          stream.addData(chunk)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // append mode + emit-once state guard: plain set equality, and
+      // duplicate emissions would surface as a count mismatch
+      val rows = spark.table(s"funnel_sink_$qi").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("stage"),
+          r.getAs[Long]("t_stage")))
+      assert(rows.length == rows.toSet.size, s"chunk=$chunkSize emitted duplicates")
+      val got = rows.toSet
+      assert(got == want,
+        s"chunk=$chunkSize missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
+
   test("streaming rate limiter converges to the batch admission truth exactly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
