@@ -55,6 +55,36 @@ object Ranks {
   def onePart(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(hash(c), lit(1))
 
+  /** `ROW_NUMBER() OVER (PARTITION BY partCols ORDER BY orderCols)`
+    * as a `long` column `out` — the same distributed mechanism as
+    * [[ntileExact]] (range shuffle + broadcast slice offsets +
+    * partitioned local row_number) but returning the exact 1-based
+    * global rank itself, for consumers that need ranks rather than
+    * buckets (Spearman rank correlation, percentile positions).
+    * `orderCols` must end in a unique tiebreak for determinism. */
+  def rankExact(df: DataFrame, orderCols: Seq[String],
+      partCols: Seq[String] = Nil, out: String = "rank"): DataFrame = {
+    val keyCols = (partCols ++ orderCols).map(col)
+    val ranged = graft.ScopedCache(
+      df.repartitionByRange(keyCols: _*).withColumn(Pid, spark_partition_id()))
+    val grpPart =
+      if (partCols.isEmpty) Seq(onePart(col(Pid))) else partCols.map(col)
+    val wOff = Window.partitionBy(grpPart: _*).orderBy(col(Pid))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged
+      .groupBy((partCols :+ Pid).map(col): _*)
+      .agg(count(lit(1)).as("__graft_cnt"))
+      .withColumn("__graft_off",
+        coalesce(sum(col("__graft_cnt")).over(wOff), lit(0L)))
+      .drop("__graft_cnt")
+    val wLoc = Window.partitionBy((partCols :+ Pid).map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    ranged
+      .join(broadcast(offsets), (partCols :+ Pid).toSeq)
+      .withColumn(out, row_number().over(wLoc).cast("long") + col("__graft_off"))
+      .drop(Pid, "__graft_off")
+  }
+
   /** `NTILE(k) OVER (PARTITION BY partCols ORDER BY orderCols ASC)`
     * as an `int` column `out`, appended to `df`'s columns.
     * `orderCols` must end in a unique tiebreak for determinism. */

@@ -1011,10 +1011,82 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** AUTOCORRELATION FUNCTION — the series-memory diagnostic that
+    * picks the lag structure every downstream choice depends on
+    * (which seasonal-naive lag ts_forecast_naive should backtest,
+    * whether ts_seasonality's weekly profile is real or an artifact,
+    * how wide ts_anomaly's window must be before samples decorrelate):
+    * per event type, the ACF at lags 1..7 over the daily revenue
+    * series, as exact per-mille integers.
+    *
+    * Exactness: with n days, S = Σtot, the lag-k numerator is
+    * Σ (n·tot_t − S)(n·tot_{t+k} − S) over calendar-day pairs (both
+    * days present — honest on gappy series, the forecast-op rule) and
+    * the denominator Σ (n·tot_t − S)² — the mean-centered products
+    * scaled by n² so everything stays integral; DECIMAL(38,0) on the
+    * Spark side, HUGEINT in the oracle, per-mille by truncating
+    * division (both engines truncate toward zero — verified).
+    *
+    * Scale: the corpus pays ONE map-side-combined (type, day)
+    * aggregate; lag pairs are a self-join on the days×types-bounded
+    * frame emitting ≤7 rows per day, and the per-type (n, S, den)
+    * stats ride a types-bounded broadcast join. */
+  val tsAutocorr: GraftQuery = GraftQuery.sql(
+    "ts_autocorr",
+    """WITH v AS (SELECT event_type,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS dy,
+      |    CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |s AS (SELECT event_type, dy, SUM(c) AS tot FROM v GROUP BY 1, 2),
+      |st AS (SELECT event_type, COUNT(*) AS n, SUM(tot) AS sm,
+      |         CAST(COUNT(*) AS HUGEINT) * COUNT(*) * SUM(CAST(tot AS HUGEINT) * tot)
+      |           - CAST(COUNT(*) AS HUGEINT) * SUM(tot) * SUM(tot) AS den
+      |       FROM s GROUP BY event_type),
+      |p AS (SELECT a.event_type, b.dy - a.dy AS lag,
+      |        a.tot AS ta, b.tot AS tb
+      |      FROM s a JOIN s b ON b.event_type = a.event_type
+      |        AND b.dy - a.dy BETWEEN 1 AND 7)
+      |SELECT p.event_type AS event_type, p.lag, COUNT(*) AS n_pairs,
+      |  CAST(CASE WHEN st.den = 0 THEN 0
+      |    ELSE (1000 * SUM((CAST(st.n AS HUGEINT) * ta - st.sm)
+      |                   * (CAST(st.n AS HUGEINT) * tb - st.sm))) // st.den
+      |    END AS BIGINT) AS acf_pm
+      |FROM p JOIN st ON st.event_type = p.event_type
+      |GROUP BY p.event_type, p.lag, st.den
+      |ORDER BY p.event_type, p.lag""".stripMargin
+  ) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), expr("cast(ts as long) div 86400").as("dy"),
+        expr("cast(cast(value as decimal(15,2)) * 100 as bigint)").as("c"))
+      .groupBy(col("event_type"), col("dy")).agg(sum(col("c")).as("tot"))
+    val st = daily.groupBy(col("event_type").as("st_type"))
+      .agg(count(lit(1)).as("n"), sum(col("tot")).as("sm"),
+        sum(col("tot").cast("decimal(38,0)") * col("tot")).as("q"))
+      // Σ(n·t−S)² = n²·Σt² − n·S² expanded from the same partials, so
+      // the per-type stats stay ONE aggregate (no window pass)
+      .select(col("st_type"), col("n"), col("sm"),
+        (col("n").cast("decimal(38,0)") * col("n") * col("q")
+          - col("n").cast("decimal(38,0)") * col("sm") * col("sm")).as("den"))
+    val b = daily.select(col("event_type").as("bt"), col("dy").as("bdy"),
+      col("tot").as("tb"))
+    daily
+      .join(b, col("bt") === col("event_type")
+        && (col("bdy") - col("dy")).between(1, 7))
+      .join(broadcast(st), col("st_type") === col("event_type"))
+      .groupBy(col("event_type"), (col("bdy") - col("dy")).as("lag"), col("den"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("n").cast("decimal(38,0)") * col("tot") - col("sm"))
+          * (col("n").cast("decimal(38,0)") * col("tb") - col("sm"))).as("num"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        expr("""CAST(CASE WHEN den = 0 THEN 0
+          |ELSE (1000 * num) div den END AS BIGINT)""".stripMargin).as("acf_pm"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qBloomJoin, qMvIncremental, tsResample, dEditDistance,
     qParetoFrontier, stLatenessAudit, gPagerank, qWindowPercentile,
     tsAnomaly, tsBaselineAnomaly, tsSeasonality, tsChangepoint,
     qItemsetPairs, tsOutageGaps, qBenfordAudit, qItemsetLift,
-    qKAnonymity, qSeqPatterns, tsForecastNaive)
+    qKAnonymity, qSeqPatterns, tsForecastNaive, tsAutocorr)
 }

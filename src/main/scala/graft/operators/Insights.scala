@@ -797,9 +797,76 @@ object Insights {
       .orderBy(col("event_type"))
   }
 
+  /** SPEARMAN RANK CORRELATION — the monotone-association screen
+    * between two per-entity metrics (does spending MORE go with
+    * ordering MORE OFTEN?), run per market so segments are
+    * comparable. Pearson on raw money is outlier-dominated and its
+    * exact form needs a square root (float, parity-hostile); Spearman
+    * on ranks is the robust form AND exactly rational:
+    * ρ = 1 − 6·Σd²/(n³−n) with d the rank difference — pure integer
+    * arithmetic once ranks are deterministic, so both engines agree
+    * to the per-mille digit. Ties broken by custkey on BOTH rank
+    * orders (the cross-engine determinism rule).
+    *
+    * Scale: per-customer aggregate (one shuffle), then TWO
+    * `Ranks.rankExact` passes — range shuffle + broadcast slice
+    * offsets + PARTITIONED local row_number, the distributed exact
+    * ranking mechanism, never a per-nation single-task sort — and a
+    * nation-bounded final aggregate + broadcast name join.
+    * DECIMAL(38,0)/HUGEINT for n³ (a 10⁹-customer nation overflows
+    * int64 at n³ ~ 10²⁷). */
+  val qRankCorr: GraftQuery = GraftQuery.sql(
+    "q_rank_corr",
+    """WITH cs AS (SELECT c_custkey, c_nationkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT) AS spend,
+      |    COUNT(*) AS n_orders
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |rk AS (SELECT c_nationkey,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |      ORDER BY spend, c_custkey) AS rs,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |      ORDER BY n_orders, c_custkey) AS rc
+      |  FROM cs),
+      |ag AS (SELECT c_nationkey, COUNT(*) AS n,
+      |    SUM(CAST(rs - rc AS HUGEINT) * (rs - rc)) AS sd2
+      |  FROM rk GROUP BY 1)
+      |SELECT n_name, CAST(n AS BIGINT) AS n_cust,
+      |  CAST(sd2 AS BIGINT) AS sum_d2,
+      |  CAST(CASE WHEN CAST(n AS HUGEINT) * n * n - n = 0 THEN 1000
+      |    ELSE (1000 * (CAST(n AS HUGEINT) * n * n - n - 6 * sd2))
+      |         // (CAST(n AS HUGEINT) * n * n - n) END AS BIGINT) AS rho_pm
+      |FROM ag JOIN nation ON n_nationkey = c_nationkey
+      |ORDER BY n_name""".stripMargin
+  ) { (s, d) =>
+    val cs = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_nationkey"))
+      .agg(expr("cast(sum(cast(o_totalprice as decimal(15,2)) * 100) as bigint)")
+        .as("spend"), count(lit(1)).as("n_orders"))
+    val ranked = graft.functions.Ranks.rankExact(
+      graft.functions.Ranks.rankExact(cs,
+        Seq("spend", "c_custkey"), Seq("c_nationkey"), out = "rs"),
+      Seq("n_orders", "c_custkey"), Seq("c_nationkey"), out = "rc")
+    ranked.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("rs") - col("rc")).cast("decimal(38,0)")
+          * (col("rs") - col("rc"))).as("sd2"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("n_nationkey") === col("c_nationkey"))
+      .select(col("n_name"), col("n").as("n_cust"),
+        col("sd2").cast("long").as("sum_d2"),
+        expr(
+          """CAST(CASE WHEN cast(n as decimal(38,0)) * n * n - n = 0 THEN 1000
+            |ELSE (1000 * (cast(n as decimal(38,0)) * n * n - n - 6 * sd2))
+            |     div (cast(n as decimal(38,0)) * n * n - n) END AS BIGINT)
+            |""".stripMargin).as("rho_pm"))
+      .orderBy(col("n_name"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     lakeSnapshotDiff, qFunnel, qRetentionCohorts, qEventTransitions,
     tVocabCoverage, qScd2, qGapsIslands, qSessionize, qCumulativeDistinct,
     qTopPaths, qCohortLtv, qRollingActive, qDecileMigration, qTimeToConvert,
-    qRevenueConcentration, qAbTest)
+    qRevenueConcentration, qAbTest, qRankCorr)
 }

@@ -2577,6 +2577,54 @@ object Similarity {
       .orderBy(col("label_a"), col("label_b"))
   }
 
+  /** EDGE RECIPROCITY CENSUS — the evidence-quality summary of the
+    * k-NN graph itself (every mutual-kNN consumer — triangles,
+    * components, MST, label-prop — silently conditions on edges being
+    * RECIPROCATED; this measures how much of the directed top-k
+    * evidence survives that filter, per cell: low reciprocity = the
+    * cell's neighborhoods are asymmetric hub-and-spoke structure and
+    * mutual-gated dedup is conservative there, high = dense clique
+    * mass): per cell, nodes with out-edges, directed edge count,
+    * mutual pair count, and reciprocity 2·|mutual|/|directed| in
+    * per-mille.
+    *
+    * Scale: both inputs are the family memos (directed top-k, mutual
+    * pairs) — this op adds only two cell-grain map-side-combined
+    * aggregates and a cell-bounded left join; edges are cell-local
+    * by construction so nothing crosses cells. */
+  val gKnnReciprocity: GraftQuery = GraftQuery.sql(
+    "g_knn_reciprocity",
+    s"""WITH $corpusSql,
+       |$knnCtesSql,
+       |dir AS (SELECT cid, COUNT(*) AS n_directed,
+       |          COUNT(DISTINCT src) AS n_nodes
+       |        FROM knn GROUP BY 1),
+       |me AS (SELECT MAX(cid) AS cid FROM knn
+       |       GROUP BY LEAST(src, dst), GREATEST(src, dst)
+       |       HAVING COUNT(*) = 2),
+       |mu AS (SELECT cid, COUNT(*) AS n_mutual FROM me GROUP BY 1)
+       |SELECT CAST(dir.cid AS BIGINT) AS cid,
+       |  CAST(n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(n_directed AS BIGINT) AS n_directed,
+       |  CAST(COALESCE(n_mutual, 0) AS BIGINT) AS n_mutual,
+       |  CAST((2000 * COALESCE(n_mutual, 0)) // n_directed AS BIGINT) AS recip_pm
+       |FROM dir LEFT JOIN mu ON mu.cid = dir.cid
+       |ORDER BY cid""".stripMargin
+  ) { (s, d) =>
+    val dir = knnDirectedMemo(s, d).groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_directed"),
+        countDistinct(col("src")).as("n_nodes"))
+    val mu = knnMutual(s, d).filter(col("n_dir") === 2)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_mutual"))
+    dir.join(mu.select(col("cid").as("mcid"), col("n_mutual")),
+        col("mcid") === col("cid"), "left")
+      .select(col("cid").cast("long").as("cid"), col("n_nodes"),
+        col("n_directed"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"),
+        expr("(2000 * coalesce(n_mutual, 0L)) div n_directed").as("recip_pm"))
+      .orderBy(col("cid"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnIvfPartitioned,
       sAnnPq, sAnnRerank, sHybridRrf, sAnnRecall, sAnnFiltered,
@@ -2585,5 +2633,5 @@ object Similarity {
       gKnnClusteringCoeff, sMmrRerank, gKnnLabelProp, sAnnGraph,
       gKnnModularity, gKnnConductance, gKnnJaccardEdges, gKnnKcore,
       sAnnNnDescent, gKnnMst, gKnnClusterCut, gKnnAssortativity,
-      sCentroidSeparation)
+      sCentroidSeparation, gKnnReciprocity)
 }

@@ -1086,10 +1086,81 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** LENGTH-OUTLIER SCREEN — the distributional sanity check a
+    * corpus operator runs per (source, lang) slice before trusting
+    * length-based quality rules (t_quality_score, t_gopher_filter
+    * gate on ABSOLUTE length; this asks whether a slice contains
+    * docs wildly atypical FOR THAT SLICE — truncation artifacts,
+    * concatenation blowups, wrong-shard contamination): per slice,
+    * the single most length-deviant document with exact σ-threshold
+    * flags. Reported per GROUP (not filter-to-outliers) so the table
+    * is always slice-complete — the degenerate-rows rule: at small
+    * SFs no doc clears 2σ and a filtering form would emit nothing;
+    * the flags carry the semantics.
+    *
+    * Exactness: the z² tests are cross-multiplied integers — doc
+    * deviates kσ iff (n·len − S)² > k²·(n·Q − S²) with S = Σlen,
+    * Q = Σlen² (DECIMAL(38,0) / HUGEINT; bare int64 overflows n·Q
+    * at ~10⁹ chars per slice). Most-deviant pick is deterministic:
+    * max |n·len − S|, tiebreak doc_id.
+    *
+    * Scale: one map-side-combined (source, lang) stats aggregate
+    * broadcast back onto the corpus, then a PARTITIONED top-1 window
+    * per slice (WindowGroupLimit prunes to one row per partition
+    * before the sort completes). No global structure. */
+  val tLengthOutlier: GraftQuery = GraftQuery.sql(
+    "t_length_outlier",
+    """WITH st AS (SELECT source, lang, COUNT(*) AS n,
+      |    SUM(n_chars) AS s, SUM(CAST(n_chars AS HUGEINT) * n_chars) AS q
+      |  FROM documents GROUP BY 1, 2),
+      |dv AS (SELECT d.doc_id, d.source, d.lang, d.n_chars, st.n, st.s, st.q,
+      |    CAST(st.n AS HUGEINT) * d.n_chars - st.s AS dev,
+      |    ROW_NUMBER() OVER (PARTITION BY d.source, d.lang
+      |      ORDER BY ABS(CAST(st.n AS HUGEINT) * d.n_chars - st.s) DESC,
+      |               d.doc_id) AS rk
+      |  FROM documents d JOIN st ON st.source = d.source AND st.lang = d.lang)
+      |SELECT source, lang, CAST(n AS BIGINT) AS n_docs,
+      |  CAST(s // n AS BIGINT) AS mean_chars, doc_id, n_chars,
+      |  CASE WHEN dev >= 0 THEN 'long' ELSE 'short' END AS dev_side,
+      |  CASE WHEN dev * dev > 4 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+      |    THEN 1 ELSE 0 END AS over_2s,
+      |  CASE WHEN dev * dev > 9 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+      |    THEN 1 ELSE 0 END AS over_3s
+      |FROM dv WHERE rk = 1 ORDER BY source, lang""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val st = docs.groupBy(col("source").as("g_src"), col("lang").as("g_lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"),
+        sum(col("n_chars").cast("decimal(38,0)") * col("n_chars")).as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("lang"))
+      .orderBy(abs(col("dev")).desc, col("doc_id"))
+    docs.join(broadcast(st),
+        col("g_src") === col("source") && col("g_lang") === col("lang"))
+      .withColumn("dev",
+        col("n").cast("decimal(38,0)") * col("n_chars") - col("s"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang"), col("n").as("n_docs"),
+        expr("s div n").cast("long").as("mean_chars"),
+        col("doc_id"), col("n_chars"),
+        when(col("dev") >= 0, "long").otherwise("short").as("dev_side"),
+        when(col("dev") * col("dev")
+          > lit(4) * (col("n").cast("decimal(38,0)") * col("q")
+            - col("s").cast("decimal(38,0)") * col("s")), 1L)
+          .otherwise(0L).as("over_2s"),
+        when(col("dev") * col("dev")
+          > lit(9) * (col("n").cast("decimal(38,0)") * col("q")
+            - col("s").cast("decimal(38,0)") * col("s")), 1L)
+          .otherwise(0L).as("over_3s"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tTokenCount, tQualityScore, tLangId, tFingerprint, tNgramFreq,
       tFluencyScore, tLangGini, tPiiScrub, tLangRebalance,
       tRepetitionFilter, tC4Filter, tStratifiedSample, tSeqPack,
       tBpePairs, tShuffleShard, tDatasetCard, tGopherFilter, tZipfReport,
-      tKeywordLift, tLexicalDiversity, tBoilerplateNgrams, tBigramNovelty)
+      tKeywordLift, tLexicalDiversity, tBoilerplateNgrams, tBigramNovelty,
+      tLengthOutlier)
 }

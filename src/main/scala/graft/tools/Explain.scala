@@ -126,7 +126,11 @@ object Explain {
     // round-11: the experiment readout, the boundary-leak score, the
     // class-separability audit, and the funnel twin's batch truth
     "q_ab_test", "g_knn_conductance", "s_centroid_separation",
-    "st_funnel_steps")
+    "st_funnel_steps",
+    // round-11: the lag-structure diagnostic, the rank-correlation
+    // screen, the per-slice length audit, and the reciprocity census
+    "ts_autocorr", "q_rank_corr", "t_length_outlier",
+    "g_knn_reciprocity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1048,4 +1048,22 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("core_edges") <= r.getAs[Long]("n_mutual_edges"))
     }
   }
+
+  test("reciprocity: per-cell census reconciles with the symmetric edge frame") {
+    val rows = Similarity.gKnnReciprocity.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val sym = Similarity.sKnnGraph.fn(spark, sfDir).collect()
+    val totalDirected = sym.map(_.getAs[Long]("n_dir")).sum
+    val totalMutual = sym.count(_.getAs[Long]("mutual") == 1L).toLong
+    assert(rows.map(_.getAs[Long]("n_directed")).sum == totalDirected)
+    assert(rows.map(_.getAs[Long]("n_mutual")).sum == totalMutual)
+    rows.foreach { r =>
+      val (d, m) = (r.getAs[Long]("n_directed"), r.getAs[Long]("n_mutual"))
+      assert(2 * m <= d, "each mutual pair consumes two directed edges")
+      assert(d <= r.getAs[Long]("n_nodes") * Similarity.KnnK,
+        "a node emits at most K directed edges")
+      assert(r.getAs[Long]("recip_pm") == 2000L * m / d)
+      assert(r.getAs[Long]("recip_pm") <= 1000L)
+    }
+  }
 }

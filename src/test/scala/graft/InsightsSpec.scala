@@ -297,4 +297,37 @@ class InsightsSpec extends SparkSpec {
       assert(r.getAs[Long]("p50_secs") <= r.getAs[Long]("p90_secs"))
     }
   }
+
+  test("rank correlation: Spearman rho recomputes from driver-side ranks") {
+    val rows = Insights.qRankCorr.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val cust = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_nationkey"))
+      .agg(expr("cast(sum(cast(o_totalprice as decimal(15,2)) * 100) as bigint)")
+        .as("spend"), count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getAs[Int]("c_nationkey").toLong, r.getAs[Long]("c_custkey"),
+        r.getAs[Long]("spend"), r.getAs[Long]("cnt")))
+    val names = Tables.nation(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("n_nationkey").toLong -> r.getAs[String]("n_name")).toMap
+    val byNation = cust.groupBy(_._1)
+    rows.foreach { r =>
+      val nk = names.collectFirst {
+        case (k, v) if v == r.getAs[String]("n_name") => k }.get
+      val g = byNation(nk)
+      val rs = g.sortBy(c => (c._3, c._2)).zipWithIndex
+        .map { case (c, i) => c._2 -> (i + 1L) }.toMap
+      val rc = g.sortBy(c => (c._4, c._2)).zipWithIndex
+        .map { case (c, i) => c._2 -> (i + 1L) }.toMap
+      val sd2 = g.map(c => { val d = BigInt(rs(c._2) - rc(c._2)); d * d }).sum
+      val n = BigInt(g.length)
+      val m = n * n * n - n
+      val expect = if (m == 0) BigInt(1000) else (1000 * (m - 6 * sd2)) / m
+      assert(r.getAs[Long]("n_cust") == g.length.toLong)
+      assert(r.getAs[Long]("sum_d2") == sd2.toLong)
+      assert(r.getAs[Long]("rho_pm") == expect.toLong)
+      assert(math.abs(r.getAs[Long]("rho_pm")) <= 1000L)
+    }
+  }
 }

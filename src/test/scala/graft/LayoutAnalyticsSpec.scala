@@ -490,6 +490,33 @@ class LayoutAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("autocorrelation: per-mille ACF recomputes from the driver-side daily series") {
+    val rows = Analytics.tsAutocorr.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("cast(ts as long) div 86400"),
+        expr("cast(cast(value as decimal(15,2)) * 100 as bigint)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toMap
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val k = r.getAs[Long]("lag")
+      assert(k >= 1 && k <= 7)
+      val series = daily.collect { case ((tt, d), v) if tt == t => d -> v }.toMap
+      val n = BigInt(series.size)
+      val s = series.values.map(BigInt(_)).sum
+      val den = series.values.map(v => { val c = n * v - s; c * c }).sum
+      val pairs = series.keys.filter(d => series.contains(d + k)).toSeq
+      val num = pairs.map(d => (n * series(d) - s) * (n * series(d + k) - s)).sum
+      assert(r.getAs[Long]("n_pairs") == pairs.length.toLong)
+      val expect = if (den == 0) BigInt(0) else (1000 * num) / den
+      assert(r.getAs[Long]("acf_pm") == expect.toLong)
+    }
+    // lag-0 sanity by construction: den is the lag-0 numerator, so every
+    // reported |acf| is bounded by 1000 up to pair truncation
+    assert(rows.map(r => math.abs(r.getAs[Long]("acf_pm"))).max <= 1100L)
+  }
+
   test("benford audit: digit census recounts and deviations use the published constants") {
     val rows = Analytics.qBenfordAudit.fn(spark, sfDir).collect()
     val benford = Map(1 -> 301L, 2 -> 176L, 3 -> 125L, 4 -> 97L, 5 -> 79L,

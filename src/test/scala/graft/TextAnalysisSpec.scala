@@ -321,4 +321,34 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(anyUnique, "corpus should contain some doc-unique bigrams")
   }
+
+  test("length outlier: per-slice argmax and sigma flags recompute from n_chars") {
+    val rows = TextAnalysis.tLengthOutlier.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "lang", "n_chars").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("lang"), r.getAs[Long]("n_chars")))
+    val groups = docs.groupBy(d => (d._2, d._3))
+    assert(rows.length == groups.size, "one row per (source, lang) slice")
+    rows.foreach { r =>
+      val g = groups((r.getAs[String]("source"), r.getAs[String]("lang")))
+      val n = BigInt(g.length)
+      val s = g.map(d => BigInt(d._4)).sum
+      val q = g.map(d => BigInt(d._4) * d._4).sum
+      // deterministic argmax: max |n*len - S|, tiebreak doc_id
+      val top = g.minBy(d => (-(n * d._4 - s).abs, d._1))
+      val dev = n * top._4 - s
+      assert(r.getAs[Long]("doc_id") == top._1)
+      assert(r.getAs[Long]("n_docs") == g.length.toLong)
+      assert(r.getAs[Long]("mean_chars") == (s / n).toLong)
+      assert(r.getAs[Long]("n_chars") == top._4)
+      assert(r.getAs[String]("dev_side") == (if (dev >= 0) "long" else "short"))
+      val spread = n * q - s * s
+      assert(r.getAs[Long]("over_2s") == (if (dev * dev > 4 * spread) 1L else 0L))
+      assert(r.getAs[Long]("over_3s") == (if (dev * dev > 9 * spread) 1L else 0L))
+      // the 3-sigma flag implies the 2-sigma flag
+      assert(r.getAs[Long]("over_3s") <= r.getAs[Long]("over_2s"))
+    }
+  }
 }
