@@ -1083,10 +1083,88 @@ object Analytics {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** LEAD–LAG CONCORDANCE — the cross-series timing diagnostic
+    * (does type A's daily movement LEAD type B's by k days? the
+    * question behind attribution windows, inventory lead times and
+    * which signal is a usable early-warning for which): for every
+    * ordered type pair (a ≠ b) and lag 0..7, the per-mille rate at
+    * which a's mean-deviation sign on day d agrees with b's on day
+    * d+k. Sign concordance instead of Pearson/beta because it is
+    * EXACTLY rational (a lagged correlation needs √(denA·denB) —
+    * float, parity-hostile — and its cross-multiplied square
+    * overflows DECIMAL(38,0) at realistic day counts), robust to
+    * outlier days, and directly readable as an agreement rate.
+    * Deviation signs are exact: sign(n·tot − S) per type, ties
+    * (exactly-at-mean days) agree only with ties.
+    *
+    * Scale: the SAME one (type, day) map-side aggregate as the
+    * autocorr/forecast family, one ≤8-rows-per-day self-join on the
+    * days×types-bounded frame, per-type stats broadcast — nothing
+    * corpus-proportional after the first aggregate. */
+  val tsLeadLag: GraftQuery = GraftQuery.sql(
+    "ts_lead_lag",
+    """WITH v AS (SELECT event_type,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS dy,
+      |    CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |s AS (SELECT event_type, dy, SUM(c) AS tot FROM v GROUP BY 1, 2),
+      |st AS (SELECT event_type, COUNT(*) AS n, SUM(tot) AS sm
+      |       FROM s GROUP BY 1),
+      |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |        b.dy - a.dy AS lag,
+      |        CASE WHEN CAST(sa.n AS HUGEINT) * a.tot - sa.sm > 0 THEN 1
+      |             WHEN CAST(sa.n AS HUGEINT) * a.tot - sa.sm < 0 THEN -1
+      |             ELSE 0 END AS da,
+      |        CASE WHEN CAST(sb.n AS HUGEINT) * b.tot - sb.sm > 0 THEN 1
+      |             WHEN CAST(sb.n AS HUGEINT) * b.tot - sb.sm < 0 THEN -1
+      |             ELSE 0 END AS db
+      |      FROM s a JOIN s b ON a.event_type <> b.event_type
+      |        AND b.dy - a.dy BETWEEN 0 AND 7
+      |      JOIN st sa ON sa.event_type = a.event_type
+      |      JOIN st sb ON sb.event_type = b.event_type)
+      |SELECT type_a, type_b, lag, COUNT(*) AS n_pairs,
+      |  CAST((1000 * SUM(CASE WHEN da = db THEN 1 ELSE 0 END))
+      |       // COUNT(*) AS BIGINT) AS agree_pm
+      |FROM p GROUP BY 1, 2, 3
+      |ORDER BY type_a, type_b, lag""".stripMargin
+  ) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), expr("cast(ts as long) div 86400").as("dy"),
+        expr("cast(cast(value as decimal(15,2)) * 100 as bigint)").as("c"))
+      .groupBy(col("event_type"), col("dy")).agg(sum(col("c")).as("tot"))
+    val st = daily.groupBy(col("event_type").as("st_type"))
+      .agg(count(lit(1)).as("n"), sum(col("tot")).as("sm"))
+    def sgn(n: org.apache.spark.sql.Column, tot: org.apache.spark.sql.Column,
+        sm: org.apache.spark.sql.Column) = {
+      val dev = n.cast("decimal(38,0)") * tot - sm
+      when(dev > 0, 1).when(dev < 0, -1).otherwise(0)
+    }
+    val a = daily
+      .join(broadcast(st), col("st_type") === col("event_type"))
+      .select(col("event_type").as("type_a"), col("dy"),
+        sgn(col("n"), col("tot"), col("sm")).as("da"))
+    val b = daily
+      .join(broadcast(st), col("st_type") === col("event_type"))
+      .select(col("event_type").as("type_b"), col("dy").as("bdy"),
+        sgn(col("n"), col("tot"), col("sm")).as("db"))
+    // equi-join on the lagged day (lag axis exploded on the a side):
+    // a hash join with a residual type filter, not a nested-loop scan
+    a.withColumn("lag", explode(lit((0 to 7).toArray)))
+      .join(b, col("bdy") === col("dy") + col("lag")
+        && col("type_a") =!= col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("da") === col("db"), 1L).otherwise(0L)).as("agree"))
+      .select(col("type_a"), col("type_b"), col("lag").cast("long").as("lag"),
+        col("n_pairs"),
+        expr("(1000 * agree) div n_pairs").as("agree_pm"))
+      .orderBy(col("type_a"), col("type_b"), col("lag"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qBloomJoin, qMvIncremental, tsResample, dEditDistance,
     qParetoFrontier, stLatenessAudit, gPagerank, qWindowPercentile,
     tsAnomaly, tsBaselineAnomaly, tsSeasonality, tsChangepoint,
     qItemsetPairs, tsOutageGaps, qBenfordAudit, qItemsetLift,
-    qKAnonymity, qSeqPatterns, tsForecastNaive, tsAutocorr)
+    qKAnonymity, qSeqPatterns, tsForecastNaive, tsAutocorr, tsLeadLag)
 }

@@ -369,8 +369,106 @@ object RelationalMore {
       .orderBy(col("event_type"))
   }
 
+  /** REFERENTIAL-INTEGRITY AUDIT — the foreign-key orphan board (the
+    * first data-quality gate after any ingest/backfill/merge: a child
+    * row whose FK resolves to no parent silently vanishes from every
+    * inner join downstream, so revenue "disappears" without an error
+    * anywhere; this measures that loss per relation before it bites):
+    * for each declared FK relation, child rows, distinct child keys,
+    * orphaned rows (no matching parent), orphan per-mille.
+    *
+    * Scale: per relation ONE left join child→distinct-parent-keys
+    * with a count-null aggregate (map-side combinable after the
+    * join); small parents (nation, region) broadcast, big parents
+    * (orders at 1.5B rows) hash-join at full width — the exact plan
+    * a production FK audit runs. The board is relations-bounded. */
+  val qFkIntegrity: GraftQuery = GraftQuery.sql(
+    "q_fk_integrity",
+    """SELECT * FROM (
+      |  SELECT 'orders.custkey->customer' AS relation,
+      |    COUNT(*) AS n_child, COUNT(DISTINCT o_custkey) AS n_keys,
+      |    CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+      |    CAST((1000 * SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END))
+      |         // COUNT(*) AS BIGINT) AS orphan_pm
+      |  FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer)
+      |    ON o_custkey = c_custkey
+      |  UNION ALL
+      |  SELECT 'lineitem.orderkey->orders', COUNT(*),
+      |    COUNT(DISTINCT l_orderkey),
+      |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST((1000 * SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END))
+      |         // COUNT(*) AS BIGINT)
+      |  FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders)
+      |    ON l_orderkey = o_orderkey
+      |  UNION ALL
+      |  SELECT 'lineitem.partkey->part', COUNT(*), COUNT(DISTINCT l_partkey),
+      |    CAST(SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST((1000 * SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END))
+      |         // COUNT(*) AS BIGINT)
+      |  FROM lineitem LEFT JOIN (SELECT DISTINCT p_partkey FROM part)
+      |    ON l_partkey = p_partkey
+      |  UNION ALL
+      |  SELECT 'lineitem.suppkey->supplier', COUNT(*), COUNT(DISTINCT l_suppkey),
+      |    CAST(SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST((1000 * SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END))
+      |         // COUNT(*) AS BIGINT)
+      |  FROM lineitem LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier)
+      |    ON l_suppkey = s_suppkey
+      |  UNION ALL
+      |  SELECT 'customer.nationkey->nation', COUNT(*), COUNT(DISTINCT c_nationkey),
+      |    CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST((1000 * SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END))
+      |         // COUNT(*) AS BIGINT)
+      |  FROM customer LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation)
+      |    ON c_nationkey = n_nationkey
+      |  UNION ALL
+      |  SELECT 'supplier.nationkey->nation', COUNT(*), COUNT(DISTINCT s_nationkey),
+      |    CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST((1000 * SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END))
+      |         // COUNT(*) AS BIGINT)
+      |  FROM supplier LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation)
+      |    ON s_nationkey = n_nationkey
+      |  UNION ALL
+      |  SELECT 'nation.regionkey->region', COUNT(*), COUNT(DISTINCT n_regionkey),
+      |    CAST(SUM(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST((1000 * SUM(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END))
+      |         // COUNT(*) AS BIGINT)
+      |  FROM nation LEFT JOIN (SELECT DISTINCT r_regionkey FROM region)
+      |    ON n_regionkey = r_regionkey
+      |) ORDER BY relation""".stripMargin
+  ) { (s, d) =>
+    def audit(rel: String, child: org.apache.spark.sql.DataFrame, ck: String,
+        parent: org.apache.spark.sql.DataFrame, pk: String,
+        small: Boolean): org.apache.spark.sql.DataFrame = {
+      val p0 = parent.select(col(pk)).distinct()
+      val p = if (small) broadcast(p0) else p0
+      child.join(p, col(ck) === col(pk), "left")
+        .agg(count(lit(1)).as("n_child"),
+          countDistinct(col(ck)).as("n_keys"),
+          sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(rel).as("relation"), col("n_child"), col("n_keys"),
+          col("n_orphans"),
+          expr("(1000 * n_orphans) div n_child").as("orphan_pm"))
+    }
+    audit("orders.custkey->customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey", small = false)
+      .unionAll(audit("lineitem.orderkey->orders", Tables.lineitem(s, d),
+        "l_orderkey", Tables.orders(s, d), "o_orderkey", small = false))
+      .unionAll(audit("lineitem.partkey->part", Tables.lineitem(s, d),
+        "l_partkey", Tables.part(s, d), "p_partkey", small = false))
+      .unionAll(audit("lineitem.suppkey->supplier", Tables.lineitem(s, d),
+        "l_suppkey", Tables.supplier(s, d), "s_suppkey", small = true))
+      .unionAll(audit("customer.nationkey->nation", Tables.customer(s, d),
+        "c_nationkey", Tables.nation(s, d), "n_nationkey", small = true))
+      .unionAll(audit("supplier.nationkey->nation", Tables.supplier(s, d),
+        "s_nationkey", Tables.nation(s, d), "n_nationkey", small = true))
+      .unionAll(audit("nation.regionkey->region", Tables.nation(s, d),
+        "n_regionkey", Tables.region(s, d), "r_regionkey", small = true))
+      .orderBy(col("relation"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q12PriorityLines, q14PromoRevenue, q18LargeOrders, qCorrelatedMin,
     lakeLs, stStreamDedup, qJsonExtract, qPercentiles, qApproxPercentile,
-    qWindowRange, qCollectAgg, lakeRoundtripText, qSample)
+    qWindowRange, qCollectAgg, lakeRoundtripText, qSample, qFkIntegrity)
 }

@@ -489,8 +489,79 @@ object Streaming {
       .orderBy(col("user_id"), col("stage"))
   }
 
+  /** STREAMING SESSIONIZER — q_sessionize's event-level operational
+    * form and the ELEVENTH batch/stream twin (st_session_window is
+    * the windowed-AGGREGATE session view; this is the per-closed-
+    * session emission feed — the row a realtime engagement pipeline,
+    * session-replay index or churn trigger consumes the moment a
+    * session ENDS): one row per CLOSED session (a session is closed
+    * when a later event of the same user arrives beyond the 30-min
+    * gap; each user's final session is still open and is emitted by
+    * NEITHER side — the exact-convergence contract) with its index,
+    * event count, start and duration.
+    *
+    * The gap recursion is prefix-foldable in event-time order (state
+    * = current open span only), which is what makes the twin exact:
+    * streaming form `StreamingOps.sessionize`, flatMapGroupsWithState
+    * with FOUR longs per user (O(users) state, append mode), emits
+    * each closed session exactly once; spec asserts EXACT set
+    * convergence + no duplicate emissions at two chunkings.
+    *
+    * Batch truth below = the q_sessionize lag/cumsum construction
+    * minus each user's last session; one user-partitioned window
+    * chain over one events shuffle. */
+  val stSessionize: GraftQuery = GraftQuery.sql(
+    "st_sessionize",
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id,
+       |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec
+       |  FROM events),
+       |mk AS (
+       |  SELECT user_id, event_id, ts_sec,
+       |    CASE WHEN ts_sec - LAG(ts_sec) OVER w > ${graft.operators.Insights.SessionGapSec}
+       |           OR LAG(ts_sec) OVER w IS NULL
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+       |ss AS (
+       |  SELECT user_id, ts_sec,
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+       |                     ROWS UNBOUNDED PRECEDING) AS session_idx
+       |  FROM mk),
+       |g AS (
+       |  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       |    COUNT(*) AS n_events, MIN(ts_sec) AS start_sec,
+       |    MAX(ts_sec) - MIN(ts_sec) AS duration_sec
+       |  FROM ss GROUP BY user_id, session_idx)
+       |SELECT user_id, session_idx, n_events, start_sec, duration_sec
+       |FROM g
+       |WHERE session_idx < (SELECT MAX(session_idx) FROM g g2
+       |                     WHERE g2.user_id = g.user_id)
+       |ORDER BY user_id, session_idx""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("ts_sec"))
+      .withColumn("new_s",
+        when(col("ts_sec") - lag(col("ts_sec"), 1).over(w)
+          > graft.operators.Insights.SessionGapSec ||
+          lag(col("ts_sec"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_s")).over(run))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_sec")).as("start_sec"),
+        (max(col("ts_sec")) - min(col("ts_sec"))).as("duration_sec"))
+    val wu = Window.partitionBy(col("user_id"))
+    g.withColumn("mx", max(col("session_idx")).over(wu))
+      .filter(col("session_idx") < col("mx"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("start_sec"), col("duration_sec"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(stTumblingWindow, stSessionWindow, stHoppingWindow, stCdcUpsert,
       stRateLimit, stWindowedTopk, stFeedSilence, stStreamAnomaly,
-      stQuotaGate, stCusumDrift, stFunnelSteps)
+      stQuotaGate, stCusumDrift, stFunnelSteps, stSessionize)
 }

@@ -871,6 +871,50 @@ object StreamingOps {
       }.toDF()
   }
 
+  case class SessCloseState(start: Long, last: Long, n: Long, idx: Long)
+  case class SessClosedOut(user_id: Long, session_idx: Long, n_events: Long,
+    start_sec: Long, duration_sec: Long)
+
+  /** STREAMING SESSIONIZER (streaming form of st_sessionize): per
+    * user FOUR longs of state — the open session's start, last-seen
+    * second, event count and 1-based index. The 30-min-gap recursion
+    * is prefix-foldable in event-time order (a session's membership
+    * depends only on the previous event's time), so folding the
+    * time-ordered stream reproduces the batch lag/cumsum construction
+    * EXACTLY: an arrival within the gap extends the open span; an
+    * arrival beyond it EMITS the closed session (exactly once, Append
+    * mode — the moment it is provably over) and opens the next. Each
+    * user's final session stays open and is emitted by NEITHER side —
+    * the exact-convergence contract with the batch truth. Requires
+    * time-ordered feeding, like transitionStream / funnelSteps;
+    * state is O(users) and never grows with events. */
+  def sessionize(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapSec = graft.operators.Insights.SessionGapSec
+    events.as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessCloseState, SessClosedOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, evs, state) =>
+          var s = state.getOption.getOrElse(SessCloseState(-1L, -1L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessClosedOut]
+          evs.toSeq.sortBy(e => (tsToMicros(e.ts), e.event_id)).foreach { e =>
+            val sec = Math.floorDiv(tsToMicros(e.ts), 1000000L)
+            if (s.n == 0L)
+              s = SessCloseState(sec, sec, 1L, 1L)
+            else if (sec - s.last <= gapSec)
+              s = s.copy(last = math.max(s.last, sec), n = s.n + 1)
+            else {
+              out += SessClosedOut(uid, s.idx, s.n, s.start, s.last - s.start)
+              s = SessCloseState(sec, sec, 1L, s.idx + 1)
+            }
+          }
+          state.update(s)
+          out.iterator
+      }.toDF()
+  }
+
   /** Merge-adjacent coalesce over session spans: sort by start, merge
     * any neighbor starting within the gap of the running span — the
     * batch session_window closure, applied incrementally. */

@@ -130,7 +130,10 @@ object Explain {
     // round-11: the lag-structure diagnostic, the rank-correlation
     // screen, the per-slice length audit, and the reciprocity census
     "ts_autocorr", "q_rank_corr", "t_length_outlier",
-    "g_knn_reciprocity")
+    "g_knn_reciprocity",
+    // round-11: the FK orphan board, the cross-series timing
+    // diagnostic, and the sessionizer twin's batch truth
+    "q_fk_integrity", "ts_lead_lag", "st_sessionize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

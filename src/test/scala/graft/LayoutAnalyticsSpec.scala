@@ -517,6 +517,35 @@ class LayoutAnalyticsSpec extends SparkSpec {
     assert(rows.map(r => math.abs(r.getAs[Long]("acf_pm"))).max <= 1100L)
   }
 
+  test("lead-lag: sign concordance recomputes from the driver-side daily series") {
+    val rows = Analytics.tsLeadLag.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("cast(ts as long) div 86400"),
+        expr("cast(cast(value as decimal(15,2)) * 100 as bigint)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toMap
+    val types = daily.keys.map(_._1).toSet
+    def signs(t: String): Map[Long, Int] = {
+      val series = daily.collect { case ((tt, d), v) if tt == t => d -> v }.toMap
+      val n = BigInt(series.size)
+      val s = series.values.map(BigInt(_)).sum
+      series.map { case (d, v) => d -> (n * v - s).signum }
+    }
+    val sg = types.map(t => t -> signs(t)).toMap
+    assert(rows.length == types.size * (types.size - 1) * 8,
+      "every ordered pair x lag 0..7 must report")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      val k = r.getAs[Long]("lag")
+      assert(a != b && k >= 0 && k <= 7)
+      val pairs = sg(a).keys.filter(d => sg(b).contains(d + k)).toSeq
+      val agree = pairs.count(d => sg(a)(d) == sg(b)(d + k)).toLong
+      assert(r.getAs[Long]("n_pairs") == pairs.length.toLong)
+      assert(r.getAs[Long]("agree_pm") == 1000L * agree / pairs.length)
+    }
+  }
+
   test("benford audit: digit census recounts and deviations use the published constants") {
     val rows = Analytics.qBenfordAudit.fn(spark, sfDir).collect()
     val benford = Map(1 -> 301L, 2 -> 176L, 3 -> 125L, 4 -> 97L, 5 -> 79L,

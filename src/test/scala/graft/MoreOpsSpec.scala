@@ -130,4 +130,29 @@ class MoreOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
+
+  test("fk integrity: orphan counts recount via anti-joins and the board is complete") {
+    val rows = RelationalMore.qFkIntegrity.fn(spark, sfDir).collect()
+    assert(rows.length == 7, "one row per declared FK relation")
+    val byRel = rows.map(r => r.getAs[String]("relation") -> r).toMap
+    // structural invariants on every relation
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_keys") <= r.getAs[Long]("n_child"))
+      assert(r.getAs[Long]("n_orphans") <= r.getAs[Long]("n_child"))
+      assert(r.getAs[Long]("orphan_pm") ==
+        1000L * r.getAs[Long]("n_orphans") / r.getAs[Long]("n_child"))
+    }
+    // two direct anti-join recounts
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val orphanOrders = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti").count()
+    val rel = byRel("orders.custkey->customer")
+    assert(rel.getAs[Long]("n_child") == o.count())
+    assert(rel.getAs[Long]("n_orphans") == orphanOrders)
+    val li = Tables.lineitem(spark, sfDir)
+    val orphanLines = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti").count()
+    val rel2 = byRel("lineitem.orderkey->orders")
+    assert(rel2.getAs[Long]("n_child") == li.count())
+    assert(rel2.getAs[Long]("n_orphans") == orphanLines)
+  }
 }

@@ -734,4 +734,37 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
     assert(got.nonEmpty, "corpus must exercise an over-budget tail")
   }
+
+  test("streaming sessionizer converges to the closed-session batch truth exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ordered = loadEvents().sortBy(e => (StreamingOps.tsToMicros(e.ts), e.event_id))
+    val want = graft.operators.Streaming.stSessionize.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("start_sec"),
+        r.getAs[Long]("duration_sec"))).toSet
+    assert(want.nonEmpty, "degenerate batch truth")
+    assert(want.exists(_._3 > 1), "no multi-event closed session in the corpus")
+    Seq(ordered.size, 1100).zipWithIndex.foreach { case (chunkSize, qi) =>
+      val stream = MemoryStream[Ev]
+      val q = StreamingOps.sessionize(stream.toDF()).writeStream
+        .format("memory").queryName(s"sess_sink_$qi").outputMode("append").start()
+      try {
+        ordered.grouped(chunkSize).foreach { chunk =>
+          stream.addData(chunk)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // append mode + close-once emission: set equality, duplicates
+      // would surface as a count mismatch
+      val rows = spark.table(s"sess_sink_$qi").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("start_sec"),
+          r.getAs[Long]("duration_sec")))
+      assert(rows.length == rows.toSet.size, s"chunk=$chunkSize emitted duplicates")
+      val got = rows.toSet
+      assert(got == want,
+        s"chunk=$chunkSize missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
 }
