@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GraftQuery, Tables}
 import graft.functions.Parity._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fourth tranche: deeper TPC-H shapes (Q4/Q7/Q8/Q9 flavors adapted
@@ -312,7 +313,66 @@ object Warehouse {
       .orderBy(col("custkey"))
   }
 
+  /** INTER-PURCHASE CADENCE — the repeat-purchase rhythm per market
+    * segment (the number behind replenishment forecasting, "customer
+    * due for reorder" triggers and churn-window definitions:
+    * q_rfm_segmentation scores HOW RECENT the last order is, this
+    * measures the segment's NATURAL reorder period that makes recency
+    * interpretable): per segment, the count of consecutive-order
+    * gaps, exact positional p50/p90 of the gap in days, and the
+    * truncating mean.
+    *
+    * Scale: one orders→customer join, a per-CUSTOMER lag window
+    * (key-partitioned, distributed), then the q_percentiles exact
+    * positional-rank discipline per segment — a segment-partitioned
+    * rank window over the gap frame. Gap ties all carry the same
+    * value, so the rank-ceil pick is deterministic regardless of tie
+    * order; the tiebreak key still pins the total order. */
+  val qInterpurchase: GraftQuery = GraftQuery.sql(
+    "q_interpurchase",
+    """WITH g AS (SELECT c_mktsegment,
+      |    o_orderkey,
+      |    CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400
+      |      - LAG(CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400)
+      |        OVER (PARTITION BY o_custkey
+      |              ORDER BY o_orderdate, o_orderkey) AS gap
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |r AS (SELECT c_mktsegment, gap,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY gap, o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n,
+      |    SUM(gap) OVER (PARTITION BY c_mktsegment) AS sm
+      |  FROM g WHERE gap IS NOT NULL)
+      |SELECT c_mktsegment, CAST(MAX(n) AS BIGINT) AS n_gaps,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN gap END) AS p50_days,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN gap END) AS p90_days,
+      |  CAST(MAX(sm) // MAX(n) AS BIGINT) AS mean_days
+      |FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  ) { (s, d) =>
+    val wc = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val g = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate"), expr("cast(cast(o_orderdate as timestamp) as long) div 86400").as("dy"))
+      .withColumn("gap", col("dy") - lag(col("dy"), 1).over(wc))
+      .filter(col("gap").isNotNull)
+    val ws = Window.partitionBy(col("c_mktsegment"))
+    val r = g.select(col("c_mktsegment"), col("gap"),
+      row_number().over(ws.orderBy(col("gap"), col("o_orderkey"))).as("rn"),
+      count(lit(1)).over(ws).as("n"),
+      sum(col("gap")).over(ws).as("sm"))
+    r.groupBy(col("c_mktsegment"))
+      .agg(max(col("n")).as("n_gaps"),
+        max(when(col("rn") === ceil(lit(0.5) * col("n")).cast("long"),
+          col("gap"))).as("p50_days"),
+        max(when(col("rn") === ceil(lit(0.9) * col("n")).cast("long"),
+          col("gap"))).as("p90_days"),
+        expr("max(sm) div max(n)").as("mean_days"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q4LateOrders, q7VolumeShipping, q8MarketShare, q9Profit,
-    lakeBucketedJoin, lakeMerge, qRfmSegmentation)
+    lakeBucketedJoin, lakeMerge, qRfmSegmentation, qInterpurchase)
 }

@@ -133,7 +133,9 @@ object Explain {
     "g_knn_reciprocity",
     // round-11: the FK orphan board, the cross-series timing
     // diagnostic, and the sessionizer twin's batch truth
-    "q_fk_integrity", "ts_lead_lag", "st_sessionize")
+    "q_fk_integrity", "ts_lead_lag", "st_sessionize",
+    // round-11: the reorder-cadence board
+    "q_interpurchase")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

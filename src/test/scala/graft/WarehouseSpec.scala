@@ -183,4 +183,30 @@ class WarehouseSpec extends SparkSpec {
       .collect()(0).getDouble(0)
     assert(spend == probe.getAs[Double]("monetary"))
   }
+
+  test("interpurchase: gap percentiles recompute from driver-side order sequences") {
+    val rows = Warehouse.qInterpurchase.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val orders = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_custkey"), col("o_orderkey"),
+        expr("cast(cast(o_orderdate as timestamp) as long) div 86400").as("dy"))
+      .collect()
+      .map(r => (r.getAs[String]("c_mktsegment"), r.getAs[Long]("o_custkey"),
+        r.getAs[Long]("o_orderkey"), r.getAs[Long]("dy")))
+    val gaps = orders.groupBy(_._2).values.flatMap { os =>
+      os.sortBy(o => (o._4, o._3)).sliding(2).collect {
+        case Array(a, b) => (b._1, b._4 - a._4)
+      }
+    }.toSeq
+    rows.foreach { r =>
+      val seg = r.getAs[String]("c_mktsegment")
+      val g = gaps.filter(_._1 == seg).map(_._2).sorted
+      assert(r.getAs[Long]("n_gaps") == g.length.toLong)
+      assert(r.getAs[Long]("p50_days") == g(math.ceil(0.5 * g.length).toInt - 1))
+      assert(r.getAs[Long]("p90_days") == g(math.ceil(0.9 * g.length).toInt - 1))
+      assert(r.getAs[Long]("mean_days") == g.sum / g.length)
+      assert(r.getAs[Long]("p50_days") <= r.getAs[Long]("p90_days"))
+    }
+  }
 }
