@@ -372,7 +372,92 @@ object Warehouse {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** YEAR-OVER-YEAR GROWTH — the board-level trend table (every BI
+    * deck's first slide: is each market growing, and how fast;
+    * q9_profit reports absolute margin per nation-year, this reports
+    * the RATE of change that decides where investment goes): per
+    * nation and year (with a prior year present), exact order-revenue
+    * cents, the prior year's, and signed growth per-mille by
+    * truncating division.
+    *
+    * Scale: ONE map-side-combined (nation, year) aggregate over
+    * orders→customer→nation (dims broadcast), then a self-join on the
+    * nations×years-bounded frame. Nothing else touches the corpus. */
+  val qYoyGrowth: GraftQuery = GraftQuery.sql(
+    "q_yoy_growth",
+    """WITH r AS (SELECT n_name, EXTRACT(year FROM o_orderdate) AS yr,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT a.n_name AS n_name, CAST(a.yr AS BIGINT) AS yr,
+      |  a.rev AS rev_cents, b.rev AS prev_cents,
+      |  CAST((1000 * (a.rev - b.rev)) // b.rev AS BIGINT) AS growth_pm
+      |FROM r a JOIN r b ON b.n_name = a.n_name AND b.yr = a.yr - 1
+      |ORDER BY n_name, yr""".stripMargin
+  ) { (s, d) =>
+    val r = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(expr("cast(sum(cast(o_totalprice as decimal(15,2)) * 100) as bigint)")
+        .as("rev"))
+    val prev = r.select(col("n_name").as("pn"), col("yr").as("pyr"),
+      col("rev").as("prev_cents"))
+    r.join(prev, col("pn") === col("n_name") && col("pyr") === col("yr") - 1)
+      .select(col("n_name"), col("yr"), col("rev").as("rev_cents"),
+        col("prev_cents"),
+        expr("(1000 * (rev - prev_cents)) div prev_cents").as("growth_pm"))
+      .orderBy(col("n_name"), col("yr"))
+  }
+
+  /** ACQUISITION vs RETURNING REVENUE — the daily revenue split by
+    * customer novelty (the growth-accounting number: how much of
+    * today's revenue is NEW-customer acquisition vs the installed
+    * base; q_cumulative_distinct counts new USERS on the events side,
+    * this weighs new CUSTOMERS' money on the orders side): per order
+    * day, order count and exact revenue cents from first-day
+    * customers vs returning ones. A customer's orders on their very
+    * first day all count as "new" (the deterministic day-grain rule).
+    *
+    * Scale: one per-customer MIN(day) aggregate (map-side combined),
+    * hash-joined back onto orders on custkey, then ONE (day) rollup
+    * with conditional sums. Two corpus shuffles total, both on keys
+    * the data is naturally dense in. */
+  val qAcquisitionRevenue: GraftQuery = GraftQuery.sql(
+    "q_acquisition_revenue",
+    """WITH o AS (SELECT o_custkey,
+      |    CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS dy,
+      |    CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |f AS (SELECT o_custkey, MIN(dy) AS first_dy FROM o GROUP BY 1)
+      |SELECT o.dy,
+      |  CAST(SUM(CASE WHEN o.dy = f.first_dy THEN 1 ELSE 0 END) AS BIGINT) AS new_orders,
+      |  CAST(SUM(CASE WHEN o.dy = f.first_dy THEN cents ELSE 0 END) AS BIGINT) AS new_rev_cents,
+      |  CAST(SUM(CASE WHEN o.dy > f.first_dy THEN 1 ELSE 0 END) AS BIGINT) AS ret_orders,
+      |  CAST(SUM(CASE WHEN o.dy > f.first_dy THEN cents ELSE 0 END) AS BIGINT) AS ret_rev_cents
+      |FROM o JOIN f ON o.o_custkey = f.o_custkey
+      |GROUP BY o.dy ORDER BY o.dy""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        expr("cast(cast(o_orderdate as timestamp) as long) div 86400").as("dy"),
+        expr("cast(cast(o_totalprice as decimal(15,2)) * 100 as bigint)").as("cents"))
+    val f = o.groupBy(col("o_custkey").as("fck"))
+      .agg(min(col("dy")).as("first_dy"))
+    o.join(f, col("fck") === col("o_custkey"))
+      .groupBy(col("dy"))
+      .agg(
+        sum(when(col("dy") === col("first_dy"), 1L).otherwise(0L)).as("new_orders"),
+        sum(when(col("dy") === col("first_dy"), col("cents")).otherwise(0L)).as("new_rev_cents"),
+        sum(when(col("dy") > col("first_dy"), 1L).otherwise(0L)).as("ret_orders"),
+        sum(when(col("dy") > col("first_dy"), col("cents")).otherwise(0L)).as("ret_rev_cents"))
+      .orderBy(col("dy"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q4LateOrders, q7VolumeShipping, q8MarketShare, q9Profit,
-    lakeBucketedJoin, lakeMerge, qRfmSegmentation, qInterpurchase)
+    lakeBucketedJoin, lakeMerge, qRfmSegmentation, qInterpurchase,
+    qYoyGrowth, qAcquisitionRevenue)
 }

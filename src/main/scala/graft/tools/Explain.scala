@@ -134,8 +134,9 @@ object Explain {
     // round-11: the FK orphan board, the cross-series timing
     // diagnostic, and the sessionizer twin's batch truth
     "q_fk_integrity", "ts_lead_lag", "st_sessionize",
-    // round-11: the reorder-cadence board
-    "q_interpurchase")
+    // round-11: the reorder-cadence board, the YoY trend table, and
+    // the acquisition revenue split
+    "q_interpurchase", "q_yoy_growth", "q_acquisition_revenue")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -209,4 +209,54 @@ class WarehouseSpec extends SparkSpec {
       assert(r.getAs[Long]("p50_days") <= r.getAs[Long]("p90_days"))
     }
   }
+
+  test("yoy growth: revenue chain recounts and growth is the exact rational") {
+    val rows = Warehouse.qYoyGrowth.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val rev = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(expr("cast(sum(cast(o_totalprice as decimal(15,2)) * 100) as bigint)").as("rev"))
+      .collect()
+      .map(r => (r.getAs[String]("n_name"), r.getAs[Long]("yr")) -> r.getAs[Long]("rev"))
+      .toMap
+    rows.foreach { r =>
+      val key = (r.getAs[String]("n_name"), r.getAs[Long]("yr"))
+      assert(r.getAs[Long]("rev_cents") == rev(key))
+      assert(r.getAs[Long]("prev_cents") == rev((key._1, key._2 - 1)))
+      val (a, b) = (BigInt(r.getAs[Long]("rev_cents")), BigInt(r.getAs[Long]("prev_cents")))
+      assert(r.getAs[Long]("growth_pm") == ((1000 * (a - b)) / b).toLong)
+    }
+    // every nation-year with a predecessor appears
+    val expected = rev.keySet.filter(k => rev.contains((k._1, k._2 - 1)))
+    assert(rows.length == expected.size)
+  }
+
+  test("acquisition revenue: the split conserves orders and revenue per day") {
+    val rows = Warehouse.qAcquisitionRevenue.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        expr("cast(cast(o_orderdate as timestamp) as long) div 86400").as("dy"),
+        expr("cast(cast(o_totalprice as decimal(15,2)) * 100 as bigint)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val firstDy = o.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val byDay = o.groupBy(_._2)
+    rows.foreach { r =>
+      val dy = r.getAs[Long]("dy")
+      val day = byDay(dy)
+      val nu = day.filter(x => firstDy(x._1) == dy)
+      val re = day.filter(x => firstDy(x._1) < dy)
+      assert(r.getAs[Long]("new_orders") == nu.length.toLong)
+      assert(r.getAs[Long]("ret_orders") == re.length.toLong)
+      assert(r.getAs[Long]("new_rev_cents") == nu.map(_._3).sum)
+      assert(r.getAs[Long]("ret_rev_cents") == re.map(_._3).sum)
+    }
+    // totals conserve against the raw order log
+    assert(rows.map(r => r.getAs[Long]("new_orders") + r.getAs[Long]("ret_orders")).sum
+      == o.length.toLong)
+    assert(rows.map(r => r.getAs[Long]("new_rev_cents") + r.getAs[Long]("ret_rev_cents")).sum
+      == o.map(_._3).sum)
+  }
 }
