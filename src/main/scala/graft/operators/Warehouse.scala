@@ -456,8 +456,59 @@ object Warehouse {
       .orderBy(col("dy"))
   }
 
+  /** SUPPLY-CONCENTRATION INDEX — the Herfindahl–Hirschman market
+    * structure audit per supplier nation (the single-source-risk
+    * number a procurement/market-surveillance desk reads:
+    * q_revenue_concentration ranks CUSTOMER money by decile, this
+    * measures how concentrated the SUPPLY side is — HHI ≈ 10⁶/n is
+    * atomistic, >2500·(10⁶/10⁴ scale) flags an effective oligopoly):
+    * per nation, supplier count, the top supplier's revenue share in
+    * per-mille, and HHI in parts-per-million (Σ shareᵢ², exact
+    * cross-multiplied integers).
+    *
+    * Exactness: revenue folds to exact cents (Parity), then per-unit
+    * currency (// 100) before squaring so Σrevᵢ²·10⁶ and (Σrev)²
+    * both stay inside DECIMAL(38,0)/HUGEINT at 100 TB magnitudes
+    * (cents² · 10⁶ would overflow 38 digits at a 10¹⁷-cent market).
+    *
+    * Scale: one lineitem→supplier hash join (supplier scales with SF
+    * — not forced broadcast), one supplier-grain map-side-combined
+    * aggregate, then a nation-bounded rollup. */
+  val qHhi: GraftQuery = GraftQuery.sql(
+    "q_hhi",
+    """WITH sr AS (SELECT s_nationkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * 100) AS BIGINT) // 100 AS rev
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY s_suppkey, s_nationkey)
+      |SELECT n_name, COUNT(*) AS n_suppliers,
+      |  CAST((1000 * MAX(rev)) // SUM(rev) AS BIGINT) AS top_share_pm,
+      |  CAST((1000000 * SUM(CAST(rev AS HUGEINT) * rev))
+      |       // (CAST(SUM(rev) AS HUGEINT) * SUM(rev)) AS BIGINT) AS hhi_ppm
+      |FROM sr JOIN nation ON n_nationkey = s_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+  ) { (s, d) =>
+    val sr = Tables.lineitem(s, d)
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_nationkey"))
+      .agg(expr("cast(sum(cast(l_extendedprice as decimal(15,2)) * 100) as bigint) div 100")
+        .as("rev"))
+    sr.join(broadcast(Tables.nation(s, d)),
+        col("n_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        max(col("rev")).as("mx"), sum(col("rev")).as("tot"),
+        sum(col("rev").cast("decimal(38,0)") * col("rev")).as("sq"))
+      .select(col("n_name"), col("n_suppliers"),
+        expr("(1000 * mx) div tot").as("top_share_pm"),
+        expr(
+          """CAST((1000000 * sq)
+            |div (cast(tot as decimal(38,0)) * tot) AS BIGINT)""".stripMargin)
+          .as("hhi_ppm"))
+      .orderBy(col("n_name"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     q4LateOrders, q7VolumeShipping, q8MarketShare, q9Profit,
     lakeBucketedJoin, lakeMerge, qRfmSegmentation, qInterpurchase,
-    qYoyGrowth, qAcquisitionRevenue)
+    qYoyGrowth, qAcquisitionRevenue, qHhi)
 }

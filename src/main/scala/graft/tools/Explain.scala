@@ -136,7 +136,8 @@ object Explain {
     "q_fk_integrity", "ts_lead_lag", "st_sessionize",
     // round-11: the reorder-cadence board, the YoY trend table, and
     // the acquisition revenue split
-    "q_interpurchase", "q_yoy_growth", "q_acquisition_revenue")
+    "q_interpurchase", "q_yoy_growth", "q_acquisition_revenue",
+    "q_hhi")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

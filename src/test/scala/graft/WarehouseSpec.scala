@@ -259,4 +259,28 @@ class WarehouseSpec extends SparkSpec {
     assert(rows.map(r => r.getAs[Long]("new_rev_cents") + r.getAs[Long]("ret_rev_cents")).sum
       == o.map(_._3).sum)
   }
+
+  test("hhi: concentration recomputes from driver-side supplier revenues") {
+    val rows = Warehouse.qHhi.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val sr = Tables.lineitem(spark, sfDir)
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_nationkey"))
+      .agg(expr("cast(sum(cast(l_extendedprice as decimal(15,2)) * 100) as bigint) div 100")
+        .as("rev"))
+      .collect().map(r => (r.getAs[Int]("s_nationkey").toLong, r.getAs[Long]("rev")))
+    val names = Tables.nation(spark, sfDir).collect()
+      .map(r => r.getAs[String]("n_name") -> r.getAs[Int]("n_nationkey").toLong).toMap
+    rows.foreach { r =>
+      val revs = sr.filter(_._1 == names(r.getAs[String]("n_name"))).map(x => BigInt(x._2))
+      val tot = revs.sum
+      assert(r.getAs[Long]("n_suppliers") == revs.length.toLong)
+      assert(r.getAs[Long]("top_share_pm") == ((1000 * revs.max) / tot).toLong)
+      assert(r.getAs[Long]("hhi_ppm") ==
+        ((1000000 * revs.map(v => v * v).sum) / (tot * tot)).toLong)
+      // HHI is bounded by the top supplier's share of the whole market
+      assert(r.getAs[Long]("hhi_ppm") <= 1000000L)
+      assert(r.getAs[Long]("hhi_ppm") >= 1000000L / math.max(1L, revs.length) - 1)
+    }
+  }
 }
