@@ -54,6 +54,38 @@ class RanksSpec extends SparkSpec {
     } finally ScopedCache.releaseAll()
   }
 
+  private def rankViaWindow(df: DataFrame, grouped: Boolean): Seq[(Long, Long)] = {
+    val w = if (grouped) Window.partitionBy(col("grp")).orderBy(col("metric"), col("id"))
+            else Window.orderBy(col("metric"), col("id"))
+    df.select(col("id"), row_number().over(w).cast("long").as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+  }
+
+  for (n <- Seq(7, 100, 500); grouped <- Seq(false, true)) {
+    test(s"rankExact == ROW_NUMBER (n=$n grouped=$grouped)") {
+      val df = data(n)
+      val parts = if (grouped) Seq("grp") else Nil
+      val out = Ranks.rankExact(df, Seq("metric", "id"), parts, "r")
+      try assert(out.select(col("id"), col("r"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        === rankViaWindow(df, grouped))
+      finally ScopedCache.releaseAll()
+    }
+  }
+
+  test("rankExact plans no unpartitioned Window and ranks via the range shuffle") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val out = Ranks.rankExact(data(200), Seq("metric", "id"), Nil, "r")
+    try {
+      val bare = out.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bare.isEmpty, "found Window with empty partitionSpec")
+      assert(out.queryExecution.executedPlan.toString
+        .toLowerCase.contains("rangepartitioning"))
+    } finally ScopedCache.releaseAll()
+  }
+
   test("ntileExact plans no unpartitioned Window (the r10 scale-killer)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val out = Ranks.ntileExact(data(200), 5, Seq("metric", "id"), Nil, "b")
