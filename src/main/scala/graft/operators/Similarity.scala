@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
-import graft.functions.Vectors
+import graft.functions.{Shingles, Vectors}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2625,6 +2625,61 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** CROSS-MODAL DEDUP BOARD — joint caption×embedding near-dup
+    * evidence (the LAION-style curation decision: an image pair that
+    * is near in EMBEDDING space might be a re-encode of the same
+    * asset, or two distinct assets of one subject; the caption's
+    * n-gram Jaccard is the independent second modality that splits
+    * those — both-high = true duplicate pair, emb-high/text-low =
+    * subject cluster to KEEP): every mutual-kNN candidate pair whose
+    * BOTH sides carry both modalities (the m_caption_pairs staging
+    * rule: asset exists iff id%13≠0, caption iff id%11≠0), with
+    * embedding cosine and exact caption shingle-Jaccard in per-mille
+    * and the both-thresholds flag. ALL candidate pairs report (the
+    * degenerate-rows rule) — the flag carries the verdict.
+    *
+    * Scale: candidates are the family-memoized mutual-kNN edge frame
+    * (cell-blocked, never all-pairs); the caption side joins the
+    * memoized sorted shingle sets (shared with the whole dedup
+    * family) and pays one merge-scan Jaccard per CANDIDATE. Nothing
+    * corpus-quadratic anywhere. */
+  val mCrossModalDedup: GraftQuery = GraftQuery.sql(
+    "m_cross_modal_dedup",
+    s"""WITH $corpusSql,
+       |$knnCtesSql,
+       |me AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+       |         MAX(cosine) AS mcos
+       |       FROM knn GROUP BY 1, 2 HAVING COUNT(*) = 2),
+       |mp AS (SELECT a, b, mcos FROM me WHERE a % 13 <> 0 AND b % 13 <> 0),
+       |cap AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+       |${Shingles.shingleCteSql(source = "cap")},
+       |j AS (SELECT mp.a, mp.b, mp.mcos,
+       |        ${Shingles.jaccardSql("sa.sh", "sb.sh")} AS jac
+       |      FROM mp JOIN sh sa ON sa.doc_id = mp.a
+       |              JOIN sh sb ON sb.doc_id = mp.b)
+       |SELECT a, b, CAST(FLOOR(1000 * mcos) AS BIGINT) AS cos_pm,
+       |  CAST(FLOOR(1000 * jac) AS BIGINT) AS jac_pm,
+       |  CAST(CASE WHEN mcos >= 0.95 AND jac >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS cross_dup
+       |FROM j ORDER BY a, b""".stripMargin
+  ) { (s, d) =>
+    val mp = knnMutual(s, d).filter(col("n_dir") === 2
+      && col("a") % 13 =!= 0 && col("b") % 13 =!= 0)
+    val sh = graft.api.Graft.dedup.shingleSets(
+      Tables.documents(s, d).filter(col("doc_id") % 11 =!= 0), "doc_id", "text")
+    mp.join(sh.select(col("doc_id").as("said"), col("sh").as("sh_a")),
+        col("a") === col("said"))
+      .join(sh.select(col("doc_id").as("sbid"), col("sh").as("sh_b")),
+        col("b") === col("sbid"))
+      .withColumn("jac", Shingles.jaccardSorted(col("sh_a"), col("sh_b")))
+      .select(col("a"), col("b"),
+        floor(lit(1000) * col("mcos")).cast("long").as("cos_pm"),
+        floor(lit(1000) * col("jac")).cast("long").as("jac_pm"),
+        when(col("mcos") >= 0.95 && col("jac") >= 0.5, 1L).otherwise(0L)
+          .as("cross_dup"))
+      .orderBy(col("a"), col("b"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(sAnnBruteforce, dEmbedNeardup, sAnnLsh, sAnnIvf, sAnnIvfPartitioned,
       sAnnPq, sAnnRerank, sHybridRrf, sAnnRecall, sAnnFiltered,
@@ -2633,5 +2688,5 @@ object Similarity {
       gKnnClusteringCoeff, sMmrRerank, gKnnLabelProp, sAnnGraph,
       gKnnModularity, gKnnConductance, gKnnJaccardEdges, gKnnKcore,
       sAnnNnDescent, gKnnMst, gKnnClusterCut, gKnnAssortativity,
-      sCentroidSeparation, gKnnReciprocity)
+      sCentroidSeparation, gKnnReciprocity, mCrossModalDedup)
 }

@@ -137,7 +137,7 @@ object Explain {
     // round-11: the reorder-cadence board, the YoY trend table, and
     // the acquisition revenue split
     "q_interpurchase", "q_yoy_growth", "q_acquisition_revenue",
-    "q_hhi")
+    "q_hhi", "m_cross_modal_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

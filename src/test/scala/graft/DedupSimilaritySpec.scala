@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions.{col, sort_array}
 
 class DedupSimilaritySpec extends SparkSpec {
 
@@ -1065,5 +1066,35 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("recip_pm") == 2000L * m / d)
       assert(r.getAs[Long]("recip_pm") <= 1000L)
     }
+  }
+
+  test("cross-modal dedup: pairs are modality-complete mutual edges, jaccard recomputes") {
+    val rows = Similarity.mCrossModalDedup.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val mutual = Similarity.sKnnGraph.fn(spark, sfDir).collect()
+      .filter(_.getAs[Long]("mutual") == 1L)
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Double]("cosine"))
+      .toMap
+    val capSh = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        sort_array(graft.functions.Shingles.shingleHashes(col("text"))).as("sh"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      assert(mutual.contains((a, b)), s"($a,$b) not a mutual edge")
+      assert(a % 13 != 0 && b % 13 != 0, "asset modality filter")
+      assert(capSh.contains(a) && capSh.contains(b), "caption modality filter")
+      assert(r.getAs[Long]("cos_pm") == math.floor(1000 * mutual((a, b))).toLong)
+      val (sa, sb) = (capSh(a), capSh(b))
+      val jac = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(r.getAs[Long]("jac_pm") == math.floor(1000 * jac).toLong)
+      assert(r.getAs[Long]("cross_dup") ==
+        (if (mutual((a, b)) >= 0.95 && jac >= 0.5) 1L else 0L))
+    }
+    // every modality-complete mutual edge must appear — no silent drops
+    val expected = mutual.keySet.filter { case (a, b) =>
+      a % 13 != 0 && b % 13 != 0 && capSh.contains(a) && capSh.contains(b) }
+    assert(rows.length == expected.size)
   }
 }
