@@ -74,6 +74,58 @@ object Bench {
       } finally ScopedCache.releaseAll() // drop query-local persists
       (System.nanoTime() - t0) / 1e9
     }
+    val bestKnown: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("docs/bench_best.json")), "UTF-8")
+        """"([a-z0-9_]+)":\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap - "value" - "n_queries"
+      } catch { case _: Throwable => Map.empty }
+    // RUN-LEVEL CANARY GATE (VERDICT r11 #2): this host's degraded
+    // I/O windows inflate the WHOLE suite 1.4-8x and last minutes —
+    // a per-query remeasure arm cannot rescue a run that never
+    // leaves the window. lake_ls is the canary: a fixed-shape
+    // metadata op with a known cross-run floor. Before the timed
+    // pass, and again before the remeasure arm, measure it and WAIT
+    // (20s steps, ~2.5 min cap per stage) until it lands within 1.3x
+    // of its floor. If the window never clears we still run — a
+    // bench that never reports is worse than a flagged degraded one —
+    // but the artifact carries canary_start/canary_end and a
+    // window:"degraded" stamp so no floor-fold or reviewer reads its
+    // absolute numbers as healthy.
+    val canaryFloor = bestKnown.get("lake_ls").filter(_ > 0)
+    def timeCanary(): Double = {
+      val fn = SparkEntry.queries("lake_ls")
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+        finally ScopedCache.releaseAll()
+      if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
+    }
+    def awaitCleanWindow(stage: String): Double = canaryFloor match {
+      case Some(f) =>
+        var ratio = timeCanary() / f
+        var waits = 0
+        while (ratio > 1.3 && waits < 7) {
+          System.err.println(String.format(java.util.Locale.ROOT,
+            "[canary] %s: lake_ls %.2fx floor — degraded window, waiting 20s",
+            stage, Double.box(ratio)))
+          Thread.sleep(20000L)
+          waits += 1
+          ratio = timeCanary() / f
+        }
+        System.err.println(String.format(java.util.Locale.ROOT,
+          "[canary] %s: lake_ls %.2fx floor after %d waits", stage,
+          Double.box(ratio), Int.box(waits)))
+        ratio
+      case None => 0.0
+    }
+    // targeted SPARK_GRAFT_ONLY profiling runs skip the gate — they
+    // are interactive, and minutes of waiting would defeat them
+    val canaryStart = if (only.isEmpty) awaitCleanWindow("start") else 0.0
+    val canaryStartDegraded = canaryStart > 1.3
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, _) =>
@@ -102,13 +154,6 @@ object Bench {
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
     val globalMed = if (firstPass.nonEmpty) median(firstPass.map(_._2)) else 0.0
     val famTimes = firstPass.groupBy { case (n, _) => family(n) }
-    val bestKnown: Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("docs/bench_best.json")), "UTF-8")
-        """"([a-z0-9_]+)":\s*([0-9.]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap - "value" - "n_queries"
-      } catch { case _: Throwable => Map.empty }
     def threshold(name: String): Double = {
       val fam = famTimes(family(name)).map(_._2)
       // singleton/tiny families have no robust median of their own
@@ -133,17 +178,34 @@ object Bench {
     // Re-run budget is TIME, not count (VERDICT r10 #2: a count cap
     // admits 40 expensive ops or excludes 40 cheap ones with equal
     // blindness): admit suspects worst-excess first while their
-    // first-pass times fit a 60s budget — cheap 3x-best outliers
-    // always fit, and a degraded run's extra wall-clock stays bounded
-    // at ~2 budgets.
-    var rerunBudget = 60.0
-    val suspects = firstPass
+    // first-pass times fit the budget — cheap 3x-best outliers always
+    // fit, and a degraded run's extra wall-clock stays bounded at ~2
+    // budgets. The WORST-excess suspect is ALWAYS admitted even when
+    // it alone overflows the budget (ADVICE r11: the single worst
+    // absolute regression — e.g. an op degraded past the whole
+    // budget — is exactly the one that must never be silently
+    // skipped); anything else dropped by the budget is reported in
+    // bench_full.json's skipped_suspects, never silently.
+    // A globally degraded first pass (vs_best-style inflation on the
+    // canary) gets a 3x budget: one bad window inflates DOZENS of
+    // queries past the 3x-best trigger, and a 60s budget can only
+    // rescue a handful of them (VERDICT r11: the per-query remeasure
+    // arm cannot rescue a degraded window at its healthy-window size).
+    val rankedSuspects = firstPass
       .filter { case (n, t) => !failed.contains(n) && t > threshold(n) }
       .sortBy { case (n, t) => -(t - threshold(n)) }
-      .filter { case (_, t) =>
-        if (rerunBudget >= t) { rerunBudget -= t; true } else false }
-      .map(_._1).toSet
+    var rerunBudget = if (canaryStartDegraded) 180.0 else 60.0
+    val suspects = rankedSuspects.zipWithIndex
+      .filter { case ((_, t), i) =>
+        if (i == 0 || rerunBudget >= t) { rerunBudget -= t; true }
+        else false }
+      .map(_._1._1).toSet
+    val skippedSuspects = rankedSuspects.map(_._1).filterNot(suspects)
     val nRemeasured = suspects.size
+    // Re-runs happen in a VERIFIED clean window (VERDICT r11 #2: a
+    // re-run inside the same degraded window re-measures the noise,
+    // not the code) — wait for the canary before the remeasure arm.
+    if (suspects.nonEmpty && only.isEmpty) awaitCleanWindow("rerun")
     val results = firstPass.map { case (name, t) =>
       if (suspects.contains(name)) {
         var best = t
@@ -178,8 +240,22 @@ object Bench {
       if (bestSum > 0) common.map(_._2).sum / bestSum else 0.0
     }
     val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // End-of-run canary: one measurement, no wait — stamps whether the
+    // artifact's absolute numbers come from a healthy window. Both
+    // gates clean = the run-level done-criterion (VERDICT r11 #2).
+    val canaryEnd = canaryFloor match {
+      case Some(f) if only.isEmpty => timeCanary() / f
+      case _ => 0.0
+    }
+    val window =
+      if (canaryFloor.isEmpty || only.nonEmpty) "ungated"
+      else if (!canaryStartDegraded && canaryEnd <= 1.3) "clean"
+      else "degraded"
+    val skippedJson = skippedSuspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val runMeta =
+      s""""canary_start":${num(canaryStart, 2)},"canary_end":${num(canaryEnd, 2)},"window":"$window""""
     val full =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"n_remeasured":$nRemeasured,"vs_best":${num(vsBest, 2)},"failures":$failJson,"queries":${fmt(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"n_remeasured":$nRemeasured,"skipped_suspects":$skippedJson,$runMeta,"vs_best":${num(vsBest, 2)},"failures":$failJson,"queries":${fmt(results)},"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("docs/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
@@ -187,7 +263,7 @@ object Bench {
     } catch { case _: Throwable => () }
     val head = results.filter(r => headline.contains(r._1))
     println(
-      s"""{"metric":"total","value":${num(total, 1)},"unit":"sec","n_queries":${results.size},"n_remeasured":$nRemeasured,"vs_best":${num(vsBest, 2)},"failures":$failJson,"queries":${fmt(head)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${num(total, 1)},"unit":"sec","n_queries":${results.size},"n_remeasured":$nRemeasured,"n_skipped":${skippedSuspects.size},$runMeta,"vs_best":${num(vsBest, 2)},"failures":$failJson,"queries":${fmt(head)},"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

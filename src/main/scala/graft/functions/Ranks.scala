@@ -45,6 +45,24 @@ import org.apache.spark.sql.functions._
 object Ranks {
   private val Pid = "__graft_ntile_pid"
 
+  /** Broadcast the offsets frame back onto the ranged frame,
+    * NULL-SAFELY on the group key (ADVICE r11: a plain equi-join on
+    * partCols silently DROPS rows whose partition-column value is
+    * NULL, whereas SQL `PARTITION BY` groups NULLs together — the
+    * groupBy/window sides of this mechanism already do; `<=>` makes
+    * the join agree). Pid is never null (spark_partition_id). */
+  private def joinOffsets(ranged: DataFrame, offsets: DataFrame,
+      partCols: Seq[String]): DataFrame = {
+    val ren = (partCols :+ Pid).foldLeft(offsets) { (d, c) =>
+      d.withColumnRenamed(c, "__graft_o_" + c)
+    }
+    val cond = partCols
+      .map(c => col(c) <=> col("__graft_o_" + c))
+      .foldLeft(col(Pid) === col("__graft_o_" + Pid))(_ && _)
+    ranged.join(broadcast(ren), cond)
+      .drop((partCols :+ Pid).map("__graft_o_" + _): _*)
+  }
+
   /** Constant-but-unfoldable single-partition window key for
     * BOUNDED-class frames (≤ a few hundred rows by construction): a
     * plain `lit(0)` is constant-folded out of the partition spec, so
@@ -79,10 +97,50 @@ object Ranks {
       .drop("__graft_cnt")
     val wLoc = Window.partitionBy((partCols :+ Pid).map(col): _*)
       .orderBy(orderCols.map(col): _*)
-    ranged
-      .join(broadcast(offsets), (partCols :+ Pid).toSeq)
+    joinOffsets(ranged, offsets, partCols)
       .withColumn(out, row_number().over(wLoc).cast("long") + col("__graft_off"))
       .drop(Pid, "__graft_off")
+  }
+
+  /** Exact per-group positional percentiles — the scalable
+    * replacement for the
+    * `MAX(CASE WHEN rn = ceil(q*n) THEN v END)` idiom over a
+    * `ROW_NUMBER() / COUNT(*) OVER (PARTITION BY segment)` window
+    * pair (VERDICT r11: that shape funnels a corpus-sized frame
+    * through ≤|groups| sort tasks when the group key is
+    * low-cardinality). Ranks come from [[rankExact]] (range shuffle +
+    * partitioned local sort, P-way parallel); group sizes come from
+    * one map-side-combined count broadcast back (so `partCols` must
+    * be bounded-cardinality — segments, types — which is exactly the
+    * case where the window form is a scale hazard).
+    *
+    * Returns one row per group: `partCols ++ nOut ++` one column per
+    * `(name, q)` holding `valueCol` at 1-based position `ceil(q*n)`
+    * of the `orderCols` total order — bit-identical to the SQL window
+    * idiom for `0 < q <= 1`. `orderCols` must end in a unique
+    * tiebreak for engine-independent determinism. */
+  def percentileExact(df: DataFrame, orderCols: Seq[String],
+      partCols: Seq[String], valueCol: String,
+      qs: Seq[(String, Double)], nOut: String = "n"): DataFrame = {
+    require(qs.nonEmpty, "percentileExact: need at least one (name, q)")
+    val rn = "__graft_prn"
+    val ranked = rankExact(df, orderCols, partCols, out = rn)
+    val counts = df.groupBy(partCols.map(col): _*).agg(count(lit(1)).as(nOut))
+    val joined =
+      if (partCols.isEmpty) ranked.crossJoin(broadcast(counts))
+      else {
+        val ren = partCols.foldLeft(counts) { (d, c) =>
+          d.withColumnRenamed(c, "__graft_c_" + c)
+        }
+        ranked.join(broadcast(ren),
+            partCols.map(c => col(c) <=> col("__graft_c_" + c)).reduce(_ && _))
+          .drop(partCols.map("__graft_c_" + _): _*)
+      }
+    val aggs = max(col(nOut)).as(nOut) +: qs.map { case (name, q) =>
+      max(when(col(rn) === ceil(lit(q) * col(nOut)).cast("long"),
+        col(valueCol))).as(name)
+    }
+    joined.groupBy(partCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** `NTILE(k) OVER (PARTITION BY partCols ORDER BY orderCols ASC)`
@@ -113,8 +171,7 @@ object Ranks {
 
     val wLoc = Window.partitionBy((partCols :+ Pid).map(col): _*)
       .orderBy(orderCols.map(col): _*)
-    ranged
-      .join(broadcast(offsets), (partCols :+ Pid).toSeq)
+    joinOffsets(ranged, offsets, partCols)
       .withColumn("__graft_rk",
         row_number().over(wLoc).cast("long") + col("__graft_off"))
       .withColumn(out, expr(

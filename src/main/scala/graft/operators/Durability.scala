@@ -220,7 +220,14 @@ object Durability {
     s.read.parquet(mirrored.map(rel => s"$mirror/$rel"): _*).foreach(_ => ())
     val victim = "data/shard_1"
     corruptInPlace(fs, primary, victim)
-    // detect: the scrubber must flag exactly the corrupted entry
+    // detect: the scrubber must flag exactly the corrupted entry.
+    // The tag below keeps the bench/test log honest: the parquet
+    // magic-number/footer error that follows is this ceremony's
+    // INTENTIONAL corruption canary, not a failure.
+    System.err.println("[expected] lake_quarantine: scrubbing an " +
+      "intentionally corrupted parquet entry — the parquet " +
+      "magic-number/footer error below is the detection canary, " +
+      "not a bench failure")
     val bad = unreadableEntries(s, primary)
     require(bad == Seq(victim), s"scrubber found $bad, expected Seq($victim)")
     quarantine(s, primary, victim, ts = 5000L)
@@ -929,9 +936,12 @@ object Durability {
       |ORDER BY param""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    // the block-size answer is the server's LIVE value, not a copy of
-    // the constant — a deployment that tunes the split target serves
-    // the tuned value, like the reference serving dfs.block.size
+    // the block-size answer is READ from the live session (the
+    // reference serves dfs.block.size from config, not a constant),
+    // but the oracle PINS the shipped default — this op is a
+    // drift-DETECTOR, not a drift-reporter: a deployment that tunes
+    // spark.sql.files.maxPartitionBytes fails here loudly instead of
+    // silently hash-mismatching the oracle downstream
     val split = s.sessionState.conf.filesMaxPartitionBytes
     require(split == 134217728L,
       s"scan-split default drifted: $split — oracle pins the shipped default")
@@ -1025,8 +1035,196 @@ object Durability {
     ).toDF("check_name", "n").orderBy(col("check_name"))
   }
 
+  /** FLUSH VISIBILITY — the hflush/fsync surface (reference
+    * DFSOutputStream.java:1399 fsync/hflush + ClientProtocol.java:798
+    * fsync: bytes flushed by a still-open writer become readable to
+    * readers that ask for the flushed length; default readers keep
+    * seeing the closed state; close promotes, lease recovery reclaims
+    * an unclosed flush). The lake analogue is CommitLog's provisional
+    * `_inflight/<writer>.flush` marker — see [[graft.sources.CommitLog.flush]].
+    * Ceremony, each edge VERIFIED in-op:
+    *
+    *  1. TAIL VISIBILITY: writer A (leased) stages b1 and hflushes;
+    *     the opt-in tail read (`snapshotWithInflight`) sees v0+b1
+    *     (`tail_saw_flush`) while the default read still sees only v0
+    *     (`default_isolated`) — and a zero-grace vacuum pass must NOT
+    *     reclaim the flushed file (it is lease-protected).
+    *  2. PROMOTE AT CLOSE: A closes — the flushed set becomes journal
+    *     version 1, the marker disappears, every reader converges
+    *     (`promoted_at_close`).
+    *  3. CRASH RECLAIM: writer B stages b2, hflushes (the tail
+    *     briefly sees all three thirds — asserted), and crashes; its
+    *     lease expires; recovery fences it and `reclaimFlush` deletes
+    *     the unpromoted staged file and marker — the tail read drops
+    *     back to the committed truth (`crash_flush_reclaimed`).
+    *
+    * Output = both COMMITTED versions' (count, checksum), oracle-
+    * recomputed from the source table: a flush that leaked into the
+    * journal, or a reclaim that removed committed data, fails the
+    * hash gate. Scale: markers and journal entries only — the one
+    * data I/O is the ceremony's own staged writes; the tail read
+    * costs exactly one extra file listing at any corpus size. */
+  val lakeFlushVisibility: GraftQuery = GraftQuery.sql(
+    "lake_flush_visibility", {
+      def v(n: Int, cond: String) =
+        s"""SELECT CAST($n AS BIGINT) AS version, COUNT(*) AS n_docs,
+           |  CAST(SUM(fp) % ${GraftHash.P} AS BIGINT) AS checksum,
+           |  TRUE AS tail_saw_flush, TRUE AS default_isolated,
+           |  TRUE AS promoted_at_close, TRUE AS crash_flush_reclaimed
+           |FROM fp WHERE $cond""".stripMargin
+      s"""WITH fp AS (SELECT doc_id % 3 AS m, ${GraftHash.charHashSql("text")} AS fp
+         |           FROM documents)
+         |${v(0, "m = 0")}
+         |UNION ALL
+         |${v(1, "m IN (0, 1)")}
+         |ORDER BY version""".stripMargin
+    }
+  ) { (s, d) =>
+    import graft.streaming.StreamingOps
+    val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val dir = Lake.scratch("flush_visibility/table")
+    fs.delete(new Path(dir), true)
+    val docs = Tables.documents(s, d)
+    CommitLog.writeCommit(s, dir,
+      docs.filter(col("doc_id") % 3 === 0), "data/b0", ts = 1000L)       // v0
+    val nV0 = docs.filter(col("doc_id") % 3 === 0).count()
+    val nV01 = docs.filter((col("doc_id") % 3).isin(0, 1)).count()
+    val stateDir = s"$dir/_writer"
+    // 1. writer A: lease, stage, hflush — tail sees it, default doesn't
+    StreamingOps.acquireLease(fs, stateDir, "writerA")
+    docs.filter(col("doc_id") % 3 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/data/b1")
+    CommitLog.flush(fs, dir, "writerA", Seq("data/b1"), ts = 1500L)
+    val tailSaw = CommitLog.snapshotWithInflight(s, dir).count() == nV01
+    val defaultIsolated = CommitLog.snapshot(s, dir).count() == nV0
+    // a flushed file is lease-protected: even a zero-grace vacuum
+    // (which reclaims ANY uncommitted staging) must leave it alone
+    val vacDuringFlush = CommitLog.vacuumOrphans(fs, dir, graceMs = 0L)
+    require(vacDuringFlush.isEmpty,
+      s"vacuum reclaimed a flushed in-flight file: $vacDuringFlush")
+    // 2. close: promote to v1, marker retired, all readers converge
+    CommitLog.promoteFlush(s, dir, "writerA", ts = 2000L)
+    StreamingOps.releaseLease(fs, stateDir, "writerA")
+    val promoted = CommitLog.snapshot(s, dir).count() == nV01 &&
+      CommitLog.flushedAdds(fs, dir).isEmpty
+    // 3. writer B: stage, hflush, crash; expiry; recovery reclaims
+    StreamingOps.acquireLease(fs, stateDir, "writerB", ttlMs = 100L)
+    docs.filter(col("doc_id") % 3 === 2).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/data/b2")
+    CommitLog.flush(fs, dir, "writerB", Seq("data/b2"), ts = 2500L)
+    require(CommitLog.snapshotWithInflight(s, dir).count() == docs.count(),
+      "tail read must see the second writer's flushed third")
+    Thread.sleep(150L)                          // B's lease expires
+    StreamingOps.acquireLease(fs, stateDir, "writerC")            // fence
+    val reclaimed = CommitLog.reclaimFlush(fs, dir, "writerB")
+    require(reclaimed == Seq("data/b2"),
+      s"expected to reclaim exactly data/b2, got $reclaimed")
+    val reclaimedGone = !fs.exists(new Path(dir, "data/b2")) &&
+      CommitLog.snapshotWithInflight(s, dir).count() == nV01
+    (0 to 1).map { v =>
+      CommitLog.snapshot(s, dir, version = v)
+        .select(GraftHash.charHash(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("fp")) % GraftHash.P).as("checksum"))
+        .select(lit(v.toLong).as("version"), col("n_docs"), col("checksum"))
+    }.reduce(_ union _)
+      .withColumn("tail_saw_flush", lit(tailSaw))
+      .withColumn("default_isolated", lit(defaultIsolated))
+      .withColumn("promoted_at_close", lit(promoted))
+      .withColumn("crash_flush_reclaimed", lit(reclaimedGone))
+      .orderBy(col("version"))
+  }
+
+  /** LEASE RENEWAL — the writer keepalive (reference
+    * ClientProtocol.java:537 renewLease; LeaseManager.java:63 resets
+    * the expiry clock per heartbeat: a SLOW writer is not a DEAD
+    * writer). Completes the lease lifecycle mapped by
+    * lake_lease_recover (crash + takeover) and lake_flush_visibility
+    * (mid-write reads): this op proves the heartbeat arm. Ceremony,
+    * each edge VERIFIED in-op:
+    *
+    *  1. SURVIVAL: writer A takes a short-TTL lease and runs a write
+    *     that outlives the ORIGINAL TTL, heartbeating
+    *     (`StreamingOps.renewLease`) on a cadence; after every beat a
+    *     concurrent recovery attempt by writer B must refuse with
+    *     LeaseHeldException (`takeover_refused`) — renewal genuinely
+    *     moves the fence. A then commits its batch under the renewed
+    *     lease past the original expiry (`renewal_survived`).
+    *  2. FENCING: A goes silent for one full TTL; B's next attempt
+    *     acquires (the reference's hard-limit reclaim), and A's next
+    *     heartbeat THROWS (`expired_fenced`) — a fenced writer learns
+    *     at heartbeat time, never at commit time.
+    *
+    * Output = both versions' (count, checksum), oracle-recomputed
+    * from the source: a takeover that interleaved or a survival that
+    * double-committed fails the hash gate. Pure lease-file metadata +
+    * the ceremony's own two batch writes at any scale. */
+  val lakeRenewLease: GraftQuery = GraftQuery.sql(
+    "lake_renew_lease", {
+      def v(n: Int, cond: String) =
+        s"""SELECT CAST($n AS BIGINT) AS version, COUNT(*) AS n_docs,
+           |  CAST(SUM(fp) % ${GraftHash.P} AS BIGINT) AS checksum,
+           |  TRUE AS renewal_survived, TRUE AS takeover_refused,
+           |  TRUE AS expired_fenced
+           |FROM fp WHERE $cond""".stripMargin
+      s"""WITH fp AS (SELECT doc_id % 3 AS m, ${GraftHash.charHashSql("text")} AS fp
+         |           FROM documents)
+         |${v(0, "m = 0")}
+         |UNION ALL
+         |${v(1, "m IN (0, 1)")}
+         |ORDER BY version""".stripMargin
+    }
+  ) { (s, d) =>
+    import graft.streaming.StreamingOps
+    val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val dir = Lake.scratch("renew_lease/table")
+    fs.delete(new Path(dir), true)
+    val docs = Tables.documents(s, d)
+    CommitLog.writeCommit(s, dir,
+      docs.filter(col("doc_id") % 3 === 0), "data/b0", ts = 1000L)       // v0
+    val stateDir = s"$dir/_writer"
+    val ttlMs = 800L
+    // 1. slow writer A: the "write" spans 4 heartbeats at 300ms —
+    // 1200ms elapsed, past the original 800ms TTL — renewing each
+    // beat; B probes for takeover after every renewal and must refuse
+    val t0 = System.nanoTime()
+    StreamingOps.acquireLease(fs, stateDir, "writerA", ttlMs = ttlMs)
+    var takeoverRefused = true
+    (1 to 4).foreach { _ =>
+      Thread.sleep(300L)
+      StreamingOps.renewLease(fs, stateDir, "writerA", ttlMs = ttlMs)
+      val refused =
+        try { StreamingOps.acquireLease(fs, stateDir, "writerB", ttlMs = ttlMs); false }
+        catch { case _: StreamingOps.LeaseHeldException => true }
+      takeoverRefused &&= refused
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    StreamingOps.verifyLease(fs, stateDir, "writerA")
+    CommitLog.writeCommit(s, dir,
+      docs.filter(col("doc_id") % 3 === 1), "data/b1", ts = 2000L)       // v1
+    val survived = elapsedMs > ttlMs  // the lease verified + committed PAST its original TTL
+    // 2. A goes silent one full TTL: B reclaims, A's heartbeat throws
+    Thread.sleep(ttlMs + 100L)
+    StreamingOps.acquireLease(fs, stateDir, "writerB", ttlMs = ttlMs)
+    val fenced =
+      try { StreamingOps.renewLease(fs, stateDir, "writerA", ttlMs = ttlMs); false }
+      catch { case _: StreamingOps.LeaseHeldException => true }
+    (0 to 1).map { v =>
+      CommitLog.snapshot(s, dir, version = v)
+        .select(GraftHash.charHash(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("fp")) % GraftHash.P).as("checksum"))
+        .select(lit(v.toLong).as("version"), col("n_docs"), col("checksum"))
+    }.reduce(_ union _)
+      .withColumn("renewal_survived", lit(survived))
+      .withColumn("takeover_refused", lit(takeoverRefused))
+      .withColumn("expired_fenced", lit(fenced))
+      .orderBy(col("version"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(lakeQuarantine, lakeStandby, lakeRestoreStorage, lakeScrubCadence,
-      lakeLeaseRecover, lakeSafemode, lakeExportManifest, lakeBlockTokens,
-      lakeTopology, lakeServerDefaults, lakeBalancer)
+      lakeLeaseRecover, lakeFlushVisibility, lakeRenewLease, lakeSafemode,
+      lakeExportManifest, lakeBlockTokens, lakeTopology, lakeServerDefaults,
+      lakeBalancer)
 }

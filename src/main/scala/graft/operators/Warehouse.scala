@@ -323,11 +323,14 @@ object Warehouse {
     * truncating mean.
     *
     * Scale: one orders→customer join, a per-CUSTOMER lag window
-    * (key-partitioned, distributed), then the q_percentiles exact
-    * positional-rank discipline per segment — a segment-partitioned
-    * rank window over the gap frame. Gap ties all carry the same
-    * value, so the rank-ceil pick is deterministic regardless of tie
-    * order; the tiebreak key still pins the total order. */
+    * (key-partitioned, distributed), then
+    * [[graft.functions.Ranks.percentileExact]] per segment — range
+    * shuffle + partitioned local row_number + broadcast slice
+    * offsets, NEVER a ≤5-partition segment window sort over the
+    * corpus-sized gap frame (VERDICT r11: that was this op's scale
+    * hazard). Gap ties all carry the same value, so the rank-ceil
+    * pick is deterministic regardless of tie order; the tiebreak key
+    * still pins the total order. */
   val qInterpurchase: GraftQuery = GraftQuery.sql(
     "q_interpurchase",
     """WITH g AS (SELECT c_mktsegment,
@@ -357,18 +360,16 @@ object Warehouse {
         col("o_orderdate"), expr("cast(cast(o_orderdate as timestamp) as long) div 86400").as("dy"))
       .withColumn("gap", col("dy") - lag(col("dy"), 1).over(wc))
       .filter(col("gap").isNotNull)
-    val ws = Window.partitionBy(col("c_mktsegment"))
-    val r = g.select(col("c_mktsegment"), col("gap"),
-      row_number().over(ws.orderBy(col("gap"), col("o_orderkey"))).as("rn"),
-      count(lit(1)).over(ws).as("n"),
-      sum(col("gap")).over(ws).as("sm"))
-    r.groupBy(col("c_mktsegment"))
-      .agg(max(col("n")).as("n_gaps"),
-        max(when(col("rn") === ceil(lit(0.5) * col("n")).cast("long"),
-          col("gap"))).as("p50_days"),
-        max(when(col("rn") === ceil(lit(0.9) * col("n")).cast("long"),
-          col("gap"))).as("p90_days"),
-        expr("max(sm) div max(n)").as("mean_days"))
+      .select(col("c_mktsegment"), col("gap"), col("o_orderkey"))
+    val pct = graft.functions.Ranks.percentileExact(g,
+      orderCols = Seq("gap", "o_orderkey"), partCols = Seq("c_mktsegment"),
+      valueCol = "gap", qs = Seq("p50_days" -> 0.5, "p90_days" -> 0.9),
+      nOut = "n_gaps")
+    val mean = g.groupBy(col("c_mktsegment"))
+      .agg(expr("sum(gap) div count(1)").as("mean_days"))
+    pct.join(broadcast(mean), Seq("c_mktsegment"))
+      .select(col("c_mktsegment"), col("n_gaps"), col("p50_days"),
+        col("p90_days"), col("mean_days"))
       .orderBy(col("c_mktsegment"))
   }
 

@@ -113,19 +113,43 @@ object CommitLog {
     * (length, mtime) identity: a crashed writer's file never changes,
     * so the cache holds; a NEW in-flight file reusing the version
     * number after a dir wipe presents a different identity and gets
-    * the full grace wait again — the race guarantee is preserved. */
+    * the full grace wait again — the race guarantee is preserved.
+    *
+    * Two hardening rules (ADVICE r11 follow-up): (1) EVICTION — a
+    * diagnosis whose log file is GONE from disk (dir wiped, history
+    * vacuumed, table recreated) is dropped at the next journal read,
+    * so the map cannot grow past the live burned files and a
+    * same-version successor always starts from a clean slate;
+    * (2) the (length, mtime) identity is only as sharp as the
+    * filesystem's mtime granularity (1s on some FSs) — eviction
+    * closes the delete-then-recreate alias (the file vanishes between
+    * reads), and within a single uninterrupted existence a log file
+    * is create-exclusive and append-only, so same-length-same-mtime
+    * genuinely is the same unchanged burned file. */
   private val burnedDiagnosed =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
   private def stableCommits(fs: FileSystem, tableDir: String): Seq[Commit] = {
-    def unknownOnDisk(known: Set[Int]): Seq[(Int, Long, Long)] = {
+    def allOnDisk(): Seq[(Int, Long, Long)] = {
       val dir = logDir(tableDir)
       if (!fs.exists(dir)) Seq.empty
       else fs.listStatus(dir).toSeq
         .filter(_.getPath.getName.endsWith(".log"))
         .map(st => (st.getPath.getName.stripSuffix(".log").toInt,
           st.getLen, st.getModificationTime))
-        .filter { case (v, _, _) => !known.contains(v) }
+    }
+    def unknownOnDisk(known: Set[Int]): Seq[(Int, Long, Long)] =
+      allOnDisk().filter { case (v, _, _) => !known.contains(v) }
+    // evict stale diagnoses: version file gone = diagnosis void
+    locally {
+      val live = allOnDisk().map(_._1).toSet
+      val prefix = s"$tableDir#"
+      // non-numeric suffix = a DIFFERENT tableDir extending this
+      // prefix ("a/b#2" vs "a/b") — never evict those here
+      burnedDiagnosed.keySet.removeIf { k =>
+        k.startsWith(prefix) &&
+          k.stripPrefix(prefix).toIntOption.exists(v => !live.contains(v))
+      }
     }
     def waitable(xs: Seq[(Int, Long, Long)]): Seq[(Int, Long, Long)] =
       xs.filter { case (v, len, mt) =>
@@ -940,7 +964,13 @@ object CommitLog {
   def vacuumOrphans(fs: FileSystem, tableDir: String,
                     graceMs: Long = 3600000L): Seq[String] = {
     val referenced = commits(fs, tableDir).flatMap(_.adds).toSet ++
-      clonePinned(fs, tableDir) // shallow-clone back-references pin files
+      clonePinned(fs, tableDir) ++ // shallow-clone back-references pin files
+      // hflush-published in-flight files are lease-protected: readable
+      // mid-write by opt-in, so never vacuum-eligible however old —
+      // they leave through promoteFlush or reclaimFlush, exactly like
+      // an under-construction HDFS file leaves through close or lease
+      // recovery, never through the block scanner
+      flushedAdds(fs, tableDir).values.flatten
     val dataDir = new Path(tableDir, "data")
     if (!fs.exists(dataDir)) return Seq.empty
     val cutoff = System.currentTimeMillis() - graceMs
@@ -952,5 +982,106 @@ object CommitLog {
       // (add "data/2024/jan" must protect "data/2024")
       .filterNot(top => referenced.exists(r => r == top || r.startsWith(top + "/")))
       .map { orphan => fs.delete(new Path(tableDir, orphan), true); orphan }
+  }
+
+  // ======== FLUSH VISIBILITY — hflush / fsync ========
+
+  private def inflightDir(tableDir: String) = new Path(tableDir, "_inflight")
+  private def flushMarker(tableDir: String, writer: String) =
+    new Path(inflightDir(tableDir), s"$writer.flush")
+
+  /** hflush/fsync — mid-write visibility for an in-flight batch
+    * (reference DFSOutputStream.java:1399 fsync/hflush +
+    * ClientProtocol.java:798 fsync: flushed-but-unclosed bytes become
+    * readable to readers that ASK for them, while default readers
+    * still see only the closed state). The writer stages parquet
+    * under the table dir as usual, then publishes the staged relpaths
+    * in a PROVISIONAL marker — `_inflight/<writer>.flush` — outside
+    * the journal: `commits()`/`snapshot()` never see it, while
+    * [[snapshotWithInflight]] (the opt-in tail read) unions it. Each
+    * flush REPLACES the writer's marker via write-tmp + rename, and a
+    * marker without the terminal `end` is skipped by readers — a torn
+    * flush can never surface half a set (tryCommit's terminator rule).
+    * The flushed set leaves the provisional state exactly two ways,
+    * mirroring an under-construction HDFS file: [[promoteFlush]] at
+    * close (becomes an ordinary journal commit) or [[reclaimFlush]]
+    * under lease recovery (crashed writer; staged files deleted).
+    * While provisional, the files are vacuum-pinned (see
+    * [[vacuumOrphans]]). Metadata-only: markers scale with concurrent
+    * writers, never with data. */
+  def flush(fs: FileSystem, tableDir: String, writer: String,
+            adds: Seq[String], ts: Long): Unit = {
+    if (isFrozen(fs, tableDir))
+      throw new java.io.IOException(
+        s"$tableDir is frozen (safe mode): flush refused before any metadata I/O")
+    fs.mkdirs(inflightDir(tableDir))
+    val body = (s"ts $ts" +: adds.map("add " + _) :+ "end")
+      .mkString("", "\n", "\n")
+    val tmp = new Path(inflightDir(tableDir), s"$writer.flush.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val dst = flushMarker(tableDir, writer)
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"flush marker swap failed: $dst")
+  }
+
+  /** Flushed-but-unpromoted relpaths, per writer. Markers without the
+    * terminal `end` (torn mid-swap) parse as absent. */
+  def flushedAdds(fs: FileSystem, tableDir: String): Map[String, Seq[String]] = {
+    val dir = inflightDir(tableDir)
+    if (!fs.exists(dir)) return Map.empty
+    fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.endsWith(".flush"))
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        val text =
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          finally in.close()
+        val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+        if (!lines.lastOption.contains("end")) None
+        else Some(st.getPath.getName.stripSuffix(".flush") ->
+          lines.collect { case l if l.startsWith("add ") => l.drop(4) })
+      }.toMap
+  }
+
+  /** The opt-in tail read: the latest committed snapshot plus every
+    * currently flushed (unpromoted) add — what a tailing consumer
+    * sees when it asks for flushed data, the reference's
+    * open-for-read-with-flushed-length path. */
+  def snapshotWithInflight(spark: SparkSession, tableDir: String): DataFrame = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val committed = activeFiles(fs, tableDir)
+    val flushed = flushedAdds(fs, tableDir).values.flatten.toSeq.distinct
+      .filterNot(committed.toSet)
+    val all = committed ++ flushed
+    require(all.nonEmpty, s"no active or flushed files in $tableDir")
+    spark.read.parquet(all.map(resolve(tableDir, _)): _*)
+  }
+
+  /** Close: promote the writer's flushed set into an ordinary journal
+    * commit — the data is now visible to EVERY reader — and retire
+    * the provisional marker. Returns the committed version. */
+  def promoteFlush(spark: SparkSession, tableDir: String, writer: String,
+                   ts: Long): Int = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val adds = flushedAdds(fs, tableDir).getOrElse(writer,
+      throw new java.io.IOException(s"no flushed set for $writer in $tableDir"))
+    val v = commit(fs, tableDir, ts, adds = adds, removes = Seq.empty)
+    fs.delete(flushMarker(tableDir, writer), false)
+    v
+  }
+
+  /** Lease-recovery reclaim of a crashed writer's unpromoted flush:
+    * the marker is dropped and its staged files deleted — UNLESS the
+    * journal references them (a commit always wins; the recovery then
+    * only retires the marker). Returns the deleted relpaths. */
+  def reclaimFlush(fs: FileSystem, tableDir: String, writer: String): Seq[String] = {
+    val adds = flushedAdds(fs, tableDir).getOrElse(writer, Seq.empty)
+    val referenced = commits(fs, tableDir).flatMap(_.adds).toSet
+    val doomed = adds.filterNot(referenced)
+    doomed.foreach(rel => fs.delete(new Path(tableDir, rel), true))
+    fs.delete(flushMarker(tableDir, writer), false)
+    doomed
   }
 }

@@ -495,6 +495,31 @@ object StreamingOps {
     }
   }
 
+  /** renewLease — the writer keepalive (reference
+    * ClientProtocol.java:537 renewLease; LeaseManager.java:63 renews a
+    * client's leases on each heartbeat, resetting the expiry clock):
+    * extend `holder`'s CURRENT lease by `ttlMs` from now. Strictly the
+    * heartbeat, never the takeover: it succeeds only while `holder`
+    * still holds the live, unexpired lease — a lease that expired, was
+    * fenced by a recoverer, or was never held throws
+    * LeaseHeldException, so a writer that lost its lease learns at the
+    * NEXT HEARTBEAT instead of at commit time (the reference's
+    * soft-limit discipline: a renewing slow writer survives recovery
+    * attempts indefinitely; a silent one is reclaimable after one
+    * missed TTL). Same create-exclusive epoch mechanics as
+    * acquireLease, so a renewal racing a fencer resolves to exactly
+    * one winner. */
+  private[graft] def renewLease(fs: org.apache.hadoop.fs.FileSystem, stateDir: String,
+                                holder: String, ttlMs: Long = 600000L): Unit =
+    leaseEpochs(fs, stateDir).lastOption.flatMap { case (_, p) => readLease(fs, p) } match {
+      case Some((h, exp)) if h == holder && exp >= System.currentTimeMillis() =>
+        // own live lease: the acquire path's own-renewal arm writes the
+        // higher epoch create-exclusively and re-validates under race
+        acquireLease(fs, stateDir, holder, ttlMs)
+      case Some((h, exp)) => throw LeaseHeldException(h, exp)
+      case None => throw LeaseHeldException("<none>", 0L)
+    }
+
   /** Release the lease iff the current epoch is held by `holder` (a
     * fenced-out writer must not delete its successor's lease — its
     * own superseded epoch file is already outranked, so deleting it

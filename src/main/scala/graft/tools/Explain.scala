@@ -137,7 +137,10 @@ object Explain {
     // round-11: the reorder-cadence board, the YoY trend table, and
     // the acquisition revenue split
     "q_interpurchase", "q_yoy_growth", "q_acquisition_revenue",
-    "q_hhi", "m_cross_modal_dedup")
+    "q_hhi", "m_cross_modal_dedup",
+    // round-12: the flush-visibility and lease-renewal ceremonies and
+    // the percentileExact rework's second consumer
+    "lake_flush_visibility", "lake_renew_lease", "q_time_to_convert")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -490,4 +490,77 @@ class CommitLogSpec extends SparkSpec {
     assert(!CommitLog.commits(fs, dir).exists(_.adds.contains("data/ghost")))
     assert(CommitLog.snapshot(spark, dir).count() == r.count())
   }
+
+  test("burned diagnosis evicts when the file is wiped: a recreated in-flight file re-pays the grace (ADVICE r11)") {
+    val dir = freshTable("burned_evict")
+    val r = Tables.region(spark, sfDir)
+    CommitLog.writeCommit(spark, dir, r, "data/a", ts = 100L)
+    val burned = new Path(s"$dir/_log/5.log")
+    def crashWriter(): Unit = {
+      val out = fs.create(burned, false)
+      out.write("ts 300\nadd data/ghost\n".getBytes("UTF-8")); out.close()
+    }
+    def timedRestore(v: Int): Long = {
+      val t0 = System.nanoTime()
+      CommitLog.restore(fs, dir, v, ts = 400L)
+      (System.nanoTime() - t0) / 1000000L
+    }
+    crashWriter()
+    assert(timedRestore(0) >= 1500L, "first read pays the grace")
+    assert(timedRestore(0) < 1500L, "diagnosis cached")
+    // the burned file is wiped (vacuumed history / dir recreate) and a
+    // NEW in-flight writer reuses the version number with the same
+    // length — identity (len, mtime) alone cannot tell them apart on a
+    // coarse-mtime filesystem; eviction at the file-gone read restores
+    // the full grace guarantee for the successor
+    fs.delete(burned, false)
+    assert(timedRestore(0) < 1500L, "no wait with the file gone (and diagnosis evicted)")
+    crashWriter()
+    assert(timedRestore(0) >= 1500L,
+      "a recreated same-version in-flight file must re-pay the full grace")
+  }
+
+  test("hflush: opt-in tail sees the flushed set, default readers don't; promote converges; torn marker invisible") {
+    val dir = freshTable("flush")
+    val r = Tables.region(spark, sfDir)
+    CommitLog.writeCommit(spark, dir, r.filter(col("r_regionkey") < 2), "data/a", ts = 100L)
+    r.filter(col("r_regionkey") >= 2).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/data/b")
+    CommitLog.flush(fs, dir, "w1", Seq("data/b"), ts = 150L)
+    assert(CommitLog.snapshot(spark, dir).count() == 2, "default read: committed only")
+    assert(CommitLog.snapshotWithInflight(spark, dir).count() == 5, "tail read: plus flushed")
+    // a torn marker (no terminator — crashed mid-swap) parses as absent
+    val torn = fs.create(new Path(s"$dir/_inflight/w2.flush"), true)
+    torn.write("ts 160\nadd data/ghost\n".getBytes("UTF-8")); torn.close()
+    assert(CommitLog.flushedAdds(fs, dir).keySet == Set("w1"))
+    // zero-grace vacuum: the flushed file is lease-protected
+    assert(CommitLog.vacuumOrphans(fs, dir, graceMs = 0L).isEmpty)
+    // re-flush REPLACES the writer's marker (hflush is repeatable)
+    CommitLog.flush(fs, dir, "w1", Seq("data/b"), ts = 170L)
+    assert(CommitLog.snapshotWithInflight(spark, dir).count() == 5)
+    // close: the set becomes an ordinary version, the marker retires
+    val v = CommitLog.promoteFlush(spark, dir, "w1", ts = 200L)
+    assert(CommitLog.snapshot(spark, dir, version = v).count() == 5)
+    assert(!CommitLog.flushedAdds(fs, dir).contains("w1"))
+    // with no marker left, the staged file is pinned by the JOURNAL now
+    assert(CommitLog.vacuumOrphans(fs, dir, graceMs = 0L).isEmpty)
+  }
+
+  test("reclaimFlush deletes only unpromoted staged files; journal references always win") {
+    val dir = freshTable("flush_reclaim")
+    val r = Tables.region(spark, sfDir)
+    CommitLog.writeCommit(spark, dir, r.filter(col("r_regionkey") < 2), "data/a", ts = 100L)
+    r.filter(col("r_regionkey") >= 2).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/data/b")
+    // the crashed writer's flush named BOTH its staged file and an
+    // already-committed one (e.g. a flush taken after a concurrent
+    // compaction re-added the path) — only the unreferenced one dies
+    CommitLog.flush(fs, dir, "w1", Seq("data/b", "data/a"), ts = 150L)
+    val reclaimed = CommitLog.reclaimFlush(fs, dir, "w1")
+    assert(reclaimed == Seq("data/b"))
+    assert(fs.exists(new Path(s"$dir/data/a")), "journal-referenced file survives")
+    assert(!fs.exists(new Path(s"$dir/data/b")), "unpromoted staged file reclaimed")
+    assert(CommitLog.flushedAdds(fs, dir).isEmpty)
+    assert(CommitLog.snapshot(spark, dir).count() == 2, "committed truth intact")
+  }
 }

@@ -252,6 +252,29 @@ class DurabilitySpec extends SparkSpec {
     assert(CommitLog.snapshot(spark, dir).count() == want)
   }
 
+  test("flush visibility ceremony: every verified flag lands true and both versions hash to the source") {
+    val out = Durability.lakeFlushVisibility.fn(spark, sfDir).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    Seq("tail_saw_flush", "default_isolated", "promoted_at_close",
+      "crash_flush_reclaimed").foreach { f =>
+      assert(out.forall(r => r.getBoolean(r.fieldIndex(f))), s"$f not all true")
+    }
+    // versions hash to the source thirds (the oracle's recomputation)
+    val docs = Tables.documents(spark, sfDir)
+    val exp = Seq(docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 <= 1)).map(_.count())
+    assert(out.map(_.getLong(1)).toSeq == exp)
+  }
+
+  test("renew lease ceremony: renewal survives recovery probes, silence is fenced at the next heartbeat") {
+    val out = Durability.lakeRenewLease.fn(spark, sfDir).collect()
+    assert(out.length == 2)
+    Seq("renewal_survived", "takeover_refused", "expired_fenced").foreach { f =>
+      assert(out.forall(r => r.getBoolean(r.fieldIndex(f))), s"$f not all true")
+    }
+  }
+
   test("safe mode: startup gate blocks writes tracelessly, threshold auto-exits, manual exits only by hand") {
     val dir = fresh("safemode/machine")
     val docs = Tables.documents(spark, sfDir)

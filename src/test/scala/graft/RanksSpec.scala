@@ -99,4 +99,80 @@ class RanksSpec extends SparkSpec {
         .toLowerCase.contains("rangepartitioning"))
     } finally ScopedCache.releaseAll()
   }
+
+  private def nullGrpData(n: Int): DataFrame = {
+    import spark.implicits._
+    // every third row has a NULL group — SQL PARTITION BY puts them
+    // in ONE group; the offsets join must not drop them (ADVICE r11)
+    (0 until n).map { i =>
+      val g = if (i % 3 == 0) None else Some(s"g${i % 2}")
+      ((i * 2654435761L) % 13, i.toLong, g)
+    }.toDF("metric", "id", "grp")
+  }
+
+  test("rankExact keeps and groups NULL partition keys like PARTITION BY (ADVICE r11)") {
+    val df = nullGrpData(120)
+    val w = Window.partitionBy(col("grp")).orderBy(col("metric"), col("id"))
+    val expect = df.select(col("id"), row_number().over(w).cast("long").as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val out = Ranks.rankExact(df, Seq("metric", "id"), Seq("grp"), "r")
+    try {
+      val got = out.select(col("id"), col("r"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got.size === 120, "null-keyed rows must not be dropped")
+      assert(got === expect)
+    } finally ScopedCache.releaseAll()
+  }
+
+  test("ntileExact keeps and buckets NULL partition keys like PARTITION BY") {
+    val df = nullGrpData(90)
+    val w = Window.partitionBy(col("grp")).orderBy(col("metric"), col("id"))
+    val expect = df.select(col("id"), ntile(4).over(w).as("b"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    val out = Ranks.ntileExact(df, 4, Seq("metric", "id"), Seq("grp"), "b")
+    try {
+      val got = out.select(col("id"), col("b"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+      assert(got.size === 90)
+      assert(got === expect)
+    } finally ScopedCache.releaseAll()
+  }
+
+  test("percentileExact == the MAX(CASE WHEN rn = ceil(q*n)) window idiom, grouped") {
+    val df = data(173)
+    val w = Window.partitionBy(col("grp"))
+    val r = df.select(col("grp"), col("metric"),
+      row_number().over(w.orderBy(col("metric"), col("id"))).as("rn"),
+      count(lit(1)).over(w).as("n"))
+    val expect = r.groupBy(col("grp"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === ceil(lit(0.5) * col("n")).cast("long"),
+          col("metric"))).as("p50"),
+        max(when(col("rn") === ceil(lit(0.9) * col("n")).cast("long"),
+          col("metric"))).as("p90"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toSeq.sorted
+    val out = Ranks.percentileExact(df, Seq("metric", "id"), Seq("grp"),
+      "metric", Seq("p50" -> 0.5, "p90" -> 0.9), nOut = "n")
+    try {
+      val got = out.collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+        .toSeq.sorted
+      assert(got === expect)
+    } finally ScopedCache.releaseAll()
+  }
+
+  test("percentileExact plans no unpartitioned Window and uses the range shuffle") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val out = Ranks.percentileExact(data(200), Seq("metric", "id"), Seq("grp"),
+      "metric", Seq("p50" -> 0.5), nOut = "n")
+    try {
+      val bare = out.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bare.isEmpty, "found Window with empty partitionSpec")
+      assert(out.queryExecution.executedPlan.toString
+        .toLowerCase.contains("rangepartitioning"))
+    } finally ScopedCache.releaseAll()
+  }
 }

@@ -356,6 +356,39 @@ class StreamingSpec extends SparkSpec {
     StreamingOps.releaseLease(fs, stateDir, "writer-B")
   }
 
+  test("renewLease: heartbeat extends the fence past the original TTL; stale and never-held heartbeats throw") {
+    import graft.streaming.StreamingOps.LeaseHeldException
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val stateDir = graft.operators.Lake.scratch("renew_state")
+    val parent = new org.apache.hadoop.fs.Path(stateDir).getParent
+    if (fs.exists(parent))
+      fs.listStatus(parent).filter(_.getPath.getName.startsWith("renew_state.lease.e"))
+        .foreach(st => fs.delete(st.getPath, false))
+    // never-held: the heartbeat is strictly a renewal, not an acquire
+    intercept[LeaseHeldException] {
+      StreamingOps.renewLease(fs, stateDir, "writer-A", ttlMs = 1000L)
+    }
+    // A: 1000ms lease, renewed at ~600ms — at ~1200ms (past the
+    // ORIGINAL expiry) B must still be refused: renewal moved the fence
+    StreamingOps.acquireLease(fs, stateDir, "writer-A", ttlMs = 1000L)
+    Thread.sleep(600L)
+    StreamingOps.renewLease(fs, stateDir, "writer-A", ttlMs = 1000L)
+    Thread.sleep(600L) // ~1200ms since acquire, ~600ms since renewal
+    intercept[LeaseHeldException] {
+      StreamingOps.acquireLease(fs, stateDir, "writer-B", ttlMs = 1000L)
+    }
+    StreamingOps.verifyLease(fs, stateDir, "writer-A")
+    // A goes silent one full TTL: B fences; A's next heartbeat throws —
+    // a fenced writer learns at heartbeat time, not at commit time
+    Thread.sleep(1100L)
+    StreamingOps.acquireLease(fs, stateDir, "writer-B", ttlMs = 600000L)
+    val stale = intercept[LeaseHeldException] {
+      StreamingOps.renewLease(fs, stateDir, "writer-A", ttlMs = 1000L)
+    }
+    assert(stale.holder == "writer-B")
+    StreamingOps.releaseLease(fs, stateDir, "writer-B")
+  }
+
   test("streaming near-dup dedup flags exactly the batch pipeline's dup set") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -48,6 +48,14 @@ STALE_FLOORS = {
                           "segment-partitioned NTILE sorts; current "
                           "shape is two grouped Ranks.ntileExact "
                           "passes",
+    "q_interpurchase": "r12 scale rework: old floor measured a "
+                       "5-partition segment row_number window sort; "
+                       "current shape is Ranks.percentileExact "
+                       "(range shuffle + offsets join)",
+    "q_time_to_convert": "r12 scale rework: old floor measured a "
+                         "5-partition segment row_number window "
+                         "sort; current shape is "
+                         "Ranks.percentileExact",
 }
 
 
