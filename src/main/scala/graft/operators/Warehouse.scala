@@ -406,7 +406,11 @@ object Warehouse {
         .as("rev"))
     val prev = r.select(col("n_name").as("pn"), col("yr").as("pyr"),
       col("rev").as("prev_cents"))
-    r.join(prev, col("pn") === col("n_name") && col("pyr") === col("yr") - 1)
+    // the self-join input is the nations×years-bounded aggregate
+    // (≤ ~200 rows at ANY corpus size) — broadcast it explicitly;
+    // post-aggregate stats are unknown to the planner, which
+    // otherwise sort-merge-joins two recomputed corpus aggregates
+    r.join(broadcast(prev), col("pn") === col("n_name") && col("pyr") === col("yr") - 1)
       .select(col("n_name"), col("yr"), col("rev").as("rev_cents"),
         col("prev_cents"),
         expr("(1000 * (rev - prev_cents)) div prev_cents").as("growth_pm"))

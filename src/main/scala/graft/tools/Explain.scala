@@ -138,9 +138,11 @@ object Explain {
     // the acquisition revenue split
     "q_interpurchase", "q_yoy_growth", "q_acquisition_revenue",
     "q_hhi", "m_cross_modal_dedup",
-    // round-12: the flush-visibility and lease-renewal ceremonies and
-    // the percentileExact rework's second consumer
-    "lake_flush_visibility", "lake_renew_lease", "q_time_to_convert")
+    // round-12: the flush-visibility and lease-renewal ceremonies,
+    // the percentileExact rework's second consumer, and the LSH
+    // band auto-tuner
+    "lake_flush_visibility", "lake_renew_lease", "q_time_to_convert",
+    "d_lsh_autotune")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

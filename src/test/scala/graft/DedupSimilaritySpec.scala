@@ -598,6 +598,34 @@ class DedupSimilaritySpec extends SparkSpec {
       s"8x4 recalled ${r8.getAs[Long]("n_recalled")} but d_minhash_lsh verified $prod")
   }
 
+  test("LSH auto-tuner: exactly one chosen row, and it is the rule's argmax over the scoreboard") {
+    val rows = graft.operators.Dedup.dLshAutotune.fn(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("bands")).toSeq == Seq(4L, 8L, 16L))
+    assert(rows.map(_.getAs[Long]("chosen")).sum == 1L, "exactly one config chosen")
+    // the board columns must equal d_lsh_recall's (same measurement)
+    val board = graft.operators.Dedup.dLshRecall.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("bands"), r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("n_recalled"))).toSet
+    assert(rows.map(r => (r.getAs[Long]("bands"), r.getAs[Long]("n_candidates"),
+      r.getAs[Long]("n_recalled"))).toSet == board)
+    // driver-side re-application of the selection rule picks the same row
+    val want = rows.sortBy { r =>
+      (-(if (r.getAs[Long]("recall_pm") >= 950L) 1L else 0L),
+        -r.getAs[Long]("recall_pm"), -r.getAs[Long]("efficiency_pm"),
+        r.getAs[Long]("n_candidates"), r.getAs[Long]("bands"))
+    }.head.getAs[Long]("bands")
+    val chosen = rows.find(_.getAs[Long]("chosen") == 1L).get
+    assert(chosen.getAs[Long]("bands") == want)
+    // the production 8x4 row costs exactly 1000 per-mille of itself
+    val r8 = rows.find(_.getAs[Long]("bands") == 8L).get
+    assert(r8.getAs[Long]("cost_vs_prod_pm") == 1000L)
+    // meets_recall coheres with the recall column
+    rows.foreach { r =>
+      assert((r.getAs[Long]("meets_recall") == 1L) ==
+        (r.getAs[Long]("recall_pm") >= 950L))
+    }
+  }
+
   test("knn clustering coefficient equals a driver-side recount of the edge set") {
     val rows = Similarity.gKnnClusteringCoeff.fn(spark, sfDir).collect()
     assert(rows.nonEmpty)
