@@ -102,6 +102,32 @@ object Ranks {
       .drop(Pid, "__graft_off")
   }
 
+  /** Grouped exact TOP-N (`ROW_NUMBER() <= n`) without a
+    * low-cardinality global window sort: phase 1 keeps each
+    * (group, input-partition) slice's LOCAL top n — the window is
+    * partitioned by (partCols, pid), P-way parallel, and any global
+    * top-n row is necessarily inside its slice's top n — phase 2
+    * ranks the ≤ n×P×|groups| survivors (the bounded class; a
+    * constant key declares it when ungrouped). `out` is the exact
+    * global 1-based rank, bit-equal to the single-sort window form
+    * for every kept row. `order` must end in a unique tiebreak. */
+  def topNExact(df: DataFrame, n: Int, order: Seq[org.apache.spark.sql.Column],
+      partCols: Seq[String], out: String = "rn"): DataFrame = {
+    require(n >= 1, s"topNExact: n must be >= 1, got $n")
+    val loc = "__graft_topn_loc"
+    val wLoc = Window.partitionBy((partCols.map(col) :+ col(Pid)): _*)
+      .orderBy(order: _*)
+    val grpPart =
+      if (partCols.isEmpty) Seq(onePart(col(Pid))) else partCols.map(col)
+    val wFin = Window.partitionBy(grpPart: _*).orderBy(order: _*)
+    df.withColumn(Pid, spark_partition_id())
+      .withColumn(loc, row_number().over(wLoc))
+      .filter(col(loc) <= n)
+      .withColumn(out, row_number().over(wFin))
+      .filter(col(out) <= n)
+      .drop(Pid, loc)
+  }
+
   /** Exact per-group positional percentiles — the scalable
     * replacement for the
     * `MAX(CASE WHEN rn = ceil(q*n) THEN v END)` idiom over a

@@ -175,13 +175,15 @@ object Relational {
       |  FROM orders JOIN customer ON o_custkey = c_custkey) t
       |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin
   ) { (s, d) =>
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+    // grouped top-N via Ranks.topNExact: local (segment, slice) top-3
+    // then a rerank of the bounded survivors — never a ≤5-partition
+    // sort of the whole orders table (the VERDICT r11 hazard class)
+    graft.functions.Ranks.topNExact(
+        Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice")),
+        n = 3, order = Seq(col("o_totalprice").desc, col("o_orderkey")),
+        partCols = Seq("c_mktsegment"), out = "rn")
       .orderBy(col("c_mktsegment"), col("rn"))
   }
 

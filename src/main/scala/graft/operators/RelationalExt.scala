@@ -282,10 +282,13 @@ object RelationalExt {
 
   /** Per-segment balance deciles via ntile — equal-height bucketing
     * with the remainder-to-leading-buckets semantics both engines
-    * share. Partitioned by market segment so the window parallelizes
-    * (a global-order ntile would serialize on one partition at scale);
-    * unique (c_acctbal, c_custkey) ordering keeps bucket boundaries
-    * deterministic; min/max of doubles are order-independent. */
+    * share. Buckets come from [[graft.functions.Ranks.ntileExact]]
+    * (range shuffle + broadcast slice offsets): with a ≤5-cardinality
+    * segment key, a plain segment-partitioned NTILE window would
+    * funnel the whole customer table through ≤5 sort tasks at scale
+    * (the VERDICT r11 hazard class); unique (c_acctbal, c_custkey)
+    * ordering keeps bucket boundaries deterministic; min/max of
+    * doubles are order-independent. */
   val qNtileDeciles: GraftQuery = GraftQuery.sql(
     "q_ntile_deciles",
     """WITH t AS (
@@ -298,10 +301,11 @@ object RelationalExt {
       |FROM t GROUP BY c_mktsegment, decile
       |ORDER BY c_mktsegment, decile""".stripMargin
   ) { (s, d) =>
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("c_acctbal"), col("c_custkey"))
-    Tables.customer(s, d)
-      .select(col("c_mktsegment"), col("c_acctbal"), ntile(10).over(w).as("decile"))
+    graft.functions.Ranks.ntileExact(
+        Tables.customer(s, d)
+          .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey")),
+        k = 10, orderCols = Seq("c_acctbal", "c_custkey"),
+        partCols = Seq("c_mktsegment"), out = "decile")
       .groupBy(col("c_mktsegment"), col("decile"))
       .agg(count(lit(1)).as("n"),
         min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))

@@ -200,7 +200,12 @@ object RelationalMore {
 
   /** Discrete percentiles (p50/p90) per order status via rank pick —
     * exact and bit-identical cross-engine (continuous interpolation
-    * would differ in association order between engines). */
+    * would differ in association order between engines). The pick
+    * rides [[graft.functions.Ranks.percentileExact]] (range shuffle +
+    * partitioned local row_number + broadcast slice offsets) — with a
+    * ≤3-cardinality status key, the window form this replaces would
+    * funnel the whole orders table through ≤3 sort tasks at 100 TB
+    * (the q_interpurchase/q_time_to_convert hazard, VERDICT r11). */
   val qPercentiles: GraftQuery = GraftQuery.sql(
     "q_percentiles",
     """WITH r AS (SELECT o_orderstatus, o_totalprice,
@@ -213,14 +218,12 @@ object RelationalMore {
       |  MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN o_totalprice END) AS p90
       |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   ) { (s, d) =>
-    val w = Window.partitionBy(col("o_orderstatus"))
-    val r = Tables.orders(s, d).select(col("o_orderstatus"), col("o_totalprice"),
-      row_number().over(w.orderBy(col("o_totalprice"), col("o_orderkey"))).as("rn"),
-      count(lit(1)).over(w).as("n"))
-    r.groupBy(col("o_orderstatus"))
-      .agg(max(col("n")).as("n"),
-        max(when(col("rn") === ceil(lit(0.5) * col("n")).cast("long"), col("o_totalprice"))).as("p50"),
-        max(when(col("rn") === ceil(lit(0.9) * col("n")).cast("long"), col("o_totalprice"))).as("p90"))
+    graft.functions.Ranks.percentileExact(
+        Tables.orders(s, d).select(col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderkey")),
+        orderCols = Seq("o_totalprice", "o_orderkey"),
+        partCols = Seq("o_orderstatus"), valueCol = "o_totalprice",
+        qs = Seq("p50" -> 0.5, "p90" -> 0.9), nOut = "n")
       .orderBy(col("o_orderstatus"))
   }
 
@@ -264,16 +267,13 @@ object RelationalMore {
         sum(when(col("o_totalprice") <= col("a50"), 1L).otherwise(0L)).as("le50"),
         sum(when(col("o_totalprice") < col("a90"), 1L).otherwise(0L)).as("lt90"),
         sum(when(col("o_totalprice") <= col("a90"), 1L).otherwise(0L)).as("le90"))
-    val w = Window.partitionBy(col("o_orderstatus"))
-    val exact = o.select(col("o_orderstatus"), col("o_totalprice"),
-        row_number().over(w.orderBy(col("o_totalprice"), col("o_orderkey"))).as("rn"),
-        count(lit(1)).over(w).as("n"))
-      .groupBy(col("o_orderstatus"))
-      .agg(max(col("n")).as("n"),
-        max(when(col("rn") === ceil(lit(0.5) * col("n")).cast("long"),
-          col("o_totalprice"))).as("p50"),
-        max(when(col("rn") === ceil(lit(0.9) * col("n")).cast("long"),
-          col("o_totalprice"))).as("p90"))
+    // exact anchor via Ranks.percentileExact (range shuffle, never a
+    // ≤3-partition status window sort — the VERDICT r11 hazard class)
+    val exact = graft.functions.Ranks.percentileExact(
+      o.select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey")),
+      orderCols = Seq("o_totalprice", "o_orderkey"),
+      partCols = Seq("o_orderstatus"), valueCol = "o_totalprice",
+      qs = Seq("p50" -> 0.5, "p90" -> 0.9), nOut = "n")
     def rankOk(p: Double, lt: String, le: String) = {
       val target = ceil(lit(p) * col("n")).cast("long")
       val tol = ceil(col("n") * 0.05).cast("long")

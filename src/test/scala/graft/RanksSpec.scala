@@ -162,6 +162,33 @@ class RanksSpec extends SparkSpec {
     } finally ScopedCache.releaseAll()
   }
 
+  for (n <- Seq(1, 3, 10); grouped <- Seq(false, true)) {
+    test(s"topNExact == ROW_NUMBER <= $n (grouped=$grouped), descending metric") {
+      val df = data(173)
+      val order = Seq(col("metric").desc, col("id"))
+      val w = if (grouped) Window.partitionBy(col("grp")).orderBy(order: _*)
+              else Window.orderBy(order: _*)
+      val expect = df.select(col("id"), row_number().over(w).as("r"))
+        .filter(col("r") <= n)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+      val parts = if (grouped) Seq("grp") else Nil
+      val out = Ranks.topNExact(df, n, order, parts, "r")
+      val got = out.select(col("id"), col("r"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+      assert(got === expect)
+    }
+  }
+
+  test("topNExact plans no unpartitioned Window over the input frame") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val out = Ranks.topNExact(data(200), 3,
+      Seq(col("metric").desc, col("id")), Seq("grp"), "r")
+    val bare = out.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(bare.isEmpty, "found Window with empty partitionSpec")
+  }
+
   test("percentileExact plans no unpartitioned Window and uses the range shuffle") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val out = Ranks.percentileExact(data(200), Seq("metric", "id"), Seq("grp"),
