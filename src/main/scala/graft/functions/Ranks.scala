@@ -102,6 +102,49 @@ object Ranks {
       .drop(Pid, "__graft_off")
   }
 
+  /** Exact distributed PREFIX SUMS — `SUM(v) OVER (PARTITION BY
+    * partCols ORDER BY orderCols ROWS UNBOUNDED PRECEDING AND
+    * {CURRENT ROW | 1 PRECEDING})` for one or more value columns in
+    * ONE pass: the running-scan twin of [[rankExact]]. Range shuffle
+    * on (partCols ++ orderCols), per-(group, slice) LOCAL running
+    * sums (P-way parallel), plus each slice's broadcast exclusive
+    * group offset per value column — never a low-cardinality-
+    * partition sort of the corpus. `inclusive = false` gives the
+    * 1-PRECEDING (prequential) frame. One deliberate divergence from
+    * the SQL window: an EMPTY prefix yields 0, not NULL (SQL SUM
+    * over an empty frame is NULL) — consumers filter on a warm-up
+    * count anyway, and 0 composes with the offset arithmetic.
+    * `orderCols` must end in a unique tiebreak. */
+  def prefixSumsExact(df: DataFrame, orderCols: Seq[String],
+      partCols: Seq[String], sums: Seq[(String, String)],
+      inclusive: Boolean = true): DataFrame = {
+    require(sums.nonEmpty, "prefixSumsExact: need at least one (valueCol, out)")
+    val keyCols = (partCols ++ orderCols).map(col)
+    val ranged = graft.ScopedCache(
+      df.repartitionByRange(keyCols: _*).withColumn(Pid, spark_partition_id()))
+    val grpPart =
+      if (partCols.isEmpty) Seq(onePart(col(Pid))) else partCols.map(col)
+    val wOff = Window.partitionBy(grpPart: _*).orderBy(col(Pid))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offAggs = sums.map { case (v, o) => sum(col(v)).as(s"__graft_ps_$o") }
+    val offsets = sums.foldLeft(
+      ranged.groupBy((partCols :+ Pid).map(col): _*)
+        .agg(offAggs.head, offAggs.tail: _*)) { case (d, (_, o)) =>
+      d.withColumn(s"__graft_off_$o",
+          coalesce(sum(col(s"__graft_ps_$o")).over(wOff), lit(0L)))
+        .drop(s"__graft_ps_$o")
+    }
+    val bound = if (inclusive) Window.currentRow else -1L
+    val wLoc = Window.partitionBy((partCols :+ Pid).map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, bound)
+    val joined = joinOffsets(ranged, offsets, partCols)
+    sums.foldLeft(joined) { case (d, (v, o)) =>
+      d.withColumn(o,
+        coalesce(sum(col(v)).over(wLoc), lit(0L)) + col(s"__graft_off_$o"))
+    }.drop((Pid +: sums.map { case (_, o) => s"__graft_off_$o" }): _*)
+  }
+
   /** Grouped exact TOP-N (`ROW_NUMBER() <= n`) without a
     * low-cardinality global window sort: phase 1 keeps each
     * (group, input-partition) slice's LOCAL top n — the window is

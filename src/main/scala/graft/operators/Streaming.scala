@@ -289,16 +289,21 @@ object Streaming {
        |  AND (n*c - sm) * (n*c - sm) > 9 * (n*qm - sm*sm)
        |ORDER BY event_type, event_id""".stripMargin
   ) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.events(s, d)
-      .select(col("event_type"), col("event_id"), col("ts"),
-        expr("cast(cast(value as decimal(15,2)) * 100 as bigint)").as("c"))
-      .withColumn("n", count(lit(1)).over(w))
-      .withColumn("sm", sum(col("c")).over(w))
-      .withColumn("qm", sum(col("c") * col("c")).over(w))
+    // prequential (1-PRECEDING) prefix count/sum/sum-of-squares per
+    // type via ONE Ranks.prefixSumsExact pass — range shuffle + local
+    // scans + broadcast offsets, never a ≤|types|-partition sort of
+    // the events corpus (the VERDICT r11 hazard class, prefix form).
+    // The helper's empty-prefix-is-0 convention (SQL gives NULL) is
+    // invisible here: the warm-up filter keeps only n >= 30.
+    graft.functions.Ranks.prefixSumsExact(
+        Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), col("ts"),
+            expr("cast(cast(value as decimal(15,2)) * 100 as bigint)").as("c"))
+          .withColumn("one", lit(1L))
+          .withColumn("c2", col("c") * col("c")),
+        orderCols = Seq("ts", "event_id"), partCols = Seq("event_type"),
+        sums = Seq("one" -> "n", "c" -> "sm", "c2" -> "qm"),
+        inclusive = false)
       .filter(col("n") >= AnomWarmup && expr(
         """(cast(n as decimal(38,0))*c - sm) * (cast(n as decimal(38,0))*c - sm)
           | > 9 * (cast(n as decimal(38,0))*qm
@@ -342,12 +347,15 @@ object Streaming {
        |WHERE cum > $QuotaBudgetChars
        |ORDER BY source, doc_id""".stripMargin
   ) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
-      .withColumn("cum", sum(col("n_chars")).over(w))
+    // per-source running total via Ranks.prefixSumsExact — range
+    // shuffle + local scans + broadcast offsets, never a ≤|sources|-
+    // partition sort of the corpus (the VERDICT r11 hazard class,
+    // prefix-scan form)
+    graft.functions.Ranks.prefixSumsExact(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars")),
+        orderCols = Seq("doc_id"), partCols = Seq("source"),
+        sums = Seq("n_chars" -> "cum"))
       .filter(col("cum") > QuotaBudgetChars)
       .select(col("doc_id"), col("source"), col("n_chars"), col("cum"))
       .orderBy(col("source"), col("doc_id"))

@@ -909,27 +909,32 @@ object TextAnalysis {
       |ORDER BY source, rank""".stripMargin
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val c = Tables.documents(s, d)
+    // the (source, word) aggregate is vocab-scaled — at web scale a
+    // large frame, so the ≤|sources|-partition whole-group windows
+    // this used through r11 are the VERDICT r11 hazard class:
+    // per-source and corpus totals now come from tiny aggregates
+    // broadcast back; only the word-keyed (high-cardinality) sum
+    // stays a window; the per-source top-5 rides Ranks.topNExact
+    val c = graft.ScopedCache(Tables.documents(s, d)
       .select(col("source"),
         explode(split(lower(col("text")), "[^a-z]+", -1)).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("source"), col("word"))
-      .agg(count(lit(1)).as("n"))
-    val wSrc = Window.partitionBy(col("source"))
+      .agg(count(lit(1)).as("n")))
+    val ts = c.groupBy(col("source").as("__ts_src")).agg(sum(col("n")).as("ts"))
+    val nn = c.agg(sum(col("n")).as("nn"))
     val wWord = Window.partitionBy(col("word"))
-    // whole-frame span over the vocab×sources aggregate — bounded
-    // class, never corpus-sized (constant partition key declares it)
-    val wAll = Window.partitionBy(graft.functions.Ranks.onePart(col("word")))
     val t = c
-      .withColumn("ts", sum(col("n")).over(wSrc))
       .withColumn("nw", sum(col("n")).over(wWord))
-      .withColumn("nn", sum(col("n")).over(wAll))
+      .join(broadcast(ts), col("source") === col("__ts_src")).drop("__ts_src")
+      .crossJoin(broadcast(nn)) // 1-row scalar — the adjudicated tiny class
       .filter(col("n") >= 5)
       .withColumn("lift_pm", expr("(1000 * n * nn) div (ts * nw)"))
-    val wRank = Window.partitionBy(col("source"))
-      .orderBy(col("lift_pm").desc, col("word"))
-    t.withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= 5)
+    graft.functions.Ranks.topNExact(
+        t.select(col("source"), col("word"), col("n"), col("lift_pm")),
+        n = 5, order = Seq(col("lift_pm").desc, col("word")),
+        partCols = Seq("source"), out = "rank")
+      .withColumn("rank", col("rank").cast("long"))
       .select(col("source"), col("rank"), col("word"), col("n"), col("lift_pm"))
       .orderBy(col("source"), col("rank"))
   }

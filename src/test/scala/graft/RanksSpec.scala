@@ -189,6 +189,44 @@ class RanksSpec extends SparkSpec {
     assert(bare.isEmpty, "found Window with empty partitionSpec")
   }
 
+  for (inclusive <- Seq(true, false); grouped <- Seq(false, true)) {
+    test(s"prefixSumsExact == running SUM window (inclusive=$inclusive grouped=$grouped)") {
+      val df = data(211)
+      val base = if (grouped) Window.partitionBy(col("grp")) else Window.partitionBy()
+      val w = base.orderBy(col("metric"), col("id"))
+        .rowsBetween(Window.unboundedPreceding,
+          if (inclusive) Window.currentRow else -1)
+      val expect = df.select(col("id"),
+          coalesce(sum(col("metric")).over(w), lit(0L)).as("s1"),
+          coalesce(sum(col("id") * col("id")).over(w), lit(0L)).as("s2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      val parts = if (grouped) Seq("grp") else Nil
+      val out = Ranks.prefixSumsExact(
+        df.withColumn("idsq", col("id") * col("id")),
+        Seq("metric", "id"), parts,
+        Seq("metric" -> "s1", "idsq" -> "s2"), inclusive = inclusive)
+      try {
+        val got = out.select(col("id"), col("s1"), col("s2"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+        assert(got === expect)
+      } finally ScopedCache.releaseAll()
+    }
+  }
+
+  test("prefixSumsExact plans no unpartitioned Window and uses the range shuffle") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val out = Ranks.prefixSumsExact(data(200), Seq("metric", "id"), Seq("grp"),
+      Seq("metric" -> "s"))
+    try {
+      val bare = out.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bare.isEmpty, "found Window with empty partitionSpec")
+      assert(out.queryExecution.executedPlan.toString
+        .toLowerCase.contains("rangepartitioning"))
+    } finally ScopedCache.releaseAll()
+  }
+
   test("percentileExact plans no unpartitioned Window and uses the range shuffle") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val out = Ranks.percentileExact(data(200), Seq("metric", "id"), Seq("grp"),
