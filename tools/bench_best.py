@@ -56,6 +56,23 @@ STALE_FLOORS = {
                          "5-partition segment row_number window "
                          "sort; current shape is "
                          "Ranks.percentileExact",
+    "q_percentiles": "r12 sweep: old floor measured a 3-partition "
+                     "status window sort; now Ranks.percentileExact",
+    "q_approx_percentile": "r12 sweep: exact anchor moved to "
+                           "Ranks.percentileExact",
+    "q_ntile_deciles": "r12 sweep: old floor measured a 5-partition "
+                       "segment NTILE sort; now Ranks.ntileExact",
+    "q_group_topn": "r12 sweep: old floor measured a 5-partition "
+                    "segment row_number sort; now Ranks.topNExact",
+    "st_quota_gate": "r12 sweep: old floor measured a per-source "
+                     "ordered window over the corpus; now "
+                     "Ranks.prefixSumsExact",
+    "st_stream_anomaly": "r12 sweep: old floor measured a per-type "
+                         "ordered window over the corpus; now one "
+                         "prefixSumsExact pass",
+    "t_keyword_lift": "r12 sweep: old floor measured source-partition "
+                      "whole-group windows over the vocab frame; now "
+                      "broadcast totals + topNExact",
 }
 
 
