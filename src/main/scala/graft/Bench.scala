@@ -195,9 +195,14 @@ object Bench {
       .filter { case (n, t) => !failed.contains(n) && t > threshold(n) }
       .sortBy { case (n, t) => -(t - threshold(n)) }
     var rerunBudget = if (canaryStartDegraded) 180.0 else 60.0
+    // The mandatory worst-excess suspect is NOT charged to the budget
+    // (self-review r12: charging it drives the budget negative when it
+    // alone overflows, silently disqualifying every cheap suspect that
+    // would have fit — the budget governs the OPTIONAL tail only).
     val suspects = rankedSuspects.zipWithIndex
       .filter { case ((_, t), i) =>
-        if (i == 0 || rerunBudget >= t) { rerunBudget -= t; true }
+        if (i == 0) true
+        else if (rerunBudget >= t) { rerunBudget -= t; true }
         else false }
       .map(_._1._1).toSet
     val skippedSuspects = rankedSuspects.map(_._1).filterNot(suspects)
@@ -205,7 +210,11 @@ object Bench {
     // Re-runs happen in a VERIFIED clean window (VERDICT r11 #2: a
     // re-run inside the same degraded window re-measures the noise,
     // not the code) — wait for the canary before the remeasure arm.
-    if (suspects.nonEmpty && only.isEmpty) awaitCleanWindow("rerun")
+    // The ratio it lands at feeds the run's window stamp: a pass whose
+    // middle degraded must not stamp "clean" just because the start
+    // and end probes were lucky (self-review r12).
+    val canaryRerun =
+      if (suspects.nonEmpty && only.isEmpty) awaitCleanWindow("rerun") else 0.0
     val results = firstPass.map { case (name, t) =>
       if (suspects.contains(name)) {
         var best = t
@@ -249,11 +258,11 @@ object Bench {
     }
     val window =
       if (canaryFloor.isEmpty || only.nonEmpty) "ungated"
-      else if (!canaryStartDegraded && canaryEnd <= 1.3) "clean"
+      else if (!canaryStartDegraded && canaryEnd <= 1.3 && canaryRerun <= 1.3) "clean"
       else "degraded"
     val skippedJson = skippedSuspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val runMeta =
-      s""""canary_start":${num(canaryStart, 2)},"canary_end":${num(canaryEnd, 2)},"window":"$window""""
+      s""""canary_start":${num(canaryStart, 2)},"canary_rerun":${num(canaryRerun, 2)},"canary_end":${num(canaryEnd, 2)},"window":"$window""""
     val full =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"n_remeasured":$nRemeasured,"skipped_suspects":$skippedJson,$runMeta,"vs_best":${num(vsBest, 2)},"failures":$failJson,"queries":${fmt(results)},"sf":"$sfDir"}"""
     try {

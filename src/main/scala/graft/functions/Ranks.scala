@@ -81,10 +81,20 @@ object Ranks {
     * buckets (Spearman rank correlation, percentile positions).
     * `orderCols` must end in a unique tiebreak for determinism. */
   def rankExact(df: DataFrame, orderCols: Seq[String],
-      partCols: Seq[String] = Nil, out: String = "rank"): DataFrame = {
+      partCols: Seq[String] = Nil, out: String = "rank"): DataFrame =
+    rankOnRanged(rangedFrame(df, orderCols, partCols), orderCols, partCols, out)
+
+  /** The pinned range-shuffled frame both branches of the mechanism
+    * must share (repartitionByRange re-samples per execution). */
+  private def rangedFrame(df: DataFrame, orderCols: Seq[String],
+      partCols: Seq[String]): DataFrame = {
     val keyCols = (partCols ++ orderCols).map(col)
-    val ranged = graft.ScopedCache(
+    graft.ScopedCache(
       df.repartitionByRange(keyCols: _*).withColumn(Pid, spark_partition_id()))
+  }
+
+  private def rankOnRanged(ranged: DataFrame, orderCols: Seq[String],
+      partCols: Seq[String], out: String): DataFrame = {
     val grpPart =
       if (partCols.isEmpty) Seq(onePart(col(Pid))) else partCols.map(col)
     val wOff = Window.partitionBy(grpPart: _*).orderBy(col(Pid))
@@ -193,8 +203,13 @@ object Ranks {
       qs: Seq[(String, Double)], nOut: String = "n"): DataFrame = {
     require(qs.nonEmpty, "percentileExact: need at least one (name, q)")
     val rn = "__graft_prn"
-    val ranked = rankExact(df, orderCols, partCols, out = rn)
-    val counts = df.groupBy(partCols.map(col): _*).agg(count(lit(1)).as(nOut))
+    // counts aggregate the SAME cached ranged frame the rank pass
+    // reads — a plain df.groupBy would re-execute the whole upstream
+    // lineage a second time (self-review r12)
+    val ranged = rangedFrame(df, orderCols, partCols)
+    val ranked = rankOnRanged(ranged, orderCols, partCols, out = rn)
+    val counts = ranged.groupBy(partCols.map(col): _*)
+      .agg(count(lit(1)).as(nOut))
     val joined =
       if (partCols.isEmpty) ranked.crossJoin(broadcast(counts))
       else {

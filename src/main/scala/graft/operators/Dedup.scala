@@ -301,7 +301,8 @@ object Dedup {
        |    AS cost_vs_prod_pm,
        |  CAST(CASE WHEN ROW_NUMBER() OVER (
        |      ORDER BY CASE WHEN b.recall_pm >= $RecallTargetPm THEN 1 ELSE 0 END DESC,
-       |        b.recall_pm DESC, b.efficiency_pm DESC,
+       |        CASE WHEN b.recall_pm >= $RecallTargetPm
+       |             THEN b.efficiency_pm ELSE b.recall_pm END DESC,
        |        b.n_candidates ASC, b.bands ASC) = 1
        |    THEN 1 ELSE 0 END AS BIGINT) AS chosen
        |FROM board b CROSS JOIN prod
@@ -312,9 +313,16 @@ object Dedup {
     val prod = board.filter(col("bands") === 8)
       .select(col("n_candidates").as("prod_c"))
     val meets = when(col("recall_pm") >= RecallTargetPm, 1L).otherwise(0L)
+    // among SLO-meeting configs the second key is EFFICIENCY (the
+    // documented rule — recall is already good enough, stop paying
+    // wasted candidates); only in the nothing-meets fallback does raw
+    // recall order the board (self-review r12: a flat meets-then-
+    // recall-then-efficiency order would pick a high-recall wasteful
+    // config over a cheaper SLO-meeting one)
+    val second = when(meets === 1L, col("efficiency_pm")).otherwise(col("recall_pm"))
     val w = Window
       .partitionBy(graft.functions.Ranks.onePart(col("bands"))) // 3-row frame by design
-      .orderBy(meets.desc, col("recall_pm").desc, col("efficiency_pm").desc,
+      .orderBy(meets.desc, second.desc,
         col("n_candidates").asc, col("bands").asc)
     board.crossJoin(broadcast(prod)) // 3-row x 1-row scalar — adjudicated tiny class
       .select(col("bands"), col("rows_per_band"), col("n_candidates"),

@@ -1186,23 +1186,45 @@ object Durability {
     val ttlMs = 800L
     // 1. slow writer A: the "write" spans 4 heartbeats at 300ms —
     // 1200ms elapsed, past the original 800ms TTL — renewing each
-    // beat; B probes for takeover after every renewal and must refuse
-    val t0 = System.nanoTime()
-    StreamingOps.acquireLease(fs, stateDir, "writerA", ttlMs = ttlMs)
-    var takeoverRefused = true
-    (1 to 4).foreach { _ =>
-      Thread.sleep(300L)
-      StreamingOps.renewLease(fs, stateDir, "writerA", ttlMs = ttlMs)
-      val refused =
-        try { StreamingOps.acquireLease(fs, stateDir, "writerB", ttlMs = ttlMs); false }
-        catch { case _: StreamingOps.LeaseHeldException => true }
-      takeoverRefused &&= refused
+    // beat; B probes for takeover after every renewal and must refuse.
+    // A host stall >500ms between a renewal and B's probe would let B
+    // genuinely win — on THIS host that is a documented bimodal-I/O
+    // event, not a mechanism defect, so the survival phase retries in
+    // a fresh window instead of crashing or shipping a false flag
+    // (self-review r12).
+    var takeoverRefused = false
+    var survived = false
+    var phaseDone = false
+    var attempts = 0
+    while (!phaseDone && attempts < 3) {
+      attempts += 1
+      try {
+        StreamingOps.acquireLease(fs, stateDir, "writerA", ttlMs = ttlMs)
+        val t0 = System.nanoTime() // survival clock starts AT the grant
+        var refusedAll = true
+        (1 to 4).foreach { _ =>
+          Thread.sleep(300L)
+          StreamingOps.renewLease(fs, stateDir, "writerA", ttlMs = ttlMs)
+          val refused =
+            try { StreamingOps.acquireLease(fs, stateDir, "writerB", ttlMs = ttlMs); false }
+            catch { case _: StreamingOps.LeaseHeldException => true }
+          refusedAll &&= refused
+        }
+        val elapsedMs = (System.nanoTime() - t0) / 1000000L
+        StreamingOps.verifyLease(fs, stateDir, "writerA")
+        takeoverRefused = refusedAll
+        survived = elapsedMs > ttlMs // verified + renewing PAST the original TTL
+        phaseDone = true
+      } catch {
+        case _: StreamingOps.LeaseHeldException =>
+          // a stall let a probe win mid-phase; let the short lease
+          // lapse so the next attempt can fence it and start clean
+          Thread.sleep(ttlMs + 100L)
+      }
     }
-    val elapsedMs = (System.nanoTime() - t0) / 1000000L
-    StreamingOps.verifyLease(fs, stateDir, "writerA")
+    require(phaseDone, "renew-lease survival phase could not complete (host stalls)")
     CommitLog.writeCommit(s, dir,
       docs.filter(col("doc_id") % 3 === 1), "data/b1", ts = 2000L)       // v1
-    val survived = elapsedMs > ttlMs  // the lease verified + committed PAST its original TTL
     // 2. A goes silent one full TTL: B reclaims, A's heartbeat throws
     Thread.sleep(ttlMs + 100L)
     StreamingOps.acquireLease(fs, stateDir, "writerB", ttlMs = ttlMs)

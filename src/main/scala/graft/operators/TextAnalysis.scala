@@ -926,7 +926,10 @@ object TextAnalysis {
     val wWord = Window.partitionBy(col("word"))
     val t = c
       .withColumn("nw", sum(col("n")).over(wWord))
-      .join(broadcast(ts), col("source") === col("__ts_src")).drop("__ts_src")
+      // <=> so a NULL source still totals as its own group, exactly
+      // like the PARTITION BY window this join replaced (the ADVICE
+      // r11 null-join class; self-review r12)
+      .join(broadcast(ts), col("source") <=> col("__ts_src")).drop("__ts_src")
       .crossJoin(broadcast(nn)) // 1-row scalar — the adjudicated tiny class
       .filter(col("n") >= 5)
       .withColumn("lift_pm", expr("(1000 * n * nn) div (ts * nw)"))

@@ -138,11 +138,23 @@ object CommitLog {
         .map(st => (st.getPath.getName.stripSuffix(".log").toInt,
           st.getLen, st.getModificationTime))
     }
-    def unknownOnDisk(known: Set[Int]): Seq[(Int, Long, Long)] =
-      allOnDisk().filter { case (v, _, _) => !known.contains(v) }
+    def unknown(listing: Seq[(Int, Long, Long)],
+                known: Set[Int]): Seq[(Int, Long, Long)] =
+      listing.filter { case (v, _, _) => !known.contains(v) }
+    def waitable(xs: Seq[(Int, Long, Long)]): Seq[(Int, Long, Long)] =
+      xs.filter { case (v, len, mt) =>
+        burnedDiagnosed.get(s"$tableDir#$v") != ((len, mt))
+      }
+    var cs = commits(fs, tableDir)
+    // ONE listing serves both the eviction sweep and the first pending
+    // check (self-review r12: a second listStatus per journal read is
+    // pure metadata-latency waste on object-store-like filesystems).
+    // Taken AFTER the journal read: the race guard needs any version
+    // file that appears after `cs` was read to show up here as pending.
+    val firstListing = allOnDisk()
     // evict stale diagnoses: version file gone = diagnosis void
     locally {
-      val live = allOnDisk().map(_._1).toSet
+      val live = firstListing.map(_._1).toSet
       val prefix = s"$tableDir#"
       // non-numeric suffix = a DIFFERENT tableDir extending this
       // prefix ("a/b#2" vs "a/b") — never evict those here
@@ -151,17 +163,12 @@ object CommitLog {
           k.stripPrefix(prefix).toIntOption.exists(v => !live.contains(v))
       }
     }
-    def waitable(xs: Seq[(Int, Long, Long)]): Seq[(Int, Long, Long)] =
-      xs.filter { case (v, len, mt) =>
-        burnedDiagnosed.get(s"$tableDir#$v") != ((len, mt))
-      }
-    var cs = commits(fs, tableDir)
-    var pending = waitable(unknownOnDisk(cs.map(_.version).toSet))
+    var pending = waitable(unknown(firstListing, cs.map(_.version).toSet))
     var waitedMs = 0L
     while (waitedMs < 2000L && pending.nonEmpty) {
       Thread.sleep(20L); waitedMs += 20L
       cs = commits(fs, tableDir)
-      pending = waitable(unknownOnDisk(cs.map(_.version).toSet))
+      pending = waitable(unknown(allOnDisk(), cs.map(_.version).toSet))
     }
     // grace expired with versions still unparseable: burned — record
     // each at its observed identity so the wait is paid at most once
@@ -1027,22 +1034,41 @@ object CommitLog {
   }
 
   /** Flushed-but-unpromoted relpaths, per writer. Markers without the
-    * terminal `end` (torn mid-swap) parse as absent. */
+    * terminal `end` (torn mid-swap) parse as absent. BOTH the
+    * installed marker and a complete `.tmp` successor are read and
+    * UNIONED per writer: flush()'s replace is write-tmp → delete-dst →
+    * rename, so there is an instant where only the tmp holds the set —
+    * without the union, a vacuum racing that instant would see the
+    * staged files as unreferenced and delete lease-protected data
+    * (self-review r12). A torn tmp (writer crashed mid-write, no
+    * terminator) is ignored and its installed predecessor, if any,
+    * still pins. */
   def flushedAdds(fs: FileSystem, tableDir: String): Map[String, Seq[String]] = {
     val dir = inflightDir(tableDir)
     if (!fs.exists(dir)) return Map.empty
     fs.listStatus(dir).toSeq
-      .filter(_.getPath.getName.endsWith(".flush"))
+      .filter { st =>
+        val n = st.getPath.getName
+        n.endsWith(".flush") || n.endsWith(".flush.tmp")
+      }
       .flatMap { st =>
-        val in = fs.open(st.getPath)
         val text =
-          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-          finally in.close()
+          try {
+            val in = fs.open(st.getPath)
+            try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+            finally in.close()
+          } catch {
+            // a tmp can legitimately vanish mid-listing (renamed over
+            // the marker) — absent is the correct reading
+            case _: java.io.FileNotFoundException => ""
+          }
         val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
         if (!lines.lastOption.contains("end")) None
-        else Some(st.getPath.getName.stripSuffix(".flush") ->
+        else Some(st.getPath.getName.stripSuffix(".tmp").stripSuffix(".flush") ->
           lines.collect { case l if l.startsWith("add ") => l.drop(4) })
-      }.toMap
+      }
+      .groupBy(_._1)
+      .map { case (w, xs) => w -> xs.flatMap(_._2).distinct }
   }
 
   /** The opt-in tail read: the latest committed snapshot plus every
@@ -1069,6 +1095,7 @@ object CommitLog {
       throw new java.io.IOException(s"no flushed set for $writer in $tableDir"))
     val v = commit(fs, tableDir, ts, adds = adds, removes = Seq.empty)
     fs.delete(flushMarker(tableDir, writer), false)
+    fs.delete(new Path(inflightDir(tableDir), s"$writer.flush.tmp"), false)
     v
   }
 
@@ -1082,6 +1109,7 @@ object CommitLog {
     val doomed = adds.filterNot(referenced)
     doomed.foreach(rel => fs.delete(new Path(tableDir, rel), true))
     fs.delete(flushMarker(tableDir, writer), false)
+    fs.delete(new Path(inflightDir(tableDir), s"$writer.flush.tmp"), false)
     doomed
   }
 }
