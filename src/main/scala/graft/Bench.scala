@@ -266,7 +266,13 @@ object Bench {
     val full =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"n_remeasured":$nRemeasured,"skipped_suspects":$skippedJson,$runMeta,"vs_best":${num(vsBest, 2)},"failures":$failJson,"queries":${fmt(results)},"sf":"$sfDir"}"""
     try {
-      val p = java.nio.file.Paths.get("docs/bench_full.json")
+      // targeted SPARK_GRAFT_ONLY profiling runs must never overwrite
+      // the full-suite artifact (r11: a post-snapshot targeted run
+      // dirtied the committed bench_full.json; floors fold the
+      // worktree file, so a 1-query run would also masquerade as a
+      // suite run there)
+      val p = java.nio.file.Paths.get(
+        if (only.isDefined) "docs/bench_only.json" else "docs/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, full.getBytes("UTF-8"))
     } catch { case _: Throwable => () }

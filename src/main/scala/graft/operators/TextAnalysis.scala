@@ -922,7 +922,10 @@ object TextAnalysis {
       .groupBy(col("source"), col("word"))
       .agg(count(lit(1)).as("n")))
     val ts = c.groupBy(col("source").as("__ts_src")).agg(sum(col("n")).as("ts"))
-    val nn = c.agg(sum(col("n")).as("nn"))
+    // the corpus total is the sum of the per-source totals — derive it
+    // from the ≤|sources|-row ts frame instead of a second full pass
+    // over the cached vocab aggregate
+    val nn = ts.agg(sum(col("ts")).as("nn"))
     val wWord = Window.partitionBy(col("word"))
     val t = c
       .withColumn("nw", sum(col("n")).over(wWord))
