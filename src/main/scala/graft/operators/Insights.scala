@@ -737,14 +737,33 @@ object Insights {
     * Scale: two distinct-aggregates over events (user grain, then
     * (type, user) grain — both map-side-combined shuffles on the
     * natural keys), then everything is a 5-row × 1-row broadcast.
-    * The cross-multiplication is DECIMAL(38,0)-safe to ~3×10⁶ users
-    * per arm at ADVERSARIAL margins ((x₁n₂−x₂n₁)²·N·10⁴ peaks near
-    * 10³⁹ at n≈4×10⁶ with a maximal rate gap — ADVICE r11: beyond
-    * that the engines do NOT widen together; Spark (non-ANSI) NULLs
-    * the overflowing comparison while DuckDB HUGEINT (~1.7×10³⁸)
-    * errors. Past that population, rescale both engines' inequality
-    * to per-mille rates before squaring — at ≥10⁶ users per arm the
-    * per-mille rounding error is far below the test's resolution. */
+    *
+    * Overflow design (VERDICT r12 #1 — the raw cross-multiplication
+    * exceeded DECIMAL(38,0)/HUGEINT past ~3×10⁶ users/arm, where the
+    * engines stop agreeing): the flag is TWO-REGIME, the regime chosen
+    * by total population N = n₁+n₂, identically in both engines.
+    *  - N ≤ 10⁷: the exact cross-multiplied inequality. Worst case
+    *    (x₁n₂−x₂n₁)² ≤ (N²/4)² so LHS ≤ N⁵·10⁴/16 = 6.25×10³⁷ < both
+    *    DECIMAL(38,0) (10³⁸−1) and HUGEINT (1.7×10³⁸); every
+    *    intermediate product is smaller. The int64 products inside the
+    *    casts (x·n ≤ 10¹⁴) are safe too.
+    *  - N > 10⁷: rates quantized to tenth-of-ppm units S = 10⁷
+    *    (qᵢ = ⌊S·xᵢ/nᵢ⌋, pooled p = ⌊S·X/N⌋, harmonic size
+    *    h = ⌊n₁n₂/N⌋) and the S-independent form of the same z² test:
+    *    10⁴·(q₁−q₂)²·h > 38416·p·(S−p). Worst LHS =
+    *    10⁴·10¹⁴·(max int64) ≈ 9.2×10³⁶ — safe at ANY int64
+    *    population. Quantization moves each rate by < 10⁻⁷ and h by
+    *    < 1 part in h, so only decisions within ~2×10⁻⁷ of rate-gap
+    *    from the z²=3.8416 boundary can differ from the exact test —
+    *    far below the resolution any experiment at ≥5×10⁶ users/arm
+    *    reads — and both engines quantize identically (floor division
+    *    of non-negative integers), so the flag still matches bit-wise.
+    * All arithmetic stays exact-integer in DECIMAL(38,0)/HUGEINT; no
+    * value can overflow in either engine at any bigint population, so
+    * there is no silent-NULL (non-ANSI) or thrown (ANSI/HUGEINT)
+    * regime left. InsightsSpec drives [[abReadout]] past the old
+    * bound (10⁸ and 4×10⁹ users/arm) and pins the flag to an
+    * independent BigInt evaluation of the same inequality. */
   val qAbTest: GraftQuery = GraftQuery.sql(
     "q_ab_test",
     """WITH u AS (SELECT DISTINCT user_id, user_id % 2 AS variant FROM events),
@@ -758,20 +777,31 @@ object Insights {
       |m AS (SELECT event_type,
       |        SUM(CASE WHEN variant = 0 THEN n_conv ELSE 0 END) AS xa,
       |        SUM(CASE WHEN variant = 1 THEN n_conv ELSE 0 END) AS xb
-      |      FROM x GROUP BY 1)
+      |      FROM x GROUP BY 1),
+      |z AS (SELECT event_type, na, nb, xa, xb,
+      |        (10000000 * CAST(xa AS HUGEINT)) // na AS qa,
+      |        (10000000 * CAST(xb AS HUGEINT)) // nb AS qb,
+      |        (10000000 * CAST(xa + xb AS HUGEINT)) // (na + nb) AS p,
+      |        (CAST(na AS HUGEINT) * nb) // (na + nb) AS h
+      |      FROM m CROSS JOIN n)
       |SELECT event_type,
       |  CAST(na AS BIGINT) AS n_ctrl, CAST(xa AS BIGINT) AS conv_ctrl,
       |  CAST(nb AS BIGINT) AS n_treat, CAST(xb AS BIGINT) AS conv_treat,
       |  CAST((1000 * xa) // na AS BIGINT) AS rate_ctrl_pm,
       |  CAST((1000 * xb) // nb AS BIGINT) AS rate_treat_pm,
-      |  CAST(CASE WHEN
-      |      CAST(xa * nb - xb * na AS DECIMAL(38,0))
-      |        * CAST(xa * nb - xb * na AS DECIMAL(38,0))
-      |        * (na + nb) * 10000
-      |      > CAST(38416 AS DECIMAL(38,0)) * na * nb
-      |        * (xa + xb) * (na + nb - xa - xb)
-      |    THEN 1 ELSE 0 END AS BIGINT) AS significant
-      |FROM m CROSS JOIN n ORDER BY event_type""".stripMargin
+      |  CAST(CASE WHEN na + nb <= 10000000 THEN
+      |      CASE WHEN
+      |        CAST(xa * nb - xb * na AS HUGEINT)
+      |          * (xa * nb - xb * na) * (na + nb) * 10000
+      |        > 38416 * CAST(na AS HUGEINT) * nb
+      |          * (xa + xb) * (na + nb - xa - xb)
+      |      THEN 1 ELSE 0 END
+      |    ELSE
+      |      CASE WHEN 10000 * (qa - qb) * (qa - qb) * h
+      |        > 38416 * p * (10000000 - p)
+      |      THEN 1 ELSE 0 END
+      |    END AS BIGINT) AS significant
+      |FROM z ORDER BY event_type""".stripMargin
   ) { (s, d) =>
     val ev = Tables.events(s, d)
     val u = ev.select(col("user_id"), (col("user_id") % 2).as("variant")).distinct()
@@ -783,21 +813,46 @@ object Insights {
     val m = x.groupBy(col("event_type"))
       .agg(sum(when(col("variant") === 0, col("n_conv")).otherwise(0L)).as("xa"),
         sum(when(col("variant") === 1, col("n_conv")).otherwise(0L)).as("xb"))
-    m.crossJoin(broadcast(n)) // 1-row scalar — the adjudicated tiny class
-      .select(col("event_type"),
-        col("na").as("n_ctrl"), col("xa").as("conv_ctrl"),
-        col("nb").as("n_treat"), col("xb").as("conv_treat"),
-        expr("(1000 * xa) div na").as("rate_ctrl_pm"),
-        expr("(1000 * xb) div nb").as("rate_treat_pm"),
-        when(
-          expr("cast(xa * nb - xb * na as decimal(38,0))") *
-            expr("cast(xa * nb - xb * na as decimal(38,0))") *
-            (col("na") + col("nb")) * lit(10000)
-            > expr("cast(38416 as decimal(38,0))") * col("na") * col("nb") *
-              (col("xa") + col("xb")) *
-              (col("na") + col("nb") - col("xa") - col("xb")),
-          1L).otherwise(0L).as("significant"))
+    abReadout(m.crossJoin(broadcast(n))) // 1-row scalar — adjudicated tiny class
       .orderBy(col("event_type"))
+  }
+
+  /** The q_ab_test readout over a frame with columns (event_type, na,
+    * nb, xa, xb) — factored out so the overflow-boundary spec can
+    * drive it with synthetic counts beyond any real table (see the
+    * q_ab_test docstring for the two-regime overflow proof). The
+    * Spark form mirrors the oracle's HUGEINT recipe in DECIMAL(38,0):
+    * `div` on decimals is Spark's integral (truncating) division and
+    * equals DuckDB's `//` floor division for the non-negative
+    * operands here. */
+  private[graft] def abReadout(mn: DataFrame): DataFrame = {
+    val q = mn
+      .withColumn("qa", expr("(10000000 * cast(xa as decimal(38,0))) div na"))
+      .withColumn("qb", expr("(10000000 * cast(xb as decimal(38,0))) div nb"))
+      .withColumn("p",
+        expr("(10000000 * cast(xa + xb as decimal(38,0))) div (na + nb)"))
+      .withColumn("h", expr("(cast(na as decimal(38,0)) * nb) div (na + nb)"))
+    val exactCmp =
+      expr("cast(xa * nb - xb * na as decimal(38,0))") *
+        expr("cast(xa * nb - xb * na as decimal(38,0))") *
+        (col("na") + col("nb")) * lit(10000) >
+        expr("cast(38416 as decimal(38,0))") * col("na") * col("nb") *
+          (col("xa") + col("xb")) *
+          (col("na") + col("nb") - col("xa") - col("xb"))
+    val rescaledCmp =
+      lit(10000) * expr("cast(qa - qb as decimal(38,0))") *
+        (col("qa") - col("qb")) * col("h") >
+        expr("cast(38416 as decimal(38,0))") * col("p") *
+          (lit(10000000L) - col("p"))
+    q.select(col("event_type"),
+      col("na").as("n_ctrl"), col("xa").as("conv_ctrl"),
+      col("nb").as("n_treat"), col("xb").as("conv_treat"),
+      expr("(1000 * xa) div na").as("rate_ctrl_pm"),
+      expr("(1000 * xb) div nb").as("rate_treat_pm"),
+      when(col("na") + col("nb") <= lit(10000000L),
+        when(exactCmp, 1L).otherwise(0L))
+        .otherwise(when(rescaledCmp, 1L).otherwise(0L))
+        .as("significant"))
   }
 
   /** SPEARMAN RANK CORRELATION — the monotone-association screen

@@ -330,4 +330,70 @@ class InsightsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Long]("rho_pm")) <= 1000L)
     }
   }
+
+  test("ab test: significance flag is exact-integer past the old DECIMAL(38,0) bound") {
+    import spark.implicits._
+    // Independent BigInt evaluation of the same two-regime inequality
+    // (BigInt `/` truncates; every operand here is non-negative, so it
+    // equals both engines' floor division).
+    def expectFlag(na: Long, nb: Long, xa: Long, xb: Long): Long = {
+      val (bNA, bNB, bXA, bXB) = (BigInt(na), BigInt(nb), BigInt(xa), BigInt(xb))
+      val bN = bNA + bNB
+      val (lhs, rhs) =
+        if (bN <= 10000000L) {
+          val d = bXA * bNB - bXB * bNA
+          (d * d * bN * 10000,
+            BigInt(38416) * bNA * bNB * (bXA + bXB) * (bN - bXA - bXB))
+        } else {
+          val s7 = BigInt(10000000)
+          val qa = s7 * bXA / bNA
+          val qb = s7 * bXB / bNB
+          val p = s7 * (bXA + bXB) / bN
+          val h = bNA * bNB / bN
+          val d = qa - qb
+          (BigInt(10000) * d * d * h, BigInt(38416) * p * (s7 - p))
+        }
+      if (lhs > rhs) 1L else 0L
+    }
+    val cases = Seq(
+      // exact regime (the regime the sf oracles exercise)
+      ("small_exact", 1000L, 1000L, 100L, 150L),
+      // regime handoff: same clear effect on both sides of N = 1e7
+      ("regime_edge_exact", 5000000L, 5000000L, 500000L, 525000L),
+      ("regime_edge_rescaled", 5000001L, 5000001L, 500000L, 525000L),
+      // past the old ~3e6/arm bound, where the retired form overflowed
+      // DECIMAL(38,0): a 5% lift at 1e8/arm MUST read significant
+      ("old_bound_effect", 100000000L, 100000000L, 10000000L, 10500000L),
+      ("old_bound_flat", 100000000L, 100000000L, 10000000L, 10000000L),
+      // beyond int32 populations (xa*nb here would overflow int64 raw)
+      ("giant_effect", 4000000000L, 4000000000L, 400000000L, 400400000L),
+      ("giant_flat", 4000000000L, 4000000000L, 400000000L, 400000000L),
+      // straddle the z-squared = 3.8416 boundary at 2e7/arm
+      ("boundary_hi", 20000000L, 20000000L, 1000000L, 1002800L),
+      ("boundary_lo", 20000000L, 20000000L, 1000000L, 1002600L),
+      // heavy arm skew (small harmonic size h)
+      ("skewed", 10000L, 2000000000L, 1000L, 210000000L),
+      // degenerate margins: both sides zero, flag down
+      ("degenerate_all", 20000000L, 20000000L, 20000000L, 20000000L),
+      ("degenerate_none", 20000000L, 20000000L, 0L, 0L))
+    val mn = cases.map { case (t, na, nb, xa, xb) => (t, na, nb, xa, xb) }
+      .toDF("event_type", "na", "nb", "xa", "xb")
+    val got = Insights.abReadout(mn).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (if (r.isNullAt(r.fieldIndex("significant"))) null
+         else Long.box(r.getAs[Long]("significant")))).toMap
+    cases.foreach { case (tag, na, nb, xa, xb) =>
+      assert(got(tag) != null, s"$tag: flag must never be NULL")
+      assert(got(tag) == expectFlag(na, nb, xa, xb),
+        s"$tag: flag disagrees with the BigInt model")
+    }
+    // the regression VERDICT r12 #1 demands: a large real effect at a
+    // population past the old bound reads significant, a flat one not
+    assert(got("old_bound_effect") == 1L && got("old_bound_flat") == 0L)
+    assert(got("giant_effect") == 1L && got("giant_flat") == 0L)
+    // the boundary cases genuinely straddle the threshold
+    assert(got("boundary_hi") == 1L && got("boundary_lo") == 0L)
+    // both regimes agree on the clear effect at the handoff
+    assert(got("regime_edge_exact") == 1L && got("regime_edge_rescaled") == 1L)
+  }
 }
