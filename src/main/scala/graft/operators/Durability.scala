@@ -171,6 +171,140 @@ object Durability {
       .orderBy(col("cycle"))
   }
 
+  /** Record detected-corrupt entries on the persisted corrupt board
+    * (`_corrupt/board`, one relpath per line, sorted, deduplicated —
+    * the reference's CorruptReplicasMap made durable,
+    * server/namenode/CorruptReplicasMap.java:1): read-union-rewrite
+    * via write-tmp + rename so a torn write can never surface a
+    * half-board. Idempotent — re-recording an entry is a no-op. The
+    * board is metadata: it scales with the number of FAILURES, never
+    * with table size. */
+  def recordCorrupt(fs: FileSystem, tableDir: String, rels: Seq[String]): Unit = {
+    val p = new Path(tableDir, "_corrupt/board")
+    val existing =
+      if (!fs.exists(p)) Seq.empty[String]
+      else {
+        val in = fs.open(p)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+        finally in.close()
+      }
+    val merged = (existing ++ rels).distinct.sorted
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(tableDir, "_corrupt/board.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(merged.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p), s"corrupt board swap failed: $p")
+  }
+
+  /** One PAGE of the corrupt-entry enumeration — the reference's
+    * listCorruptFileBlocks contract (protocol/ClientProtocol.java:708:
+    * "Each call returns a subset of the corrupt files in the system.
+    * To obtain all corrupt files, call this method repeatedly and each
+    * time pass in the cookie returned from the previous call";
+    * NamenodeFsck.java:1 `-list-corruptfileblocks`). The cookie is the
+    * LAST RETURNED NAME, not a position: under churn (an entry
+    * quarantined or a new corruption recorded between calls) a
+    * positional cookie re-lists or starves entries, while a name
+    * cookie resumes strictly after the last one served whatever the
+    * board now looks like — every entry present throughout the walk is
+    * returned exactly once. An exhausted walk returns (empty, cookie
+    * unchanged): the termination signal. Pure board metadata — no data
+    * I/O, page cost is O(limit) at any table size. */
+  def listCorruptPage(fs: FileSystem, tableDir: String, cookie: String,
+                      limit: Int): (Seq[String], String) = {
+    val p = new Path(tableDir, "_corrupt/board")
+    val board =
+      if (!fs.exists(p)) Seq.empty[String]
+      else {
+        val in = fs.open(p)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").linesIterator.map(_.trim).filter(_.nonEmpty).toSeq.sorted
+        finally in.close()
+      }
+    val page = board.filter(_ > cookie).take(limit)
+    (page, page.lastOption.getOrElse(cookie))
+  }
+
+  /** PAGED CORRUPT-ENTRY BOARD — the admin surface over the detect
+    * loop (the last unmapped ClientProtocol verb, VERDICT r12 #2):
+    * the documents table lands as six journal entries; three are
+    * corrupted IN PLACE beneath the engine; the budgeted scrubber
+    * ([[scrubCycle]], budget 2 — three cycles reach full coverage,
+    * each cycle's I/O bounded whatever the table size) detects them
+    * and records each find on the persisted `_corrupt/board`
+    * ([[recordCorrupt]]); then the board is enumerated in pages of 2
+    * via [[listCorruptPage]]'s resume cookie, with REAL CHURN between
+    * pages (the first listed entry is quarantined mid-walk) proving
+    * the name-cookie semantics: every corrupt entry appears exactly
+    * once across pages (asserted in-op as `seen_once`), the walk
+    * terminates with an empty page and an unchanged cookie
+    * (`resumable`), and the mid-walk quarantine neither skips nor
+    * duplicates the remaining entries. Output = one row per corrupt
+    * entry with its page/position and the row count that entry served
+    * (oracle-recomputed from the source — the corrupt bytes themselves
+    * are unreadable by construction, so the blast radius is the
+    * entry's SOURCE slice). At 100 TB: detection is the scrub cadence
+    * (budget-bounded), the board is failure-proportional metadata, and
+    * a page costs O(limit) — the exact shape of paging through a
+    * 1000-datanode cluster's corrupt list.
+    * (protocol/ClientProtocol.java:708 listCorruptFileBlocks;
+    * server/namenode/CorruptReplicasMap.java:1;
+    * server/namenode/NamenodeFsck.java:1 -list-corruptfileblocks). */
+  val lakeCorruptBoard: GraftQuery = GraftQuery.sql(
+    "lake_corrupt_board",
+    """WITH c AS (SELECT CAST(doc_id % 6 AS BIGINT) AS shard, COUNT(*) AS n
+      |           FROM documents WHERE doc_id % 6 IN (1, 3, 4) GROUP BY 1),
+      |r AS (SELECT shard, n, ROW_NUMBER() OVER (ORDER BY shard) - 1 AS i FROM c)
+      |SELECT CAST(i // 2 AS BIGINT) AS page, CAST(i % 2 AS BIGINT) AS ord,
+      |  shard, n AS n_docs_affected, TRUE AS seen_once, TRUE AS resumable
+      |FROM r ORDER BY page, ord""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val dir = Lake.scratch("corrupt_board/table")
+    fs.delete(new Path(dir), true)
+    val docs = Tables.documents(s, d)
+    (0 until 6).foreach { i =>
+      CommitLog.writeCommit(s, dir,
+        docs.filter(col("doc_id") % 6 === i).coalesce(1), s"data/s$i",
+        ts = 1000L + i)
+    }
+    val victims = Seq("data/s1", "data/s3", "data/s4")
+    victims.foreach(rel => corruptInPlace(fs, dir, rel))
+    System.err.println("[expected] lake_corrupt_board: scrubbing three " +
+      "intentionally corrupted parquet entries — the parquet " +
+      "magic-number/footer errors below are the detection canary, " +
+      "not failures")
+    // budgeted detection to full coverage, each find recorded durably
+    (0 until 3).foreach { _ =>
+      val (_, bad) = scrubCycle(s, dir, budget = 2)
+      recordCorrupt(fs, dir, bad)
+    }
+    // the paged walk, with churn between pages
+    val (page0, cookie0) = listCorruptPage(fs, dir, cookie = "", limit = 2)
+    quarantine(s, dir, page0.head, ts = 5000L) // churn: entry leaves service
+    val (page1, cookie1) = listCorruptPage(fs, dir, cookie0, limit = 2)
+    val (page2, cookie2) = listCorruptPage(fs, dir, cookie1, limit = 2)
+    val walked = page0 ++ page1
+    val seenOnce = walked == victims && walked.distinct == walked
+    val resumable = page2.isEmpty && cookie2 == cookie1
+    require(seenOnce, s"paged walk $walked, expected $victims exactly once")
+    require(resumable, "exhausted walk must return an empty page and a stable cookie")
+    val pages = walked.zipWithIndex.map { case (rel, i) =>
+      (i / 2L, i % 2L, rel.stripPrefix("data/s").toLong)
+    }.toDF("page", "ord", "shard")
+    val counts = docs.filter((col("doc_id") % 6).isin(1L, 3L, 4L))
+      .groupBy((col("doc_id") % 6).cast("long").as("shard2"))
+      .agg(count(lit(1)).as("n_docs_affected"))
+    counts.join(broadcast(pages), col("shard") === col("shard2"))
+      .select(col("page"), col("ord"), col("shard"), col("n_docs_affected"),
+        lit(seenOnce).as("seen_once"), lit(resumable).as("resumable"))
+      .orderBy(col("page"), col("ord"))
+  }
+
   /** CORRUPT-DATA QUARANTINE + REPAIR — the full detect → quarantine →
     * re-replicate → audit loop (reference ClientProtocol.java:356
     * reportBadBlocks, CorruptReplicasMap.java:1, NamenodeFsck.java:1
@@ -1245,7 +1379,7 @@ object Durability {
   }
 
   def all: Seq[GraftQuery] =
-    Seq(lakeQuarantine, lakeStandby, lakeRestoreStorage, lakeScrubCadence,
+    Seq(lakeQuarantine, lakeCorruptBoard, lakeStandby, lakeRestoreStorage, lakeScrubCadence,
       lakeLeaseRecover, lakeFlushVisibility, lakeRenewLease, lakeSafemode,
       lakeExportManifest, lakeBlockTokens, lakeTopology, lakeServerDefaults,
       lakeBalancer)

@@ -528,4 +528,54 @@ class DurabilitySpec extends SparkSpec {
     // One move per iteration (the per-iteration threshold budget).
     assert(pinned.size == 2, s"expected the two reachable moves, got $pinned")
   }
+
+  test("corrupt board: budgeted detection is idempotent, pages resume by name under churn, walk terminates") {
+    val dir = fresh("board/table")
+    val docs = Tables.documents(spark, sfDir)
+    (0 until 6).foreach { i =>
+      CommitLog.writeCommit(spark, dir,
+        docs.filter(col("doc_id") % 6 === i).coalesce(1), s"data/s$i", ts = 100L + i)
+    }
+    val victims = Seq("data/s1", "data/s3", "data/s4")
+    victims.foreach(rel => Durability.corruptInPlace(fs, dir, rel))
+    System.err.println("[expected] DurabilitySpec corrupt board: parquet " +
+      "footer errors below are the intentional-corruption canary")
+    // two FULL budgeted sweeps: the second must not duplicate board rows
+    (0 until 6).foreach { _ =>
+      val (_, bad) = Durability.scrubCycle(spark, dir, budget = 2)
+      Durability.recordCorrupt(fs, dir, bad)
+    }
+    val (fullWalk, _) = Durability.listCorruptPage(fs, dir, "", limit = 100)
+    assert(fullWalk == victims, s"board after two sweeps: $fullWalk")
+    // page size 1, churn between every page: quarantine the served
+    // entry, and mid-walk record a NEW corruption whose name sorts
+    // BEFORE the cookie — the name cookie must not resurface it in
+    // THIS walk (resume is strictly-after), but a fresh walk sees it
+    var cookie = ""
+    var served = Seq.empty[String]
+    var pages = 0
+    var done = false
+    while (!done && pages < 10) {
+      val (page, next) = Durability.listCorruptPage(fs, dir, cookie, limit = 1)
+      if (page.isEmpty) {
+        assert(next == cookie, "exhausted page must leave the cookie unchanged")
+        done = true
+      } else {
+        Durability.quarantine(spark, dir, page.head, ts = 5000L + pages)
+        if (pages == 0) {
+          Durability.corruptInPlace(fs, dir, "data/s0")
+          Durability.recordCorrupt(fs, dir, Seq("data/s0"))
+        }
+        served ++= page
+        cookie = next
+      }
+      pages += 1
+    }
+    assert(done, "walk must terminate")
+    assert(served == victims,
+      s"walk served $served — every original entry exactly once, the " +
+        "pre-cookie mid-walk find deferred to the next walk")
+    val (rewalk, _) = Durability.listCorruptPage(fs, dir, "", limit = 100)
+    assert(rewalk.contains("data/s0"), "a fresh walk sees the mid-walk find")
+  }
 }
