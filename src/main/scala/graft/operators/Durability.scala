@@ -267,11 +267,14 @@ object Durability {
     val dir = Lake.scratch("corrupt_board/table")
     fs.delete(new Path(dir), true)
     val docs = Tables.documents(s, d)
-    (0 until 6).foreach { i =>
-      CommitLog.writeCommit(s, dir,
-        docs.filter(col("doc_id") % 6 === i).coalesce(1), s"data/s$i",
-        ts = 1000L + i)
+    // six disjoint-dir writes submitted concurrently (the ceremony
+    // write-amp lever), then ONE journal commit covering all six
+    Lake.concurrently(0 until 6) { i =>
+      docs.filter(col("doc_id") % 6 === i).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/data/s$i")
     }
+    CommitLog.commit(fs, dir, ts = 1000L,
+      adds = (0 until 6).map(i => s"data/s$i"), removes = Seq.empty)
     val victims = Seq("data/s1", "data/s3", "data/s4")
     victims.foreach(rel => corruptInPlace(fs, dir, rel))
     System.err.println("[expected] lake_corrupt_board: scrubbing three " +

@@ -976,8 +976,10 @@ object CommitLog {
       // mid-write by opt-in, so never vacuum-eligible however old —
       // they leave through promoteFlush or reclaimFlush, exactly like
       // an under-construction HDFS file leaves through close or lease
-      // recovery, never through the block scanner
-      flushedAdds(fs, tableDir).values.flatten
+      // recovery, never through the block scanner. The PINNED view
+      // (marker UNION complete tmp) — mid-replace, either file may be
+      // the only reference to staged data
+      flushPinned(fs, tableDir).values.flatten
     val dataDir = new Path(tableDir, "data")
     if (!fs.exists(dataDir)) return Seq.empty
     val cutoff = System.currentTimeMillis() - graceMs
@@ -1033,19 +1035,14 @@ object CommitLog {
       throw new java.io.IOException(s"flush marker swap failed: $dst")
   }
 
-  /** Flushed-but-unpromoted relpaths, per writer. Markers without the
-    * terminal `end` (torn mid-swap) parse as absent. BOTH the
-    * installed marker and a complete `.tmp` successor are read and
-    * UNIONED per writer: flush()'s replace is write-tmp → delete-dst →
-    * rename, so there is an instant where only the tmp holds the set —
-    * without the union, a vacuum racing that instant would see the
-    * staged files as unreferenced and delete lease-protected data
-    * (self-review r12). A torn tmp (writer crashed mid-write, no
-    * terminator) is ignored and its installed predecessor, if any,
-    * still pins. */
-  def flushedAdds(fs: FileSystem, tableDir: String): Map[String, Seq[String]] = {
+  /** Parse every complete flush file in `_inflight/`: (writer, isTmp,
+    * adds). Markers without the terminal `end` (torn mid-swap) parse
+    * as absent; a tmp that vanishes mid-listing (renamed over the
+    * marker) reads as absent too. */
+  private def parsedFlushFiles(fs: FileSystem,
+                               tableDir: String): Seq[(String, Boolean, Seq[String])] = {
     val dir = inflightDir(tableDir)
-    if (!fs.exists(dir)) return Map.empty
+    if (!fs.exists(dir)) return Seq.empty
     fs.listStatus(dir).toSeq
       .filter { st =>
         val n = st.getPath.getName
@@ -1064,11 +1061,45 @@ object CommitLog {
           }
         val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
         if (!lines.lastOption.contains("end")) None
-        else Some(st.getPath.getName.stripSuffix(".tmp").stripSuffix(".flush") ->
-          lines.collect { case l if l.startsWith("add ") => l.drop(4) })
+        else {
+          val name = st.getPath.getName
+          Some((name.stripSuffix(".tmp").stripSuffix(".flush"), name.endsWith(".tmp"),
+            lines.collect { case l if l.startsWith("add ") => l.drop(4) }))
+        }
       }
+  }
+
+  /** The CURRENT flushed-but-unpromoted set, per writer: the newest
+    * complete flush file wins — a complete `.tmp` is the SUCCESSOR
+    * mid-install (flush()'s replace is write-tmp → delete-dst →
+    * rename), so it supersedes the installed marker. This is what
+    * readers and promotion must see: each flush REPLACES the writer's
+    * set, so a writer that crashed after writing a complete tmp whose
+    * staged relpaths differ from its marker's must promote ONLY the
+    * tmp's set — unioning would commit old-plus-new adds and duplicate
+    * rows (ADVICE r12). A torn tmp is ignored and its installed
+    * predecessor, if any, still serves. */
+  def flushedAdds(fs: FileSystem, tableDir: String): Map[String, Seq[String]] = {
+    parsedFlushFiles(fs, tableDir)
       .groupBy(_._1)
-      .map { case (w, xs) => w -> xs.flatMap(_._2).distinct }
+      .map { case (w, xs) =>
+        // complete tmp (isTmp=true) sorts after the marker
+        w -> xs.sortBy(_._2).last._3.distinct
+      }
+  }
+
+  /** Every relpath ANY complete flush file still references, per
+    * writer — marker UNION tmp. This is the PINNING/RECLAIM view, not
+    * the read view: during flush()'s replace there is an instant where
+    * only the tmp holds the set, and conversely a crashed writer's
+    * superseded marker may reference staged files the tmp dropped —
+    * vacuum must not delete either until promoteFlush or reclaimFlush
+    * retires them (self-review r12; ADVICE r12 scoped the union to
+    * exactly this path). */
+  def flushPinned(fs: FileSystem, tableDir: String): Map[String, Seq[String]] = {
+    parsedFlushFiles(fs, tableDir)
+      .groupBy(_._1)
+      .map { case (w, xs) => w -> xs.flatMap(_._3).distinct }
   }
 
   /** The opt-in tail read: the latest committed snapshot plus every
@@ -1104,7 +1135,10 @@ object CommitLog {
     * journal references them (a commit always wins; the recovery then
     * only retires the marker). Returns the deleted relpaths. */
   def reclaimFlush(fs: FileSystem, tableDir: String, writer: String): Seq[String] = {
-    val adds = flushedAdds(fs, tableDir).getOrElse(writer, Seq.empty)
+    // the PINNED view: reclaim deletes everything the crashed writer
+    // still references from EITHER flush file — a superseded marker's
+    // dropped relpaths are dead staging too
+    val adds = flushPinned(fs, tableDir).getOrElse(writer, Seq.empty)
     val referenced = commits(fs, tableDir).flatMap(_.adds).toSet
     val doomed = adds.filterNot(referenced)
     doomed.foreach(rel => fs.delete(new Path(tableDir, rel), true))

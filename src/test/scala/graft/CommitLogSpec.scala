@@ -563,4 +563,55 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.flushedAdds(fs, dir).isEmpty)
     assert(CommitLog.snapshot(spark, dir).count() == 2, "committed truth intact")
   }
+
+  test("crash mid-replace: a complete tmp supersedes the marker for reads/promote, union only pins/reclaims") {
+    val dir = freshTable("flush_replace_crash")
+    val r = Tables.region(spark, sfDir)
+    CommitLog.writeCommit(spark, dir, r.filter(col("r_regionkey") < 2), "data/a", ts = 100L)
+    r.filter(col("r_regionkey") >= 2).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/data/old")
+    r.filter(col("r_regionkey") >= 2).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/data/new")
+    // marker holds set A...
+    CommitLog.flush(fs, dir, "w1", Seq("data/old"), ts = 150L)
+    // ...then the writer crashes between tmp-write and rename while
+    // REPLACING it with set B (different relpaths): a complete
+    // .flush.tmp beside a stale marker
+    val tmp = fs.create(new Path(s"$dir/_inflight/w1.flush.tmp"), true)
+    tmp.write("ts 160\nadd data/new\nend\n".getBytes("UTF-8")); tmp.close()
+    // read view resolves to the SUCCESSOR set only (ADVICE r12: a
+    // union here would promote old-plus-new and duplicate rows)
+    assert(CommitLog.flushedAdds(fs, dir)("w1") == Seq("data/new"))
+    assert(CommitLog.snapshotWithInflight(spark, dir).count() == 5,
+      "tail read: committed plus the successor set, never both staged sets")
+    // pinning view still protects BOTH staged sets mid-replace
+    assert(CommitLog.flushPinned(fs, dir)("w1").toSet == Set("data/old", "data/new"))
+    assert(CommitLog.vacuumOrphans(fs, dir, graceMs = 0L).isEmpty,
+      "zero-grace vacuum must not touch either staged set")
+    // promote commits exactly B
+    val v = CommitLog.promoteFlush(spark, dir, "w1", ts = 200L)
+    assert(CommitLog.commits(fs, dir).find(_.version == v).get.adds == Seq("data/new"))
+    assert(CommitLog.snapshot(spark, dir, version = v).count() == 5)
+    // the superseded set is now unreferenced dead staging — vacuum takes it
+    assert(CommitLog.vacuumOrphans(fs, dir, graceMs = 0L) == Seq("data/old"))
+    assert(fs.exists(new Path(s"$dir/data/new")) && !fs.exists(new Path(s"$dir/data/old")))
+  }
+
+  test("crash mid-replace then writer death: reclaim deletes both staged sets") {
+    val dir = freshTable("flush_replace_reclaim")
+    val r = Tables.region(spark, sfDir)
+    CommitLog.writeCommit(spark, dir, r.filter(col("r_regionkey") < 2), "data/a", ts = 100L)
+    r.filter(col("r_regionkey") >= 2).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/data/old")
+    r.filter(col("r_regionkey") >= 2).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/data/new")
+    CommitLog.flush(fs, dir, "w1", Seq("data/old"), ts = 150L)
+    val tmp = fs.create(new Path(s"$dir/_inflight/w1.flush.tmp"), true)
+    tmp.write("ts 160\nadd data/new\nend\n".getBytes("UTF-8")); tmp.close()
+    val reclaimed = CommitLog.reclaimFlush(fs, dir, "w1")
+    assert(reclaimed.toSet == Set("data/old", "data/new"),
+      "lease recovery reclaims EVERYTHING the crashed writer staged")
+    assert(CommitLog.flushedAdds(fs, dir).isEmpty)
+    assert(CommitLog.snapshot(spark, dir).count() == 2, "committed truth intact")
+  }
 }

@@ -13,7 +13,10 @@ would measure.
 
 Usage: python3 tools/bench_best.py [extra_bench_full.json ...]
 (writes docs/bench_best.json; extra args are additional run files to
-fold in, e.g. uncommitted runs parked under /tmp)
+fold in — since r13, full suite runs land in the gitignored
+docs/bench_run.json and are folded by passing that path explicitly;
+docs/bench_full.json is only ever updated by copying an adopted run
+there in the same commit that records it)
 """
 import json
 import os
