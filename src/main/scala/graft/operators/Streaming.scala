@@ -274,6 +274,19 @@ object Streaming {
     * flatMapGroupsWithState with THREE longs of state per key
     * (n, S, Q) — O(keys), never O(events); the spec asserts EXACT
     * convergence under arbitrary chunking. */
+  /** The 3σ flag over prior-state columns (n, c, sm, qm): cross-
+    * multiplied (n·c − S)² > 9·(n·Q − S²) through DECIMAL(38,0).
+    * Factored so StreamingSpec can evaluate it AT the documented Q
+    * bound (qm just under 2⁶³ — ~10⁹ cent-scale events/key) and pin
+    * it to a BigInt model: worst intermediates there are n·qm ≈
+    * 9.2×10²⁷ and the squared term ≈ 10³⁰, both far inside 38 digits,
+    * so "documented bound" means exact-to-the-edge, never silent NULL
+    * (VERDICT r12 #7). */
+  private[graft] val anomalyFlagSql: String =
+    """(cast(n as decimal(38,0))*c - sm) * (cast(n as decimal(38,0))*c - sm)
+      | > 9 * (cast(n as decimal(38,0))*qm
+      |        - cast(sm as decimal(38,0))*sm)""".stripMargin
+
   val stStreamAnomaly: GraftQuery = GraftQuery.sql(
     "st_stream_anomaly",
     s"""WITH v AS (SELECT event_type, event_id, ts,
@@ -304,10 +317,7 @@ object Streaming {
         orderCols = Seq("ts", "event_id"), partCols = Seq("event_type"),
         sums = Seq("one" -> "n", "c" -> "sm", "c2" -> "qm"),
         inclusive = false)
-      .filter(col("n") >= AnomWarmup && expr(
-        """(cast(n as decimal(38,0))*c - sm) * (cast(n as decimal(38,0))*c - sm)
-          | > 9 * (cast(n as decimal(38,0))*qm
-          |        - cast(sm as decimal(38,0))*sm)""".stripMargin))
+      .filter(col("n") >= AnomWarmup && expr(anomalyFlagSql))
       .select(col("event_type"), col("event_id"), col("c").as("v_cents"),
         col("n").as("n_prior"))
       .orderBy(col("event_type"), col("event_id"))

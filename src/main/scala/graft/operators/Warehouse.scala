@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GraftQuery, Tables}
 import graft.functions.Parity._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -503,9 +504,21 @@ object Warehouse {
       .groupBy(col("s_suppkey"), col("s_nationkey"))
       .agg(expr("cast(sum(cast(l_extendedprice as decimal(15,2)) * 100) as bigint) div 100")
         .as("rev"))
-    sr.join(broadcast(Tables.nation(s, d)),
-        col("n_nationkey") === col("s_nationkey"))
-      .groupBy(col("n_name"))
+    hhiReadout(sr.join(broadcast(Tables.nation(s, d)),
+        col("n_nationkey") === col("s_nationkey")))
+      .orderBy(col("n_name"))
+  }
+
+  /** The HHI rollup over a frame with (n_name, rev): per-unit revenues
+    * squared through DECIMAL(38,0), Σrev² · 10⁶ cross-divided by
+    * (Σrev)². Factored so WarehouseSpec can evaluate it AT the
+    * documented magnitude bound (a 10¹⁷-cent = 10¹⁵-unit market ⇒
+    * Σrev²·10⁶ ≤ 10³⁶, inside 38 digits; headroom runs out only past
+    * a 10¹⁶-unit market) and pin it to a BigInt model — "documented
+    * bound" means exact-to-the-edge, never silent NULL
+    * (VERDICT r12 #7). */
+  private[graft] def hhiReadout(named: DataFrame): DataFrame =
+    named.groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_suppliers"),
         max(col("rev")).as("mx"), sum(col("rev")).as("tot"),
         sum(col("rev").cast("decimal(38,0)") * col("rev")).as("sq"))
@@ -515,8 +528,6 @@ object Warehouse {
           """CAST((1000000 * sq)
             |div (cast(tot as decimal(38,0)) * tot) AS BIGINT)""".stripMargin)
           .as("hhi_ppm"))
-      .orderBy(col("n_name"))
-  }
 
   def all: Seq[GraftQuery] = Seq(
     q4LateOrders, q7VolumeShipping, q8MarketShare, q9Profit,

@@ -396,4 +396,33 @@ class InsightsSpec extends SparkSpec {
     // both regimes agree on the clear effect at the handoff
     assert(got("regime_edge_exact") == 1L && got("regime_edge_rescaled") == 1L)
   }
+
+  test("rank correlation: rho stays exact at the documented n-cubed edge (1e9 customers)") {
+    import spark.implicits._
+    val n = BigInt(1000000000L)
+    val m = n * n * n - n // 1e27: far beyond int64, inside DECIMAL(38,0)
+    def model(n: BigInt, sd2: BigInt): BigInt = {
+      val m = n * n * n - n
+      if (m == 0) BigInt(1000) else (1000 * (m - 6 * sd2)) / m
+    }
+    val cases = Seq(
+      ("perfect", n, BigInt(0)),
+      ("zero", n, m / 6),
+      ("anti", n, m / 3),
+      ("half", n, m / 12),
+      ("singleton", BigInt(1), BigInt(0)))
+    val df = cases.map { case (t, nn, sd2) => (t, nn.toLong, sd2.toString) }
+      .toDF("tag", "n", "sd2s")
+      .withColumn("sd2", expr("cast(sd2s as decimal(38,0))"))
+    val got = df.select(col("tag"), expr(Insights.rhoPmSql).as("rho_pm"))
+      .collect()
+      .map(r => r.getAs[String]("tag") ->
+        (if (r.isNullAt(1)) null else Long.box(r.getLong(1)))).toMap
+    cases.foreach { case (tag, nn, sd2) =>
+      assert(got(tag) != null, s"$tag: rho must never be NULL at the edge")
+      assert(got(tag) == model(nn, sd2).toLong,
+        s"$tag: rho disagrees with the BigInt model")
+    }
+    assert(got("perfect") == 1000L && got("anti") == -1000L && got("singleton") == 1000L)
+  }
 }

@@ -800,4 +800,43 @@ class StreamingSpec extends SparkSpec {
         s"chunk=$chunkSize missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
     }
   }
+
+  test("stream anomaly: the 3-sigma flag is exact at the documented Q-accumulator edge") {
+    import spark.implicits._
+    // prior state pinned just under the documented bound: qm (sum of
+    // squared cents) within half a percent of 2^63 at n = 1e9 events
+    val n = 1000000000L
+    def model(n: BigInt, c: BigInt, sm: BigInt, qm: BigInt): Boolean = {
+      val lhs = (n * c - sm) * (n * c - sm)
+      lhs > 9 * (n * qm - sm * sm)
+    }
+    // zero-variance prior: every prior value exactly 95900 cents
+    val sm0 = n * 95900L
+    val qm0 = n * (95900L * 95900L) // 9.197e18, just under 2^63
+    assert(qm0 > 0 && qm0 > Long.MaxValue / 1000L * 990L,
+      "the case must actually sit at the documented edge")
+    // bimodal prior: half 95000, half 96800 (sigma = 900 cents)
+    val sm1 = (n / 2) * 95000L + (n / 2) * 96800L
+    val qm1 = (n / 2) * (95000L * 95000L) + (n / 2) * (96800L * 96800L)
+    val cases = Seq(
+      ("flat_on_mean", n, 95900L, sm0, qm0),
+      ("flat_off_mean", n, 95901L, sm0, qm0),
+      ("spread_inside_3s", n, 95900L + 2600L, sm1, qm1),
+      ("spread_outside_3s", n, 95900L + 2800L, sm1, qm1),
+      ("spread_low_outlier", n, 95900L - 2800L, sm1, qm1))
+    val df = cases.map { case (t, nn, c, sm, qm) => (t, nn, c, sm, qm) }
+      .toDF("tag", "n", "c", "sm", "qm")
+    val flagged = df.filter(expr(Streaming.anomalyFlagSql))
+      .select("tag").as[String].collect().toSet
+    cases.foreach { case (tag, nn, c, sm, qm) =>
+      assert(flagged.contains(tag) ==
+        model(BigInt(nn), BigInt(c), BigInt(sm), BigInt(qm)),
+        s"$tag: flag disagrees with the BigInt model at the Q edge")
+    }
+    // and the model itself behaves: zero-variance flags any deviation,
+    // the sigma=900 prior flags only beyond 2700 cents
+    assert(!flagged.contains("flat_on_mean") && flagged.contains("flat_off_mean"))
+    assert(!flagged.contains("spread_inside_3s") && flagged.contains("spread_outside_3s"))
+    assert(flagged.contains("spread_low_outlier"))
+  }
 }

@@ -283,4 +283,37 @@ class WarehouseSpec extends SparkSpec {
       assert(r.getAs[Long]("hhi_ppm") >= 1000000L / math.max(1L, revs.length) - 1)
     }
   }
+
+  test("hhi: the concentration index is exact at the documented 1e15-unit market edge") {
+    import spark.implicits._
+    val u = 100000000000000L // 1e14 revenue units per supplier slice
+    def model(revs: Seq[Long]): (Long, Long) = {
+      val tot = revs.map(BigInt(_)).sum
+      val sq = revs.map(r => BigInt(r) * r).sum
+      (((BigInt(1000) * revs.max) / tot).toLong,
+        ((BigInt(1000000) * sq) / (tot * tot)).toLong)
+    }
+    val markets = Seq(
+      ("monopoly", Seq(10L * u)),             // one 1e15-unit supplier
+      ("duopoly", Seq(5L * u, 5L * u)),
+      ("atomistic", Seq.fill(10)(u)),
+      ("skewed", Seq(7L * u, 2L * u, u)))
+    val df = markets.flatMap { case (nm, revs) => revs.map(nm -> _) }
+      .toDF("n_name", "rev")
+    val got = Warehouse.hhiReadout(df).collect()
+      .map(r => r.getAs[String]("n_name") ->
+        ((if (r.isNullAt(r.fieldIndex("top_share_pm"))) null
+          else Long.box(r.getAs[Long]("top_share_pm"))),
+         (if (r.isNullAt(r.fieldIndex("hhi_ppm"))) null
+          else Long.box(r.getAs[Long]("hhi_ppm"))))).toMap
+    markets.foreach { case (nm, revs) =>
+      val (top, hhi) = model(revs)
+      assert(got(nm)._1 != null && got(nm)._2 != null,
+        s"$nm: readout must never be NULL at the documented edge")
+      assert(got(nm) == ((top, hhi)), s"$nm: disagrees with the BigInt model")
+    }
+    assert(got("monopoly") == ((1000L, 1000000L)))
+    assert(got("duopoly") == ((500L, 500000L)))
+    assert(got("atomistic") == ((100L, 100000L)))
+  }
 }
