@@ -200,16 +200,21 @@ object Ranks {
     * tiebreak for engine-independent determinism. */
   def percentileExact(df: DataFrame, orderCols: Seq[String],
       partCols: Seq[String], valueCol: String,
-      qs: Seq[(String, Double)], nOut: String = "n"): DataFrame = {
+      qs: Seq[(String, Double)], nOut: String = "n",
+      extraAggs: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame = {
     require(qs.nonEmpty, "percentileExact: need at least one (name, q)")
     val rn = "__graft_prn"
     // counts aggregate the SAME cached ranged frame the rank pass
     // reads — a plain df.groupBy would re-execute the whole upstream
-    // lineage a second time (self-review r12)
+    // lineage a second time (self-review r12). `extraAggs` lets a
+    // caller fold further group-grain aggregates (a mean, a sum) into
+    // THIS pass instead of paying its own scan + join over the input
+    // (VERDICT r12 #6: q_interpurchase re-read its pinned gap frame
+    // for the mean branch).
     val ranged = rangedFrame(df, orderCols, partCols)
     val ranked = rankOnRanged(ranged, orderCols, partCols, out = rn)
     val counts = ranged.groupBy(partCols.map(col): _*)
-      .agg(count(lit(1)).as(nOut))
+      .agg(count(lit(1)).as(nOut), extraAggs.map { case (n, c) => c.as(n) }: _*)
     val joined =
       if (partCols.isEmpty) ranked.crossJoin(broadcast(counts))
       else {
@@ -220,10 +225,12 @@ object Ranks {
             partCols.map(c => col(c) <=> col("__graft_c_" + c)).reduce(_ && _))
           .drop(partCols.map("__graft_c_" + _): _*)
       }
-    val aggs = max(col(nOut)).as(nOut) +: qs.map { case (name, q) =>
-      max(when(col(rn) === ceil(lit(q) * col(nOut)).cast("long"),
-        col(valueCol))).as(name)
-    }
+    val aggs = (max(col(nOut)).as(nOut) +:
+      extraAggs.map { case (n, _) => max(col(n)).as(n) }) ++
+      qs.map { case (name, q) =>
+        max(when(col(rn) === ceil(lit(q) * col(nOut)).cast("long"),
+          col(valueCol))).as(name)
+      }
     joined.groupBy(partCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 

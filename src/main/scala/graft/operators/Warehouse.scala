@@ -355,9 +355,13 @@ object Warehouse {
   ) { (s, d) =>
     val wc = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
-    // the gap frame feeds three consumers (rank pass, counts inside
-    // percentileExact, the mean aggregate) — pin one materialization
-    // so the orders⨝customer + lag lineage computes once
+    // the gap frame is pinned even though percentileExact pins its
+    // own ranged frame too: repartitionByRange runs a SAMPLING job
+    // over its input to pick range boundaries, and without this cache
+    // that sampling re-executes the whole orders⨝customer + lag
+    // lineage a second time (measured: +25% wall at 100× rows). The
+    // mean rides the helper's counts branch as an extraAgg instead of
+    // paying its own pass + broadcast join (VERDICT r12 #6).
     val g = graft.ScopedCache(Tables.orders(s, d)
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"), col("o_custkey"), col("o_orderkey"),
@@ -365,16 +369,11 @@ object Warehouse {
       .withColumn("gap", col("dy") - lag(col("dy"), 1).over(wc))
       .filter(col("gap").isNotNull)
       .select(col("c_mktsegment"), col("gap"), col("o_orderkey")))
-    val pct = graft.functions.Ranks.percentileExact(g,
-      orderCols = Seq("gap", "o_orderkey"), partCols = Seq("c_mktsegment"),
-      valueCol = "gap", qs = Seq("p50_days" -> 0.5, "p90_days" -> 0.9),
-      nOut = "n_gaps")
-    val mean = g.groupBy(col("c_mktsegment"))
-      .agg(expr("sum(gap) div count(1)").as("mean_days"))
-      .withColumnRenamed("c_mktsegment", "__m_seg")
-    // <=> so a NULL segment keeps its mean row, like the window the
-    // join stands in for (the ADVICE r11 null-join class)
-    pct.join(broadcast(mean), col("c_mktsegment") <=> col("__m_seg"))
+    graft.functions.Ranks.percentileExact(g,
+        orderCols = Seq("gap", "o_orderkey"), partCols = Seq("c_mktsegment"),
+        valueCol = "gap", qs = Seq("p50_days" -> 0.5, "p90_days" -> 0.9),
+        nOut = "n_gaps",
+        extraAggs = Seq("mean_days" -> expr("sum(gap) div count(1)")))
       .select(col("c_mktsegment"), col("n_gaps"), col("p50_days"),
         col("p90_days"), col("mean_days"))
       .orderBy(col("c_mktsegment"))
