@@ -142,7 +142,9 @@ object Explain {
     // the percentileExact rework's second consumer, and the LSH
     // band auto-tuner
     "lake_flush_visibility", "lake_renew_lease", "q_time_to_convert",
-    "d_lsh_autotune")
+    "d_lsh_autotune",
+    // round-13: the paged corrupt-entry board
+    "lake_corrupt_board")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
