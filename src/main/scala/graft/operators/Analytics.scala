@@ -1161,10 +1161,85 @@ object Analytics {
       .orderBy(col("type_a"), col("type_b"), col("lag"))
   }
 
+  /** Partition-width stand-in for the salt recommendation: the
+    * heaviest key should hold no more than 1/Target of the join's
+    * rows after salting. */
+  val SkewTargetParts = 32L
+
+  /** JOIN-KEY SKEW AUDIT — the pre-flight a 100 TB join runs BEFORE
+    * choosing a strategy (q_heavy_hitters finds the frequent keys
+    * themselves; q_skew_join_salted is the mitigation; this is the
+    * DECISION BOARD between them — the numbers that tell an operator
+    * whether a plain hash join is safe, AQE skew-splitting suffices,
+    * or an explicit salt is required, and at what factor). Per
+    * audited join key: total rows, distinct keys, the heaviest key's
+    * row count, the p99 key frequency (exact positional percentile
+    * over the key-frequency frame), mean rows per key in per-mille,
+    * skew factor (heaviest/mean, per-mille), and the recommended salt
+    * factor — the smallest s with max_key_rows/s ≤ n_rows/Target,
+    * i.e. ceil(Target·max/n), floored at 1 (1 = no salt needed).
+    * All exact integers; skew_pm cross-multiplied through
+    * DECIMAL(38,0) (max·n_keys can reach 10¹⁸ at 10⁹ keys).
+    *
+    * Scale: per key column, ONE map-side-combined groupBy(key).count
+    * over the fact (the same pass any stats collector pays), a
+    * 5-field aggregate of the frequency frame, and an ungrouped
+    * `Ranks.percentileExact` over the frequency frame — the range-
+    * shuffle mechanism, because at 100 TB the frequency frame itself
+    * has n_keys rows (billions for a user-id key): p99 must never
+    * funnel it through one sort task. The three audited frames are
+    * independent — Spark schedules their jobs from one action. */
+  val qSkewAudit: GraftQuery = GraftQuery.sql(
+    "q_skew_audit", {
+      def arm(tag: String, table: String, key: String) =
+        s"""SELECT '$tag' AS key_col, CAST(n_rows AS BIGINT) AS n_rows,
+           |  CAST(n_keys AS BIGINT) AS n_keys, max_key_rows, p99_key_rows,
+           |  CAST((1000 * n_rows) // n_keys AS BIGINT) AS mean_rows_pm,
+           |  CAST((CAST(1000 AS HUGEINT) * max_key_rows * n_keys) // n_rows AS BIGINT)
+           |    AS skew_pm,
+           |  CAST(GREATEST(1, ($SkewTargetParts * max_key_rows + n_rows - 1) // n_rows)
+           |    AS BIGINT) AS salt_factor
+           |FROM (
+           |  SELECT SUM(c) AS n_rows, COUNT(*) AS n_keys, MAX(c) AS max_key_rows,
+           |    MAX(CASE WHEN rn = CAST(CEIL(0.99 * nk) AS BIGINT) THEN c END)
+           |      AS p99_key_rows
+           |  FROM (SELECT c, ROW_NUMBER() OVER (ORDER BY c, k) AS rn,
+           |          COUNT(*) OVER () AS nk
+           |        FROM (SELECT $key AS k, COUNT(*) AS c FROM $table GROUP BY 1)))""".stripMargin
+      Seq(arm("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        arm("events.user_id", "events", "user_id"),
+        arm("orders.o_custkey", "orders", "o_custkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
+    }
+  ) { (s, d) =>
+    def audit(tag: String, df: DataFrame, key: String): DataFrame = {
+      val freq = df.groupBy(col(key).cast("long").as("k"))
+        .agg(count(lit(1)).as("c"))
+      val p99 = graft.functions.Ranks.percentileExact(freq,
+        orderCols = Seq("c", "k"), partCols = Nil, valueCol = "c",
+        qs = Seq("p99_key_rows" -> 0.99), nOut = "n_keys",
+        extraAggs = Seq(
+          "n_rows" -> sum(col("c")),
+          "max_key_rows" -> max(col("c"))))
+      p99.select(lit(tag).as("key_col"), col("n_rows"), col("n_keys"),
+        col("max_key_rows"), col("p99_key_rows"),
+        expr("(1000 * n_rows) div n_keys").as("mean_rows_pm"),
+        expr("""cast((cast(1000 as decimal(38,0)) * max_key_rows * n_keys)
+               |div n_rows as bigint)""".stripMargin).as("skew_pm"),
+        expr(s"greatest(1L, ($SkewTargetParts * max_key_rows + n_rows - 1) div n_rows)")
+          .as("salt_factor"))
+    }
+    audit("lineitem.l_suppkey", Tables.lineitem(s, d), "l_suppkey")
+      .unionByName(audit("events.user_id", Tables.events(s, d), "user_id"))
+      .unionByName(audit("orders.o_custkey", Tables.orders(s, d), "o_custkey"))
+      .orderBy(col("key_col"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qBloomJoin, qMvIncremental, tsResample, dEditDistance,
     qParetoFrontier, stLatenessAudit, gPagerank, qWindowPercentile,
     tsAnomaly, tsBaselineAnomaly, tsSeasonality, tsChangepoint,
     qItemsetPairs, tsOutageGaps, qBenfordAudit, qItemsetLift,
-    qKAnonymity, qSeqPatterns, tsForecastNaive, tsAutocorr, tsLeadLag)
+    qKAnonymity, qSeqPatterns, tsForecastNaive, tsAutocorr, tsLeadLag,
+    qSkewAudit)
 }

@@ -1167,10 +1167,56 @@ object TextAnalysis {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** Reservoir size per stratum and the keyed-permutation constants
+    * (prime modulus + multiplier; every product stays ≤ P·A ≈ 1.3×10¹¹,
+    * exact int64 in both engines). */
+  val ReservoirK = 20
+  val ResP = 999983L; val ResA = 131071L; val ResB = 524287L
+
+  /** FIXED-SIZE PER-STRATUM SAMPLE — the eval-set/inspection-budget
+    * primitive t_stratified_sample deliberately is NOT: that op keeps
+    * a RATE per stratum (output scales with stratum size), while an
+    * eval set or a human-review queue needs EXACTLY k docs per
+    * stratum regardless of how lopsided the strata are — classic
+    * reservoir sampling. The distributed-and-deterministic equivalent
+    * of a uniform reservoir: rank each doc by a keyed hash
+    * permutation h = ((doc_id % P)·A + B) % P (a fixed pseudo-uniform
+    * total order both engines compute exactly; doc_id tiebreak) and
+    * keep each stratum's k lowest — identical output on every rerun
+    * and engine, unlike a true RNG reservoir, which matters for
+    * train/eval reproducibility.
+    *
+    * Scale: `Ranks.topNExact` — each (stratum, input-slice) keeps its
+    * LOCAL top k (partitioned window, P-way parallel), then only the
+    * ≤ k×P×|strata| survivors pay the final bounded rank. No
+    * per-stratum global sort of the corpus, no rate-vs-size coupling:
+    * the same plan yields k rows per stratum at any table size. */
+  val tReservoirSample: GraftQuery = GraftQuery.sql(
+    "t_reservoir_sample",
+    s"""WITH h AS (SELECT lang, source, doc_id,
+       |    ((doc_id % $ResP) * $ResA + $ResB) % $ResP AS hk FROM documents),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+       |        ORDER BY hk, doc_id) AS rn FROM h)
+       |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, source
+       |FROM r WHERE rn <= $ReservoirK
+       |ORDER BY lang, rn""".stripMargin
+  ) { (s, d) =>
+    val h = Tables.documents(s, d)
+      .select(col("lang"), col("source"), col("doc_id"),
+        (((col("doc_id") % ResP) * ResA + ResB) % ResP).as("hk"))
+    graft.functions.Ranks.topNExact(h, ReservoirK,
+        order = Seq(col("hk"), col("doc_id")), partCols = Seq("lang"),
+        out = "rn")
+      .select(col("lang"), col("rn").cast("long").as("rn"),
+        col("doc_id"), col("source"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(tTokenCount, tQualityScore, tLangId, tFingerprint, tNgramFreq,
       tFluencyScore, tLangGini, tPiiScrub, tLangRebalance,
-      tRepetitionFilter, tC4Filter, tStratifiedSample, tSeqPack,
+      tRepetitionFilter, tC4Filter, tStratifiedSample, tReservoirSample,
+      tSeqPack,
       tBpePairs, tShuffleShard, tDatasetCard, tGopherFilter, tZipfReport,
       tKeywordLift, tLexicalDiversity, tBoilerplateNgrams, tBigramNovelty,
       tLengthOutlier)

@@ -566,4 +566,37 @@ class LayoutAnalyticsSpec extends SparkSpec {
       assert(r.getAs[Long]("dev_pm") == math.abs(obs - benford(r.getAs[Long]("digit").toInt)))
     }
   }
+
+  test("skew audit: every column recounts from driver-side frequencies, salt bound holds") {
+    val rows = graft.operators.Analytics.qSkewAudit.fn(spark, sfDir).collect()
+    assert(rows.length == 3)
+    def freqs(df: org.apache.spark.sql.DataFrame, key: String): Seq[(Long, Long)] =
+      df.groupBy(col(key).cast("long").as("k")).count().collect()
+        .map(r => r.getAs[Long]("k") -> r.getAs[Long]("count")).toSeq
+    val byTag = Map(
+      "lineitem.l_suppkey" -> freqs(Tables.lineitem(spark, sfDir), "l_suppkey"),
+      "events.user_id" -> freqs(Tables.events(spark, sfDir), "user_id"),
+      "orders.o_custkey" -> freqs(Tables.orders(spark, sfDir), "o_custkey"))
+    rows.foreach { r =>
+      val f = byTag(r.getAs[String]("key_col"))
+      val n = f.map(_._2).sum; val keys = f.size.toLong; val mx = f.map(_._2).max
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("n_keys") == keys)
+      assert(r.getAs[Long]("max_key_rows") == mx)
+      // p99 = the frequency at 1-based position ceil(0.99*keys) of the
+      // (count, key) total order
+      val pos = math.ceil(0.99 * keys).toLong.toInt
+      val p99 = f.sortBy(identity).map(_._2).sorted.apply(pos - 1)
+      val p99ByOrder = f.sortBy { case (k, c) => (c, k) }.apply(pos - 1)._2
+      assert(r.getAs[Long]("p99_key_rows") == p99ByOrder && p99 == p99ByOrder)
+      assert(r.getAs[Long]("mean_rows_pm") == 1000L * n / keys)
+      assert(r.getAs[Long]("skew_pm") ==
+        (BigInt(1000) * mx * keys / n).toLong)
+      val salt = r.getAs[Long]("salt_factor")
+      assert(salt == math.max(1L, (32L * mx + n - 1) / n))
+      // the bound the recommendation promises: after an s-way split the
+      // heaviest key holds no more than n/32 rows (ceiling arithmetic)
+      assert((mx + salt - 1) / salt <= (n + 31) / 32)
+    }
+  }
 }

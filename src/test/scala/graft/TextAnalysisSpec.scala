@@ -351,4 +351,31 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[Long]("over_3s") <= r.getAs[Long]("over_2s"))
     }
   }
+
+  test("reservoir sample: exactly k per stratum, deterministic, equals the hash-permutation model") {
+    val ta = graft.operators.TextAnalysis
+    val rows = ta.tReservoirSample.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("rn"), r.getAs[Long]("doc_id")))
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "doc_id").collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("doc_id"))
+    val byLang = docs.groupBy(_._1)
+    // per stratum: exactly min(k, |stratum|) rows, ranks contiguous from 1
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val expectN = math.min(ta.ReservoirK, byLang(lang).size)
+      assert(rs.length == expectN, s"$lang: ${rs.length} rows, want $expectN")
+      assert(rs.map(_._2).sorted.toSeq == (1L to expectN.toLong))
+    }
+    // the sample IS the k lowest under the keyed permutation (driver model)
+    def hk(id: Long) = ((id % ta.ResP) * ta.ResA + ta.ResB) % ta.ResP
+    byLang.foreach { case (lang, ds) =>
+      val model = ds.map(_._2).sortBy(id => (hk(id), id)).take(ta.ReservoirK)
+      val got = rows.filter(_._1 == lang).sortBy(_._2).map(_._3).toSeq
+      assert(got == model.toSeq, s"$lang: sample disagrees with the model")
+    }
+    // deterministic across reruns
+    val again = ta.tReservoirSample.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("rn"), r.getAs[Long]("doc_id")))
+    assert(again.toSeq == rows.toSeq)
+  }
 }
