@@ -189,6 +189,23 @@ object Bench {
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
     val globalMed = if (firstPass.nonEmpty) median(firstPass.map(_._2)) else 0.0
     val famTimes = firstPass.groupBy { case (n, _) => family(n) }
+    // UNIFORM-INFLATION arm (r13): a run can pass every canary probe
+    // yet execute uniformly ~5-10% hot between checkpoints (measured:
+    // 187.4s/263 at vs_best 1.36 with all canaries ≤1.16) — no single
+    // query trips the 3x-best trigger because NOTHING is an outlier,
+    // the whole pass is. When the first pass's vs_best exceeds 1.3 in
+    // an otherwise clean window, tighten the cost-model arm to
+    // 2x-best so the biggest absolute offenders get re-sampled; the
+    // unchanged time budget keeps the extra wall bounded (worst
+    // excess first, so the multi-second ops that actually move
+    // vs_best are admitted before sub-second jitter).
+    val firstVsBest = {
+      val c = firstPass.filter { case (n, _) => bestKnown.contains(n) }
+      val bs = c.map { case (n, _) => bestKnown(n) }.sum
+      if (bs > 0) c.map(_._2).sum / bs else 0.0
+    }
+    val costArm =
+      if (!canaryStartDegraded && firstVsBest > 1.3) 2.0 else 3.0
     def threshold(name: String): Double = {
       val fam = famTimes(family(name)).map(_._2)
       // singleton/tiny families have no robust median of their own
@@ -205,7 +222,7 @@ object Bench {
           // ones that are nearly free to re-run, so the floor only
           // needs to absorb scheduler jitter, not shield them).
           math.min(math.max(3.0, math.max(5.0 * med, 2.0 * b)),
-            math.max(0.3, 3.0 * b))
+            math.max(0.3, costArm * b))
         case None => math.max(3.0, 5.0 * med)
       }
     }
@@ -300,7 +317,7 @@ object Bench {
     val skippedJson = skippedSuspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val midJson = canaryMid.map(num(_, 2)).mkString("[", ",", "]")
     val runMeta =
-      s""""canary_start":${num(canaryStart, 2)},"canary_mid":$midJson,"canary_rerun":${num(canaryRerun, 2)},"canary_end":${num(canaryEnd, 2)},"window":"$window""""
+      s""""canary_start":${num(canaryStart, 2)},"canary_mid":$midJson,"canary_rerun":${num(canaryRerun, 2)},"canary_end":${num(canaryEnd, 2)},"first_pass_vs_best":${num(firstVsBest, 2)},"window":"$window""""
     val full =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"n_remeasured":$nRemeasured,"skipped_suspects":$skippedJson,$runMeta,"vs_best":${num(vsBest, 2)},"failures":$failJson,"queries":${fmt(results)},"sf":"$sfDir"}"""
     try {
