@@ -578,4 +578,59 @@ class DurabilitySpec extends SparkSpec {
     val (rewalk, _) = Durability.listCorruptPage(fs, dir, "", limit = 100)
     assert(rewalk.contains("data/s0"), "a fresh walk sees the mid-walk find")
   }
+
+  test("corrupt board walk invariant: 150 random board/churn histories serve exactly the right set") {
+    val rnd = new scala.util.Random(1311)
+    (1 to 150).foreach { trial =>
+      val dir = fresh(s"boardprop/t$trial")
+      fs.mkdirs(new Path(dir))
+      // initial board: random unique names
+      val pool = (0 until 26).map(i => f"data/e$i%02d")
+      val initial = rnd.shuffle(pool).take(1 + rnd.nextInt(10)).sorted
+      Durability.recordCorrupt(fs, dir, initial)
+      var cookie = ""
+      var served = Vector.empty[String]
+      var lateAdds = Vector.empty[(String, String)] // (name, cookie when added)
+      var pages = 0
+      var done = false
+      while (!done && pages < 60) {
+        // churn between pages: sometimes record NEW names (before or
+        // after the cookie, the invariant differs)
+        if (rnd.nextInt(3) == 0) {
+          val fresh = rnd.shuffle(pool.filterNot(initial.contains)
+            .filterNot(n => lateAdds.exists(_._1 == n))).take(rnd.nextInt(2) + 1)
+          if (fresh.nonEmpty) {
+            Durability.recordCorrupt(fs, dir, fresh)
+            lateAdds ++= fresh.map(_ -> cookie)
+          }
+        }
+        val limit = 1 + rnd.nextInt(3)
+        val (page, next) = Durability.listCorruptPage(fs, dir, cookie, limit)
+        if (page.isEmpty) {
+          assert(next == cookie, s"trial $trial: exhausted page moved the cookie")
+          done = true
+        } else {
+          assert(page.size <= limit)
+          served ++= page
+          cookie = next
+        }
+        pages += 1
+      }
+      assert(done, s"trial $trial: walk did not terminate")
+      // exactly-once, in order
+      assert(served == served.distinct, s"trial $trial: duplicates in $served")
+      assert(served.sorted == served, s"trial $trial: out-of-order walk")
+      // every initial entry served exactly once; a late add is served
+      // in THIS walk iff its name sorted after the cookie at add time
+      val expected = (initial ++
+        lateAdds.collect { case (n, ck) if n > ck => n }).sorted
+      assert(served.sorted == expected,
+        s"trial $trial: served $served, expected $expected (late: $lateAdds)")
+      // the deferred late adds all surface on a fresh walk
+      val (rewalk, _) = Durability.listCorruptPage(fs, dir, "", limit = 100)
+      assert(rewalk == (initial ++ lateAdds.map(_._1)).sorted.toVector.toSeq ||
+        rewalk == (initial ++ lateAdds.map(_._1)).distinct.sorted,
+        s"trial $trial: fresh walk $rewalk")
+    }
+  }
 }

@@ -425,4 +425,53 @@ class InsightsSpec extends SparkSpec {
     }
     assert(got("perfect") == 1000L && got("anti") == -1000L && got("singleton") == 1000L)
   }
+
+  test("ab test: 300 random count vectors across 9 magnitudes match the BigInt model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1313)
+    def expectFlag(na: Long, nb: Long, xa: Long, xb: Long): Long = {
+      val (bNA, bNB, bXA, bXB) = (BigInt(na), BigInt(nb), BigInt(xa), BigInt(xb))
+      val bN = bNA + bNB
+      val (lhs, rhs) =
+        if (bN <= 10000000L) {
+          val d = bXA * bNB - bXB * bNA
+          (d * d * bN * 10000,
+            BigInt(38416) * bNA * bNB * (bXA + bXB) * (bN - bXA - bXB))
+        } else {
+          val s7 = BigInt(10000000)
+          val qa = s7 * bXA / bNA; val qb = s7 * bXB / bNB
+          val p = s7 * (bXA + bXB) / bN; val h = bNA * bNB / bN
+          val d = qa - qb
+          (BigInt(10000) * d * d * h, BigInt(38416) * p * (s7 - p))
+        }
+      if (lhs > rhs) 1L else 0L
+    }
+    // magnitudes straddling the regime boundary and the old overflow bound
+    val mags = Seq(1e2, 1e3, 1e5, 5e6, 1e7, 2e7, 1e8, 1e9, 4e9).map(_.toLong)
+    val cases = (0 until 300).map { i =>
+      val m = mags(rnd.nextInt(mags.size))
+      val na = math.max(1L, m / 2 + (rnd.nextLong(math.max(1L, m / 2))))
+      val nb = math.max(1L, m / 2 + (rnd.nextLong(math.max(1L, m / 2))))
+      // rates clustered near each other so both flag outcomes occur
+      val base = rnd.nextInt(800) + 100 // per-mille
+      val xa = math.min(na, na * base / 1000 + rnd.nextLong(math.max(1L, na / 200)))
+      val xb = math.min(nb, nb * base / 1000 + rnd.nextLong(math.max(1L, nb / 200)))
+      (s"c$i", na, nb, xa, xb)
+    }
+    val got = Insights.abReadout(
+        cases.toDF("event_type", "na", "nb", "xa", "xb"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (if (r.isNullAt(r.fieldIndex("significant"))) null
+         else Long.box(r.getAs[Long]("significant")))).toMap
+    var ones = 0
+    cases.foreach { case (tag, na, nb, xa, xb) =>
+      assert(got(tag) != null, s"$tag: NULL flag at na=$na nb=$nb xa=$xa xb=$xb")
+      val e = expectFlag(na, nb, xa, xb)
+      assert(got(tag) == e, s"$tag: na=$na nb=$nb xa=$xa xb=$xb want $e got ${got(tag)}")
+      if (e == 1L) ones += 1
+    }
+    // the sweep genuinely exercises both outcomes
+    assert(ones > 20 && ones < 280, s"degenerate sweep: $ones of 300 flagged")
+  }
 }
