@@ -155,6 +155,38 @@ object Lake {
       .orderBy(col("l_linestatus"))
   }
 
+  /** XML roundtrip via Spark 4's BUILT-IN xml data source (rowTag
+    * framing) — the remaining self-describing text format after
+    * csv/json/text, closing the format matrix the reference is
+    * agnostic to (the filesystem serves bytes; DFSClient.java:1 —
+    * format fidelity is the engine's job). The write projects to the
+    * inference-stable columns (ids + a clean string enum) and the
+    * read infers schema back; roundtrip fidelity = the aggregate over
+    * the read-back frame hash-equals the oracle's over the SOURCE
+    * table. Customer-sized on purpose: XML is the verbose wire/legacy
+    * interchange shape, not a lake layout — at 100 TB it appears at
+    * INGEST boundaries (a bounded slice), never as the scan format. */
+  val lakeRoundtripXml: GraftQuery = GraftQuery.sql(
+    "lake_roundtrip_xml",
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+      |  COUNT(DISTINCT c_nationkey) AS n_nations
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  ) { (s, d) =>
+    val path = scratch("roundtrip_xml")
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      .write.mode("overwrite")
+      .option("rootTag", "customers").option("rowTag", "customer")
+      .format("xml").save(path)
+    s.read.option("rowTag", "customer").format("xml").load(path)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_custkey")).cast("long").as("key_sum"),
+        countDistinct(col("c_nationkey")).as("n_nations"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Hive-partitioned write + partition-pruned read — data placement
     * by key, the lake analogue of block placement policy
     * (namenode/BlockPlacementPolicyDefault.java). The year filter is
@@ -767,7 +799,7 @@ object Lake {
 
   def all: Seq[GraftQuery] = Seq(
     lakeAnalyze,
-    lakeScan, lakeRoundtripCsv, lakeRoundtripJson, lakeRoundtripOrc,
+    lakeScan, lakeRoundtripCsv, lakeRoundtripJson, lakeRoundtripOrc, lakeRoundtripXml,
     lakePartitionedWrite, lakeCompaction, lakeContentSummary, lakeFsck,
     lakeQuota, lakeChecksum, lakeSnapshot, lakeLifecycle, lakeConcat,
     lakeSchemaEvolution, lakeRetention, lakeStatsManifest,

@@ -35,6 +35,19 @@ class LakeSpec extends SparkSpec {
     assert(back.exceptAll(orig).count() == 0 && orig.exceptAll(back).count() == 0)
   }
 
+  test("xml roundtrip preserves every projected customer row bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    Lake.lakeRoundtripXml.fn(spark, sfDir).count() // writes scratch xml
+    val orig = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"),
+        col("c_mktsegment"))
+    val back = spark.read.option("rowTag", "customer").format("xml")
+      .load(Lake.scratch("roundtrip_xml"))
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"),
+        col("c_mktsegment"))
+    assert(back.exceptAll(orig).count() == 0 && orig.exceptAll(back).count() == 0)
+  }
+
   test("fsck reports zero orphans on the generated star schema") {
     val rows = Lake.lakeFsck.fn(spark, sfDir).collect()
     assert(rows.length == 3)
