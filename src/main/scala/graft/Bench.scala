@@ -74,23 +74,66 @@ object Bench {
       } finally ScopedCache.releaseAll() // drop query-local persists
       (System.nanoTime() - t0) / 1e9
     }
-    val bestKnown: Map[String, Double] =
+    // Extract the TOP-LEVEL "queries" object from a bench artifact as
+    // a real brace-balanced, string-aware walk (ADVICE r13: the old
+    // first-substring scan silently yields wrong/empty floors if a
+    // '"queries"' substring ever appears earlier in the file — e.g.
+    // inside a future metadata string — or the layout nests). The key
+    // must sit at depth 1 and be immediately followed by ':' and an
+    // object; the extracted map size is asserted against the
+    // artifact's own "n_queries" when present — any mismatch is a
+    // parse bug and yields NO floors rather than wrong ones.
+    def parseQueriesObject(path: String): Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("docs/bench_best.json")), "UTF-8")
-        // parse ONLY the "queries" object (ADVICE r12: a whole-file
-        // regex also matches metadata keys like "total"/"n" from the
-        // runs_considered section, so a future query name colliding
-        // with one would silently inherit a bogus floor). The object
-        // holds flat name:number pairs, so its first '}' closes it.
-        val start = txt.indexOf("\"queries\"")
-        val open = if (start < 0) -1 else txt.indexOf('{', start)
-        val close = if (open < 0) -1 else txt.indexOf('}', open)
-        if (close < 0) Map.empty[String, Double]
-        else """"([a-z0-9_]+)":\s*([0-9.]+)""".r
-          .findAllMatchIn(txt.substring(open, close + 1))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          java.nio.file.Paths.get(path)), "UTF-8")
+        var i = 0; var depth = 0
+        var inStr = false; var esc = false
+        var keyStart = -1; var lastKey = ""
+        var objStart = -1; var objEnd = -1
+        while (i < txt.length && objEnd < 0) {
+          val c = txt.charAt(i)
+          if (inStr) {
+            if (esc) esc = false
+            else if (c == '\\') esc = true
+            else if (c == '"') { inStr = false; lastKey = txt.substring(keyStart, i) }
+          } else c match {
+            case '"' => inStr = true; keyStart = i + 1
+            case '{' => depth += 1
+            case '}' =>
+              depth -= 1
+              if (objStart >= 0 && i > objStart && depth == 1) objEnd = i
+            case ':' if depth == 1 && objStart < 0 && lastKey == "queries" =>
+              // mark: the next '{' opens the queries object
+              val open = txt.indexWhere(!_.isWhitespace, i + 1)
+              if (open >= 0 && txt.charAt(open) == '{') objStart = open
+              else lastKey = "" // "queries" mapped to a non-object: ignore
+            case _ => ()
+          }
+          i += 1
+        }
+        if (objStart < 0 || objEnd < 0) Map.empty[String, Double]
+        else {
+          val m = """"([a-z0-9_]+)":\s*([0-9.]+)""".r
+            .findAllMatchIn(txt.substring(objStart, objEnd + 1))
+            .map(x => x.group(1) -> x.group(2).toDouble).toMap
+          val declared = """"n_queries":\s*(\d+)""".r
+            .findFirstMatchIn(txt).map(_.group(1).toInt)
+          if (declared.exists(_ != m.size)) {
+            System.err.println(s"[bench] $path: parsed ${m.size} queries " +
+              s"but artifact declares n_queries=${declared.get} — " +
+              "refusing the floors")
+            Map.empty
+          } else m
+        }
       } catch { case _: Throwable => Map.empty }
+    val bestKnown: Map[String, Double] = parseQueriesObject("docs/bench_best.json")
+    // The last ADOPTED full run — the drift-proof comparison base
+    // (VERDICT r13 #3): floors are best-EVER per query, a composite no
+    // single run achieves, so vs_best ratchets up as runs fold in even
+    // at constant real performance. median_vs_adopted compares this
+    // run to the committed record query-by-query instead.
+    val adopted: Map[String, Double] = parseQueriesObject("docs/bench_full.json")
     // RUN-LEVEL CANARY GATE (VERDICT r11 #2): this host's degraded
     // I/O windows inflate the WHOLE suite 1.4-8x and last minutes —
     // a per-query remeasure arm cannot rescue a run that never
@@ -104,7 +147,15 @@ object Bench {
     // window:"degraded" stamp so no floor-fold or reviewer reads its
     // absolute numbers as healthy.
     val canaryFloor = bestKnown.get("lake_ls").filter(_ > 0)
-    def timeCanary(): Double = {
+    // Stamped ratio for a canary that THREW: any value > 1.3 keeps the
+    // window from reading clean; 9999 is unmistakably a sentinel in
+    // the artifact, not a measurement (ADVICE r13: the old code
+    // encoded failure as Double.MaxValue seconds and detected it by
+    // reconstructing 'MaxValue / floor' with float equality — correct
+    // only while both sides stayed the textually identical expression).
+    val CanaryThrew = 9999.0
+    // None = lake_ls threw (permanent failure, waiting cannot clear it)
+    def timeCanary(): Option[Double] = {
       val fn = SparkEntry.queries("lake_ls")
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
@@ -112,33 +163,35 @@ object Bench {
         try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
         finally ScopedCache.releaseAll()
-      if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
+      if (ok) Some((System.nanoTime() - t0) / 1e9) else None
     }
     def awaitCleanWindow(stage: String): Double = canaryFloor match {
       case Some(f) =>
-        var ratio = timeCanary() / f
+        var ratio = timeCanary().map(_ / f)
         var waits = 0
-        while (ratio > 1.3 && ratio != Double.MaxValue / f && waits < 7) {
+        while (ratio.exists(_ > 1.3) && waits < 7) {
           System.err.println(String.format(java.util.Locale.ROOT,
             "[canary] %s: lake_ls %.2fx floor — degraded window, waiting 20s",
-            stage, Double.box(ratio)))
+            stage, Double.box(ratio.get)))
           Thread.sleep(20000L)
           waits += 1
-          ratio = timeCanary() / f
+          ratio = timeCanary().map(_ / f)
         }
-        // a THROWING canary is a permanent failure, not a degraded
-        // window — waiting cannot clear it (ADVICE r12: the old loop
-        // burned the full 7x20s per stage on the failure sentinel).
-        // Short-circuit: the ratio stays at the sentinel, the window
-        // stamps degraded, and the first timed pass reports the
-        // lake_ls failure itself.
-        if (ratio == Double.MaxValue / f)
-          System.err.println(s"[canary] $stage: lake_ls THREW — " +
-            "canary broken, skipping waits (window will not stamp clean)")
-        else System.err.println(String.format(java.util.Locale.ROOT,
-          "[canary] %s: lake_ls %.2fx floor after %d waits", stage,
-          Double.box(ratio), Int.box(waits)))
-        ratio
+        ratio match {
+          // a THROWING canary short-circuits the waits (ADVICE r12:
+          // permanent failure is not a degraded window); the window
+          // stamps degraded via the sentinel and the first timed pass
+          // reports the lake_ls failure itself.
+          case None =>
+            System.err.println(s"[canary] $stage: lake_ls THREW — " +
+              "canary broken, skipping waits (window will not stamp clean)")
+            CanaryThrew
+          case Some(r) =>
+            System.err.println(String.format(java.util.Locale.ROOT,
+              "[canary] %s: lake_ls %.2fx floor after %d waits", stage,
+              Double.box(r), Int.box(waits)))
+            r
+        }
       case None => 0.0
     }
     // targeted SPARK_GRAFT_ONLY profiling runs skip the gate — they
@@ -300,12 +353,26 @@ object Bench {
       val bestSum = common.map { case (n, _) => bestKnown(n) }.sum
       if (bestSum > 0) common.map(_._2).sum / bestSum else 0.0
     }
+    // Drift-proof companion to vs_best (VERDICT r13 #3): median
+    // per-query ratio against the last ADOPTED run. vs_best compares
+    // to a composite of per-query minima over 100+ runs — a floor no
+    // single run achieves, that RATCHETS as runs fold in — so it
+    // drifts up at constant real performance; the median-vs-adopted
+    // ratio reads ~1.0 whenever this run matches the committed record
+    // query-for-query, whatever the floor history says. Median (not
+    // sum-ratio) so one I/O-stalled multi-second op can't swamp it.
+    val medianVsAdopted = {
+      val ratios = results.collect {
+        case (n, t) if adopted.get(n).exists(_ > 0) => t / adopted(n)
+      }
+      if (ratios.nonEmpty) median(ratios) else 0.0
+    }
     val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     // End-of-run canary: one measurement, no wait — stamps whether the
     // artifact's absolute numbers come from a healthy window. Both
     // gates clean = the run-level done-criterion (VERDICT r11 #2).
     val canaryEnd = canaryFloor match {
-      case Some(f) if only.isEmpty => timeCanary() / f
+      case Some(f) if only.isEmpty => timeCanary().map(_ / f).getOrElse(CanaryThrew)
       case _ => 0.0
     }
     val midWorst = if (canaryMid.isEmpty) 0.0 else canaryMid.max
@@ -317,7 +384,7 @@ object Bench {
     val skippedJson = skippedSuspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val midJson = canaryMid.map(num(_, 2)).mkString("[", ",", "]")
     val runMeta =
-      s""""canary_start":${num(canaryStart, 2)},"canary_mid":$midJson,"canary_rerun":${num(canaryRerun, 2)},"canary_end":${num(canaryEnd, 2)},"first_pass_vs_best":${num(firstVsBest, 2)},"window":"$window""""
+      s""""canary_start":${num(canaryStart, 2)},"canary_mid":$midJson,"canary_rerun":${num(canaryRerun, 2)},"canary_end":${num(canaryEnd, 2)},"first_pass_vs_best":${num(firstVsBest, 2)},"median_vs_adopted":${num(medianVsAdopted, 2)},"window":"$window""""
     val full =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"n_remeasured":$nRemeasured,"skipped_suspects":$skippedJson,$runMeta,"vs_best":${num(vsBest, 2)},"failures":$failJson,"queries":${fmt(results)},"sf":"$sfDir"}"""
     try {

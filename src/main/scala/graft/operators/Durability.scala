@@ -171,30 +171,85 @@ object Durability {
       .orderBy(col("cycle"))
   }
 
+  /** Board files end with `#end N` (N = entry count): a torn write is
+    * DETECTABLE, so a reader can trust any file whose marker checks
+    * out and reject any file without one. */
+  private val BoardEnd = "#end "
+
+  private def writeBoardFile(fs: FileSystem, p: Path,
+                             entries: Seq[String]): Unit = {
+    val out = fs.create(p, true)
+    try out.write((entries :+ s"$BoardEnd${entries.size}")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Parse a board file: Some(entries) only when the file is present
+    * AND complete (trailing `#end N` matches the entry count) — a
+    * torn write can never be adopted as a smaller board. */
+  private def parseBoardFile(fs: FileSystem, p: Path): Option[Seq[String]] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val lines =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").linesIterator.map(_.trim).filter(_.nonEmpty).toVector
+        finally in.close()
+      lines.lastOption match {
+        case Some(last) if last.startsWith(BoardEnd) &&
+          last.stripPrefix(BoardEnd) == (lines.size - 1).toString =>
+          Some(lines.init)
+        case _ => None
+      }
+    }
+
+  /** Read the board with the crash-window fallback (ADVICE r13): the
+    * swap sequence is write-tmp → delete(board) → rename(tmp, board),
+    * so a crash between the delete and the rename leaves the board
+    * ABSENT while a COMPLETE `board.tmp` holds the newest state —
+    * without the fallback the next recordCorrupt would read an empty
+    * board and silently drop every previously recorded entry (the
+    * same crash-window class CommitLog.parsedFlushFiles closes with
+    * its marker/tmp supersede read). Preference: a complete installed
+    * board wins (a complete tmp beside it is an uncommitted write of
+    * a call that never returned); a complete tmp is adopted only when
+    * the board is absent; a torn file is never adopted. */
+  private def readBoard(fs: FileSystem, tableDir: String): Seq[String] = {
+    val p = new Path(tableDir, "_corrupt/board")
+    val tmp = new Path(tableDir, "_corrupt/board.tmp")
+    parseBoardFile(fs, p).orElse(parseBoardFile(fs, tmp))
+      .getOrElse(Seq.empty)
+  }
+
   /** Record detected-corrupt entries on the persisted corrupt board
     * (`_corrupt/board`, one relpath per line, sorted, deduplicated —
     * the reference's CorruptReplicasMap made durable,
     * server/namenode/CorruptReplicasMap.java:1): read-union-rewrite
-    * via write-tmp + rename so a torn write can never surface a
-    * half-board. Idempotent — re-recording an entry is a no-op. The
-    * board is metadata: it scales with the number of FAILURES, never
-    * with table size. */
+    * via write-tmp + rename, with an `#end N` completeness marker and
+    * the [[readBoard]] tmp fallback so NO single crash point can
+    * surface a half-board or lose recorded entries — a torn tmp is
+    * rejected by its marker, and the delete→rename gap is covered by
+    * adopting the complete tmp when the board is absent. Idempotent —
+    * re-recording an entry is a no-op.
+    *
+    * SINGLE-RECORDER assumption (ADVICE r13): the merge is
+    * read-merge-rewrite with no cross-process lock, exactly like the
+    * reference's CorruptReplicasMap mutations which serialize under
+    * the namenode's FSNamesystem lock — here the scrub cadence is the
+    * one writer (one cursor, one budget). Two CONCURRENT recorders
+    * could interleave reads and lose each other's entries (last
+    * writer wins on the whole board); if concurrent scrubbers are
+    * ever wanted, route their finds through one recorder or an
+    * append-then-compact scheme.
+    *
+    * The board is metadata: it scales with the number of FAILURES,
+    * never with table size. */
   def recordCorrupt(fs: FileSystem, tableDir: String, rels: Seq[String]): Unit = {
     val p = new Path(tableDir, "_corrupt/board")
-    val existing =
-      if (!fs.exists(p)) Seq.empty[String]
-      else {
-        val in = fs.open(p)
-        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          "UTF-8").linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-        finally in.close()
-      }
-    val merged = (existing ++ rels).distinct.sorted
+    val merged = (readBoard(fs, tableDir) ++ rels).distinct.sorted
     fs.mkdirs(p.getParent)
     val tmp = new Path(tableDir, "_corrupt/board.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(merged.mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
+    writeBoardFile(fs, tmp, merged)
     fs.delete(p, false)
     require(fs.rename(tmp, p), s"corrupt board swap failed: $p")
   }
@@ -215,15 +270,7 @@ object Durability {
     * I/O, page cost is O(limit) at any table size. */
   def listCorruptPage(fs: FileSystem, tableDir: String, cookie: String,
                       limit: Int): (Seq[String], String) = {
-    val p = new Path(tableDir, "_corrupt/board")
-    val board =
-      if (!fs.exists(p)) Seq.empty[String]
-      else {
-        val in = fs.open(p)
-        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          "UTF-8").linesIterator.map(_.trim).filter(_.nonEmpty).toSeq.sorted
-        finally in.close()
-      }
+    val board = readBoard(fs, tableDir).sorted
     val page = board.filter(_ > cookie).take(limit)
     (page, page.lastOption.getOrElse(cookie))
   }

@@ -633,4 +633,59 @@ class DurabilitySpec extends SparkSpec {
         s"trial $trial: fresh walk $rewalk")
     }
   }
+
+  test("corrupt board crash windows: delete-rename gap recovers from tmp, torn tmp never adopted (ADVICE r13)") {
+    val dir = fresh("boardcrash/table")
+    fs.mkdirs(new Path(dir))
+    val board = new Path(dir, "_corrupt/board")
+    val tmp = new Path(dir, "_corrupt/board.tmp")
+    def copy(src: Path, dst: Path): Unit = {
+      val in = fs.open(src)
+      val bytes =
+        try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        finally in.close()
+      val out = fs.create(dst, true)
+      try out.write(bytes) finally out.close()
+    }
+    val initial = Seq("data/e01", "data/e03", "data/e05")
+    Durability.recordCorrupt(fs, dir, initial)
+
+    // CRASH WINDOW 1 (the ADVICE finding): tmp fully written, board
+    // deleted, crash before the rename — the destination is absent
+    // and only the complete tmp holds the state. Simulate by copying
+    // the installed board to tmp (bytes of a complete file) and
+    // deleting the board.
+    copy(board, tmp)
+    fs.delete(board, false)
+    val (afterCrash, _) = Durability.listCorruptPage(fs, dir, "", 100)
+    assert(afterCrash == initial,
+      s"reader must adopt the complete tmp when the board is absent: $afterCrash")
+    // ... and the next recordCorrupt must MERGE with it, not reset
+    Durability.recordCorrupt(fs, dir, Seq("data/e02"))
+    val (merged, _) = Durability.listCorruptPage(fs, dir, "", 100)
+    assert(merged == Seq("data/e01", "data/e02", "data/e03", "data/e05"),
+      s"recordCorrupt after the crash window lost entries: $merged")
+
+    // CRASH WINDOW 2: crash mid-tmp-write (torn tmp, no end marker)
+    // with the board intact — the installed board must win and the
+    // torn bytes must never be adopted.
+    val out = fs.create(tmp, true)
+    try out.write("data/zz-torn\n".getBytes("UTF-8")) finally out.close()
+    val (tornBeside, _) = Durability.listCorruptPage(fs, dir, "", 100)
+    assert(tornBeside == merged, s"torn tmp beside a board leaked: $tornBeside")
+    Durability.recordCorrupt(fs, dir, Seq("data/e04"))
+    val (after2, _) = Durability.listCorruptPage(fs, dir, "", 100)
+    assert(after2 ==
+      Seq("data/e01", "data/e02", "data/e03", "data/e04", "data/e05"),
+      s"merge over a torn tmp went wrong: $after2")
+
+    // Torn tmp with NO board (unreachable under the write protocol,
+    // asserted safe anyway): reader refuses the torn bytes.
+    val dir2 = fresh("boardcrash/table2")
+    fs.mkdirs(new Path(dir2, "_corrupt"))
+    val out2 = fs.create(new Path(dir2, "_corrupt/board.tmp"), true)
+    try out2.write("data/partial".getBytes("UTF-8")) finally out2.close()
+    val (none, ck) = Durability.listCorruptPage(fs, dir2, "", 100)
+    assert(none.isEmpty && ck == "", s"torn-only state must read empty: $none")
+  }
 }
