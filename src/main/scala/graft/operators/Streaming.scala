@@ -261,12 +261,16 @@ object Streaming {
     * a 30-event warm-up. The 3σ test is cross-multiplied into exact
     * integer cents — (n·v − S)² > 9·(n·Q − S²) with S/Q the prior
     * sum and sum-of-squares — no sqrt, no float variance. The
-    * comparison runs in exact WIDE integers on both engines (DuckDB
-    * computes window sums in HUGEINT natively; Spark casts through
-    * decimal(38,0) — int64 alone overflows n·Q at ~10⁵ cent-scale
-    * events/key, which the 10× scale step caught); the remaining
-    * bound is the Q accumulator itself (< 2⁶³ ⇒ ~10⁹ events/key,
-    * then the state widens to decimal too).
+    * comparison AND the Q accumulator run in exact WIDE integers on
+    * both engines (DuckDB accumulates HUGEINT; Spark decimal(38,0) —
+    * int64 alone overflows n·Q at ~10⁵ cent-scale events/key, which
+    * the 10× scale step caught, and the int64 Q accumulator itself
+    * overflowed past ~10⁹ events/key until r14 widened it: batch
+    * sums c² as decimal(38,0), the streaming state folds Q in BigInt,
+    * VERDICT r13 #4). Remaining range: Q ≤ n·c² and the comparison's
+    * n·Q term need 38 digits — at $100-scale values (c ≈ 10⁴ cents)
+    * that holds to n ≈ 10¹⁴ events/key, and past it ANSI decimal
+    * overflow THROWS, never a silent NULL.
     *
     * Batch truth: ONE shuffle on event_type; both prefix sums and
     * the count share a single (ts, event_id)-ordered window spec
@@ -276,12 +280,11 @@ object Streaming {
     * convergence under arbitrary chunking. */
   /** The 3σ flag over prior-state columns (n, c, sm, qm): cross-
     * multiplied (n·c − S)² > 9·(n·Q − S²) through DECIMAL(38,0).
-    * Factored so StreamingSpec can evaluate it AT the documented Q
-    * bound (qm just under 2⁶³ — ~10⁹ cent-scale events/key) and pin
-    * it to a BigInt model: worst intermediates there are n·qm ≈
-    * 9.2×10²⁷ and the squared term ≈ 10³⁰, both far inside 38 digits,
-    * so "documented bound" means exact-to-the-edge, never silent NULL
-    * (VERDICT r12 #7). */
+    * qm may arrive as int64 OR as decimal(38,0) (the widened batch
+    * accumulator) — the cast coerces either. Factored so
+    * StreamingSpec can evaluate it at and PAST the retired int64 Q
+    * bound (qm ≈ 2⁶³ was the old edge; the spec now pins magnitudes
+    * beyond it to a BigInt model — VERDICT r12 #7, r13 #4). */
   private[graft] val anomalyFlagSql: String =
     """(cast(n as decimal(38,0))*c - sm) * (cast(n as decimal(38,0))*c - sm)
       | > 9 * (cast(n as decimal(38,0))*qm
@@ -293,13 +296,15 @@ object Streaming {
        |    CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT) AS c
        |  FROM events),
        |w AS (SELECT event_type, event_id, c,
-       |    COUNT(*) OVER pw AS n, SUM(c) OVER pw AS sm, SUM(c*c) OVER pw AS qm
+       |    COUNT(*) OVER pw AS n, SUM(c) OVER pw AS sm,
+       |    SUM(CAST(c AS HUGEINT) * c) OVER pw AS qm
        |  FROM v
        |  WINDOW pw AS (PARTITION BY event_type ORDER BY ts, event_id
        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
        |SELECT event_type, event_id, c AS v_cents, n AS n_prior
        |FROM w WHERE n >= $AnomWarmup
-       |  AND (n*c - sm) * (n*c - sm) > 9 * (n*qm - sm*sm)
+       |  AND (CAST(n AS HUGEINT)*c - sm) * (CAST(n AS HUGEINT)*c - sm)
+       |      > 9 * (CAST(n AS HUGEINT)*qm - CAST(sm AS HUGEINT)*sm)
        |ORDER BY event_type, event_id""".stripMargin
   ) { (s, d) =>
     // prequential (1-PRECEDING) prefix count/sum/sum-of-squares per
@@ -313,7 +318,9 @@ object Streaming {
           .select(col("event_type"), col("event_id"), col("ts"),
             expr("cast(cast(value as decimal(15,2)) * 100 as bigint)").as("c"))
           .withColumn("one", lit(1L))
-          .withColumn("c2", col("c") * col("c")),
+          // c² accumulates in decimal(38,0), not int64 — the retired
+          // ~10⁹-events/key Q bound (VERDICT r13 #4)
+          .withColumn("c2", col("c").cast("decimal(38,0)") * col("c")),
         orderCols = Seq("ts", "event_id"), partCols = Seq("event_type"),
         sums = Seq("one" -> "n", "c" -> "sm", "c2" -> "qm"),
         inclusive = false)

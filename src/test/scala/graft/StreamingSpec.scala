@@ -839,4 +839,99 @@ class StreamingSpec extends SparkSpec {
     assert(!flagged.contains("spread_inside_3s") && flagged.contains("spread_outside_3s"))
     assert(flagged.contains("spread_low_outlier"))
   }
+
+  test("stream anomaly PAST the retired int64 Q bound: decimal accumulator and BigInt state stay exact (VERDICT r13 #4)") {
+    import spark.implicits._
+    def model(n: BigInt, c: BigInt, sm: BigInt, qm: BigInt): Boolean = {
+      val lhs = (n * c - sm) * (n * c - sm)
+      lhs > 9 * (n * qm - sm * sm)
+    }
+    // --- flag expression at qm far beyond 2^63 (the old edge was
+    // ~9.2e18; these sit at ~1e22-1e28, only representable once the
+    // accumulator is decimal(38,0)/HUGEINT) ---
+    val n12 = BigInt("1000000000000") // 1e12 events/key
+    val cMean = BigInt("95900")
+    val smB = n12 * cMean
+    val qmSpread = (n12 / 2) * BigInt(95000L) * BigInt(95000L) +
+      (n12 / 2) * BigInt(96800L) * BigInt(96800L) // ~9.2e21 > 2^63
+    assert(qmSpread > BigInt(Long.MaxValue), "case must sit past the old bound")
+    val bigCases = Seq(
+      ("b12_on_mean", n12, cMean, smB, qmSpread),
+      ("b12_inside_3s", n12, cMean + 2600, smB, qmSpread),
+      ("b12_outside_3s", n12, cMean + 2800, smB, qmSpread),
+      // huge VALUES too: c = 1e14 cents, qm ~ 3e29
+      ("bigval_on_mean", BigInt(31), BigInt("100000000000000"),
+        BigInt(31) * BigInt("100000000000000"),
+        BigInt(31) * BigInt("100000000000000") * BigInt("100000000000000")),
+      ("bigval_off_mean", BigInt(31), BigInt("100300000000000"),
+        BigInt(31) * BigInt("100000000000000"),
+        BigInt(31) * BigInt("100000000000000") * BigInt("100000000000000")))
+    val bigDf = bigCases.map { case (t, n, c, sm, qm) =>
+      (t, n.toString, c.toString, sm.toString, qm.toString)
+    }.toDF("tag", "ns", "cs", "sms", "qms")
+      .selectExpr("tag", "cast(ns as decimal(38,0)) as n",
+        "cast(cs as decimal(38,0)) as c", "cast(sms as decimal(38,0)) as sm",
+        "cast(qms as decimal(38,0)) as qm")
+    val bigFlagged = bigDf
+      .filter(expr(graft.operators.Streaming.anomalyFlagSql))
+      .select("tag").as[String].collect().toSet
+    bigCases.foreach { case (tag, n, c, sm, qm) =>
+      assert(bigFlagged.contains(tag) == model(n, c, sm, qm),
+        s"$tag: flag disagrees with the BigInt model past the old Q bound")
+    }
+    assert(bigFlagged == Set("b12_outside_3s", "bigval_off_mean"), s"$bigFlagged")
+
+    // --- end-to-end past int64: per-event c² = 1e28 overflows the old
+    // long fold on the FIRST event; batch (prefixSumsExact with the
+    // decimal c² column) and streaming (BigInt state) must both match
+    // a driver BigInt prequential model exactly ---
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1.0e12 // dollars; c = 1e14 cents, exact in Double
+    val vals: Seq[Double] =
+      (0 until 30).map(i => if (i % 2 == 0) base else base * 1.002) ++
+        Seq(base * 1.001, base * 1.010, base * 1.0035)
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      StreamingOps.Ev(i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        user_id = 1L, event_type = "huge", value = v)
+    }
+    // driver model
+    var (mn, msm, mqm) = (BigInt(0), BigInt(0), BigInt(0))
+    val wantFlags = scala.collection.mutable.Set.empty[Long]
+    evs.foreach { e =>
+      val c = BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .*(100).toBigIntExact.get
+      if (mn >= 30 && model(mn, c, msm, mqm)) wantFlags += e.event_id
+      mn += 1; msm += c; mqm += c * c
+    }
+    assert(wantFlags.nonEmpty && !wantFlags.contains(30L) &&
+      wantFlags.contains(31L), s"model flags: $wantFlags")
+    // batch arm: the op's exact pipeline shape over the synthetic frame
+    val batchIn = evs.toDF()
+      .select(col("event_type"), col("event_id"), col("ts"),
+        expr("cast(cast(value as decimal(15,2)) * 100 as bigint)").as("c"))
+      .withColumn("one", lit(1L))
+      .withColumn("c2", col("c").cast("decimal(38,0)") * col("c"))
+    val batchFlags = graft.functions.Ranks.prefixSumsExact(batchIn,
+        orderCols = Seq("ts", "event_id"), partCols = Seq("event_type"),
+        sums = Seq("one" -> "n", "c" -> "sm", "c2" -> "qm"),
+        inclusive = false)
+      .filter(col("n") >= 30 && expr(graft.operators.Streaming.anomalyFlagSql))
+      .select("event_id").as[Long].collect().toSet
+    assert(batchFlags == wantFlags.toSet,
+      s"batch past-int64 flags $batchFlags != model $wantFlags")
+    // streaming arm, chunked so the state crosses batches mid-warmup
+    val stream = MemoryStream[StreamingOps.Ev]
+    val q = StreamingOps.streamAnomaly(stream.toDF()).writeStream
+      .format("memory").queryName("anomaly_big_sink").outputMode("append").start()
+    try {
+      evs.grouped(7).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamFlags = spark.table("anomaly_big_sink")
+      .select("event_id").as[Long].collect().toSet
+    assert(streamFlags == wantFlags.toSet,
+      s"streaming past-int64 flags $streamFlags != model $wantFlags")
+  }
 }
