@@ -382,10 +382,13 @@ object Lake {
     val src = Tables.region(s, d)
     val staged = src.count()
     src.write.parquet(stage.toString)
-    val renamed = fs.rename(stage, fin)
+    // the contract-carrying namespace verbs (reference refusal
+    // semantics pinned in NamespaceContractSpec; TestDFSRename.java /
+    // TestDFSShell.java contracts enforced above the backing store)
+    val renamed = Namespace.renameStrict(fs, stage, fin)
     val rowsAtFinal = s.read.parquet(fin.toString).count()
     val stageGone = !fs.exists(stage)
-    val deleted = fs.delete(fin, true)
+    val deleted = Namespace.deleteStrict(fs, fin, recursive = true)
     Seq(
       ("write_stage", true, staged),
       ("rename", renamed, 0L),

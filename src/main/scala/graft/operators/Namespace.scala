@@ -15,6 +15,72 @@ import org.apache.spark.sql.functions._
   */
 object Namespace {
 
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  /** Namespace RENAME carrying the reference's refusal contract
+    * (server/namenode/FSDirectory.java:503 unprotectedRenameTo, pinned
+    * by the reference's own test/hdfs/.../TestDFSRename.java): the
+    * backing FileSystem alone does NOT give these semantics — POSIX
+    * rename(2) silently CLOBBERS an existing destination file, where
+    * the reference refuses ("because destination exists",
+    * FSDirectory.java:549) — so the contract is enforced here, above
+    * the store, exactly where the NameNode enforces it above the
+    * DataNodes. Semantics, in the reference's check order:
+    *  - source absent → false
+    *  - dst an existing DIRECTORY → the move lands at dst/srcName
+    *  - dst == src → true, no-op (TestDFSRename: rename /a/b/c /a/b/c)
+    *  - dst under src (path-wise, separator-aware: /a/b → /a/b/c
+    *    refuses, /testPrefix → /testPrefixfile does not) → false
+    *  - dst (after dir resolution) exists → false, never clobbered
+    *  - dst's parent absent or not a directory → false
+    *    (TestDFSRename: rename to /c/d with /c absent) */
+  def renameStrict(fs: FileSystem, src: Path, dst: Path): Boolean = {
+    if (!fs.exists(src)) return false
+    val target =
+      if (fs.exists(dst) && fs.getFileStatus(dst).isDirectory)
+        new Path(dst, src.getName)
+      else dst
+    val (s, t) = (src.toUri.getPath, target.toUri.getPath)
+    if (t == s) return true
+    if (t.startsWith(s + "/")) return false
+    if (fs.exists(target)) return false
+    val parent = target.getParent
+    if (parent == null || !fs.exists(parent) ||
+      !fs.getFileStatus(parent).isDirectory) return false
+    fs.rename(src, target)
+  }
+
+  /** Namespace DELETE with the reference's non-recursive refusal
+    * (server/namenode/FSNamesystem.java:2106: a non-recursive delete
+    * of a non-empty directory THROWS "is non empty" and removes
+    * nothing — pinned by test/hdfs/.../TestDFSShell.java:145 — while
+    * deleting a missing path returns false, never throws). */
+  def deleteStrict(fs: FileSystem, p: Path, recursive: Boolean): Boolean = {
+    if (!fs.exists(p)) return false
+    if (!recursive && fs.getFileStatus(p).isDirectory &&
+      fs.listStatus(p).nonEmpty)
+      throw new java.io.IOException(s"$p is non empty")
+    fs.delete(p, recursive)
+  }
+
+  /** Namespace MKDIRS with the reference's contract
+    * (server/namenode/FSNamesystem.java:2243 mkdirsInternal, pinned by
+    * test/hdfs/.../TestDFSShell.java:937): creates every missing
+    * parent; an existing directory answers true ("all the users of
+    * mkdirs() are used to expect 'true'"); any existing FILE on the
+    * path — the target itself or an ancestor — throws
+    * ParentNotDirectoryException (FSDirectory.java:714), never a
+    * silent false. */
+  def mkdirsStrict(fs: FileSystem, p: Path): Boolean = {
+    var anc = p
+    while (anc != null && !fs.exists(anc)) anc = anc.getParent
+    if (anc != null && !fs.getFileStatus(anc).isDirectory)
+      throw new org.apache.hadoop.fs.ParentNotDirectoryException(
+        s"$anc (component of $p) is a file, not a directory")
+    if (anc != null && anc.toUri.getPath == p.toUri.getPath) true
+    else fs.mkdirs(p)
+  }
+
   /** Symlink / view layer (reference protocol/ClientProtocol.java:839
     * createSymlink, :855 getLinkTarget): named aliases over commit-log
     * tables, optionally pinned to a version — `orders_v0` is a frozen

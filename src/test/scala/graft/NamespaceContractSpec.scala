@@ -1,0 +1,152 @@
+package graft
+
+import graft.operators.Namespace
+import org.apache.hadoop.fs.{FileSystem, Path, ParentNotDirectoryException}
+
+/** Namespace edge semantics pinned to the REFERENCE'S OWN TESTS
+  * (VERDICT r13 #6): the reference's test suite encodes refusal
+  * behavior the operator descriptions never exercise — rename onto an
+  * existing path, rename under the source, non-recursive delete of a
+  * non-empty directory, mkdirs through a file. Each case below cites
+  * the reference test it pins. The backing FileSystem alone does NOT
+  * provide these semantics (POSIX rename clobbers an existing dst
+  * file), which is exactly why the engine carries them in
+  * Namespace.renameStrict/deleteStrict/mkdirsStrict — above the
+  * store, where the reference's NameNode enforces them.
+  */
+class NamespaceContractSpec extends SparkSpec {
+
+  private def fs: FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  private def fresh(name: String): Path = {
+    val dir = new Path(s"/root/repo/target/scratch/nscontract/$name")
+    fs.delete(dir, true)
+    fs.mkdirs(dir)
+    dir
+  }
+
+  private def touch(p: Path, content: String = "something"): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readAll(p: Path): String = {
+    val in = fs.open(p)
+    try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
+  test("rename refuses an existing destination and never clobbers it (FSDirectory.java:549 'destination exists')") {
+    val dir = fresh("rename_exists")
+    val a = new Path(dir, "a"); val b = new Path(dir, "b")
+    touch(a, "src-bytes"); touch(b, "dst-bytes")
+    assert(!Namespace.renameStrict(fs, a, b),
+      "rename onto an existing file must refuse")
+    // refusal means NOTHING moved: src intact, dst bytes untouched —
+    // the raw store would have clobbered b here (POSIX rename(2))
+    assert(fs.exists(a) && readAll(a) == "src-bytes")
+    assert(readAll(b) == "dst-bytes")
+    // same refusal when the move-into resolution collides: dst is a
+    // directory already holding an entry named like src
+    val d = new Path(dir, "sub"); fs.mkdirs(d); touch(new Path(d, "a"), "in-dir")
+    assert(!Namespace.renameStrict(fs, a, d),
+      "rename into a dir whose dst/srcName exists must refuse")
+    assert(fs.exists(a) && readAll(new Path(d, "a")) == "in-dir")
+  }
+
+  test("rename to a destination with a missing parent refuses (TestDFSRename.java: 'test non-existent destination')") {
+    val dir = fresh("rename_noparent")
+    val a = new Path(dir, "a"); touch(a)
+    assert(!Namespace.renameStrict(fs, a,
+      new Path(dir, "c/d")), "missing dst parent must refuse")
+    assert(fs.exists(a))
+    // parent exists but is a FILE → same refusal
+    touch(new Path(dir, "pf"))
+    assert(!Namespace.renameStrict(fs, a, new Path(dir, "pf/x")))
+    assert(fs.exists(a))
+  }
+
+  test("rename refuses a destination under the source, but a textual prefix is fine (TestDFSRename.java: 'dst cannot be a file or directory under src')") {
+    val dir = fresh("rename_under")
+    val src = new Path(dir, "a/b")
+    fs.mkdirs(src); touch(new Path(src, "foo"))
+    // dst cannot be a file under src
+    assert(!Namespace.renameStrict(fs, src, new Path(dir, "a/b/c")))
+    // dst cannot be a directory under src
+    assert(!Namespace.renameStrict(fs, new Path(dir, "a"), new Path(dir, "a/b")))
+    assert(fs.exists(new Path(src, "foo")), "refusal must move nothing")
+    // 'dst can start with src, if it is not a directory or file under
+    // src': /testPrefix → /testPrefixfile succeeds
+    val p = new Path(dir, "testPrefix"); touch(p, "prefix-bytes")
+    assert(Namespace.renameStrict(fs, p, new Path(dir, "testPrefixfile")))
+    assert(readAll(new Path(dir, "testPrefixfile")) == "prefix-bytes")
+    assert(!fs.exists(p))
+  }
+
+  test("rename of a path onto itself is a successful no-op; absent source refuses (TestDFSRename.java: 'dst should not be same as src')") {
+    val dir = fresh("rename_self")
+    val c = new Path(dir, "a/b/c")
+    fs.mkdirs(c.getParent); touch(c, "self")
+    assert(Namespace.renameStrict(fs, c, c), "rename src → src answers true")
+    assert(readAll(c) == "self")
+    assert(!Namespace.renameStrict(fs, new Path(dir, "ghost"), new Path(dir, "x")),
+      "absent source must refuse ('because source does not exist')")
+  }
+
+  test("rename into an existing directory lands at dst/srcName (FSDirectory.java: 'if (isDir(dst)) dst += srcName')") {
+    val dir = fresh("rename_into")
+    val f = new Path(dir, "f"); touch(f, "moved")
+    val d = new Path(dir, "d"); fs.mkdirs(d)
+    assert(Namespace.renameStrict(fs, f, d))
+    assert(!fs.exists(f) && readAll(new Path(d, "f")) == "moved")
+  }
+
+  test("non-recursive delete of a non-empty directory throws and removes nothing (FSNamesystem.java:2110 'is non empty'; TestDFSShell.java:145)") {
+    val dir = fresh("delete_nonrec")
+    val parent = new Path(dir, "parent")
+    fs.mkdirs(new Path(parent, "child"))
+    val e = intercept[java.io.IOException] {
+      Namespace.deleteStrict(fs, parent, recursive = false)
+    }
+    assert(e.getMessage.contains("is non empty"))
+    assert(fs.exists(new Path(parent, "child")),
+      "the refused delete must remove NOTHING")
+    // the recursive form succeeds (TestDFSShell.java:153)
+    assert(Namespace.deleteStrict(fs, parent, recursive = true))
+    assert(!fs.exists(parent))
+    // deleting a missing path answers false, never throws
+    assert(!Namespace.deleteStrict(fs, parent, recursive = true))
+    // non-recursive delete of an EMPTY dir and of a file both succeed
+    val empty = new Path(dir, "empty"); fs.mkdirs(empty)
+    assert(Namespace.deleteStrict(fs, empty, recursive = false))
+    val f = new Path(dir, "f"); touch(f)
+    assert(Namespace.deleteStrict(fs, f, recursive = false))
+  }
+
+  test("mkdirs creates missing parents, is idempotent, and throws through a file (FSNamesystem.java:2254; FSDirectory.java:714; TestDFSShell.java:937)") {
+    val dir = fresh("mkdirs")
+    val deep = new Path(dir, "x/y/z")
+    assert(Namespace.mkdirsStrict(fs, deep), "mkdirs creates the whole chain")
+    assert(fs.getFileStatus(deep).isDirectory)
+    // 'all the users of mkdirs() are used to expect true even if a
+    // new directory is not created'
+    assert(Namespace.mkdirsStrict(fs, deep), "existing dir answers true")
+    // target itself is a file → ParentNotDirectoryException (the
+    // shell's '-mkdir over a file: not a directory', TestDFSShell)
+    val f = new Path(dir, "file"); touch(f)
+    intercept[ParentNotDirectoryException] { Namespace.mkdirsStrict(fs, f) }
+    // an ANCESTOR is a file → same refusal, nothing created
+    intercept[ParentNotDirectoryException] {
+      Namespace.mkdirsStrict(fs, new Path(dir, "file/under/it"))
+    }
+    assert(!fs.exists(new Path(dir, "file/under")))
+  }
+
+  test("lake_lifecycle rides the contract verbs end-to-end") {
+    val out = graft.operators.Lake.lakeLifecycle.fn(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out.values.forall(identity), s"lifecycle steps: $out")
+  }
+}
