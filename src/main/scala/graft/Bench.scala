@@ -299,7 +299,13 @@ object Bench {
     val rankedSuspects = firstPass
       .filter { case (n, t) => !failed.contains(n) && t > threshold(n) }
       .sortBy { case (n, t) => -(t - threshold(n)) }
-    var rerunBudget = if (canaryStartDegraded) 180.0 else 60.0
+    // The uniformly-hot driver window (VERDICT r13 #3: vs_best 1.37
+    // with every canary clean) trips the tightened 2x-best cost arm
+    // on DOZENS of multi-second ops, but the healthy-window 60s
+    // budget can only re-run a handful — the shipped number stays
+    // ~15% hot. Give the uniform case the degraded-window budget.
+    var rerunBudget =
+      if (canaryStartDegraded || firstVsBest > 1.3) 180.0 else 60.0
     // The mandatory worst-excess suspect is NOT charged to the budget
     // (self-review r12: charging it drives the budget negative when it
     // alone overflows, silently disqualifying every cheap suspect that

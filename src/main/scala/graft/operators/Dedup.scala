@@ -333,6 +333,94 @@ object Dedup {
       .orderBy(col("bands"))
   }
 
+  /** MINHASH ESTIMATOR CALIBRATION — the measurement underneath every
+    * LSH decision this family makes: E[matching signature components /
+    * K] IS the Jaccard similarity (Broder's theorem), and the band
+    * thresholds d_lsh_autotune tunes are derived from that estimate —
+    * so the engine should MEASURE how well k=32 tracks truth on its
+    * own corpus rather than assume the asymptotic theory at k→∞. For
+    * every exact-truth pair (the memoized AllPairs arm, jaccard ≥
+    * 0.8), the estimate est_pm = 1000·matches/K is compared against
+    * the exact integer true_pm = 1000·|∩|/|∪|, bucketed by true
+    * jaccard (800-849/850-899/900-949/950-1000 ‰), reporting per
+    * bucket the pair count, integer mean estimate/truth, mean
+    * absolute error, and the signed bias SUM (never a signed
+    * division — Spark `div` truncates toward zero while DuckDB `//`
+    * floors, so negative means would diverge between engines).
+    *
+    * Scale: every frame is memoized family state (shingles,
+    * signatures, truth pairs); the calibration itself is four
+    * equi-joins on doc_id plus an O(K) per-pair fold — one shuffle
+    * tier over a truth frame that is output-sized, never corpus².
+    * At 100 TB this runs on the same sample the tuner uses. */
+  val dMinhashCalibration: GraftQuery = GraftQuery.sql(
+    "d_minhash_calibration", {
+      val comps = perms.zipWithIndex.map { case ((a, b), j) =>
+        s"  ${GraftHash.minhashComponentSql("sh", a, b)} AS c$j"
+      }.mkString(",\n")
+      val matches = perms.indices
+        .map(j => s"CASE WHEN a.c$j = b.c$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH ${exactPairsCtes()},
+         |sigc AS (SELECT doc_id,
+         |$comps
+         |FROM sh),
+         |pairs AS (SELECT
+         |    len(list_intersect(x.sh, y.sh)) AS inter,
+         |    len(x.sh) + len(y.sh) AS szsum,
+         |    ($matches) AS matches
+         |  FROM exj t
+         |  JOIN sh x ON t.doc_a = x.doc_id JOIN sh y ON t.doc_b = y.doc_id
+         |  JOIN sigc a ON t.doc_a = a.doc_id JOIN sigc b ON t.doc_b = b.doc_id),
+         |scored AS (SELECT matches * 1000 // $K AS est_pm,
+         |    inter * 1000 // (szsum - inter) AS true_pm FROM pairs),
+         |bk AS (SELECT LEAST(3, (true_pm - 800) // 50) AS bucket,
+         |    est_pm, true_pm FROM scored)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(800 + 50 * bucket AS BIGINT) AS lo_pm,
+         |  COUNT(*) AS n_pairs,
+         |  CAST(SUM(est_pm) // COUNT(*) AS BIGINT) AS mean_est_pm,
+         |  CAST(SUM(true_pm) // COUNT(*) AS BIGINT) AS mean_true_pm,
+         |  CAST(SUM(ABS(est_pm - true_pm)) // COUNT(*) AS BIGINT) AS mean_abs_err_pm,
+         |  CAST(SUM(est_pm - true_pm) AS BIGINT) AS bias_sum_pm
+         |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin
+    }
+  ) { (s, d) =>
+    val sh = graft.api.Graft.dedup.shingleSets(
+      Tables.documents(s, d), "doc_id", "text")
+    val sig = graft.api.Graft.dedup.signatures(sh, K)
+      .select(col("doc_id"), col("sig"))
+    val truth = exactNearDupPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val scored = truth
+      .join(sh.select(col("doc_id"), col("sh").as("sh_a")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sh.select(col("doc_id"), col("sh").as("sh_b")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .join(sig.select(col("doc_id"), col("sig").as("sig_a")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sig.select(col("doc_id"), col("sig").as("sig_b")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(
+        expr("size(array_intersect(sh_a, sh_b))").as("inter"),
+        (expr("size(sh_a)") + expr("size(sh_b)")).as("szsum"),
+        expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v)")
+          .as("matches"))
+      .select(expr(s"matches * 1000 div $K").as("est_pm"),
+        expr("inter * 1000 div (szsum - inter)").as("true_pm"))
+    scored
+      .withColumn("bucket", least(lit(3L), expr("(true_pm - 800) div 50")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(est_pm) div count(1)").as("mean_est_pm"),
+        expr("sum(true_pm) div count(1)").as("mean_true_pm"),
+        expr("sum(abs(est_pm - true_pm)) div count(1)").as("mean_abs_err_pm"),
+        sum(col("est_pm") - col("true_pm")).as("bias_sum_pm"))
+      .select(col("bucket"), (lit(800L) + lit(50L) * col("bucket")).as("lo_pm"),
+        col("n_pairs"), col("mean_est_pm"), col("mean_true_pm"),
+        col("mean_abs_err_pm"), col("bias_sum_pm"))
+      .orderBy(col("bucket"))
+  }
+
   // SimHash: 24-bit fingerprint over shingle hashes, 4 chunks x 6 bits.
   val SimBits = 24; val Chunks = 4; val ChunkBits = 6
 
@@ -942,6 +1030,7 @@ object Dedup {
 
   def all: Seq[GraftQuery] = Seq(
     dExactDup, dNgramJaccard, dMinhashLsh, dLshRecall, dLshAutotune, dSimhash,
+    dMinhashCalibration,
     dCorpusSimilarity, dDupClusters, dDedupFilter, dContainment,
     dCorpusCurate, stStreamNearDup, dDecontaminate, dIncrementalDedup,
     dSubstringDup, dCrossSourceDup, dDedupImpact, dChunkDedup)

@@ -713,8 +713,94 @@ object Namespace {
       .orderBy(col("bucket_16th"))
   }
 
+  /** NAMESPACE AUDIT LOG — the reference's FSNamesystem audit trail
+    * made an operator (server/namenode/FSNamesystem.java:138
+    * logAuditEvent: every namespace verb appends a
+    * `ugi/ip/cmd/src/dst/perm` line; the reference emits on success —
+    * an admin auditing a 100 TB lake needs the REFUSALS on the same
+    * timeline, so each attempt logs with its `allowed` status, the
+    * field later Hadoop audit formats carry explicitly). A ceremony
+    * of ten namespace operations runs through the contract verbs
+    * ([[renameStrict]]/[[deleteStrict]]/[[mkdirsStrict]], the
+    * TestDFSRename/TestDFSShell refusal semantics): four document
+    * shards staged then moved into place, with a clobbering rename,
+    * a non-recursive delete of a non-empty dir, a mkdirs through a
+    * file, and an under-src rename each REFUSED mid-ceremony — and
+    * the log records every attempt in sequence with the row count
+    * the landed entry actually serves (read back from the moved
+    * parquet, not trusted from the source). Refusals carry 0 rows:
+    * a refused verb must touch nothing, which the read-back proves
+    * (a clobbered shard would change a count). The log is
+    * failure+op-proportional metadata — at any table size the audit
+    * surface scales with OPERATIONS, never with data. */
+  val lakeAuditLog: GraftQuery = GraftQuery.sql(
+    "lake_audit_log",
+    """WITH c AS (SELECT CAST(doc_id % 4 AS BIGINT) AS shard, COUNT(*) AS n
+      |           FROM documents GROUP BY 1)
+      |SELECT seq, cmd, allowed, n_rows FROM (
+      |  SELECT CAST(1 AS BIGINT) AS seq, 'mkdirs' AS cmd, TRUE AS allowed,
+      |    CAST(0 AS BIGINT) AS n_rows
+      |  UNION ALL SELECT 2, 'rename', TRUE, (SELECT n FROM c WHERE shard = 0)
+      |  UNION ALL SELECT 3, 'rename', TRUE, (SELECT n FROM c WHERE shard = 1)
+      |  UNION ALL SELECT 4, 'create', TRUE, 0
+      |  UNION ALL SELECT 5, 'rename', FALSE, 0
+      |  UNION ALL SELECT 6, 'delete', FALSE, 0
+      |  UNION ALL SELECT 7, 'mkdirs', FALSE, 0
+      |  UNION ALL SELECT 8, 'rename', FALSE, 0
+      |  UNION ALL SELECT 9, 'delete', TRUE, (SELECT n FROM c WHERE shard = 1)
+      |  UNION ALL SELECT 10, 'rename', TRUE, (SELECT n FROM c WHERE shard = 2))
+      |ORDER BY seq""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    def p(x: String) = new org.apache.hadoop.fs.Path(x)
+    val dir = Lake.scratch("audit_log")
+    fs.delete(p(dir), true)
+    val docs = Tables.documents(s, d)
+    Lake.concurrently(0 until 4) { i =>
+      docs.filter(col("doc_id") % 4 === i).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/_stage/s$i")
+    }
+    def landedRows(rel: String): Long = s.read.parquet(s"$dir/$rel").count()
+    val log = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Boolean, Long)]
+    def audit(seq: Long, cmd: String, allowed: Boolean, n: Long = 0L): Unit =
+      log += ((seq, cmd, allowed, n))
+    audit(1, "mkdirs", mkdirsStrict(fs, p(s"$dir/data")))
+    val r2 = renameStrict(fs, p(s"$dir/_stage/s0"), p(s"$dir/data/s0"))
+    audit(2, "rename", r2, if (r2) landedRows("data/s0") else 0L)
+    val r3 = renameStrict(fs, p(s"$dir/_stage/s1"), p(s"$dir/data/s1"))
+    audit(3, "rename", r3, if (r3) landedRows("data/s1") else 0L)
+    // create: the reference audits creates too (logAuditEvent cmd=create)
+    val marker = p(s"$dir/data/marker"); val out = fs.create(marker, false)
+    try out.write("m".getBytes("UTF-8")) finally out.close()
+    audit(4, "create", fs.exists(marker))
+    // refused: rename onto an existing path (a FILE dst is never
+    // clobbered — POSIX would have silently replaced it)
+    audit(5, "rename",
+      renameStrict(fs, p(s"$dir/_stage/s2"), p(s"$dir/data/marker")))
+    // refused: non-recursive delete of a non-empty dir (throws)
+    val d6 =
+      try deleteStrict(fs, p(s"$dir/data"), recursive = false)
+      catch { case _: java.io.IOException => false }
+    audit(6, "delete", d6)
+    // refused: mkdirs through a file
+    val m7 =
+      try mkdirsStrict(fs, p(s"$dir/data/marker/sub"))
+      catch { case _: org.apache.hadoop.fs.ParentNotDirectoryException => false }
+    audit(7, "mkdirs", m7)
+    // refused: destination under the source
+    audit(8, "rename", renameStrict(fs, p(s"$dir/data"), p(s"$dir/data/sub")))
+    val preDelete = landedRows("data/s1") // rows the delete removes
+    audit(9, "delete", deleteStrict(fs, p(s"$dir/data/s1"), recursive = true),
+      preDelete)
+    val r10 = renameStrict(fs, p(s"$dir/_stage/s2"), p(s"$dir/data/s1"))
+    audit(10, "rename", r10, if (r10) landedRows("data/s1") else 0L)
+    log.toSeq.toDF("seq", "cmd", "allowed", "n_rows").orderBy(col("seq"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(lakeLinks, lakeUpgrade, lakeAclEnforce, lakeSetTimes, lakeDelegation,
       lakeVacuum, lakeDrain, lakeRestore, lakeCheckpointCadence,
-      lakeSaveNamespace, lakeJournalAudit, lakeTrash, lakeImageReport)
+      lakeSaveNamespace, lakeJournalAudit, lakeTrash, lakeImageReport,
+      lakeAuditLog)
 }

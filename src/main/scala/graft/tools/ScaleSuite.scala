@@ -1,0 +1,105 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** FULL-SUITE scale stress (VERDICT r13 #1): run the WHOLE registry
+  * once over ScaleStress-inflated data, in the exact shape the bench
+  * runs it — alphabetical order, family-boundary cache clears,
+  * per-query ScopedCache release — so cross-op interactions no
+  * per-op probe sees (scratch-space pressure, memo/cache eviction
+  * between families, accumulated shuffle files, driver-heap growth
+  * across 264 plans) actually get exercised. Per-op probes answer
+  * "does this op scale"; this answers "does the SUITE survive the
+  * scale-up as a workload".
+  *
+  * Output JSON: suite wall, per-op seconds at the scaled factor,
+  * failures (loud, never a fast-and-healthy report), and — when the
+  * committed sf0.1 record is readable — each op's suite-context
+  * ratio (t_scaled_suite / t_committed) for the PLANS divergence
+  * read against the isolated probes.
+  *
+  * Usage: runMain graft.tools.ScaleSuite [baseDir] [outJson] [factor]
+  */
+object ScaleSuite {
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outJson = if (args.length > 1) args(1) else "docs/SCALE_r14_suite.json"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scaledDir = s"/root/repo/target/scratch/scale$factor"
+    ScaleStress.materialize(spark, base, scaledDir, factor)
+
+    // same warmup the bench does, over the SCALED tables
+    spark.range(1000).selectExpr("sum(id)").collect()
+    graft.Tables.names.foreach {
+      case "events" => graft.Tables.events(spark, scaledDir).count()
+      case t => graft.Tables.load(spark, scaledDir, t).count()
+    }
+
+    def family(n: String): String =
+      n.takeWhile(_ != '_').replaceAll("\\d+$", "")
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    var prevFamily = ""
+    val suiteT0 = System.nanoTime()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (family(name) != prevFamily) {
+        spark.catalog.clearCache(); prevFamily = family(name)
+      }
+      val t0 = System.nanoTime()
+      try { fn(spark, scaledDir).count() } catch {
+        case e: Throwable =>
+          failures += name
+          System.err.println(s"SCALE_SUITE FAILURE $name: " +
+            s"${e.getClass.getName}: ${e.getMessage}")
+      } finally graft.ScopedCache.releaseAll()
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "SCALE_SUITE %-28s %7.2fs", name, Double.box(dt)))
+      name -> dt
+    }
+    val suiteWall = (System.nanoTime() - suiteT0) / 1e9
+
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // committed sf0.1 per-op record for the suite-context ratio
+    val committed: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("docs/bench_full.json")), "UTF-8")
+        val start = txt.indexOf("\"queries\"")
+        val open = if (start < 0) -1 else txt.indexOf('{', start)
+        val close = if (open < 0) -1 else txt.indexOf('}', open)
+        if (close < 0) Map.empty
+        else """"([a-z0-9_]+)":\s*([0-9.]+)""".r
+          .findAllMatchIn(txt.substring(open, close + 1))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val opsJson = results.map { case (n, t) =>
+      val ratio = committed.get(n).filter(_ > 0)
+        .map(c => s""","suite_ratio":${num(t / c)}""").getOrElse("")
+      s""""$n":{"t_scaled":${num(t)}$ratio}"""
+    }.mkString(",\n")
+    val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json =
+      s"""{"factor":$factor,"base":"$base","scaled":"$scaledDir","cpus":$cpus,
+         |"suite_wall_sec":${num(suiteWall)},"n_queries":${results.size},
+         |"n_failures":${failures.size},"failures":$failJson,
+         |"ops":{$opsJson}}""".stripMargin
+    val p = java.nio.file.Paths.get(outJson)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+    println(s"""{"scale_suite":"done","factor":$factor,"suite_wall_sec":${num(suiteWall)},"n_queries":${results.size},"n_failures":${failures.size},"out":"$outJson"}""")
+    spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
+  }
+}

@@ -27,6 +27,40 @@ class DedupSimilaritySpec extends SparkSpec {
       s"simhash recalled only ${(truth intersect sim).size} of ${truth.size}")
   }
 
+  test("minhash calibration: estimator tracks exact jaccard within theory, identical docs read 1000pm exactly") {
+    val rows = Dedup.dMinhashCalibration.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty, "corpus must hold truth pairs to calibrate on")
+    rows.foreach { r =>
+      val (n, est, tru, err) = (r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("mean_est_pm"), r.getAs[Long]("mean_true_pm"),
+        r.getAs[Long]("mean_abs_err_pm"))
+      assert(n > 0 && est >= 0 && est <= 1000 && tru >= 800 && tru <= 1000)
+      // Broder: sd of a k=32 estimate at j~0.9 is ~sqrt(.9*.1/32) ~ 53pm;
+      // a mean |err| beyond ~4 sd across a bucket means the signature
+      // or the SQL twin drifted, not sampling noise
+      assert(err <= 220, s"bucket ${r.getAs[Long]("bucket")}: mean|err| $err pm")
+      // mean est must sit near mean truth (bias bounded the same way)
+      assert(math.abs(est - tru) <= 220,
+        s"bucket ${r.getAs[Long]("bucket")}: est $est vs true $tru")
+    }
+    // exact duplicates (the injected dup class) estimate 1000pm exactly:
+    // identical shingle sets minhash to identical signatures
+    val top = rows.filter(_.getAs[Long]("bucket") == 3L)
+    assert(top.nonEmpty, "the 950-1000pm bucket must be populated at test SF")
+    // driver-model cross-check on a synthetic identical pair: every
+    // component matches, est_pm = 1000 with zero error
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val sh = graft.api.Graft.dedup.shingleSets(docs, "doc_id", "text")
+    val sig = graft.api.Graft.dedup.signatures(sh, Dedup.K)
+      .select("doc_id", "sig").collect().map(r =>
+        r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig(1L) == sig(2L), "identical docs must carry identical signatures")
+    assert(sig(1L).size == Dedup.K)
+  }
+
   test("exact dedup accounting is consistent") {
     val rows = Dedup.dExactDup.fn(spark, sfDir).collect()
     rows.foreach { r =>

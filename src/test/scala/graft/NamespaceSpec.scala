@@ -227,4 +227,38 @@ class NamespaceSpec extends SparkSpec {
     // buckets are the geometric 1/2/4/8 sixteenths at any SF
     assert(rows.map(_.getAs[Long]("bucket_16th")).sorted.toSeq == Seq(1L, 2L, 4L, 8L))
   }
+
+  test("audit log: refusals log allowed=false and leave the namespace byte-identical, successes carry landed row counts") {
+    val rows = graft.operators.Namespace.lakeAuditLog.fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("seq"), r.getAs[String]("cmd"),
+        r.getAs[Boolean]("allowed"), r.getAs[Long]("n_rows")))
+    assert(rows.map(_._1).toSeq == (1L to 10L),
+      "every attempt must log, in ceremony order")
+    val refused = rows.filter(!_._3)
+    assert(refused.map(r => (r._1, r._2)).toSet ==
+      Set((5L, "rename"), (6L, "delete"), (7L, "mkdirs"), (8L, "rename")),
+      s"exactly the four contract refusals: $refused")
+    assert(refused.forall(_._4 == 0L), "a refused verb serves zero rows")
+    // post-ceremony state: the clobber target survived the refused
+    // rename with its original byte (the audit's row counts already
+    // prove the shard parquet was never replaced)
+    val dir = graft.operators.Lake.scratch("audit_log")
+    val marker = new Path(s"$dir/data/marker")
+    assert(fs.exists(marker), "refused rename must not consume the dst file")
+    val in = fs.open(marker)
+    val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+                finally in.close()
+    assert(new String(bytes, "UTF-8") == "m", "dst file bytes untouched")
+    // refused non-recursive delete removed nothing: s0 still serves
+    // its full shard, and the final s1 holds shard 2 (the step-10 move)
+    val docs = Tables.documents(spark, sfDir)
+    val want0 = docs.filter(col("doc_id") % 4 === 0).count()
+    val want2 = docs.filter(col("doc_id") % 4 === 2).count()
+    assert(spark.read.parquet(s"$dir/data/s0").count() == want0)
+    assert(spark.read.parquet(s"$dir/data/s1").count() == want2)
+    val byCmd = rows.filter(_._3).map(r => (r._1, r._4)).toMap
+    assert(byCmd(2L) == want0 && byCmd(10L) == want2,
+      "successful moves log the LANDED row count")
+  }
 }
