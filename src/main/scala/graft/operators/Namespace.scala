@@ -81,6 +81,110 @@ object Namespace {
     else fs.mkdirs(p)
   }
 
+  /** Leave-this-dimension-unchanged sentinel for [[setQuotaStrict]]
+    * (the reference's FSConstants.QUOTA_DONT_SET role). */
+  val QuotaDontSet: Long = -1L
+
+  private def quotaPath(dir: Path) = new Path(dir, "_quota")
+
+  /** (nsQuota, rowQuota) recorded on a directory; -1 = unset. */
+  def readQuota(fs: FileSystem, dir: Path): (Long, Long) = {
+    val p = quotaPath(dir)
+    if (!fs.exists(p)) (QuotaDontSet, QuotaDontSet)
+    else {
+      val in = fs.open(p)
+      val txt = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+      val m = txt.trim.split("\\s+").map { kv =>
+        val Array(k, v) = kv.split("="); k -> v.toLong
+      }.toMap
+      (m.getOrElse("ns", QuotaDontSet), m.getOrElse("rows", QuotaDontSet))
+    }
+  }
+
+  private def writeQuota(fs: FileSystem, dir: Path, ns: Long, rows: Long): Unit = {
+    val out = fs.create(quotaPath(dir), true)
+    try out.write(s"ns=$ns rows=$rows\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** SET QUOTA with the reference's refusal contract
+    * (protocol/ClientProtocol.java:783 setQuota; pinned by
+    * test/hdfs/.../TestQuota.java): the target must EXIST and be a
+    * DIRECTORY (cases 14a/14b: set on a non-existent path or on a
+    * file is refused); a quota value must be positive (16a/16b: 0
+    * and negatives refused) or [[QuotaDontSet]] to leave that
+    * dimension unchanged; and — HADOOP-5872, case 11 — setting a
+    * quota BELOW current usage SUCCEEDS (enforcement happens at the
+    * next write, never retroactively). `rows` is the diskspace
+    * dimension with ROWS as the unit: on a columnar store the
+    * encoded byte size is layout-dependent, so rows are the
+    * deterministic space proxy the oracle can recompute. */
+  def setQuotaStrict(fs: FileSystem, dir: Path, ns: Long, rows: Long): Boolean = {
+    if (!fs.exists(dir) || !fs.getFileStatus(dir).isDirectory) return false
+    if (ns != QuotaDontSet && ns <= 0) return false
+    if (rows != QuotaDontSet && rows <= 0) return false
+    val (curNs, curRows) = readQuota(fs, dir)
+    writeQuota(fs, dir,
+      if (ns == QuotaDontSet) curNs else ns,
+      if (rows == QuotaDontSet) curRows else rows)
+    true
+  }
+
+  /** CLEAR QUOTA (ClientProtocol clrQuota via setQuota with the reset
+    * sentinel; TestQuota cases 8/9: always succeeds on a directory,
+    * 15a/15b: refused on a file or non-existent path). */
+  def clrQuotaStrict(fs: FileSystem, dir: Path,
+                     ns: Boolean = true, rows: Boolean = true): Boolean = {
+    if (!fs.exists(dir) || !fs.getFileStatus(dir).isDirectory) return false
+    val (curNs, curRows) = readQuota(fs, dir)
+    writeQuota(fs, dir,
+      if (ns) QuotaDontSet else curNs,
+      if (rows) QuotaDontSet else curRows)
+    true
+  }
+
+  /** Current usage under a quota directory: (entries, rows) — the
+    * entry listing plus parquet FOOTER counts, metadata-proportional
+    * at any data size (the ContentSummary read TestQuota's `count -q`
+    * exercises). */
+  def quotaUsage(spark: org.apache.spark.sql.SparkSession,
+                 dir: Path): (Long, Long) = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return (0L, 0L)
+    val entries = fs.listStatus(dir)
+      .filter(_.getPath.getName != "_quota")
+    // ONE footer-count job over every entry, not one job per entry —
+    // the per-admission metadata cost stays a single round trip
+    val rows =
+      if (entries.isEmpty) 0L
+      else try spark.read.parquet(entries.map(_.getPath.toString): _*).count()
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    (entries.length.toLong, rows)
+  }
+
+  /** WRITE-TIME quota admission — the FSDirectory.verifyQuota gate
+    * (FSDirectory.java:1362, thrown as
+    * NSQuotaExceededException/DSQuotaExceededException with the
+    * reference's message shapes): an arrival that would push usage
+    * past either quota REFUSES by throwing, before any data moves.
+    * O(entries) metadata per admission. */
+  def admitQuota(spark: org.apache.spark.sql.SparkSession, dir: Path,
+                 addEntries: Long, addRows: Long): Unit = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val (nsQ, rowQ) = readQuota(fs, dir)
+    val (usedNs, usedRows) = quotaUsage(spark, dir)
+    if (nsQ != QuotaDontSet && usedNs + addEntries > nsQ)
+      throw new java.io.IOException(
+        s"The NameSpace quota (directories and files) of directory $dir " +
+          s"is exceeded: quota=$nsQ file count=${usedNs + addEntries}")
+    if (rowQ != QuotaDontSet && usedRows + addRows > rowQ)
+      throw new java.io.IOException(
+        s"The DiskSpace quota of $dir is exceeded: quota=$rowQ " +
+          s"rows consumed=${usedRows + addRows}")
+  }
+
   /** Symlink / view layer (reference protocol/ClientProtocol.java:839
     * createSymlink, :855 getLinkTarget): named aliases over commit-log
     * tables, optionally pinned to a version — `orders_v0` is a frozen
@@ -798,9 +902,113 @@ object Namespace {
     log.toSeq.toDF("seq", "cmd", "allowed", "n_rows").orderBy(col("seq"))
   }
 
+  /** QUOTA ENFORCEMENT — the write-time admission contract on top of
+    * lake_quota's usage REPORT (protocol/ClientProtocol.java:783
+    * setQuota + FSDirectory.java:1362 verifyQuota, thrown as
+    * NSQuotaExceededException/DSQuotaExceededException; pinned by
+    * test/hdfs/.../TestQuota.java): a fifteen-step ceremony moves
+    * five document slices into a quota'd directory through the
+    * [[admitQuota]] gate — an ns-quota of 3 admits three entries and
+    * REFUSES the fourth before any data moves (TestQuota case 6/7);
+    * setting the quota BELOW current usage SUCCEEDS and only gates
+    * the next write (HADOOP-5872, case 11); clearing the quota
+    * resumes admission (case 8); setQuota on a FILE refuses (case
+    * 14b); a row quota (the diskspace dimension with rows as the
+    * deterministic columnar space unit) refuses the arrival that
+    * would cross it and admits it after the clear (cases 10.s/9.s).
+    * Every step logs (cmd, allowed, ns_used, rows_used) with usage
+    * recounted from the LANDED entries (listing + parquet footers —
+    * the `count -q` ContentSummary read), so the oracle recomputes
+    * the whole log from the documents table. Admission is O(entries)
+    * metadata however large the table — the gate a 100 TB ingest
+    * runs per arrival batch, not per byte. */
+  val lakeQuotaEnforce: GraftQuery = GraftQuery.sql(
+    "lake_quota_enforce",
+    """WITH c AS (SELECT CAST(doc_id % 5 AS BIGINT) AS slice, COUNT(*) AS n
+      |           FROM documents GROUP BY 1),
+      |s AS (SELECT
+      |  (SELECT n FROM c WHERE slice = 0) AS c0,
+      |  (SELECT n FROM c WHERE slice = 1) AS c1,
+      |  (SELECT n FROM c WHERE slice = 2) AS c2,
+      |  (SELECT n FROM c WHERE slice = 3) AS c3,
+      |  (SELECT n FROM c WHERE slice = 4) AS c4)
+      |SELECT CAST(q_seq AS BIGINT) AS seq, q_cmd AS cmd, q_ok AS allowed,
+      |  CAST(f AS BIGINT) AS ns_used,
+      |  CAST(CASE f WHEN 0 THEN 0 WHEN 1 THEN c0 WHEN 2 THEN c0 + c1
+      |       WHEN 3 THEN c0 + c1 + c2 WHEN 4 THEN c0 + c1 + c2 + c3
+      |       ELSE c0 + c1 + c2 + c3 + c4 END AS BIGINT) AS rows_used
+      |FROM s, (
+      |  SELECT 1 AS q_seq, 'mkdirs' AS q_cmd, TRUE AS q_ok, 0 AS f
+      |  UNION ALL SELECT 2, 'setQuota', TRUE, 0
+      |  UNION ALL SELECT 3, 'addBlock', TRUE, 1
+      |  UNION ALL SELECT 4, 'addBlock', TRUE, 2
+      |  UNION ALL SELECT 5, 'addBlock', TRUE, 3
+      |  UNION ALL SELECT 6, 'addBlock', FALSE, 3
+      |  UNION ALL SELECT 7, 'setQuota', TRUE, 3
+      |  UNION ALL SELECT 8, 'addBlock', FALSE, 3
+      |  UNION ALL SELECT 9, 'clrQuota', TRUE, 3
+      |  UNION ALL SELECT 10, 'addBlock', TRUE, 4
+      |  UNION ALL SELECT 11, 'setQuota', FALSE, 4
+      |  UNION ALL SELECT 12, 'setQuota', TRUE, 4
+      |  UNION ALL SELECT 13, 'addBlock', FALSE, 4
+      |  UNION ALL SELECT 14, 'clrQuota', TRUE, 4
+      |  UNION ALL SELECT 15, 'addBlock', TRUE, 5) t(q_seq, q_cmd, q_ok, f)
+      |ORDER BY seq""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+    def p(x: String) = new Path(x)
+    val root = Lake.scratch("quota_enforce")
+    fs.delete(p(root), true)
+    val docs = Tables.documents(s, d)
+    Lake.concurrently(0 until 5) { i =>
+      docs.filter(col("doc_id") % 5 === i).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/_stage/s$i")
+    }
+    val data = p(s"$root/data")
+    val sliceRows = (0 until 5)
+      .map(i => s.read.parquet(s"$root/_stage/s$i").count())
+    val log = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Boolean, Long, Long)]
+    def usage(): (Long, Long) = quotaUsage(s, data)
+    def step(seq: Long, cmd: String, allowed: Boolean): Unit = {
+      val (ns, rows) = usage()
+      log += ((seq, cmd, allowed, ns, rows))
+    }
+    // guarded move: verifyQuota BEFORE the rename — refusal moves nothing
+    def addBlock(seq: Long, i: Int): Unit = {
+      val ok =
+        try { admitQuota(s, data, 1L, sliceRows(i)); true }
+        catch { case _: java.io.IOException => false }
+      if (ok) require(renameStrict(fs, p(s"$root/_stage/s$i"), p(s"$root/data/s$i")),
+        s"admitted move s$i must land")
+      step(seq, "addBlock", ok)
+    }
+    step(1, "mkdirs", mkdirsStrict(fs, data))
+    step(2, "setQuota", setQuotaStrict(fs, data, ns = 3L, rows = QuotaDontSet))
+    addBlock(3, 0); addBlock(4, 1); addBlock(5, 2)
+    addBlock(6, 3) // refused: ns quota 3 is full (TestQuota case 6)
+    // HADOOP-5872: set BELOW current usage succeeds, gates next write
+    step(7, "setQuota", setQuotaStrict(fs, data, ns = 2L, rows = QuotaDontSet))
+    addBlock(8, 3) // still refused
+    step(9, "clrQuota", clrQuotaStrict(fs, data, ns = true, rows = false))
+    addBlock(10, 3) // admitted after the clear
+    // refused: setQuota on a FILE (case 14b — _quota itself is a file)
+    step(11, "setQuota",
+      setQuotaStrict(fs, new Path(data, "_quota"), ns = 1L, rows = QuotaDontSet))
+    // row quota: one row short of admitting slice 4
+    val (_, usedRows) = usage()
+    step(12, "setQuota", setQuotaStrict(fs, data,
+      ns = QuotaDontSet, rows = usedRows + sliceRows(4) - 1))
+    addBlock(13, 4) // refused: would cross the row quota (case 10.s)
+    step(14, "clrQuota", clrQuotaStrict(fs, data, ns = false, rows = true))
+    addBlock(15, 4) // admitted (case 9.s)
+    log.toSeq.toDF("seq", "cmd", "allowed", "ns_used", "rows_used")
+      .orderBy(col("seq"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(lakeLinks, lakeUpgrade, lakeAclEnforce, lakeSetTimes, lakeDelegation,
       lakeVacuum, lakeDrain, lakeRestore, lakeCheckpointCadence,
       lakeSaveNamespace, lakeJournalAudit, lakeTrash, lakeImageReport,
-      lakeAuditLog)
+      lakeAuditLog, lakeQuotaEnforce)
 }

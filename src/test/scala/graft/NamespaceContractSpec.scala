@@ -93,6 +93,14 @@ class NamespaceContractSpec extends SparkSpec {
     assert(readAll(c) == "self")
     assert(!Namespace.renameStrict(fs, new Path(dir, "ghost"), new Path(dir, "x")),
       "absent source must refuse ('because source does not exist')")
+    // the reference's trailing-slash pair (TestDFSRename.java):
+    // rename(/a/b, /a/b/) — dst normalizes to the src DIR, resolves
+    // to /a/b/b which is UNDER src → false
+    assert(!Namespace.renameStrict(fs, c.getParent, new Path(dir, "a/b/")))
+    // rename(/a/b/c, /a/b/c/) — dst normalizes to the src FILE, no
+    // dir resolution, same path → true
+    assert(Namespace.renameStrict(fs, c, new Path(dir, "a/b/c/")))
+    assert(readAll(c) == "self")
   }
 
   test("rename into an existing directory lands at dst/srcName (FSDirectory.java: 'if (isDir(dst)) dst += srcName')") {
@@ -142,6 +150,47 @@ class NamespaceContractSpec extends SparkSpec {
       Namespace.mkdirsStrict(fs, new Path(dir, "file/under/it"))
     }
     assert(!fs.exists(new Path(dir, "file/under")))
+  }
+
+  test("quota verbs carry the TestQuota contract: refusal-at-write, HADOOP-5872, clear resumes, file/absent targets refuse") {
+    import graft.operators.Namespace._
+    val aux = fresh("quota_verbs/aux")
+    // set on a non-existent path refuses (TestQuota 14a)
+    assert(!setQuotaStrict(fs, new Path(aux, "ghost"), 3L, QuotaDontSet))
+    // set on a FILE refuses (14b); clear on a file refuses (15a)
+    val f = new Path(aux, "f"); touch(f)
+    assert(!setQuotaStrict(fs, f, 3L, QuotaDontSet))
+    assert(!clrQuotaStrict(fs, f))
+    val dir = fresh("quota_verbs/q") // admission arena: entries only
+    // 0 and negative quotas refuse (16a/16b)
+    assert(!setQuotaStrict(fs, dir, 0L, QuotaDontSet))
+    assert(!setQuotaStrict(fs, dir, -5L, QuotaDontSet))
+    // a valid set records; DontSet leaves the other dimension alone
+    assert(setQuotaStrict(fs, dir, 2L, QuotaDontSet))
+    assert(Namespace.readQuota(fs, dir) == ((2L, QuotaDontSet)))
+    assert(setQuotaStrict(fs, dir, QuotaDontSet, 100L))
+    assert(Namespace.readQuota(fs, dir) == ((2L, 100L)))
+    // admission refuses the entry that would CROSS the quota and
+    // throws the reference's message shape, before any state changes
+    fs.mkdirs(new Path(dir, "e1"))
+    Namespace.admitQuota(spark, dir, 1L, 0L) // the 2nd entry fits
+    fs.mkdirs(new Path(dir, "e2"))
+    val e = intercept[java.io.IOException] {
+      Namespace.admitQuota(spark, dir, 1L, 0L)
+    }
+    assert(e.getMessage.contains("NameSpace quota") &&
+      e.getMessage.contains("is exceeded"), e.getMessage)
+    // HADOOP-5872: setting BELOW usage succeeds; the next write gates
+    assert(setQuotaStrict(fs, dir, 1L, QuotaDontSet))
+    intercept[java.io.IOException] { Namespace.admitQuota(spark, dir, 1L, 0L) }
+    // clear resumes admission (case 8)
+    assert(clrQuotaStrict(fs, dir, ns = true, rows = false))
+    Namespace.admitQuota(spark, dir, 1L, 0L)
+    // row quota refuses on the rows dimension with the DS message
+    val e2 = intercept[java.io.IOException] {
+      Namespace.admitQuota(spark, dir, 0L, 101L)
+    }
+    assert(e2.getMessage.contains("DiskSpace quota"), e2.getMessage)
   }
 
   test("lake_lifecycle rides the contract verbs end-to-end") {
