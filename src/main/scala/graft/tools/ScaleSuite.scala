@@ -48,10 +48,19 @@ object ScaleSuite {
 
     def family(n: String): String =
       n.takeWhile(_ != '_').replaceAll("\\d+$", "")
+    // SPARK_GRAFT_ONLY: restrict to a prefix/name set — for targeted
+    // suite-context experiments (e.g. one family under scale) without
+    // paying the whole registry
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(n: String): Boolean =
+      only.forall(_.exists(s => n == s || (s.endsWith("*") && n.startsWith(s.dropRight(1)))))
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     var prevFamily = ""
     val suiteT0 = System.nanoTime()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => selected(n) }
+      .map { case (name, fn) =>
       if (family(name) != prevFamily) {
         spark.catalog.clearCache(); prevFamily = family(name)
       }
