@@ -523,7 +523,7 @@ object Graft {
     /** SimHash near-dup pairs at a hamming bound, chunk-blocked
       * (pigeonhole guarantees recall for maxHamming < chunks). */
     def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 3, bits: Int = 24, chunks: Int = 4): DataFrame = {
+                     maxHamming: Int = 3, bits: Int = 60, chunks: Int = 4): DataFrame = {
       import org.apache.spark.sql.graft.Shims
       val chunkBits = bits / chunks
       // SimHash is order-independent over the shingle set, so it reads

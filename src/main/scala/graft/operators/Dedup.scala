@@ -421,16 +421,28 @@ object Dedup {
       .orderBy(col("bucket"))
   }
 
-  // SimHash: 24-bit fingerprint over shingle hashes, 4 chunks x 6 bits.
-  val SimBits = 24; val Chunks = 4; val ChunkBits = 6
+  // SimHash: 60-bit fingerprint over REMIXED shingle hashes, 4 chunks
+  // x 15 bits (the Manku near-duplicate operating point, and the same
+  // 4x15 banding m_phash_dedup uses). r14 rewrite: the old 24-bit
+  // raw-bit-slice form fit p = 1.69 SUPER-LINEAR at 1x/10x/30x —
+  // 6-bit chunk keys have only 64 values, so chunk-blocking degraded
+  // into N^2/64 candidate pairs; 15-bit keys shrink the buckets
+  // 512-fold and the remix (GraftRuntime.simHash) is what makes bits
+  // past ~30 non-constant (charHash values are mod P ~ 2^30).
+  // Hamming <= 3 of 60 bits is the high-precision near-identical
+  // band (~95% bit agreement), not the j>=0.8 screen — d_minhash_lsh
+  // is the recall tool at that threshold; this op is the cheap exact
+  // screen (pigeonhole: <= 3 flips across 4 chunks leave one chunk
+  // identical, so the equi-join on chunk value loses nothing).
+  val SimBits = 60; val Chunks = 4; val ChunkBits = 15
 
-  /** 24-bit SimHash near-dup pairs at hamming <= 3, blocked by chunk
+  /** 60-bit SimHash near-dup pairs at hamming <= 3, blocked by chunk
     * equality (pigeonhole: <= 3 flipped bits across 4 chunks leaves
     * one chunk identical — candidates via equi-join on chunk value). */
   val dSimhash: GraftQuery = GraftQuery.sql(
     "d_simhash", {
-      val bitSumsSql = (0 until SimBits).map { i =>
-        s"CASE WHEN list_sum(list_transform(sh, h -> CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END"
+      val bitSumsSql = GraftHash.perms(SimBits).zipWithIndex.map { case ((a, b), i) =>
+        s"CASE WHEN list_sum(list_transform(sh, h -> CASE WHEN 2*(($a*h + $b) % ${GraftHash.P}) > ${GraftHash.P} THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END"
       }.mkString(" + ")
       val chunkUnion = (0 until Chunks).map(k =>
         s"SELECT doc_id, simhash, $k AS chunk_idx, (simhash >> ${k * ChunkBits}) & ${(1 << ChunkBits) - 1} AS chunk_val FROM sim").mkString("\nUNION ALL\n")

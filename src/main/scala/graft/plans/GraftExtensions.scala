@@ -55,7 +55,7 @@ object GraftExtensions {
     one("graft_char_hash")(CharHashExpr),
     one("graft_shingle_hashes")(ShingleHashExpr),
     one("graft_minhash_signature")(MinHashSignatureExpr(_, GraftHash.perms(32))),
-    one("graft_simhash")(SimHashExpr(_, 24)),
+    one("graft_simhash")(SimHashExpr(_, 60)),
     one("graft_band_key")(BandKeyExpr),
     one("graft_norm")(normExpr),
     one("graft_money")(moneyExpr),

@@ -70,23 +70,36 @@ object GraftRuntime {
     new GenericArrayData(mins)
   }
 
+  /** Per-bit REMIX gᵢ(h) = (aᵢ·h + bᵢ) mod P with the SAME constant
+    * generator as functions/GraftHash.perms (spec-pinned identical):
+    * charHash values carry only ~30 bits (mod P ≈ 2³⁰), so slicing
+    * raw bits past ~30 yields CONSTANT fingerprint bits — the remix
+    * gives every bit an independent fair coin, which is what lets
+    * the fingerprint widen to the Manku 60-bit operating point
+    * (r14: the old 24-bit raw-slice form fit p = 1.69 super-linear
+    * because 6-bit chunk keys block into N²/64 candidate pairs). */
+  @inline private def bitPerm(j: Int): (Long, Long) = {
+    val a = (j.toLong * 2654435761L + 2654435769L) % P
+    val b = (j.toLong * 40503L + 17L) % P
+    (if (a == 0) 1L else a, b)
+  }
+
   def simHash(shingles: ArrayData, bits: Int): Long = {
     val arr = shingles.toLongArray()
-    val counts = new Array[Long](bits)
-    var i = 0
-    while (i < arr.length) {
-      val h = arr(i)
-      var b = 0
-      while (b < bits) {
-        if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-        b += 1
-      }
-      i += 1
-    }
     var sim = 0L
     var b = 0
     while (b < bits) {
-      if (counts(b) > 0) sim |= (1L << b)
+      val (pa, pb) = bitPerm(b)
+      var cnt = 0L
+      var i = 0
+      while (i < arr.length) {
+        // vote +1 when the remixed value lands in the upper half of
+        // [0, P) — 2g > P, identical in the DuckDB oracle fragment
+        val g = (pa * arr(i) + pb) % P
+        if (2L * g > P) cnt += 1L else cnt -= 1L
+        i += 1
+      }
+      if (cnt > 0) sim |= (1L << b)
       b += 1
     }
     sim

@@ -17,14 +17,51 @@ class DedupSimilaritySpec extends SparkSpec {
       s"minhash=${lsh.size} truth=${truth.size} missed=${truth -- lsh} extra=${lsh -- truth}")
   }
 
-  test("simhash near-dup pairs overlap the jaccard truth") {
-    val truth = Dedup.dNgramJaccard.fn(spark, sfDir).collect()
-      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
-    val sim = Dedup.dSimhash.fn(spark, sfDir).collect()
-      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+  test("simhash (60-bit, hamming<=3) is the high-precision screen: pairs are true near-dups, the most-identical pair is caught") {
+    val simRows = Dedup.dSimhash.fn(spark, sfDir).collect()
+    val sim = simRows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(sim.nonEmpty, "simhash found no pairs")
-    assert((truth intersect sim).size >= truth.size / 2,
-      s"simhash recalled only ${(truth intersect sim).size} of ${truth.size}")
+    simRows.foreach(r => assert(r.getAs[Long]("hamming") <= 3))
+    // an identical shingle set fingerprints identically: hamming 0
+    // regardless of bit width (the exact-dup guarantee, even though
+    // this corpus holds only PERTURBED near-dups)
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val hs = Array(17L, 23L, 99L, 1234567L)
+    assert(graft.plans.GraftRuntime.simHash(new GenericArrayData(hs), Dedup.SimBits) ==
+      graft.plans.GraftRuntime.simHash(new GenericArrayData(hs.reverse), Dedup.SimBits))
+    // PRECISION (the operating point of the r14 60-bit rewrite):
+    // hamming <= 3 of 60 means ~95% remixed-bit agreement — every
+    // returned pair sits inside the exact j >= 0.8 truth set
+    val truthRows = Dedup.dNgramJaccard.fn(spark, sfDir).collect()
+    val truth = truthRows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val impostors = sim -- truth
+    assert(impostors.isEmpty,
+      s"simhash pairs outside the j>=0.8 truth: ${impostors.take(5)}")
+    // RECALL at the operating point: the single most-identical truth
+    // pair (max exact jaccard) must be within the screen's band
+    val top = truthRows.maxBy(_.getAs[Double]("jaccard"))
+    val topPair = (top.getAs[Long]("doc_a"), top.getAs[Long]("doc_b"))
+    assert(sim.contains(topPair),
+      s"screen missed the most-identical pair $topPair (j=${top.getAs[Double]("jaccard")})")
+  }
+
+  test("GraftRuntime simhash bit-remix constants equal GraftHash.perms (the oracle embeds the same literals)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // a fingerprint computed with perms-constants in pure scala must
+    // equal the runtime kernel for random shingle sets
+    val rnd = new scala.util.Random(1407)
+    val P = graft.functions.GraftHash.P
+    val perms = graft.functions.GraftHash.perms(Dedup.SimBits)
+    (1 to 20).foreach { _ =>
+      val hs = Array.fill(1 + rnd.nextInt(40))(rnd.nextLong().abs % P)
+      val want = perms.zipWithIndex.foldLeft(0L) { case (acc, ((a, b), i)) =>
+        val cnt = hs.map(h => if (2L * ((a * h + b) % P) > P) 1L else -1L).sum
+        if (cnt > 0) acc | (1L << i) else acc
+      }
+      val got = graft.plans.GraftRuntime.simHash(
+        new GenericArrayData(hs), Dedup.SimBits)
+      assert(got == want, s"remix mismatch on ${hs.take(5).toSeq}...")
+    }
   }
 
   test("minhash calibration: estimator tracks exact jaccard within theory, identical docs read 1000pm exactly") {
