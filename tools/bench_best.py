@@ -76,6 +76,12 @@ STALE_FLOORS = {
     "t_keyword_lift": "r12 sweep: old floor measured source-partition "
                       "whole-group windows over the vocab frame; now "
                       "broadcast totals + topNExact",
+    "d_simhash": "r14 rewrite: old floor measured the 24-bit "
+                 "raw-bit-slice fingerprint with 6-bit chunk keys; "
+                 "current shape is the 60-bit Manku point with "
+                 "remixed bits (2.5x per-shingle bit work, 512x "
+                 "smaller candidate buckets) - different semantics "
+                 "and cost profile",
 }
 
 
