@@ -20,6 +20,62 @@ object Bench {
     "st_session_window", "st_stream_neardup",
     "lake_zorder", "q_bloom_join", "g_pagerank")
 
+  /** Extract the TOP-LEVEL "queries" object from a bench artifact as
+    * a real brace-balanced, string-aware walk (ADVICE r13: the old
+    * first-substring scan silently yields wrong/empty floors if a
+    * '"queries"' substring ever appears earlier in the file — e.g.
+    * inside a future metadata string — or the layout nests). The key
+    * must sit at depth 1 and be immediately followed by ':' and an
+    * object; the extracted map size is asserted against the
+    * artifact's own "n_queries" when present — any mismatch is a
+    * parse bug and yields NO floors rather than wrong ones. Shared
+    * with ScaleSuite's suite-ratio path (ADVICE r14: the retired
+    * fragile scan must not survive anywhere). */
+  def parseQueriesObject(path: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      var i = 0; var depth = 0
+      var inStr = false; var esc = false
+      var keyStart = -1; var lastKey = ""
+      var objStart = -1; var objEnd = -1
+      while (i < txt.length && objEnd < 0) {
+        val c = txt.charAt(i)
+        if (inStr) {
+          if (esc) esc = false
+          else if (c == '\\') esc = true
+          else if (c == '"') { inStr = false; lastKey = txt.substring(keyStart, i) }
+        } else c match {
+          case '"' => inStr = true; keyStart = i + 1
+          case '{' => depth += 1
+          case '}' =>
+            depth -= 1
+            if (objStart >= 0 && i > objStart && depth == 1) objEnd = i
+          case ':' if depth == 1 && objStart < 0 && lastKey == "queries" =>
+            // mark: the next '{' opens the queries object
+            val open = txt.indexWhere(!_.isWhitespace, i + 1)
+            if (open >= 0 && txt.charAt(open) == '{') objStart = open
+            else lastKey = "" // "queries" mapped to a non-object: ignore
+          case _ => ()
+        }
+        i += 1
+      }
+      if (objStart < 0 || objEnd < 0) Map.empty[String, Double]
+      else {
+        val m = """"([a-z0-9_]+)":\s*([0-9.]+)""".r
+          .findAllMatchIn(txt.substring(objStart, objEnd + 1))
+          .map(x => x.group(1) -> x.group(2).toDouble).toMap
+        val declared = """"n_queries":\s*(\d+)""".r
+          .findFirstMatchIn(txt).map(_.group(1).toInt)
+        if (declared.exists(_ != m.size)) {
+          System.err.println(s"[bench] $path: parsed ${m.size} queries " +
+            s"but artifact declares n_queries=${declared.get} — " +
+            "refusing the floors")
+          Map.empty
+        } else m
+      }
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -74,59 +130,6 @@ object Bench {
       } finally ScopedCache.releaseAll() // drop query-local persists
       (System.nanoTime() - t0) / 1e9
     }
-    // Extract the TOP-LEVEL "queries" object from a bench artifact as
-    // a real brace-balanced, string-aware walk (ADVICE r13: the old
-    // first-substring scan silently yields wrong/empty floors if a
-    // '"queries"' substring ever appears earlier in the file — e.g.
-    // inside a future metadata string — or the layout nests). The key
-    // must sit at depth 1 and be immediately followed by ':' and an
-    // object; the extracted map size is asserted against the
-    // artifact's own "n_queries" when present — any mismatch is a
-    // parse bug and yields NO floors rather than wrong ones.
-    def parseQueriesObject(path: String): Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path)), "UTF-8")
-        var i = 0; var depth = 0
-        var inStr = false; var esc = false
-        var keyStart = -1; var lastKey = ""
-        var objStart = -1; var objEnd = -1
-        while (i < txt.length && objEnd < 0) {
-          val c = txt.charAt(i)
-          if (inStr) {
-            if (esc) esc = false
-            else if (c == '\\') esc = true
-            else if (c == '"') { inStr = false; lastKey = txt.substring(keyStart, i) }
-          } else c match {
-            case '"' => inStr = true; keyStart = i + 1
-            case '{' => depth += 1
-            case '}' =>
-              depth -= 1
-              if (objStart >= 0 && i > objStart && depth == 1) objEnd = i
-            case ':' if depth == 1 && objStart < 0 && lastKey == "queries" =>
-              // mark: the next '{' opens the queries object
-              val open = txt.indexWhere(!_.isWhitespace, i + 1)
-              if (open >= 0 && txt.charAt(open) == '{') objStart = open
-              else lastKey = "" // "queries" mapped to a non-object: ignore
-            case _ => ()
-          }
-          i += 1
-        }
-        if (objStart < 0 || objEnd < 0) Map.empty[String, Double]
-        else {
-          val m = """"([a-z0-9_]+)":\s*([0-9.]+)""".r
-            .findAllMatchIn(txt.substring(objStart, objEnd + 1))
-            .map(x => x.group(1) -> x.group(2).toDouble).toMap
-          val declared = """"n_queries":\s*(\d+)""".r
-            .findFirstMatchIn(txt).map(_.group(1).toInt)
-          if (declared.exists(_ != m.size)) {
-            System.err.println(s"[bench] $path: parsed ${m.size} queries " +
-              s"but artifact declares n_queries=${declared.get} — " +
-              "refusing the floors")
-            Map.empty
-          } else m
-        }
-      } catch { case _: Throwable => Map.empty }
     val bestKnown: Map[String, Double] = parseQueriesObject("docs/bench_best.json")
     // The last ADOPTED full run — the drift-proof comparison base
     // (VERDICT r13 #3): floors are best-EVER per query, a composite no
@@ -147,6 +150,48 @@ object Bench {
     // window:"degraded" stamp so no floor-fold or reviewer reads its
     // absolute numbers as healthy.
     val canaryFloor = bestKnown.get("lake_ls").filter(_ > 0)
+    // COMPUTE-BOUND CANARY (VERDICT r14 #1): lake_ls is an I/O probe —
+    // r14's adopted run had every lake_ls reading UNDER floor while
+    // the suite sat 25% hot, because the host's degraded phase was
+    // COMPUTE-side (or at least not file-open-side) and the I/O canary
+    // cannot see it. This kernel is a fixed-work, seeded, in-memory
+    // aggregation: per-core work is constant (one range partition per
+    // core, fixed rows per partition), fully codegen (xxhash64 mix +
+    // partial-aggregated groupBy into 1024 keys), zero file I/O — a
+    // window where CPU runs hot reads hot here even when file opens
+    // are cool. Its floor is the cross-run minimum folded into
+    // docs/canary_floors.json (tools/bench_best.py), kept OUTSIDE
+    // bench_best.json's "queries" so the registry lockstep and
+    // n_queries assertions never see a non-registry name.
+    val cpuCanaryFloor: Option[Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("docs/canary_floors.json")), "UTF-8")
+        """"cpu":\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble).filter(_ > 0)
+      } catch { case _: Throwable => None }
+    // every measurement this run, so the fold step can ratchet the
+    // committed floor down with the run's own best sample
+    val cpuCanaryObs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def timeCpuCanary(): Option[Double] = {
+      val rowsPerCore = 6000000L
+      val parts = cpus.toInt
+      val t0 = System.nanoTime()
+      val ok =
+        try {
+          val n = spark.range(0L, rowsPerCore * parts, 1L, parts)
+            .selectExpr("pmod(xxhash64(id), 1024) AS k",
+              "xxhash64(id, 7L) AS v")
+            .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+            .count()
+          n == 1024L
+        } catch { case _: Throwable => false }
+      if (ok) {
+        val dt = (System.nanoTime() - t0) / 1e9
+        cpuCanaryObs += dt
+        Some(dt)
+      } else None
+    }
     // Stamped ratio for a canary that THREW: any value > 1.3 keeps the
     // window from reading clean; 9999 is unmistakably a sentinel in
     // the artifact, not a measurement (ADVICE r13: the old code
@@ -165,39 +210,52 @@ object Bench {
         finally ScopedCache.releaseAll()
       if (ok) Some((System.nanoTime() - t0) / 1e9) else None
     }
-    def awaitCleanWindow(stage: String): Double = canaryFloor match {
-      case Some(f) =>
-        var ratio = timeCanary().map(_ / f)
-        var waits = 0
-        while (ratio.exists(_ > 1.3) && waits < 7) {
-          System.err.println(String.format(java.util.Locale.ROOT,
-            "[canary] %s: lake_ls %.2fx floor — degraded window, waiting 20s",
-            stage, Double.box(ratio.get)))
-          Thread.sleep(20000L)
-          waits += 1
-          ratio = timeCanary().map(_ / f)
-        }
-        ratio match {
-          // a THROWING canary short-circuits the waits (ADVICE r12:
-          // permanent failure is not a degraded window); the window
-          // stamps degraded via the sentinel and the first timed pass
-          // reports the lake_ls failure itself.
-          case None =>
-            System.err.println(s"[canary] $stage: lake_ls THREW — " +
-              "canary broken, skipping waits (window will not stamp clean)")
-            CanaryThrew
-          case Some(r) =>
-            System.err.println(String.format(java.util.Locale.ROOT,
-              "[canary] %s: lake_ls %.2fx floor after %d waits", stage,
-              Double.box(r), Int.box(waits)))
-            r
-        }
-      case None => 0.0
+    // One probe of BOTH canary classes: (ioRatio, cpuRatio) vs their
+    // floors. A missing floor reads 0.0 (ungated for that class); a
+    // THROWING canary reads the 9999 sentinel. A probe is "hot" when
+    // EITHER class exceeds 1.3x — the r14 blind spot was exactly a
+    // window where I/O read cool while compute ran 25% hot.
+    def probeCanaries(): (Double, Double) = {
+      val io = canaryFloor match {
+        case Some(f) => timeCanary().map(_ / f).getOrElse(CanaryThrew)
+        case None => 0.0
+      }
+      val cpu = cpuCanaryFloor match {
+        case Some(f) => timeCpuCanary().map(_ / f).getOrElse(CanaryThrew)
+        case None =>
+          // no floor yet: still measure (feeds cpuCanaryObs for the
+          // first fold) but don't gate on it
+          timeCpuCanary(); 0.0
+      }
+      (io, cpu)
+    }
+    def awaitCleanWindow(stage: String): (Double, Double) = {
+      var (io, cpu) = probeCanaries()
+      var waits = 0
+      // a THROWING canary short-circuits the waits (ADVICE r12:
+      // permanent failure is not a degraded window — the sentinel
+      // keeps the window from stamping clean and the timed pass
+      // reports the failure itself)
+      def waitable(r: Double) = r > 1.3 && r != CanaryThrew
+      while ((waitable(io) || waitable(cpu)) &&
+        io != CanaryThrew && cpu != CanaryThrew && waits < 7) {
+        System.err.println(String.format(java.util.Locale.ROOT,
+          "[canary] %s: lake_ls %.2fx / cpu %.2fx floor — degraded window, waiting 20s",
+          stage, Double.box(io), Double.box(cpu)))
+        Thread.sleep(20000L)
+        waits += 1
+        val p = probeCanaries(); io = p._1; cpu = p._2
+      }
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[canary] %s: lake_ls %.2fx / cpu %.2fx floor after %d waits",
+        stage, Double.box(io), Double.box(cpu), Int.box(waits)))
+      (io, cpu)
     }
     // targeted SPARK_GRAFT_ONLY profiling runs skip the gate — they
     // are interactive, and minutes of waiting would defeat them
-    val canaryStart = if (only.isEmpty) awaitCleanWindow("start") else 0.0
-    val canaryStartDegraded = canaryStart > 1.3
+    val (canaryStart, canaryCpuStart) =
+      if (only.isEmpty) awaitCleanWindow("start") else (0.0, 0.0)
+    val canaryStartDegraded = canaryStart > 1.3 || canaryCpuStart > 1.3
     // MID-SUITE CANARY CHECKPOINTS (VERDICT r12 #4): the start/end
     // probes bound the window, not the suite — r12's driver run
     // stamped clean on 1.21-1.25x probes while the middle landed
@@ -206,6 +264,7 @@ object Bench {
     // the cache, so the probe costs no family sharing) and wait out
     // any drift there; every checkpoint ratio feeds the window stamp.
     val canaryMid = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val canaryCpuMid = scala.collection.mutable.ArrayBuffer.empty[Double]
     var sinceCheckpoint = 0
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
@@ -213,7 +272,8 @@ object Bench {
         if (family(name) != prevFamily) {
           spark.catalog.clearCache(); prevFamily = family(name)
           if (only.isEmpty && sinceCheckpoint >= 60) {
-            canaryMid += awaitCleanWindow(s"mid${canaryMid.size}")
+            val (io, cpu) = awaitCleanWindow(s"mid${canaryMid.size}")
+            canaryMid += io; canaryCpuMid += cpu
             sinceCheckpoint = 0
           }
         }
@@ -324,8 +384,9 @@ object Bench {
     // The ratio it lands at feeds the run's window stamp: a pass whose
     // middle degraded must not stamp "clean" just because the start
     // and end probes were lucky (self-review r12).
-    val canaryRerun =
-      if (suspects.nonEmpty && only.isEmpty) awaitCleanWindow("rerun") else 0.0
+    val (canaryRerun, canaryCpuRerun) =
+      if (suspects.nonEmpty && only.isEmpty) awaitCleanWindow("rerun")
+      else (0.0, 0.0)
     val results = firstPass.map { case (name, t) =>
       if (suspects.contains(name)) {
         var best = t
@@ -373,24 +434,43 @@ object Bench {
       }
       if (ratios.nonEmpty) median(ratios) else 0.0
     }
-    val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // End-of-run canary: one measurement, no wait — stamps whether the
-    // artifact's absolute numbers come from a healthy window. Both
-    // gates clean = the run-level done-criterion (VERDICT r11 #2).
-    val canaryEnd = canaryFloor match {
-      case Some(f) if only.isEmpty => timeCanary().map(_ / f).getOrElse(CanaryThrew)
-      case _ => 0.0
+    // CROSS-ROUND companion to median_vs_adopted (VERDICT r14 #1):
+    // median_vs_adopted is scored against the round's OWN adoption —
+    // self-referential the moment a hot run is adopted (r14 shipped
+    // 1.00 against its own 197.8s adoption while sitting 24% above
+    // r13). docs/bench_prior.json is the PRIOR round's committed
+    // record, snapshotted at round open and never rewritten within
+    // the round, so this ratio reads the externally-visible drift the
+    // judge reads: ~1.0 = this run matches last round's committed
+    // record query-for-query.
+    val prior: Map[String, Double] = parseQueriesObject("docs/bench_prior.json")
+    val medianVsPrior = {
+      val ratios = results.collect {
+        case (n, t) if prior.get(n).exists(_ > 0) => t / prior(n)
+      }
+      if (ratios.nonEmpty) median(ratios) else 0.0
     }
-    val midWorst = if (canaryMid.isEmpty) 0.0 else canaryMid.max
+    val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // End-of-run canaries: one measurement each, no wait — stamps
+    // whether the artifact's absolute numbers come from a healthy
+    // window. Both classes clean = the run-level done-criterion
+    // (VERDICT r11 #2; r14 #1 added the compute class).
+    val (canaryEnd, canaryCpuEnd) =
+      if (only.isEmpty) probeCanaries() else (0.0, 0.0)
+    val midWorst = (canaryMid ++ canaryCpuMid).foldLeft(0.0)(math.max)
     val window =
       if (canaryFloor.isEmpty || only.nonEmpty) "ungated"
       else if (!canaryStartDegraded && canaryEnd <= 1.3 && canaryRerun <= 1.3 &&
-        midWorst <= 1.3) "clean"
+        canaryCpuEnd <= 1.3 && canaryCpuRerun <= 1.3 && midWorst <= 1.3) "clean"
       else "degraded"
     val skippedJson = skippedSuspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val midJson = canaryMid.map(num(_, 2)).mkString("[", ",", "]")
+    val cpuMidJson = canaryCpuMid.map(num(_, 2)).mkString("[", ",", "]")
+    // the run's best raw cpu-canary seconds, for the floor fold
+    val cpuSecsMin =
+      if (cpuCanaryObs.isEmpty) 0.0 else cpuCanaryObs.min
     val runMeta =
-      s""""canary_start":${num(canaryStart, 2)},"canary_mid":$midJson,"canary_rerun":${num(canaryRerun, 2)},"canary_end":${num(canaryEnd, 2)},"first_pass_vs_best":${num(firstVsBest, 2)},"median_vs_adopted":${num(medianVsAdopted, 2)},"window":"$window""""
+      s""""canary_start":${num(canaryStart, 2)},"canary_mid":$midJson,"canary_rerun":${num(canaryRerun, 2)},"canary_end":${num(canaryEnd, 2)},"canary_cpu_start":${num(canaryCpuStart, 2)},"canary_cpu_mid":$cpuMidJson,"canary_cpu_rerun":${num(canaryCpuRerun, 2)},"canary_cpu_end":${num(canaryCpuEnd, 2)},"canary_cpu_secs_min":${num(cpuSecsMin, 3)},"first_pass_vs_best":${num(firstVsBest, 2)},"median_vs_adopted":${num(medianVsAdopted, 2)},"median_vs_prior":${num(medianVsPrior, 2)},"window":"$window""""
     val full =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"n_remeasured":$nRemeasured,"skipped_suspects":$skippedJson,$runMeta,"vs_best":${num(vsBest, 2)},"failures":$failJson,"queries":${fmt(results)},"sf":"$sfDir"}"""
     try {

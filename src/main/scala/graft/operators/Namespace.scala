@@ -148,7 +148,11 @@ object Namespace {
   /** Current usage under a quota directory: (entries, rows) — the
     * entry listing plus parquet FOOTER counts, metadata-proportional
     * at any data size (the ContentSummary read TestQuota's `count -q`
-    * exercises). */
+    * exercises). A failed usage read PROPAGATES (ADVICE r14): the
+    * quota gate must fail CLOSED — swallowing a transient read error
+    * into rows=0 would under-count usage and admit a write past the
+    * quota; the reference's verifyQuota has no such bypass (an
+    * unreadable namespace is an error, never usage-zero). */
   def quotaUsage(spark: org.apache.spark.sql.SparkSession,
                  dir: Path): (Long, Long) = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -159,8 +163,7 @@ object Namespace {
     // the per-admission metadata cost stays a single round trip
     val rows =
       if (entries.isEmpty) 0L
-      else try spark.read.parquet(entries.map(_.getPath.toString): _*).count()
-      catch { case scala.util.control.NonFatal(_) => 0L }
+      else spark.read.parquet(entries.map(_.getPath.toString): _*).count()
     (entries.length.toLong, rows)
   }
 
@@ -844,15 +847,15 @@ object Namespace {
       |SELECT seq, cmd, allowed, n_rows FROM (
       |  SELECT CAST(1 AS BIGINT) AS seq, 'mkdirs' AS cmd, TRUE AS allowed,
       |    CAST(0 AS BIGINT) AS n_rows
-      |  UNION ALL SELECT 2, 'rename', TRUE, (SELECT n FROM c WHERE shard = 0)
-      |  UNION ALL SELECT 3, 'rename', TRUE, (SELECT n FROM c WHERE shard = 1)
+      |  UNION ALL SELECT 2, 'rename', TRUE, COALESCE((SELECT n FROM c WHERE shard = 0), 0)
+      |  UNION ALL SELECT 3, 'rename', TRUE, COALESCE((SELECT n FROM c WHERE shard = 1), 0)
       |  UNION ALL SELECT 4, 'create', TRUE, 0
       |  UNION ALL SELECT 5, 'rename', FALSE, 0
       |  UNION ALL SELECT 6, 'delete', FALSE, 0
       |  UNION ALL SELECT 7, 'mkdirs', FALSE, 0
       |  UNION ALL SELECT 8, 'rename', FALSE, 0
-      |  UNION ALL SELECT 9, 'delete', TRUE, (SELECT n FROM c WHERE shard = 1)
-      |  UNION ALL SELECT 10, 'rename', TRUE, (SELECT n FROM c WHERE shard = 2))
+      |  UNION ALL SELECT 9, 'delete', TRUE, COALESCE((SELECT n FROM c WHERE shard = 1), 0)
+      |  UNION ALL SELECT 10, 'rename', TRUE, COALESCE((SELECT n FROM c WHERE shard = 2), 0))
       |ORDER BY seq""".stripMargin
   ) { (s, d) =>
     import s.implicits._
@@ -927,11 +930,11 @@ object Namespace {
     """WITH c AS (SELECT CAST(doc_id % 5 AS BIGINT) AS slice, COUNT(*) AS n
       |           FROM documents GROUP BY 1),
       |s AS (SELECT
-      |  (SELECT n FROM c WHERE slice = 0) AS c0,
-      |  (SELECT n FROM c WHERE slice = 1) AS c1,
-      |  (SELECT n FROM c WHERE slice = 2) AS c2,
-      |  (SELECT n FROM c WHERE slice = 3) AS c3,
-      |  (SELECT n FROM c WHERE slice = 4) AS c4)
+      |  COALESCE((SELECT n FROM c WHERE slice = 0), 0) AS c0,
+      |  COALESCE((SELECT n FROM c WHERE slice = 1), 0) AS c1,
+      |  COALESCE((SELECT n FROM c WHERE slice = 2), 0) AS c2,
+      |  COALESCE((SELECT n FROM c WHERE slice = 3), 0) AS c3,
+      |  COALESCE((SELECT n FROM c WHERE slice = 4), 0) AS c4)
       |SELECT CAST(q_seq AS BIGINT) AS seq, q_cmd AS cmd, q_ok AS allowed,
       |  CAST(f AS BIGINT) AS ns_used,
       |  CAST(CASE f WHEN 0 THEN 0 WHEN 1 THEN c0 WHEN 2 THEN c0 + c1

@@ -80,19 +80,11 @@ object ScaleSuite {
 
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // committed sf0.1 per-op record for the suite-context ratio
+    // committed sf0.1 per-op record for the suite-context ratio —
+    // the shared brace-balanced, string-aware walk (ADVICE r14: the
+    // naive first-substring scan Bench retired must not survive here)
     val committed: Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("docs/bench_full.json")), "UTF-8")
-        val start = txt.indexOf("\"queries\"")
-        val open = if (start < 0) -1 else txt.indexOf('{', start)
-        val close = if (open < 0) -1 else txt.indexOf('}', open)
-        if (close < 0) Map.empty
-        else """"([a-z0-9_]+)":\s*([0-9.]+)""".r
-          .findAllMatchIn(txt.substring(open, close + 1))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
+      graft.Bench.parseQueriesObject("docs/bench_full.json")
     val opsJson = results.map { case (n, t) =>
       val ratio = committed.get(n).filter(_ > 0)
         .map(c => s""","suite_ratio":${num(t / c)}""").getOrElse("")
