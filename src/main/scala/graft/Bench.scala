@@ -470,7 +470,7 @@ object Bench {
     val cpuSecsMin =
       if (cpuCanaryObs.isEmpty) 0.0 else cpuCanaryObs.min
     val runMeta =
-      s""""canary_start":${num(canaryStart, 2)},"canary_mid":$midJson,"canary_rerun":${num(canaryRerun, 2)},"canary_end":${num(canaryEnd, 2)},"canary_cpu_start":${num(canaryCpuStart, 2)},"canary_cpu_mid":$cpuMidJson,"canary_cpu_rerun":${num(canaryCpuRerun, 2)},"canary_cpu_end":${num(canaryCpuEnd, 2)},"canary_cpu_secs_min":${num(cpuSecsMin, 3)},"first_pass_vs_best":${num(firstVsBest, 2)},"median_vs_adopted":${num(medianVsAdopted, 2)},"median_vs_prior":${num(medianVsPrior, 2)},"window":"$window""""
+      s""""canary_start":${num(canaryStart, 2)},"canary_mid":$midJson,"canary_rerun":${num(canaryRerun, 2)},"canary_end":${num(canaryEnd, 2)},"canary_cpu_start":${num(canaryCpuStart, 2)},"canary_cpu_mid":$cpuMidJson,"canary_cpu_rerun":${num(canaryCpuRerun, 2)},"canary_cpu_end":${num(canaryCpuEnd, 2)},"canary_cpu_secs_min":${num(cpuSecsMin, 3)},"canary_cpu_cpus":$cpus,"first_pass_vs_best":${num(firstVsBest, 2)},"median_vs_adopted":${num(medianVsAdopted, 2)},"median_vs_prior":${num(medianVsPrior, 2)},"window":"$window""""
     val full =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n_queries":${results.size},"n_remeasured":$nRemeasured,"skipped_suspects":$skippedJson,$runMeta,"vs_best":${num(vsBest, 2)},"failures":$failJson,"queries":${fmt(results)},"sf":"$sfDir"}"""
     try {

@@ -593,18 +593,31 @@ object Durability {
     * UNCOMMITTED data file; writer B recovers — the expired lease is
     * FENCED via a create-exclusive higher epoch (A can never finish
     * its write), the in-flight orphan is reclaimed, and B completes
-    * the intended batch under its own lease. The output reads both
-    * versions of the recovered table with two verified flags:
-    * orphan_reclaimed (the partial file is gone and was never
-    * served) and writer_fenced (A's post-recovery acquire throws).
-    * The oracle recomputes both versions from the source table — a
-    * recovery that lost or duplicated rows fails the gate. */
+    * the intended batch under its own lease. Since r15 the ceremony
+    * also pins the reference's TWO-TIER expiry authority
+    * (LeaseManager.java:68-69 softLimit/hardLimit, :217-222;
+    * TestLeaseRecovery2):
+    *  - A's crashed lease is SOFT-expired but HARD-live when B
+    *    recovers: the background scan ([[graft.streaming.StreamingOps.checkLease]],
+    *    the Monitor.checkLeases analog) must REFUSE it
+    *    (`hard_scan_refused` — soft expiry licenses a competing
+    *    CLIENT, never the unilateral background sweep), while B's
+    *    acquire (the competing-client path) succeeds;
+    *  - on a second state dir, a lease pushed past its HARD limit IS
+    *    reclaimed by the same scan, and the silenced writer's next
+    *    heartbeat dies (`hard_reclaimed` —
+    *    TestLeaseRecovery2.testHardLeaseRecovery's killed writer).
+    * The output reads both versions of the recovered table with the
+    * verified flags; the oracle recomputes both versions from the
+    * source table — a recovery that lost or duplicated rows fails
+    * the gate. */
   val lakeLeaseRecover: GraftQuery = GraftQuery.sql(
     "lake_lease_recover", {
       def v(n: Int, cond: String) =
         s"""SELECT CAST($n AS BIGINT) AS version, COUNT(*) AS n_docs,
            |  CAST(SUM(fp) % ${GraftHash.P} AS BIGINT) AS checksum,
-           |  TRUE AS orphan_reclaimed, TRUE AS writer_fenced
+           |  TRUE AS orphan_reclaimed, TRUE AS writer_fenced,
+           |  TRUE AS hard_scan_refused, TRUE AS hard_reclaimed
            |FROM fp WHERE $cond""".stripMargin
       s"""WITH fp AS (SELECT doc_id % 3 AS m, ${GraftHash.charHashSql("text")} AS fp
          |           FROM documents)
@@ -622,13 +635,22 @@ object Durability {
     CommitLog.writeCommit(s, dir,
       docs.filter(col("doc_id") % 3 === 0), "data/b0", ts = 1000L)       // v0
     val stateDir = s"$dir/_writer"
-    // writer A: lease, in-flight write, crash (no commit, no release)
-    StreamingOps.acquireLease(fs, stateDir, "writerA", ttlMs = 100L)
+    // writer A: lease (soft 100ms, hard 30s — SOFT-expired long
+    // before HARD), in-flight write, crash (no commit, no release)
+    StreamingOps.acquireLease(fs, stateDir, "writerA", ttlMs = 100L,
+      hardMs = 30000L)
     docs.filter(col("doc_id") % 3 === 1).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/data/b1")
-    Thread.sleep(150L)                          // A's lease expires
-    // writer B: recover — fence the expired lease (higher epoch),
-    // reclaim the uncommitted in-flight file, complete the batch
+    Thread.sleep(150L)                     // A's SOFT limit expires
+    // the background scan must REFUSE the soft-expired-but-hard-live
+    // lease (LeaseManager.checkLeases returns before touching
+    // anything not past expiredHardLimit) — unilateral reclaim is
+    // hard-limit authority only
+    val hardScanRefused = !StreamingOps.checkLease(fs, stateDir)
+    // writer B: recover — the COMPETING-CLIENT takeover the soft
+    // limit licenses (TestLeaseRecovery2.testSoftLeaseRecovery):
+    // fence the soft-expired lease (higher epoch), reclaim the
+    // uncommitted in-flight file, complete the batch
     StreamingOps.acquireLease(fs, stateDir, "writerB")
     val reclaimed = CommitLog.vacuumOrphans(fs, dir, graceMs = 0L)
     require(reclaimed == Seq("data/b1"),
@@ -641,6 +663,18 @@ object Durability {
     val fenced =
       try { StreamingOps.acquireLease(fs, stateDir, "writerA", ttlMs = 100L); false }
       catch { case _: StreamingOps.LeaseHeldException => true }
+    // HARD-limit arm (TestLeaseRecovery2.testHardLeaseRecovery): on a
+    // second state dir, writer C goes silent past its HARD limit —
+    // the background scan reclaims unilaterally and C's next
+    // heartbeat (the killed writer's stm.write) dies
+    val stateDir2 = s"$dir/_writer2"
+    StreamingOps.acquireLease(fs, stateDir2, "writerC", ttlMs = 50L,
+      hardMs = 150L)
+    Thread.sleep(250L)                     // C's HARD limit expires
+    val scanReclaimed = StreamingOps.checkLease(fs, stateDir2)
+    val writerKilled =
+      try { StreamingOps.renewLease(fs, stateDir2, "writerC", ttlMs = 50L); false }
+      catch { case _: StreamingOps.LeaseHeldException => true }
     (0 to 1).map { v =>
       CommitLog.snapshot(s, dir, version = v)
         .select(GraftHash.charHash(col("text")).as("fp"))
@@ -650,6 +684,8 @@ object Durability {
     }.reduce(_ union _)
       .withColumn("orphan_reclaimed", lit(orphanGone))
       .withColumn("writer_fenced", lit(fenced))
+      .withColumn("hard_scan_refused", lit(hardScanRefused))
+      .withColumn("hard_reclaimed", lit(scanReclaimed && writerKilled))
       .orderBy(col("version"))
   }
 
@@ -1335,9 +1371,17 @@ object Durability {
     *     moves the fence. A then commits its batch under the renewed
     *     lease past the original expiry (`renewal_survived`).
     *  2. FENCING: A goes silent for one full TTL; B's next attempt
-    *     acquires (the reference's hard-limit reclaim), and A's next
-    *     heartbeat THROWS (`expired_fenced`) — a fenced writer learns
-    *     at heartbeat time, never at commit time.
+    *     acquires (the competing-client takeover the SOFT limit
+    *     licenses), and A's next heartbeat THROWS (`expired_fenced`)
+    *     — a fenced writer learns at heartbeat time, never at commit
+    *     time.
+    *  3. FORCE RECOVERY (r15; FSNamesystem.java:1556-1558 "close
+    *     now: no need to wait for soft lease expiration", pinned by
+    *     TestLeaseRecovery2.testImmediateRecoveryOfLease): writer C
+    *     issues the explicit recoverLease verb against B's LIVE,
+    *     renewing lease — it fences IMMEDIATELY, no limit consulted,
+    *     and B's next verify dies (`recover_immediate`). The only
+    *     pre-soft-expiry fencing authority.
     *
     * Output = both versions' (count, checksum), oracle-recomputed
     * from the source: a takeover that interleaved or a survival that
@@ -1349,7 +1393,7 @@ object Durability {
         s"""SELECT CAST($n AS BIGINT) AS version, COUNT(*) AS n_docs,
            |  CAST(SUM(fp) % ${GraftHash.P} AS BIGINT) AS checksum,
            |  TRUE AS renewal_survived, TRUE AS takeover_refused,
-           |  TRUE AS expired_fenced
+           |  TRUE AS expired_fenced, TRUE AS recover_immediate
            |FROM fp WHERE $cond""".stripMargin
       s"""WITH fp AS (SELECT doc_id % 3 AS m, ${GraftHash.charHashSql("text")} AS fp
          |           FROM documents)
@@ -1411,9 +1455,22 @@ object Durability {
       docs.filter(col("doc_id") % 3 === 1), "data/b1", ts = 2000L)       // v1
     // 2. A goes silent one full TTL: B reclaims, A's heartbeat throws
     Thread.sleep(ttlMs + 100L)
-    StreamingOps.acquireLease(fs, stateDir, "writerB", ttlMs = ttlMs)
+    // B takes over with the DEFAULT (long) soft limit so phase 3's
+    // live-lease probes can't be falsified by a host stall
+    StreamingOps.acquireLease(fs, stateDir, "writerB")
     val fenced =
       try { StreamingOps.renewLease(fs, stateDir, "writerA", ttlMs = ttlMs); false }
+      catch { case _: StreamingOps.LeaseHeldException => true }
+    // 3. force recovery: B's lease is LIVE (just granted, soft and
+    // hard both ahead), yet C's explicit recoverLease fences at once
+    // and B's next verify dies — the reference's force=true path,
+    // which waits for no limit
+    val probeRefused = // B live: a plain competing acquire still refuses
+      try { StreamingOps.acquireLease(fs, stateDir, "writerC", ttlMs = ttlMs); false }
+      catch { case _: StreamingOps.LeaseHeldException => true }
+    StreamingOps.recoverLease(fs, stateDir, "writerC", ttlMs = ttlMs)
+    val bDied =
+      try { StreamingOps.verifyLease(fs, stateDir, "writerB"); false }
       catch { case _: StreamingOps.LeaseHeldException => true }
     (0 to 1).map { v =>
       CommitLog.snapshot(s, dir, version = v)
@@ -1425,6 +1482,7 @@ object Durability {
       .withColumn("renewal_survived", lit(survived))
       .withColumn("takeover_refused", lit(takeoverRefused))
       .withColumn("expired_fenced", lit(fenced))
+      .withColumn("recover_immediate", lit(probeRefused && bDied))
       .orderBy(col("version"))
   }
 

@@ -430,6 +430,43 @@ object StreamingOps {
   final case class LeaseHeldException(holder: String, until: Long)
     extends java.io.IOException(s"state lease held by $holder until $until")
 
+  /** Default SOFT limit — the writer-keepalive TTL
+    * (protocol/FSConstants.java:41 LEASE_SOFTLIMIT_PERIOD). */
+  private[graft] val LeaseSoftLimitMs: Long = 600000L
+
+  /** Hard limit derived from a soft limit at the reference's ratio
+    * (protocol/FSConstants.java:42: LEASE_HARDLIMIT_PERIOD =
+    * 60 × LEASE_SOFTLIMIT_PERIOD). */
+  private[graft] def leaseHardLimit(softMs: Long): Long = 60L * softMs
+
+  /** The identity the background lease scan fences with — the
+    * reference's HdfsConstants.NAMENODE_LEASE_HOLDER role (the
+    * namenode itself becomes the holder while it reclaims). */
+  private[graft] val NamenodeLeaseHolder = "graft-namenode"
+
+  /** One granted lease with the reference's TWO expiry regimes
+    * (server/namenode/LeaseManager.java:68-69 softLimit/hardLimit,
+    * :217-222 expiredSoftLimit/expiredHardLimit): `lastUpdate` is the
+    * renewal instant (LeaseManager.Lease.renew), and the two
+    * thresholds carry DIFFERENT authority —
+    *  - past SOFT: a COMPETING CLIENT may start recovery (the
+    *    create-over-under-construction path,
+    *    FSNamesystem.java:1569 `lease.expiredSoftLimit()` inside
+    *    recoverLeaseInternal(force=false); pinned by
+    *    TestLeaseRecovery2.testSoftLeaseRecovery);
+    *  - past HARD: the NAMENODE reclaims unilaterally
+    *    (LeaseManager.Monitor → checkLeases, which returns without
+    *    touching anything until `expiredHardLimit()`; pinned by
+    *    TestLeaseRecovery2.testHardLeaseRecovery).
+    * Before soft expiry neither may fence — only the explicit
+    * force-recovery verb ([[recoverLease]]) can. */
+  private[graft] final case class LeaseRecord(
+      holder: String, lastUpdate: Long, softMs: Long, hardMs: Long) {
+    def expiredSoft(now: Long): Boolean = now - lastUpdate > softMs
+    def expiredHard(now: Long): Boolean = now - lastUpdate > hardMs
+    def softDeadline: Long = lastUpdate + softMs
+  }
+
   // Epoch-numbered lease files: `<stateDir>.lease.e<N>`. The CURRENT
   // lease is the highest epoch present; acquiring (first grant, own
   // renewal, or takeover of an expired lease) always CREATES a new
@@ -452,54 +489,124 @@ object StreamingOps {
   }
 
   private def readLease(fs: org.apache.hadoop.fs.FileSystem,
-                        p: org.apache.hadoop.fs.Path): Option[(String, Long)] =
+                        p: org.apache.hadoop.fs.Path): Option[LeaseRecord] =
     try {
       val in = fs.open(p)
       val text =
         try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
         finally in.close()
       text.split(' ') match {
-        case Array(h, exp) => Some((h, exp.toLong))
+        case Array(h, upd, soft, hard) =>
+          Some(LeaseRecord(h, upd.toLong, soft.toLong, hard.toLong))
         case _ => None
       }
     } catch { case _: java.io.IOException => None } // raced with a GC delete
 
+  /** The current (highest-epoch) lease on a state dir, if any. */
+  private def currentLease(fs: org.apache.hadoop.fs.FileSystem,
+                           stateDir: String): Option[LeaseRecord] =
+    leaseEpochs(fs, stateDir).lastOption.flatMap { case (_, p) => readLease(fs, p) }
+
+  /** Create-exclusive grant of the next epoch; true iff this call won
+    * the race. On a win, superseded epochs are garbage-collected. */
+  private def grantEpoch(fs: org.apache.hadoop.fs.FileSystem, stateDir: String,
+                         epochs: Seq[(Int, org.apache.hadoop.fs.Path)],
+                         holder: String, softMs: Long, hardMs: Long): Boolean = {
+    val next = epochs.lastOption.map(_._1 + 1).getOrElse(0)
+    val p = new org.apache.hadoop.fs.Path(stateDir + s".lease.e$next")
+    val won =
+      try {
+        val out = fs.create(p, false)
+        try out.write(
+          s"$holder ${System.currentTimeMillis()} $softMs $hardMs".getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false } // raced: re-evaluate
+    if (won) epochs.foreach { case (_, old) => fs.delete(old, false) }
+    won
+  }
+
   /** Acquire the exclusive writer lease on a state dir (the
     * reference's LeaseManager.java:63 single-writer contract,
-    * optimistic flavor). A live lease by another holder throws
-    * LeaseHeldException — the two-writer interleaving that would
-    * destroy the rename swap never starts. An EXPIRED lease is fenced
-    * and taken over via a create-exclusive higher epoch, so a crashed
-    * writer cannot wedge the pipeline. Re-acquiring one's own lease
-    * renews it (higher epoch, same holder). */
+    * optimistic flavor — the COMPETING-CLIENT path, i.e. the
+    * reference's create-over-an-under-construction-file arm,
+    * FSNamesystem.java:1521 recoverLeaseInternal(force=false)). A
+    * lease by another holder inside its SOFT limit throws
+    * LeaseHeldException (the AlreadyBeingCreatedException arm,
+    * FSNamesystem.java:1586-1592) — the two-writer interleaving that
+    * would destroy the rename swap never starts. A SOFT-EXPIRED lease
+    * is fenced and taken over via a create-exclusive higher epoch
+    * (FSNamesystem.java:1569 `lease.expiredSoftLimit()` →
+    * internalReleaseLease; TestLeaseRecovery2.testSoftLeaseRecovery),
+    * so a crashed writer cannot wedge the pipeline. Re-acquiring
+    * one's own lease renews it (higher epoch, same holder).
+    * `ttlMs` is the SOFT limit; `hardMs` < 0 derives the hard limit
+    * at the reference's 60× ratio. */
   private[graft] def acquireLease(fs: org.apache.hadoop.fs.FileSystem, stateDir: String,
-                                  holder: String, ttlMs: Long = 600000L): Unit = {
+                                  holder: String, ttlMs: Long = LeaseSoftLimitMs,
+                                  hardMs: Long = -1L): Unit = {
+    val hard = if (hardMs >= 0) hardMs else leaseHardLimit(ttlMs)
     var attempts = 0
     while (true) {
       attempts += 1
       if (attempts > 5) throw new java.io.IOException(s"lease churn on $stateDir")
       val epochs = leaseEpochs(fs, stateDir)
-      val current = epochs.lastOption
-      current.flatMap { case (_, p) => readLease(fs, p) } match {
-        case Some((h, exp)) if h != holder && exp >= System.currentTimeMillis() =>
-          throw LeaseHeldException(h, exp)
-        case _ => // no lease, own lease (renew), or expired (fence)
-          val next = current.map(_._1 + 1).getOrElse(0)
-          val p = new org.apache.hadoop.fs.Path(stateDir + s".lease.e$next")
-          val won =
-            try {
-              val out = fs.create(p, false)
-              try out.write(s"$holder ${System.currentTimeMillis() + ttlMs}".getBytes("UTF-8"))
-              finally out.close()
-              true
-            } catch { case _: java.io.IOException => false } // raced: re-evaluate
-          if (won) {
-            epochs.foreach { case (_, old) => fs.delete(old, false) }
-            return
-          }
+      epochs.lastOption.flatMap { case (_, p) => readLease(fs, p) } match {
+        case Some(l) if l.holder != holder &&
+          !l.expiredSoft(System.currentTimeMillis()) =>
+          throw LeaseHeldException(l.holder, l.softDeadline)
+        case _ => // no lease, own lease (renew), or soft-expired (fence)
+          if (grantEpoch(fs, stateDir, epochs, holder, ttlMs, hard)) return
       }
     }
   }
+
+  /** recoverLease — the explicit force-recovery verb
+    * (protocol/ClientProtocol.java recoverLease →
+    * FSNamesystem.java:1495, which calls
+    * recoverLeaseInternal(force=true); :1556-1558 "close now: no need
+    * to wait for soft lease expiration"): ANY client may fence the
+    * current holder IMMEDIATELY, before either limit expires — pinned
+    * by TestLeaseRecovery2.testImmediateRecoveryOfLease, where both
+    * limits sit at an hour and another user's recoverLease (and the
+    * same client's) still closes the file at once. This is the only
+    * pre-soft-expiry fencing authority; it is an explicit
+    * administrative action, never a background one. */
+  private[graft] def recoverLease(fs: org.apache.hadoop.fs.FileSystem, stateDir: String,
+                                  newHolder: String, ttlMs: Long = LeaseSoftLimitMs,
+                                  hardMs: Long = -1L): Unit = {
+    val hard = if (hardMs >= 0) hardMs else leaseHardLimit(ttlMs)
+    var attempts = 0
+    var won = false
+    while (!won) {
+      attempts += 1
+      if (attempts > 5) throw new java.io.IOException(s"lease churn on $stateDir")
+      won = grantEpoch(fs, stateDir, leaseEpochs(fs, stateDir), newHolder, ttlMs, hard)
+    }
+  }
+
+  /** Background lease scan — the reference's
+    * LeaseManager.Monitor → checkLeases (LeaseManager.java:391-430):
+    * the namenode reclaims a silent writer's lease UNILATERALLY only
+    * past the HARD limit (`if (!oldest.expiredHardLimit()) return;`).
+    * Before hard expiry — even when the soft limit has lapsed — the
+    * scan must NOT touch the lease: soft expiry licenses a COMPETING
+    * CLIENT ([[acquireLease]]'s takeover arm), never the background
+    * sweep. Pinned by TestLeaseRecovery2.testHardLeaseRecovery (hard
+    * limit shortened → recovery completes and the original writer's
+    * next write is killed). Returns true iff the lease was
+    * hard-expired and reclaimed (fenced with the
+    * [[NamenodeLeaseHolder]] identity, then removed); false when no
+    * lease exists or it is still inside its hard limit. */
+  private[graft] def checkLease(fs: org.apache.hadoop.fs.FileSystem,
+                                stateDir: String): Boolean =
+    currentLease(fs, stateDir) match {
+      case Some(l) if l.expiredHard(System.currentTimeMillis()) =>
+        recoverLease(fs, stateDir, NamenodeLeaseHolder)
+        releaseLease(fs, stateDir, NamenodeLeaseHolder)
+        true
+      case _ => false
+    }
 
   /** renewLease — the writer keepalive (reference
     * ClientProtocol.java:537 renewLease; LeaseManager.java:63 renews a
@@ -516,13 +623,15 @@ object StreamingOps {
     * acquireLease, so a renewal racing a fencer resolves to exactly
     * one winner. */
   private[graft] def renewLease(fs: org.apache.hadoop.fs.FileSystem, stateDir: String,
-                                holder: String, ttlMs: Long = 600000L): Unit =
-    leaseEpochs(fs, stateDir).lastOption.flatMap { case (_, p) => readLease(fs, p) } match {
-      case Some((h, exp)) if h == holder && exp >= System.currentTimeMillis() =>
+                                holder: String, ttlMs: Long = LeaseSoftLimitMs,
+                                hardMs: Long = -1L): Unit =
+    currentLease(fs, stateDir) match {
+      case Some(l) if l.holder == holder &&
+        !l.expiredSoft(System.currentTimeMillis()) =>
         // own live lease: the acquire path's own-renewal arm writes the
         // higher epoch create-exclusively and re-validates under race
-        acquireLease(fs, stateDir, holder, ttlMs)
-      case Some((h, exp)) => throw LeaseHeldException(h, exp)
+        acquireLease(fs, stateDir, holder, ttlMs, hardMs)
+      case Some(l) => throw LeaseHeldException(l.holder, l.softDeadline)
       case None => throw LeaseHeldException("<none>", 0L)
     }
 
@@ -534,7 +643,7 @@ object StreamingOps {
                                   holder: String): Unit =
     leaseEpochs(fs, stateDir).lastOption.foreach { case (_, p) =>
       readLease(fs, p) match {
-        case Some((h, _)) if h == holder => fs.delete(p, false); ()
+        case Some(l) if l.holder == holder => fs.delete(p, false); ()
         case _ => ()
       }
     }
@@ -548,9 +657,10 @@ object StreamingOps {
     * mutation); this bounds the exposure to milliseconds. */
   private[graft] def verifyLease(fs: org.apache.hadoop.fs.FileSystem, stateDir: String,
                                  holder: String): Unit =
-    leaseEpochs(fs, stateDir).lastOption.flatMap { case (_, p) => readLease(fs, p) } match {
-      case Some((h, exp)) if h == holder && exp >= System.currentTimeMillis() => ()
-      case Some((h, exp)) => throw LeaseHeldException(h, exp)
+    currentLease(fs, stateDir) match {
+      case Some(l) if l.holder == holder &&
+        !l.expiredSoft(System.currentTimeMillis()) => ()
+      case Some(l) => throw LeaseHeldException(l.holder, l.softDeadline)
       case None => throw LeaseHeldException("<none>", 0L)
     }
 

@@ -389,6 +389,61 @@ class StreamingSpec extends SparkSpec {
     StreamingOps.releaseLease(fs, stateDir, "writer-B")
   }
 
+  test("two-tier lease expiry: soft licenses a competing client, hard licenses the " +
+    "background scan, recoverLease fences immediately (TestLeaseRecovery2)") {
+    import graft.streaming.StreamingOps.LeaseHeldException
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val stateDir = graft.operators.Lake.scratch("two_tier_lease")
+    val parent = new org.apache.hadoop.fs.Path(stateDir).getParent
+    if (fs.exists(parent))
+      fs.listStatus(parent).filter(_.getPath.getName.startsWith("two_tier_lease.lease.e"))
+        .foreach(st => fs.delete(st.getPath, false))
+    // --- testImmediateRecoveryOfLease: both limits LONG (the test's
+    // 1h/1h phase) — a competing acquire refuses, but recoverLease
+    // closes at once, from a different client AND from any caller,
+    // with no limit consulted
+    StreamingOps.acquireLease(fs, stateDir, "writer-A",
+      ttlMs = 3600000L, hardMs = 3600000L)
+    intercept[LeaseHeldException] {
+      StreamingOps.acquireLease(fs, stateDir, "other-user", ttlMs = 1000L)
+    }
+    assert(!StreamingOps.checkLease(fs, stateDir),
+      "background scan must not touch a hard-live lease")
+    StreamingOps.recoverLease(fs, stateDir, "other-user", ttlMs = 3600000L)
+    intercept[LeaseHeldException] { // A was fenced immediately
+      StreamingOps.verifyLease(fs, stateDir, "writer-A")
+    }
+    StreamingOps.releaseLease(fs, stateDir, "other-user")
+    // --- testSoftLeaseRecovery: soft SHORT (the test's 1s), hard
+    // LONG — after soft expiry a competing client's acquire (the
+    // create-over-under-construction path) recovers, while the
+    // background scan still refuses (hard-live)
+    StreamingOps.acquireLease(fs, stateDir, "writer-A",
+      ttlMs = 100L, hardMs = 3600000L)
+    Thread.sleep(200L) // soft-expired, hard-live
+    assert(!StreamingOps.checkLease(fs, stateDir),
+      "soft expiry licenses a competing CLIENT, never the background scan")
+    StreamingOps.acquireLease(fs, stateDir, "other-user", ttlMs = 600000L)
+    intercept[LeaseHeldException] { // the recovered writer is fenced
+      StreamingOps.renewLease(fs, stateDir, "writer-A", ttlMs = 100L)
+    }
+    StreamingOps.releaseLease(fs, stateDir, "other-user")
+    // --- testHardLeaseRecovery: hard SHORT (the test's 1s) — the
+    // namenode's scan reclaims unilaterally once expiredHardLimit,
+    // and the silent writer's next write attempt is killed
+    StreamingOps.acquireLease(fs, stateDir, "writer-A",
+      ttlMs = 50L, hardMs = 150L)
+    Thread.sleep(250L) // past the hard limit
+    assert(StreamingOps.checkLease(fs, stateDir),
+      "background scan must reclaim a hard-expired lease")
+    intercept[LeaseHeldException] { // the writer thread gets killed
+      StreamingOps.verifyLease(fs, stateDir, "writer-A")
+    }
+    // the reclaimed lease is REMOVED, not held: a new writer acquires
+    StreamingOps.acquireLease(fs, stateDir, "writer-B", ttlMs = 600000L)
+    StreamingOps.releaseLease(fs, stateDir, "writer-B")
+  }
+
   test("streaming near-dup dedup flags exactly the batch pipeline's dup set") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

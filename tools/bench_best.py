@@ -173,7 +173,12 @@ def fold_cpu_canary_floor():
         except Exception:
             continue
         v = d.get("canary_cpu_secs_min")
-        if isinstance(v, (int, float)) and v > 0 and d.get("sf") == SF:
+        # per-core work is fixed, but wall is still parallelism- and
+        # host-phase-dependent: fold only the driver's operating point
+        # (32 threads) at the canonical SF so the floor is
+        # like-for-like with the runs it gates
+        if (isinstance(v, (int, float)) and v > 0 and d.get("sf") == SF
+                and d.get("canary_cpu_cpus") == 32):
             obs.append(float(v))
     path = "docs/canary_floors.json"
     try:
