@@ -839,6 +839,54 @@ object Graft {
       df.join(broadcast(allowed), df(entryCol) === col("__allowed_entry"), "left_semi")
     }
 
+    /** FSPermissionChecker's FULL walk (reference
+      * server/namenode/FSPermissionChecker.java:105 checkPermission —
+      * ancestor traversal plus the inode's own access check; swept by
+      * test/hdfs/.../TestDFSPermission.java testPermissionChecking,
+      * whose verifiers all carry `opAncestorPermission = SEARCH_MASK`:
+      * EXECUTE on every path component above the terminal, whatever
+      * the verb). [[enforceRead]] models the flat owner/group/other
+      * short-circuit on one entry; this is the hierarchical contract:
+      * each request row (req_id, path, need) answers allowed=true iff
+      * the principal's class digit grants EXECUTE on EVERY ancestor
+      * component and every bit of `need` (a subset of "rwx"; empty =
+      * traverse-only, the Stats/GET_FILEINFO shape) on the terminal
+      * entry. A component absent from the manifest REFUSES — the
+      * checker fails closed, as the reference throws rather than
+      * skips. Wholly columnar: requests explode into per-component
+      * requirement rows, one broadcast-sized join against the
+      * namespace manifest, one group-min — metadata-scale at any
+      * corpus size, one job for an arbitrarily wide verb × user
+      * sweep. */
+    def checkAccess(manifest: DataFrame, entryCol: String, requests: DataFrame,
+                    principal: String, groups: Seq[String]): DataFrame = {
+      val comps = requests
+        .select(col("req_id"), col("need"),
+          split(regexp_replace(col("path"), "^/", ""), "/").as("cs"))
+        .select(col("req_id"), col("need"), col("cs"),
+          posexplode(col("cs")).as(Seq("i", "c")))
+        .select(col("req_id"),
+          concat(lit("/"), array_join(slice(col("cs"), lit(1), col("i") + 1), "/"))
+            .as("__p"),
+          // the terminal component carries the verb's need; every
+          // ancestor requires execute (SEARCH_MASK)
+          when(col("i") === size(col("cs")) - 1, col("need"))
+            .otherwise(lit("x")).as("__need"))
+      val isOwner = col("owner") === principal
+      val inGroup = if (groups.isEmpty) lit(false) else col("grp").isInCollection(groups)
+      // exactly one class applies — the reference's short-circuit order
+      val digit = when(isOwner, floor(col("mode") / 100) % 10)
+        .when(inGroup, floor(col("mode") / 10) % 10)
+        .otherwise(col("mode") % 10)
+      def bitOk(ch: String, mask: Int) =
+        !col("__need").contains(ch) || floor(digit / mask) % 2 === 1
+      val granted = col("owner").isNotNull &&
+        bitOk("r", 4) && bitOk("w", 2) && bitOk("x", 1)
+      comps.join(broadcast(manifest), col("__p") === manifest(entryCol), "left")
+        .select(col("req_id"), granted.cast("int").as("g"))
+        .groupBy(col("req_id")).agg((min(col("g")) === 1).as("allowed"))
+    }
+
     /** setTimes (reference protocol/ClientProtocol.java:817): touch
       * mtime/atime on manifest entries matching `cond` — a columnar
       * metadata transform, never a per-entry RPC loop. Pass -1 to
@@ -1069,7 +1117,8 @@ object Graft {
       * is the right trade against leaking files in a long-lived
       * session.) */
     def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int = 12,
-                maxClosureEdges: Long = 4000000L): DataFrame = {
+                maxClosureEdges: Long = 4000000L,
+                driverEdgeBound: Long = 2000000L): DataFrame = {
       val s0 = seeds.select(col("node")).distinct()
         .select(col("node"), lit(0L).as("hop"))
       if (maxHops <= 0) s0
@@ -1090,8 +1139,51 @@ object Graft {
         // frontier walk: work proportional to the REACHED region,
         // the right regime for large-diameter graphs. The count is
         // free-ish — `p` is already a materialized leaf.
-        if (p.count() > maxClosureEdges)
+        var nPairs = p.count()
+        if (nPairs > maxClosureEdges)
           return bfsHopsFrontier(p.drop("len"), s0, maxHops)
+        // Below the dupClusters-style driver bound (~32 MB of
+        // (long, long) edges) the whole multi-source BFS runs on the
+        // driver: one collect of the deduped edge list + one collect
+        // of the seed set, then a frontier walk in memory — hop
+        // counts are exact integers either way, and the alternative
+        // was 3 squaring jobs + a compose over an all-pairs frame,
+        // each a scheduler round-trip (the r15 probe read 39 AQE
+        // jobs for the one g_knn_hops ceremony). The result comes
+        // back as a LocalRelation, so downstream joins broadcast it
+        // for free. Above the bound, squaring (and past the closure
+        // cap, the frontier walk) stays the scale path.
+        if (nPairs <= driverEdgeBound) {
+          val adj = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+          p.select(col("src"), col("dst")).collect().foreach { r =>
+            adj.computeIfAbsent(r.getLong(0), _ => new java.util.ArrayList[Long]())
+              .add(r.getLong(1))
+          }
+          val dist = new java.util.HashMap[Long, Long]()
+          var frontier = new java.util.ArrayList[Long]()
+          s0.select(col("node")).collect().foreach { r =>
+            val n = r.getLong(0)
+            if (!dist.containsKey(n)) { dist.put(n, 0L); frontier.add(n) }
+          }
+          var h = 0L
+          while (h < maxHops && !frontier.isEmpty) {
+            val next = new java.util.ArrayList[Long]()
+            frontier.forEach { n =>
+              val out = adj.get(n)
+              if (out != null) out.forEach { m =>
+                if (!dist.containsKey(m)) { dist.put(m, h + 1L); next.add(m) }
+              }
+            }
+            frontier = next
+            h += 1
+          }
+          import scala.jdk.CollectionConverters._
+          val sess = edges.sparkSession
+          import sess.implicits._
+          return dist.entrySet().asScala.toSeq
+            .map(e => (e.getKey.longValue(), e.getValue.longValue()))
+            .toDF("node", "hop")
+        }
         var k = 1
         val half = (maxHops + 1) / 2
         while (k < half) {
@@ -1102,7 +1194,15 @@ object Graft {
           p = p.union(hop2).groupBy(col("src"), col("dst"))
             .agg(min(col("len")).as("len"))
             .localCheckpoint() // one job per squaring — the whole depth
-          k *= 2
+          // FIXPOINT EARLY-EXIT: a pair already in P carries its TRUE
+          // distance (a shortest path of length L ≤ k has ≤ k edges),
+          // so squaring only ever ADDS pairs — a squaring that added
+          // none proves no pair at distance in (k, maxHops] remains
+          // and every further squaring is the identity. The count on
+          // the just-checkpointed leaf is a trivial job; each skipped
+          // squaring was a full self-join + min-aggregate job.
+          val n2 = p.count()
+          if (n2 == nPairs) k = half else { nPairs = n2; k *= 2 }
         }
         val sd = graft.ScopedCache(seeds.select(col("node").as("sn")).distinct())
         val one = sd.join(p, col("sn") === col("src"))

@@ -159,11 +159,18 @@ object Namespace {
     if (!fs.exists(dir)) return (0L, 0L)
     val entries = fs.listStatus(dir)
       .filter(_.getPath.getName != "_quota")
+    // an EMPTY directory entry serves zero rows vacuously — that is
+    // usage, not a read failure, so it must not trip the fail-closed
+    // propagation below (TestQuota's admission arena counts empty
+    // entries against the namespace quota with no data to read)
+    val dataEntries = entries.filter { st =>
+      !st.isDirectory || fs.listStatus(st.getPath).nonEmpty
+    }
     // ONE footer-count job over every entry, not one job per entry —
     // the per-admission metadata cost stays a single round trip
     val rows =
-      if (entries.isEmpty) 0L
-      else spark.read.parquet(entries.map(_.getPath.toString): _*).count()
+      if (dataEntries.isEmpty) 0L
+      else spark.read.parquet(dataEntries.map(_.getPath.toString): _*).count()
     (entries.length.toLong, rows)
   }
 

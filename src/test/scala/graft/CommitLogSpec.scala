@@ -546,6 +546,83 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.vacuumOrphans(fs, dir, graceMs = 0L).isEmpty)
   }
 
+  test("append-reopen contract (reference TestFileAppend2/3): a committed entry reopens " +
+    "under lease and extends; visible length is the closed state until close " +
+    "promotes the flushed tail; one appender at a time; a fenced close fails " +
+    "and recovery finalizes at the flushed length") {
+    // The reference's append (ClientProtocol.append; pinned by
+    // test/hdfs/.../TestFileAppend2.java testSimpleAppend and
+    // TestFileAppend3.java TC1/TC2/TC5/TC11/TC12) maps onto the
+    // commit-log world as: reopen = acquire the table's writer lease,
+    // extend = stage additional parquet + publish it in the writer's
+    // flush marker (the hflush ceremony — DFSOutputStream.hflush),
+    // close = verify the lease then promoteFlush (an ordinary journal
+    // commit at the extended length). "Visible length" is the row
+    // count a reader serves: default readers see the last CLOSED
+    // state; readers that ask (snapshotWithInflight — the reference's
+    // getVisibleLength after hflush) see the flushed tail.
+    import graft.streaming.StreamingOps
+    val dir = freshTable("append_reopen")
+    val docs = Tables.documents(spark, sfDir)
+    val stateDir = s"$dir/_appender"
+    // --- TC1 shape: create file, write len1, CLOSE (an ordinary commit)
+    val len1 = docs.filter(col("doc_id") % 4 === 0).count()
+    CommitLog.writeCommit(spark, dir, docs.filter(col("doc_id") % 4 === 0),
+      "data/e0", ts = 100L)
+    assert(CommitLog.snapshot(spark, dir).count() == len1)
+    // --- reopen to append (fs.append): lease + staged extension
+    StreamingOps.acquireLease(fs, stateDir, "m1")
+    val len2 = docs.filter(col("doc_id") % 4 === 1).count()
+    docs.filter(col("doc_id") % 4 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/data/e0_app1")
+    CommitLog.flush(fs, dir, "m1", Seq("data/e0_app1"), ts = 150L)
+    // hflush visibility: the reader that asks sees len1+len2, the
+    // default reader still sees the closed len1 (TC11 step b)
+    assert(CommitLog.snapshot(spark, dir).count() == len1)
+    assert(CommitLog.snapshotWithInflight(spark, dir).count() == len1 + len2)
+    // --- TC5: only one simultaneous append — machine M2's reopen fails
+    intercept[StreamingOps.LeaseHeldException] {
+      StreamingOps.acquireLease(fs, stateDir, "m2")
+    }
+    // --- close: verify lease, promote, release — reopen-and-read
+    // sees the full extended length (AppendTestUtil.check)
+    StreamingOps.verifyLease(fs, stateDir, "m1")
+    CommitLog.promoteFlush(spark, dir, "m1", ts = 200L)
+    StreamingOps.releaseLease(fs, stateDir, "m1")
+    assert(CommitLog.snapshot(spark, dir).count() == len1 + len2)
+    // --- TC2/TC12 shape: append AGAIN at a non-boundary (the second
+    // extension of an already-extended entry) — same ceremony, full
+    // length len1+len2+len3 after close
+    val len3 = docs.filter(col("doc_id") % 4 === 2).count()
+    StreamingOps.acquireLease(fs, stateDir, "m2") // released lease reopens
+    docs.filter(col("doc_id") % 4 === 2).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/data/e0_app2")
+    CommitLog.flush(fs, dir, "m2", Seq("data/e0_app2"), ts = 250L)
+    StreamingOps.verifyLease(fs, stateDir, "m2")
+    CommitLog.promoteFlush(spark, dir, "m2", ts = 260L)
+    StreamingOps.releaseLease(fs, stateDir, "m2")
+    assert(CommitLog.snapshot(spark, dir).count() == len1 + len2 + len3)
+    // --- TC11: appender hflushes, then is FENCED before close (the
+    // rename-then-close case: the writer's close() must throw) —
+    // recovery then finalizes the file at the flushed length, exactly
+    // what the reference's lease recovery does to the hflushed tail
+    val len4 = docs.filter(col("doc_id") % 4 === 3).count()
+    StreamingOps.acquireLease(fs, stateDir, "m3")
+    docs.filter(col("doc_id") % 4 === 3).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/data/e0_app3")
+    CommitLog.flush(fs, dir, "m3", Seq("data/e0_app3"), ts = 300L)
+    StreamingOps.recoverLease(fs, stateDir, "recoverer") // the fence
+    intercept[StreamingOps.LeaseHeldException] { // m3's close() throws
+      StreamingOps.verifyLease(fs, stateDir, "m3")
+    }
+    // the recoverer finalizes at the last hflush: the flushed set
+    // becomes a journal commit, the writer's marker retires
+    CommitLog.promoteFlush(spark, dir, "m3", ts = 310L)
+    StreamingOps.releaseLease(fs, stateDir, "recoverer")
+    assert(CommitLog.snapshot(spark, dir).count() == len1 + len2 + len3 + len4)
+    assert(!CommitLog.flushedAdds(fs, dir).contains("m3"))
+  }
+
   test("reclaimFlush deletes only unpromoted staged files; journal references always win") {
     val dir = freshTable("flush_reclaim")
     val r = Tables.region(spark, sfDir)

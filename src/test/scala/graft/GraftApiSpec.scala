@@ -346,5 +346,13 @@ class GraftApiSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     graft.ScopedCache.releaseAll()
     assert(capped == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L), s"got $capped")
+    // regime parity: forcing the DISTRIBUTED squaring path
+    // (driverEdgeBound = 0) must answer identically to the driver
+    // BFS the small-edge regime takes — same nodes, same min hops
+    val distributed = Graft.graph.bfsHops(edges, seeds, maxHops = 12,
+        driverEdgeBound = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.ScopedCache.releaseAll()
+    assert(distributed == hops, s"squaring path diverged: $distributed vs $hops")
   }
 }

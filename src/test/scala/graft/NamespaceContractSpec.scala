@@ -191,11 +191,113 @@ class NamespaceContractSpec extends SparkSpec {
       Namespace.admitQuota(spark, dir, 0L, 101L)
     }
     assert(e2.getMessage.contains("DiskSpace quota"), e2.getMessage)
+    // FAIL CLOSED (ADVICE r14): a corrupt entry must never read as
+    // rows=0 and slip a write past the quota — the usage read
+    // propagates out of the gate instead of admitting
+    val bad = new Path(dir, "e_corrupt")
+    fs.mkdirs(bad)
+    touch(new Path(bad, "part-00000.parquet"), "this is not parquet")
+    val e3 = intercept[Exception] { Namespace.admitQuota(spark, dir, 0L, 0L) }
+    assert(!e3.getMessage.contains("is exceeded"),
+      s"expected the broken READ to propagate, not a quota refusal: ${e3.getMessage}")
+    fs.delete(bad, true)
+    // an EMPTY entry is vacuous usage (0 rows), never a failure
+    fs.mkdirs(new Path(dir, "e_empty"))
+    Namespace.admitQuota(spark, dir, 0L, 0L)
   }
 
   test("lake_lifecycle rides the contract verbs end-to-end") {
     val out = graft.operators.Lake.lakeLifecycle.fn(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(out.values.forall(identity), s"lifecycle steps: $out")
+  }
+
+  test("permission matrix sweep (reference TestDFSPermission.testPermissionChecking): " +
+    "ancestor traversal needs execute on every component; each verb's " +
+    "required bits per owner/group/other class") {
+    // The reference's verifiers encode the per-verb contract
+    // (TestDFSPermission.java:477 opAncestorPermission = SEARCH_MASK
+    // for EVERY verb; :600/:631/:657/:683/:725/:791/:839 the per-verb
+    // parent/file masks): open = parent x + file r; setTimes /
+    // setReplication = parent x + file w; stats + list-a-file =
+    // parent x only; list-a-dir = parent x + dir r|x; create/mkdirs
+    // and delete and each rename side = parent x|w. expectPermissionDeny
+    // (:530) masks the requirement to the caller's class — the model
+    // this sweep recomputes independently of the engine's checker.
+    import spark.implicits._
+    // mode triples per combo subtree: (ancestor, parent, terminal)
+    // chosen to break each requirement at least once per class
+    val combos = Seq(
+      (777, 777, 777), // everything allowed for everyone
+      (677, 777, 777), // owner lacks x on the ancestor — blocked at traversal
+      (757, 575, 747), // group lacks x on parent; other lacks w everywhere
+      (777, 577, 777), // owner lacks w on parent — create/delete/rename refused
+      (777, 775, 774), // other: parent r+x (no w), file r only
+      (111, 333, 0))   // traverse-only ancestors, wx parents, 0 file
+    val users = Seq(
+      ("user1", Seq.empty[String]),  // the owner class
+      ("user2", Seq("grp1")),        // the group class
+      ("user3", Seq.empty[String]))  // the other class
+    def digit(mode: Int, user: String): Int = user match {
+      case "user1" => mode / 100 % 10
+      case "user2" => mode / 10 % 10
+      case _ => mode % 10
+    }
+    def has(d: Int, bits: String): Boolean =
+      bits.forall { case 'r' => (d & 4) != 0; case 'w' => (d & 2) != 0; case 'x' => (d & 1) != 0 }
+    // engine-side manifest: one subtree per combo, all owned by
+    // user1/grp1 (file and dir share the terminal mode)
+    val manifest = combos.zipWithIndex.flatMap { case ((a, p, t), i) =>
+      Seq((s"/c$i", 777), (s"/c$i/anc", a), (s"/c$i/anc/parent", p),
+        (s"/c$i/anc/parent/file", t), (s"/c$i/anc/parent/dir", t))
+    }.map { case (path, mode) => (path, "user1", "grp1", mode) }
+      .toDF("entry", "owner", "grp", "mode")
+    // the verb table: (verb, terminal path builder, need)
+    val verbs = Seq(
+      ("open", "file", "r"), ("set_times", "file", "w"),
+      ("stats", "file", ""), ("list_file", "file", ""),
+      ("list_dir", "dir", "rx"),
+      ("create", "parent", "wx"), ("delete", "parent", "wx"),
+      ("rename_src", "parent", "wx"))
+    users.foreach { case (user, groups) =>
+      val requests = combos.indices.flatMap { i =>
+        verbs.map { case (verb, at, need) =>
+          val path = at match {
+            case "parent" => s"/c$i/anc/parent"
+            case x => s"/c$i/anc/parent/$x"
+          }
+          (s"$i:$verb", path, need)
+        }
+      }.toDF("req_id", "path", "need")
+      val got = graft.api.Graft.lake
+        .checkAccess(manifest, "entry", requests, user, groups)
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      combos.zipWithIndex.foreach { case ((a, p, t), i) =>
+        val (da, dp, dt) = (digit(a, user), digit(p, user), digit(t, user))
+        def expect(atParent: Boolean, need: String): Boolean =
+          has(da, "x") && (if (atParent) has(dp, need)
+          else has(dp, "x") && has(dt, need))
+        val model = Map(
+          s"$i:open" -> expect(atParent = false, "r"),
+          s"$i:set_times" -> expect(atParent = false, "w"),
+          s"$i:stats" -> expect(atParent = false, ""),
+          s"$i:list_file" -> expect(atParent = false, ""),
+          s"$i:list_dir" -> expect(atParent = false, "rx"),
+          s"$i:create" -> expect(atParent = true, "wx"),
+          s"$i:delete" -> expect(atParent = true, "wx"),
+          s"$i:rename_src" -> expect(atParent = true, "wx"))
+        model.foreach { case (k, exp) =>
+          assert(got(k) == exp, s"user=$user combo=$i case=$k: " +
+            s"engine=${got(k)} model=$exp (modes $a/$p/$t)")
+        }
+      }
+    }
+    // fail-closed: a path whose component is absent from the manifest
+    // refuses even for the owner (the reference throws, never skips)
+    val ghost = Seq(("g", "/c0/anc/missing/file", "r")).toDF("req_id", "path", "need")
+    val g = graft.api.Graft.lake
+      .checkAccess(manifest, "entry", ghost, "user1", Seq.empty)
+      .collect().head.getBoolean(1)
+    assert(!g, "absent path component must refuse")
   }
 }
