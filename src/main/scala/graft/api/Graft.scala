@@ -520,20 +520,54 @@ object Graft {
           sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup"))
     }
 
-    /** SimHash near-dup pairs at a hamming bound, chunk-blocked
-      * (pigeonhole guarantees recall for maxHamming < chunks). */
-    def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 3, bits: Int = 60, chunks: Int = 4): DataFrame = {
+    /** The piece-subsets of {0..pieces-1} the Manku blocking tables
+      * index on: ≤ maxHamming flipped bits damage at most maxHamming
+      * pieces, so (pieces − maxHamming) pieces stay clean — and every
+      * (pieces − maxHamming)-subset is a table, so some table's full
+      * key is untouched on both sides. Recall is exact; candidate
+      * precision scales with the CONCATENATED key width. */
+    private[graft] def simhashCombos(pieces: Int, maxHamming: Int): Seq[Seq[Int]] = {
+      require(maxHamming < pieces, s"maxHamming=$maxHamming needs > $maxHamming pieces")
+      (0 until pieces).combinations(pieces - maxHamming).map(_.toSeq).toSeq
+    }
+
+    /** The blocked CANDIDATE stage of [[simhashPairs]]: distinct
+      * (doc_a, doc_b, sim_a, sim_b) pairs sharing at least one
+      * blocking-table key. Exposed separately so scale certification
+      * can fit the candidate volume and wall independently of the
+      * verified OUTPUT (VERDICT r14 #4: duplicate-style inflation
+      * grows true hamming-0 pairs quadratically BY CONSTRUCTION —
+      * the candidate side is the part that must stay ~linear).
+      *
+      * Blocking is Manku's general scheme (Manku/Jain/Das Sarma,
+      * WWW'07 §3): split the fingerprint into `pieces` equal pieces
+      * and build one table per (pieces − maxHamming)-subset, keyed on
+      * the CONCATENATION of that subset's pieces. The r14 form was
+      * the degenerate subset-size-1 point (pieces=4, key=15 bits),
+      * whose 2^15 key space birthday-collides ~N²/2^15 — measured
+      * p ≈ 2 on candidate count under 30x inflation (SimhashFit).
+      * At pieces=6, maxHamming=3 the keys are 30 bits wide across
+      * C(6,3)=20 tables: random collisions fall ~2^16-fold, pushing
+      * the quadratic term's crossover out past ~10^8 docs while
+      * recall stays exact by the pigeonhole above. */
+    def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3, bits: Int = 60,
+                          pieces: Int = 6): DataFrame = {
       import org.apache.spark.sql.graft.Shims
-      val chunkBits = bits / chunks
+      val pieceBits = bits / pieces
+      val pieceMask = (1L << pieceBits) - 1
+      val combos = simhashCombos(pieces, maxHamming)
       // SimHash is order-independent over the shingle set, so it reads
       // the shared sorted shingle frame — no second text pass.
       val sh = shingleSets(df, idCol, textCol)
       val sim = sh.select(col("doc_id"),
         Shims.column(graft.plans.SimHashExpr(Shims.expression(col("sh")), bits)).as("simhash"))
       val ch = sim.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until chunks).map { c =>
-          shiftright(col("simhash"), c * chunkBits).bitwiseAND(lit((1 << chunkBits) - 1))
+        posexplode(array(combos.map { combo =>
+          combo.foldLeft(lit(0L)) { (acc, p) =>
+            shiftleft(acc, pieceBits) +
+              shiftright(col("simhash"), p * pieceBits).bitwiseAND(lit(pieceMask))
+          }
         }: _*)).as(Seq("chunk_idx", "chunk_val")))
       ch.as("a").join(ch.as("b"),
           col("a.chunk_idx") === col("b.chunk_idx") &&
@@ -542,10 +576,16 @@ object Graft {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
         .distinct()
+    }
+
+    /** SimHash near-dup pairs at a hamming bound, Manku-blocked
+      * (pigeonhole guarantees recall for maxHamming < pieces). */
+    def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3, bits: Int = 60, pieces: Int = 6): DataFrame =
+      simhashCandidates(df, idCol, textCol, maxHamming, bits, pieces)
         .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
         .filter(col("hamming") <= maxHamming)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
-    }
   }
 
   /** Similarity search over any (id, Array[Double-castable]) frame. */

@@ -421,31 +421,42 @@ object Dedup {
       .orderBy(col("bucket"))
   }
 
-  // SimHash: 60-bit fingerprint over REMIXED shingle hashes, 4 chunks
-  // x 15 bits (the Manku near-duplicate operating point, and the same
-  // 4x15 banding m_phash_dedup uses). r14 rewrite: the old 24-bit
-  // raw-bit-slice form fit p = 1.69 SUPER-LINEAR at 1x/10x/30x —
-  // 6-bit chunk keys have only 64 values, so chunk-blocking degraded
-  // into N^2/64 candidate pairs; 15-bit keys shrink the buckets
-  // 512-fold and the remix (GraftRuntime.simHash) is what makes bits
-  // past ~30 non-constant (charHash values are mod P ~ 2^30).
+  // SimHash: 60-bit fingerprint over REMIXED shingle hashes (the
+  // remix — GraftRuntime.simHash — is what makes bits past ~30
+  // non-constant; charHash values are mod P ~ 2^30), blocked with
+  // Manku's GENERAL table scheme (Manku/Jain/Das Sarma WWW'07 §3):
+  // 6 pieces x 10 bits, one table per C(6,3)=20 three-piece subset,
+  // keyed on the 30-bit concatenation. History: the r13 24-bit
+  // raw-bit-slice form fit p = 1.69 (6-bit keys → N²/64 candidates);
+  // the r14 4x15 rewrite fixed the WALL but its 15-bit keys still
+  // birthday-collide ~N²/2^15 — the r15 SimhashFit probe measured
+  // candidate-count p ≈ 2 under 30x inflation (1.9k → 1.49M rows)
+  // while the verified OUTPUT grew linearly. 30-bit keys cut random
+  // collisions ~2^16-fold (same probe after: candidates track the
+  // true-pair count), pushing the quadratic crossover past ~10^8
+  // docs. Recall is EXACT either way (pigeonhole: <= 3 flips damage
+  // <= 3 pieces, so some 3-piece table is clean on both sides).
   // Hamming <= 3 of 60 bits is the high-precision near-identical
   // band (~95% bit agreement), not the j>=0.8 screen — d_minhash_lsh
   // is the recall tool at that threshold; this op is the cheap exact
-  // screen (pigeonhole: <= 3 flips across 4 chunks leave one chunk
-  // identical, so the equi-join on chunk value loses nothing).
-  val SimBits = 60; val Chunks = 4; val ChunkBits = 15
+  // screen.
+  val SimBits = 60; val SimPieces = 6; val SimPieceBits = 10
 
-  /** 60-bit SimHash near-dup pairs at hamming <= 3, blocked by chunk
-    * equality (pigeonhole: <= 3 flipped bits across 4 chunks leaves
-    * one chunk identical — candidates via equi-join on chunk value). */
+  /** 60-bit SimHash near-dup pairs at hamming <= 3, Manku-blocked
+    * (candidates via equi-join on 30-bit three-piece table keys —
+    * recall exact by pigeonhole, see the scheme note above). */
   val dSimhash: GraftQuery = GraftQuery.sql(
     "d_simhash", {
       val bitSumsSql = GraftHash.perms(SimBits).zipWithIndex.map { case ((a, b), i) =>
         s"CASE WHEN list_sum(list_transform(sh, h -> CASE WHEN 2*(($a*h + $b) % ${GraftHash.P}) > ${GraftHash.P} THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END"
       }.mkString(" + ")
-      val chunkUnion = (0 until Chunks).map(k =>
-        s"SELECT doc_id, simhash, $k AS chunk_idx, (simhash >> ${k * ChunkBits}) & ${(1 << ChunkBits) - 1} AS chunk_val FROM sim").mkString("\nUNION ALL\n")
+      val mask = (1L << SimPieceBits) - 1
+      val chunkUnion = graft.api.Graft.dedup.simhashCombos(SimPieces, 3)
+        .zipWithIndex.map { case (combo, k) =>
+          val key = combo.map(p => s"((simhash >> ${p * SimPieceBits}) & $mask)")
+            .reduceLeft((acc, piece) => s"($acc * ${1L << SimPieceBits} + $piece)")
+          s"SELECT doc_id, simhash, $k AS chunk_idx, $key AS chunk_val FROM sim"
+        }.mkString("\nUNION ALL\n")
       s"""WITH ${Shingles.shingleCteSql()},
          |sim AS (SELECT doc_id, CAST($bitSumsSql AS BIGINT) AS simhash FROM sh),
          |ch AS ($chunkUnion),
@@ -459,7 +470,7 @@ object Dedup {
     }
   ) { (s, d) =>
     graft.api.Graft.dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
-        maxHamming = 3, bits = SimBits, chunks = Chunks)
+        maxHamming = 3, bits = SimBits, pieces = SimPieces)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -76,12 +76,12 @@ STALE_FLOORS = {
     "t_keyword_lift": "r12 sweep: old floor measured source-partition "
                       "whole-group windows over the vocab frame; now "
                       "broadcast totals + topNExact",
-    "d_simhash": "r14 rewrite: old floor measured the 24-bit "
-                 "raw-bit-slice fingerprint with 6-bit chunk keys; "
-                 "current shape is the 60-bit Manku point with "
-                 "remixed bits (2.5x per-shingle bit work, 512x "
-                 "smaller candidate buckets) - different semantics "
-                 "and cost profile",
+    "d_simhash": "r15 rework: old floors measured the 24-bit bit-slice "
+                 "(r13) and 4x15-bit chunk blocking (r14); current "
+                 "shape is the general Manku scheme - C(6,3)=20 tables "
+                 "on 30-bit three-piece keys (candidate count certified "
+                 "p=1.04, SCALE_r15_simhash.json) - 5x the explode rows "
+                 "per doc, ~2^16 fewer random collisions",
 }
 
 
