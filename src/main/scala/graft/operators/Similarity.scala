@@ -998,19 +998,48 @@ object Similarity {
   private[operators] def knnCellCount(n: Long): Long =
     math.max(NCells.toLong, n / KnnCellTarget)
 
+  /** Coarse cell count for the two-level assignment, √-scaled with
+    * the FINE count (r15: the fixed 8-cell coarse level made the
+    * fine stage N·kc/8 ≈ N²/512 cosines — invisible at 10×/30× under
+    * fixed latency, measured 23 s warm at 100× via the suite-100
+    * ladder; √kc coarse cells balance the two stages at the standard
+    * O(N^1.5) IVF-build shape). GREATEST floors it at NCells so at
+    * every gated scale factor (N ≤ 4096 ⇒ ncc = 8) the assignment —
+    * and every knn-family oracle hash — is bit-identical to the
+    * fixed-coarse form. */
+  private[operators] def knnCoarseCount(n: Long): Long =
+    math.max(NCells.toLong,
+      math.ceil(math.sqrt(knnCellCount(n).toDouble)).toLong)
+
+  /** Cell-population CAP (the FAISS max_points_per_centroid
+    * discipline, r15): downstream cell-local joins are Σ|cell|² —
+    * one hot semantic cluster (at 100× inflation a single cell
+    * absorbed 11,929 vectors; census sum_sq 201M pairs drove the
+    * directed-knn build to 169 s) reintroduces the quadratic the
+    * cell blocking exists to kill. Cells past the cap are
+    * deterministically sub-sharded by vec_id modulo ⌈csz/cap⌉; the
+    * sub-shard id is folded into the cid ABOVE bit 20 so uncapped
+    * cids are unchanged. Inert at every gated scale factor (max
+    * gated cell = 200 at sf0.1), so oracle hashes are identical; the
+    * oracle CTE applies the same expression. */
+  val KnnCellCap = 1024L
+
   /** Corpus assigned to ADAPTIVE cells, TWO-LEVEL (coarse→fine), so
     * the assignment stage itself scales: a flat argmax against
     * K = N/KnnCellTarget centroids would be O(N·K) = O(N²/64)
     * cosines with an N-proportional broadcast — the exact quadratic
     * shape the ScaleStress methodology exists to catch. Instead:
-    * (1) every vector argmax-assigns to one of the NCells COARSE
-    * centroids (O(N·8), tiny broadcast); (2) the K fine centroids
-    * carry their own coarse assignment, so the fine argmax is an
-    * EQUI-JOIN on the coarse cell (candidates = fine centroids of
-    * one coarse cell, ~K/8 each; no broadcast hint — at scale the
-    * K-row side shuffles on ccid). Total O(N·(8 + K/8)) with every
-    * join a blocked equi-join — the standard hierarchical-IVF
-    * assignment. Each level's winner uses the same (cosine DESC,
+    * (1) every vector argmax-assigns to one of [[knnCoarseCount]]
+    * ≈ √K COARSE centroids (O(N·√K), modest broadcast); (2) the K
+    * fine centroids carry their own coarse assignment, so the fine
+    * argmax is an EQUI-JOIN on the coarse cell (candidates = fine
+    * centroids of one coarse cell, ~√K each; no broadcast hint — at
+    * scale the K-row side shuffles on ccid). Total O(N·2√K) =
+    * O(N^1.5/8) with every join a blocked equi-join — the standard
+    * hierarchical-IVF assignment with the two stages balanced (the
+    * r14 fixed-8-coarse form was O(N·K/8): fine candidates grew
+    * linearly with the corpus and the 100× suite ladder caught the
+    * build at 23 s warm). Each level's winner uses the same (cosine DESC,
     * cid) total order on both engines. The fine argmax is a LEFT
     * join with a coarse-cell fallback: a coarse cell containing
     * vectors but no fine centroid (possible only if sqrt rounding
@@ -1021,26 +1050,62 @@ object Similarity {
     * and the corpus-count statistic is read once, not per query. */
   private def adaptiveCells(s: SparkSession, d: String): DataFrame =
     famMemoized(s, d, "acells", embSig(s, d)) {
-      val kc = knnCellCount(Tables.embeddings(s, d).count())
+      val nEmb = Tables.embeddings(s, d).count()
+      val kc = knnCellCount(nEmb)
+      val ncc = knnCoarseCount(nEmb)
       val n = corpus(s, d)
-      val cc = n.filter(col("vec_id") < NCells)
+      val cc = n.filter(col("vec_id") < ncc)
         .select(col("vec_id").as("ccid"), col("v").as("ccv"), col("nrm").as("ccnrm"))
-      val wC = Window.partitionBy(col("vec_id"))
-        .orderBy((Vectors.dot(col("v"), col("ccv")) / (col("nrm") * col("ccnrm"))).desc,
-          col("ccid"))
-      val ca = graft.ScopedCache(n.crossJoin(broadcast(cc))
-        .withColumn("crk", row_number().over(wC)).filter(col("crk") === 1)
+      // Each level's argmax is a SLIM-ROW min_by hash aggregate, not a
+      // row_number window (r15: the window form sorted N·√K candidate
+      // rows each CARRYING TWO 128-dim vectors — ~2 KB/row, tens of
+      // GB through the sort at 100×, measured 164 s; projecting to
+      // (vec_id, candidate, cosine) before a partial-aggregated
+      // min_by streams 24-byte rows through a hash agg instead). The
+      // order struct (−cosine, id) is exactly the window's
+      // (cosine DESC, id) total order, so the winner — and every
+      // knn-family oracle hash — is unchanged; min_by skips
+      // null-ordered rows, matching the oracle's DESC NULLS LAST.
+      // null-cosine candidate rows (the fine stage's unmatched LEFT
+      // side) are dropped BEFORE the aggregate — a struct with a null
+      // field is not a null ordering key, so without the filter a
+      // no-centroid row could sort first; dropping it instead makes a
+      // no-candidate vector vanish from the pick frame and take the
+      // ccid fallback through the left join below — DESC NULLS LAST
+      def argmax(cands: DataFrame, idCol: String, outCol: String): DataFrame =
+        cands.filter(col("cos").isNotNull).groupBy(col("vec_id"))
+          .agg(min_by(col(idCol),
+            struct((-col("cos")).as("nc"), col(idCol))).as(outCol))
+      val coarsePick = argmax(
+        n.crossJoin(broadcast(cc))
+          .select(col("vec_id"), col("ccid"),
+            (Vectors.dot(col("v"), col("ccv")) / (col("nrm") * col("ccnrm"))).as("cos")),
+        "ccid", "ccid")
+      val ca = graft.ScopedCache(n.join(coarsePick, Seq("vec_id"))
         .select(col("vec_id"), col("v"), col("nrm"), col("ccid")))
       val fc = ca.filter(col("vec_id") < kc)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"),
           col("ccid").as("fccid"))
-      val wF = Window.partitionBy(col("vec_id"))
-        .orderBy((Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).desc,
-          col("cid"))
-      ca.join(fc, col("ccid") === col("fccid"), "left")
-        .withColumn("rk", row_number().over(wF)).filter(col("rk") === 1)
+      val finePick = argmax(
+        ca.join(fc, col("ccid") === col("fccid"), "left")
+          .select(col("vec_id"), col("cid"),
+            (Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("cos")),
+        "cid", "cid")
+      // a coarse cell with no fine centroid has no pick row — its
+      // vectors keep cid = ccid through the left join, never dropped
+      val assigned = ca.join(finePick, Seq("vec_id"), "left")
         .select(col("vec_id"), col("v"), col("nrm"),
           coalesce(col("cid"), col("ccid")).as("cid"))
+      // cell cap (see [[KnnCellCap]]): counts via a slim groupBy +
+      // equi-join back (cell-count-sized build side), never a window
+      // sort of the vector-carrying rows
+      val csz = assigned.groupBy(col("cid")).agg(count(lit(1)).as("csz"))
+      assigned.join(csz, Seq("cid"))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          when(col("csz") <= KnnCellCap, col("cid"))
+            .otherwise(col("cid") * lit(1048576L) + lit(1L) +
+              col("vec_id") % ceil(col("csz") / lit(KnnCellCap.toDouble)).cast("long"))
+            .as("cid"))
     }
 
   /** The adaptive-cell assignment PERSISTED as a cell-partitioned
@@ -1067,9 +1132,12 @@ object Similarity {
     // the layout bakes in the cell constants — salt them into the
     // staleness signature so changing them rebuilds instead of
     // silently serving a layout cut with the old cell count
+    // cc3 salts the assignment FORMULA version (r15: √-scaled coarse
+    // count + the KnnCellCap sub-sharding) — a layout cut with an
+    // older formula must rebuild, not silently serve
     val srcSig = Lake.sourceSig(fs,
       new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")) +
-      s"|nc=$NCells|tgt=$KnnCellTarget"
+      s"|nc=$NCells|tgt=$KnnCellTarget|cap=$KnnCellCap|cc3"
     Lake.provisionIfStale(fs, path, srcSig) {
       adaptiveCells(s, d).repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid").parquet(path)
@@ -1085,8 +1153,10 @@ object Similarity {
     * vector's coarse cell — mirrors adaptiveCells exactly) through
     * the directed per-src top-KnnK list. Appended after corpusSql. */
   private val knnCtesSql =
-    s"""cnt AS (SELECT GREATEST($NCells, count(*) // $KnnCellTarget) AS kc FROM embeddings),
-       |cc AS (SELECT vec_id AS ccid, v AS ccv, nrm AS ccnrm FROM n WHERE vec_id < $NCells),
+    s"""cnt AS (SELECT GREATEST($NCells, count(*) // $KnnCellTarget) AS kc,
+       |  GREATEST($NCells, CAST(CEIL(SQRT(GREATEST($NCells, count(*) // $KnnCellTarget))) AS BIGINT)) AS ncc
+       |  FROM embeddings),
+       |cc AS (SELECT vec_id AS ccid, v AS ccv, nrm AS ccnrm FROM n, cnt WHERE vec_id < ncc),
        |casg AS (SELECT n.vec_id, n.v, n.nrm, cc.ccid,
        |  ROW_NUMBER() OVER (PARTITION BY n.vec_id
        |    ORDER BY ${Vectors.dotSql("n.v", "cc.ccv")} / (n.nrm * cc.ccnrm) DESC, cc.ccid) AS crk
@@ -1098,7 +1168,13 @@ object Similarity {
        |  ROW_NUMBER() OVER (PARTITION BY a.vec_id
        |    ORDER BY ${Vectors.dotSql("a.v", "f.cv")} / (a.nrm * f.cnrm) DESC NULLS LAST, f.cid) AS rk
        |  FROM ca a LEFT JOIN fc f ON a.ccid = f.ccid),
-       |cl AS (SELECT vec_id, v, nrm, COALESCE(cid, ccid) AS cid FROM asg WHERE rk = 1),
+       |clraw AS (SELECT vec_id, v, nrm, COALESCE(cid, ccid) AS cid FROM asg WHERE rk = 1),
+       |csz AS (SELECT cid, COUNT(*) AS csz FROM clraw GROUP BY cid),
+       |cl AS (SELECT vec_id, v, nrm,
+       |  CASE WHEN csz <= $KnnCellCap THEN c.cid
+       |       ELSE c.cid * 1048576 + 1 +
+       |            (vec_id % CAST(CEIL(csz / CAST($KnnCellCap AS DOUBLE)) AS BIGINT)) END AS cid
+       |  FROM clraw c JOIN csz USING (cid)),
        |sc AS (SELECT a.vec_id AS src, b.vec_id AS dst, a.cid,
        |         ${Vectors.dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
        |       FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
@@ -1120,6 +1196,32 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= KnnK)
     (cl, knn)
+  }
+
+  /** Stage-timing probe for the knn-family build chain (r15
+    * suite-100 run-down): times each family-memoized stage in
+    * dependency order (so each line is THAT stage's marginal cost)
+    * plus a cell-size census — the cell-local pair join downstream
+    * is Σ|cell|²-shaped, so a skewed census explains a slow family
+    * faster than any end-to-end wall. */
+  private[graft] def buildProbe(s: SparkSession, d: String): Unit = {
+    def t[A](name: String)(work: => A): Unit = {
+      val t0 = System.nanoTime()
+      work
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "KNN_BUILD %-12s %8.2fs", name,
+        Double.box((System.nanoTime() - t0) / 1e9)))
+    }
+    t("corpus")(corpus(s, d).count())
+    t("acells")(adaptiveCells(s, d).count())
+    t("layout")(adaptiveCellsLayout(s, d).count())
+    t("knn_dir")(knnDirectedMemo(s, d).count())
+    t("knn_mutual")(knnMutual(s, d).count())
+    adaptiveCellsLayout(s, d).groupBy(col("cid")).count()
+      .agg(count(lit(1)).as("n_cells"), max(col("count")).as("max_cell"),
+        sum(col("count") * col("count")).as("sum_sq"))
+      .collect().foreach(r => System.err.println(
+        s"KNN_BUILD census n_cells=${r.get(0)} max_cell=${r.get(1)} sum_sq=${r.get(2)}"))
   }
 
   /** The DIRECTED per-src top-k frame, family-memoized: every graph
