@@ -236,9 +236,13 @@ object Bench {
       // permanent failure is not a degraded window — the sentinel
       // keeps the window from stamping clean and the timed pass
       // reports the failure itself)
+      // gate each class independently (ADVICE r15): one class throwing
+      // must not disable waiting out the OTHER class's hot window —
+      // a broken I/O canary plus a merely-hot cpu canary should still
+      // wait for the cpu side to cool (the sentinel class stays hot
+      // forever, so it is excluded from the wait condition itself)
       def waitable(r: Double) = r > 1.3 && r != CanaryThrew
-      while ((waitable(io) || waitable(cpu)) &&
-        io != CanaryThrew && cpu != CanaryThrew && waits < 7) {
+      while ((waitable(io) || waitable(cpu)) && waits < 7) {
         System.err.println(String.format(java.util.Locale.ROOT,
           "[canary] %s: lake_ls %.2fx / cpu %.2fx floor — degraded window, waiting 20s",
           stage, Double.box(io), Double.box(cpu)))

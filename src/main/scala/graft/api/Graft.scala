@@ -12,6 +12,22 @@ import org.apache.spark.sql.functions._
   */
 object Graft {
 
+  /** Driver-regime admission bound, in rows (ADVICE r15). The
+    * driver-regime hybrids (dupClusters, bfsHops, the k-core peel,
+    * the MST hook/jump) collect a bounded frame and iterate in
+    * memory; `defaultRows` (2M) is the scheduler-latency crossover
+    * point, but the MATERIALIZED cost per row is far above the
+    * 16-byte payload — collect() builds boxed Rows and the walks
+    * build HashMap/ArrayList structures, realistically 200–400 B per
+    * row. Admit at most 1/8 of the driver heap at the caller's
+    * `perRowBytes` estimate, so a modest driver sitting just under
+    * the row bound cannot OOM; at the 128 GiB local operating point
+    * (and any production driver ≥ ~8 GiB) the bound stays the 2M
+    * crossover, and above it the distributed path is taken — output
+    * is identical in either regime. */
+  private[graft] def driverRegimeBound(defaultRows: Long, perRowBytes: Long): Long =
+    math.min(defaultRows, Runtime.getRuntime.maxMemory() / 8L / perRowBytes)
+
   /** Text analysis primitives (column combinators — compose freely). */
   object text {
     def tokens(c: Column): Column = split(c, " ", -1)
@@ -339,7 +355,7 @@ object Graft {
       * Returns (node, lbl) where lbl = min doc id in the component. */
     def dupClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
                     maxIter: Int = 25,
-                    localThreshold: Long = 2000000L): DataFrame = {
+                    localThreshold: Long = driverRegimeBound(2000000L, 200L)): DataFrame = {
       // Ids must be integral: labels are the numeric min over the
       // component and convergence is detected by the label sum. A
       // non-integral id would silently null out (non-ANSI) or crash
@@ -590,9 +606,14 @@ object Graft {
 
   /** Similarity search over any (id, Array[Double-castable]) frame. */
   object ann {
+    // Zero-norm vectors are excluded: a vector with no direction has
+    // no cosine against anything (every cosine is NaN, and NaN
+    // ordering diverges between engines), so the ann API drops it at
+    // the normalization gate — mirrors the Similarity corpus CTE.
     private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
       df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
         .withColumn("nrm", Vectors.norm(col("v")))
+        .filter(col("nrm") > 0)
 
     /** Exact cosine top-k of each query against the corpus. The query
       * set is broadcast; the corpus is scanned once. */
@@ -838,11 +859,32 @@ object Graft {
     // table, permission changes are columnar transforms, never a
     // per-entry RPC loop).
 
-    /** chown: reassign ownership where `cond` holds. */
-    def chown(ns: DataFrame, cond: Column, newOwner: String): DataFrame =
-      ns.withColumn("owner", when(cond, lit(newOwner)).otherwise(col("owner")))
+    /** chown — the reference's setOwner verb (reference
+      * protocol/ClientProtocol.java:247 setOwner(src, username,
+      * groupname)): reassign ownership where `cond` holds. Like the
+      * reference, either field may be left unchanged — pass null
+      * (the reference's "parameter may be null if it is not
+      * modified") to keep the current owner or group. The mutation
+      * is a columnar manifest transform; its effect is visible to
+      * the NEXT [[checkAccess]]/[[enforceRead]] over the returned
+      * manifest (TestDFSPermission.java:114 testPermissionSetting's
+      * set-then-recheck sweep). */
+    def chown(ns: DataFrame, cond: Column, newOwner: String,
+              newGroup: String = null): DataFrame = {
+      val o = if (newOwner == null) col("owner")
+              else when(cond, lit(newOwner)).otherwise(col("owner"))
+      val g = if (newGroup == null) col("grp")
+              else when(cond, lit(newGroup)).otherwise(col("grp"))
+      ns.withColumn("owner", o).withColumn("grp", g)
+    }
 
-    /** chmod: set the permission mode where `cond` holds. */
+    /** chmod — the reference's setPermission verb (reference
+      * protocol/ClientProtocol.java:230 setPermission(src,
+      * permission)): set the permission mode where `cond` holds.
+      * A revoke (clearing a class's bit) takes effect on the next
+      * check over the returned manifest — permissions are read at
+      * check time, never cached across mutations
+      * (TestDFSPermission.java:114 testPermissionSetting). */
     def chmod(ns: DataFrame, cond: Column, newMode: Int): DataFrame =
       ns.withColumn("mode", when(cond, lit(newMode)).otherwise(col("mode")))
 
@@ -1158,7 +1200,7 @@ object Graft {
       * session.) */
     def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int = 12,
                 maxClosureEdges: Long = 4000000L,
-                driverEdgeBound: Long = 2000000L): DataFrame = {
+                driverEdgeBound: Long = driverRegimeBound(2000000L, 320L)): DataFrame = {
       val s0 = seeds.select(col("node")).distinct()
         .select(col("node"), lit(0L).as("hop"))
       if (maxHops <= 0) s0

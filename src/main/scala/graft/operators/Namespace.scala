@@ -282,28 +282,41 @@ object Namespace {
     s1.union(s2).union(s3).union(s4).orderBy(col("stage"))
   }
 
-  /** READ-PATH permission enforcement (reference
-    * server/namenode/FSPermissionChecker.java:1): the same ACL
-    * manifest lake_acl_audit maintains, now actually REFUSING reads —
-    * documents are routed through api.Graft.lake.enforceRead as
-    * principal `ingest` (groups: `ops`), which semi-joins the corpus
-    * against the manifest entries whose applicable access class
-    * (owner / group / other, short-circuit order) grants read. The
-    * world-readable 644 entries and ingest-owned dirs survive;
-    * web-team's 640 dirs return nothing. The checksum proves the
-    * surviving rows are exactly the permitted content. */
+  /** FULL-WALK permission enforcement (reference
+    * server/namenode/FSPermissionChecker.java:105 checkPermission;
+    * test sweep TestDFSPermission.java:477 — every verb's verifier
+    * carries opAncestorPermission = SEARCH_MASK): the namespace is
+    * HIERARCHICAL (/data → /data/<source> → /data/<source>/docs),
+    * mutated with the reference's verbs (ClientProtocol.java:247
+    * setOwner hands the src1* dirs to web-team; :230 setPermission
+    * drops their other-x bit to 740 and revokes src3's terminal read
+    * to 600), then every read request is routed through
+    * api.Graft.lake.checkAccess as principal `ingest` (groups:
+    * `ops`) — EXECUTE demanded on every ancestor component, read on
+    * the terminal. The decisive case is src1: its terminal `docs`
+    * entry is world-readable 604, but its DIRECTORY lost x for the
+    * other class, so the walk refuses at the ancestor — the flat
+    * per-entry class check (the r13 ceremony) would have admitted
+    * it. src3 is the converse: ancestors grant x, the terminal's
+    * 600 refuses at the read bit. The checksum proves the surviving
+    * rows are exactly the permitted content. */
   val lakeAclEnforce: GraftQuery = GraftQuery.sql(
     "lake_acl_enforce",
     s"""WITH ns AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
        |acl AS (SELECT source,
-       |  CASE WHEN source LIKE 'src1%' THEN 'web-team' ELSE 'ingest' END AS owner,
-       |  'data' AS grp,
-       |  CASE WHEN length(source) = 4 THEN 644 ELSE 640 END AS mode
+       |  CASE WHEN source LIKE 'src1%' THEN 'web-team' ELSE 'ingest' END AS dir_owner,
+       |  CASE WHEN source LIKE 'src1%' THEN 740 ELSE 750 END AS dir_mode,
+       |  CASE WHEN source = 'src3' THEN 600 ELSE 604 END AS file_mode
        |  FROM ns),
-       |allowed AS (SELECT source FROM acl WHERE
-       |  CASE WHEN owner = 'ingest' THEN (mode // 100) % 10 >= 4
-       |       WHEN grp IN ('ops') THEN (mode // 10) % 10 >= 4
-       |       ELSE mode % 10 >= 4 END),
+       |cls AS (SELECT source,
+       |  CASE WHEN dir_owner = 'ingest' THEN (dir_mode // 100) % 10
+       |       ELSE dir_mode % 10 END AS dir_digit,
+       |  file_mode % 10 AS file_digit
+       |  FROM acl),
+       |allowed AS (SELECT source FROM cls WHERE
+       |  ((755 // 100) % 10) % 2 = 1
+       |  AND dir_digit % 2 = 1
+       |  AND (file_digit // 4) % 2 = 1),
        |fp AS (SELECT d.source, ${GraftHash.charHashSql("d.text")} AS fp
        |       FROM documents d JOIN allowed a ON d.source = a.source)
        |SELECT source, COUNT(*) AS n_docs,
@@ -312,12 +325,28 @@ object Namespace {
   ) { (s, d) =>
     import graft.api.Graft
     val docs = Tables.documents(s, d)
-    val manifest = docs.select(col("source")).distinct()
-      .select(col("source"), lit("ingest").as("owner"), lit("data").as("grp"),
-        lit(640).as("mode"))
-    val owned = Graft.lake.chown(manifest, col("source").startsWith("src1"), "web-team")
-    val moded = Graft.lake.chmod(owned, length(col("source")) === 4, 644)
-    Graft.lake.enforceRead(docs, moded, "source", "ingest", Seq("ops"))
+    val srcs = docs.select(col("source")).distinct()
+    // hierarchical namespace manifest: root, per-source dir, terminal
+    val root = s.range(1).select(lit("/data").as("entry"),
+      lit("ingest").as("owner"), lit("data").as("grp"), lit(755).as("mode"))
+    val dirs0 = srcs.select(concat(lit("/data/"), col("source")).as("entry"),
+      lit("ingest").as("owner"), lit("data").as("grp"), lit(750).as("mode"))
+    val files0 = srcs.select(
+      concat(lit("/data/"), col("source"), lit("/docs")).as("entry"),
+      lit("web-team").as("owner"), lit("data").as("grp"), lit(604).as("mode"))
+    // the mutation verbs, then the walk — the revoke is visible to
+    // the NEXT check (testPermissionSetting's set-then-recheck)
+    val dirs = Graft.lake.chmod(
+      Graft.lake.chown(dirs0, col("entry").startsWith("/data/src1"), "web-team"),
+      col("entry").startsWith("/data/src1"), 740)
+    val files = Graft.lake.chmod(files0, col("entry") === "/data/src3/docs", 600)
+    val manifest = root.unionByName(dirs).unionByName(files)
+    val requests = srcs.select(col("source").as("req_id"),
+      concat(lit("/data/"), col("source"), lit("/docs")).as("path"),
+      lit("r").as("need"))
+    val allowed = Graft.lake.checkAccess(manifest, "entry", requests, "ingest", Seq("ops"))
+      .filter(col("allowed")).select(col("req_id").as("a_src"))
+    docs.join(broadcast(allowed), col("source") === col("a_src"), "left_semi")
       .select(col("source"), GraftHash.charHash(col("text")).as("fp"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), (sum(col("fp")) % GraftHash.P).as("checksum"))

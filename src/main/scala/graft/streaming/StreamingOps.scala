@@ -498,9 +498,22 @@ object StreamingOps {
       text.split(' ') match {
         case Array(h, upd, soft, hard) =>
           Some(LeaseRecord(h, upd.toLong, soft.toLong, hard.toLong))
-        case _ => None
+        // Legacy pre-two-tier form `holder expiry` (expiry = absolute
+        // soft deadline): map it so softDeadline == expiry and the hard
+        // limit derives at the reference's 60x ratio — a LIVE legacy
+        // lease must still fend off acquirers, never read as absent.
+        case Array(h, expiry) if expiry.toLongOption.isDefined =>
+          Some(LeaseRecord(h, expiry.toLong - LeaseSoftLimitMs,
+            LeaseSoftLimitMs, leaseHardLimit(LeaseSoftLimitMs)))
+        // An existing-but-unparseable lease file is a held/error state,
+        // not an absent lease: fencing over it would let two writers
+        // interleave on the state dir the garbled lease still guards.
+        case _ => throw new java.io.IOException(
+          s"unparseable lease file $p: '${text.take(80)}'")
       }
-    } catch { case _: java.io.IOException => None } // raced with a GC delete
+    } catch {
+      case _: java.io.FileNotFoundException => None // raced with a GC delete
+    }
 
   /** The current (highest-epoch) lease on a state dir, if any. */
   private def currentLease(fs: org.apache.hadoop.fs.FileSystem,

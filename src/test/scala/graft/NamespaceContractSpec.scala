@@ -300,4 +300,58 @@ class NamespaceContractSpec extends SparkSpec {
       .collect().head.getBoolean(1)
     assert(!g, "absent path component must refuse")
   }
+
+  test("setPermission/setOwner mutation verbs (reference TestDFSPermission" +
+    ".testPermissionSetting): a revoke takes effect on the NEXT check; " +
+    "an ownership change switches the applicable class") {
+    // The reference sweeps create-then-setPermission-then-recheck
+    // (TestDFSPermission.java:114/:129): permissions are read at
+    // check time, never cached across mutations — the engine's chmod
+    // (ClientProtocol.java:230 setPermission) and chown (:247
+    // setOwner) are columnar manifest transforms whose output feeds
+    // the next checkAccess.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.api.Graft
+    val ns0 = Seq(
+      ("/w", "alice", "grp1", 755),
+      ("/w/d", "alice", "grp1", 750),
+      ("/w/d/f", "alice", "grp1", 644)).toDF("entry", "owner", "grp", "mode")
+    val req = Seq(("r1", "/w/d/f", "r")).toDF("req_id", "path", "need")
+    def check(m: org.apache.spark.sql.DataFrame, user: String,
+              groups: Seq[String]): Boolean =
+      Graft.lake.checkAccess(m, "entry", req, user, groups)
+        .collect().head.getBoolean(1)
+    // baseline: owner reads through her own 750 dir and 644 file
+    assert(check(ns0, "alice", Seq.empty))
+    // setPermission revoke on the TERMINAL: 644 -> 200 (owner
+    // write-only) — the very next check refuses the read
+    val fileRevoked = Graft.lake.chmod(ns0, col("entry") === "/w/d/f", 200)
+    assert(!check(fileRevoked, "alice", Seq.empty),
+      "terminal read revoke must refuse on the next check")
+    // setPermission revoke on the ANCESTOR dir: 750 -> 600 (owner
+    // rw, no x) — the walk refuses at traversal even though the
+    // terminal still grants r to its owner
+    val dirRevoked = Graft.lake.chmod(ns0, col("entry") === "/w/d", 600)
+    assert(!check(dirRevoked, "alice", Seq.empty),
+      "ancestor execute revoke must refuse the walk")
+    // setOwner hands the subtree to bob: alice now falls to the
+    // GROUP class (in grp1) on the 750 dir (r-x: ok) and the 644
+    // file (r: ok) — still allowed via the class switch...
+    val handed = Graft.lake.chown(ns0,
+      col("entry").startsWith("/w/d"), "bob")
+    assert(check(handed, "alice", Seq("grp1")))
+    // ...but outside the group she is the OTHER class: the dir's
+    // other digit 0 refuses — same manifest, different principal
+    assert(!check(handed, "alice", Seq.empty),
+      "ownership change must switch the applicable class")
+    // setOwner's group arm (the reference passes username AND
+    // groupname, either nullable): regroup to grp2 — alice in grp1
+    // loses the group class on the dir and falls to other (0)
+    val regrouped = Graft.lake.chown(handed,
+      col("entry").startsWith("/w/d"), null, "grp2")
+    assert(!check(regrouped, "alice", Seq("grp1")),
+      "group reassignment must strip the old group's class")
+    assert(check(regrouped, "alice", Seq("grp2")))
+  }
 }

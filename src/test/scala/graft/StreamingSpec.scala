@@ -444,6 +444,40 @@ class StreamingSpec extends SparkSpec {
     StreamingOps.releaseLease(fs, stateDir, "writer-B")
   }
 
+  test("lease file compatibility: a live legacy-format lease fences acquirers; " +
+    "a garbled lease file is an error, never an absent lease (ADVICE r15)") {
+    import graft.streaming.StreamingOps.LeaseHeldException
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val stateDir = graft.operators.Lake.scratch("legacy_lease")
+    val parent = new org.apache.hadoop.fs.Path(stateDir).getParent
+    if (fs.exists(parent))
+      fs.listStatus(parent).filter(_.getPath.getName.startsWith("legacy_lease.lease.e"))
+        .foreach(st => fs.delete(st.getPath, false))
+    def writeRaw(epoch: Int, text: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(stateDir + s".lease.e$epoch")
+      val out = fs.create(p, true)
+      try out.write(text.getBytes("UTF-8")) finally out.close()
+    }
+    // pre-two-tier `holder expiry` form, expiry one hour out: a LIVE
+    // legacy lease must refuse a new acquirer, not be silently fenced
+    writeRaw(0, s"old-writer ${System.currentTimeMillis() + 3600000L}")
+    val refused = intercept[LeaseHeldException] {
+      StreamingOps.acquireLease(fs, stateDir, "new-writer", ttlMs = 1000L)
+    }
+    assert(refused.holder == "old-writer")
+    // an EXPIRED legacy lease is fenced and taken over like any other
+    writeRaw(1, s"old-writer ${System.currentTimeMillis() - 1000L}")
+    StreamingOps.acquireLease(fs, stateDir, "new-writer", ttlMs = 600000L)
+    StreamingOps.releaseLease(fs, stateDir, "new-writer")
+    // a garbled lease file guards state we can't reason about:
+    // acquiring over it must throw, not fence
+    writeRaw(7, "not a lease at all")
+    intercept[java.io.IOException] {
+      StreamingOps.acquireLease(fs, stateDir, "new-writer", ttlMs = 1000L)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stateDir + ".lease.e7"), false)
+  }
+
   test("streaming near-dup dedup flags exactly the batch pipeline's dup set") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
