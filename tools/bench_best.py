@@ -82,6 +82,12 @@ STALE_FLOORS = {
                  "on 30-bit three-piece keys (candidate count certified "
                  "p=1.04, SCALE_r15_simhash.json) - 5x the explode rows "
                  "per doc, ~2^16 fewer random collisions",
+    "lake_acl_enforce": "r16 rework: old floor measured the flat "
+                        "per-entry class check; current ceremony is "
+                        "the full FSPermissionChecker walk (three-"
+                        "level manifest built with setOwner/"
+                        "setPermission, checkAccess ancestor-execute "
+                        "traversal per request)",
 }
 
 
