@@ -586,11 +586,22 @@ object Multimodal {
 
   /** Perceptual-hash geometry: 60 mean-compared blocks (bits 0-59 —
     * bit 63 would flip the BIGINT sign and complicate band math),
-    * 4 bands x 15 bits for the LSH bucketing, hamming <= 6 (10% of
-    * the bits) to confirm a near-dup. */
+    * Manku table blocking for the candidate stage (r16: the 4x15-bit
+    * single-band form birthday-collided at N²/2^15 per band — the
+    * whole-registry 100× suite measured 335 s / 821× on an op whose
+    * verified output is linear; the same defect d_simhash carried
+    * until r15): 6 pieces × 10 bits, one table per C(6,3)=20
+    * three-piece subset, 30-bit concatenated keys — recall identical
+    * by pigeonhole (≤3 flips damage ≤3 pieces, every 3-subset is a
+    * table; the old 4-band form guaranteed exactly the same ≤3),
+    * random collisions fall ~2^15-fold. hamming <= 6 (10% of the
+    * bits) still CONFIRMS a near-dup — candidates past hamming 3 are
+    * best-effort in both forms, and the output's candidate-vs-
+    * confirmed volume is the banding-quality audit. */
   val PhashBlocks = 60
-  val PhashBands = 4
-  val PhashBandBits = 15
+  val PhashPieces = 6
+  val PhashPieceBits = 10
+  val PhashBlockHamming = 3
   val PhashMaxHamming = 6L
 
   /** Per-asset perceptual hash (the block-mean aHash every image
@@ -625,10 +636,13 @@ object Multimodal {
     * by embeddings; image corpora dedup on a perceptual hash — the
     * block-mean aHash here, same family as pHash/dHash): per asset a
     * 60-bit hash from exact integer block-mean comparisons, then
-    * classic LSH banding — 4 bands x 15 bits, candidates = pairs
-    * sharing ANY band (an equi-join on the band value, NEVER
-    * all-pairs: at 100 TB each band key fans into its own bucket and
-    * the join co-locates, the d_minhash_lsh discipline) — and
+    * Manku table blocking (WWW'07 §3, the d_simhash scheme) — 6
+    * pieces × 10 bits, C(6,3)=20 tables on 30-bit three-piece keys,
+    * candidates = pairs sharing ANY table key (an equi-join on the
+    * key, NEVER all-pairs: at 100 TB each key fans into its own
+    * bucket and the join co-locates, the d_minhash_lsh discipline;
+    * recall for hamming ≤3 exact by pigeonhole, same as the retired
+    * 4×15 banding whose 15-bit keys birthday-collided N²/2^15) — and
     * verification by hamming distance bit_count(xor) on candidates
     * only — every banded candidate is REPORTED with its distance and
     * a confirmed flag (hamming ≤ 6), so the output doubles as the
@@ -643,6 +657,14 @@ object Multimodal {
   val mPhashDedup: GraftQuery = GraftQuery.sql(
     "m_phash_dedup", {
       val nb = PhashBlocks
+      val mask = (1L << PhashPieceBits) - 1
+      val chunkUnion = graft.api.Graft.dedup
+        .simhashCombos(PhashPieces, PhashBlockHamming)
+        .zipWithIndex.map { case (combo, k) =>
+          val key = combo.map(p => s"((ph >> ${p * PhashPieceBits}) & $mask)")
+            .reduceLeft((acc, piece) => s"($acc * ${1L << PhashPieceBits} + $piece)")
+          s"SELECT doc_id, ph, $k AS bi, $key AS bv FROM h"
+        }.mkString("\nUNION ALL\n")
       s"""WITH c AS (SELECT doc_id, length(text) AS L,
          |    list_transform(range(1, length(text) + 1), i -> ascii(text[i])) AS cod
          |  FROM documents),
@@ -652,9 +674,7 @@ object Multimodal {
          |           > total * (((b + 1) * L) // $nb - (b * L) // $nb)
          |         THEN CAST(1 AS BIGINT) << b ELSE 0 END)), 0) AS BIGINT) AS ph
          |  FROM t),
-         |bands AS (SELECT doc_id, ph, bi,
-         |    (ph >> (bi * $PhashBandBits)) & ${(1 << PhashBandBits) - 1} AS bv
-         |  FROM h, unnest(range(0, $PhashBands)) AS u(bi)),
+         |bands AS ($chunkUnion),
          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bands x JOIN bands y ON x.bi = y.bi AND x.bv = y.bv
          |  WHERE x.doc_id < y.doc_id)
@@ -673,10 +693,15 @@ object Multimodal {
       .as[MediaAsset]
       .mapPartitions(_.map(phashStub))   // batch-local decode, no shuffle
       .toDF("doc_id", "ph"))
-    val bands = h.select(col("doc_id"), col("ph"),
-        explode(expr(s"sequence(0, ${PhashBands - 1})")).as("bi"))
-      .withColumn("bv",
-        expr(s"shiftright(ph, bi * $PhashBandBits)") bitwiseAND lit((1 << PhashBandBits) - 1))
+    val mask = (1L << PhashPieceBits) - 1
+    val combos = graft.api.Graft.dedup.simhashCombos(PhashPieces, PhashBlockHamming)
+    val bands = h.select(col("doc_id"),
+      posexplode(array(combos.map { combo =>
+        combo.foldLeft(lit(0L)) { (acc, p) =>
+          shiftleft(acc, PhashPieceBits) +
+            shiftright(col("ph"), p * PhashPieceBits).bitwiseAND(lit(mask))
+        }
+      }: _*)).as(Seq("bi", "bv")))
     val cand = bands.select(col("bi"), col("bv"), col("doc_id").as("a"))
       .join(bands.select(col("bi"), col("bv"), col("doc_id").as("b")), Seq("bi", "bv"))
       .filter(col("a") < col("b"))

@@ -107,51 +107,101 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  // LSH: 6 deterministic hyperplanes -> 64 buckets.
+  // LSH: 6 deterministic hyperplanes -> 64 buckets (the fixed
+  // geometry every QUERY-BOUNDED op uses: their joins broadcast a
+  // QueryCount-sized side, so candidate volume is linear at any
+  // bucket count). The corpus×corpus blocking in d_embed_neardup
+  // instead SCALES its plane count with the corpus — see MaxPlanes.
   val NPlanes = 6
-  private val planes = Vectors.hyperplanes(NPlanes, 64)
+
+  /** Plane-count ceiling for the adaptive blocking: planes 6..23
+    * switch on as the corpus crosses 64·2^j rows (a pure integer
+    * threshold ladder — exact and identical in both engines, unlike
+    * a log2+ceil whose libm rounding could straddle a boundary), so
+    * mean bucket occupancy stays ~64 and the bucket equi-join's
+    * candidate volume stays ~linear out to 2^24 buckets (~10^9
+    * vectors). The LCG hyperplane stream is sequential, so the first
+    * NPlanes planes — and every fixed-geometry op's buckets — are
+    * bit-identical to the pre-ladder form. */
+  val MaxPlanes = 24
+  private val planes = Vectors.hyperplanes(MaxPlanes, 64)
 
   private def planeLit(p: Seq[Double]): Column = array(p.map(lit(_)): _*)
   private def planeSql(p: Seq[Double]): String = p.mkString("[", ", ", "]")
 
-  /** Sign-random-projection bucket id of a vector column. */
-  def lshBucket(v: Column): Column =
-    planes.zipWithIndex.map { case (p, j) =>
+  private def lshThresholds: Seq[Long] =
+    (NPlanes until MaxPlanes).map(j => 64L * (1L << j))
+
+  /** Planes in play for a corpus of `cnt` vectors. */
+  private[graft] def lshPlaneCount(cnt: Long): Int =
+    NPlanes + lshThresholds.count(cnt > _)
+
+  /** Sign-random-projection bucket id over the first `np` planes. */
+  def lshBucketN(v: Column, np: Int): Column =
+    planes.take(np).zipWithIndex.map { case (p, j) =>
       when(Vectors.dot(v, planeLit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Sign-random-projection bucket id of a vector column (the fixed
+    * NPlanes geometry). */
+  def lshBucket(v: Column): Column = lshBucketN(v, NPlanes)
+
   def lshBucketSql(v: String): String =
-    planes.zipWithIndex.map { case (p, j) =>
+    planes.take(NPlanes).zipWithIndex.map { case (p, j) =>
       s"CASE WHEN ${Vectors.dotSql(v, planeSql(p))} > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** The adaptive-bucket SQL twin: every plane term gated on `np`
+    * (the cnt-CTE plane count), so the static oracle string computes
+    * exactly the engine's first-np-planes bucket. */
+  private def lshBucketSqlN(v: String): String =
+    planes.zipWithIndex.map { case (p, j) =>
+      s"CASE WHEN $j < np AND ${Vectors.dotSql(v, planeSql(p))} > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
   /** Embedding near-dup detection: closest pairs among LSH candidates.
     * Candidates come from a sign-random-projection bucket equi-join
     * with hamming<=1 neighbor-bucket probes (each vector probes its
-    * own bucket plus the 6 single-bit flips, so any pair whose 6-bit
-    * signatures differ in at most one plane is recalled) — never an
-    * all-pairs product. A pair matches exactly one probe row (the
+    * own bucket plus the single-bit flips, so any pair whose
+    * signatures differ in at most one live plane is recalled) — never
+    * an all-pairs product. A pair matches exactly one probe row (the
     * identity probe at hamming 0, the single flipped probe at hamming
-    * 1), so no dedup pass is needed. At 100 TB the corpus would be
-    * written bucket-partitioned and each probe touches 7 partitions.
-    * The oracle mirrors the same blocking, as the MinHash/SimHash
-    * family entries do. */
+    * 1), so no dedup pass is needed. The plane count SCALES with the
+    * corpus via [[lshPlaneCount]]'s integer threshold ladder (r16:
+    * the fixed 64-bucket form was quadratic by construction — the
+    * whole-registry 100× suite measured 336 s / 390× on 200k vectors;
+    * ~64-vector mean occupancy keeps the candidate volume linear,
+    * and both gated SFs sit under the first threshold so their plane
+    * count — and every oracle hash — is unchanged). The oracle
+    * mirrors with a cnt CTE: every plane term and probe flip is
+    * gated on the SAME count-derived np, so the static SQL computes
+    * exactly the engine's first-np-planes blocking. At 100 TB the
+    * corpus would be written bucket-partitioned and each probe
+    * touches np+1 partitions. */
   val dEmbedNeardup: GraftQuery = GraftQuery.sql(
     "d_embed_neardup", {
-      val probeList = ("bucket" +: (0 until NPlanes).map(j => s"xor(bucket, ${1L << j})"))
-        .mkString("[", ", ", "]")
+      val ladder = (NPlanes until MaxPlanes)
+        .map(j => s"(CASE WHEN count(*) > ${64L * (1L << j)} THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val flips = (0 until MaxPlanes)
+        .map(j => s"CASE WHEN $j < np THEN xor(bucket, ${1L << j}) END")
+        .mkString(", ")
       s"""WITH $corpusSql,
-         |bk AS (SELECT vec_id, v, nrm, ${lshBucketSql("v")} AS bucket FROM n),
-         |pr AS (SELECT vec_id, v, nrm, unnest($probeList) AS pb FROM bk)
+         |cnt AS (SELECT $NPlanes + $ladder AS np FROM embeddings),
+         |bk AS (SELECT vec_id, v, nrm, ${lshBucketSqlN("v")} AS bucket FROM n, cnt),
+         |pr AS (SELECT vec_id, v, nrm, pb
+         |       FROM bk, cnt, unnest([CAST(bucket AS BIGINT), $flips]) AS u(pb)
+         |       WHERE pb IS NOT NULL)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  ${Vectors.dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
          |FROM pr a JOIN bk b ON a.pb = b.bucket AND a.vec_id < b.vec_id
          |ORDER BY cosine DESC, vec_a, vec_b LIMIT 20""".stripMargin
     }
   ) { (s, d) =>
-    val bk = corpus(s, d).withColumn("bucket", lshBucket(col("v")))
+    val np = lshPlaneCount(Tables.embeddings(s, d).count())
+    val bk = corpus(s, d).withColumn("bucket", lshBucketN(col("v"), np))
     val probes = bk.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"),
-      explode(array(col("bucket") +: (0 until NPlanes).map(j =>
+      explode(array(col("bucket") +: (0 until np).map(j =>
         col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("pb"))
     val right = bk.select(col("vec_id").as("vec_b"), col("v").as("vb"),
       col("nrm").as("nb"), col("bucket").as("bb"))

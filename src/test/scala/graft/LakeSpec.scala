@@ -279,9 +279,16 @@ class LakeSpec extends SparkSpec {
         }
         r.getAs[Long]("doc_id") -> h
       }.toMap
+    // the Manku table keys (6 pieces x 10 bits, C(6,3) three-piece
+    // concatenations) recomputed independently of the engine
     def bands(h: Long): Seq[Long] =
-      (0 until Multimodal.PhashBands).map(k =>
-        (h >> (k * Multimodal.PhashBandBits)) & ((1L << Multimodal.PhashBandBits) - 1))
+      graft.api.Graft.dedup
+        .simhashCombos(Multimodal.PhashPieces, Multimodal.PhashBlockHamming)
+        .map(_.foldLeft(0L) { (acc, p) =>
+          (acc << Multimodal.PhashPieceBits) +
+            ((h >> (p * Multimodal.PhashPieceBits)) &
+              ((1L << Multimodal.PhashPieceBits) - 1))
+        })
     val ids = hashes.keys.toSeq.sorted
     val expect = (for {
       i <- ids.indices; j <- (i + 1) until ids.length
