@@ -871,11 +871,15 @@ object Graft {
       * set-then-recheck sweep). */
     def chown(ns: DataFrame, cond: Column, newOwner: String,
               newGroup: String = null): DataFrame = {
-      val o = if (newOwner == null) col("owner")
-              else when(cond, lit(newOwner)).otherwise(col("owner"))
-      val g = if (newGroup == null) col("grp")
-              else when(cond, lit(newGroup)).otherwise(col("grp"))
-      ns.withColumn("owner", o).withColumn("grp", g)
+      // Touch only the columns actually modified: an owner-only
+      // manifest (no grp column) must keep working with an
+      // owner-only chown — referencing col("grp") when newGroup is
+      // null would fail resolution on it (ADVICE r16).
+      val withOwner =
+        if (newOwner == null) ns
+        else ns.withColumn("owner", when(cond, lit(newOwner)).otherwise(col("owner")))
+      if (newGroup == null) withOwner
+      else withOwner.withColumn("grp", when(cond, lit(newGroup)).otherwise(col("grp")))
     }
 
     /** chmod — the reference's setPermission verb (reference

@@ -311,8 +311,17 @@ object Layout {
   ) { (s, d) =>
     val dir = ensureCowLayout(s, d)
     val (files, _) = cowDeleteVersion(s, dir, s"${dir}_v1", 0L, 149L)
-    s.read.parquet(files: _*)
-      .groupBy(col("l_returnflag"))
+    // A delete can legitimately empty the table (every v0 file touched
+    // and every row in range): zero paths to read is then a valid v1
+    // state — an empty frame over the source schema, not a reader
+    // crash (ADVICE r16; unreachable with the pinned [0,149] range but
+    // latent for other callers of cowDeleteVersion).
+    val v1 =
+      if (files.isEmpty)
+        s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          Tables.lineitem(s, d).schema)
+      else s.read.parquet(files: _*)
+    v1.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), sumM(col("l_quantity")).as("total_qty"))
       .orderBy(col("l_returnflag"))
   }

@@ -2233,7 +2233,9 @@ object Similarity {
     * path — the dupClusters/MST regime discipline. Heap-derived
     * (ADVICE r15): boxed Rows + tuple peel state + the degree
     * HashMap cost ~300 B/edge, not the 16-byte payload. */
-  val KcoreDriverBound: Long = graft.api.Graft.driverRegimeBound(2000000L, 300L)
+  def KcoreDriverBound: Long =
+    sys.props.get("graft.regime.kcoreBound").flatMap(_.toLongOption)
+      .getOrElse(graft.api.Graft.driverRegimeBound(2000000L, 300L))
 
   /** 2-CORE of the mutual k-NN graph via BOUNDED synchronous peeling
     * (Matula–Beck degeneracy peel, the k=2 slice): iteratively delete
@@ -2504,7 +2506,9 @@ object Similarity {
     * pointer-jump chain is the scale path. Heap-derived (ADVICE
     * r15): boxed Rows + the chMap entries + the changed-pairs seq
     * cost ~200 B/row materialized, not the 16-byte payload. */
-  val MstDriverBound: Long = graft.api.Graft.driverRegimeBound(2000000L, 200L)
+  def MstDriverBound: Long =
+    sys.props.get("graft.regime.mstBound").flatMap(_.toLongOption)
+      .getOrElse(graft.api.Graft.driverRegimeBound(2000000L, 200L))
 
   /** MINIMUM SPANNING FOREST of the mutual k-NN graph — bounded
     * synchronous Borůvka over integer edge weights, the

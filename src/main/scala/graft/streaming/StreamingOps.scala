@@ -496,7 +496,12 @@ object StreamingOps {
         try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
         finally in.close()
       text.split(' ') match {
-        case Array(h, upd, soft, hard) =>
+        // Numeric guards on BOTH arms: a garbled 4-token file (e.g.
+        // `not a lease file`) must fall through to the fail-closed
+        // IOException below, never escape as NumberFormatException.
+        case Array(h, upd, soft, hard)
+            if upd.toLongOption.isDefined && soft.toLongOption.isDefined &&
+               hard.toLongOption.isDefined =>
           Some(LeaseRecord(h, upd.toLong, soft.toLong, hard.toLong))
         // Legacy pre-two-tier form `holder expiry` (expiry = absolute
         // soft deadline): map it so softDeadline == expiry and the hard

@@ -1152,6 +1152,31 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kcore/mst regime parity: explicitly pinned driver and distributed paths answer identically") {
+    // ADVICE r16: the heap-derived default bound silently varies with
+    // JVM heap flags, so a spec that MEANS to exercise a regime must
+    // pin it. The sys-prop hooks force each path regardless of heap;
+    // output must be regime-invariant by contract.
+    def pinned(prop: String, v: Long)(body: => Array[org.apache.spark.sql.Row]) = {
+      sys.props(prop) = v.toString
+      try body finally sys.props.remove(prop)
+    }
+    def canon(rows: Array[org.apache.spark.sql.Row]): Seq[Seq[Any]] =
+      rows.map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    val kDriver = pinned("graft.regime.kcoreBound", Long.MaxValue) {
+      Similarity.gKnnKcore.fn(spark, sfDir).collect() }
+    val kDist = pinned("graft.regime.kcoreBound", 0L) {
+      Similarity.gKnnKcore.fn(spark, sfDir).collect() }
+    assert(kDriver.nonEmpty && canon(kDriver) == canon(kDist),
+      "kcore driver/distributed regime divergence")
+    val mDriver = pinned("graft.regime.mstBound", Long.MaxValue) {
+      Similarity.gKnnMst.fn(spark, sfDir).collect() }
+    val mDist = pinned("graft.regime.mstBound", 0L) {
+      Similarity.gKnnMst.fn(spark, sfDir).collect() }
+    assert(mDriver.nonEmpty && canon(mDriver) == canon(mDist),
+      "mst driver/distributed regime divergence")
+  }
+
   test("reciprocity: per-cell census reconciles with the symmetric edge frame") {
     val rows = Similarity.gKnnReciprocity.fn(spark, sfDir).collect()
     assert(rows.nonEmpty)

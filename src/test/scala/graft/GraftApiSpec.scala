@@ -160,6 +160,17 @@ class GraftApiSpec extends SparkSpec {
           col("path") === "b", 644))
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(3), r.getBoolean(4))).toSet
     assert(out == Set(("a", "web", 640, false), ("b", "ingest", 644, true)))
+    // owner-only chown over an owner-only manifest (no grp column):
+    // must not reference the absent grp column (ADVICE r16)
+    val slim = Seq(("a", "ingest", 640), ("b", "ingest", 640))
+      .toDF("path", "owner", "mode")
+    val slimOut = Graft.lake.chown(slim, col("path") === "a", "web")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(slimOut == Set(("a", "web"), ("b", "ingest")))
+    // group-only chown leaves owner untouched and the owner column intact
+    val gOut = Graft.lake.chown(ns, col("path") === "b", null, "analytics")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(gOut == Set(("a", "ingest", "data"), ("b", "ingest", "analytics")))
   }
 
   test("layout.zvalue matches the operator's Morton curve") {

@@ -475,7 +475,17 @@ class StreamingSpec extends SparkSpec {
     intercept[java.io.IOException] {
       StreamingOps.acquireLease(fs, stateDir, "new-writer", ttlMs = 1000L)
     }
+    // a 4-TOKEN garble shaped like the current format but with
+    // non-numeric fields must take the same fail-closed IOException
+    // path, not escape as NumberFormatException (ADVICE r16)
+    writeRaw(8, "not a lease file")
+    val e4 = intercept[java.io.IOException] {
+      StreamingOps.acquireLease(fs, stateDir, "new-writer", ttlMs = 1000L)
+    }
+    assert(e4.getMessage.contains("unparseable lease"),
+      s"4-token garble must be the documented unparseable-lease error, got: $e4")
     fs.delete(new org.apache.hadoop.fs.Path(stateDir + ".lease.e7"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(stateDir + ".lease.e8"), false)
   }
 
   test("streaming near-dup dedup flags exactly the batch pipeline's dup set") {
