@@ -973,6 +973,88 @@ object Graft {
         .groupBy(col("req_id")).agg((min(col("g")) === 1).as("allowed"))
     }
 
+    /** DELETE-VERB permission walk with the STICKY-BIT arm (reference
+      * server/namenode/FSPermissionChecker.java:209 checkStickyBit,
+      * applied by checkPermission at :224-226 whenever parentAccess
+      * implies WRITE — exactly the delete/rename shape; swept by
+      * test/hdfs/.../TestDFSPermission.java's sticky cases): each
+      * request row (req_id, path) answers allowed=true iff
+      * - every component above the terminal grants EXECUTE and the
+      *   PARENT additionally grants WRITE (the [[checkAccess]] walk
+      *   with need="wx" on the parent), and
+      * - when the parent's mode carries the sticky bit (4-digit
+      *   octal styling: 1770's thousands digit), the principal is
+      *   the PARENT's owner or the ENTRY's owner — anyone else is
+      *   refused even with write on the directory (the /tmp rule).
+      * The terminal entry must exist in the manifest: deleting an
+      * unknown path refuses (fail-closed, as the whole checker). A
+      * superuser caller skips permission checking entirely in the
+      * reference (FSPermissionChecker's constructor short-circuit) —
+      * model that by not calling the checker for superusers.
+      * Deleting a TOP-LEVEL entry checks its parent "/" — give the
+      * manifest a root row, as the reference namespace always has
+      * one. Columnar end to end: two broadcast-sized manifest joins
+      * on top of the checkAccess walk, metadata-scale at any SF. */
+    def checkDelete(manifest: DataFrame, entryCol: String, requests: DataFrame,
+                    principal: String, groups: Seq[String]): DataFrame = {
+      val parentOf = {
+        val stripped = regexp_replace(col("path"), "/[^/]*$", "")
+        when(stripped === "", lit("/")).otherwise(stripped)
+      }
+      val walk = checkAccess(manifest, entryCol,
+        requests.select(col("req_id"), parentOf.as("path"), lit("wx").as("need")),
+        principal, groups)
+      val pmeta = manifest.select(col(entryCol).as("__pp"),
+        col("owner").as("__po"), col("mode").as("__pm"))
+      val emeta = manifest.select(col(entryCol).as("__ep"), col("owner").as("__eo"))
+      val sticky = requests
+        .join(broadcast(pmeta), parentOf === col("__pp"), "left")
+        .join(broadcast(emeta), col("path") === col("__ep"), "left")
+        .select(col("req_id"),
+          (col("__eo").isNotNull && col("__po").isNotNull &&
+            (floor(col("__pm") / 1000) % 2 === 0 ||
+              col("__po") === principal || col("__eo") === principal))
+            .as("__sticky_ok"))
+      walk.join(sticky, "req_id")
+        .select(col("req_id"), (col("allowed") && col("__sticky_ok")).as("allowed"))
+    }
+
+    /** OWNER GATE for the mutation verbs (reference
+      * server/namenode/FSPermissionChecker.java:147-151 checkOwner;
+      * FSNamesystem routes setPermission/setOwner through the checker
+      * with doCheckOwner=true): [[chmod]] as a NAMED caller — refuses
+      * with AccessControlException when any entry matched by `cond`
+      * is not owned by the caller, unless the caller is superuser
+      * (the reference's short-circuit). The whole call fails, as the
+      * reference throws before mutating anything; the check is one
+      * manifest-sized (metadata) job. */
+    def chmodAs(ns: DataFrame, cond: Column, newMode: Int,
+                caller: String, superuser: Boolean = false): DataFrame = {
+      if (!superuser) requireOwner(ns, cond, caller, "setPermission")
+      chmod(ns, cond, newMode)
+    }
+
+    /** [[chown]] with the owner gate — like [[chmodAs]]. The
+      * reference is stricter still for setOwner (a non-super caller
+      * may not change the owner at all, only a group they belong
+      * to); model the common gate here and leave group-membership
+      * policy to the caller. */
+    def chownAs(ns: DataFrame, cond: Column, newOwner: String, newGroup: String,
+                caller: String, superuser: Boolean = false): DataFrame = {
+      if (!superuser) requireOwner(ns, cond, caller, "setOwner")
+      chown(ns, cond, newOwner, newGroup)
+    }
+
+    private def requireOwner(ns: DataFrame, cond: Column, caller: String,
+                             verb: String): Unit = {
+      val offending = ns.filter(coalesce(cond, lit(false)) && col("owner") =!= caller)
+        .select(col("owner")).limit(1).collect()
+      if (offending.nonEmpty)
+        throw new org.apache.hadoop.security.AccessControlException(
+          s"Permission denied: $verb by user=$caller on entries owned by " +
+            s"${offending.head.getString(0)} (caller is not owner, not superuser)")
+    }
+
     /** setTimes (reference protocol/ClientProtocol.java:817): touch
       * mtime/atime on manifest entries matching `cond` — a columnar
       * metadata transform, never a per-entry RPC loop. Pass -1 to

@@ -228,7 +228,7 @@ object Multimodal {
     // 100 TB corpus just to pick a plane count would cost more than
     // it saves. The oracle's cnt CTE counts the same unfiltered table.
     val docs0 = Tables.documents(s, d).filter(length(col("text")) > 0)
-    val np = fpPlaneCount(Tables.documents(s, d).count())
+    val np = fpPlaneCount(Tables.rowCount(s, d, "documents"))
     def planeLit(p: Seq[Double]) = array(p.map(lit(_)): _*)
     def fpBucket(ce: org.apache.spark.sql.Column) =
       fplanes.take(np).zipWithIndex.map { case (p, j) =>

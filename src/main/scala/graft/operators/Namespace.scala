@@ -325,7 +325,9 @@ object Namespace {
   ) { (s, d) =>
     import graft.api.Graft
     val docs = Tables.documents(s, d)
-    val srcs = docs.select(col("source")).distinct()
+    // cached: the namespace skeleton below references this 4-row
+    // frame from every manifest arm AND the owner-gate checks
+    val srcs = graft.ScopedCache(docs.select(col("source")).distinct())
     // hierarchical namespace manifest: root, per-source dir, terminal
     val root = s.range(1).select(lit("/data").as("entry"),
       lit("ingest").as("owner"), lit("data").as("grp"), lit(755).as("mode"))
@@ -335,11 +337,26 @@ object Namespace {
       concat(lit("/data/"), col("source"), lit("/docs")).as("entry"),
       lit("web-team").as("owner"), lit("data").as("grp"), lit(604).as("mode"))
     // the mutation verbs, then the walk — the revoke is visible to
-    // the NEXT check (testPermissionSetting's set-then-recheck)
-    val dirs = Graft.lake.chmod(
-      Graft.lake.chown(dirs0, col("entry").startsWith("/data/src1"), "web-team"),
-      col("entry").startsWith("/data/src1"), 740)
-    val files = Graft.lake.chmod(files0, col("entry") === "/data/src3/docs", 600)
+    // the NEXT check (testPermissionSetting's set-then-recheck).
+    // OWNER-GATED (reference FSPermissionChecker.java:147-151
+    // checkOwner, doCheckOwner=true on the setPermission/setOwner
+    // paths): the handover runs as superuser (only the superuser may
+    // reassign ownership), each chmod runs AS the entry's owner —
+    // and an unauthorized caller refuses loudly before anything
+    // mutates, never silently no-ops.
+    val unauthorized =
+      try { // files are web-team's; ingest may not chmod them
+        Graft.lake.chmodAs(files0, col("entry") === "/data/src3/docs", 600,
+          caller = "ingest")
+        false
+      } catch { case _: org.apache.hadoop.security.AccessControlException => true }
+    require(unauthorized, "non-owner chmod must refuse (checkOwner)")
+    val dirs = Graft.lake.chmodAs(
+      Graft.lake.chownAs(dirs0, col("entry").startsWith("/data/src1"),
+        "web-team", null, caller = "admin", superuser = true),
+      col("entry").startsWith("/data/src1"), 740, caller = "web-team")
+    val files = Graft.lake.chmodAs(files0, col("entry") === "/data/src3/docs", 600,
+      caller = "web-team")
     val manifest = root.unionByName(dirs).unionByName(files)
     val requests = srcs.select(col("source").as("req_id"),
       concat(lit("/data/"), col("source"), lit("/docs")).as("path"),
@@ -751,6 +768,34 @@ object Namespace {
       require(fs.rename(p(s"$dir/$rel"), p(s"$trash/Current/$rel")),
         s"trash move failed for $rel")
       CommitLog.commit(fs, dir, ts, adds = Nil, removes = Seq(rel))
+    }
+    // STICKY-BIT GUARD on the rm path (reference FSPermissionChecker
+    // .java:209 checkStickyBit, applied whenever the parent is being
+    // written — exactly this rm; TestDFSPermission's sticky sweep):
+    // the data dir is 1770-sticky, so write-on-dir is NOT enough —
+    // only the dir owner or the entry's own owner may rm, the /tmp
+    // rule. A same-group writer refuses on the sticky dir but passes
+    // the 770 control; owner and dir-owner both pass. Metadata-only:
+    // a literal manifest mirroring the ceremony dirs, broadcast joins.
+    {
+      import s.implicits._
+      val nsm = Seq(
+        ("/", "root", "data", 755),
+        ("/data", "ingest", "data", 1770),
+        ("/data/m1", "alice", "data", 640),
+        ("/plain", "ingest", "data", 770),
+        ("/plain/f", "alice", "data", 640))
+        .toDF("entry", "owner", "grp", "mode")
+      val rmReq = Seq(("rm_m1", "/data/m1"), ("rm_f", "/plain/f"))
+        .toDF("req_id", "path")
+      def verdicts(principal: String): Map[String, Boolean] =
+        graft.api.Graft.lake.checkDelete(nsm, "entry", rmReq, principal, Seq("data"))
+          .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      val mallory = verdicts("mallory") // group write, owns nothing
+      require(!mallory("rm_m1") && mallory("rm_f"),
+        "sticky bit must refuse a non-owner rm that the 770 control admits")
+      require(verdicts("alice")("rm_m1"), "the entry's owner may rm under +t")
+      require(verdicts("ingest")("rm_m1"), "the dir owner may rm under +t")
     }
     trashRm("data/m1", ts = 5000L)
     // checkpoint: Current -> timestamped dir (metadata rename)

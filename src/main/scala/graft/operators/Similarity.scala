@@ -40,6 +40,13 @@ object Similarity {
     Lake.sourceSig(fs, new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet"))
   }
 
+  /** Corpus row count from the catalog-stats memo (VERDICT r16 #3:
+    * the plane-ladder np derives once per corpus content instead of a
+    * count() job per invocation — the per-call count doubled
+    * d_embed_neardup's driver-bench wall at sf0.1). */
+  private def embCount(s: SparkSession, d: String): Long =
+    Tables.rowCount(s, d, "embeddings")
+
   private def famMemoized(s: SparkSession, d: String, tag: String, sig: String)
                          (build: => DataFrame): DataFrame = {
     // NOT computeIfAbsent: builds nest on this map (cells_layout →
@@ -198,7 +205,7 @@ object Similarity {
          |ORDER BY cosine DESC, vec_a, vec_b LIMIT 20""".stripMargin
     }
   ) { (s, d) =>
-    val np = lshPlaneCount(Tables.embeddings(s, d).count())
+    val np = lshPlaneCount(embCount(s, d))
     val bk = corpus(s, d).withColumn("bucket", lshBucketN(col("v"), np))
     val probes = bk.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"),
       explode(array(col("bucket") +: (0 until np).map(j =>

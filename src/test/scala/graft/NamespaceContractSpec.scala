@@ -354,4 +354,79 @@ class NamespaceContractSpec extends SparkSpec {
       "group reassignment must strip the old group's class")
     assert(check(regrouped, "alice", Seq("grp2")))
   }
+
+  test("sticky bit (reference FSPermissionChecker.java:209 checkStickyBit, " +
+    "TestDFSPermission sticky sweep): write-on-dir is not enough under +t — " +
+    "only the dir owner or the entry owner deletes; the plain-dir control admits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.api.Graft
+    val ns = Seq(
+      ("/", "root", "wheel", 755),
+      ("/tmp", "root", "users", 1777),      // the /tmp rule
+      ("/tmp/af", "alice", "users", 644),
+      ("/tmp/bf", "bob", "users", 644),
+      ("/shared", "root", "users", 777),    // control: no sticky
+      ("/shared/af", "alice", "users", 644)).toDF("entry", "owner", "grp", "mode")
+    def can2(m: org.apache.spark.sql.DataFrame, user: String, path: String): Boolean =
+      Graft.lake.checkDelete(m, "entry",
+          Seq(("r", path)).toDF("req_id", "path"), user, Seq("users"))
+        .collect().head.getBoolean(1)
+    def can(user: String, path: String): Boolean = can2(ns, user, path)
+    // sticky dir: entry owner yes, dir owner yes, OTHER writer no —
+    // even though 1777 grants everyone write on the directory
+    assert(can("alice", "/tmp/af"), "entry owner deletes under +t")
+    assert(can("root", "/tmp/af"), "dir owner deletes under +t")
+    assert(!can("bob", "/tmp/af"), "a third party refuses under +t")
+    assert(can("bob", "/tmp/bf"), "each owner still deletes their own")
+    // control: same shape without sticky — the group writer passes
+    assert(can("bob", "/shared/af"), "no sticky: write-on-dir admits")
+    // the walk still applies under +t: no write on the parent refuses
+    // the entry owner too (sticky ADDS a refusal, never a grant)
+    val noW = Graft.lake.chmod(ns, col("entry") === "/tmp", 1755)
+    assert(!can2(noW, "alice", "/tmp/af"),
+      "sticky never grants: a 1755 parent refuses a non-owner-of-dir writer")
+    // fail-closed: deleting a path absent from the manifest refuses
+    assert(!can("alice", "/tmp/ghost"), "unknown entry must refuse")
+  }
+
+  test("owner gate on the mutation verbs (reference FSPermissionChecker" +
+    ".java:147-151 checkOwner): non-owner setPermission/setOwner refuse " +
+    "loudly; owner and superuser proceed — set-then-recheck") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.api.Graft
+    val ns = Seq(
+      ("/w", "alice", "grp1", 755),
+      ("/w/f", "alice", "grp1", 644),
+      ("/w/g", "bob", "grp1", 644)).toDF("entry", "owner", "grp", "mode")
+    // non-owner chmod refuses — and nothing mutates (the verb throws
+    // before producing a frame, the reference's whole-call failure)
+    intercept[org.apache.hadoop.security.AccessControlException] {
+      Graft.lake.chmodAs(ns, col("entry") === "/w/f", 600, caller = "bob")
+    }
+    intercept[org.apache.hadoop.security.AccessControlException] {
+      Graft.lake.chownAs(ns, col("entry") === "/w/f", "bob", null, caller = "bob")
+    }
+    // a cond matching BOTH owners refuses for either non-super caller
+    intercept[org.apache.hadoop.security.AccessControlException] {
+      Graft.lake.chmodAs(ns, col("entry").startsWith("/w/"), 600, caller = "alice")
+    }
+    // owner proceeds: set-then-recheck — the revoke is visible to the
+    // next checkAccess over the returned manifest
+    val revoked = Graft.lake.chmodAs(ns, col("entry") === "/w/f", 200, caller = "alice")
+    val req = Seq(("r1", "/w/f", "r")).toDF("req_id", "path", "need")
+    val after = Graft.lake.checkAccess(revoked, "entry", req, "alice", Seq.empty)
+      .collect().head.getBoolean(1)
+    assert(!after, "owner's own revoke takes effect on the next check")
+    // superuser bypasses the gate (the reference's constructor
+    // short-circuit) even across mixed ownership
+    val handed = Graft.lake.chownAs(ns, col("entry").startsWith("/w/"),
+      "carol", "grp2", caller = "admin", superuser = true)
+    assert(handed.filter(col("owner") === "carol").count() == 2)
+    // a NULL-evaluating cond is not a match for the gate either
+    val nullCond = Graft.lake.chmodAs(ns,
+      org.apache.spark.sql.functions.lit(null).cast("boolean"), 600, caller = "bob")
+    assert(nullCond.collect().map(_.getInt(3)).toSet == Set(755, 644))
+  }
 }
