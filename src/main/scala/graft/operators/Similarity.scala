@@ -1298,6 +1298,35 @@ object Similarity {
         s"KNN_BUILD census n_cells=${r.get(0)} max_cell=${r.get(1)} sum_sq=${r.get(2)}"))
   }
 
+  /** Stage decomposition of m_cross_modal_dedup IN SUITE CONTEXT
+    * (VERDICT r17 #1, the FluencyProbe pattern): the whole-registry
+    * suite clears ALL Spark caches at each family boundary, so the
+    * first m-op to consume the knn family re-pays every famMemoized
+    * persist from the cleared state. Reproduce exactly that state
+    * (clearCache), then time each dependency in order — each line is
+    * that stage's MARGINAL cost — then the op itself (riding the
+    * rebuilt memos) and a steady-state second run. If cold ≈
+    * knn_mutual + shingles + steady, the suite wall is family-build
+    * attribution; any residue is the op's own term. */
+  private[graft] def crossModalProbe(s: SparkSession, d: String): Unit = {
+    def t[A](name: String)(work: => A): Unit = {
+      val t0 = System.nanoTime()
+      work
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "XMODAL %-16s %8.2fs", name,
+        Double.box((System.nanoTime() - t0) / 1e9)))
+    }
+    s.catalog.clearCache() // the suite's family-boundary state
+    t("knn_mutual")(knnMutual(s, d).filter(col("n_dir") === 2).count())
+    t("cap_shingles")(graft.api.Graft.dedup.shingleSets(
+      Tables.documents(s, d).filter(col("doc_id") % 11 =!= 0),
+      "doc_id", "text").count())
+    t("op_after_deps")(mCrossModalDedup.fn(s, d).count())
+    s.catalog.clearCache()
+    t("op_cold")(mCrossModalDedup.fn(s, d).count())
+    t("op_steady")(mCrossModalDedup.fn(s, d).count())
+  }
+
   /** The DIRECTED per-src top-k frame, family-memoized: every graph
     * consumer (the symmetric artifact, NN-descent's base list, the
     * MST's weighted edges, the mutual-edge build below) was re-paying

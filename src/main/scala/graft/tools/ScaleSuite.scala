@@ -55,6 +55,29 @@ object ScaleSuite {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def selected(n: String): Boolean =
       only.forall(_.exists(s => n == s || (s.endsWith("*") && n.startsWith(s.dropRight(1)))))
+    // Provisioning attribution (VERDICT r16 #2): three ops re-litigated
+    // "is this wall the op or a family build it happened to trigger
+    // first" last round. Self-adjudicate: (a) record the scratch dirs
+    // CREATED during each op's window (disk-layout provisioning
+    // marker); (b) when an op's first run is slow (or provisioned),
+    // run it a SECOND time — the steady-state run rides every memo/
+    // layout the first one built, so t_query = t2 is the op's own
+    // recurring cost and t_provision = t1 - t2 is the build another
+    // consumer would otherwise have paid. Cheap ops skip the rerun
+    // (t_provision stamped 0) to keep the suite wall bounded.
+    val RerunFloorSec = 3.0
+    val scratchRoot = java.nio.file.Paths.get("/root/repo/target/scratch")
+    def scratchDirs(): Set[String] =
+      if (!java.nio.file.Files.isDirectory(scratchRoot)) Set.empty
+      else {
+        val s = java.nio.file.Files.list(scratchRoot)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filterNot(_.startsWith("scale")).toSet
+        } finally s.close()
+      }
+    case class OpTiming(t1: Double, t2: Option[Double], newDirs: Seq[String])
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     var prevFamily = ""
     val suiteT0 = System.nanoTime()
@@ -64,17 +87,33 @@ object ScaleSuite {
       if (family(name) != prevFamily) {
         spark.catalog.clearCache(); prevFamily = family(name)
       }
+      val dirsBefore = scratchDirs()
+      var failed = false
       val t0 = System.nanoTime()
       try { fn(spark, scaledDir).count() } catch {
         case e: Throwable =>
+          failed = true
           failures += name
           System.err.println(s"SCALE_SUITE FAILURE $name: " +
             s"${e.getClass.getName}: ${e.getMessage}")
       } finally graft.ScopedCache.releaseAll()
       val dt = (System.nanoTime() - t0) / 1e9
+      val newDirs = (scratchDirs() -- dirsBefore).toSeq.sorted
+      val t2 =
+        if (failed || (dt < RerunFloorSec && newDirs.isEmpty)) None
+        else {
+          val r0 = System.nanoTime()
+          try { fn(spark, scaledDir).count() }
+          catch { case _: Throwable => () } // first-run verdict stands
+          finally graft.ScopedCache.releaseAll()
+          Some((System.nanoTime() - r0) / 1e9)
+        }
       System.err.println(String.format(java.util.Locale.ROOT,
-        "SCALE_SUITE %-28s %7.2fs", name, Double.box(dt)))
-      name -> dt
+        "SCALE_SUITE %-28s %7.2fs%s%s", name, Double.box(dt),
+        t2.map(v => String.format(java.util.Locale.ROOT,
+          "  steady %7.2fs", Double.box(v))).getOrElse(""),
+        if (newDirs.nonEmpty) s"  +dirs ${newDirs.mkString(",")}" else ""))
+      name -> OpTiming(dt, t2, newDirs)
     }
     val suiteWall = (System.nanoTime() - suiteT0) / 1e9
 
@@ -85,15 +124,23 @@ object ScaleSuite {
     // naive first-substring scan Bench retired must not survive here)
     val committed: Map[String, Double] =
       graft.Bench.parseQueriesObject("docs/bench_full.json")
-    val opsJson = results.map { case (n, t) =>
+    val opsJson = results.map { case (n, ot) =>
       val ratio = committed.get(n).filter(_ > 0)
-        .map(c => s""","suite_ratio":${num(t / c)}""").getOrElse("")
-      s""""$n":{"t_scaled":${num(t)}$ratio}"""
+        .map(c => s""","suite_ratio":${num(ot.t1 / c)}""").getOrElse("")
+      // t_query = the op's steady-state (recurring) cost; t_provision
+      // = the family/layout build its first run happened to trigger
+      val tq = ot.t2.getOrElse(ot.t1)
+      val attrib = s""","t_query":${num(tq)},"t_provision":${num(math.max(0.0, ot.t1 - tq))}"""
+      val dirs = if (ot.newDirs.isEmpty) ""
+        else ot.newDirs.map("\"" + _ + "\"")
+          .mkString(""","provisioned_dirs":[""", ",", "]")
+      s""""$n":{"t_scaled":${num(ot.t1)}$ratio$attrib$dirs}"""
     }.mkString(",\n")
     val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"factor":$factor,"base":"$base","scaled":"$scaledDir","cpus":$cpus,
-         |"suite_wall_sec":${num(suiteWall)},"n_queries":${results.size},
+         |"suite_wall_sec":${num(suiteWall)},"rerun_floor_sec":$RerunFloorSec,
+         |"n_queries":${results.size},
          |"n_failures":${failures.size},"failures":$failJson,
          |"ops":{$opsJson}}""".stripMargin
     val p = java.nio.file.Paths.get(outJson)
