@@ -1335,8 +1335,25 @@ object Similarity {
     * on the driver — consumers' logical plans now reference a frame
     * whose own subtree is the layout read + one window, not a fresh
     * copy of the whole assignment pipeline. */
-  private def knnDirectedMemo(s: SparkSession, d: String): DataFrame =
-    famMemoized(s, d, "knn_dir", embSig(s, d))(knnDirected(s, d)._2)
+  private def knnDirectedMemo(s: SparkSession, d: String): DataFrame = {
+    // DISK-BACKED (r17): the directed top-k is the family's most
+    // expensive derivation — 28.5 s at 100× from a cold cache
+    // (crossModalProbe), and EVERY fresh session or cache-clear
+    // boundary re-paid it. A real pipeline materializes its k-NN
+    // graph as a table (it IS the artifact downstream dedup/graph
+    // stages consume); provisionIfStale makes the rebuild a parquet
+    // re-READ (~1 s) instead of a re-derivation, once per source
+    // content. Slim columns only — no vector ever lands on disk
+    // twice; consumers needing v re-join the cells layout.
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val path = Lake.scratch("knn_dir_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    val sig = embSig(s, d) +
+      s"|nc=$NCells|tgt=$KnnCellTarget|cap=$KnnCellCap|cc4|k=$KnnK"
+    Lake.provisionIfStale(fs, path, sig) {
+      knnDirected(s, d)._2.write.mode("overwrite").parquet(path)
+    }
+    famMemoized(s, d, "knn_dir", sig)(s.read.parquet(path))
+  }
 
   /** Mutual (reciprocal) edge set of the k-NN graph — shared by the
     * triangle/component/hops family: ONE persisted copy per (session,
@@ -1349,15 +1366,25 @@ object Similarity {
     * weighted consumers (symmetric artifact, MST, cluster cut) read
     * the ONE persisted copy instead of re-running the edge-key
     * shuffle with their own cosine aggregate. */
-  private def knnMutual(s: SparkSession, d: String): DataFrame =
-    famMemoized(s, d, "knn_mutual", embSig(s, d)) {
-      val knn = knnDirectedMemo(s, d)
-      knn.groupBy(least(col("src"), col("dst")).as("a"),
+  private def knnMutual(s: SparkSession, d: String): DataFrame = {
+    // Disk-backed like knn_dir (same rationale: the mutual-edge
+    // shuffle at 100× is seconds of recompute vs a sub-second
+    // metadata-sized re-read, and it feeds SEVEN graph consumers).
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val path = Lake.scratch("knn_mutual_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    val sig = embSig(s, d) +
+      s"|nc=$NCells|tgt=$KnnCellTarget|cap=$KnnCellCap|cc4|k=$KnnK"
+    Lake.provisionIfStale(fs, path, sig) {
+      knnDirectedMemo(s, d)
+        .groupBy(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .agg(max(col("cid")).as("cid"), count(lit(1)).as("n_dir"),
           max(col("cosine")).as("mcos"))
         .select(col("a"), col("b"), col("cid"), col("n_dir"), col("mcos"))
+        .write.mode("overwrite").parquet(path)
     }
+    famMemoized(s, d, "knn_mutual", sig)(s.read.parquet(path))
+  }
 
   /** Shared per-round lineage cut for the iterating graph ops
     * (kcore peel, Boruvka rounds, the modularity edge frame):
