@@ -788,14 +788,17 @@ object Namespace {
         .toDF("entry", "owner", "grp", "mode")
       val rmReq = Seq(("rm_m1", "/data/m1"), ("rm_f", "/plain/f"))
         .toDF("req_id", "path")
-      def verdicts(principal: String): Map[String, Boolean] =
-        graft.api.Graft.lake.checkDelete(nsm, "entry", rmReq, principal, Seq("data"))
-          .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
-      val mallory = verdicts("mallory") // group write, owns nothing
-      require(!mallory("rm_m1") && mallory("rm_f"),
+      // all three principals' verdicts in ONE job (ceremony job diet:
+      // per-principal collects cost a scheduler round-trip each)
+      val verdicts = Seq("mallory", "alice", "ingest").map { who =>
+        graft.api.Graft.lake.checkDelete(nsm, "entry", rmReq, who, Seq("data"))
+          .withColumn("who", lit(who))
+      }.reduce(_ unionByName _).collect()
+        .map(r => (r.getString(2), r.getString(0)) -> r.getBoolean(1)).toMap
+      require(!verdicts(("mallory", "rm_m1")) && verdicts(("mallory", "rm_f")),
         "sticky bit must refuse a non-owner rm that the 770 control admits")
-      require(verdicts("alice")("rm_m1"), "the entry's owner may rm under +t")
-      require(verdicts("ingest")("rm_m1"), "the dir owner may rm under +t")
+      require(verdicts(("alice", "rm_m1")), "the entry's owner may rm under +t")
+      require(verdicts(("ingest", "rm_m1")), "the dir owner may rm under +t")
     }
     trashRm("data/m1", ts = 5000L)
     // checkpoint: Current -> timestamped dir (metadata rename)

@@ -87,7 +87,14 @@ STALE_FLOORS = {
                         "the full FSPermissionChecker walk (three-"
                         "level manifest built with setOwner/"
                         "setPermission, checkAccess ancestor-execute "
-                        "traversal per request)",
+                        "traversal per request); r17 adds the "
+                        "checkOwner gate on each mutation verb plus "
+                        "an unauthorized-chmod refusal step",
+    "lake_trash": "r17: old floor predates the sticky-bit guard "
+                  "(FSPermissionChecker.java:209) — the rm path now "
+                  "runs a 3-principal checkDelete sweep (one batched "
+                  "job) proving non-owner-refuses/owner-passes before "
+                  "the trash move",
 }
 
 
