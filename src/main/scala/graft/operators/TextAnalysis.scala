@@ -688,11 +688,18 @@ object TextAnalysis {
     * Quality is the t_quality_score formula quantized to per-mille
     * BEFORE averaging (CAST of the same deterministic double in both
     * engines), so the mean is an integer division — exact, no
-    * float-summation-order hazard at any parallelism. */
+    * float-summation-order hazard at any parallelism. Duplicate rows
+    * count distinct (fingerprint, length) keys — the d_exact_dup
+    * discipline, packed into one BIGINT — NOT distinct raw text: a
+    * COUNT(DISTINCT text) ships every byte of the corpus through the
+    * aggregation exchange (measured as this op's whole scaling term
+    * at 100×), where the fingerprint key is 8 bytes/doc and lets the
+    * cached per-doc frame drop the text column entirely. */
   val tDatasetCard: GraftQuery = GraftQuery.sql(
     "t_dataset_card",
     s"""WITH f AS (
-       |  SELECT source, lang, text,
+       |  SELECT source, lang,
+       |    ${GraftHash.charHashSql("text")} * 4294967296 + length(text) AS fpk,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
        |    CAST(length(text) AS BIGINT) AS chars,
        |    CAST(FLOOR(1000.0 * (
@@ -707,7 +714,7 @@ object TextAnalysis {
        |base AS (
        |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(ws) AS BIGINT) AS ws_tokens,
        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
-       |    CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS dup_rows,
+       |    CAST(COUNT(*) - COUNT(DISTINCT fpk) AS BIGINT) AS dup_rows,
        |    MIN(chars) AS min_chars, MAX(chars) AS max_chars,
        |    CAST(SUM(q_pm) // COUNT(*) AS BIGINT) AS quality_pm_avg
        |  FROM f GROUP BY source),
@@ -724,7 +731,9 @@ object TextAnalysis {
     val f = Tables.documents(s, d)
       .select(col("source"), col("lang"), col("text"),
         split(col("text"), " ", -1).as("t"))
-      .select(col("source"), col("lang"), col("text"),
+      .select(col("source"), col("lang"),
+        (GraftHash.charHash(col("text")) * lit(4294967296L)
+          + length(col("text")).cast("long")).as("fpk"),
         size(toks).cast("long").as("ws"),
         length(col("text")).cast("long").as("chars"),
         // explicit FLOOR on both engines: DuckDB's double->int CAST
@@ -741,7 +750,7 @@ object TextAnalysis {
     val base = f.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
         countDistinct(col("lang")).as("n_langs"),
-        (count(lit(1)) - countDistinct(col("text"))).as("dup_rows"),
+        (count(lit(1)) - countDistinct(col("fpk"))).as("dup_rows"),
         min(col("chars")).as("min_chars"), max(col("chars")).as("max_chars"),
         expr("sum(q_pm) div count(1)").as("quality_pm_avg"))
     val wTop = org.apache.spark.sql.expressions.Window
