@@ -87,6 +87,26 @@ object Tables {
       else CachedRel(now, spark.read.parquet(path))).df
   }
 
+  /** Reverse catalog lookup: is `df` one of the cached TABLE
+    * relations this catalog handed out? Identity (eq) match — load()
+    * returns the same DataFrame object while the content signature
+    * holds, so a frame that IS a bare table scan resolves to its
+    * (dir, table); any derived/filtered frame is a different object
+    * and misses. Lets derived-artifact layers (shingle sets, stats)
+    * disk-back per table content exactly when the input is a table —
+    * the catalog's "artifacts of a table are tables" role. */
+  def sourceOf(df: DataFrame): Option[(String, String)] =
+    relCache.synchronized {
+      import scala.jdk.CollectionConverters._
+      relCache.values().asScala
+        .flatMap(_.asScala.collectFirst {
+          case (key, cr) if cr.df eq df =>
+            val i = key.lastIndexOf('/')
+            (key.substring(0, i), key.substring(i + 1))
+        })
+        .headOption
+    }
+
   /** Table ROW COUNT memoized per (dir, table, content signature) —
     * the catalog's table-stats role (VERDICT r16 #3: the plane-ladder
     * ops derived their bucket count from a count() job on EVERY

@@ -169,10 +169,34 @@ object Graft {
       * (doc_id, sh). Materialized once per input — every dedup family
       * member (MinHash, SimHash, Jaccard, hybrid search) derives from
       * this frame, so the expensive text pass runs once. */
-    def shingleSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
-      memoized(planKey(df, "sh", idCol, textCol),
-        df.select(col(idCol).as("doc_id"),
-          sort_array(Shingles.shingleHashes(col(textCol))).as("sh")))
+    def shingleSets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+      def build = df.select(col(idCol).as("doc_id"),
+        sort_array(Shingles.shingleHashes(col(textCol))).as("sh"))
+      // DISK-BACKED when the input IS a catalog table (r17, the
+      // knn_dir discipline): the shingle pass is the dedup family's
+      // base text scan — seconds per fresh session at sf0.1, ~30 s
+      // at 100× — and its output is a pure function of table
+      // content. The catalog resolves bare table frames by identity;
+      // their shingle sets provision once per content signature and
+      // re-read afterward. Derived/filtered inputs (different frame
+      // objects) keep the session-memo path unchanged.
+      graft.Tables.sourceOf(df) match {
+        case Some((dir, table)) =>
+          val s = df.sparkSession
+          val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          val path = graft.operators.Lake.scratch(
+            s"shingles_${table}_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+          val sig = graft.operators.Lake.sourceSig(fs,
+            new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")) +
+            s"|sh1|$idCol|$textCol"
+          graft.operators.Lake.provisionIfStale(fs, path, sig) {
+            build.write.mode("overwrite").parquet(path)
+          }
+          memoized(("sh_layout", path, sig), s.read.parquet(path))
+        case None =>
+          memoized(planKey(df, "sh", idCol, textCol), build)
+      }
+    }
 
     /** MinHash+banded-LSH candidate pairs with each side's sorted
       * shingle set attached: (doc_a, doc_b, sh_a, sh_b). Candidates
