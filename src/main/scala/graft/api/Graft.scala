@@ -192,11 +192,21 @@ object Graft {
           graft.operators.Lake.provisionIfStale(fs, path, sig) {
             build.write.mode("overwrite").parquet(path)
           }
-          memoized(("sh_layout", path, sig), s.read.parquet(path))
+          val frame = memoized(("sh_layout", path, sig), s.read.parquet(path))
+          frameSig.put(frame, (path, sig))
+          frame
         case None =>
           memoized(planKey(df, "sh", idCol, textCol), build)
       }
     }
+
+    /** Layout pedigree for derived-artifact frames: maps a frame this
+      * module handed out back to its (layout path, content signature)
+      * so DOWNSTREAM derivations (candidate pairs) can disk-back per
+      * content too. Weak keys — dies with the frame; identity
+      * semantics match the memo (same key → same frame object). */
+    private val frameSig = java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, (String, String)]())
 
     /** MinHash+banded-LSH candidate pairs with each side's sorted
       * shingle set attached: (doc_a, doc_b, sh_a, sh_b). Candidates
@@ -243,20 +253,40 @@ object Graft {
           col("doc_id"), col("sh"))
     }
 
-    private[graft] def candidateSetsFromShingles(sh: DataFrame, k: Int, bands: Int): DataFrame =
-      memoized(planKey(sh, "cand", k, bands), {
+    private[graft] def candidateSetsFromShingles(sh: DataFrame, k: Int, bands: Int): DataFrame = {
+      def candIds = {
         val bl = bandedKeys(sh, k, bands)
           .select(col("doc_id"), col("band_idx"), col("band_key"))
-        val cand = bl.as("a").join(bl.as("b"),
+        bl.as("a").join(bl.as("b"),
             col("a.band_idx") === col("b.band_idx") &&
               col("a.band_key") === col("b.band_key") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
-        cand
-          .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id")).drop("doc_id")
-          .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id")).drop("doc_id")
-      })
+      }
+      def attach(ids: DataFrame) = ids
+        .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id")).drop("doc_id")
+        .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id")).drop("doc_id")
+      // Disk-back the candidate ID pairs when the shingle frame has a
+      // layout pedigree: the minhash/band/self-join derivation is the
+      // dedup family's second-heaviest build and a pure function of
+      // (shingle content, k, bands). IDs only — 16 bytes/pair; the
+      // shingle arrays re-attach from the (already disk-backed)
+      // shingle layout at read, so no array is ever stored twice.
+      Option(frameSig.get(sh)) match {
+        case Some((layoutPath, contentSig)) =>
+          val s = sh.sparkSession
+          val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          val path = layoutPath + s"_cand${k}x$bands"
+          val sig = contentSig + s"|cand|$k|$bands"
+          graft.operators.Lake.provisionIfStale(fs, path, sig) {
+            candIds.write.mode("overwrite").parquet(path)
+          }
+          memoized(("cand_layout", path, sig), attach(s.read.parquet(path)))
+        case None =>
+          memoized(planKey(sh, "cand", k, bands), attach(candIds))
+      }
+    }
 
     /** EXACT near-dup pairs at jaccard >= threshold via AllPairs/
       * PPJoin document-frequency-ordered prefix filtering (Bayardo
