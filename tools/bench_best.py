@@ -178,7 +178,22 @@ def fold_cpu_canary_floor():
     canary_cpu_secs_min any folded run observed (VERDICT r14 #1: the
     compute-bound canary needs a cross-run floor of its own, kept
     outside bench_best.json's "queries" so registry-lockstep and
-    n_queries assertions never meet a non-registry name)."""
+    n_queries assertions never meet a non-registry name).
+
+    FLOOR POLICY (VERDICT r17 "what's wrong #1", adjudicated
+    APPROVED): the floor is NOT the all-time minimum any more. The
+    r16 all-time-min ratchet landed on one exceptional host window
+    (0.285s) the host never cooled back to, so every subsequent run
+    carried a formal "degraded" stamp while per-query medians sat at
+    the committed record — the floor was measuring the host, not the
+    code. The floor is now the p10 of a TRAILING WINDOW of per-run
+    observations (the last 10 runs' canary_cpu_secs_min, kept in
+    canary_floors.json itself under "cpu_recent" so the fold needs no
+    git archaeology); the all-time minimum is demoted to the
+    "cpu_min_alltime" diagnostic. Runs are identified by
+    (run total, secs) so re-folding the same artifact never
+    double-counts an observation."""
+    TRAILING_RUNS = 10
     obs = []
     for p in ["docs/bench_full.json", "docs/bench_run.json"] + sys.argv[1:]:
         try:
@@ -192,24 +207,45 @@ def fold_cpu_canary_floor():
         # like-for-like with the runs it gates
         if (isinstance(v, (int, float)) and v > 0 and d.get("sf") == SF
                 and d.get("canary_cpu_cpus") == 32):
-            obs.append(float(v))
+            obs.append([round(float(d.get("value", 0)), 3), float(v)])
     path = "docs/canary_floors.json"
     try:
         cur = json.load(open(path))
     except Exception:
         cur = {}
     prev = cur.get("cpu")
-    if not obs and prev is None:
+    recent = [list(map(float, r)) for r in cur.get("cpu_recent", [])]
+    seen = {tuple(r) for r in recent}
+    for o in obs:
+        if tuple(o) not in seen:
+            recent.append(o)
+            seen.add(tuple(o))
+    recent = recent[-TRAILING_RUNS:]
+    if not recent:
         return
-    floor = min(obs + ([prev] if isinstance(prev, (int, float)) else []))
+    vals = sorted(v for _, v in recent)
+    # p10 with linear interpolation (numpy-style), over <=N run minima
+    idx = 0.10 * (len(vals) - 1)
+    lo, hi = int(idx), min(int(idx) + 1, len(vals) - 1)
+    floor = vals[lo] + (vals[hi] - vals[lo]) * (idx - lo)
+    alltime = min(
+        vals + [v for v in [cur.get("cpu_min_alltime"), prev]
+                if isinstance(v, (int, float))])
     cur["cpu"] = round(floor, 3)
+    cur["cpu_min_alltime"] = round(alltime, 3)
+    cur["cpu_recent"] = [[t, round(v, 3)] for t, v in recent]
     cur["cpu_note"] = ("fixed-work in-memory xxhash64 groupBy kernel, "
-                       "6M rows/core; cross-run minimum of "
-                       "canary_cpu_secs_min")
+                       "6M rows/core; floor = p10 of the trailing "
+                       f"{TRAILING_RUNS}-run canary_cpu_secs_min window "
+                       "(cpu_recent, [run_total, secs] pairs); all-time "
+                       "min kept as the cpu_min_alltime diagnostic "
+                       "(r17 verdict: an all-time-min ratchet measures "
+                       "the host's best-ever window, not the code)")
     with open(path, "w") as f:
         json.dump(cur, f, indent=1)
-    print(f"cpu canary floor: {cur['cpu']}s "
-          f"({len(obs)} fresh observation(s), prev {prev})")
+    print(f"cpu canary floor: {cur['cpu']}s (p10 of {len(recent)} "
+          f"trailing runs, all-time min {cur['cpu_min_alltime']}, "
+          f"prev floor {prev})")
 
 
 if __name__ == "__main__":
