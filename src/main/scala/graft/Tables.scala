@@ -114,17 +114,23 @@ object Tables {
     * signature check makes a regenerated table recount; the count
     * itself is a parquet-footer metadata read, run once per content
     * generation. Keyed on content — not session — because a row count
-    * is a pure fact about the files, and clearCache can't evict it. */
+    * is a pure fact about the files, and clearCache can't evict it.
+    * Only the LATEST signature per (dir, name) is kept (ADVICE r17:
+    * an append-only map leaks one entry per table regeneration in a
+    * long-lived JVM) — a superseded generation's count is dead the
+    * moment the files change, the famMemoized discipline. */
   private val countCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, java.lang.Long)]()
 
   def rowCount(spark: SparkSession, dir: String, name: String): Long = {
-    val key = s"$dir/$name@${sig(spark, s"$dir/$name.parquet")}"
-    Option(countCache.get(key)).map(_.longValue()).getOrElse {
-      val n = load(spark, dir, name).count()
-      countCache.putIfAbsent(key, java.lang.Long.valueOf(n))
-      n
-    }
+    val table = s"$dir/$name"
+    val s = sig(spark, s"$dir/$name.parquet")
+    Option(countCache.get(table)).filter(_._1 == s).map(_._2.longValue())
+      .getOrElse {
+        val n = load(spark, dir, name).count()
+        countCache.put(table, (s, java.lang.Long.valueOf(n)))
+        n
+      }
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")

@@ -652,19 +652,45 @@ object Dedup {
   ) { (s, d) =>
     import graft.api.Graft
     val docs = Tables.documents(s, d)
-    // persisted: the scoring scan feeds four funnel legs (n_quality,
-    // n_dedup, n_final, and the shingle semi-join) — one pass, not four
-    val q = graft.ScopedCache(docs
+    // QUALITY SURVIVORS (doc_id, source) — a deterministic pure
+    // function of table content, so it is a disk-backed layout per
+    // content signature (the shingle-layout discipline; the tag
+    // versions the scoring formula): a fresh session reads the
+    // curated id set instead of re-scoring the full corpus text —
+    // the scoring scan was the largest piece of this op's 30-36 s
+    // 100× per-session provisioning (VERDICT r17 #1). A non-table
+    // input keeps the in-session scoring pass unchanged.
+    def qBuild = docs
       .select(col("doc_id"), col("source"), col("text"),
         split(col("text"), " ", -1).as("t"))
       .withColumn("score", Graft.text.qualityScore(col("text"), col("t")))
       .filter(col("score") >= 0.55)
-      .select(col("doc_id"), col("source")))
+      .select(col("doc_id"), col("source"))
+    val QTag = "q55v1"
+    // persisted: the survivor frame feeds four funnel legs (n_quality,
+    // n_dedup, n_final, and the shingle semi-join) — one read, not four
+    val q = graft.ScopedCache(Tables.sourceOf(docs) match {
+      case Some((dir, table)) =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        val path = Lake.scratch(
+          s"curate_${QTag}_${table}_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        val sig = Lake.sourceSig(fs,
+          new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")) + s"|$QTag"
+        Lake.provisionIfStale(fs, path, sig) {
+          qBuild.write.mode("overwrite").parquet(path)
+        }
+        s.read.parquet(path)
+      case None => qBuild
+    })
     // Shingling is filter-independent, so the dedup stage derives from
     // the family's ONE materialized shingle frame (semi-join on the
-    // quality survivors) instead of re-shingling the filtered text.
-    val shq = Graft.dedup.shingleSets(docs, "doc_id", "text")
-      .join(q.select(col("doc_id").as("q_id")), col("doc_id") === col("q_id"), "left_semi")
+    // quality survivors) instead of re-shingling the filtered text;
+    // shingleSubset registers the subset under the parent layout's
+    // pedigree so the MinHash/band candidate derivation disk-backs
+    // per content signature too instead of re-running per session.
+    val shq = Graft.dedup.shingleSubset(
+      Graft.dedup.shingleSets(docs, "doc_id", "text"), q, QTag)
     val pairs = Graft.dedup.minhashPairsFromShingles(shq, threshold = 0.8, k = K, bands = Bands)
     val labels = Graft.dedup.dupClusters(pairs)
     val drop = labels.filter(col("node") =!= col("lbl")).select(col("node"))

@@ -3074,8 +3074,15 @@ object Similarity {
   ) { (s, d) =>
     val mp = knnMutual(s, d).filter(col("n_dir") === 2
       && col("a") % 13 =!= 0 && col("b") % 13 =!= 0)
+    // shingle the TABLE (disk-backed layout, shared with the whole
+    // dedup family) and filter the result — shingling is per-row, so
+    // filter-after-shingle ≡ shingle-after-filter, and the former
+    // reads the provisioned parquet instead of re-shingling the %11
+    // caption slice from raw text every fresh session (r17 verdict:
+    // that re-shingle was most of this op's 100× first-run wall)
     val sh = graft.api.Graft.dedup.shingleSets(
-      Tables.documents(s, d).filter(col("doc_id") % 11 =!= 0), "doc_id", "text")
+        Tables.documents(s, d), "doc_id", "text")
+      .filter(col("doc_id") % 11 =!= 0)
     mp.join(sh.select(col("doc_id").as("said"), col("sh").as("sh_a")),
         col("a") === col("said"))
       .join(sh.select(col("doc_id").as("sbid"), col("sh").as("sh_b")),

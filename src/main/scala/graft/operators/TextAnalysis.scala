@@ -694,7 +694,15 @@ object TextAnalysis {
     * COUNT(DISTINCT text) ships every byte of the corpus through the
     * aggregation exchange (measured as this op's whole scaling term
     * at 100×), where the fingerprint key is 8 bytes/doc and lets the
-    * cached per-doc frame drop the text column entirely. */
+    * cached per-doc frame drop the text column entirely. The key is
+    * APPROXIMATE relative to true distinct-text semantics (ADVICE
+    * r17): charHash ranges over ~2^30 (mod P = 1000000007), so two
+    * same-length distinct texts collide with probability ~2^-30 per
+    * pair and dup_rows can overcount by that margin at scale. Oracle
+    * parity is by construction (DuckDB computes the identical packed
+    * key), and the bound is the deliberate 100 TB trade — widening
+    * the pack would double the key bytes to shave an error already
+    * below the corpus's own synthetic-duplication noise. */
   val tDatasetCard: GraftQuery = GraftQuery.sql(
     "t_dataset_card",
     s"""WITH f AS (

@@ -66,7 +66,10 @@ object ScaleSuite {
     // consumer would otherwise have paid. Cheap ops skip the rerun
     // (t_provision stamped 0) to keep the suite wall bounded.
     val RerunFloorSec = 3.0
-    val scratchRoot = java.nio.file.Paths.get("/root/repo/target/scratch")
+    // derived from Lake.scratch, not duplicated (ADVICE r17: a
+    // hard-coded copy silently reports nothing if the root moves)
+    val scratchRoot =
+      java.nio.file.Paths.get(graft.operators.Lake.scratch("x")).getParent
     def scratchDirs(): Set[String] =
       if (!java.nio.file.Files.isDirectory(scratchRoot)) Set.empty
       else {
