@@ -295,7 +295,16 @@ object Graft {
           col("doc_id"), col("sh"))
     }
 
-    private[graft] def candidateSetsFromShingles(sh: DataFrame, k: Int, bands: Int): DataFrame = {
+    /** Banded-LSH candidate ID PAIRS (doc_a, doc_b) for one band
+      * config — the self-join layer, split out from the array-attach
+      * (r18) so count/recall consumers (the d_lsh_recall /
+      * d_lsh_autotune scoreboard sweeps every config) read the
+      * id-pair layout WITHOUT paying two shingle-array re-attach
+      * joins they immediately project away. Disk-backed per
+      * (shingle content, k, bands) when the shingle frame has a
+      * layout pedigree — IDs only, 16 bytes/pair; memoized in-session
+      * either way. */
+    private[graft] def candidateIdsFromShingles(sh: DataFrame, k: Int, bands: Int): DataFrame = {
       def candIds = {
         val bl = bandedKeys(sh, k, bands)
           .select(col("doc_id"), col("band_idx"), col("band_key"))
@@ -306,9 +315,6 @@ object Graft {
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
       }
-      def attach(ids: DataFrame) = ids
-        .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id")).drop("doc_id")
-        .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id")).drop("doc_id")
       // Disk-back the candidate ID pairs when the shingle frame has a
       // layout pedigree: the minhash/band/self-join derivation is the
       // dedup family's second-heaviest build and a pure function of
@@ -324,12 +330,18 @@ object Graft {
           graft.operators.Lake.provisionIfStale(fs, path, sig) {
             candIds.write.mode("overwrite").parquet(path)
           }
-          memoized((System.identityHashCode(s), "cand_layout", path, sig),
-            attach(s.read.parquet(path)))
+          memoized((System.identityHashCode(s), "cand_ids", path, sig),
+            s.read.parquet(path))
         case None =>
-          memoized(planKey(sh, "cand", k, bands), attach(candIds))
+          memoized(planKey(sh, "cand_ids", k, bands), candIds)
       }
     }
+
+    private[graft] def candidateSetsFromShingles(sh: DataFrame, k: Int, bands: Int): DataFrame =
+      memoized(planKey(sh, "cand", k, bands),
+        candidateIdsFromShingles(sh, k, bands)
+          .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id")).drop("doc_id")
+          .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id")).drop("doc_id"))
 
     /** EXACT near-dup pairs at jaccard >= threshold via AllPairs/
       * PPJoin document-frequency-ordered prefix filtering (Bayardo

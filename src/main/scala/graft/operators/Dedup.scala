@@ -223,24 +223,17 @@ object Dedup {
     val truth = graft.ScopedCache(
       exactNearDupPairs(s, d).select(col("doc_a"), col("doc_b")))
     val nt = truth.agg(count(lit(1)).as("n_truth"))
-    // the production 8x4 candidates come from the family's memoized
-    // frame (shared with d_minhash_lsh etc. — free when warm); the
-    // sweep configs (16x2, 4x8) share ONE self-join over a unioned
-    // band-key frame with a config column — one shuffle for both,
-    // and the signature underneath is memoized once for all three
-    val cand8 = graft.api.Graft.dedup.candidateSetsFromShingles(sh, K, Bands)
-      .select(lit(Bands.toLong).as("bands"), col("doc_a"), col("doc_b"))
-    val blx = Seq(16, 4).map { b =>
-      graft.api.Graft.dedup.bandedKeys(sh, K, b)
-        .select(lit(b.toLong).as("bands"), col("doc_id"), col("band_idx"), col("band_key"))
+    // every config's candidate ID pairs come from the SAME
+    // disk-backed/memoized id-pair layer the production pipeline
+    // uses (r18: the sweep previously re-ran a unioned band self-join
+    // per session, and the 8x4 arm read the ATTACHED candidate frame
+    // — paying two shingle-array joins it projected away; the
+    // scoreboard needs ids only, so each config is now one id-layout
+    // read, provisioned once per content signature)
+    val cand = Seq(Bands, 16, 4).map { b =>
+      graft.api.Graft.dedup.candidateIdsFromShingles(sh, K, b)
+        .select(lit(b.toLong).as("bands"), col("doc_a"), col("doc_b"))
     }.reduce(_ unionByName _)
-    val candSweep = blx.as("a").join(blx.as("b"),
-        col("a.bands") === col("b.bands") && col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.bands").as("bands"), col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"))
-      .distinct()
-    val cand = graft.ScopedCache(cand8.unionByName(candSweep))
     val nc = cand.groupBy(col("bands")).agg(count(lit(1)).as("n_candidates"))
     val rc = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
       .groupBy(col("bands")).agg(count(lit(1)).as("n_recalled"))

@@ -1411,15 +1411,19 @@ object Durability {
     CommitLog.writeCommit(s, dir,
       docs.filter(col("doc_id") % 3 === 0), "data/b0", ts = 1000L)       // v0
     val stateDir = s"$dir/_writer"
-    val ttlMs = 800L
-    // 1. slow writer A: the "write" spans 4 heartbeats at 300ms —
-    // 1200ms elapsed, past the original 800ms TTL — renewing each
+    val ttlMs = 500L
+    // 1. slow writer A: the "write" spans 4 heartbeats at 175ms —
+    // 700ms elapsed, past the original 500ms TTL — renewing each
     // beat; B probes for takeover after every renewal and must refuse.
-    // A host stall >500ms between a renewal and B's probe would let B
+    // A host stall >325ms between a renewal and B's probe would let B
     // genuinely win — on THIS host that is a documented bimodal-I/O
     // event, not a mechanism defect, so the survival phase retries in
     // a fresh window instead of crashing or shipping a false flag
-    // (self-review r12).
+    // (self-review r12). The constants are protocol-internal wall
+    // time, not part of what the query computes: r18 shrank the
+    // ceremony's mandatory sleep mass from 2.1 s to 1.3 s (the op's
+    // whole cost class) while keeping the beat/TTL ratio — the same
+    // 3-attempt retry absorbs the (slightly likelier) stall case.
     var takeoverRefused = false
     var survived = false
     var phaseDone = false
@@ -1431,7 +1435,7 @@ object Durability {
         val t0 = System.nanoTime() // survival clock starts AT the grant
         var refusedAll = true
         (1 to 4).foreach { _ =>
-          Thread.sleep(300L)
+          Thread.sleep(175L)
           StreamingOps.renewLease(fs, stateDir, "writerA", ttlMs = ttlMs)
           val refused =
             try { StreamingOps.acquireLease(fs, stateDir, "writerB", ttlMs = ttlMs); false }

@@ -579,10 +579,15 @@ object Insights {
           graft.functions.Parity.m(col("o_totalprice"))).otherwise(zero)).as("s1"),
         sum(when(year(col("o_orderdate")) >= 1998,
           graft.functions.Parity.m(col("o_totalprice"))).otherwise(zero)).as("s2"))
-    val j = cs.join(Tables.customer(s, d)
+    // pinned: j feeds BOTH decile ladders (each an ntileExact whose
+    // repartitionByRange samples its input — two executions apiece)
+    // and the final join — five executions of the orders-aggregate
+    // lineage without the cache, one with it (the frame is one
+    // narrow row per customer)
+    val j = graft.ScopedCache(cs.join(Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment").as("segment")),
         col("o_custkey") === col("c_custkey"))
-      .select(col("segment"), col("o_custkey").as("ck"), col("s1"), col("s2"))
+      .select(col("segment"), col("o_custkey").as("ck"), col("s1"), col("s2")))
     def deciles(spend: String) =
       graft.functions.Ranks.ntileExact(j.filter(col(spend) > 0), 10,
           Seq(spend, "ck"), partCols = Seq("segment"), out = "d")
@@ -897,11 +902,15 @@ object Insights {
       |FROM ag JOIN nation ON n_nationkey = c_nationkey
       |ORDER BY n_name""".stripMargin
   ) { (s, d) =>
-    val cs = Tables.orders(s, d)
+    // pinned: rankExact's repartitionByRange runs a SAMPLING job over
+    // its input, so without this cache the orders⨝customer aggregate
+    // lineage executes twice (the q_interpurchase discipline,
+    // guide §1/§2.4; the frame is one narrow row per customer)
+    val cs = graft.ScopedCache(Tables.orders(s, d)
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_nationkey"))
       .agg(expr("cast(sum(cast(o_totalprice as decimal(15,2)) * 100) as bigint)")
-        .as("spend"), count(lit(1)).as("n_orders"))
+        .as("spend"), count(lit(1)).as("n_orders")))
     val ranked = graft.functions.Ranks.rankExact(
       graft.functions.Ranks.rankExact(cs,
         Seq("spend", "c_custkey"), Seq("c_nationkey"), out = "rs"),
