@@ -384,14 +384,36 @@ object Graft {
                           threshold: Double = 0.8): DataFrame = {
       require(threshold == 0.8, "prefix arithmetic is specialized to t=0.8")
       val sh = shingleSets(df, idCol, textCol)
-      memoized(planKey(sh, "exact", threshold), {
+      def build =
         exactJaccardCandidates(sh, threshold)
           .join(sh.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id")).drop("doc_id")
           .join(sh.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id")).drop("doc_id")
           .withColumn("jaccard", Shingles.jaccardSorted(col("sh_a"), col("sh_b")))
           .filter(col("jaccard") >= threshold)
           .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      })
+      // Disk-back the verified TRUTH pairs when the shingle frame has
+      // a layout pedigree (r18): the prefix-filter self-join + exact
+      // verify is the dedup family's single heaviest derivation
+      // (12-13 s once per session at 100× in both r17 suite
+      // artifacts, first-consumer-pays in every bench family pass)
+      // and a pure function of (shingle content, threshold) — the
+      // same class as the shingle/cand-id layouts. 24 bytes/pair
+      // (jaccard is a deterministic double, exact through parquet);
+      // four family boards read it per session.
+      Option(frameSig.get(sh)) match {
+        case Some((layoutPath, contentSig)) =>
+          val s = sh.sparkSession
+          val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          val path = layoutPath + "_exact08"
+          val sig = contentSig + s"|exact|$threshold"
+          graft.operators.Lake.provisionIfStale(fs, path, sig) {
+            build.write.mode("overwrite").parquet(path)
+          }
+          memoized((System.identityHashCode(s), "exact_layout", path, sig),
+            s.read.parquet(path))
+        case None =>
+          memoized(planKey(sh, "exact", threshold), build)
+      }
     }
 
     /** MinHash+banded-LSH near-dup pairs with exact-Jaccard

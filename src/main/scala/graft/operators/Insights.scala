@@ -704,10 +704,14 @@ object Insights {
       |  CAST((1000 * cum) // total AS BIGINT) AS cum_share_pm
       |FROM t ORDER BY decile""".stripMargin
   ) { (s, d) =>
-    val cs = Tables.orders(s, d)
+    // pinned: ntileExact's range shuffle samples its input, so an
+    // uncached cs re-runs the orders aggregate twice (the
+    // q_interpurchase/q_decile_migration discipline; one narrow row
+    // per customer)
+    val cs = graft.ScopedCache(Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(expr("cast(sum(cast(o_totalprice as decimal(15,2)) * 100) as bigint)")
-        .as("cents"))
+        .as("cents")))
     val g = graft.functions.Ranks
       .ntileExact(cs, 10, Seq("cents", "o_custkey"), out = "decile")
       .groupBy(col("decile"))

@@ -166,11 +166,26 @@ object Namespace {
     val dataEntries = entries.filter { st =>
       !st.isDirectory || fs.listStatus(st.getPath).nonEmpty
     }
-    // ONE footer-count job over every entry, not one job per entry —
-    // the per-admission metadata cost stays a single round trip
-    val rows =
-      if (dataEntries.isEmpty) 0L
-      else spark.read.parquet(dataEntries.map(_.getPath.toString): _*).count()
+    // Footer row counts read DIRECTLY on the driver (r18): the count
+    // is parquet footer metadata either way, but `read.parquet(...)
+    // .count()` schedules a full Spark job per probe — and this
+    // ceremony probes usage ~23 times (15 steps + 8 admissions), so
+    // job-scheduling overhead WAS the op's cost (guide §1.2: fix the
+    // per-task/per-job work once the shape is right). O(entries)
+    // footer opens per probe, the exact metadata cost the SURVEY row
+    // claims; identical numbers by definition (footer rowcount sums).
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = dataEntries.flatMap { st =>
+      val parts =
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+        else Array(st).filter(_.getPath.getName.endsWith(".parquet"))
+      parts.map { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try rd.getRecordCount finally rd.close()
+      }
+    }.sum
     (entries.length.toLong, rows)
   }
 

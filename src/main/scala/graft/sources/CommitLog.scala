@@ -353,10 +353,29 @@ object CommitLog {
     // marker, so a concurrent reporter's progress is never lost.
     val ok = relPaths.filter(active.contains).filter { rel =>
       pre.verified.contains(rel) || {
-        // footer failures surface as different exception types per
-        // phase (schema inference vs scan) — any failure means
+        // footer verification is a FOOTER read either way — the r17
+        // form scheduled a Spark count job per file (count() prunes
+        // to footer metadata), paying job scheduling for a
+        // metadata-sized check ~O(files) times per report cadence;
+        // the footers are now opened directly (r18, the quotaUsage
+        // discipline). A torn/corrupt footer throws on open, an
+        // empty entry verifies vacuously-false exactly like the
+        // schema-inference failure did — any failure means
         // unverified, never an op abort
-        try { spark.read.parquet(resolve(tableDir, rel)).count() >= 0L }
+        try {
+          val conf = spark.sparkContext.hadoopConfiguration
+          val p = new Path(resolve(tableDir, rel))
+          val parts =
+            if (fs.getFileStatus(p).isDirectory)
+              fs.listStatus(p).filter(f =>
+                f.isFile && f.getPath.getName.endsWith(".parquet"))
+            else Array(fs.getFileStatus(p))
+          parts.nonEmpty && parts.forall { f =>
+            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+            try rd.getRecordCount >= 0L finally rd.close()
+          }
+        }
         catch { case scala.util.control.NonFatal(_) => false }
       }
     }
