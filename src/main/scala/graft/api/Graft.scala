@@ -244,6 +244,14 @@ object Graft {
           val s = tableShingles.sparkSession
           val frame = memoized(
             (System.identityHashCode(s), "sh_sub", path, sig, subsetTag), sub)
+          // NOTE (ADVICE r18): the registered pedigree path
+          // `${path}_$subsetTag` is a NAMESPACE PREFIX, not a readable
+          // layout — nothing writes parquet or a _graft_src_sig at
+          // that base path. Every downstream consumer
+          // (candidateIdsFromShingles) appends its own suffix before
+          // provisioning; a future consumer that wants to read the
+          // subset frame at this path directly must provision the
+          // subset parquet there first.
           frameSig.put(frame, (s"${path}_$subsetTag", s"$sig|sub|$subsetTag"))
           frame
         case None => sub
@@ -391,29 +399,17 @@ object Graft {
           .withColumn("jaccard", Shingles.jaccardSorted(col("sh_a"), col("sh_b")))
           .filter(col("jaccard") >= threshold)
           .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      // Disk-back the verified TRUTH pairs when the shingle frame has
-      // a layout pedigree (r18): the prefix-filter self-join + exact
-      // verify is the dedup family's single heaviest derivation
-      // (12-13 s once per session at 100× in both r17 suite
-      // artifacts, first-consumer-pays in every bench family pass)
-      // and a pure function of (shingle content, threshold) — the
-      // same class as the shingle/cand-id layouts. 24 bytes/pair
-      // (jaccard is a deterministic double, exact through parquet);
-      // four family boards read it per session.
-      Option(frameSig.get(sh)) match {
-        case Some((layoutPath, contentSig)) =>
-          val s = sh.sparkSession
-          val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-          val path = layoutPath + "_exact08"
-          val sig = contentSig + s"|exact|$threshold"
-          graft.operators.Lake.provisionIfStale(fs, path, sig) {
-            build.write.mode("overwrite").parquet(path)
-          }
-          memoized((System.identityHashCode(s), "exact_layout", path, sig),
-            s.read.parquet(path))
-        case None =>
-          memoized(planKey(sh, "exact", threshold), build)
-      }
+      // SESSION-scoped memo, deliberately NOT a disk-backed layout
+      // (r19, reversing r18): the verified (doc_a, doc_b, jaccard)
+      // frame at the op's own threshold is RESULT-shaped — it is
+      // essentially d_ngram_jaccard's answer — so persisting it
+      // across runs keyed on source content is result caching, not
+      // index amortization (VERDICT r18 "What's wrong #1"). The
+      // first consumer in a session pays the prefix-filter self-join
+      // + exact verify; the three other family boards read the memo.
+      // The CANDIDATE layer underneath (cand-id band layouts, shingle
+      // layouts) stays disk-backed — those are index-shaped.
+      memoized(planKey(sh, "exact", threshold), build)
     }
 
     /** MinHash+banded-LSH near-dup pairs with exact-Jaccard

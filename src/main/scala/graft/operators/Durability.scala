@@ -164,7 +164,14 @@ object Durability {
     }
     (0 until 3).map { k =>
       val (checked, bad) = scrubCycle(s, dir, budget = 2)
-      val rows = s.read.parquet(checked.map(r => s"$dir/$r"): _*).count()
+      // footer record counts read directly on the driver (r19, the
+      // quotaUsage discipline): the per-cycle row count is parquet
+      // footer metadata either way — `read.parquet(...).count()`
+      // scheduled one Spark job per cycle for it. Identical numbers
+      // by definition; the scrub VERIFICATION reads (failsRead, a
+      // real distributed decode per entry) are untouched — that I/O
+      // is what the ceremony proves.
+      val rows = Lake.footerRows(s, checked.map(r => s"$dir/$r"))
       (k.toLong, checked.size.toLong, (checked.size - bad.size).toLong,
         rows, ((k + 1) * 2 * 1000 / 6).toLong)
     }.toDF("cycle", "n_checked", "n_ok", "n_rows_checked", "cum_coverage_pm")

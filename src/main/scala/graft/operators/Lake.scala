@@ -64,6 +64,32 @@ object Lake {
       recordSig(fs, path, sig)
     }
 
+  /** Sum of parquet footer record counts under `paths` (each a part
+    * file or a directory of part files) — exactly the number a
+    * `read.parquet(paths).count()` job computes (count() prunes to
+    * footer metadata), WITHOUT scheduling a Spark job per probe: the
+    * quotaUsage / reportVerified discipline (r18/r19, guide §1.2 —
+    * per-step overhead once the shape is right). A missing path or
+    * torn/corrupt footer THROWS — metadata probes must fail closed,
+    * never read as zero rows. */
+  def footerRows(spark: SparkSession, paths: Seq[String]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(conf)
+    paths.map { p =>
+      val st = fs.getFileStatus(new Path(p))
+      val parts =
+        if (st.isDirectory)
+          fs.listStatus(st.getPath)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        else Array(st)
+      parts.map { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try rd.getRecordCount finally rd.close()
+      }.sum
+    }.sum
+  }
+
   private def sigFile(path: String) =
     new org.apache.hadoop.fs.Path(path, "_graft_src_sig")
 

@@ -175,16 +175,24 @@ object Namespace {
     // footer opens per probe, the exact metadata cost the SURVEY row
     // claims; identical numbers by definition (footer rowcount sums).
     val conf = spark.sparkContext.hadoopConfiguration
-    val rows = dataEntries.flatMap { st =>
-      val parts =
-        if (st.isDirectory)
-          fs.listStatus(st.getPath).filter(_.getPath.getName.endsWith(".parquet"))
-        else Array(st).filter(_.getPath.getName.endsWith(".parquet"))
-      parts.map { f =>
-        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
-        try rd.getRecordCount finally rd.close()
-      }
+    // Recurse into nested directories and FAIL (throw) on any
+    // non-underscore entry that is not a parquet part file (ADVICE
+    // r18): the r18 form silently skipped them, an under-count in
+    // exactly the fail-open direction this function's own fail-closed
+    // contract forbids — the old spark.read path either counted such
+    // files or errored closed. Underscore-prefixed sidecars
+    // (_SUCCESS, _quota) are metadata by convention, not data.
+    def dataFiles(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.getPath.getName.startsWith("_")) Seq.empty
+      else if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(dataFiles)
+      else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
+      else throw new java.io.IOException(
+        s"quota usage: unexpected non-parquet entry ${st.getPath} — " +
+          "refusing to under-count usage (fail closed)")
+    val rows = dataEntries.flatMap(dataFiles).map { f =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+      try rd.getRecordCount finally rd.close()
     }.sum
     (entries.length.toLong, rows)
   }

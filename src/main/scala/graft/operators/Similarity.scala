@@ -56,13 +56,25 @@ object Similarity {
     // hazard. get/putIfAbsent tolerates nesting; a racing duplicate
     // build just unpersists its copy.
     val key = FamKey(System.identityHashCode(s), d, tag, sig)
-    val df = Option(famMemo.get(key)).getOrElse {
+    // Sweep entries owned by STOPPED sessions on every access (ADVICE
+    // r18, the supMemo discipline): dead-session entries accumulate in
+    // a long-lived JVM and a recycled identityHashCode could serve a
+    // frame bound to a dead session. No unpersist — the blocks died
+    // with the session.
+    import scala.jdk.CollectionConverters._
+    famMemo.entrySet().asScala.toSeq
+      .filter(_.getValue.sparkSession.sparkContext.isStopped)
+      .foreach(e => famMemo.remove(e.getKey))
+    val df = Option(famMemo.get(key)).filter(_.sparkSession eq s).getOrElse {
       val built = build.persist()
-      Option(famMemo.putIfAbsent(key, built)) match {
+      Option(famMemo.putIfAbsent(key, built))
+        .filter(_.sparkSession eq s) match {
         case Some(prev) => built.unpersist(); prev
         case None =>
+          // installs ours, replacing any same-key entry bound to a
+          // different session object (the recycled-hash hazard)
+          famMemo.put(key, built)
           // evict the superseded source-content generation, if any
-          import scala.jdk.CollectionConverters._
           famMemo.keySet().asScala
             .filter(k => k.session == key.session && k.dir == key.dir &&
               k.tag == key.tag && k.sig != key.sig)

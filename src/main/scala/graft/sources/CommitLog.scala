@@ -365,12 +365,19 @@ object CommitLog {
         try {
           val conf = spark.sparkContext.hadoopConfiguration
           val p = new Path(resolve(tableDir, rel))
-          val parts =
-            if (fs.getFileStatus(p).isDirectory)
-              fs.listStatus(p).filter(f =>
-                f.isFile && f.getPath.getName.endsWith(".parquet"))
-            else Array(fs.getFileStatus(p))
-          parts.nonEmpty && parts.forall { f =>
+          // Any non-underscore entry that is NOT a parquet part file
+          // fails verification (ADVICE r18): the r18 form silently
+          // ignored such files, so a torn/corrupt sidecar data file
+          // that previously made spark.read.parquet fail (marking the
+          // entry unverified) passed as long as the suffixed parts
+          // were intact — this restores the old fail-unverified scope.
+          val st = fs.getFileStatus(p)
+          val (entries, parts) =
+            if (st.isDirectory) {
+              val es = fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
+              (es, es.filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+            } else (Array(st), Array(st)) // a bare-file entry verifies by its own footer
+          parts.length == entries.length && parts.nonEmpty && parts.forall { f =>
             val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
               org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
             try rd.getRecordCount >= 0L finally rd.close()

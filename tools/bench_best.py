@@ -138,6 +138,23 @@ def main():
     fresh_tags = {"worktree"} | {os.path.basename(p) for p in sys.argv[1:]}
     best, src = {}, {}
     runs = []
+    # SEED from the existing floors file so minima ratchet
+    # MONOTONICALLY (r19): gitignored run files folded in past
+    # sessions are not re-derivable from git history, so a fresh
+    # invocation that only passes today's runs would silently RAISE
+    # floors built from them (observed: 124.77 -> 130.85 s). For
+    # STALE_FLOORS queries, seed only floors whose recorded source was
+    # itself a fresh measurement ('worktree' or an explicit run file)
+    # — a git-hash-sourced seed would defeat the stale-floor purge.
+    try:
+        cur = json.load(open("docs/bench_best.json"))
+        for q, t in cur.get("queries", {}).items():
+            s = cur.get("source_run", {}).get(q, "")
+            if q in STALE_FLOORS and not (s == "worktree" or ".json" in s):
+                continue
+            best[q], src[q] = t, s or "seed"
+    except Exception:
+        pass
     for tag, d in versions():
         # a missing "sf" key means the run predates the field — its scale
         # factor is unknown, so it must not be folded into the floors
@@ -207,7 +224,18 @@ def fold_cpu_canary_floor():
         # like-for-like with the runs it gates
         if (isinstance(v, (int, float)) and v > 0 and d.get("sf") == SF
                 and d.get("canary_cpu_cpus") == 32):
-            obs.append([round(float(d.get("value", 0)), 3), float(v)])
+            # identity tuple for the dedup below: (run total, secs).
+            # An artifact missing "value" falls back to its mtime
+            # (ADVICE r18: the old default-0 made two distinct
+            # value-less runs with equal canary secs collide, silently
+            # dropping an observation from the window).
+            ident = d.get("value")
+            if not isinstance(ident, (int, float)):
+                try:
+                    ident = os.path.getmtime(p)
+                except OSError:
+                    ident = 0
+            obs.append([round(float(ident), 3), float(v)])
     path = "docs/canary_floors.json"
     try:
         cur = json.load(open(path))

@@ -1,0 +1,35 @@
+#!/bin/bash
+# COLD-SCRATCH headline bench (VERDICT r18 next-round #1a): wipe every
+# amortized disk layout under target/scratch (EXCEPT the scaleN
+# synthetic inflations, which are test DATA, not derived layouts), then
+# run the 25-op headline bench once and commit the result as
+# docs/bench_cold.json. The point is falsifiability: every
+# provisionIfStale layout's build cost becomes a measured, per-round
+# committed number instead of an invisible one-time cost no bench run
+# ever pays again. Round cadence: run once per round after the final
+# code state, commit docs/bench_cold.json alongside the round artifacts.
+#
+# Usage: tools/bench_cold.sh  (from the repo root)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SCRATCH=target/scratch
+if [ -d "$SCRATCH" ]; then
+  find "$SCRATCH" -mindepth 1 -maxdepth 1 ! -name 'scale*' -exec rm -rf {} +
+fi
+
+# the headline list lives in graft.Bench.headline; keep this in sync
+OPS="q1_pricing_summary,q3_shipping_priority,q9_profit,q18_large_orders,\
+q21_waiting_supplier,q_window_running,q_heavy_hitters,q_asof_join,lake_scan,\
+lake_bucketed_join,lake_time_travel,d_minhash_lsh,d_dup_clusters,\
+d_corpus_curate,d_embed_neardup,s_ann_bruteforce,s_ann_ivf_partitioned,\
+s_ann_pq,t_ngram_freq,t_lang_id,st_session_window,st_stream_neardup,\
+lake_zorder,q_bloom_join,g_pagerank"
+
+SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+SPARK_GRAFT_ONLY="$OPS" \
+  sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' || true
+
+cp docs/bench_only.json docs/bench_cold.json
+echo "wrote docs/bench_cold.json"
